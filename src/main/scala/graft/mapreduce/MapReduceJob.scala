@@ -1,0 +1,148 @@
+package graft.mapreduce
+
+import org.apache.spark.Partitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+
+/** Reference-parity MapReduce pipeline, re-expressed on Spark.
+  *
+  * The reference executes a fixed 3-stage plan — pipe-through-executable
+  * map, per-task sort + master-side k-way merge, round-robin partition over
+  * distinct lines, pipe-through-executable reduce
+  * (`mapreduce/master/__main__.py:220-467`, `mapreduce/worker/__main__.py:99-159`).
+  * Here the whole data plane is one RDD lineage:
+  *
+  *   textFile(in, nM) → pipe(mapper) → keyBy(tab-key)
+  *     → repartitionAndSortWithinPartitions(KeyPartitioner(nR))
+  *     → pipe(reducer) → outputfileNN
+  *
+  * Spark's sort-based shuffle subsumes the reference's worker sorts
+  * (`worker/__main__.py:132-145`), the master's heapq merge
+  * (`master/__main__.py:384-406`), and its staged tmp/ directories — and it
+  * spills, so (unlike the reference's in-memory `list.sort()`) it survives
+  * partitions that don't fit in memory. Control-plane items (registration,
+  * heartbeats, task reassignment — SURVEY.md §2.2 C3–C6) are delegated to
+  * the cluster manager entirely.
+  *
+  * Semantics decisions (SURVEY.md §2.4):
+  *  - Q1/Q2 resolved to *intent*: partition by the tab-separated key (all
+  *    lines of one key reach exactly one reducer), one partition per reduce
+  *    task. A `fidelity` flag switches to the reference's observable
+  *    distinct-LINE round-robin assignment for byte-level golden parity.
+  *  - Q3: reduce input is sorted by the whole line (codepoint order, same
+  *    as Python `str` sort on ASCII); empty keys are preserved as keys.
+  *  - subprocess exit codes: `pipe` fails the task on non-zero exit — the
+  *    reference silently ignored them (`worker/__main__.py:116`).
+  */
+object MapReduceJob {
+
+  /** `key \t value` line → key (whole line when no tab, ref behavior:
+    * the sort compares whole lines; grouping keys on the tab prefix). */
+  def keyOf(line: String): String = {
+    val i = line.indexOf('\t')
+    if (i < 0) line else line.substring(0, i)
+  }
+
+  /** Hash-partition whole `key\tvalue` lines by their tab-key: the
+    * MapReduce contract the reference intends (SURVEY.md Q1). */
+  final class KeyPartitioner(val numPartitions: Int) extends Partitioner {
+    require(numPartitions > 0)
+    override def getPartition(key: Any): Int = {
+      val h = keyOf(key.asInstanceOf[String]).hashCode
+      val m = h % numPartitions
+      if (m < 0) m + numPartitions else m
+    }
+    override def equals(other: Any): Boolean = other match {
+      case p: KeyPartitioner => p.numPartitions == numPartitions
+      case _ => false
+    }
+    override def hashCode: Int = numPartitions
+  }
+
+  /** Map stage: stripe lines over `numMappers` tasks and pipe each
+    * partition through the mapper executable (flatMap semantics — the
+    * executable emits 0..n output lines per input line, exactly the
+    * reference's `new_worker_task` contract). */
+  def mapStage(lines: RDD[String], mapperCmd: Seq[String], numMappers: Int): RDD[String] = {
+    val repart = if (numMappers > 0) lines.repartition(numMappers) else lines
+    if (mapperCmd.isEmpty) repart else repart.pipe(mapperCmd)
+  }
+
+  /** Group stage (intent semantics): shuffle lines so every line with the
+    * same tab-key lands in one of `numReducers` partitions, each partition
+    * sorted by whole line — duplicate keys adjacent, reference's reduce
+    * input contract. One Spark shuffle replaces sort tasks + master merge. */
+  def groupStage(mapped: RDD[String], numReducers: Int): RDD[String] =
+    mapped.map(l => (l, null: Null))
+      .repartitionAndSortWithinPartitions(new KeyPartitioner(numReducers))
+      .map(_._1)
+
+  /** Fidelity variant of the group stage: the reference assigns the i-th
+    * *distinct line* (not key!) of the merged sort order to partition
+    * i % numReducers (`master/__main__.py:397-406`). Needs a global dense
+    * rank — implemented as sort → zipWithIndex over distinct lines, then a
+    * join back; strictly more expensive, kept only for golden-file parity. */
+  def groupStageFidelity(mapped: RDD[String], numReducers: Int): RDD[String] = {
+    val ranked = mapped.distinct().sortBy(identity)
+      .zipWithIndex()
+      .map { case (line, idx) => (line, (idx % numReducers).toInt) }
+    mapped.map(l => (l, null: Null))
+      .join(ranked.map { case (l, p) => (l, p) })
+      .map { case (line, (_, p)) => ((p, line), null: Null) }
+      .repartitionAndSortWithinPartitions(new ExactPartitioner(numReducers))
+      .map(_._1._2)
+  }
+
+  /** Routes by the pre-computed partition id; the (id, line) composite key
+    * keeps each partition line-sorted through the shuffle. */
+  private final class ExactPartitioner(val numPartitions: Int) extends Partitioner {
+    override def getPartition(key: Any): Int = key.asInstanceOf[(Int, String)]._1
+  }
+
+  /** Reduce stage: pipe each sorted partition through the reducer. */
+  def reduceStage(grouped: RDD[String], reducerCmd: Seq[String]): RDD[String] =
+    if (reducerCmd.isEmpty) grouped else grouped.pipe(reducerCmd)
+
+  /** Full pipeline over in-memory/line RDD input. */
+  def runLines(lines: RDD[String], spec: JobSpec): RDD[String] = {
+    val mapped = mapStage(lines, spec.mapperCmd, spec.numMappers)
+    val grouped =
+      if (spec.fidelityPartitioning) groupStageFidelity(mapped, spec.numReducers)
+      else groupStage(mapped, spec.numReducers)
+    reduceStage(grouped, spec.reducerCmd)
+  }
+
+  /** Full pipeline over a directory of line files, writing
+    * `outputfile01..NN` like the reference's output commit
+    * (`master/__main__.py:448-463`) but through a temp dir + atomic rename
+    * (the reference's copy scheme was non-atomic — SURVEY.md Q6). */
+  def run(spark: SparkSession, spec: JobSpec): Unit = {
+    require(spec.inputDir.nonEmpty && spec.outputDir.nonEmpty)
+    val lines = spark.sparkContext.textFile(spec.inputDir, math.max(spec.numMappers, 1))
+    val out = runLines(lines, spec)
+    val tmp = spec.outputDir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    out.saveAsTextFile(tmp)
+    val outPath = java.nio.file.Paths.get(spec.outputDir)
+    java.nio.file.Files.createDirectories(outPath)
+    val parts = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f.toPath, outPath.resolve(f"outputfile${i + 1}%02d"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    new java.io.File(tmp).listFiles().foreach(_.delete())
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+  }
+}
+
+/** Job spec mirroring the reference's `new_master_job` message fields
+  * (`mapreduce/submit.py:59-67`): input/output dirs, mapper/reducer
+  * executables, mapper/reducer parallelism. */
+case class JobSpec(
+    mapperCmd: Seq[String],
+    reducerCmd: Seq[String],
+    numMappers: Int = 4,
+    numReducers: Int = 1,
+    inputDir: String = "",
+    outputDir: String = "",
+    fidelityPartitioning: Boolean = false)

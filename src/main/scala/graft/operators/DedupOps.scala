@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents` / `embeddings`:
+  *
+  *  - exact dedup           — hash-groupBy on a content digest
+  *  - MinHash + LSH         — shingle → minhash signature → banded buckets
+  *                            → candidate pairs (never all-pairs)
+  *  - SimHash               — 64-bit sketch, banded hamming candidates,
+  *                            `bit_count(xor)` verification (codegen'd)
+  *  - n-gram Jaccard        — exact set similarity via shingle equi-join
+  *                            (inverted-index join, not a cross join)
+  *
+  * Scale discipline: every near-dup op is *blocked* — candidates come from
+  * an equi-join on a short key (band hash / shingle), so the shuffle is
+  * keyed and the quadratic blowup is bounded by bucket size, which is how
+  * these run over billions of documents. No collects, no cartesians.
+  */
+object DedupOps extends QueryPack {
+
+  /** Distinct word-3-gram shingles of `text` (empty when < 3 tokens).
+    * Built from three array slices zipped together so `split` is evaluated
+    * a constant number of times per row — an index-based
+    * `transform(sequence(...), i -> element_at(split(text), i))` form
+    * re-splits the text per element (O(tokens²) in the interpreted
+    * expression path) and was the bench bottleneck. */
+  private val shingles3: Column = expr(
+    """CASE WHEN size(split(text, ' ')) >= 3 THEN
+      |  array_distinct(zip_with(
+      |    zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 2),
+      |             slice(split(text, ' '), 2, size(split(text, ' ')) - 2),
+      |             (a, b) -> concat(a, ' ', b)),
+      |    slice(split(text, ' '), 3, size(split(text, ' ')) - 2),
+      |    (ab, c) -> concat(ab, ' ', c)))
+      |ELSE array() END""".stripMargin)
+
+  /** Documents resharded across the cluster before compute-heavy
+    * per-doc work: a small parquet arrives as one split, which would
+    * serialize the explode/sketch stages onto one core. At real scale
+    * the scan already yields many splits and AQE coalesces this. */
+  private def docsSharded(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(col("doc_id"))
+
+  /** MinHash signatures, computed the scalable way: explode shingles to
+    * (doc_id, shingle) rows, then ONE hash aggregate with K min(xxhash64
+    * (shingle, seed)) columns. Partial (map-side) aggregation means each
+    * input split contributes K longs per doc to the shuffle — this is the
+    * shape that survives billions of docs. (A nested higher-order-function
+    * expression version generated pathological Janino codegen.) */
+  private val K = 32
+
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val sh = docsSharded(s, d)
+      .select(col("doc_id"), explode(shingles3).as("shingle"))
+    val mins = (1 to K).map(i => min(expr(s"xxhash64(shingle, $i)")).as(s"h$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((1 to K).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** 64-bit SimHash, same explode→aggregate shape: per (doc, token-hash)
+    * row, each of the 64 bits votes +-1; 64 sum() aggregates, then the
+    * signs fold into one long. All codegen'd built-ins. */
+  private def simhashes(s: SparkSession, d: String): DataFrame = {
+    val th = docsSharded(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
+    val fold = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+    th.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fold.as("sh"))
+  }
+
+  /** Exact-dup corpus stats: one always-nonempty row. */
+  def exactStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_rows"))
+
+  /** Exact-dup groups: digest → group size + survivor id (min). The
+    * canonical exact dedup: one shuffle on the digest, map-side partial. */
+  def exactGroups(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n") > 1)
+      .orderBy(col("fp"))
+
+  /** MinHash+LSH candidate pairs with signature-estimated Jaccard.
+    * bands=8 × rows=4 over a K=32 signature; candidates = pairs sharing at
+    * least one band bucket; estimate = matching signature fraction. */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = minhashSigs(s, d)
+    val bands = docs.select(col("doc_id"), col("sig"),
+      posexplode(expr("transform(sequence(0, 7), b -> xxhash64(" +
+        "element_at(sig, 4*b+1), element_at(sig, 4*b+2), " +
+        "element_at(sig, 4*b+3), element_at(sig, 4*b+4), b))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val left = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val right = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / CAST($K AS DOUBLE)"), 4)
+          .as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup candidates: 4×16-bit bands → equi-join blocking,
+    * verify with hamming = bit_count(a XOR b) <= 8 (whole-stage codegen). */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = simhashes(s, d)
+    val allBands = sh.select(col("doc_id"), col("sh"),
+      posexplode(expr("transform(sequence(0, 3), b -> (sh >> (16 * b)) & 65535)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    // Overfull-bucket cap (standard LSH hygiene): a band value shared by
+    // thousands of docs has no discriminating power but costs |bucket|²
+    // join rows on one skewed key — drop those buckets instead of letting
+    // a single hot key serialize the stage. Bound survives any corpus size.
+    val hot = allBands.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > 500)
+      .select(col("band"), col("chunk"))
+    val bands = allBands.join(broadcast(hot), Seq("band", "chunk"), "left_anti")
+    val left = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val right = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    left.join(right, Seq("band", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("sh_a ^ sh_b")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard via inverted-index equi-join on shingles —
+    * |A∩B| from the join, |A|,|B| from per-doc shingle counts; all-integer
+    * arithmetic so the DuckDB oracle matches bit-for-bit. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = docsSharded(s, d)
+      .select(col("doc_id"), explode(shingles3).as("shingle"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
+      .join(broadcast(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")) >= 0.2)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding near-dup: hyperplane-LSH blocking (shared with
+    * SimilarityOps) then exact cosine >= 0.9 verification on candidates. */
+  def embeddingDup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        explode(SimilarityOps.lshBuckets(col("embedding"))).as("bucket"))
+    val left = emb.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val right = emb.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    left.join(right, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("e_a"), col("e_b"))
+      .distinct()  // collapse multi-table collisions before the exact check
+      .select(col("id_a"), col("id_b"),
+        round(SimilarityOps.cosine(col("e_a"), col("e_b")), 4).as("cos"))
+      .filter(col("cos") >= 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_stats" -> exactStats,
+    "dedup_exact_groups" -> exactGroups,
+    "dedup_minhash_pairs" -> minhashPairs,
+    "dedup_simhash_pairs" -> simhashPairs,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_embedding_pairs" -> embeddingDup,
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "dedup_exact_stats" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+        | count(*) - count(DISTINCT text) AS n_dup_rows
+        |FROM documents""".stripMargin,
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY fp""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, len(toks) - 1),
+        |          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])) AS shingle
+        |      FROM tk WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+        |FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

@@ -1,0 +1,506 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface: scans, projections/filters, the join
+  * families (broadcast / shuffle / semi / anti / range), hash and
+  * sort-based aggregation incl. rollup/cube/distinct, window functions,
+  * sorts/limits/top-k, set operations, and scalar function coverage.
+  *
+  * The reference (`/root/reference`, see SURVEY.md §2.3) has none of these
+  * as first-class operators — they live inside user map/reduce executables
+  * (e.g. the grep mapper `tests/testdata/exec/grep_map.py:27-28` is a
+  * filter; the wc mapper `tests/testdata/exec/wc_map.sh:12` is a
+  * projection+explode). Here each category is a declarative Catalyst plan
+  * so pushdown/pruning/join-selection are automatic.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dimension joins (`region`, `nation`, filtered `part`) are explicitly
+  *    `broadcast()` — no shuffle of the fact side for those.
+  *  - fact-fact joins (orders⋈lineitem) are equi-joins on the natural key:
+  *    sort-merge with both sides shuffled once on the join key; AQE can
+  *    convert to broadcast when a side is small after filtering.
+  *  - every aggregate is a partial (map-side) + final hash aggregate —
+  *    no driver-side collect anywhere.
+  *  - all double-valued outputs are rounded so the DuckDB oracle's
+  *    FP-noise stays below the hash-compare resolution.
+  */
+object Relational extends QueryPack {
+  import Tables._
+
+  private def tsLit(s: String): Column = lit(s).cast("timestamp")
+
+  // Q1: TPC-H Q1-shaped pricing summary — wide partial agg, tiny result.
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= tsLit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // Q2: projection + selective filter — both must reach the parquet scan
+  // (PushedFilters / pruned ReadSchema).
+  def q2FilterPushdown(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= tsLit("2000-01-01") && col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // Q3: TPC-H Q3-shaped — dim-filtered customer side joined to fact chain,
+  // top-10 by computed revenue (deterministic tiebreak on the key).
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cut = tsLit("1998-01-01")
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).filter(col("o_orderdate") < cut)
+    val l = lineitem(s, d).filter(col("l_shipdate") > cut)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // Q4: EXISTS — left-semi join, correlated-predicate shape.
+  def q4OrderPrioritySemi(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val l = lineitem(s, d)
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // Q5: five-way join through the star schema; dims broadcast.
+  def q5NationRevenue(s: SparkSession, d: String): DataFrame = {
+    val dims = nation(s, d).join(
+      broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+      col("n_regionkey") === col("r_regionkey"))
+    val o = orders(s, d).filter(
+      col("o_orderdate") >= tsLit("1996-01-01") && col("o_orderdate") < tsLit("1998-01-01"))
+    lineitem(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(dims), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  // Q6: fully-pushed-down selective scan + single-row agg.
+  def q6RevenueFilter(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= tsLit("1997-01-01") && col("l_shipdate") < tsLit("1998-01-01")
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  // Q7: NOT EXISTS — left-anti join.
+  def q7CustomerNoOpenOrders(s: SparkSession, d: String): DataFrame = {
+    val open = orders(s, d).filter(col("o_orderstatus") === "O")
+    customer(s, d)
+      .join(open, col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  // Q8: explicit broadcast of the snowflaked dim chain into the fact.
+  def q8BroadcastDims(s: SparkSession, d: String): DataFrame = {
+    val dim = nation(s, d).join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+    customer(s, d)
+      .join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("c_acctbal")), 6).as("avg_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  // Q9: range (interval) self-join — equi on user_id plus a time band.
+  // Equi component keeps it a sort-merge join, never a cartesian.
+  def q9EventRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val e1 = events(s, d).select(col("user_id"), col("ts").as("ts1"))
+    val e2 = events(s, d).select(col("user_id").as("u2"), col("ts").as("ts2"))
+    e1.join(e2, col("user_id") === col("u2")
+        && col("ts2") > col("ts1")
+        && col("ts2") <= col("ts1") + expr("INTERVAL 60 SECONDS"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("pairs_60s"))
+      .orderBy(col("user_id"))
+  }
+
+  // Q10: global top-k — TakeOrderedAndProject, no full sort at scale.
+  def q10TopOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("total"), col("o_orderdate"))
+      .orderBy(col("total").desc, col("o_orderkey"))
+      .limit(15)
+
+  // Q11: ROLLUP hierarchy totals (NULL group keys coalesced so Spark/DuckDB
+  // NULL-ordering differences can't matter).
+  def q11Rollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  // Q12: CUBE over two order dims.
+  def q12Cube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 6).as("avg_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("n"), col("avg_price"))
+      .orderBy(col("st"), col("pri"))
+
+  // Q13: distinct aggregates (expand-based plan in Spark).
+  def q13DistinctAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  // Q14: windowed top-k per group (row_number partition prune).
+  def q14TopPartsPerBrand(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("raw_rev"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("raw_rev").desc, col("l_partkey"))
+    rev.join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("p_brand"), col("rk"), col("p_partkey"), round(col("raw_rev"), 4).as("revenue"))
+      .orderBy(col("p_brand"), col("rk"))
+  }
+
+  // Q15: running total — frame ROWS UNBOUNDED PRECEDING..CURRENT ROW.
+  def q15RunningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 2).as("run_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // Q16: lag/lead deltas over an event stream.
+  def q16EventDeltas(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") - coalesce(lag(col("value"), 1).over(w), lit(0.0)), 2).as("delta"),
+        lead(col("event_type"), 1, "none").over(w).as("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // Q17/Q18: set operations (set semantics, not bag).
+  def q17SetIntersect(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+      .intersect(supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct())
+      .orderBy(col("nationkey"))
+
+  def q18SetExcept(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+      .except(supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct())
+      .orderBy(col("nationkey"))
+
+  // Q19: string scalar-function coverage (codegen'd built-ins, no UDFs).
+  def q19StringFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("ub"),
+        substring(col("p_name"), 1, 8).as("prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_type"), "A", "@").as("ty"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("bt"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        reverse(col("p_type")).as("rev"))
+      .orderBy(col("p_partkey"))
+
+  // Q20: date/time scalar functions.
+  def q20DateFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+      .orderBy(col("o_orderkey"))
+
+  // Q21: math scalar functions — everything cast to double explicitly so
+  // Spark (ceil→long) and DuckDB (ceil→double) schemas line up; transcendental
+  // results rounded below cross-libm noise.
+  def q21MathFuncs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_discount") - 0.05), 4).as("adev"),
+        ceil(col("l_quantity") / 3).cast("double").as("c3"),
+        floor(col("l_quantity") / 3).cast("double").as("f3"),
+        round(sqrt(col("l_quantity")), 6).as("sq"),
+        round(pow(col("l_tax") + 1, 2), 6).as("p2"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        (col("l_orderkey") % 7).cast("long").as("m7"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // Q22: JSON extraction from the events props column.
+  def q22JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy(col("event_id"))
+
+  // Q23: tumbling-window (1h) aggregation over the event stream — the
+  // batch twin of the Structured Streaming window agg in graft.streaming.
+  def q23EventsTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  // Q24: sessionization — 30-min inactivity gap splits sessions. Classic
+  // lag→flag→cumulative-sum; integer outputs so the oracle compare is exact.
+  def q24Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // gaps compared in exact integer microseconds: seconds-truncation would
+    // disagree with the oracle whenever a gap straddles the 30-min boundary.
+    val flagged = events(s, d)
+      .withColumn("gap", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+      .withColumn("new_sess", when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"))
+      .agg(max(col("sess_id")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  // Q25: UNION ALL across heterogeneous sources (bag semantics).
+  def q25UnionAll(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(lit("cust").as("kind"), col("c_nationkey").as("nationkey"))
+      .unionByName(supplier(s, d).select(lit("supp").as("kind"), col("s_nationkey").as("nationkey")))
+      .groupBy(col("kind"), col("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("kind"), col("nationkey"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_filter_pushdown" -> q2FilterPushdown,
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q4_order_priority_semi" -> q4OrderPrioritySemi,
+    "q5_nation_revenue" -> q5NationRevenue,
+    "q6_revenue_filter" -> q6RevenueFilter,
+    "q7_customer_anti" -> q7CustomerNoOpenOrders,
+    "q8_broadcast_dims" -> q8BroadcastDims,
+    "q9_event_range_join" -> q9EventRangeJoin,
+    "q10_top_orders" -> q10TopOrders,
+    "q11_rollup" -> q11Rollup,
+    "q12_cube" -> q12Cube,
+    "q13_distinct_agg" -> q13DistinctAgg,
+    "q14_top_parts_per_brand" -> q14TopPartsPerBrand,
+    "q15_running_total" -> q15RunningTotal,
+    "q16_event_deltas" -> q16EventDeltas,
+    "q17_set_intersect" -> q17SetIntersect,
+    "q18_set_except" -> q18SetExcept,
+    "q19_string_funcs" -> q19StringFuncs,
+    "q20_date_funcs" -> q20DateFuncs,
+    "q21_math_funcs" -> q21MathFuncs,
+    "q22_json_extract" -> q22JsonExtract,
+    "q23_events_tumbling" -> q23EventsTumbling,
+    "q24_sessionize" -> q24Sessionize,
+    "q25_union_all" -> q25UnionAll,
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | round(avg(l_quantity),6) AS avg_qty,
+        | round(avg(l_discount),6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice,2) AS price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        | o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_order_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q6_revenue_filter" ->
+      """SELECT round(sum(l_extendedprice*l_discount),4) AS revenue, count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_customer_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal),2) AS sum_bal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q8_broadcast_dims" ->
+      """SELECT r_name, n_name, count(*) AS n_customers, round(avg(c_acctbal),6) AS avg_bal
+        |FROM customer, nation, region
+        |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q9_event_range_join" ->
+      """SELECT e1.user_id AS user_id, count(*) AS pairs_60s
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e1
+        |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 60 SECOND
+        |GROUP BY e1.user_id ORDER BY user_id""".stripMargin,
+    "q10_top_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS total, o_orderdate
+        |FROM orders ORDER BY total DESC, o_orderkey LIMIT 15""".stripMargin,
+    "q11_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        | count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q12_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS st, coalesce(o_orderpriority,'ALL') AS pri,
+        | count(*) AS n, round(avg(o_totalprice),6) AS avg_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
+    "q13_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q14_top_parts_per_brand" ->
+      """WITH rev AS (
+        |  SELECT l_partkey, sum(l_extendedprice*(1-l_discount)) AS raw_rev
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand, rk, p_partkey, revenue FROM (
+        |  SELECT p_brand, p_partkey, round(raw_rev,4) AS revenue,
+        |   row_number() OVER (PARTITION BY p_brand ORDER BY raw_rev DESC, l_partkey) AS rk
+        |  FROM rev JOIN part ON l_partkey = p_partkey) t
+        |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "q15_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q16_event_deltas" ->
+      """SELECT user_id, event_id,
+        | round(value - coalesce(lag(value,1) OVER w, 0.0),2) AS delta,
+        | coalesce(lead(event_type,1) OVER w, 'none') AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q17_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q18_set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q19_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS ub, substring(p_name,1,8) AS prefix,
+        | length(p_name) AS name_len, regexp_replace(p_type,'A','@','g') AS ty,
+        | concat_ws('-', p_brand, p_type) AS bt, lpad(p_brand,12,'*') AS padded,
+        | reverse(p_type) AS rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q20_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y,
+        | CAST(month(o_orderdate) AS INT) AS m,
+        | CAST(day(o_orderdate) AS INT) AS dom,
+        | CAST(quarter(o_orderdate) AS INT) AS q,
+        | date_trunc('month', o_orderdate) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q21_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(abs(l_discount - 0.05),4) AS adev,
+        | CAST(ceil(l_quantity/3) AS DOUBLE) AS c3,
+        | CAST(floor(l_quantity/3) AS DOUBLE) AS f3,
+        | round(sqrt(l_quantity),6) AS sq,
+        | round(pow(l_tax+1,2),6) AS p2,
+        | round(ln(l_extendedprice),6) AS ln_price,
+        | CAST(l_orderkey % 7 AS BIGINT) AS m7
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q22_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props,'$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q23_events_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n,
+        | round(sum(value),2) AS sum_value, round(avg(value),6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q24_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP),1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id,
+        |   sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g)
+        |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q25_union_all" ->
+      """SELECT kind, nationkey, count(*) AS n FROM (
+        |  SELECT 'cust' AS kind, c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT 'supp' AS kind, s_nationkey AS nationkey FROM supplier) u
+        |GROUP BY kind, nationkey ORDER BY kind, nationkey""".stripMargin,
+  )
+}

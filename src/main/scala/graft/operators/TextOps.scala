@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` table — the training-data-pipeline
+  * operators (language ID, quality scoring, token counting, document
+  * fingerprinting). All hot-path logic is codegen'd higher-order
+  * `functions._` over token arrays; no UDFs, so whole-stage codegen spans
+  * the scan→project pipeline and each op is embarrassingly parallel
+  * (scales linearly with input splits at 100 TB — no shuffle at all except
+  * where an aggregation is the point).
+  */
+object TextOps extends QueryPack {
+
+  private def toks: Column = split(col("text"), " ")
+
+  // Stopword tables for the n-gram-free language-ID heuristic. Scoring =
+  // number of tokens that hit each language's function-word list.
+  private val enStops = Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for")
+  private val esStops = Seq("el", "la", "de", "que", "y", "en", "un", "se", "no", "los")
+  private val deStops = Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "nicht")
+  private val frStops = Seq("le", "la", "de", "et", "les", "des", "en", "une", "du", "dans")
+
+  private def hitCount(stops: Seq[String]): Column = {
+    val set = stops.map(w => s"'$w'").mkString(", ")
+    expr(s"CAST(size(filter(split(text, ' '), t -> t IN ($set))) AS BIGINT)")
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (ceil(chars/4) is the standard bytes-per-token heuristic). */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        ceil(length(col("text")) / 4.0).cast("long").as("n_bpe_est"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: uniq-token ratio, mean token length, stopword ratio.
+    * All ratios are int/int divisions → bit-identical across engines. */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("tk"), length(col("text")).as("nc"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long").as("n_uniq"),
+        round(size(array_distinct(col("tk"))).cast("double") / size(col("tk")), 4).as("uniq_ratio"),
+        round((col("nc") - (size(col("tk")) - 1)).cast("double") / size(col("tk")), 4).as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+
+  /** Language ID: stopword-hit scoring with a deterministic argmax order
+    * (en > es > de > fr on ties). Emits the per-language scores so the
+    * oracle checks the full evidence, not just the argmax. */
+  def textLangId(s: SparkSession, d: String): DataFrame = {
+    val (se, ss, sd, sf) = (hitCount(enStops), hitCount(esStops), hitCount(deStops), hitCount(frStops))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("tagged_lang"),
+        se.as("s_en"), ss.as("s_es"), sd.as("s_de"), sf.as("s_fr"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content-defined fingerprint: md5 over the sorted token multiset —
+    * invariant to token order, the canonical "bag of words" fingerprint. */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(split(lower(col("text")), " ")), " ")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling polynomial hash over the token stream (order-sensitive, the
+    * Rabin-Karp-style fingerprint). xxhash64 per token folded through a
+    * 31-multiplier chain — pure codegen'd expressions, no UDF. Not
+    * SQL-expressible in the oracle (hash family differs) → rows-only check. */
+  def textRollingHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        // polynomial hash mod a 57-bit prime: acc*31 + h32 stays < 2^63,
+        // so the fold never overflows (ANSI mode makes overflow an error)
+        expr("aggregate(split(text, ' '), CAST(1125899906842597 AS BIGINT), " +
+          "(acc, t) -> pmod(acc * 31 + (xxhash64(t) & 4294967295), 144115188075855859))")
+          .as("rolling_fp"))
+      .orderBy(col("doc_id"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangId,
+    "text_fingerprint" -> textFingerprint,
+    "text_rolling_hash" -> textRollingHash,
+  )
+
+  private def sqlHits(stops: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${stops.map(w => s"'$w'").mkString(", ")})))"
+
+  override val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        | length(text) AS n_chars_calc,
+        | CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        | round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / len(string_split(text, ' ')), 4) AS uniq_ratio,
+        | round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |       / len(string_split(text, ' ')), 4) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, lang AS tagged_lang,
+         | ${sqlHits(enStops)} AS s_en, ${sqlHits(esStops)} AS s_es,
+         | ${sqlHits(deStops)} AS s_de, ${sqlHits(frStops)} AS s_fr,
+         | CASE
+         |  WHEN ${sqlHits(enStops)} >= ${sqlHits(esStops)} AND ${sqlHits(enStops)} >= ${sqlHits(deStops)} AND ${sqlHits(enStops)} >= ${sqlHits(frStops)} THEN 'en'
+         |  WHEN ${sqlHits(esStops)} >= ${sqlHits(deStops)} AND ${sqlHits(esStops)} >= ${sqlHits(frStops)} THEN 'es'
+         |  WHEN ${sqlHits(deStops)} >= ${sqlHits(frStops)} THEN 'de'
+         |  ELSE 'fr' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the `events` stream shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference is batch-only (SURVEY.md §2.3 "Streaming: absent") — this
+  * is new capability: the streaming twins of the batch q23 (tumbling
+  * window) and q24 (sessionization) queries, built so the same transform
+  * runs on `readStream` sources with watermark-driven state eviction.
+  * State is keyed by (window × type) / user — partitioned across
+  * executors, no driver state, which is what lets it run against an
+  * unbounded 100 TB/day feed.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark:
+    * late rows beyond the watermark are dropped, state is bounded. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1-hour window every 15 minutes. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Built-in session windows: 30-minute inactivity gap. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"), col("n_events"))
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * arbitrary-state API for semantics session_window can't express
+    * (e.g. emitting only on session close, custom timeout policy).
+    * Event-time timeout keyed per user; state is one small struct/user. */
+  def statefulSessions(spark: SparkSession, events: Dataset[Ev],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start, s.last, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.start, s.last, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
