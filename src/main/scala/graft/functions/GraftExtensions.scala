@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: makes the engine's custom Catalyst
+  * expressions available to any session (including pure-SQL users) via
+  *
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * The same registrations are applied idempotently per-session by
+  * [[VectorExpressions.register]] for library callers.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_float_dot"),
+      info("graft_float_dot", "graft_float_dot(a, b) - dot product of two float arrays"),
+      (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced relational operators: as-of join, exact percentiles, grouping
+  * sets (via the SQL API), pivot, approximate distinct sketches.
+  *
+  * The as-of join is the one operator here Spark has no single built-in
+  * for. Preference order from the design brief: compose existing ops if
+  * semantics allow — they do: union both sides tagged, one window pass
+  * per key ordered by time carries the last match forward (the classic
+  * "union + forward-fill" as-of), then filter to left rows. One shuffle
+  * on the key, no range explosion, scales like any window op. The DuckDB
+  * oracle uses its *native* ASOF JOIN, so the composition is verified
+  * against an independent first-class implementation.
+  */
+object AdvancedOps extends QueryPack {
+
+  /** As-of join: for each purchase event, the user's most recent click at
+    * or before the purchase time. Clicks are pre-deduplicated per (user,
+    * ts) (keep max event_id) so ties are deterministic in both engines. */
+  def q26AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("is_left"), lit(null).cast("long").as("click_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+        lit(0).as("is_left"), col("click_id"))
+    // at equal ts the click sorts first (is_left 0 < 1), so ts-ties match
+    // ASOF's `>=` semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", last(when(col("is_left") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1 && col("asof_click").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("asof_click").as("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Exact percentiles (interpolated, PERCENTILE_CONT semantics) + IQR. */
+  def q27Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(o_totalprice, 0.75) - percentile(o_totalprice, 0.25)"), 6).as("iqr"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** GROUPING SETS through the SQL entry point (spark.sql + temp view) —
+    * exercises the SQL surface of the engine, not just the DataFrame API. */
+  def q28GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS total
+        |FROM graft_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  /** Pivot: order counts + avg price per status (rows) × priority class
+    * (columns). Fixed pivot values keep the schema static at any scale —
+    * dynamic-value pivot needs a driver-side distinct pass first. */
+  def q29Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("pri", substring(col("o_orderpriority"), 1, 1))
+      .groupBy(col("o_orderstatus"))
+      .pivot("pri", Seq("1", "2", "3", "4", "5"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderstatus"), col("1").as("p1"), col("2").as("p2"),
+        col("3").as("p3"), col("4").as("p4"), col("5").as("p5"))
+      .orderBy(col("o_orderstatus"))
+
+  /** HLL sketches (approx_count_distinct) side-by-side with exact counts
+    * and the observed relative error. Sketch values are engine-specific →
+    * rows-only check; the spec asserts the error bound instead. */
+  def q30ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("rel_err",
+        round(abs(col("approx_parts") - col("exact_parts")) / col("exact_parts"), 4))
+      .orderBy(col("l_returnflag"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_asof_join" -> q26AsofJoin,
+    "q27_percentiles" -> q27Percentiles,
+    "q28_grouping_sets" -> q28GroupingSets,
+    "q29_pivot" -> q29Pivot,
+    "q30_approx_distinct" -> q30ApproxDistinct,
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "q26_asof_join" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id AS event_id, p.user_id AS user_id, c.click_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY event_id""".stripMargin,
+    "q27_percentiles" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        | round(quantile_cont(o_totalprice, 0.75) - quantile_cont(o_totalprice, 0.25), 6) AS iqr,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q28_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "q29_pivot" ->
+      """SELECT o_orderstatus,
+        | count(*) FILTER (o_orderpriority LIKE '1%') AS p1,
+        | count(*) FILTER (o_orderpriority LIKE '2%') AS p2,
+        | count(*) FILTER (o_orderpriority LIKE '3%') AS p3,
+        | count(*) FILTER (o_orderpriority LIKE '4%') AS p4,
+        | count(*) FILTER (o_orderpriority LIKE '5%') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+  )
+}
