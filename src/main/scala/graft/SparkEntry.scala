@@ -16,7 +16,8 @@ import graft.operators._
   */
 object SparkEntry {
   private val packs: Seq[QueryPack] =
-    Seq(Relational, AdvancedOps, TextOps, DedupOps, SimilarityOps, MultimodalOps, PipeOps)
+    Seq(Relational, AdvancedOps, TextOps, DedupOps, SimilarityOps,
+      MultimodalOps, PipeOps, NativeOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for large-cluster joins (design brief:
+  * "salting for skew, AQE for runtime re-plan").
+  *
+  * AQE's skew-join handling splits oversized sort-merge partitions at
+  * runtime and is the first line of defense (enabled in Bench/Verify).
+  * Salting is the static fallback for the cases AQE can't fix — e.g. a
+  * broadcast-ineligible dimension with one mega-key: the skewed side gets
+  * a random salt in [0, n), the replicated side is exploded across all n
+  * salts, and the join key becomes (key, salt), spreading the hot key over
+  * n tasks at the cost of replicating the smaller side n times.
+  */
+object SkewUtils {
+
+  /** Inner-join `skewed` with `small` on `key`, spreading each key over
+    * `salts` shuffle partitions. `small` is replicated `salts` times. */
+  def saltedJoin(skewed: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0)
+    // deterministic salt: hash of all columns mod salts (not rand(), so
+    // retried tasks re-derive identical salts — required for exactly-once)
+    val saltCol: Column = pmod(
+      xxhash64(skewed.columns.map(col).toSeq: _*), lit(salts)).cast("int")
+    val left = skewed.withColumn("__salt", saltCol)
+    val right = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    left.join(right, Seq(key, "__salt")).drop("__salt")
+  }
+}
