@@ -308,6 +308,41 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("kind"), col("nationkey"))
 
+  // Q31: array scalar functions over tokenized text.
+  def q31ArrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n"),
+        array_contains(col("tk"), "spark").as("has_spark"),
+        element_at(col("tk"), 1).as("first_tok"),
+        element_at(col("tk"), -1).as("last_tok"),
+        element_at(array_sort(col("tk")), 1).as("min_tok"),
+        array_join(slice(col("tk"), 1, 3), "_").as("first3"))
+      .orderBy(col("doc_id"))
+
+  // Q32: regexp scalar functions (patterns restricted to the syntax subset
+  // where Java regex and RE2 agree).
+  def q32RegexpFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        col("text").rlike("spark|batch").as("has_kw"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("novowel_len"))
+      .orderBy(col("doc_id"))
+
+  // Q33: bag-semantics set ops (INTERSECT ALL / EXCEPT ALL keep duplicates).
+  def q33BagSetOps(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val su = supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    val inter = c.intersectAll(su).groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    val exc = c.exceptAll(su).groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    inter.unionByName(exc).select(col("op"), col("nationkey"), col("n"))
+      .orderBy(col("op"), col("nationkey"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -334,6 +369,9 @@ object Relational extends QueryPack {
     "q23_events_tumbling" -> q23EventsTumbling,
     "q24_sessionize" -> q24Sessionize,
     "q25_union_all" -> q25UnionAll,
+    "q31_array_funcs" -> q31ArrayFuncs,
+    "q32_regexp_funcs" -> q32RegexpFuncs,
+    "q33_bag_setops" -> q33BagSetOps,
   )
 
   override val oracle: Map[String, String] = Map(
@@ -502,5 +540,29 @@ object Relational extends QueryPack {
         |  UNION ALL
         |  SELECT 'supp' AS kind, s_nationkey AS nationkey FROM supplier) u
         |GROUP BY kind, nationkey ORDER BY kind, nationkey""".stripMargin,
+    "q31_array_funcs" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n,
+        | list_contains(string_split(text,' '), 'spark') AS has_spark,
+        | string_split(text,' ')[1] AS first_tok,
+        | string_split(text,' ')[-1] AS last_tok,
+        | list_sort(string_split(text,' '))[1] AS min_tok,
+        | array_to_string(list_slice(string_split(text,' '), 1, 3), '_') AS first3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_regexp_funcs" ->
+      """SELECT doc_id, regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        | regexp_matches(text, 'spark|batch') AS has_kw,
+        | length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_bag_setops" ->
+      """WITH i AS (
+        |  SELECT 'intersect_all' AS op, nationkey, count(*) AS n FROM (
+        |    SELECT c_nationkey AS nationkey FROM customer
+        |    INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY 2),
+        |e AS (
+        |  SELECT 'except_all' AS op, nationkey, count(*) AS n FROM (
+        |    SELECT c_nationkey AS nationkey FROM customer
+        |    EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY 2)
+        |SELECT op, nationkey, n FROM (SELECT * FROM i UNION ALL SELECT * FROM e)
+        |ORDER BY op, nationkey""".stripMargin,
   )
 }
