@@ -146,3 +146,35 @@ case class JobSpec(
     inputDir: String = "",
     outputDir: String = "",
     fidelityPartitioning: Boolean = false)
+
+object JobSpec {
+  /** Parses the reference's `new_master_job` JSON message
+    * (`mapreduce/submit.py:59-67`): input_directory, output_directory,
+    * mapper_executable, reducer_executable, num_mappers, num_reducers.
+    * Executables run under `sh -c`, so argv-bearing commands work (the
+    * reference's grep mapper takes CLI args, `grep_map.py:14-17`). */
+  def fromJson(json: String): JobSpec = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val jv = JsonMethods.parse(json)
+    def str(field: String, default: String = ""): String =
+      (jv \ field) match { case JString(v) => v; case _ => default }
+    def num(field: String, default: Int): Int =
+      (jv \ field) match {
+        case JInt(v) => v.toInt
+        case JLong(v) => v.toInt
+        case _ => default
+      }
+    val mt = str("message_type", "new_master_job")
+    require(mt == "new_master_job", s"unsupported message_type: $mt")
+    JobSpec(
+      mapperCmd = Option(str("mapper_executable")).filter(_.nonEmpty)
+        .map(e => Seq("sh", "-c", e)).getOrElse(Seq.empty),
+      reducerCmd = Option(str("reducer_executable")).filter(_.nonEmpty)
+        .map(e => Seq("sh", "-c", e)).getOrElse(Seq.empty),
+      numMappers = num("num_mappers", 4),
+      numReducers = num("num_reducers", 1),
+      inputDir = str("input_directory"),
+      outputDir = str("output_directory"))
+  }
+}

@@ -37,6 +37,11 @@ object SubmitMain {
         case "--nmappers"  => nM = args(i + 1).toInt; i += 2
         case "--nreducers" => nR = args(i + 1).toInt; i += 2
         case "--input"     => input = args(i + 1); i += 2
+        case "--json" =>
+          jobs += JobSpec.fromJson(
+            new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(args(i + 1))), "UTF-8"))
+          i += 2
         case "--output" =>
           require(input.nonEmpty, "--input must precede --output")
           jobs += JobSpec(mapper, reducer, nM, nR, input, args(i + 1))

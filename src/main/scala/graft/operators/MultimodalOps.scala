@@ -58,12 +58,26 @@ object MultimodalOps extends QueryPack {
         explode(sequence(lit(0), col("n_frames") - 1, lit(10))).as("frame_idx"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Payload byte accounting — the one slice of the multimodal pipeline
+    * that IS oracle-checkable despite the stubbed decode: the UTF-8
+    * payload length must equal DuckDB's byte length of the same text. */
+  def mediaBytes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("octet_length(text)").cast("long").as("n_bytes"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> mediaMeta,
     "multimodal_frame_sample" -> frameSample,
+    "multimodal_bytes" -> mediaBytes,
   )
 
-  // Byte lengths are oracle-checkable even though the decode is stubbed:
-  // UTF-8 payload length == DuckDB's octet length of the same text.
-  override val oracle: Map[String, String] = Map()
+  override val oracle: Map[String, String] = Map(
+    "multimodal_bytes" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -75,6 +75,20 @@ class MapReduceJobSpec extends GraftSpec {
     assert(parts(1) === List("b\t1", "b\t1", "d\t1"))
   }
 
+  test("JobSpec.fromJson parses the reference's new_master_job message") {
+    val spec = JobSpec.fromJson(
+      """{"message_type": "new_master_job",
+        | "input_directory": "/in", "output_directory": "/out",
+        | "mapper_executable": "wc_map.sh", "reducer_executable": "wc_reduce.sh",
+        | "num_mappers": 6, "num_reducers": 3}""".stripMargin)
+    assert(spec.inputDir == "/in" && spec.outputDir == "/out")
+    assert(spec.mapperCmd == Seq("sh", "-c", "wc_map.sh"))
+    assert(spec.numMappers == 6 && spec.numReducers == 3)
+    intercept[IllegalArgumentException] {
+      JobSpec.fromJson("""{"message_type": "shutdown"}""")
+    }
+  }
+
   test("full run() writes outputfileNN (ref master:448-463 commit)") {
     val in = java.nio.file.Files.createTempDirectory("mr-in-").toString
     val out = java.nio.file.Files.createTempDirectory("mr-out-").toString + "/result"
