@@ -343,6 +343,42 @@ object Relational extends QueryPack {
       .orderBy(col("op"), col("nationkey"))
   }
 
+  // Q34: UNPIVOT via the stack() generator (UDTF-shaped: 1 row -> 3 rows).
+  def q34Unpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_orderkey") < 30)
+      .selectExpr("l_orderkey", "l_linenumber",
+        "stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount) AS (metric, v)")
+      .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+        round(col("v"), 2).as("val"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  // Q35: intentional cartesian over a tiny dim — the one place a cross
+  // join is the right plan (5x5), requested explicitly via crossJoin().
+  def q35CrossJoin(s: SparkSession, d: String): DataFrame = {
+    val a = region(s, d).select(col("r_name").as("r1"))
+    val b = region(s, d).select(col("r_name").as("r2"))
+    a.crossJoin(b).orderBy(col("r1"), col("r2"))
+  }
+
+  // Q36: boolean aggregates.
+  def q36BoolAggs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("bool_and(o_totalprice > 1000)").as("all_big"),
+        expr("bool_or(o_totalprice > 400000)").as("any_huge"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  // Q37: argmax/argmin + ordered string aggregation.
+  def q37ArgMax(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .groupBy(col("n_regionkey"))
+      .agg(expr("max_by(n_name, n_nationkey)").as("last_nation"),
+        expr("min_by(n_name, n_nationkey)").as("first_nation"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("all_nations"))
+      .orderBy(col("n_regionkey"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -372,6 +408,10 @@ object Relational extends QueryPack {
     "q31_array_funcs" -> q31ArrayFuncs,
     "q32_regexp_funcs" -> q32RegexpFuncs,
     "q33_bag_setops" -> q33BagSetOps,
+    "q34_unpivot" -> q34Unpivot,
+    "q35_cross_join" -> q35CrossJoin,
+    "q36_bool_aggs" -> q36BoolAggs,
+    "q37_argmax" -> q37ArgMax,
   )
 
   override val oracle: Map[String, String] = Map(
@@ -564,5 +604,26 @@ object Relational extends QueryPack {
         |    EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY 2)
         |SELECT op, nationkey, n FROM (SELECT * FROM i UNION ALL SELECT * FROM e)
         |ORDER BY op, nationkey""".stripMargin,
+    "q34_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, m AS metric, round(v,2) AS val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'qty' AS m, l_quantity AS v
+        |  FROM lineitem WHERE l_orderkey < 30
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey < 30
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'disc', l_discount
+        |  FROM lineitem WHERE l_orderkey < 30)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "q35_cross_join" ->
+      """SELECT a.r_name AS r1, b.r_name AS r2
+        |FROM region a CROSS JOIN region b ORDER BY r1, r2""".stripMargin,
+    "q36_bool_aggs" ->
+      """SELECT o_orderstatus, bool_and(o_totalprice > 1000) AS all_big,
+        | bool_or(o_totalprice > 400000) AS any_huge, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_argmax" ->
+      """SELECT n_regionkey, arg_max(n_name, n_nationkey) AS last_nation,
+        | arg_min(n_name, n_nationkey) AS first_nation,
+        | array_to_string(list_sort(list(n_name)), ',') AS all_nations
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
