@@ -24,24 +24,34 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // SPARK_GRAFT_REPEAT=n times each query n times and reports the MIN —
-    // this box exhibits sporadic multi-minute host-level stalls (an
-    // identical 1s query intermittently measures 30-275s), so a single
-    // sample is noise; min-of-2 is the steady-state cost of the plan.
+    // SPARK_GRAFT_REPEAT=n runs the WHOLE suite n times (interleaved
+    // passes, not back-to-back repeats of one query) and reports the
+    // per-query MIN across passes — this box exhibits sporadic
+    // multi-minute host-level stalls (an identical 1s query
+    // intermittently measures 30-275s), and back-to-back repeats both
+    // land inside one stall window; interleaving separates the samples
+    // of any one query by a full suite pass (~minutes), so a stall
+    // can't cover both.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      System.err.println(s"[bench] ${java.time.Instant.now()} $name " +
-        s"runs: ${times.map(t => f"$t%.2f").mkString(", ")}")
-      val good = times.filter(_ >= 0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val passes: Seq[Map[String, Double]] = (1 to repeat).map { p =>
+      val pass = selected.map { case (name, fn) =>
+        val t = timeQuery(name, fn)
+        System.err.println(f"[bench] ${java.time.Instant.now()} pass $p $name%-28s $t%8.2f s")
+        name -> t
+      }.toMap
+      System.err.println(f"[bench] pass $p total ${pass.values.filter(_ >= 0).sum}%.1f s")
+      pass
+    }
+    val results = selected.map { case (name, _) =>
+      val good = passes.flatMap(_.get(name)).filter(_ >= 0)
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

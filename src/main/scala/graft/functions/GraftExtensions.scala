@@ -14,17 +14,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[VectorExpressions.register]] for library callers.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+  private def info(cls: Class[_], name: String, usage: String) =
+    new ExpressionInfo(cls.getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_cosine"),
-      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays"),
+      info(classOf[CosineSimilarity], "graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two float arrays"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_float_dot"),
-      info("graft_float_dot", "graft_float_dot(a, b) - dot product of two float arrays"),
+      info(classOf[FloatDotProduct], "graft_float_dot",
+        "graft_float_dot(a, b) - dot product of two float arrays"),
       (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
   }
 }

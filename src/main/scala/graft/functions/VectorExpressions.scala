@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity over two `array<float>` columns as a native Catalyst
   * expression with whole-stage codegen: one fused loop computing dot
@@ -22,10 +22,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * results are bit-identical to the oracle's.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+  // The eval/codegen paths read 4-byte floats via ArrayData.getFloat; an
+  // array<double> argument (e.g. a SQL array literal) would silently
+  // produce garbage without this declaration — ImplicitCastInputTypes
+  // coerces castable inputs and rejects the rest at analysis time.
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -70,10 +76,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** Dot product over two `array<float>` columns (same codegen rationale). */
 case class FloatDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -122,16 +122,31 @@ object MapReduceJob {
     val out = runLines(lines, spec)
     val tmp = spec.outputDir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     out.saveAsTextFile(tmp)
-    val outPath = java.nio.file.Paths.get(spec.outputDir)
-    java.nio.file.Files.createDirectories(outPath)
-    val parts = new java.io.File(tmp).listFiles()
-      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.move(f.toPath, outPath.resolve(f"outputfile${i + 1}%02d"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // Commit through the Hadoop FileSystem API so outputDir may live on
+    // any supported filesystem (HDFS, S3A, file:, ...) — java.io.File
+    // only works when the driver shares a local FS with the data, which
+    // is never true on a real cluster.
+    import org.apache.hadoop.fs.Path
+    val tmpPath = new Path(tmp)
+    val fs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+      // local file: URIs resolve to the checksummed LocalFileSystem, whose
+      // rename would drag .crc sidecars into the user-visible output dir;
+      // commit through the raw FS (HDFS/S3A are unaffected by this match)
+      case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
+      case other => other
     }
-    new java.io.File(tmp).listFiles().foreach(_.delete())
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+    val outPath = fs.makeQualified(new Path(spec.outputDir))
+    fs.mkdirs(outPath)
+    val parts = fs.listStatus(tmpPath)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    parts.zipWithIndex.foreach { case (st, i) =>
+      val target = new Path(outPath, f"outputfile${i + 1}%02d")
+      if (fs.exists(target)) fs.delete(target, false)
+      if (!fs.rename(st.getPath, target))
+        throw new java.io.IOException(s"rename ${st.getPath} -> $target failed")
+    }
+    fs.delete(tmpPath, true)
   }
 }
 

@@ -153,9 +153,13 @@ object DedupOps extends QueryPack {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // NO broadcast hint on sz: it has one row per document (O(corpus)),
+    // so forcing a broadcast would grow with the input and OOM the
+    // driver/executors at scale. Plain keyed shuffle joins — AQE still
+    // broadcasts at runtime when the aggregate output is actually small.
     inter
-      .join(broadcast(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
-      .join(broadcast(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
+      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")) >= 0.2)
@@ -167,15 +171,23 @@ object DedupOps extends QueryPack {
     * SimilarityOps) then exact cosine >= 0.9 verification on candidates. */
   def embeddingDup(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val emb = Tables.embeddings(s, d)
+    val base = Tables.embeddings(s, d)
+    val emb = base
       .select(col("vec_id"), col("embedding"),
         explode(SimilarityOps.lshBuckets(col("embedding"))).as("bucket"))
-    val left = emb.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val right = emb.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
-    left.join(right, Seq("bucket"))
+    val left = emb.select(col("bucket"), col("vec_id").as("id_a"))
+    val right = emb.select(col("bucket"), col("vec_id").as("id_b"))
+    // Collapse multi-table collisions on the ID PAIR alone, then join the
+    // vectors back for the exact check — running distinct() over rows that
+    // still carry both 64-float embeddings would shuffle every vector once
+    // per candidate pair; id-pair dedup shuffles 2 longs instead.
+    val cand = left.join(right, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("e_a"), col("e_b"))
-      .distinct()  // collapse multi-table collisions before the exact check
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(SimilarityOps.cosine(col("e_a"), col("e_b")), 4).as("cos"))
       .filter(col("cos") >= 0.9)

@@ -20,10 +20,17 @@ object SkewUtils {
     * `salts` shuffle partitions. `small` is replicated `salts` times. */
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
-    // deterministic salt: hash of all columns mod salts (not rand(), so
-    // retried tasks re-derive identical salts — required for exactly-once)
+    // deterministic salt: hash of all columns PLUS a per-row position mod
+    // salts (not rand(), so retried tasks re-derive identical salts —
+    // required for exactly-once). The positional term matters: hot keys
+    // often arrive as full-duplicate rows (repeated events), and a
+    // content-only hash would map every duplicate to ONE salt, defeating
+    // the spread. monotonically_increasing_id() is partitionId<<33 + the
+    // row's offset within its partition — stable across task retries for
+    // a deterministic input partition, unique across duplicates.
     val saltCol: Column = pmod(
-      xxhash64(skewed.columns.map(col).toSeq: _*), lit(salts)).cast("int")
+      xxhash64((skewed.columns.map(col).toSeq :+ monotonically_increasing_id()): _*),
+      lit(salts)).cast("int")
     val left = skewed.withColumn("__salt", saltCol)
     val right = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

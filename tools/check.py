@@ -52,6 +52,12 @@ def main(sf_dir, out_dir):
             failures.append((name, f"values differ (dtypes: {dt}) first bad row idx {i}:\n  got  {g.loc[i].to_dict() if i is not None else ''}\n  want {w.loc[i].to_dict() if i is not None else ''}"))
             continue
         ok += 1
+    # A query that threw inside graft.Verify produces no dump dir at all;
+    # without this diff the gate would silently skip it and still report
+    # FAIL=0. Every declared oracle key must have a dumped result.
+    dumped = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracle) - dumped):
+        failures.append((name, "no result dumped (query failed in Verify?)"))
     print(f"\nOK={ok} rows_only={rows_only} FAIL={len(failures)}")
     for n, msg in failures:
         print(f"FAIL {n}: {msg}")
