@@ -86,9 +86,11 @@ object AdvancedOps extends QueryPack {
         col("3").as("p3"), col("4").as("p4"), col("5").as("p5"))
       .orderBy(col("o_orderstatus"))
 
-  /** HLL sketches (approx_count_distinct) side-by-side with exact counts
-    * and the observed relative error. Sketch values are engine-specific →
-    * rows-only check; the spec asserts the error bound instead. */
+  /** HLL sketches (approx_count_distinct) vs exact counts. The raw sketch
+    * value is engine-specific, so the ORACLE-CHECKED columns are the exact
+    * count plus `within_bound` — whether the sketch landed inside its
+    * configured 2% relative-error budget (DuckDB asserts `true`). This
+    * turns the sketch from a rows-only entry into a hash-checked one. */
   def q30ApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -96,8 +98,9 @@ object AdvancedOps extends QueryPack {
         countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         count(lit(1)).as("n_rows"))
-      .withColumn("rel_err",
-        round(abs(col("approx_parts") - col("exact_parts")) / col("exact_parts"), 4))
+      .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+        (abs(col("approx_parts") - col("exact_parts")) / col("exact_parts") <= 0.02)
+          .as("within_bound"))
       .orderBy(col("l_returnflag"))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -133,6 +136,10 @@ object AdvancedOps extends QueryPack {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rf, ls""".stripMargin,
+    "q30_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        | count(*) AS n_rows, true AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q29_pivot" ->
       """SELECT o_orderstatus,
         | count(*) FILTER (o_orderpriority LIKE '1%') AS p1,

@@ -75,16 +75,18 @@ object TextOps extends QueryPack {
       .orderBy(col("doc_id"))
 
   /** Rolling polynomial hash over the token stream (order-sensitive, the
-    * Rabin-Karp-style fingerprint). xxhash64 per token folded through a
-    * 31-multiplier chain — pure codegen'd expressions, no UDF. Not
-    * SQL-expressible in the oracle (hash family differs) → rows-only check. */
+    * Rabin-Karp-style fingerprint). Per-token 32-bit code = first 8 hex
+    * chars of md5 — a hash family BOTH engines implement identically, so
+    * (unlike xxhash64) the full fold is oracle-checkable. Folded through a
+    * 31-multiplier chain mod a 57-bit prime: acc*31 + code stays < 2^63,
+    * so the fold never overflows (ANSI mode makes overflow an error).
+    * Pure codegen'd expressions, no UDF. */
   def textRollingHash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        // polynomial hash mod a 57-bit prime: acc*31 + h32 stays < 2^63,
-        // so the fold never overflows (ANSI mode makes overflow an error)
         expr("aggregate(split(text, ' '), CAST(1125899906842597 AS BIGINT), " +
-          "(acc, t) -> pmod(acc * 31 + (xxhash64(t) & 4294967295), 144115188075855859))")
+          "(acc, t) -> pmod(acc * 31 + CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), " +
+          "144115188075855859))")
           .as("rolling_fp"))
       .orderBy(col("doc_id"))
 
@@ -127,6 +129,14 @@ object TextOps extends QueryPack {
     "text_fingerprint" ->
       """SELECT doc_id,
         | md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(1125899906842597 AS BIGINT),
+        |     list_transform(string_split(text, ' '),
+        |       t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT))),
+        |   (acc, c) -> (acc * 31 + c) % 144115188075855859) AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
