@@ -118,8 +118,26 @@ object MapReduceJob {
     * (the reference's copy scheme was non-atomic — SURVEY.md Q6). */
   def run(spark: SparkSession, spec: JobSpec): Unit = {
     require(spec.inputDir.nonEmpty && spec.outputDir.nonEmpty)
-    val lines = spark.sparkContext.textFile(spec.inputDir, math.max(spec.numMappers, 1))
-    val out = runLines(lines, spec)
+    // Per-file fidelity map stage (SURVEY Q4/O2): one subprocess per input
+    // file with per-file output naming, striped over tasks exactly like
+    // the reference's map-task planner; its outputs then feed the same
+    // group/reduce pipeline. Default row-level mode needs no staged dir.
+    val mapTmp =
+      if (spec.perFileMap && spec.mapperCmd.nonEmpty)
+        Some(spec.outputDir + ".map-" + java.util.UUID.randomUUID().toString.take(8))
+      else None
+    val out = mapTmp match {
+      case Some(dir) =>
+        PerFileJob.pipeDirectory(spark, spec.inputDir, spec.mapperCmd, dir, spec.numMappers)
+        val mapped = spark.sparkContext.textFile(dir, math.max(spec.numMappers, 1))
+        val grouped =
+          if (spec.fidelityPartitioning) groupStageFidelity(mapped, spec.numReducers)
+          else groupStage(mapped, spec.numReducers)
+        reduceStage(grouped, spec.reducerCmd)
+      case None =>
+        val lines = spark.sparkContext.textFile(spec.inputDir, math.max(spec.numMappers, 1))
+        runLines(lines, spec)
+    }
     val tmp = spec.outputDir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
     out.saveAsTextFile(tmp)
     // Commit through the Hadoop FileSystem API so outputDir may live on
@@ -147,6 +165,7 @@ object MapReduceJob {
         throw new java.io.IOException(s"rename ${st.getPath} -> $target failed")
     }
     fs.delete(tmpPath, true)
+    mapTmp.foreach(d => fs.delete(new Path(d), true))
   }
 }
 
@@ -160,7 +179,8 @@ case class JobSpec(
     numReducers: Int = 1,
     inputDir: String = "",
     outputDir: String = "",
-    fidelityPartitioning: Boolean = false)
+    fidelityPartitioning: Boolean = false,
+    perFileMap: Boolean = false)
 
 object JobSpec {
   /** Parses the reference's `new_master_job` JSON message

@@ -1,0 +1,61 @@
+package graft.mapreduce
+
+import graft.GraftSpec
+
+/** Network-surface parity spec (reference C1/C2/C6): jobs submitted over
+  * a real TCP socket mid-run are FIFO-queued and all complete; a
+  * `shutdown` message terminates the server after the queue drains —
+  * the semantics of the reference's `tests/test_master_04.py:187-328`
+  * multi-job test and `tests/test_integration_00.py` shutdown test.
+  */
+class JobServerSpec extends GraftSpec {
+
+  private def send(port: Int, json: String): Unit = {
+    val sock = new java.net.Socket(java.net.InetAddress.getLoopbackAddress, port)
+    try {
+      sock.getOutputStream.write(json.getBytes("UTF-8"))
+      sock.getOutputStream.flush()
+    } finally sock.close() // send-and-close framing, ref submit.py:70-75
+  }
+
+  private def jobJson(in: String, out: String, mapper: String): String =
+    s"""{"message_type": "new_master_job",
+       | "input_directory": "$in", "output_directory": "$out",
+       | "mapper_executable": "$mapper", "reducer_executable": "cat",
+       | "num_mappers": 2, "num_reducers": 1}""".stripMargin
+
+  test("two jobs over a socket mid-run both complete FIFO; shutdown drains") {
+    val in = java.nio.file.Files.createTempDirectory("srv-in-").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(in, "file01"), "b line\na line\n")
+    val outRoot = java.nio.file.Files.createTempDirectory("srv-out-").toString
+    val srv = new JobServer(spark)
+    val port = srv.start()
+    try {
+      // job 1 sleeps so job 2 provably arrives while job 1 runs
+      send(port, jobJson(in, s"$outRoot/j1", "sleep 2; sort"))
+      Thread.sleep(300) // let job 1 start
+      send(port, jobJson(in, s"$outRoot/j2", "sort"))
+      send(port, """{"message_type": "shutdown"}""")
+      srv.awaitTermination()
+      assert(srv.completedJobs === 2)
+      val j1 = scala.io.Source.fromFile(s"$outRoot/j1/outputfile01").getLines().toSeq
+      val j2 = scala.io.Source.fromFile(s"$outRoot/j2/outputfile01").getLines().toSeq
+      assert(j1 === Seq("a line", "b line"))
+      assert(j2 === Seq("a line", "b line"))
+    } finally srv.forceStop()
+  }
+
+  test("malformed and unknown messages are dropped, server stays up") {
+    val srv = new JobServer(spark)
+    val port = srv.start()
+    try {
+      send(port, "this is not json{")
+      send(port, """{"no_type": true}""")
+      send(port, """{"message_type": "register", "worker_pid": 1}""")
+      send(port, """{"message_type": "shutdown"}""")
+      srv.awaitTermination()
+      assert(srv.completedJobs === 0)
+    } finally srv.forceStop()
+  }
+}
