@@ -11,7 +11,11 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.PlanCheck /root/testdata/sf0.01"
   */
 object PlanCheck {
-  private case class Check(query: String, mustContain: Seq[String], mustNot: Seq[String] = Nil)
+  private case class Check(query: String, mustContain: Seq[String], mustNot: Seq[String] = Nil,
+      // plan with spark.sql.autoBroadcastJoinThreshold=-1 so any remaining
+      // BroadcastExchange must come from an explicit broadcast() hint —
+      // the way to prove a query does NOT force-broadcast an unbounded table
+      noAutoBroadcast: Boolean = false)
 
   private val checks = Seq(
     Check("q2_filter_pushdown",
@@ -34,8 +38,28 @@ object PlanCheck {
       mustContain = Seq("TakeOrderedAndProject")),
     Check("q1_pricing_summary",
       mustContain = Seq("HashAggregate", "ReadSchema: struct<l_quantity:double")),
-    Check("dedup_ngram_jaccard", mustContain = Nil,
+    // the per-doc size table must NOT be forced broadcast (O(corpus) rows):
+    // with auto-broadcast off, a hint-free plan has zero BroadcastExchange
+    // and the keyed joins fall back to sort-merge
+    Check("dedup_ngram_jaccard", mustContain = Seq("SortMergeJoin"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "BroadcastExchange"),
+      noAutoBroadcast = true),
+    // as-of via composition: window pass, no join explosion
+    Check("q26_asof_join", mustContain = Seq("Window"),
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // as-of via the custom operator: strategy must engage
+    Check("q26b_asof_native", mustContain = Seq("AsofJoin"),
+      mustNot = Seq("SortMergeJoin", "CartesianProduct")),
+    // grouping sets: Expand + hash agg shape
+    Check("q28_grouping_sets", mustContain = Seq("Expand", "HashAggregate")),
+    // single distinct column → Spark's two-phase keyed rewrite (no Expand);
+    // assert the map-side partial sketch aggregation is present
+    Check("q30_approx_distinct",
+      mustContain = Seq("HashAggregate", "partial_approx_count_distinct")),
+    // static pivot values → plain hash agg, no driver-side distinct pass
+    Check("q29_pivot", mustContain = Seq("HashAggregate"),
+      mustNot = Seq("CartesianProduct")),
+    Check("q27_percentiles", mustContain = Seq("ObjectHashAggregate")),
     Check("dedup_minhash_pairs", mustContain = Nil,
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     Check("dedup_simhash_pairs", mustContain = Nil,
@@ -55,9 +79,12 @@ object PlanCheck {
     spark.sparkContext.setLogLevel("ERROR")
     var failed = 0
     checks.foreach { c =>
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      if (c.noAutoBroadcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val df = SparkEntry.queries(c.query)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
       val missing = c.mustContain.filterNot(plan.contains)
       val present = c.mustNot.filter(plan.contains)
       if (missing.isEmpty && present.isEmpty) {

@@ -47,6 +47,25 @@ object AdvancedOps extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** Same as-of query through the NATIVE exec path: the custom
+    * `AsofJoinPlan` → `AsofJoinStrategy` → `AsofJoinExec` operator
+    * ([[graft.plans.AsofJoin]]) — one hash shuffle per side, time-only
+    * sort, streaming per-partition merge. Verified against the exact same
+    * DuckDB ASOF oracle as the window composition above. */
+  def q26AsofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("click_id"))
+    graft.plans.AsofJoin.asof(purchases, clicks, "user_id", "c_user", "ts", "c_ts")
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Exact percentiles (interpolated, PERCENTILE_CONT semantics) + IQR. */
   def q27Percentiles(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -105,6 +124,7 @@ object AdvancedOps extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_asof_join" -> q26AsofJoin,
+    "q26b_asof_native" -> q26AsofNative,
     "q27_percentiles" -> q27Percentiles,
     "q28_grouping_sets" -> q28GroupingSets,
     "q29_pivot" -> q29Pivot,
@@ -113,6 +133,15 @@ object AdvancedOps extends QueryPack {
 
   override val oracle: Map[String, String] = Map(
     "q26_asof_join" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id AS event_id, p.user_id AS user_id, c.click_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY event_id""".stripMargin,
+    "q26b_asof_native" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
         |           FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id

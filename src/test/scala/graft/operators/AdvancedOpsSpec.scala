@@ -48,7 +48,7 @@ class AdvancedOpsSpec extends GraftSpec {
     val pv = AdvancedOps.q29Pivot(spark, sfDir).collect()
     assert(pv.nonEmpty)
     val ad = AdvancedOps.q30ApproxDistinct(spark, sfDir).collect()
-    ad.foreach(r => assert(r.getAs[Double]("rel_err") < 0.15))
+    ad.foreach(r => assert(r.getAs[Boolean]("within_bound")))
   }
 
   test("SubmitMain parses reference-default job specs FIFO") {

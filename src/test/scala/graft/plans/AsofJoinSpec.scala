@@ -1,0 +1,63 @@
+package graft.plans
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+/** Ground-truth + plan-shape tests for the native as-of join operator
+  * (custom LogicalPlan → Strategy → SparkPlan). Cross-checked against the
+  * union+window composition on real data; the DuckDB ASOF oracle covers
+  * it independently via q26b_asof_native.
+  */
+class AsofJoinSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def trades = Seq(
+    // (id, key, time)
+    (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 15L), (4L, "c", 5L)
+  ).toDF("trade_id", "sym", "t")
+
+  private def quotes = Seq(
+    // (key, time, px)
+    ("a", 5L, 1.0), ("a", 10L, 2.0), ("a", 19L, 3.0),
+    ("b", 16L, 9.0), // after the only b trade — no match
+    ("c", 5L, 7.0)   // exact tie with the c trade — matches (>= semantics)
+  ).toDF("q_sym", "q_t", "px")
+
+  test("asof picks latest right row at or before left time, inner semantics") {
+    val out = AsofJoin.asof(trades, quotes, "sym", "q_sym", "t", "q_t")
+      .select($"trade_id", $"px").as[(Long, Double)].collect().toMap
+    // trade 1 (a,10) → quote (a,10) 2.0 (tie inclusive, latest wins)
+    // trade 2 (a,20) → quote (a,19) 3.0
+    // trade 3 (b,15) → no quote at/before 15 → dropped (inner)
+    // trade 4 (c,5)  → quote (c,5) 7.0
+    assert(out === Map(1L -> 2.0, 2L -> 3.0, 4L -> 7.0))
+  }
+
+  test("null times: left nulls drop, right nulls never match or block") {
+    val l = Seq((1L, "a", Some(10L)), (2L, "a", None: Option[Long]))
+      .toDF("id", "k", "t")
+    val r = Seq(("a", None: Option[Long], 0.5), ("a", Some(4L), 1.5))
+      .toDF("rk", "rt", "v")
+    val out = AsofJoin.asof(l, r, "k", "rk", "t", "rt")
+      .select($"id", $"v").as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 1.5))
+  }
+
+  test("plan uses the custom AsofJoin exec (strategy engaged)") {
+    val df = AsofJoin.asof(trades, quotes, "sym", "q_sym", "t", "q_t")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("AsofJoin"))
+    // co-clustered via hash shuffles like a sort-merge join (AQE wraps the
+    // executed plan, so count exchanges in the formatted explain)
+    assert("hashpartitioning\\(".r.findAllIn(plan).size === 2)
+    assert(plan.contains("Sort "))
+  }
+
+  test("native result matches the union+window composition on sf0.001") {
+    val viaNative = graft.operators.AdvancedOps.q26AsofNative(spark, sfDir).collect()
+    val viaWindow = graft.operators.AdvancedOps.q26AsofJoin(spark, sfDir).collect()
+    assert(viaNative.length > 0)
+    assert(viaNative.map(_.toSeq).toSeq === viaWindow.map(_.toSeq).toSeq)
+  }
+}
