@@ -32,7 +32,10 @@ object Bench {
     // land inside one stall window; interleaving separates the samples
     // of any one query by a full suite pass (~minutes), so a stall
     // can't cover both.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    // 3 passes: with stalls lasting ~a suite-pass, min-of-2 still lets one
+    // query get stalled twice (observed: 36 s and 60 s for a 5 s query);
+    // a third interleaved sample makes that coincidence quadratically rarer.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }

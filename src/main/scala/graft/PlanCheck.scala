@@ -66,6 +66,12 @@ object PlanCheck {
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     Check("ann_lsh_topk", mustContain = Nil,
       mustNot = Seq("CartesianProduct")),
+    Check("ann_ivf_topk", mustContain = Nil,
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check("dedup_minhash_portable", mustContain = Nil,
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check("dedup_simhash_portable", mustContain = Nil,
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
   )
 
   def main(args: Array[String]): Unit = {

@@ -142,6 +142,96 @@ object DedupOps extends QueryPack {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Base-31 polynomial fold of a string's codepoints mod 1e9+7 — pure
+    * integer arithmetic DuckDB reproduces exactly (`ord` + `list_reduce`),
+    * unlike the engine-specific xxhash64 family. Spark's `split(s, "")`
+    * emits a trailing empty string (Java `split("", -1)` semantics), which
+    * must be dropped before the fold or the two engines diverge. */
+  private val P = 1000000007L
+  private def polyHash(c: Column): Column =
+    aggregate(filter(split(c, ""), ch => ch =!= ""),
+      lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % P)
+
+  private val KP = 8
+
+  /** MinHash+LSH over the PORTABLE hash family: 8-long signatures from
+    * affine transforms of [[polyHash]], banded 4×2 into candidate buckets.
+    * Same explode → K-min partial-aggregate → banded equi-join shape as
+    * [[minhashPairs]] (the xxhash64 production path), but every integer is
+    * reproducible in ANSI SQL — so the whole pipeline (shingle → signature
+    * → banding → estimate) is oracle-checked end to end rather than
+    * spec-tested. Multipliers stay below 2^6, keeping every intermediate
+    * under 2^36 — safe for ANSI-mode long arithmetic in both engines. */
+  def minhashPortable(s: SparkSession, d: String): DataFrame = {
+    val h = docsSharded(s, d)
+      .select(col("doc_id"), explode(shingles3).as("shingle"))
+      .select(col("doc_id"), polyHash(col("shingle")).as("h0"))
+    val mins = (0 until KP).map(k =>
+      min((col("h0") * (37 + 2 * k) + (1000 + k)) % P).as(s"p$k"))
+    val sig = h.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandArr = array((0 until KP / 2).map(b =>
+      array(col(s"p${2 * b}"), col(s"p${2 * b + 1}"))): _*)
+    val bands = sig.select(
+      (col("doc_id") +: (0 until KP).map(k => col(s"p$k"))) :+ posexplode(bandArr): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
+    def side(t: String) = bands.select(
+      Seq(col("band"), col("bk"), col("doc_id").as(s"doc_$t")) ++
+        (0 until KP).map(k => col(s"p$k").as(s"$t$k")): _*)
+    val eqCount = (0 until KP).map(k =>
+      when(col(s"a$k") === col(s"b$k"), 1).otherwise(0)).reduce(_ + _)
+    side("a").join(side("b"), Seq("band", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(eqCount.cast("double") / KP, 4).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash over the PORTABLE hash family: 60-bit sketches where bit `b`
+    * of a token is the upper-half test of an affine scramble
+    * `(h0·A_b + C_b) mod P >= P/2`. The multipliers MUST be large (~P):
+    * with small A_b the product barely wraps mod P, every bit correlates
+    * with the magnitude of h0, and the sketches collapse (measured: half
+    * of all pairs at hamming 0). Knuth-constant-derived A_b keep products
+    * under 2^63 for ANSI-safe long math in both engines. Banding is 4×15
+    * bits with the same >500 hot-bucket cap as the production path —
+    * here the cap is in the ORACLE too, so it is verified, not just
+    * asserted. */
+  private val SB = 60
+  private val simA = (0 until SB).map(b => (2654435761L * (b + 1)) % P)
+  private val simC = (0 until SB).map(b => (40503L * (b + 7) * (b + 13)) % P)
+
+  def simhashPortable(s: SparkSession, d: String): DataFrame = {
+    val th = docsSharded(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .select(col("doc_id"), polyHash(col("tok")).as("h0"))
+    val votes = (0 until SB).map(b =>
+      sum(when((col("h0") * simA(b) + simC(b)) % P >= P / 2, 1).otherwise(-1)).as(s"v$b"))
+    val fold = (0 until SB).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+    val sk = th.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fold.as("sk"))
+    val allBands = sk.select(col("doc_id"), col("sk"),
+      posexplode(expr("transform(sequence(0, 3), b -> (sk >> (15 * b)) & 32767)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val hot = allBands.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > 500)
+      .select(col("band"), col("chunk"))
+    val bands = allBands.join(broadcast(hot), Seq("band", "chunk"), "left_anti")
+    val left = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_a"), col("sk").as("sk_a"))
+    val right = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_b"), col("sk").as("sk_b"))
+    left.join(right, Seq("band", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("sk_a ^ sk_b")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 4)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Exact n-gram Jaccard via inverted-index equi-join on shingles —
     * |A∩B| from the join, |A|,|B| from per-doc shingle counts; all-integer
     * arithmetic so the DuckDB oracle matches bit-for-bit. */
@@ -198,12 +288,44 @@ object DedupOps extends QueryPack {
     "dedup_exact_stats" -> exactStats,
     "dedup_exact_groups" -> exactGroups,
     "dedup_minhash_pairs" -> minhashPairs,
+    "dedup_minhash_portable" -> minhashPortable,
+    "dedup_simhash_portable" -> simhashPortable,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_embedding_pairs" -> embeddingDup,
   )
 
+  /** DuckDB twin of [[simhashPortable]] — the 60 vote sums and the bit
+    * fold are mechanical, so the SQL is generated from the same A/C
+    * constants, not hand-written. */
+  private val simhashPortableOracleSql: String = {
+    val votes = (0 until SB).map(b =>
+      s"sum(CASE WHEN ((h0 * ${simA(b)} + ${simC(b)}) % $P) >= ${P / 2} THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val fold = (0 until SB).map(b =>
+      s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id,
+       |    unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+       |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+       |    (a, x) -> (a * 31 + x) % $P) AS h0 FROM tok),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |sk AS (SELECT doc_id, $fold AS sk FROM v),
+       |bb AS (SELECT doc_id, sk, band, (sk >> (15 * band)) & 32767 AS chunk
+       |  FROM sk, unnest([0, 1, 2, 3]) AS u(band)),
+       |hot AS (SELECT band, chunk FROM bb GROUP BY band, chunk HAVING count(*) > 500),
+       |bb2 AS (SELECT bb.* FROM bb ANTI JOIN hot USING (band, chunk)),
+       |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sk AS sk_a, y.sk AS sk_b
+       |  FROM bb2 x JOIN bb2 y ON x.band = y.band AND x.chunk = y.chunk
+       |    AND x.doc_id < y.doc_id),
+       |ham AS (SELECT DISTINCT doc_a, doc_b,
+       |    CAST(bit_count(xor(sk_a, sk_b)) AS BIGINT) AS hamming FROM cand)
+       |SELECT doc_a, doc_b, hamming FROM ham
+       |WHERE hamming <= 4 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   override val oracle: Map[String, String] = Map(
+    "dedup_simhash_portable" -> simhashPortableOracleSql,
     "dedup_exact_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
         | count(*) - count(DISTINCT text) AS n_dup_rows
@@ -212,6 +334,43 @@ object DedupOps extends QueryPack {
       """SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY fp""".stripMargin,
+    "dedup_minhash_portable" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, len(toks) - 1),
+        |          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])) AS shingle
+        |      FROM tk WHERE len(toks) >= 3),
+        |h AS (SELECT doc_id,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(shingle, ''), c -> CAST(ord(c) AS BIGINT))),
+        |          (a, x) -> (a * 31 + x) % 1000000007) AS h0
+        |      FROM s),
+        |sig AS (SELECT doc_id,
+        |  min((h0 * 37 + 1000) % 1000000007) AS p0,
+        |  min((h0 * 39 + 1001) % 1000000007) AS p1,
+        |  min((h0 * 41 + 1002) % 1000000007) AS p2,
+        |  min((h0 * 43 + 1003) % 1000000007) AS p3,
+        |  min((h0 * 45 + 1004) % 1000000007) AS p4,
+        |  min((h0 * 47 + 1005) % 1000000007) AS p5,
+        |  min((h0 * 49 + 1006) % 1000000007) AS p6,
+        |  min((h0 * 51 + 1007) % 1000000007) AS p7
+        |  FROM h GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id, 0 AS band, p0 AS k1, p1 AS k2 FROM sig UNION ALL
+        |  SELECT doc_id, 1, p2, p3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, p4, p5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, p6, p7 FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM b x JOIN b y ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
+        |    AND x.doc_id < y.doc_id),
+        |est AS (SELECT doc_a, doc_b, round((
+        |    CAST(sa.p0 = sb.p0 AS INT) + CAST(sa.p1 = sb.p1 AS INT) +
+        |    CAST(sa.p2 = sb.p2 AS INT) + CAST(sa.p3 = sb.p3 AS INT) +
+        |    CAST(sa.p4 = sb.p4 AS INT) + CAST(sa.p5 = sb.p5 AS INT) +
+        |    CAST(sa.p6 = sb.p6 AS INT) + CAST(sa.p7 = sb.p7 AS INT)) / 8.0, 4) AS est_jaccard
+        |  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT DISTINCT doc_id,

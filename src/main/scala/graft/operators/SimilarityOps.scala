@@ -97,6 +97,86 @@ object SimilarityOps extends QueryPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---- IVF (inverted-file) ANN: the second scale path, complementing LSH ----
+
+  private val ivfClusters = 10
+  private val ivfProbes = 3
+  private val ivfIters = 2
+
+  /** Cosine of a row's embedding against one driver-held centroid literal
+    * (bounded: centroids are O(kC·dim) floats regardless of corpus size). */
+  private def centCos(emb: Column, c: Seq[Float]): Column =
+    cosine(emb, typedlit(c))
+
+  /** Nearest-centroid id as ONE codegen'd projection: array_max over
+    * (cos, id) structs — no join, no shuffle; struct comparison breaks
+    * ties on the id, so assignment is deterministic. */
+  private def nearestCluster(emb: Column, cents: Seq[Seq[Float]]): Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(centCos(emb, c).as("c"), lit(i).as("i")) }: _*)).getField("i")
+
+  /** The query's `ivfProbes` closest centroid ids (descending cosine). */
+  private def probeClusters(emb: Column, cents: Seq[Seq[Float]]): Column =
+    transform(
+      slice(sort_array(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(centCos(emb, c).as("c"), lit(i).as("i")) }: _*), asc = false),
+        1, ivfProbes),
+      s => s.getField("i"))
+
+  /** Spherical k-means coarse quantizer. Seeds are the `ivfClusters`
+    * vectors with smallest xxhash64(vec_id) — a deterministic distributed
+    * sample (TakeOrdered, no full sort). Each Lloyd round is one
+    * distributed assign+mean job; only the kC×dim centroid matrix ever
+    * reaches the driver, so training is corpus-size-independent on the
+    * driver side. Empty clusters keep their previous centroid. */
+  private def trainCentroids(emb: DataFrame): Seq[Seq[Float]] = {
+    var cents: Seq[Seq[Float]] = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(ivfClusters)
+      .collect().map(_.getSeq[Float](1).toSeq).toSeq
+    for (_ <- 1 to ivfIters) {
+      val means = emb
+        .select(nearestCluster(col("embedding"), cents).as("cl"),
+          posexplode(col("embedding")))
+        .groupBy(col("cl"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cl"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cent"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toSeq)
+        .toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** IVF ANN: assign every vector to its nearest centroid (the inverted
+    * list), probe the query's `ivfProbes` nearest lists, exact-cosine
+    * rerank the candidates. Scale shape vs LSH: ONE short join key
+    * (cluster id), candidate cost ~ corpus × nProbe / kC per query, and
+    * the only broadcast is the query set — the index add/search never
+    * touches the driver. Results are approximate (recall is spec-tested
+    * against the brute-force baseline; no SQL oracle by design). */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = corpus(s, d)
+    val cents = trainCentroids(emb)
+    val indexed = emb.select(col("vec_id"), col("embedding"),
+      nearestCluster(col("embedding"), cents).as("cl"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(probeClusters(col("embedding"), cents)).as("cl"))
+    // every corpus vector lives in exactly one inverted list, so a
+    // (query, candidate) pair appears at most once — no distinct needed
+    val scored = indexed.join(broadcast(q), Seq("cl"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Per-label corpus stats — the oracle-checked sanity slice (DuckDB
     * computes the same norms over the same lists cast to double). */
   def embeddingStats(s: SparkSession, d: String): DataFrame = {
@@ -116,6 +196,7 @@ object SimilarityOps extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> annBruteForce,
     "ann_lsh_topk" -> annLsh,
+    "ann_ivf_topk" -> annIvf,
     "embedding_stats" -> embeddingStats,
   )
 

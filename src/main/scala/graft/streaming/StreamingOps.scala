@@ -43,6 +43,19 @@ object StreamingOps {
       .select(col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup — the unbounded-feed twin of
+    * [[graft.operators.DedupOps.exactGroups]]: keep the first document per
+    * content digest, where `dropDuplicatesWithinWatermark` holds one state
+    * row per distinct digest INSIDE the watermark horizon and evicts it
+    * after — bounded state on an unbounded stream, which a plain
+    * `dropDuplicates` (state grows forever) cannot give at 100 TB/day.
+    * Input needs an event-time `ts` column plus the payload `text`. */
+  def streamingDedup(docs: DataFrame, delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("fp")
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int)

@@ -41,6 +41,29 @@ class DedupSimilaritySpec extends GraftSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("portable minhash: identical docs estimate 1.0, disjoint not candidates") {
+    val d = writeDocs(Seq(
+      doc(1, "one two three four five six seven eight nine ten"),
+      doc(2, "one two three four five six seven eight nine ten"),
+      doc(3, "alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+    val rows = DedupOps.minhashPortable(spark, d).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(rows.head.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("portable simhash: identical docs hamming 0, disjoint not near") {
+    val d = writeDocs(Seq(
+      doc(1, "one two three four five six seven eight nine ten"),
+      doc(2, "one two three four five six seven eight nine ten"),
+      doc(3, "alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+    val rows = DedupOps.simhashPortable(spark, d).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+      .get.getAs[Long]("hamming") == 0L)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("ngram jaccard: exact overlap ratio on known shingle sets") {
     // doc1: tokens a b c d  -> shingles {abc, bcd}; doc2: a b c e -> {abc, bce}
     // intersection 1, union 3 -> jaccard 0.3333
