@@ -50,6 +50,9 @@ object PlanCheck {
     // as-of via the custom operator: strategy must engage
     Check("q26b_asof_native", mustContain = Seq("AsofJoin"),
       mustNot = Seq("SortMergeJoin", "CartesianProduct")),
+    // outer variant rides the same exec — same plan shape required
+    Check("q26c_asof_outer", mustContain = Seq("AsofJoin"),
+      mustNot = Seq("SortMergeJoin", "CartesianProduct")),
     // grouping sets: Expand + hash agg shape
     Check("q28_grouping_sets", mustContain = Seq("Expand", "HashAggregate")),
     // single distinct column → Spark's two-phase keyed rewrite (no Expand);
@@ -65,6 +68,8 @@ object PlanCheck {
     Check("dedup_simhash_pairs", mustContain = Nil,
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     Check("ann_lsh_topk", mustContain = Nil,
+      mustNot = Seq("CartesianProduct")),
+    Check("ann_lsh_portable", mustContain = Nil,
       mustNot = Seq("CartesianProduct")),
     Check("ann_ivf_topk", mustContain = Nil,
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),

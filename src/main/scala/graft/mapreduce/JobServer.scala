@@ -61,6 +61,11 @@ final class JobServer(spark: SparkSession, port: Int = 0) {
         try server.accept()
         catch { case _: java.net.SocketException => return } // closed on shutdown
       try {
+        // A client that connects and never closes must not wedge the
+        // accept loop (and with it every later submission + shutdown):
+        // reads past the timeout throw SocketTimeoutException and the
+        // connection is dropped like any other malformed message.
+        sock.setSoTimeout(10000)
         val msg = readAll(sock)
         handleMessage(msg)
       } catch {

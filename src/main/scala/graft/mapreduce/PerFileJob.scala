@@ -59,15 +59,21 @@ object PerFileJob {
     * stdout=`outDir/basename(input)` — the `new_worker_task` contract.
     * Fails on non-zero exit (the reference silently ignored exit codes,
     * `worker/__main__.py:116`; we treat a crashed executable as a task
-    * failure so Spark's retry machinery engages). Returns the basename. */
-  private def pipeOneFile(cmd: Seq[String], inPath: String, outDir: String): String = {
-    val conf = new Configuration()
+    * failure so Spark's retry machinery engages). Returns the basename.
+    *
+    * stderr is INHERITed into the executor's own stderr (task log): an
+    * executable chatty beyond the ~64 KB OS pipe buffer would otherwise
+    * fill the pipe, stall itself, and hang the stdout copy forever. */
+  private def pipeOneFile(cmd: Seq[String], inPath: String, outDir: String,
+      conf: Configuration): String = {
     val in = new Path(inPath)
     val base = in.getName
     val out = new Path(outDir, base)
     val ifs = in.getFileSystem(conf)
     val ofs = rawFs(out, conf)
-    val proc = new ProcessBuilder(cmd: _*).start()
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectError(ProcessBuilder.Redirect.INHERIT)
+      .start()
     val feeder = new Thread(() => {
       val is = ifs.open(in)
       try org.apache.hadoop.io.IOUtils.copyBytes(is, proc.getOutputStream, 65536, true)
@@ -96,9 +102,21 @@ object PerFileJob {
     val n = assigned.map(_._1).max + 1
     rawFs(new Path(outDir), spark.sparkContext.hadoopConfiguration)
       .mkdirs(new Path(outDir))
+    // Ship the driver's Hadoop configuration to the executors so
+    // spark.hadoop.* settings (S3A credentials/endpoints, HDFS
+    // nameservices) reach pipeOneFile's FileSystem lookups — a bare
+    // `new Configuration()` on the executor would only see default XML.
+    // Serialized as entries (Configuration itself is not serializable).
+    import scala.jdk.CollectionConverters._
+    val confEntries = spark.sparkContext.hadoopConfiguration.asScala
+      .map(e => e.getKey -> e.getValue).toArray
     spark.sparkContext.parallelize(assigned, n)
       .partitionBy(new IdPartitioner(n))
-      .map { case (_, path) => pipeOneFile(cmd, path, outDir) }
+      .mapPartitions { it =>
+        val conf = new Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        it.map { case (_, path) => pipeOneFile(cmd, path, outDir, conf) }
+      }
       .collect()  // basenames only — O(#files) strings, not data
       .toSeq
   }

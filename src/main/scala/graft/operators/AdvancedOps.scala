@@ -66,6 +66,24 @@ object AdvancedOps extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** LEFT-OUTER as-of through the native exec: purchases with no prior
+    * click are KEPT with null click_id/gap_us (DuckDB `ASOF LEFT JOIN`
+    * semantics). Same plan shape as the inner variant — outer-ness only
+    * changes what the per-partition merge emits on a miss. */
+  def q26AsofOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("click_id"))
+    graft.plans.AsofJoin.asofOuter(purchases, clicks, "user_id", "c_user", "ts", "c_ts")
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Exact percentiles (interpolated, PERCENTILE_CONT semantics) + IQR. */
   def q27Percentiles(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -107,9 +125,11 @@ object AdvancedOps extends QueryPack {
 
   /** HLL sketches (approx_count_distinct) vs exact counts. The raw sketch
     * value is engine-specific, so the ORACLE-CHECKED columns are the exact
-    * count plus `within_bound` — whether the sketch landed inside its
-    * configured 2% relative-error budget (DuckDB asserts `true`). This
-    * turns the sketch from a rows-only entry into a hash-checked one. */
+    * count plus `within_bound` — whether the sketch landed inside 4× its
+    * configured 2% relative STANDARD DEVIATION (DuckDB asserts `true`).
+    * rsd is a statistical parameter, not a hard bound: 4σ makes a false
+    * failure astronomically unlikely at any scale factor while still
+    * catching a broken sketch (which is off by orders of magnitude). */
   def q30ApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -118,13 +138,14 @@ object AdvancedOps extends QueryPack {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         count(lit(1)).as("n_rows"))
       .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
-        (abs(col("approx_parts") - col("exact_parts")) / col("exact_parts") <= 0.02)
+        (abs(col("approx_parts") - col("exact_parts")) / col("exact_parts") <= 0.08)
           .as("within_bound"))
       .orderBy(col("l_returnflag"))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_asof_join" -> q26AsofJoin,
     "q26b_asof_native" -> q26AsofNative,
+    "q26c_asof_outer" -> q26AsofOuter,
     "q27_percentiles" -> q27Percentiles,
     "q28_grouping_sets" -> q28GroupingSets,
     "q29_pivot" -> q29Pivot,
@@ -149,6 +170,15 @@ object AdvancedOps extends QueryPack {
         |SELECT p.event_id AS event_id, p.user_id AS user_id, c.click_id AS click_id,
         |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY event_id""".stripMargin,
+    "q26c_asof_outer" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id AS event_id, p.user_id AS user_id, c.click_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY event_id""".stripMargin,
     "q27_percentiles" ->
       """SELECT o_orderpriority,

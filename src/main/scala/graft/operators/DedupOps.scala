@@ -86,13 +86,26 @@ object DedupOps extends QueryPack {
         (count(lit(1)) - countDistinct(col("text"))).as("n_dup_rows"))
 
   /** Exact-dup groups: digest → group size + survivor id (min). The
-    * canonical exact dedup: one shuffle on the digest, map-side partial. */
-  def exactGroups(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    * canonical exact dedup: one shuffle on the digest, map-side partial.
+    *
+    * The synthetic fixture corpus is duplicate-free at small scale
+    * factors, which would make this gate pass vacuously (0 rows == 0
+    * rows proves execution, not selectivity). The query therefore PLANTS
+    * a deterministic duplicate slice — every 97th doc re-appended under
+    * `doc_id + 10_000_000` — identically in the Spark plan and the DuckDB
+    * oracle, so the groups/survivor logic is verified on real nonempty
+    * groups at every scale. */
+  def exactGroups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L))
+    planted
       .groupBy(md5(col("text")).as("fp"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
       .filter(col("n") > 1)
       .orderBy(col("fp"))
+  }
 
   /** MinHash+LSH candidate pairs with signature-estimated Jaccard.
     * bands=8 × rows=4 over a K=32 signature; candidates = pairs sharing at
@@ -258,10 +271,24 @@ object DedupOps extends QueryPack {
   }
 
   /** Embedding near-dup: hyperplane-LSH blocking (shared with
-    * SimilarityOps) then exact cosine >= 0.9 verification on candidates. */
+    * SimilarityOps) then exact cosine >= 0.9 verification on candidates.
+    *
+    * Like [[exactGroups]], the fixture vectors have no natural >=0.9
+    * pairs at test scale (measured max pairwise cosine: 0.51 at sf0.01,
+    * 0.60 at sf0.1), so the query plants exact-copy vectors — every
+    * 101st vec re-appended under `vec_id + 10_000_000` — identically in
+    * both engines. Identical vectors land in the same LSH bucket in
+    * every table by construction, so blocking recall on the planted
+    * pairs is exactly 1 and the DuckDB brute-force oracle (which has no
+    * LSH stage) agrees on the full result set: the >=0.9 survivors are
+    * the planted cos=1.0 pairs, with a >=0.29 margin to the nearest
+    * natural pair, far beyond float-vs-double rounding noise. */
   def embeddingDup(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val base = Tables.embeddings(s, d)
+    val base0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val base = base0.unionByName(
+      base0.filter(col("vec_id") % 101 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000000L))
     val emb = base
       .select(col("vec_id"), col("embedding"),
         explode(SimilarityOps.lshBuckets(col("embedding"))).as("bucket"))
@@ -331,9 +358,27 @@ object DedupOps extends QueryPack {
         | count(*) - count(DISTINCT text) AS n_dup_rows
         |FROM documents""".stripMargin,
     "dedup_exact_groups" ->
-      """SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keep_id
-        |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 97 = 0)
+        |SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keep_id
+        |FROM docs GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY fp""".stripMargin,
+    "dedup_embedding_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, embedding::DOUBLE[] FROM embeddings
+        |  WHERE vec_id % 101 = 0),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.emb, b.emb) /
+        |      (sqrt(list_dot_product(a.emb, a.emb)) *
+        |       sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_minhash_portable" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT DISTINCT doc_id,

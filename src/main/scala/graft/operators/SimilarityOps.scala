@@ -97,6 +97,101 @@ object SimilarityOps extends QueryPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---- portable LSH: oracle-checkable twin of annLsh ----------------------
+  //
+  // The production tables use seeded gaussian hyperplanes — fine for the
+  // engine, but no SQL oracle can reproduce a JVM PRNG stream. The twin
+  // replaces each gaussian plane with a ±1 weight vector derived from pure
+  // integer arithmetic (affine scramble mod P, the same trick as the
+  // portable SimHash family), so DuckDB regenerates the identical planes
+  // from the same constants. The projection is a left-fold sum of
+  // `float→double × ±1.0` in index order in BOTH engines, which IEEE-754
+  // guarantees bit-identical — sign tests, buckets, candidates, and the
+  // rerank are then oracle-checked end to end. Same multi-table bucket
+  // equi-join shape and cost model as [[annLsh]].
+
+  private val PP = 1000000007L
+  private def pA(k: Int): Long = (2654435761L * (k + 1)) % PP
+  private def pC(k: Int): Long = (40503L * (k + 11) * (k + 17)) % PP
+
+  /** ±1 weights of plane k: sign_i = [(i·A_k + C_k) mod P >= P/2], i 1-based. */
+  private def portableWeights(k: Int): Seq[Double] =
+    (1 to 64).map(i => if ((i * pA(k) + pC(k)) % PP >= PP / 2) 1.0 else -1.0)
+
+  private def portableProj(emb: Column, w: Seq[Double]): Column =
+    aggregate(zip_with(emb, typedlit(w), (x, ww) => x.cast("double") * ww),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def portableBuckets(emb: Column): Column = {
+    val buckets = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { j =>
+        when(portableProj(emb, portableWeights(t * bitsPerTable + j)) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      (bits + lit(t.toLong << 32)).as(s"pb$t")
+    }
+    array(buckets: _*)
+  }
+
+  /** ANN with the portable plane family — identical plan shape to
+    * [[annLsh]] (bucket equi-join, id-pair distinct, exact rerank). */
+  def annLshPortable(s: SparkSession, d: String): DataFrame = {
+    val emb = corpus(s, d)
+      .select(col("vec_id"), col("embedding"),
+        explode(portableBuckets(col("embedding"))).as("bucket"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("bucket"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"))
+      .distinct()  // a pair may collide in several tables; score once
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[annLshPortable]] — planes regenerated from the same
+    * A/C constants; the projection fold uses `list_reduce` so the
+    * summation order matches Spark's `aggregate` exactly. */
+  private def portableProjSql(k: Int): String =
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(range(1, 65), i -> " +
+      "CAST(embedding[CAST(i AS INT)] AS DOUBLE) * " +
+      s"(CASE WHEN ((i * ${pA(k)} + ${pC(k)}) % $PP) >= ${PP / 2} " +
+      "THEN 1.0 ELSE -1.0 END))), (a, x) -> a + x)"
+
+  private val annLshPortableOracleSql: String = {
+    val tableSelects = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { j =>
+        s"(CASE WHEN ${portableProjSql(t * bitsPerTable + j)} >= 0 " +
+          s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, (CAST(${t.toLong << 32} AS BIGINT) + $bits) AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH bk AS (
+       |$tableSelects),
+       |q AS (SELECT bucket, vec_id AS q_id FROM bk WHERE vec_id < 5),
+       |cand AS (SELECT DISTINCT q.q_id, e.vec_id
+       |  FROM bk e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |   round(list_dot_product(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) /
+       |     (sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[])) *
+       |      sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))), 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id
+       |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, cos, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---- IVF (inverted-file) ANN: the second scale path, complementing LSH ----
 
   private val ivfClusters = 10
@@ -196,11 +291,13 @@ object SimilarityOps extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> annBruteForce,
     "ann_lsh_topk" -> annLsh,
+    "ann_lsh_portable" -> annLshPortable,
     "ann_ivf_topk" -> annIvf,
     "embedding_stats" -> embeddingStats,
   )
 
   override val oracle: Map[String, String] = Map(
+    "ann_lsh_portable" -> annLshPortableOracleSql,
     "embedding_stats" ->
       """WITH n AS (
         |  SELECT label, sqrt(list_sum(list_transform(embedding,

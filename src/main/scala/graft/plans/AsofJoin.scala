@@ -3,16 +3,18 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.types.PhysicalDataType
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, MapType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native as-of join: for each left row, the latest right row with the
-  * same key and `rightTime <= leftTime` (inner semantics — unmatched left
-  * rows are dropped).
+  * same key and `rightTime <= leftTime`. Inner semantics drop unmatched
+  * left rows; outer semantics (`isOuter = true`) emit them with nulls on
+  * the right side — matching DuckDB's `ASOF JOIN` / `ASOF LEFT JOIN`.
   *
   * This is the whole-operator Catalyst extension path from the design
   * brief — a custom `LogicalPlan` node planned by a `SparkStrategy` into
@@ -30,6 +32,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * at 100 TB that is #keys/#partitions rows, the same state bound as a
   * streaming `mapGroupsWithState` — and crucially the sort is time-only,
   * so the operator never materializes a per-key group.
+  *
+  * Null semantics (SQL-conformant): a null key on either side never
+  * matches anything (null != null, like equi-joins); a null left time
+  * never matches; null right times are consumed and skipped.
+  *
+  * Key types are restricted to atomic value types (numeric, string,
+  * boolean, date/timestamp): the per-partition state map keys on the
+  * evaluated value, and binary/array/struct/map values from reused
+  * Unsafe buffers have identity- or buffer-dependent equality there.
+  * Rejected at construction rather than silently mis-joining.
   */
 case class AsofJoinPlan(
     left: LogicalPlan,
@@ -37,8 +49,11 @@ case class AsofJoinPlan(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    rightTime: Expression,
+    isOuter: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    if (isOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
     copy(left = newLeft, right = newRight)
@@ -50,9 +65,17 @@ case class AsofJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression,
+    isOuter: Boolean) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  require(AsofJoin.supportedKeyType(leftKey.dataType) &&
+    AsofJoin.supportedKeyType(rightKey.dataType),
+    s"as-of join keys must be atomic value types, got " +
+      s"${leftKey.dataType.simpleString} / ${rightKey.dataType.simpleString}")
+
+  override def output: Seq[Attribute] =
+    if (isOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   // Same co-clustering contract as SortMergeJoin: EnsureRequirements
   // inserts one hash shuffle per side and co-partitions them.
@@ -75,20 +98,27 @@ case class AsofJoinExec(
     val timeOrdering =
       PhysicalDataType.ordering(leftTime.dataType).asInstanceOf[Ordering[Any]]
     val schema = output
+    val outer = isOuter
+    val nRightCols = right.output.length
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val project = UnsafeProjection.create(schema.map(_.withNullability(true)), schema)
+      val nullRight: InternalRow = new GenericInternalRow(nRightCols)
       // key → latest right row at or before the current left time
       val latest = new java.util.HashMap[Any, InternalRow]()
       val rBuf = rIter.buffered
-      // UTF8String/array keys may be backed by reused buffers — copy them
+      // UTF8String keys may be backed by reused Unsafe buffers — copy them
+      // (all other permitted key types are immutable JVM values)
       def ownedKey(k: Any): Any = k match {
         case s: UTF8String => s.copy()
         case other => other
       }
+      def emitUnmatched(lRow: InternalRow): Iterator[InternalRow] =
+        if (outer) Iterator.single(project(joined(lRow, nullRight)))
+        else Iterator.empty
       lIter.flatMap { lRow =>
         val lt = lTime.eval(lRow)
-        if (lt == null) Iterator.empty // null left time can never match
+        if (lt == null) emitUnmatched(lRow) // null left time never matches
         else {
           // advance the right side through every row with time <= left
           // time; null right times sort first (NULLS FIRST) and are
@@ -98,11 +128,14 @@ case class AsofJoinExec(
             rt == null || timeOrdering.lteq(rt, lt)
           }) {
             val r = rBuf.next()
-            if (rTime.eval(r) != null)
-              latest.put(ownedKey(rKey.eval(r)), r.copy())
+            if (rTime.eval(r) != null) {
+              val k = rKey.eval(r)
+              if (k != null) latest.put(ownedKey(k), r.copy())
+            }
           }
-          val m = latest.get(lKey.eval(lRow))
-          if (m == null) Iterator.empty
+          val lk = lKey.eval(lRow)
+          val m = if (lk == null) null else latest.get(lk)
+          if (m == null) emitUnmatched(lRow)
           else Iterator.single(project(joined(lRow, m)))
         }
       }
@@ -117,13 +150,19 @@ case class AsofJoinExec(
 /** Plans [[AsofJoinPlan]] into [[AsofJoinExec]]. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, outer) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer) :: Nil
     case _ => Nil
   }
 }
 
 object AsofJoin {
+  /** Atomic value types only — see the class doc for why. */
+  def supportedKeyType(dt: DataType): Boolean = dt match {
+    case BinaryType | _: ArrayType | _: MapType | _: StructType => false
+    case _ => true
+  }
+
   /** Idempotently registers the planning strategy on the session. */
   def register(s: SparkSession): Unit =
     if (!s.experimental.extraStrategies.contains(AsofJoinStrategy))
@@ -131,22 +170,59 @@ object AsofJoin {
         s.experimental.extraStrategies :+ AsofJoinStrategy
 
   /** `left ASOF JOIN right ON left.keyCol = right.keyCol AND
-    * left.timeCol >= right.timeCol` (inner). Column names must be
-    * unambiguous per side; right-side columns keep their names, so rename
-    * overlapping ones before joining. */
+    * left.timeCol >= right.timeCol` (inner). Right-side columns whose
+    * names clash with a left-side column are automatically renamed with
+    * an `_r` suffix (repeated until unique), so callers never get an
+    * ambiguous output schema. */
   def asof(left: DataFrame, right: DataFrame,
       leftKeyCol: String, rightKeyCol: String,
-      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+      leftTimeCol: String, rightTimeCol: String): DataFrame =
+    build(left, right, leftKeyCol, rightKeyCol, leftTimeCol, rightTimeCol,
+      isOuter = false)
+
+  /** Left-outer as-of join: like [[asof]] but unmatched left rows are
+    * kept with nulls for every right-side column (DuckDB
+    * `ASOF LEFT JOIN` semantics). */
+  def asofOuter(left: DataFrame, right: DataFrame,
+      leftKeyCol: String, rightKeyCol: String,
+      leftTimeCol: String, rightTimeCol: String): DataFrame =
+    build(left, right, leftKeyCol, rightKeyCol, leftTimeCol, rightTimeCol,
+      isOuter = true)
+
+  private def build(left: DataFrame, right: DataFrame,
+      leftKeyCol: String, rightKeyCol: String,
+      leftTimeCol: String, rightTimeCol: String,
+      isOuter: Boolean): DataFrame = {
     val spark = left.sparkSession
     register(spark)
+    // Disambiguate clashing right-side names up front (suffix `_r`,
+    // repeated until unique against BOTH sides' final name sets).
+    val leftNames = left.columns.toSet
+    var taken = leftNames ++ right.columns
+    val renames = right.columns.filter(leftNames.contains).map { c =>
+      var n = c + "_r"
+      while (taken.contains(n)) n += "_r"
+      taken += n
+      c -> n
+    }.toMap
+    val rightDedup = renames.foldLeft(right) {
+      case (df, (from, to)) => df.withColumnRenamed(from, to)
+    }
+    val rKeyName = renames.getOrElse(rightKeyCol, rightKeyCol)
+    val rTimeName = renames.getOrElse(rightTimeCol, rightTimeCol)
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    val rPlan = rightDedup.queryExecution.analyzed
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in [${p.output.map(_.name).mkString(", ")}]"))
+    val lk = attr(lPlan, leftKeyCol)
+    val rk = attr(rPlan, rKeyName)
+    require(supportedKeyType(lk.dataType) && supportedKeyType(rk.dataType),
+      s"as-of join keys must be atomic value types (numeric/string/bool/" +
+        s"date/timestamp), got ${lk.dataType.simpleString} / " +
+        s"${rk.dataType.simpleString}")
     GraftSqlShim.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
-      attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol)))
+      lk, rk, attr(lPlan, leftTimeCol), attr(rPlan, rTimeName), isOuter))
   }
 }

@@ -9,8 +9,10 @@ import graft.{GraftSpec, SparkEntry}
 class OperatorSmokeSpec extends GraftSpec {
 
   test("every declared query runs and most return rows at sf0.001") {
-    val mayBeEmpty = Set("dedup_exact_groups", "dedup_minhash_pairs",
-      "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_embedding_pairs",
+    // dedup_exact_groups / dedup_embedding_pairs plant deterministic
+    // duplicates and must now be NONEMPTY at every scale factor
+    val mayBeEmpty = Set("dedup_minhash_pairs",
+      "dedup_simhash_pairs", "dedup_ngram_jaccard",
       "mr_grep_pipe")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

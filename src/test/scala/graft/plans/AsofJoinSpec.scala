@@ -43,6 +43,48 @@ class AsofJoinSpec extends GraftSpec {
     assert(out === Map(1L -> 1.5))
   }
 
+  test("null keys never match (null != null, SQL equi-join semantics)") {
+    val l = Seq((1L, Some("a"), 10L), (2L, None: Option[String], 10L))
+      .toDF("id", "k", "t")
+    val r = Seq((Some("a"), 5L, 1.0), (None: Option[String], 5L, 9.0))
+      .toDF("rk", "rt", "v")
+    val inner = AsofJoin.asof(l, r, "k", "rk", "t", "rt")
+      .select($"id", $"v").as[(Long, Double)].collect().toMap
+    assert(inner === Map(1L -> 1.0)) // null-key left row joins nothing
+    val outer = AsofJoin.asofOuter(l, r, "k", "rk", "t", "rt")
+      .select($"id", $"v".isNull).as[(Long, Boolean)].collect().toMap
+    assert(outer === Map(1L -> false, 2L -> true)) // kept, null-padded
+  }
+
+  test("outer keeps unmatched left rows with nulls (ASOF LEFT JOIN)") {
+    val out = AsofJoin.asofOuter(trades, quotes, "sym", "q_sym", "t", "q_t")
+      .select($"trade_id", $"px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // trade 3 (b,15) has no quote at/before 15 → kept with null px
+    assert(out === Map(1L -> Some(2.0), 2L -> Some(3.0),
+      3L -> None, 4L -> Some(7.0)))
+  }
+
+  test("clashing right-side names are auto-renamed with _r suffix") {
+    val l = Seq((1L, "a", 10L, "L")).toDF("id", "k", "t", "tag")
+    val r = Seq(("a", 5L, "R")).toDF("k", "t", "tag")
+    val out = AsofJoin.asof(l, r, "k", "k", "t", "t")
+    assert(out.columns.toSeq ===
+      Seq("id", "k", "t", "tag", "k_r", "t_r", "tag_r"))
+    val row = out.collect().head
+    assert(row.getAs[String]("tag") === "L" && row.getAs[String]("tag_r") === "R")
+  }
+
+  test("non-atomic key types are rejected at construction") {
+    val l = Seq((1L, Array(1, 2), 10L)).toDF("id", "k", "t")
+    val r = Seq((Array(1, 2), 5L, 1.0)).toDF("rk", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(l, r, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("atomic"))
+  }
+
   test("plan uses the custom AsofJoin exec (strategy engaged)") {
     val df = AsofJoin.asof(trades, quotes, "sym", "q_sym", "t", "q_t")
     val plan = df.queryExecution.explainString(
