@@ -194,9 +194,19 @@ object SimilarityOps extends QueryPack {
 
   // ---- IVF (inverted-file) ANN: the second scale path, complementing LSH ----
 
-  private val ivfClusters = 10
   private val ivfProbes = 3
   private val ivfIters = 2
+  private val ivfMinClusters = 4
+  private val ivfMaxClusters = 4096
+
+  /** √N clusters, clamped — the standard IVF heuristic: at fixed nProbe,
+    * expected candidates per query ≈ nProbe·N/kC, so kC=√N keeps both the
+    * list count and the per-list scan ~√N as the corpus grows. The clamp
+    * caps the driver-held centroid matrix at kC·dim ≈ 1 MB regardless of
+    * corpus size. */
+  def ivfClusterCount(n: Long): Int =
+    math.min(ivfMaxClusters,
+      math.max(ivfMinClusters, math.ceil(math.sqrt(n.toDouble)).toInt)).toInt
 
   /** Cosine of a row's embedding against one driver-held centroid literal
     * (bounded: centroids are O(kC·dim) floats regardless of corpus size). */
@@ -210,24 +220,24 @@ object SimilarityOps extends QueryPack {
     array_max(array(cents.zipWithIndex.map { case (c, i) =>
       struct(centCos(emb, c).as("c"), lit(i).as("i")) }: _*)).getField("i")
 
-  /** The query's `ivfProbes` closest centroid ids (descending cosine). */
-  private def probeClusters(emb: Column, cents: Seq[Seq[Float]]): Column =
+  /** The query's `nProbe` closest centroid ids (descending cosine). */
+  private def probeClusters(emb: Column, cents: Seq[Seq[Float]], nProbe: Int): Column =
     transform(
       slice(sort_array(array(cents.zipWithIndex.map { case (c, i) =>
         struct(centCos(emb, c).as("c"), lit(i).as("i")) }: _*), asc = false),
-        1, ivfProbes),
+        1, nProbe),
       s => s.getField("i"))
 
-  /** Spherical k-means coarse quantizer. Seeds are the `ivfClusters`
-    * vectors with smallest xxhash64(vec_id) — a deterministic distributed
-    * sample (TakeOrdered, no full sort). Each Lloyd round is one
-    * distributed assign+mean job; only the kC×dim centroid matrix ever
-    * reaches the driver, so training is corpus-size-independent on the
-    * driver side. Empty clusters keep their previous centroid. */
-  private def trainCentroids(emb: DataFrame): Seq[Seq[Float]] = {
+  /** Spherical k-means coarse quantizer. Seeds are the `kC` vectors with
+    * smallest xxhash64(vec_id) — a deterministic distributed sample
+    * (TakeOrdered, no full sort). Each Lloyd round is one distributed
+    * assign+mean job; only the kC×dim centroid matrix ever reaches the
+    * driver, so training is corpus-size-independent on the driver side.
+    * Empty clusters keep their previous centroid. */
+  private def trainCentroids(emb: DataFrame, kC: Int): Seq[Seq[Float]] = {
     var cents: Seq[Seq[Float]] = emb
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(ivfClusters)
+      .limit(kC)
       .collect().map(_.getSeq[Float](1).toSeq).toSeq
     for (_ <- 1 to ivfIters) {
       val means = emb
@@ -246,20 +256,32 @@ object SimilarityOps extends QueryPack {
   }
 
   /** IVF ANN: assign every vector to its nearest centroid (the inverted
-    * list), probe the query's `ivfProbes` nearest lists, exact-cosine
+    * list), probe the query's `nProbe` nearest lists, exact-cosine
     * rerank the candidates. Scale shape vs LSH: ONE short join key
     * (cluster id), candidate cost ~ corpus × nProbe / kC per query, and
     * the only broadcast is the query set — the index add/search never
     * touches the driver. Results are approximate (recall is spec-tested
     * against the brute-force baseline; no SQL oracle by design). */
-  def annIvf(s: SparkSession, d: String): DataFrame = {
-    val emb = corpus(s, d)
-    val cents = trainCentroids(emb)
+  def annIvf(s: SparkSession, d: String): DataFrame =
+    annIvfFrom(corpus(s, d))
+
+  /** IVF over an explicit corpus with tunable index parameters.
+    * `clusters = None` applies the √N heuristic (one count() job — at
+    * scale that's a parquet-metadata read, not a scan); `probes = None`
+    * probes max(3, √kC) lists — nProbe has to grow with the cluster
+    * count or recall decays as the corpus (and with it kC) grows, while
+    * the probed corpus fraction √kC/kC still *shrinks* at scale. */
+  def annIvfFrom(emb: DataFrame, clusters: Option[Int] = None,
+      probes: Option[Int] = None): DataFrame = {
+    val kC = clusters.getOrElse(ivfClusterCount(emb.count()))
+    val nProbe = probes.getOrElse(
+      math.max(ivfProbes, math.ceil(math.sqrt(kC.toDouble)).toInt))
+    val cents = trainCentroids(emb, kC)
     val indexed = emb.select(col("vec_id"), col("embedding"),
       nearestCluster(col("embedding"), cents).as("cl"))
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        explode(probeClusters(col("embedding"), cents)).as("cl"))
+        explode(probeClusters(col("embedding"), cents, nProbe)).as("cl"))
     // every corpus vector lives in exactly one inverted list, so a
     // (query, candidate) pair appears at most once — no distinct needed
     val scored = indexed.join(broadcast(q), Seq("cl"))
