@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Centroid-scan expressions for the IVF ANN index.
+  *
+  * The composable formulation — `array_max(array(struct(cos(emb, c0), 0),
+  * struct(cos(emb, c1), 1), ...))` with one struct per centroid — unrolls
+  * kC copies of the cosine loop into the generated code. At the √N
+  * cluster heuristic's kC=45 (sf0.1 corpus) that made Janino compilation
+  * dominate the query (measured: ann_ivf_topk 3.2s → 41.8s after the
+  * heuristic landed). These expressions take the centroid matrix as ONE
+  * flattened `array<float>` literal and LOOP over it — generated code
+  * size is constant in kC, per-row cost is the same O(kC·dim) multiply
+  * chain, still no join and no shuffle for the assignment stage.
+  *
+  * Ties on equal cosine pick the lower centroid id (deterministic).
+  */
+object CentroidOps {
+  /** Index of the max-cosine centroid; `cents` is kC row-major dim-length
+    * blocks. Cosine ranking needs no query-side norm; centroid norms are
+    * recomputed per row — dim·kC flops, negligible vs the dot products. */
+  def nearest(emb: ArrayData, cents: ArrayData): Int = {
+    val dim = emb.numElements()
+    val kC = cents.numElements() / dim
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < kC) {
+      var dot = 0.0; var nc = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < dim) {
+        val x = emb.getFloat(i).toDouble
+        val y = cents.getFloat(off + i).toDouble
+        dot += x * y; nc += y * y
+        i += 1
+      }
+      val score = if (nc == 0.0) Double.NegativeInfinity else dot / math.sqrt(nc)
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Ids of the `k` highest-cosine centroids, descending (ties → lower
+    * id first). kC is at most a few thousand; selection is a simple
+    * k-pass argmax over a scratch score array. */
+  def probe(emb: ArrayData, cents: ArrayData, k: Int): ArrayData = {
+    val dim = emb.numElements()
+    val kC = cents.numElements() / dim
+    val scores = new Array[Double](kC)
+    var c = 0
+    while (c < kC) {
+      var dot = 0.0; var nc = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < dim) {
+        val x = emb.getFloat(i).toDouble
+        val y = cents.getFloat(off + i).toDouble
+        dot += x * y; nc += y * y
+        i += 1
+      }
+      scores(c) = if (nc == 0.0) Double.NegativeInfinity else dot / math.sqrt(nc)
+      c += 1
+    }
+    val n = math.min(k, kC)
+    val out = new Array[Int](n)
+    val taken = new Array[Boolean](kC)
+    var j = 0
+    while (j < n) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < kC) {
+        if (!taken(c2) && scores(c2) > bestScore) { bestScore = scores(c2); best = c2 }
+        c2 += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out.map(Int.box))
+  }
+}
+
+/** `nearest_centroid(emb, flatCents)` → int centroid id. */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CentroidOps.nearest(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CentroidOps.nearest($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `probe_centroids(emb, flatCents, k)` → array<int> of top-k ids. */
+case class ProbeCentroids(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "probe_centroids"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType), IntegerType)
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    CentroidOps.probe(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.functions.CentroidOps.probe($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object CentroidExpressions {
+  /** Idempotent per-session registration (same pattern as
+    * [[VectorExpressions.register]]). */
+  def register(s: SparkSession): Unit = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nearest_centroid",
+      exprs => NearestCentroid(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_probe_centroids",
+      exprs => ProbeCentroids(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
+
+  def nearest_centroid(emb: Column, flatCents: Column): Column =
+    call_function("graft_nearest_centroid", emb, flatCents)
+
+  def probe_centroids(emb: Column, flatCents: Column, k: Column): Column =
+    call_function("graft_probe_centroids", emb, flatCents, k)
+}

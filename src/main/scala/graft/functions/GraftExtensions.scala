@@ -28,5 +28,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[FloatDotProduct], "graft_float_dot",
         "graft_float_dot(a, b) - dot product of two float arrays"),
       (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_poly_hash"),
+      info(classOf[PolyHash], "graft_poly_hash",
+        "graft_poly_hash(s) - base-31 code-point polynomial hash mod 1e9+7"),
+      (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_nearest_centroid"),
+      info(classOf[NearestCentroid], "graft_nearest_centroid",
+        "graft_nearest_centroid(emb, flat_cents) - max-cosine centroid id"),
+      (exprs: Seq[Expression]) => NearestCentroid(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_probe_centroids"),
+      info(classOf[ProbeCentroids], "graft_probe_centroids",
+        "graft_probe_centroids(emb, flat_cents, k) - top-k centroid ids"),
+      (exprs: Seq[Expression]) => ProbeCentroids(exprs(0), exprs(1), exprs(2))))
   }
 }

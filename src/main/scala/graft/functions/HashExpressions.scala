@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Base-31 polynomial fold of a string's Unicode code points mod 1e9+7 —
+  * the portable hash family shared with the DuckDB oracle
+  * (`list_reduce(list_transform(string_split(s, ''), c -> ord(c)), ...)`).
+  *
+  * This replaces the composable formulation
+  * `aggregate(filter(split(s, '')), (acc, ch) -> (acc*31 + ascii(ch)) % P)`
+  * used by the portable MinHash/SimHash twins: that shape allocates one
+  * UTF8String per character and runs the fold through interpreted lambda
+  * frames (~µs/char), which made the portable queries the slowest
+  * certified entries in the bench. Here the whole fold JIT-compiles to a
+  * primitive loop over code points — identical integers (verified by the
+  * same DuckDB oracles), orders of magnitude less per-char overhead.
+  */
+case class PolyHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  final val P = 1000000007L
+
+  /** Folds over CODE POINTS (not UTF-16 code units), matching DuckDB's
+    * `ord` over per-character splits for the full Unicode range. Called
+    * from both the interpreted eval and the generated code. */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+object HashExpressions {
+  /** Idempotently registers the hash expressions in the session's
+    * function registry (also makes them available to `spark.sql`). */
+  def register(s: SparkSession): Unit =
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_poly_hash", exprs => PolyHash(exprs.head), "built-in")
+
+  /** Column API for the codegen'd polynomial hash (register first). */
+  def poly_hash(c: Column): Column = call_function("graft_poly_hash", c)
+}

@@ -157,13 +157,14 @@ object DedupOps extends QueryPack {
 
   /** Base-31 polynomial fold of a string's codepoints mod 1e9+7 — pure
     * integer arithmetic DuckDB reproduces exactly (`ord` + `list_reduce`),
-    * unlike the engine-specific xxhash64 family. Spark's `split(s, "")`
-    * emits a trailing empty string (Java `split("", -1)` semantics), which
-    * must be dropped before the fold or the two engines diverge. */
+    * unlike the engine-specific xxhash64 family. Implemented as the native
+    * codegen expression [[graft.functions.PolyHash]]: the higher-order
+    * `aggregate(split(s, ''))` formulation it replaces ran the fold
+    * through interpreted per-character lambda frames and dominated the
+    * portable queries' runtime (bit-equal integers, same oracles). */
   private val P = 1000000007L
   private def polyHash(c: Column): Column =
-    aggregate(filter(split(c, ""), ch => ch =!= ""),
-      lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % P)
+    graft.functions.HashExpressions.poly_hash(c)
 
   private val KP = 8
 
@@ -176,6 +177,7 @@ object DedupOps extends QueryPack {
     * spec-tested. Multipliers stay below 2^6, keeping every intermediate
     * under 2^36 — safe for ANSI-mode long arithmetic in both engines. */
   def minhashPortable(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExpressions.register(s)
     val h = docsSharded(s, d)
       .select(col("doc_id"), explode(shingles3).as("shingle"))
       .select(col("doc_id"), polyHash(col("shingle")).as("h0"))
@@ -216,6 +218,7 @@ object DedupOps extends QueryPack {
   private val simC = (0 until SB).map(b => (40503L * (b + 7) * (b + 13)) % P)
 
   def simhashPortable(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExpressions.register(s)
     val th = docsSharded(s, d)
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))

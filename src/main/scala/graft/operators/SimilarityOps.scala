@@ -208,25 +208,22 @@ object SimilarityOps extends QueryPack {
     math.min(ivfMaxClusters,
       math.max(ivfMinClusters, math.ceil(math.sqrt(n.toDouble)).toInt)).toInt
 
-  /** Cosine of a row's embedding against one driver-held centroid literal
-    * (bounded: centroids are O(kC·dim) floats regardless of corpus size). */
-  private def centCos(emb: Column, c: Seq[Float]): Column =
-    cosine(emb, typedlit(c))
-
-  /** Nearest-centroid id as ONE codegen'd projection: array_max over
-    * (cos, id) structs — no join, no shuffle; struct comparison breaks
-    * ties on the id, so assignment is deterministic. */
+  /** Nearest-centroid id as ONE codegen'd projection — no join, no
+    * shuffle. The centroid matrix travels as a single flattened
+    * `array<float>` literal (O(kC·dim) floats, ~1 MB at the kC cap) and
+    * the generated code LOOPS over it ([[graft.functions.CentroidOps]]):
+    * an earlier per-centroid `array_max(struct(cos, id), ...)` unrolling
+    * made Janino compile time explode once the √N heuristic raised kC
+    * (measured 3.2s → 41.8s on the sf0.1 bench). Ties pick the lower id,
+    * so assignment stays deterministic. */
   private def nearestCluster(emb: Column, cents: Seq[Seq[Float]]): Column =
-    array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(centCos(emb, c).as("c"), lit(i).as("i")) }: _*)).getField("i")
+    graft.functions.CentroidExpressions.nearest_centroid(
+      emb, typedlit(cents.flatten))
 
   /** The query's `nProbe` closest centroid ids (descending cosine). */
   private def probeClusters(emb: Column, cents: Seq[Seq[Float]], nProbe: Int): Column =
-    transform(
-      slice(sort_array(array(cents.zipWithIndex.map { case (c, i) =>
-        struct(centCos(emb, c).as("c"), lit(i).as("i")) }: _*), asc = false),
-        1, nProbe),
-      s => s.getField("i"))
+    graft.functions.CentroidExpressions.probe_centroids(
+      emb, typedlit(cents.flatten), lit(nProbe))
 
   /** Spherical k-means coarse quantizer. Seeds are the `kC` vectors with
     * smallest xxhash64(vec_id) — a deterministic distributed sample
@@ -273,6 +270,7 @@ object SimilarityOps extends QueryPack {
     * the probed corpus fraction √kC/kC still *shrinks* at scale. */
   def annIvfFrom(emb: DataFrame, clusters: Option[Int] = None,
       probes: Option[Int] = None): DataFrame = {
+    graft.functions.CentroidExpressions.register(emb.sparkSession)
     val kC = clusters.getOrElse(ivfClusterCount(emb.count()))
     val nProbe = probes.getOrElse(
       math.max(ivfProbes, math.ceil(math.sqrt(kC.toDouble)).toInt))

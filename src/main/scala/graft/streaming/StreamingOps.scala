@@ -56,6 +56,30 @@ object StreamingOps {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Watermarked STREAM-STREAM interval join: each purchase joined to the
+    * same user's clicks from the preceding hour. Both sides carry
+    * watermarks and the join condition bounds the event-time skew, so
+    * Spark can evict buffered rows once the watermark passes — bounded
+    * state on two unbounded feeds (an unbounded-state stream-stream join
+    * is refused in Append mode). The streaming sibling of the batch
+    * range join q9 / as-of family. */
+  def streamStreamJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("p_user"), col("c_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int)
