@@ -314,6 +314,49 @@ object DedupOps extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Connected components over the duplicate-pair graph — the step a real
+    * dedup pipeline needs AFTER pair generation: near-dup relations are
+    * transitive in effect (A~B, B~C ⇒ one cluster), so survivors must be
+    * picked per *component*, not per pair. Edges: the planted exact-dup
+    * pairs ∪ n-gram Jaccard pairs (both deterministic + oracle-friendly).
+    * Output: every doc (singletons included) with its component label =
+    * min doc_id reachable, which IS the component's survivor id.
+    *
+    * Algorithm: iterative min-label propagation (each round, every node
+    * takes the min label in its closed neighborhood) — one keyed
+    * equi-join + partial-aggregated groupBy per round, no driver data
+    * beyond the convergence counter; rounds needed = graph diameter
+    * (near-dup components are clique-like, so a handful at any scale —
+    * same structure GraphX's CC uses). `localCheckpoint` cuts the
+    * per-round lineage so the plan doesn't grow superlinearly. */
+  def connectedComponents(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val planted = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("a"), (col("doc_id") + 10000000L).as("b"))
+    val jac = ngramJaccard(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = planted.unionByName(jac)
+    val nodes = docs.unionByName(planted.select(col("b").as("doc_id"))).distinct()
+    val undirected = edges.unionByName(
+      edges.select(col("b").as("a"), col("a").as("b"))).distinct()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      // min neighbor label per node (map-side partial min, one shuffle)
+      val prop = undirected.join(labels, undirected("a") === labels("doc_id"))
+        .groupBy(undirected("b").as("n_id")).agg(min(col("label")).as("n_label"))
+      val next = labels.join(prop, labels("doc_id") === prop("n_id"), "left")
+        .select(labels("doc_id"),
+          least(labels("label"), coalesce(col("n_label"), labels("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("doc_id"), col("label").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_stats" -> exactStats,
     "dedup_exact_groups" -> exactGroups,
@@ -323,6 +366,7 @@ object DedupOps extends QueryPack {
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_embedding_pairs" -> embeddingDup,
+    "dedup_components" -> connectedComponents,
   )
 
   /** DuckDB twin of [[simhashPortable]] — the 60 vote sums and the bit
@@ -419,6 +463,35 @@ object DedupOps extends QueryPack {
         |  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, est_jaccard FROM est
         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_components" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, len(toks) - 1),
+        |          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])) AS shingle
+        |      FROM tk WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |jac AS (SELECT doc_a, doc_b
+        |  FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2),
+        |planted AS (SELECT doc_id AS a, doc_id + 10000000 AS b
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM jac
+        |  UNION SELECT a, b FROM planted
+        |  UNION SELECT doc_b, doc_a FROM jac
+        |  UNION SELECT b, a FROM planted),
+        |nodes AS (
+        |  SELECT doc_id FROM documents
+        |  UNION SELECT doc_id + 10000000 FROM documents WHERE doc_id % 97 = 0),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM nodes
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS doc_id, min(dst) AS component FROM reach
+        |GROUP BY src ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT DISTINCT doc_id,

@@ -20,6 +20,25 @@ class DedupSimilaritySpec extends GraftSpec {
     assert(rows.head.getAs[Long]("keep_id") == 1L)
   }
 
+  test("connected components: transitive near-dup chain collapses to one " +
+    "cluster, singletons self-label, planted pairs link") {
+    // jaccard edges form the PATH 1–2–3 (1 and 3 share nothing directly:
+    // convergence needs >1 propagation round); 4 is isolated; 0 gets a
+    // planted exact-copy edge to 10000000
+    val d = writeDocs(Seq(
+      doc(0, "p q r s t u"),
+      doc(1, "a b c d e f"),   // shingles abc bcd cde def
+      doc(2, "c d e f g h"),   // ∩ doc1 = {cde, def} → jac 1/3
+      doc(3, "e f g h i j"),   // ∩ doc2 = {efg, fgh} → jac 1/3; ∩ doc1 = ∅
+      doc(4, "x y z w v u")))
+    val got = DedupOps.connectedComponents(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      0L -> 0L, 10000000L -> 0L,
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L))
+  }
+
   test("minhash: identical docs get estimate 1.0; disjoint docs are not candidates") {
     val d = writeDocs(Seq(
       doc(1, "one two three four five six seven eight nine ten"),
