@@ -336,8 +336,12 @@ object DedupOps extends QueryPack {
     val jac = ngramJaccard(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = planted.unionByName(jac)
     val nodes = docs.unionByName(planted.select(col("b").as("doc_id"))).distinct()
+    // materialize the edge set ONCE — it feeds every propagation round,
+    // and without this the full pair-generation pipeline (the expensive
+    // part) would re-execute per round
     val undirected = edges.unionByName(
       edges.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .localCheckpoint(true)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
     var changed = 1L

@@ -90,18 +90,122 @@ object TextOps extends QueryPack {
           .as("rolling_fp"))
       .orderBy(col("doc_id"))
 
+  // PII patterns restricted to the regex subset Java (Spark) and RE2
+  // (DuckDB) treat identically: character classes + bounded repetition,
+  // no backrefs/lookaround.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII redaction — the scrubbing pass every training-data pipeline runs
+    * before the corpus ships. The fixture text contains no PII (the gate
+    * would be vacuous), so deterministic addresses are PLANTED per doc_id
+    * — identically in the oracle — then detected (`regexp_extract_all`
+    * count) and redacted (`regexp_replace` → placeholder tokens); the
+    * md5 of the redacted text proves byte-exact replacement semantics.
+    * Shuffle-free projection: scales linearly with input splits. */
+  def textPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".17")))
+        .otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(ipPat), lit(0))).cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(col("aug"), emailPat, "<EMAIL>"),
+          ipPat, "<IP>")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus vocabulary heavy hitters: global top-50 tokens by frequency
+    * (count desc, token asc tiebreak). explode → map-side partial count →
+    * one keyed shuffle → TakeOrdered: the canonical heavy-hitters shape
+    * that never materializes the full vocabulary anywhere. */
+  def textVocabTopK(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  /** Gopher-style composite quality filter: each rule a boolean column,
+    * `keep` their conjunction — the downstream pipeline filters on `keep`
+    * and audits the per-rule columns. Pure int arithmetic + anchored
+    * regex (identical across engines); shuffle-free. */
+  def textQualityFilter(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("tk"), length(col("text")).as("nc"))
+      .select(col("doc_id"),
+        (size(col("tk")) >= 5 && size(col("tk")) <= 10000).as("ok_len"),
+        ((col("nc") - (size(col("tk")) - 1)).cast("double") / size(col("tk")) >= 2.0 &&
+          (col("nc") - (size(col("tk")) - 1)).cast("double") / size(col("tk")) <= 12.0)
+          .as("ok_tok_len"),
+        (size(array_distinct(col("tk"))).cast("double") / size(col("tk")) > 0.2)
+          .as("ok_uniq"),
+        (expr("size(filter(tk, t -> t RLIKE '^[0-9]+$'))").cast("double") /
+          size(col("tk")) < 0.5).as("ok_numeric"))
+      .withColumn("keep",
+        col("ok_len") && col("ok_tok_len") && col("ok_uniq") && col("ok_numeric"))
+      .orderBy(col("doc_id"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
     "text_fingerprint" -> textFingerprint,
     "text_rolling_hash" -> textRollingHash,
+    "text_pii_redact" -> textPiiRedact,
+    "text_vocab_topk" -> textVocabTopK,
+    "text_quality_filter" -> textQualityFilter,
   )
 
   private def sqlHits(stops: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${stops.map(w => s"'$w'").mkString(", ")})))"
 
   override val oracle: Map[String, String] = Map(
+    "text_pii_redact" ->
+      s"""WITH aug AS (SELECT doc_id, text ||
+         |  (CASE WHEN doc_id % 3 = 0
+         |    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |    ELSE '' END) ||
+         |  (CASE WHEN doc_id % 5 = 0
+         |    THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+         |    ELSE '' END) AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(aug, '$emailPat')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(aug, '$ipPat')) AS BIGINT) AS n_ips,
+         | md5(regexp_replace(regexp_replace(aug, '$emailPat', '<EMAIL>', 'g'),
+         |   '$ipPat', '<IP>', 'g')) AS redacted_md5
+         |FROM aug ORDER BY doc_id""".stripMargin,
+    "text_vocab_topk" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM t GROUP BY token)
+        |SELECT token, n FROM c ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "text_quality_filter" ->
+      """WITH q AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS nt,
+        |  len(list_distinct(string_split(text, ' '))) AS nu,
+        |  length(text) AS nc,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> regexp_matches(t, '^[0-9]+$'))) AS nnum
+        |  FROM documents)
+        |SELECT doc_id,
+        | (nt >= 5 AND nt <= 10000) AS ok_len,
+        | (CAST(nc - (nt - 1) AS DOUBLE) / nt >= 2.0 AND
+        |  CAST(nc - (nt - 1) AS DOUBLE) / nt <= 12.0) AS ok_tok_len,
+        | (CAST(nu AS DOUBLE) / nt > 0.2) AS ok_uniq,
+        | (CAST(nnum AS DOUBLE) / nt < 0.5) AS ok_numeric,
+        | ((nt >= 5 AND nt <= 10000) AND
+        |  (CAST(nc - (nt - 1) AS DOUBLE) / nt >= 2.0 AND
+        |   CAST(nc - (nt - 1) AS DOUBLE) / nt <= 12.0) AND
+        |  (CAST(nu AS DOUBLE) / nt > 0.2) AND
+        |  (CAST(nnum AS DOUBLE) / nt < 0.5)) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         | length(text) AS n_chars_calc,
