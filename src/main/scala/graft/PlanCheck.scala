@@ -36,6 +36,9 @@ object PlanCheck {
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     Check("q10_top_orders",
       mustContain = Seq("TakeOrderedAndProject")),
+    // heavy-hitters: global top-k must NOT be a full sort
+    Check("text_vocab_topk",
+      mustContain = Seq("TakeOrderedAndProject", "HashAggregate")),
     Check("q1_pricing_summary",
       mustContain = Seq("HashAggregate", "ReadSchema: struct<l_quantity:double")),
     // the per-doc size table must NOT be forced broadcast (O(corpus) rows):
