@@ -379,7 +379,26 @@ object Relational extends QueryPack {
         array_join(array_sort(collect_list(col("n_name"))), ",").as("all_nations"))
       .orderBy(col("n_regionkey"))
 
+  // Q38: scalar + correlated scalar subqueries through the SQL surface —
+  // Catalyst rewrites the uncorrelated one to a single-row broadcast and
+  // DECORRELATES the per-customer one into an aggregate + join (no
+  // per-row re-execution), which is exactly what survives at scale.
+  def q38ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_orders_sq")
+    s.sql(
+      """SELECT o.o_orderpriority AS pri, count(*) AS n_above,
+        |       round(avg(o.o_totalprice), 2) AS avg_above
+        |FROM graft_orders_sq o
+        |WHERE o.o_totalprice > (SELECT avg(o_totalprice) FROM graft_orders_sq)
+        |  AND o.o_totalprice > (SELECT avg(o2.o_totalprice)
+        |                        FROM graft_orders_sq o2
+        |                        WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY pri""".stripMargin)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_scalar_subquery" -> q38ScalarSubquery,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -415,6 +434,16 @@ object Relational extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q38_scalar_subquery" ->
+      """SELECT o.o_orderpriority AS pri, count(*) AS n_above,
+        |       round(avg(o.o_totalprice), 2) AS avg_above
+        |FROM orders o
+        |WHERE o.o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |  AND o.o_totalprice > (SELECT avg(o2.o_totalprice)
+        |                        FROM orders o2
+        |                        WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY pri""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
