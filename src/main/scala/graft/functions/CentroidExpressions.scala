@@ -22,14 +22,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * Ties on equal cosine pick the lower centroid id (deterministic).
   */
 object CentroidOps {
-  /** Index of the max-cosine centroid; `cents` is kC row-major dim-length
-    * blocks. Cosine ranking needs no query-side norm; centroid norms are
-    * recomputed per row — dim·kC flops, negligible vs the dot products. */
-  def nearest(emb: ArrayData, cents: ArrayData): Int = {
+  /** Cosine-ranking score of every centroid against `emb`; `cents` is kC
+    * row-major dim-length blocks. Query-side norm is rank-invariant and
+    * skipped; centroid norms are recomputed per row — dim·kC flops,
+    * negligible vs the dot products. Zero-norm centroids and NaN inputs
+    * score -Infinity. Returns an empty array on degenerate input (empty
+    * embedding, or a centroid matrix not a multiple of the embedding
+    * dim — a silent misalignment would mis-score every row). */
+  private def scores(emb: ArrayData, cents: ArrayData): Array[Double] = {
     val dim = emb.numElements()
+    if (dim == 0 || cents.numElements() % dim != 0) return Array.empty
     val kC = cents.numElements() / dim
-    var best = -1
-    var bestScore = Double.NegativeInfinity
+    val out = new Array[Double](kC)
     var c = 0
     while (c < kC) {
       var dot = 0.0; var nc = 0.0
@@ -41,35 +45,35 @@ object CentroidOps {
         dot += x * y; nc += y * y
         i += 1
       }
-      val score = if (nc == 0.0) Double.NegativeInfinity else dot / math.sqrt(nc)
-      if (score > bestScore) { bestScore = score; best = c }
+      val s = if (nc == 0.0) Double.NegativeInfinity else dot / math.sqrt(nc)
+      out(c) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
       c += 1
     }
-    best
+    out
+  }
+
+  /** Index of the max-cosine centroid (ties → lower id), or -1 on
+    * degenerate input. */
+  def nearest(emb: ArrayData, cents: ArrayData): Int = {
+    val sc = scores(emb, cents)
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < sc.length) {
+      if (sc(c) > bestScore) { bestScore = sc(c); best = c }
+      c += 1
+    }
+    if (best < 0 && sc.nonEmpty) 0 else best // all -Inf: any id, pick 0
   }
 
   /** Ids of the `k` highest-cosine centroids, descending (ties → lower
     * id first). kC is at most a few thousand; selection is a simple
-    * k-pass argmax over a scratch score array. */
+    * k-pass argmax over the score array. All--Infinity tails fall back
+    * to ascending ids so the result always has min(k, kC) entries. */
   def probe(emb: ArrayData, cents: ArrayData, k: Int): ArrayData = {
-    val dim = emb.numElements()
-    val kC = cents.numElements() / dim
-    val scores = new Array[Double](kC)
-    var c = 0
-    while (c < kC) {
-      var dot = 0.0; var nc = 0.0
-      var i = 0
-      val off = c * dim
-      while (i < dim) {
-        val x = emb.getFloat(i).toDouble
-        val y = cents.getFloat(off + i).toDouble
-        dot += x * y; nc += y * y
-        i += 1
-      }
-      scores(c) = if (nc == 0.0) Double.NegativeInfinity else dot / math.sqrt(nc)
-      c += 1
-    }
-    val n = math.min(k, kC)
+    val sc = scores(emb, cents)
+    val kC = sc.length
+    val n = math.max(0, math.min(k, kC))
     val out = new Array[Int](n)
     val taken = new Array[Boolean](kC)
     var j = 0
@@ -78,8 +82,12 @@ object CentroidOps {
       var bestScore = Double.NegativeInfinity
       var c2 = 0
       while (c2 < kC) {
-        if (!taken(c2) && scores(c2) > bestScore) { bestScore = scores(c2); best = c2 }
+        if (!taken(c2) && sc(c2) > bestScore) { bestScore = sc(c2); best = c2 }
         c2 += 1
+      }
+      if (best < 0) { // remaining scores all -Infinity: first untaken id
+        var c3 = 0
+        while (best < 0 && c3 < kC) { if (!taken(c3)) best = c3; c3 += 1 }
       }
       taken(best) = true
       out(j) = best

@@ -92,14 +92,14 @@ object DedupOps extends QueryPack {
     * factors, which would make this gate pass vacuously (0 rows == 0
     * rows proves execution, not selectivity). The query therefore PLANTS
     * a deterministic duplicate slice — every 97th doc re-appended under
-    * `doc_id + 10_000_000` — identically in the Spark plan and the DuckDB
+    * `doc_id + 1e12` — identically in the Spark plan and the DuckDB
     * oracle, so the groups/survivor logic is verified on real nonempty
     * groups at every scale. */
   def exactGroups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val planted = docs.unionByName(
       docs.filter(col("doc_id") % 97 === 0)
-        .withColumn("doc_id", col("doc_id") + 10000000L))
+        .withColumn("doc_id", col("doc_id") + 1000000000000L))
     planted
       .groupBy(md5(col("text")).as("fp"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
@@ -279,7 +279,7 @@ object DedupOps extends QueryPack {
     * Like [[exactGroups]], the fixture vectors have no natural >=0.9
     * pairs at test scale (measured max pairwise cosine: 0.51 at sf0.01,
     * 0.60 at sf0.1), so the query plants exact-copy vectors — every
-    * 101st vec re-appended under `vec_id + 10_000_000` — identically in
+    * 101st vec re-appended under `vec_id + 1e12` — identically in
     * both engines. Identical vectors land in the same LSH bucket in
     * every table by construction, so blocking recall on the planted
     * pairs is exactly 1 and the DuckDB brute-force oracle (which has no
@@ -291,7 +291,7 @@ object DedupOps extends QueryPack {
     val base0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val base = base0.unionByName(
       base0.filter(col("vec_id") % 101 === 0)
-        .withColumn("vec_id", col("vec_id") + 10000000L))
+        .withColumn("vec_id", col("vec_id") + 1000000000000L))
     val emb = base
       .select(col("vec_id"), col("embedding"),
         explode(SimilarityOps.lshBuckets(col("embedding"))).as("bucket"))
@@ -332,7 +332,7 @@ object DedupOps extends QueryPack {
   def connectedComponents(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val planted = docs.filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("a"), (col("doc_id") + 10000000L).as("b"))
+      .select(col("doc_id").as("a"), (col("doc_id") + 1000000000000L).as("b"))
     val jac = ngramJaccard(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = planted.unionByName(jac)
     val nodes = docs.unionByName(planted.select(col("b").as("doc_id"))).distinct()
@@ -412,7 +412,7 @@ object DedupOps extends QueryPack {
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 97 = 0)
+        |  SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id % 97 = 0)
         |SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keep_id
         |FROM docs GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY fp""".stripMargin,
@@ -420,7 +420,7 @@ object DedupOps extends QueryPack {
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 10000000, embedding::DOUBLE[] FROM embeddings
+        |  SELECT vec_id + 1000000000000, embedding::DOUBLE[] FROM embeddings
         |  WHERE vec_id % 101 = 0),
         |p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -480,7 +480,7 @@ object DedupOps extends QueryPack {
         |jac AS (SELECT doc_a, doc_b
         |  FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
         |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2),
-        |planted AS (SELECT doc_id AS a, doc_id + 10000000 AS b
+        |planted AS (SELECT doc_id AS a, doc_id + 1000000000000 AS b
         |  FROM documents WHERE doc_id % 97 = 0),
         |edges AS (
         |  SELECT doc_a AS a, doc_b AS b FROM jac
@@ -489,7 +489,7 @@ object DedupOps extends QueryPack {
         |  UNION SELECT b, a FROM planted),
         |nodes AS (
         |  SELECT doc_id FROM documents
-        |  UNION SELECT doc_id + 10000000 FROM documents WHERE doc_id % 97 = 0),
+        |  UNION SELECT doc_id + 1000000000000 FROM documents WHERE doc_id % 97 = 0),
         |reach AS (
         |  SELECT doc_id AS src, doc_id AS dst FROM nodes
         |  UNION

@@ -78,24 +78,37 @@ object SimilarityOps extends QueryPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** ANN via multi-table hyperplane LSH: candidates share >= 1 bucket with
-    * the query in any table; exact cosine re-ranks the candidate set. */
-  def annLsh(s: SparkSession, d: String): DataFrame = {
-    val emb = corpus(s, d)
-      .select(col("vec_id"), col("embedding"), explode(lshBuckets(col("embedding"))).as("bucket"))
-    val q = emb.filter(col("vec_id") < 5)
-      .select(col("bucket"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val scored = emb.join(broadcast(q), Seq("bucket"))
+  /** Shared LSH search body (production + portable differ only in the
+    * bucket expression): bucket equi-join → candidate ID pairs — the
+    * multi-table collision dedup runs on the (q_id, vec_id) pair alone
+    * (2 longs), never on rows still carrying both 64-float vectors —
+    * → query vectors broadcast back for the exact-cosine rerank →
+    * per-query top-k. */
+  private def lshSearch(base: DataFrame, bucketCol: Column, k: Int): DataFrame = {
+    val bucketed = base.select(col("vec_id"), explode(bucketCol).as("bucket"))
+    val q = bucketed.filter(col("vec_id") < 5)
+      .select(col("bucket"), col("vec_id").as("q_id"))
+    val cand = bucketed.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"))
-      .distinct()  // a pair may collide in several tables; score once
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val qVecs = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = cand
+      .join(broadcast(qVecs), "q_id")
+      .join(base, "vec_id")
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** ANN via multi-table hyperplane LSH: candidates share >= 1 bucket with
+    * the query in any table; exact cosine re-ranks the candidate set. */
+  def annLsh(s: SparkSession, d: String): DataFrame =
+    lshSearch(corpus(s, d), lshBuckets(col("embedding")), 5)
 
   // ---- portable LSH: oracle-checkable twin of annLsh ----------------------
   //
@@ -134,24 +147,10 @@ object SimilarityOps extends QueryPack {
   }
 
   /** ANN with the portable plane family — identical plan shape to
-    * [[annLsh]] (bucket equi-join, id-pair distinct, exact rerank). */
-  def annLshPortable(s: SparkSession, d: String): DataFrame = {
-    val emb = corpus(s, d)
-      .select(col("vec_id"), col("embedding"),
-        explode(portableBuckets(col("embedding"))).as("bucket"))
-    val q = emb.filter(col("vec_id") < 5)
-      .select(col("bucket"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val scored = emb.join(broadcast(q), Seq("bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"))
-      .distinct()  // a pair may collide in several tables; score once
-      .select(col("q_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .orderBy(col("q_id"), col("rank"))
-  }
+    * [[annLsh]] by construction (same [[lshSearch]] body, different
+    * bucket expression). */
+  def annLshPortable(s: SparkSession, d: String): DataFrame =
+    lshSearch(corpus(s, d), portableBuckets(col("embedding")), 5)
 
   /** DuckDB twin of [[annLshPortable]] — planes regenerated from the same
     * A/C constants; the projection fold uses `list_reduce` so the
@@ -263,14 +262,21 @@ object SimilarityOps extends QueryPack {
     annIvfFrom(corpus(s, d))
 
   /** IVF over an explicit corpus with tunable index parameters.
-    * `clusters = None` applies the √N heuristic (one count() job — at
-    * scale that's a parquet-metadata read, not a scan); `probes = None`
+    * `clusters = None` applies the √N heuristic (one count() over the
+    * persisted corpus — amortized into the cache the build needs
+    * anyway); `probes = None`
     * probes max(3, √kC) lists — nProbe has to grow with the cluster
     * count or recall decays as the corpus (and with it kC) grows, while
     * the probed corpus fraction √kC/kC still *shrinks* at scale. */
-  def annIvfFrom(emb: DataFrame, clusters: Option[Int] = None,
+  def annIvfFrom(emb0: DataFrame, clusters: Option[Int] = None,
       probes: Option[Int] = None): DataFrame = {
-    graft.functions.CentroidExpressions.register(emb.sparkSession)
+    graft.functions.CentroidExpressions.register(emb0.sparkSession)
+    // Index building reads the corpus ~6 times (count, seed sample, each
+    // Lloyd round, indexing, query side); persist the projected corpus so
+    // an expensive upstream lineage executes once, not per pass. Stays
+    // cached for the returned query's lifetime (the index IS this cache —
+    // dropping it would re-derive the corpus on every search).
+    val emb = emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kC = clusters.getOrElse(ivfClusterCount(emb.count()))
     val nProbe = probes.getOrElse(
       math.max(ivfProbes, math.ceil(math.sqrt(kC.toDouble)).toInt))

@@ -70,8 +70,14 @@ case class AsofJoinExec(
 
   require(AsofJoin.supportedKeyType(leftKey.dataType) &&
     AsofJoin.supportedKeyType(rightKey.dataType),
-    s"as-of join keys must be atomic value types, got " +
+    s"as-of join keys must be atomic non-floating value types, got " +
       s"${leftKey.dataType.simpleString} / ${rightKey.dataType.simpleString}")
+  // Mixed-width keys (int vs bigint) would silently never match: boxed
+  // Integer(5) != Long(5L) in the state map, and the two sides hash to
+  // different shuffle partitions. Exact type equality or an error.
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of join key types must match exactly, got " +
+      s"${leftKey.dataType.simpleString} vs ${rightKey.dataType.simpleString}")
 
   override def output: Seq[Attribute] =
     if (isOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -157,9 +163,15 @@ object AsofJoinStrategy extends SparkStrategy {
 }
 
 object AsofJoin {
-  /** Atomic value types only — see the class doc for why. */
+  /** Atomic non-floating value types only — see the class doc for why.
+    * Float/double keys are rejected too: boxed equality and raw-bit
+    * hashing treat -0.0 != 0.0 (and NaN != NaN), diverging from SQL
+    * equi-join normalization; FP equality keys are a modeling smell
+    * anyway (use the time column for continuous values). */
   def supportedKeyType(dt: DataType): Boolean = dt match {
     case BinaryType | _: ArrayType | _: MapType | _: StructType => false
+    case org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType => false
     case _ => true
   }
 
@@ -197,12 +209,15 @@ object AsofJoin {
     register(spark)
     // Disambiguate clashing right-side names up front (suffix `_r`,
     // repeated until unique against BOTH sides' final name sets).
-    val leftNames = left.columns.toSet
-    var taken = leftNames ++ right.columns
-    val renames = right.columns.filter(leftNames.contains).map { c =>
+    // Clash detection is CASE-INSENSITIVE: Spark resolves column
+    // references case-insensitively by default, so left "Tag" vs right
+    // "tag" would still be an ambiguous reference downstream.
+    val leftNames = left.columns.map(_.toLowerCase).toSet
+    var taken = leftNames ++ right.columns.map(_.toLowerCase)
+    val renames = right.columns.filter(c => leftNames.contains(c.toLowerCase)).map { c =>
       var n = c + "_r"
-      while (taken.contains(n)) n += "_r"
-      taken += n
+      while (taken.contains(n.toLowerCase)) n += "_r"
+      taken += n.toLowerCase
       c -> n
     }.toMap
     val rightDedup = renames.foldLeft(right) {

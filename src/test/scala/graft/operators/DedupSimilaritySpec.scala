@@ -24,7 +24,7 @@ class DedupSimilaritySpec extends GraftSpec {
     "cluster, singletons self-label, planted pairs link") {
     // jaccard edges form the PATH 1–2–3 (1 and 3 share nothing directly:
     // convergence needs >1 propagation round); 4 is isolated; 0 gets a
-    // planted exact-copy edge to 10000000
+    // planted exact-copy edge to 1000000000000
     val d = writeDocs(Seq(
       doc(0, "p q r s t u"),
       doc(1, "a b c d e f"),   // shingles abc bcd cde def
@@ -34,7 +34,7 @@ class DedupSimilaritySpec extends GraftSpec {
     val got = DedupOps.connectedComponents(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(
-      0L -> 0L, 10000000L -> 0L,
+      0L -> 0L, 1000000000000L -> 0L,
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       4L -> 4L))
   }
