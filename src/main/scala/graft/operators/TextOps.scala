@@ -152,7 +152,48 @@ object TextOps extends QueryPack {
         col("ok_len") && col("ok_tok_len") && col("ok_uniq") && col("ok_numeric"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic stratified sampling — the data-mixing primitive: each
+    * language stratum keeps a different fraction, gated by a PORTABLE
+    * per-doc hash (first 8 md5 hex chars of the doc_id → int % 100), so
+    * the same rows are kept on every engine, every run, at any
+    * parallelism — unlike `rand()`/`sampleBy`, which are seed- and
+    * partitioning-dependent. Shuffle only for the audit aggregation. */
+  def textSampleStratified(s: SparkSession, d: String): DataFrame = {
+    val gate = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+    val rate = when(col("lang") === "en", 20)
+      .when(col("lang") === "zh", 10)
+      .otherwise(50)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), gate.as("h"), rate.as("rate"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("h") < col("rate"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("h") < col("rate"), col("doc_id"))).as("first_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** Token-budget selection — corpus curation under a token cap: per
+    * source, docs are taken in doc_id order until the running token sum
+    * exceeds the budget. One window pass (cumsum), no self-join; the
+    * window key is the stratum so state is per-source, not global. */
+  def textTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), size(toks).cast("long").as("nt"))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .filter(col("cum") <= 400)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(col("cum")).as("tokens_used"))
+      .orderBy(col("source"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_sample_stratified" -> textSampleStratified,
+    "text_token_budget" -> textTokenBudget,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
@@ -167,6 +208,24 @@ object TextOps extends QueryPack {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${stops.map(w => s"'$w'").mkString(", ")})))"
 
   override val oracle: Map[String, String] = Map(
+    "text_sample_stratified" ->
+      """WITH g AS (SELECT doc_id, lang,
+        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS h,
+        |  (CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 10 ELSE 50 END) AS rate
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_total,
+        | CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | min(CASE WHEN h < rate THEN doc_id END) AS first_kept
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_token_budget" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  len(string_split(text, ' ')) AS nt FROM documents),
+        |c AS (SELECT source, doc_id, nt,
+        |  CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs, max(cum) AS tokens_used
+        |FROM c WHERE cum <= 400 GROUP BY source ORDER BY source""".stripMargin,
     "text_pii_redact" ->
       s"""WITH aug AS (SELECT doc_id, text ||
          |  (CASE WHEN doc_id % 3 = 0

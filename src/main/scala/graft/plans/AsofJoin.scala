@@ -234,8 +234,12 @@ object AsofJoin {
     val lk = attr(lPlan, leftKeyCol)
     val rk = attr(rPlan, rKeyName)
     require(supportedKeyType(lk.dataType) && supportedKeyType(rk.dataType),
-      s"as-of join keys must be atomic value types (numeric/string/bool/" +
-        s"date/timestamp), got ${lk.dataType.simpleString} / " +
+      s"as-of join keys must be atomic non-floating value types (integer/" +
+        s"string/bool/date/timestamp), got ${lk.dataType.simpleString} / " +
+        s"${rk.dataType.simpleString}")
+    require(lk.dataType == rk.dataType,
+      s"as-of join key types must match exactly (mixed-width keys would " +
+        s"silently never match), got ${lk.dataType.simpleString} vs " +
         s"${rk.dataType.simpleString}")
     GraftSqlShim.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
       lk, rk, attr(lPlan, leftTimeCol), attr(rPlan, rTimeName), isOuter))

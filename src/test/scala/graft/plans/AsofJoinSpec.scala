@@ -76,6 +76,31 @@ class AsofJoinSpec extends GraftSpec {
     assert(row.getAs[String]("tag") === "L" && row.getAs[String]("tag_r") === "R")
   }
 
+  test("mixed-width key types are rejected (int vs bigint would silently never match)") {
+    val l = Seq((1, 10L)).toDF("k", "t")           // k: int
+    val r = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "v") // rk: bigint
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(l, r, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("match exactly"))
+  }
+
+  test("float/double keys are rejected (-0.0/NaN equality diverges from SQL)") {
+    val l = Seq((1.0, 10L)).toDF("k", "t")
+    val r = Seq((1.0, 5L, 1.0)).toDF("rk", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(l, r, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("non-floating"))
+  }
+
+  test("clash rename is case-insensitive (left Tag vs right tag)") {
+    val l = Seq((1L, "a", 10L, "L")).toDF("id", "k", "t", "Tag")
+    val r = Seq(("a", 5L, "R")).toDF("rk", "rt", "tag")
+    val out = AsofJoin.asof(l, r, "k", "rk", "t", "rt")
+    assert(out.columns.toSeq === Seq("id", "k", "t", "Tag", "rk", "rt", "tag_r"))
+  }
+
   test("non-atomic key types are rejected at construction") {
     val l = Seq((1L, Array(1, 2), 10L)).toDF("id", "k", "t")
     val r = Seq((Array(1, 2), 5L, 1.0)).toDF("rk", "rt", "v")
