@@ -280,7 +280,12 @@ object Relational extends QueryPack {
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")), 2).as("sum_value"),
-        round(avg(col("value")), 6).as("avg_value"))
+        // avg derived from the ROUNDED sum: a raw avg(value) rounded at
+        // 6dp can straddle a half-ulp between engines once groups are
+        // large enough that summation order shifts the last digit
+        // (observed at sf0.1); round(sum,2)/n divides identical doubles
+        // in both engines, so the 6dp round is deterministic
+        round(round(sum(col("value")), 2) / count(lit(1)), 6).as("avg_value"))
       .orderBy(col("hour"), col("event_type"))
 
   // Q24: sessionization — 30-min inactivity gap splits sessions. Classic
@@ -588,7 +593,8 @@ object Relational extends QueryPack {
         |FROM events ORDER BY event_id""".stripMargin,
     "q23_events_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n,
-        | round(sum(value),2) AS sum_value, round(avg(value),6) AS avg_value
+        | round(sum(value),2) AS sum_value,
+        | round(round(sum(value),2) / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q24_sessionize" ->
       """WITH g AS (
