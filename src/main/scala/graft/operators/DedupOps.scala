@@ -336,6 +336,15 @@ object DedupOps extends QueryPack {
     val jac = ngramJaccard(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = planted.unionByName(jac)
     val nodes = docs.unionByName(planted.select(col("b").as("doc_id"))).distinct()
+    componentsFromEdges(nodes, edges)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The reusable propagation core behind [[connectedComponents]]:
+    * `nodes(doc_id)` × undirected `edges(a, b)` → `(doc_id, component)`
+    * where component = min node id reachable. Property-tested against a
+    * driver-side union-find on random graphs. */
+  def componentsFromEdges(nodes: DataFrame, edges: DataFrame): DataFrame = {
     // materialize the edge set ONCE — it feeds every propagation round,
     // and without this the full pair-generation pipeline (the expensive
     // part) would re-execute per round
@@ -358,7 +367,6 @@ object DedupOps extends QueryPack {
       labels = next
     }
     labels.select(col("doc_id"), col("label").as("component"))
-      .orderBy(col("doc_id"))
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
