@@ -80,6 +80,19 @@ object PlanCheck {
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     Check("dedup_simhash_portable", mustContain = Nil,
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // benchmark n-gram set is the bounded side → must be the broadcast
+    // side of a hash join; the corpus side must never cartesian
+    Check("decontam_exact", mustContain = Seq("BroadcastHashJoin"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin")),
+    Check("decontam_bloom", mustContain = Seq("BroadcastHashJoin"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin")),
+    // one window pass, no self-join
+    Check("pack_sequences", mustContain = Seq("Window"),
+      mustNot = Seq("Join")),
+    // per-stratum counts ride a broadcast hash join back onto the corpus
+    // (the 1-row k scalar is an intentional broadcast nested loop)
+    Check("mixture_sample", mustContain = Seq("BroadcastHashJoin"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin")),
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,281 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and the tokenizer — the steps that decide WHAT ships:
+  *
+  *  - test-set decontamination — flag corpus docs sharing word-5-grams
+  *    with a held-out benchmark set (exact semi-join form, plus a
+  *    Bloom-prefilter form that never shuffles the clean 99% of the
+  *    corpus — the 100 TB path)
+  *  - sequence packing — concatenate each source's token stream and cut
+  *    it into fixed-budget training sequences; emits the pack manifest
+  *  - mixture sampling — rebalance the corpus to target per-language
+  *    weights with DATA-DERIVED keep rates (two-pass: tiny count
+  *    aggregate, broadcast back, portable-hash gate), unlike the fixed
+  *    rates of `text_sample_stratified`
+  *  - repetition scoring — the Gopher-style duplicate-n-gram and
+  *    top-token-frequency signals that catch boilerplate/spam
+  *
+  * Scale discipline: the corpus side is never broadcast and never joined
+  * all-pairs; the only broadcast sides are the benchmark n-gram set (a
+  * fixed external artifact, tiny vs the corpus by construction) and the
+  * per-stratum count/rate tables (O(#languages) rows).
+  */
+object CurationOps extends QueryPack {
+
+  /** Distinct word-n-grams of column `colName` (empty when < n tokens).
+    * zip_with over n parallel slices: `split` is evaluated a constant
+    * number of times per row — the index-based `transform(sequence(...))`
+    * form re-splits per element (O(tokens²) interpreted) and is the
+    * known bench trap (see DedupOps.shingles3). */
+  private def ngrams(colName: String, n: Int): Column = {
+    val tk = s"split($colName, ' ')"
+    val m = s"size($tk) - ${n - 1}"
+    val chain = (2 to n).foldLeft(s"slice($tk, 1, $m)") { (acc, i) =>
+      s"zip_with($acc, slice($tk, $i, $m), (a, b) -> concat(a, ' ', b))"
+    }
+    expr(s"CASE WHEN size($tk) >= $n THEN array_distinct($chain) ELSE array() END")
+  }
+
+  /** DuckDB twin of [[ngrams]] over a token-list column `tk`. */
+  private def sqlNgrams(n: Int): String =
+    s"CASE WHEN len(tk) >= $n THEN list_distinct(list_transform(" +
+      s"range(1, len(tk) - ${n - 2}), i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' ')))" +
+      " ELSE [] END"
+
+  // The synthetic corpus has no natural 5-gram overlap with its own
+  // benchmark slice, so contamination is PLANTED — identically in the
+  // oracle: docs ≡ 0 (mod 23) get a canary sentence appended, and the
+  // same sentence is injected into the benchmark n-gram set.
+  private val canary = "eval canary alpha beta gamma"
+
+  /** Benchmark n-gram set: distinct 5-grams of the held-out slice
+    * (doc_id ≡ 0 mod 131) plus the planted canary. In production this is
+    * a fixed external table (MMLU/GSM8K/... n-grams) — megabytes against
+    * a 100 TB corpus, which is what licenses the broadcast. */
+  private def benchShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 131 === 0)
+      .select(explode(ngrams("text", 5)).as("sh"))
+      .unionByName(s.range(1).select(lit(canary).as("sh")))
+      .distinct()
+
+  /** Corpus side (benchmark slice excluded) with planted contamination,
+    * exploded to (doc_id, n_shingles, shingle) rows. */
+  private def corpusShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 131 =!= 0)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 23 === 0, lit(" " + canary)).otherwise(lit("")))
+          .as("aug"))
+      .select(col("doc_id"), ngrams("aug", 5).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"),
+        explode(col("shs")).as("sh"))
+
+  /** Exact decontamination: inner equi-join corpus 5-grams against the
+    * broadcast benchmark set, then count hits per doc. Only MATCHING
+    * shingles ever shuffle (the groupBy on doc_id) — clean docs cost one
+    * map-side probe per shingle and nothing more. */
+  def decontamExact(s: SparkSession, d: String): DataFrame =
+    corpusShingles(s, d)
+      .join(broadcast(benchShingles(s, d)), "sh")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_matched"))
+      .select(col("doc_id"), col("n_shingles"), col("n_matched"),
+        round(col("n_matched").cast("double") / col("n_shingles"), 4).as("ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Bloom-prefiltered decontamination — the shape that wins at 100 TB:
+    * a Bloom filter over the benchmark n-grams (built once, ~1.2 MB at
+    * 2^20 capacity / 1% fp) is broadcast and applied as a MAP-SIDE
+    * filter, so the exact verify join only ever sees the tiny stream of
+    * bloom survivors (true hits + ~1% fps) instead of every corpus
+    * shingle. The `mightContain` probe is the one place a UDF is
+    * justified: Spark exposes no public codegen expression over a
+    * sketch BloomFilter, and the probe replaces a corpus-sized join
+    * input. Results are bit-identical to [[decontamExact]] (the exact
+    * join re-verifies survivors), so it shares the same DuckDB oracle. */
+  def decontamBloom(s: SparkSession, d: String): DataFrame = {
+    val bench = benchShingles(s, d)
+    val bf = bench.stat.bloomFilter("sh", 1L << 20, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val might = udf((x: String) => x != null && bfB.value.mightContainString(x))
+    corpusShingles(s, d)
+      .filter(might(col("sh")))
+      .join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_matched"))
+      .select(col("doc_id"), col("n_shingles"), col("n_matched"),
+        round(col("n_matched").cast("double") / col("n_shingles"), 4).as("ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val packBudget = 512
+
+  /** Sequence packing: per source, the token streams of its docs (in
+    * doc_id order) are concatenated and cut every `packBudget` tokens;
+    * each doc belongs to the pack its FIRST token lands in, which is
+    * exactly the bookkeeping a pack-then-split tokenizer needs. One
+    * window pass (per-source cumsum) — no self-join, no iteration —
+    * then a keyed aggregate for the manifest. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .withColumn("pack_id", expr(s"(cum - nt) div $packBudget"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  // Per-language mixture weights (en-heavy, zh-light — the usual shape).
+  private def weightCol: Column =
+    when(col("lang") === "en", 4L).when(col("lang") === "zh", 1L).otherwise(2L)
+
+  /** Mixture sampling with data-derived rates: per-language counts n_i
+    * and weights w_i give k = min_i(n_i div w_i) and target_i = w_i*k —
+    * the largest corpus honoring the weight ratios without oversampling
+    * any stratum. The keep gate is the portable md5 hash compared in
+    * INTEGER arithmetic (h*n_i < target_i*1e6 — no float rate, no
+    * engine-dependent rounding). Pass 1 is an O(#langs)-row aggregate;
+    * pass 2 is a broadcast join + map-side gate: the corpus never
+    * shuffles until the final audit aggregate. */
+  def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      .withColumn("w", weightCol)
+    val kdf = counts.agg(min(expr("n_total div w")).as("k"))
+    val h = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000000")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(kdf))
+      .withColumn("target", col("w") * col("k"))
+      .withColumn("keep", col("h") * col("n_total") < col("target") * lit(1000000L))
+      .groupBy(col("lang"))
+      .agg(max(col("n_total")).as("n_total"), max(col("w")).as("weight"),
+        max(col("target")).as("target"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("keep"), col("doc_id"))).as("first_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** Repetition scoring: duplicate-2/3-gram fractions (projection-only)
+    * plus the top-token frequency fraction via the scalable shape —
+    * explode → (doc, token) partial count → per-doc max — instead of a
+    * per-row O(tokens²) lambda. The two branches re-join on doc_id
+    * (both sides already keyed, one shuffle each). */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(ngrams("text", 2)).cast("long").as("d2"),
+        size(ngrams("text", 3)).cast("long").as("d3"))
+    val top = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_n"))
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round((col("n_tokens") - 1 - col("d2")).cast("double") / (col("n_tokens") - 1), 4)
+          .as("dup2_frac"),
+        round((col("n_tokens") - 2 - col("d3")).cast("double") / (col("n_tokens") - 2), 4)
+          .as("dup3_frac"),
+        round(col("top_n").cast("double") / col("n_tokens"), 4).as("top_tok_frac"))
+      .withColumn("keep",
+        col("dup2_frac") <= 0.2 && col("dup3_frac") <= 0.15 && col("top_tok_frac") <= 0.3)
+      .orderBy(col("doc_id"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontam_exact" -> decontamExact,
+    "decontam_bloom" -> decontamBloom,
+    "pack_sequences" -> packSequences,
+    "mixture_sample" -> mixtureSample,
+    "text_repetition" -> textRepetition,
+  )
+
+  private val decontamSql =
+    s"""WITH bt AS (SELECT string_split(text, ' ') AS tk FROM documents
+       |           WHERE doc_id % 131 = 0),
+       |bench AS (SELECT DISTINCT sh FROM (
+       |  SELECT unnest(${sqlNgrams(5)}) AS sh FROM bt
+       |  UNION ALL SELECT '$canary')),
+       |ct AS (SELECT doc_id, string_split(text ||
+       |    (CASE WHEN doc_id % 23 = 0 THEN ' $canary' ELSE '' END), ' ') AS tk
+       |  FROM documents WHERE doc_id % 131 <> 0),
+       |cs AS (SELECT doc_id, ${sqlNgrams(5)} AS shs FROM ct),
+       |ex AS (SELECT doc_id, len(shs) AS n_shingles, unnest(shs) AS sh FROM cs)
+       |SELECT e.doc_id, CAST(e.n_shingles AS BIGINT) AS n_shingles,
+       | count(*) AS n_matched,
+       | round(CAST(count(*) AS DOUBLE) / e.n_shingles, 4) AS ratio
+       |FROM ex e JOIN bench b ON e.sh = b.sh
+       |GROUP BY e.doc_id, e.n_shingles ORDER BY e.doc_id""".stripMargin
+
+  override val oracle: Map[String, String] = Map(
+    "decontam_exact" -> decontamSql,
+    // bit-identical by construction (bloom is a prefilter; the exact
+    // join re-verifies), so the same oracle certifies both paths
+    "decontam_bloom" -> decontamSql,
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |  len(string_split(text, ' ')) AS nt FROM documents),
+         |c AS (SELECT source, doc_id, nt,
+         |  CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT source, (cum - nt) // $packBudget AS pack_id,
+         | count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS pack_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY source, (cum - nt) // $packBudget
+         |ORDER BY source, pack_id""".stripMargin,
+    "mixture_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_total,
+        |  CAST(CASE WHEN lang = 'en' THEN 4 WHEN lang = 'zh' THEN 1
+        |       ELSE 2 END AS BIGINT) AS w
+        |  FROM documents GROUP BY lang),
+        |k AS (SELECT min(n_total // w) AS k FROM c),
+        |g AS (SELECT d.doc_id, d.lang, c.n_total, c.w, c.w * k.k AS target,
+        |  CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |    % 1000000 AS h
+        |  FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN k)
+        |SELECT lang, max(n_total) AS n_total, max(w) AS weight,
+        | max(target) AS target,
+        | CAST(sum(CASE WHEN h * n_total < target * 1000000 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_kept,
+        | min(CASE WHEN h * n_total < target * 1000000 THEN doc_id END) AS first_kept
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, len(tk) AS nt,
+        |  len(list_distinct(list_transform(range(1, len(tk)),
+        |    i -> array_to_string(list_slice(tk, i, i + 1), ' ')))) AS d2,
+        |  len(list_distinct(list_transform(range(1, len(tk) - 1),
+        |    i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS d3
+        |  FROM t),
+        |tp AS (SELECT doc_id, max(c) AS top_n FROM
+        |  (SELECT doc_id, tok, count(*) AS c FROM
+        |    (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY doc_id, tok)
+        |  GROUP BY doc_id),
+        |j AS (SELECT b.doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |  round(CAST(nt - 1 - d2 AS DOUBLE) / (nt - 1), 4) AS dup2_frac,
+        |  round(CAST(nt - 2 - d3 AS DOUBLE) / (nt - 2), 4) AS dup3_frac,
+        |  round(CAST(top_n AS DOUBLE) / nt, 4) AS top_tok_frac
+        |  FROM b JOIN tp ON b.doc_id = tp.doc_id)
+        |SELECT *, (dup2_frac <= 0.2 AND dup3_frac <= 0.15 AND
+        |           top_tok_frac <= 0.3) AS keep
+        |FROM j ORDER BY doc_id""".stripMargin,
+  )
+}
