@@ -80,6 +80,12 @@ object PlanCheck {
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     Check("dedup_simhash_portable", mustContain = Nil,
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // batch probes the corpus digest index via a keyed join — never a
+    // cartesian, and the banded near-dup join stays bucket-keyed
+    Check("ingest_dedup_exact", mustContain = Nil,
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Check("ingest_dedup_minhash", mustContain = Nil,
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // benchmark n-gram set is the bounded side → must be the broadcast
     // side of a hash join; the corpus side must never cartesian
     Check("decontam_exact", mustContain = Seq("BroadcastHashJoin"),

@@ -176,24 +176,36 @@ object DedupOps extends QueryPack {
     * → banding → estimate) is oracle-checked end to end rather than
     * spec-tested. Multipliers stay below 2^6, keeping every intermediate
     * under 2^36 — safe for ANSI-mode long arithmetic in both engines. */
-  def minhashPortable(s: SparkSession, d: String): DataFrame = {
-    graft.functions.HashExpressions.register(s)
-    val h = docsSharded(s, d)
+  /** Portable K-min signatures for a (doc_id, text) frame — the shared
+    * core of [[minhashPortable]] and [[ingestDedupMinhash]]. */
+  private def portableSigs(docs: DataFrame): DataFrame = {
+    val h = docs
       .select(col("doc_id"), explode(shingles3).as("shingle"))
       .select(col("doc_id"), polyHash(col("shingle")).as("h0"))
     val mins = (0 until KP).map(k =>
       min((col("h0") * (37 + 2 * k) + (1000 + k)) % P).as(s"p$k"))
-    val sig = h.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    h.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** 4×2 banding of a portable signature frame → (doc_id, band, bk, p0..p7). */
+  private def portableBands(sig: DataFrame): DataFrame = {
     val bandArr = array((0 until KP / 2).map(b =>
       array(col(s"p${2 * b}"), col(s"p${2 * b + 1}"))): _*)
-    val bands = sig.select(
+    sig.select(
       (col("doc_id") +: (0 until KP).map(k => col(s"p$k"))) :+ posexplode(bandArr): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
+  }
+
+  private def portableEqCount: Column = (0 until KP).map(k =>
+    when(col(s"a$k") === col(s"b$k"), 1).otherwise(0)).reduce(_ + _)
+
+  def minhashPortable(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExpressions.register(s)
+    val bands = portableBands(portableSigs(docsSharded(s, d)))
     def side(t: String) = bands.select(
       Seq(col("band"), col("bk"), col("doc_id").as(s"doc_$t")) ++
         (0 until KP).map(k => col(s"p$k").as(s"$t$k")): _*)
-    val eqCount = (0 until KP).map(k =>
-      when(col(s"a$k") === col(s"b$k"), 1).otherwise(0)).reduce(_ + _)
+    val eqCount = portableEqCount
     side("a").join(side("b"), Seq("band", "bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -369,7 +381,74 @@ object DedupOps extends QueryPack {
     labels.select(col("doc_id"), col("label").as("component"))
   }
 
+  // ---- Incremental ingest dedup: a NEW batch arrives and must be deduped
+  // against the EXISTING corpus (not against itself) — the daily shape of
+  // a crawl-ingestion pipeline, where re-deduping the whole corpus per
+  // batch would be O(corpus) instead of O(batch). Fixture split:
+  // corpus = doc_id % 4 != 3, batch = doc_id % 4 == 3, plus PLANTED
+  // overlap (the synthetic slices share no natural duplicates): every
+  // 50th corpus doc re-keyed at +2e12 (exact copy) and every (50k+25)th
+  // with its first token dropped, re-keyed at +3e12 (a near-dup that is
+  // NOT an exact dup) — identically in the DuckDB oracles.
+
+  private val exactPlantOff = 2000000000000L
+  private val nearPlantOff = 3000000000000L
+
+  private def ingestCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 4 =!= 3)
+      .select(col("doc_id"), col("text"))
+
+  private def ingestBatch(s: SparkSession, d: String): DataFrame = {
+    val corpus = ingestCorpus(s, d)
+    Tables.documents(s, d).filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), col("text"))
+      .unionByName(corpus.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + exactPlantOff))
+      .unionByName(corpus.filter(col("doc_id") % 50 === 25)
+        .withColumn("doc_id", col("doc_id") + nearPlantOff)
+        .withColumn("text",
+          expr("array_join(slice(split(text, ' '), 2, size(split(text, ' '))), ' ')")))
+  }
+
+  /** Exact incremental dedup: each batch doc left-joins the corpus digest
+    * index (digest → min doc_id). One keyed shuffle join — the corpus is
+    * never broadcast and never self-joined; at scale the digest index is
+    * a precomputed table and the probe is O(batch). */
+  def ingestDedupExact(s: SparkSession, d: String): DataFrame = {
+    val cd = ingestCorpus(s, d)
+      .groupBy(md5(col("text")).as("fp")).agg(min(col("doc_id")).as("dup_of"))
+    ingestBatch(s, d).select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(cd, Seq("fp"), "left")
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("is_new"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-dup incremental dedup over the portable MinHash family: one
+    * signature pass over corpus ∪ batch, then the banded bucket join is
+    * RESTRICTED to batch×corpus — batch-batch and corpus-corpus
+    * collisions never materialize, so the candidate volume is O(batch
+    * overlap), not O(corpus²). Oracle-checked end to end like
+    * [[minhashPortable]]. */
+  def ingestDedupMinhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExpressions.register(s)
+    val all = ingestCorpus(s, d).unionByName(ingestBatch(s, d))
+      .repartition(col("doc_id"))
+    val bands = portableBands(portableSigs(all))
+    val isBatch = (col("doc_id") % 4 === 3) || (col("doc_id") >= exactPlantOff)
+    def side(t: String, pred: Column) = bands.filter(pred).select(
+      Seq(col("band"), col("bk"), col("doc_id").as(s"doc_$t")) ++
+        (0 until KP).map(k => col(s"p$k").as(s"$t$k")): _*)
+    side("a", isBatch).join(side("b", not(isBatch)), Seq("band", "bk"))
+      .select(col("doc_a").as("batch_id"), col("doc_b").as("corpus_id"),
+        round(portableEqCount.cast("double") / KP, 4).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_dedup_exact" -> ingestDedupExact,
+    "ingest_dedup_minhash" -> ingestDedupMinhash,
     "dedup_exact_stats" -> exactStats,
     "dedup_exact_groups" -> exactGroups,
     "dedup_minhash_pairs" -> minhashPairs,
@@ -410,7 +489,63 @@ object DedupOps extends QueryPack {
        |WHERE hamming <= 4 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Shared corpus/batch CTEs for the ingest oracles — the same split
+    * and planted slices as [[ingestCorpus]]/[[ingestBatch]]. */
+  private val ingestCtes =
+    s"""corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3),
+       |batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+       |  UNION ALL SELECT doc_id + $exactPlantOff, text FROM corpus
+       |    WHERE doc_id % 50 = 0
+       |  UNION ALL SELECT doc_id + $nearPlantOff,
+       |    array_to_string(list_slice(string_split(text, ' '), 2,
+       |      len(string_split(text, ' '))), ' ')
+       |    FROM corpus WHERE doc_id % 50 = 25)""".stripMargin
+
+  /** DuckDB twin of [[ingestDedupMinhash]], generated from the same
+    * KP/P/affine constants as the Spark plan so the two cannot drift. */
+  private val ingestMinhashOracleSql: String = {
+    val sigCols = (0 until KP).map(k =>
+      s"min((h0 * ${37 + 2 * k} + ${1000 + k}) % $P) AS p$k").mkString(", ")
+    val bandRows = (0 until KP / 2).map(b =>
+      s"SELECT doc_id, $b AS band, p${2 * b} AS k1, p${2 * b + 1} AS k2 FROM sig")
+      .mkString(" UNION ALL ")
+    val eqSum = (0 until KP).map(k => s"CAST(sa.p$k = sb.p$k AS INT)").mkString(" + ")
+    val isBatch = s"(doc_id % 4 = 3 OR doc_id >= $exactPlantOff)"
+    s"""WITH $ingestCtes,
+       |alldocs AS (SELECT doc_id, text FROM corpus
+       |  UNION ALL SELECT doc_id, text FROM batch),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM alldocs),
+       |s AS (SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])) AS shingle
+       |  FROM tk WHERE len(toks) >= 3),
+       |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(shingle, ''), c -> CAST(ord(c) AS BIGINT))),
+       |    (a, x) -> (a * 31 + x) % $P) AS h0 FROM s),
+       |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+       |b AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
+       |  FROM b x JOIN b y ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
+       |  WHERE ${isBatch.replace("doc_id", "x.doc_id")}
+       |    AND NOT ${isBatch.replace("doc_id", "y.doc_id")}),
+       |est AS (SELECT batch_id, corpus_id,
+       |    round(($eqSum) / $KP.0, 4) AS est_jaccard
+       |  FROM cand JOIN sig sa ON batch_id = sa.doc_id
+       |            JOIN sig sb ON corpus_id = sb.doc_id)
+       |SELECT batch_id, corpus_id, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5 ORDER BY batch_id, corpus_id""".stripMargin
+  }
+
   override val oracle: Map[String, String] = Map(
+    "ingest_dedup_exact" ->
+      s"""WITH $ingestCtes,
+         |cd AS (SELECT md5(text) AS fp, min(doc_id) AS dup_of FROM corpus
+         |  GROUP BY md5(text))
+         |SELECT b.doc_id, cd.dup_of, cd.dup_of IS NULL AS is_new
+         |FROM batch b LEFT JOIN cd ON md5(b.text) = cd.fp
+         |ORDER BY b.doc_id""".stripMargin,
+    "ingest_dedup_minhash" -> ingestMinhashOracleSql,
     "dedup_simhash_portable" -> simhashPortableOracleSql,
     "dedup_exact_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
