@@ -69,6 +69,12 @@ object CurationOps extends QueryPack {
   private def corpusShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(col("doc_id") % 131 =!= 0)
+      // reshard before the n-gram projection: higher-order expressions
+      // (zip_with chains) evaluate interpreted, and a small parquet
+      // arrives as ONE split — without this the whole corpus serializes
+      // onto one core (measured: ~100 s/pass at sf0.1 vs ~2 s resharded).
+      // At real scale the scan yields many splits and AQE coalesces.
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         concat(col("text"),
           when(col("doc_id") % 23 === 0, lit(" " + canary)).otherwise(lit("")))
@@ -179,6 +185,7 @@ object CurationOps extends QueryPack {
     * (both sides already keyed, one shuffle each). */
   def textRepetition(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
+      .repartition(col("doc_id")) // interpreted n-gram zips: see corpusShingles
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         size(ngrams("text", 2)).cast("long").as("d2"),
