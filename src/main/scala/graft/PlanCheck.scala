@@ -95,6 +95,10 @@ object PlanCheck {
     // one window pass, no self-join
     Check("pack_sequences", mustContain = Seq("Window"),
       mustNot = Seq("Join")),
+    // composed pipeline keeps the component shapes: broadcast bench join,
+    // keyed digest join — never a cartesian
+    Check("curation_pipeline", mustContain = Seq("BroadcastHashJoin"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // per-stratum counts ride a broadcast hash join back onto the corpus
     // (the 1-row k scalar is an intentional broadcast nested loop)
     Check("mixture_sample", mustContain = Seq("BroadcastHashJoin"),

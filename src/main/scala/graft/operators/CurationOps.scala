@@ -206,7 +206,71 @@ object CurationOps extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end curation pipeline — the flagship composition query: the
+    * per-doc keep manifest a corpus build actually ships, with each
+    * stage's verdict as an auditable column:
+    *
+    *   1. quality gate  — length / uniq-ratio rules (textQualityFilter's)
+    *   2. decontamination — no 5-gram overlap with the benchmark set
+    *   3. exact dedup   — survivor = min doc_id per content digest
+    *   4. mixture gate  — the portable-hash stratified sampler
+    *
+    * `keep` is the conjunction; the audit aggregate reports per-source
+    * funnel counts. Stage shapes are the proven ones (broadcast bench
+    * join, one digest shuffle, map-side gate) so the composition adds no
+    * new scale risk — stages fuse into the same two shuffles the
+    * standalone queries pay. */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).filter(col("doc_id") % 131 =!= 0)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    // planted exact-dup slice (the fixture is dup-free — exactGroups'
+    // trick) so the survivorship stage is non-vacuous at every SF
+    val docs = base.unionByName(
+      base.filter(col("doc_id") % 97 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000000000L))
+      .repartition(col("doc_id"))
+    // stage 1: quality rules (projection-only)
+    val qual = docs.select(col("doc_id"), col("source"), col("lang"), col("text"),
+      split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        (size(col("tk")) >= 5 && size(col("tk")) <= 10000 &&
+          size(array_distinct(col("tk"))).cast("double") / size(col("tk")) > 0.2)
+          .as("ok_quality"))
+    // stage 2: contaminated docs (any benchmark 5-gram hit)
+    val contaminated = corpusShingles(s, d)
+      .join(broadcast(benchShingles(s, d)), "sh")
+      .select(col("doc_id")).distinct().withColumn("hit", lit(true))
+    // stage 3: exact-dup survivorship (min doc_id per digest wins)
+    val survivor = docs
+      .groupBy(md5(col("text")).as("fp")).agg(min(col("doc_id")).as("keep_id"))
+    // stage 4: deterministic stratified gate (same rates as
+    // text_sample_stratified)
+    val gate = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+    val rate = when(col("lang") === "en", 20)
+      .when(col("lang") === "zh", 10).otherwise(50)
+    qual
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("ok_clean", col("hit").isNull)
+      .join(survivor.withColumnRenamed("fp", "fp2"),
+        md5(col("text")) === col("fp2"), "left")
+      .withColumn("ok_survivor", col("doc_id") === col("keep_id"))
+      .withColumn("ok_sampled", gate < rate)
+      .withColumn("keep",
+        col("ok_quality") && col("ok_clean") && col("ok_survivor") && col("ok_sampled"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok_quality"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("ok_clean"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("ok_survivor"), 1L).otherwise(0L)).as("n_survivor"),
+        sum(when(col("ok_sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        min(when(col("keep"), col("doc_id"))).as("first_keep"))
+      .orderBy(col("source"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_pipeline" -> curationPipeline,
     "decontam_exact" -> decontamExact,
     "decontam_bloom" -> decontamBloom,
     "pack_sequences" -> packSequences,
@@ -231,7 +295,54 @@ object CurationOps extends QueryPack {
        |FROM ex e JOIN bench b ON e.sh = b.sh
        |GROUP BY e.doc_id, e.n_shingles ORDER BY e.doc_id""".stripMargin
 
+  private val pipelineSql =
+    s"""WITH base AS (SELECT doc_id, source, lang, text FROM documents
+       |  WHERE doc_id % 131 <> 0),
+       |docs AS (SELECT * FROM base UNION ALL
+       |  SELECT doc_id + 1000000000000, source, lang, text FROM base
+       |  WHERE doc_id % 97 = 0),
+       |q AS (SELECT doc_id, source, lang, text,
+       |  (len(string_split(text, ' ')) >= 5 AND
+       |   len(string_split(text, ' ')) <= 10000 AND
+       |   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |     / len(string_split(text, ' ')) > 0.2) AS ok_quality
+       |  FROM docs),
+       |bt AS (SELECT string_split(text, ' ') AS tk FROM documents
+       |       WHERE doc_id % 131 = 0),
+       |bench AS (SELECT DISTINCT sh FROM (
+       |  SELECT unnest(${sqlNgrams(5)}) AS sh FROM bt
+       |  UNION ALL SELECT '$canary')),
+       |ct AS (SELECT doc_id, string_split(text ||
+       |    (CASE WHEN doc_id % 23 = 0 THEN ' $canary' ELSE '' END), ' ') AS tk
+       |  FROM base),
+       |cs AS (SELECT doc_id, ${sqlNgrams(5)} AS shs FROM ct),
+       |ex AS (SELECT doc_id, unnest(shs) AS sh FROM cs),
+       |contaminated AS (SELECT DISTINCT e.doc_id
+       |  FROM ex e JOIN bench b ON e.sh = b.sh),
+       |survivor AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+       |  FROM docs GROUP BY md5(text)),
+       |g AS (SELECT q.doc_id, q.source, q.ok_quality,
+       |  (c.doc_id IS NULL) AS ok_clean,
+       |  (q.doc_id = s.keep_id) AS ok_survivor,
+       |  (CAST('0x' || substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |     % 100 <
+       |   CASE WHEN q.lang = 'en' THEN 20 WHEN q.lang = 'zh' THEN 10
+       |        ELSE 50 END) AS ok_sampled
+       |  FROM q LEFT JOIN contaminated c ON q.doc_id = c.doc_id
+       |         LEFT JOIN survivor s ON md5(q.text) = s.fp)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(CASE WHEN ok_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       | CAST(sum(CASE WHEN ok_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       | CAST(sum(CASE WHEN ok_survivor THEN 1 ELSE 0 END) AS BIGINT) AS n_survivor,
+       | CAST(sum(CASE WHEN ok_sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       | CAST(sum(CASE WHEN ok_quality AND ok_clean AND ok_survivor AND ok_sampled
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       | min(CASE WHEN ok_quality AND ok_clean AND ok_survivor AND ok_sampled
+       |   THEN doc_id END) AS first_keep
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   override val oracle: Map[String, String] = Map(
+    "curation_pipeline" -> pipelineSql,
     "decontam_exact" -> decontamSql,
     // bit-identical by construction (bloom is a prefilter; the exact
     // join re-verifies), so the same oracle certifies both paths

@@ -97,6 +97,45 @@ class CurationOpsSpec extends GraftSpec {
     assert(got.map(_.getLong(4)).sum > 0)
   }
 
+  test("curation_pipeline funnel matches stage-by-stage recomputation") {
+    val md5i = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md5i.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = docs.filter(_._1 % 131 != 0)
+    val all = base ++ base.filter(_._1 % 97 == 0)
+      .map(d => (d._1 + 1000000000000L, d._2, d._3, d._4))
+    val bench = docs.filter(_._1 % 131 == 0).flatMap(d => ngrams(d._2, 5)).toSet + canary
+    val contaminated = base.filter { case (id, t, _, _) =>
+      val aug = if (id % 23 == 0) s"$t $canary" else t
+      ngrams(aug, 5).exists(bench.contains)
+    }.map(_._1).toSet
+    val survivor = all.groupBy(d => md5hex(d._2)).map { case (fp, ds) => fp -> ds.map(_._1).min }
+    def gate(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100
+    val perDoc = all.map { case (id, t, lang, src) =>
+      val tk = t.split(" ", -1)
+      val okQ = tk.length >= 5 && tk.length <= 10000 &&
+        tk.distinct.length.toDouble / tk.length > 0.2
+      val okC = !contaminated.contains(id)
+      val okS = survivor(md5hex(t)) == id
+      val rate = lang match { case "en" => 20; case "zh" => 10; case _ => 50 }
+      val okG = gate(id) < rate
+      (src, id, okQ, okC, okS, okG)
+    }
+    val expected = perDoc.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val keep = ds.filter(d => d._3 && d._4 && d._5 && d._6)
+      Row(src, ds.size.toLong, ds.count(_._3).toLong, ds.count(_._4).toLong,
+        ds.count(_._5).toLong, ds.count(_._6).toLong, keep.size.toLong,
+        if (keep.isEmpty) null else keep.map(_._2).min)
+    }
+    val got = CurationOps.curationPipeline(spark, sfDir).collect().toSeq
+    assert(got === expected)
+    // the funnel is non-vacuous: contamination and dup-survivorship each
+    // reject at least one doc somewhere
+    assert(got.map(r => r.getLong(1) - r.getLong(3)).sum > 0)
+    assert(got.map(r => r.getLong(1) - r.getLong(4)).sum > 0)
+  }
+
   test("text_repetition fractions match direct recomputation") {
     def fr(a: Long, b: Long): Double =
       BigDecimal(a.toDouble / b).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
