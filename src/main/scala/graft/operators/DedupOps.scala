@@ -370,16 +370,55 @@ object DedupOps extends QueryPack {
       // min neighbor label per node (map-side partial min, one shuffle)
       val prop = undirected.join(labels, undirected("a") === labels("doc_id"))
         .groupBy(undirected("b").as("n_id")).agg(min(col("label")).as("n_label"))
+      // carry the previous label alongside the new one so convergence is a
+      // filter+count over the checkpointed frame — no second join per round
       val next = labels.join(prop, labels("doc_id") === prop("n_id"), "left")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), labels("label").as("old"),
           least(labels("label"), coalesce(col("n_label"), labels("label"))).as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("doc_id"), col("label"))
     }
     labels.select(col("doc_id"), col("label").as("component"))
   }
+
+  /** Chunk-level exact dedup scoring — the paragraph-dedup pass (the
+    * Dolma / RefinedWeb shape) at sub-document granularity: the token
+    * stream is cut into fixed 10-token chunks, each chunk is
+    * content-digested, and a doc's score is the fraction of its chunks
+    * whose digest occurs in MORE THAN ONE document. The fixture text
+    * never repeats a 10-token window across docs naturally (the gate
+    * would be vacuous), so a shared boilerplate header is PLANTED on
+    * every 9th doc — identically in the oracle — the way crawl corpora
+    * repeat cookie banners and license headers. Scale shape: explode →
+    * one keyed shuffle on the chunk digest (distinct-doc count) →
+    * digest-keyed join back; no self-join, no all-pairs — work is linear
+    * in corpus chunks at 100 TB. */
+  def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    val C = 10
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 9 === 0, concat(lit(boilerplate + " "), col("text")))
+          .otherwise(col("text")).as("t2"))
+      .select(col("doc_id"), split(col("t2"), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST(ceil(size(tk) / $C.0) AS INT) - 1), " +
+          s"i -> md5(array_join(slice(tk, i * $C + 1, $C), ' ')))")).as("dg"))
+    val shared = chunks.groupBy(col("dg"))
+      .agg((countDistinct(col("doc_id")) > 1).as("shared"))
+    chunks.join(shared, "dg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("shared"), 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exactly 10 tokens so the planted header IS chunk 0 of every tagged
+    * doc, shifting (not corrupting) the rest of the chunk grid. */
+  private val boilerplate =
+    "copyright header all rights reserved do not redistribute this document"
 
   // ---- Incremental ingest dedup: a NEW batch arrives and must be deduped
   // against the EXISTING corpus (not against itself) — the daily shape of
@@ -458,6 +497,7 @@ object DedupOps extends QueryPack {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_embedding_pairs" -> embeddingDup,
     "dedup_components" -> connectedComponents,
+    "dedup_chunk_exact" -> chunkDedup,
   )
 
   /** DuckDB twin of [[simhashPortable]] — the 60 vote sums and the bit
@@ -546,6 +586,22 @@ object DedupOps extends QueryPack {
          |FROM batch b LEFT JOIN cd ON md5(b.text) = cd.fp
          |ORDER BY b.doc_id""".stripMargin,
     "ingest_dedup_minhash" -> ingestMinhashOracleSql,
+    "dedup_chunk_exact" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 9 = 0 THEN '$boilerplate ' || text
+         |       ELSE text END AS t2 FROM documents),
+         |base AS (SELECT doc_id, string_split(t2, ' ') AS tk FROM aug),
+         |idx AS (SELECT doc_id, tk,
+         |  unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS i FROM base),
+         |ch AS (SELECT doc_id,
+         |  md5(array_to_string(tk[(i * 10 + 1):(i * 10 + 10)], ' ')) AS dg FROM idx),
+         |sh AS (SELECT dg, count(DISTINCT doc_id) > 1 AS shared FROM ch GROUP BY dg)
+         |SELECT ch.doc_id, count(*) AS n_chunks,
+         | CAST(sum(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         | round(CAST(sum(CASE WHEN shared THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+         |   AS dup_frac
+         |FROM ch JOIN sh USING (dg)
+         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
     "dedup_simhash_portable" -> simhashPortableOracleSql,
     "dedup_exact_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
