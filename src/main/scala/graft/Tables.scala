@@ -32,6 +32,29 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Repartition `df` by `key` ONLY when its scan yields fewer splits than
+    * the session's parallelism. Interpreted higher-order projections
+    * (n-gram zip_with chains) serialize onto one core when a small parquet
+    * arrives as a single split (measured ~100 s/pass at sf0.1 vs ~2 s
+    * resharded) — but an unconditional repartition would add a full-corpus
+    * shuffle at real scale, where the scan already yields thousands of
+    * splits and needs no help. `spark.graft.reshard=always|never` overrides
+    * the split-count heuristic (default `auto`). */
+  def sharded(df: DataFrame, key: String): DataFrame = {
+    val s = df.sparkSession
+    val rep = df.repartition(org.apache.spark.sql.functions.col(key))
+    s.conf.get("spark.graft.reshard", "auto") match {
+      case "always" => rep
+      case "never"  => df
+      case _ =>
+        // split count of the UNOPTIMIZED scan — cheap (file listing only,
+        // no job runs), and the one signal that distinguishes "tiny local
+        // fixture in one split" from "production table in many"
+        if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism) rep
+        else df
+    }
+  }
 }
 
 /** A named pack of queries plus the DuckDB oracle SQL for the subset that

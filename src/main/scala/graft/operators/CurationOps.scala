@@ -67,14 +67,13 @@ object CurationOps extends QueryPack {
   /** Corpus side (benchmark slice excluded) with planted contamination,
     * exploded to (doc_id, n_shingles, shingle) rows. */
   private def corpusShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .filter(col("doc_id") % 131 =!= 0)
-      // reshard before the n-gram projection: higher-order expressions
-      // (zip_with chains) evaluate interpreted, and a small parquet
-      // arrives as ONE split — without this the whole corpus serializes
-      // onto one core (measured: ~100 s/pass at sf0.1 vs ~2 s resharded).
-      // At real scale the scan yields many splits and AQE coalesces.
-      .repartition(col("doc_id"))
+    // reshard before the n-gram projection — ONLY when the scan arrives
+    // under-split (higher-order zip_with chains evaluate interpreted, and
+    // a small parquet arrives as ONE split: measured ~100 s/pass at sf0.1
+    // vs ~2 s resharded). At real scale the scan yields many splits and
+    // Tables.sharded leaves the plan Exchange-free.
+    Tables.sharded(Tables.documents(s, d).filter(col("doc_id") % 131 =!= 0),
+        "doc_id")
       .select(col("doc_id"),
         concat(col("text"),
           when(col("doc_id") % 23 === 0, lit(" " + canary)).otherwise(lit("")))
@@ -184,8 +183,7 @@ object CurationOps extends QueryPack {
     * per-row O(tokens²) lambda. The two branches re-join on doc_id
     * (both sides already keyed, one shuffle each). */
   def textRepetition(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .repartition(col("doc_id")) // interpreted n-gram zips: see corpusShingles
+    val base = Tables.sharded(Tables.documents(s, d), "doc_id") // interpreted n-gram zips: see corpusShingles
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         size(ngrams("text", 2)).cast("long").as("d2"),
@@ -194,12 +192,18 @@ object CurationOps extends QueryPack {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top_n"))
+    // dup fractions guarded for 1-/2-token docs: the denominators
+    // (n_tokens-1, n_tokens-2) would be 0 → NULL fracs → NULL `keep`, and
+    // such docs silently vanish from a downstream filter(keep). A doc too
+    // short to HAVE n-grams has zero duplicate n-grams by definition.
     base.join(top, "doc_id")
       .select(col("doc_id"), col("n_tokens"),
-        round((col("n_tokens") - 1 - col("d2")).cast("double") / (col("n_tokens") - 1), 4)
-          .as("dup2_frac"),
-        round((col("n_tokens") - 2 - col("d3")).cast("double") / (col("n_tokens") - 2), 4)
-          .as("dup3_frac"),
+        round(when(col("n_tokens") > 1,
+          (col("n_tokens") - 1 - col("d2")).cast("double") / (col("n_tokens") - 1))
+          .otherwise(0.0), 4).as("dup2_frac"),
+        round(when(col("n_tokens") > 2,
+          (col("n_tokens") - 2 - col("d3")).cast("double") / (col("n_tokens") - 2))
+          .otherwise(0.0), 4).as("dup3_frac"),
         round(col("top_n").cast("double") / col("n_tokens"), 4).as("top_tok_frac"))
       .withColumn("keep",
         col("dup2_frac") <= 0.2 && col("dup3_frac") <= 0.15 && col("top_tok_frac") <= 0.3)
@@ -225,10 +229,9 @@ object CurationOps extends QueryPack {
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
     // planted exact-dup slice (the fixture is dup-free — exactGroups'
     // trick) so the survivorship stage is non-vacuous at every SF
-    val docs = base.unionByName(
+    val docs = Tables.sharded(base.unionByName(
       base.filter(col("doc_id") % 97 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000000000L))
-      .repartition(col("doc_id"))
+        .withColumn("doc_id", col("doc_id") + 1000000000000L)), "doc_id")
     // stage 1: quality rules (projection-only)
     val qual = docs.select(col("doc_id"), col("source"), col("lang"), col("text"),
       split(col("text"), " ").as("tk"))
@@ -388,8 +391,10 @@ object CurationOps extends QueryPack {
         |    (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY doc_id, tok)
         |  GROUP BY doc_id),
         |j AS (SELECT b.doc_id, CAST(nt AS BIGINT) AS n_tokens,
-        |  round(CAST(nt - 1 - d2 AS DOUBLE) / (nt - 1), 4) AS dup2_frac,
-        |  round(CAST(nt - 2 - d3 AS DOUBLE) / (nt - 2), 4) AS dup3_frac,
+        |  round(CASE WHEN nt > 1 THEN CAST(nt - 1 - d2 AS DOUBLE) / (nt - 1)
+        |        ELSE 0.0 END, 4) AS dup2_frac,
+        |  round(CASE WHEN nt > 2 THEN CAST(nt - 2 - d3 AS DOUBLE) / (nt - 2)
+        |        ELSE 0.0 END, 4) AS dup3_frac,
         |  round(CAST(top_n AS DOUBLE) / nt, 4) AS top_tok_frac
         |  FROM b JOIN tp ON b.doc_id = tp.doc_id)
         |SELECT *, (dup2_frac <= 0.2 AND dup3_frac <= 0.15 AND

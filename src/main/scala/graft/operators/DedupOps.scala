@@ -37,12 +37,13 @@ object DedupOps extends QueryPack {
       |    (ab, c) -> concat(ab, ' ', c)))
       |ELSE array() END""".stripMargin)
 
-  /** Documents resharded across the cluster before compute-heavy
-    * per-doc work: a small parquet arrives as one split, which would
-    * serialize the explode/sketch stages onto one core. At real scale
-    * the scan already yields many splits and AQE coalesces this. */
+  /** Documents resharded before compute-heavy per-doc work — but ONLY
+    * when the scan arrives under-split (the small-fixture case, where one
+    * split would serialize the explode/sketch stages onto one core). At
+    * real scale the scan already yields many splits and [[Tables.sharded]]
+    * leaves the plan Exchange-free. */
   private def docsSharded(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).repartition(col("doc_id"))
+    Tables.sharded(Tables.documents(s, d), "doc_id")
 
   /** MinHash signatures, computed the scalable way: explode shingles to
     * (doc_id, shingle) rows, then ONE hash aggregate with K min(xxhash64
@@ -112,11 +113,21 @@ object DedupOps extends QueryPack {
     * least one band bucket; estimate = matching signature fraction. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = minhashSigs(s, d)
-    val bands = docs.select(col("doc_id"), col("sig"),
+    val allBands = docs.select(col("doc_id"), col("sig"),
       posexplode(expr("transform(sequence(0, 7), b -> xxhash64(" +
         "element_at(sig, 4*b+1), element_at(sig, 4*b+2), " +
         "element_at(sig, 4*b+3), element_at(sig, 4*b+4), b))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // Same >500 hot-bucket cap as the SimHash paths: a band value shared
+    // by thousands of docs costs |bucket|² join rows on one skewed key.
+    // No broadcast hint — unlike the 16-bit SimHash chunks the xxhash64
+    // bucket space is unbounded, so the hot set is data-dependent (though
+    // tiny in practice: ≤ corpusBands/500 keys; AQE broadcasts it when
+    // small).
+    val hot = allBands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > HotBucketCap)
+      .select(col("band"), col("bucket"))
+    val bands = allBands.join(hot, Seq("band", "bucket"), "left_anti")
     val left = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val right = bands.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     left.join(right, Seq("band", "bucket"))
@@ -141,7 +152,7 @@ object DedupOps extends QueryPack {
     // join rows on one skewed key — drop those buckets instead of letting
     // a single hot key serialize the stage. Bound survives any corpus size.
     val hot = allBands.groupBy(col("band"), col("chunk"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") > 500)
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > HotBucketCap)
       .select(col("band"), col("chunk"))
     val bands = allBands.join(broadcast(hot), Seq("band", "chunk"), "left_anti")
     val left = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -187,14 +198,26 @@ object DedupOps extends QueryPack {
     h.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** 4×2 banding of a portable signature frame → (doc_id, band, bk, p0..p7). */
+  /** 4×2 banding of a portable signature frame → (doc_id, band, bk, p0..p7),
+    * with the same >500 hot-bucket cap as every other banded path: buckets
+    * shared by more docs than the cap are non-discriminative and would cost
+    * |bucket|² (or |batch∩bucket|×|corpus∩bucket|) join rows on one skewed
+    * key. Mirrored in both portable DuckDB oracles, so the cap is verified. */
   private def portableBands(sig: DataFrame): DataFrame = {
     val bandArr = array((0 until KP / 2).map(b =>
       array(col(s"p${2 * b}"), col(s"p${2 * b + 1}"))): _*)
-    sig.select(
+    val all = sig.select(
       (col("doc_id") +: (0 until KP).map(k => col(s"p$k"))) :+ posexplode(bandArr): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
+    val hot = all.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > HotBucketCap)
+      .select(col("band"), col("bk"))
+    all.join(hot, Seq("band", "bk"), "left_anti")
   }
+
+  /** Shared overfull-bucket bound for every banded LSH join (minhash,
+    * simhash, portable twins, ingest). */
+  private val HotBucketCap = 500
 
   private def portableEqCount: Column = (0 until KP).map(k =>
     when(col(s"a$k") === col(s"b$k"), 1).otherwise(0)).reduce(_ + _)
@@ -246,7 +269,7 @@ object DedupOps extends QueryPack {
       posexplode(expr("transform(sequence(0, 3), b -> (sk >> (15 * b)) & 32767)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val hot = allBands.groupBy(col("band"), col("chunk"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") > 500)
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > HotBucketCap)
       .select(col("band"), col("chunk"))
     val bands = allBands.join(broadcast(hot), Seq("band", "chunk"), "left_anti")
     val left = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_a"), col("sk").as("sk_a"))
@@ -260,12 +283,30 @@ object DedupOps extends QueryPack {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Document-frequency cap for the exact-Jaccard inverted index: a
+    * stop-shingle ("of the and"-class 3-grams) occurring in k documents
+    * costs k² join rows on ONE key — the same skewed-hot-key shape the
+    * banded sketches cap at >500. Shingles with df > cap carry no
+    * discriminating signal (standard practice for exact Jaccard over web
+    * corpora; truly-near-dup pairs still share plenty of rare shingles),
+    * so both the index AND the per-doc sizes are computed over the capped
+    * shingle universe — mirrored exactly in the DuckDB oracle. */
+  private val DfCap = 500
+
   /** Exact n-gram Jaccard via inverted-index equi-join on shingles —
     * |A∩B| from the join, |A|,|B| from per-doc shingle counts; all-integer
-    * arithmetic so the DuckDB oracle matches bit-for-bit. */
+    * arithmetic so the DuckDB oracle matches bit-for-bit. Jaccard is over
+    * the df-capped shingle universe (see [[DfCap]]). */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = docsSharded(s, d)
+    val sh0 = docsSharded(s, d)
       .select(col("doc_id"), explode(shingles3).as("shingle"))
+    // left_semi against the low-df shingle set: keyed on shingle like the
+    // self-join below, so the exchange is reused, and NOT broadcast — the
+    // low-df set is O(distinct shingles), corpus-sized (AQE may still
+    // broadcast the df aggregate when it is actually small).
+    val lowDf = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select(col("shingle"))
+    val sh = sh0.join(lowDf, Seq("shingle"), "left_semi")
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -470,8 +511,8 @@ object DedupOps extends QueryPack {
     * [[minhashPortable]]. */
   def ingestDedupMinhash(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashExpressions.register(s)
-    val all = ingestCorpus(s, d).unionByName(ingestBatch(s, d))
-      .repartition(col("doc_id"))
+    val all = Tables.sharded(
+      ingestCorpus(s, d).unionByName(ingestBatch(s, d)), "doc_id")
     val bands = portableBands(portableSigs(all))
     val isBatch = (col("doc_id") % 4 === 3) || (col("doc_id") >= exactPlantOff)
     def side(t: String, pred: Column) = bands.filter(pred).select(
@@ -565,8 +606,11 @@ object DedupOps extends QueryPack {
        |    (a, x) -> (a * 31 + x) % $P) AS h0 FROM s),
        |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
        |b AS ($bandRows),
+       |hot AS (SELECT band, k1, k2 FROM b GROUP BY band, k1, k2
+       |  HAVING count(*) > 500),
+       |b2 AS (SELECT b.* FROM b ANTI JOIN hot USING (band, k1, k2)),
        |cand AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
-       |  FROM b x JOIN b y ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
+       |  FROM b2 x JOIN b2 y ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
        |  WHERE ${isBatch.replace("doc_id", "x.doc_id")}
        |    AND NOT ${isBatch.replace("doc_id", "y.doc_id")}),
        |est AS (SELECT batch_id, corpus_id,
@@ -655,8 +699,11 @@ object DedupOps extends QueryPack {
         |  SELECT doc_id, 1, p2, p3 FROM sig UNION ALL
         |  SELECT doc_id, 2, p4, p5 FROM sig UNION ALL
         |  SELECT doc_id, 3, p6, p7 FROM sig),
+        |hot AS (SELECT band, k1, k2 FROM b GROUP BY band, k1, k2
+        |  HAVING count(*) > 500),
+        |b2 AS (SELECT b.* FROM b ANTI JOIN hot USING (band, k1, k2)),
         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM b x JOIN b y ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
+        |  FROM b2 x JOIN b2 y ON x.band = y.band AND x.k1 = y.k1 AND x.k2 = y.k2
         |    AND x.doc_id < y.doc_id),
         |est AS (SELECT doc_a, doc_b, round((
         |    CAST(sa.p0 = sb.p0 AS INT) + CAST(sa.p1 = sb.p1 AS INT) +
@@ -668,10 +715,12 @@ object DedupOps extends QueryPack {
         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_components" ->
       """WITH RECURSIVE tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |s AS (SELECT DISTINCT doc_id,
+        |s0 AS (SELECT DISTINCT doc_id,
         |        unnest(list_transform(range(1, len(toks) - 1),
         |          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])) AS shingle
         |      FROM tk WHERE len(toks) >= 3),
+        |lowdf AS (SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) <= 500),
+        |s AS (SELECT s0.* FROM s0 SEMI JOIN lowdf USING (shingle)),
         |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -697,10 +746,12 @@ object DedupOps extends QueryPack {
         |GROUP BY src ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |s AS (SELECT DISTINCT doc_id,
+        |s0 AS (SELECT DISTINCT doc_id,
         |        unnest(list_transform(range(1, len(toks) - 1),
         |          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])) AS shingle
         |      FROM tk WHERE len(toks) >= 3),
+        |lowdf AS (SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) <= 500),
+        |s AS (SELECT s0.* FROM s0 SEMI JOIN lowdf USING (shingle)),
         |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -223,14 +223,25 @@ object AsofJoin {
     val rightDedup = renames.foldLeft(right) {
       case (df, (from, to)) => df.withColumnRenamed(from, to)
     }
-    val rKeyName = renames.getOrElse(rightKeyCol, rightKeyCol)
-    val rTimeName = renames.getOrElse(rightTimeCol, rightTimeCol)
+    // Column-name resolution honors the session's resolver (case-insensitive
+    // unless spark.sql.caseSensitive) — matching how Spark itself would
+    // resolve the reference, and how the clash-rename logic above compares.
+    val resolver = spark.sessionState.analyzer.resolver
+    def renamed(name: String): String =
+      renames.collectFirst { case (from, to) if resolver(from, name) => to }
+        .getOrElse(name)
+    val rKeyName = renamed(rightKeyCol)
+    val rTimeName = renamed(rightTimeCol)
     val lPlan = left.queryExecution.analyzed
     val rPlan = rightDedup.queryExecution.analyzed
-    def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name).getOrElse(
+    def attr(p: LogicalPlan, name: String): Attribute = {
+      val hits = p.output.filter(a => resolver(a.name, name))
+      require(hits.size <= 1,
+        s"column $name is ambiguous among [${hits.map(_.name).mkString(", ")}]")
+      hits.headOption.getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in [${p.output.map(_.name).mkString(", ")}]"))
+    }
     val lk = attr(lPlan, leftKeyCol)
     val rk = attr(rPlan, rKeyName)
     require(supportedKeyType(lk.dataType) && supportedKeyType(rk.dataType),
