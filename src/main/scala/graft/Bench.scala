@@ -57,10 +57,27 @@ object Bench {
       val good = passes.flatMap(_.get(name)).filter(_ >= 0)
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Compact values (ms resolution) keep the one-line artifact short
+    // enough to survive a bounded tail capture; the line is ALSO persisted
+    // to a file (SPARK_GRAFT_BENCH_OUT, default bench/latest.json) and
+    // echoed on stderr so the artifact parses even if a log harness
+    // truncates one of the channels.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest.json")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
+    println(line)
+    System.err.println(line)
     spark.stop()
   }
 }

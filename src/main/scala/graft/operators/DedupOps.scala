@@ -393,34 +393,70 @@ object DedupOps extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  /** The reusable propagation core behind [[connectedComponents]]:
+  /** The reusable core behind [[connectedComponents]]:
     * `nodes(doc_id)` × undirected `edges(a, b)` → `(doc_id, component)`
     * where component = min node id reachable. Property-tested against a
     * driver-side union-find on random graphs. */
-  def componentsFromEdges(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    // materialize the edge set ONCE — it feeds every propagation round,
-    // and without this the full pair-generation pipeline (the expensive
-    // part) would re-execute per round
-    val undirected = edges.unionByName(
-      edges.select(col("b").as("a"), col("a").as("b"))).distinct()
+  def componentsFromEdges(nodes: DataFrame, edges: DataFrame): DataFrame =
+    componentsWithRounds(nodes, edges)._1
+
+  /** Alternating large-star / small-star connected components (the
+    * two-phase MapReduce algorithm of Kiveris et al., SoCC'14): each
+    * round hooks every node's strictly-larger neighbors (large-star) /
+    * not-larger neighbors (small-star) directly onto the minimum of its
+    * closed neighborhood, so label information hops along SHORTCUTS that
+    * double in reach — convergence in O(log diameter) rounds, vs the
+    * O(diameter) of plain min-label propagation. Clique-like dup
+    * components never cared, but chain-shaped near-dup graphs (A~B~C~…
+    * at a sliding threshold) do.
+    *
+    * Each round is two keyed groupBy+join pairs — partial-aggregated,
+    * no driver data beyond the convergence counter — and the edge
+    * frame is `localCheckpoint`ed so lineage stays flat. At the
+    * fixpoint the edges form one star per component, centered at its
+    * minimum — which IS the survivor id. Returns (labels, rounds). */
+  private[operators] def componentsWithRounds(
+      nodes: DataFrame, edges: DataFrame): (DataFrame, Int) = {
+    // canonical (hi → lo) pair set; self-loops dropped. Materialized ONCE —
+    // it feeds every round, and without this the full pair-generation
+    // pipeline (the expensive part) would re-execute per round.
+    var pairs = edges.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .distinct()
       .localCheckpoint(true)
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      // min neighbor label per node (map-side partial min, one shuffle)
-      val prop = undirected.join(labels, undirected("a") === labels("doc_id"))
-        .groupBy(undirected("b").as("n_id")).agg(min(col("label")).as("n_label"))
-      // carry the previous label alongside the new one so convergence is a
-      // filter+count over the checkpointed frame — no second join per round
-      val next = labels.join(prop, labels("doc_id") === prop("n_id"), "left")
-        .select(labels("doc_id"), labels("label").as("old"),
-          least(labels("label"), coalesce(col("n_label"), labels("label"))).as("label"))
+    var rounds = 0
+    var converged = pairs.isEmpty
+    while (!converged) {
+      rounds += 1
+      // large-star over the symmetric view: for each u, attach every
+      // neighbor v > u to m = min(N(u) ∪ {u}); emitted pairs keep a > b
+      // because m <= u < v
+      val sym = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      val mL = sym.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
+      val large = sym.join(mL, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star over the canonical pairs: for each u, attach its
+      // not-larger neighbors (and u itself) to m = min(N(u) ∪ {u})
+      val mS = large.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
+      val joined = large.join(mS, "a")
+      val next = joined.filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(joined.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select(col("doc_id"), col("label"))
+      // fixpoint: the canonical pair set stopped changing (both stars are
+      // then identities and every component is a star on its minimum)
+      converged = next.count() == pairs.count() &&
+        next.except(pairs).isEmpty
+      pairs = next
     }
-    labels.select(col("doc_id"), col("label").as("component"))
+    val labels = nodes
+      .join(pairs.select(col("a").as("doc_id"), col("b").as("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    (labels, rounds)
   }
 
   /** Chunk-level exact dedup scoring — the paragraph-dedup pass (the

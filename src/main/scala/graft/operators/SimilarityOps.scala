@@ -65,18 +65,26 @@ object SimilarityOps extends QueryPack {
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
   }
 
-  /** Exact top-10 cosine neighbors for query vectors vec_id < 5. */
-  def annBruteForce(s: SparkSession, d: String): DataFrame = {
-    val q = corpus(s, d).filter(col("vec_id") < 5)
+  /** Default query set for the declared topk queries: vectors 0–4. */
+  private val defaultQueries: Column = col("vec_id") < 5
+
+  /** Exact top-k search body: broadcast the (small) query set, scan the
+    * corpus once, windowed rank per query. */
+  private def bruteSearch(base: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = base.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val scored = corpus(s, d).join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val scored = base.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** Exact top-10 cosine neighbors for query vectors vec_id < 5. */
+  def annBruteForce(s: SparkSession, d: String): DataFrame =
+    bruteSearch(corpus(s, d), defaultQueries, 10)
 
   /** Shared LSH search body (production + portable differ only in the
     * bucket expression): bucket equi-join → candidate ID pairs — the
@@ -84,15 +92,16 @@ object SimilarityOps extends QueryPack {
     * (2 longs), never on rows still carrying both 64-float vectors —
     * → query vectors broadcast back for the exact-cosine rerank →
     * per-query top-k. */
-  private def lshSearch(base: DataFrame, bucketCol: Column, k: Int): DataFrame = {
+  private def lshSearch(base: DataFrame, bucketCol: Column, k: Int,
+      queryPred: Column = defaultQueries): DataFrame = {
     val bucketed = base.select(col("vec_id"), explode(bucketCol).as("bucket"))
-    val q = bucketed.filter(col("vec_id") < 5)
+    val q = bucketed.filter(queryPred)
       .select(col("bucket"), col("vec_id").as("q_id"))
     val cand = bucketed.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
       .distinct()
-    val qVecs = base.filter(col("vec_id") < 5)
+    val qVecs = base.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scored = cand
       .join(broadcast(qVecs), "q_id")
@@ -261,41 +270,108 @@ object SimilarityOps extends QueryPack {
   def annIvf(s: SparkSession, d: String): DataFrame =
     annIvfFrom(corpus(s, d))
 
-  /** IVF over an explicit corpus with tunable index parameters.
+  /** A built IVF index: the persisted assigned corpus plus the trained
+    * centroid matrix. The cache IS the index — `search` plans against it
+    * without re-deriving the corpus — and [[close]] is its explicit
+    * lifecycle end (releases the persisted corpus). */
+  final class IvfIndex private[SimilarityOps] (
+      private[SimilarityOps] val corpus: DataFrame,
+      val centroids: Seq[Seq[Float]], val nProbe: Int) {
+    /** Top-k probe: explode the query set over its nProbe nearest lists,
+      * keyed join on the cluster id, exact-cosine rerank. */
+    def search(queryPred: Column, k: Int): DataFrame = {
+      val indexed = corpus.select(col("vec_id"), col("embedding"),
+        nearestCluster(col("embedding"), centroids).as("cl"))
+      val q = corpus.filter(queryPred)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          explode(probeClusters(col("embedding"), centroids, nProbe)).as("cl"))
+      // every corpus vector lives in exactly one inverted list, so a
+      // (query, candidate) pair appears at most once — no distinct needed
+      val scored = indexed.join(broadcast(q), Seq("cl"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .orderBy(col("q_id"), col("rank"))
+    }
+    /** Release the persisted corpus backing this index. Lazy results built
+      * from [[search]] stay correct afterwards (they recompute from
+      * lineage), they just lose the cache. */
+    def close(): Unit = corpus.unpersist(false)
+  }
+
+  /** Build an IVF index over an explicit corpus.
     * `clusters = None` applies the √N heuristic (one count() over the
     * persisted corpus — amortized into the cache the build needs
     * anyway); `probes = None`
     * probes max(3, √kC) lists — nProbe has to grow with the cluster
     * count or recall decays as the corpus (and with it kC) grows, while
     * the probed corpus fraction √kC/kC still *shrinks* at scale. */
-  def annIvfFrom(emb0: DataFrame, clusters: Option[Int] = None,
-      probes: Option[Int] = None): DataFrame = {
+  def buildIvfIndex(emb0: DataFrame, clusters: Option[Int] = None,
+      probes: Option[Int] = None): IvfIndex = {
     graft.functions.CentroidExpressions.register(emb0.sparkSession)
     // Index building reads the corpus ~6 times (count, seed sample, each
     // Lloyd round, indexing, query side); persist the projected corpus so
-    // an expensive upstream lineage executes once, not per pass. Stays
-    // cached for the returned query's lifetime (the index IS this cache —
-    // dropping it would re-derive the corpus on every search).
+    // an expensive upstream lineage executes once, not per pass.
     val emb = emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kC = clusters.getOrElse(ivfClusterCount(emb.count()))
     val nProbe = probes.getOrElse(
       math.max(ivfProbes, math.ceil(math.sqrt(kC.toDouble)).toInt))
-    val cents = trainCentroids(emb, kC)
-    val indexed = emb.select(col("vec_id"), col("embedding"),
-      nearestCluster(col("embedding"), cents).as("cl"))
-    val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        explode(probeClusters(col("embedding"), cents, nProbe)).as("cl"))
-    // every corpus vector lives in exactly one inverted list, so a
-    // (query, candidate) pair appears at most once — no distinct needed
-    val scored = indexed.join(broadcast(q), Seq("cl"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .orderBy(col("q_id"), col("rank"))
+    new IvfIndex(emb, trainCentroids(emb, kC), nProbe)
+  }
+
+  /** The most recent fire-and-forget index built by [[annIvfFrom]]: the
+    * declared-query path has no caller holding an [[IvfIndex]] handle to
+    * close, so each new build releases the previous build's corpus cache —
+    * bounding the session to ONE cached IVF corpus no matter how many
+    * times the bench/driver loop re-runs the query. Library users who need
+    * several live indexes call [[buildIvfIndex]] and own the lifecycle. */
+  private val lastAnonIndex =
+    new java.util.concurrent.atomic.AtomicReference[IvfIndex](null)
+
+  /** One-shot IVF search over an explicit corpus (builds a throwaway
+    * index; see [[buildIvfIndex]] for an owned, reusable one). */
+  def annIvfFrom(emb0: DataFrame, clusters: Option[Int] = None,
+      probes: Option[Int] = None,
+      queryPred: Column = defaultQueries): DataFrame = {
+    val idx = buildIvfIndex(emb0, clusters, probes)
+    val prev = lastAnonIndex.getAndSet(idx)
+    if (prev != null) prev.close()
+    idx.search(queryPred, 5)
+  }
+
+  /** Recall audit with a DETERMINISTIC ground truth — the trick that makes
+    * an approximate index oracle-checkable: plant an exact-copy twin
+    * (vec_id + 1e12) for every 101st vector and use the twins as the query
+    * set. Each twin's true nearest neighbor is its original at cos exactly
+    * 1.0 (the nearest NATURAL pair is ≤ 0.6 — a huge margin), and both
+    * index families find it BY CONSTRUCTION: identical vectors share every
+    * LSH bucket and land in the same inverted list, so expected recall is
+    * exactly n_queries for every method. The DuckDB oracle states that
+    * expectation in closed form; any blocking/probe/rerank regression
+    * breaks the hash. Turns `ann_lsh_topk`/`ann_ivf_topk` from rows-only
+    * signals into an oracle-gated recall contract. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val plantOff = 1000000000000L
+    val base0 = corpus(s, d)
+    val planted = base0.filter(col("vec_id") % 101 === 0)
+      .withColumn("vec_id", col("vec_id") + plantOff)
+    val base = base0.unionByName(planted)
+    val isQ = col("vec_id") >= plantOff
+    val nQ = planted.agg(count(lit(1)).as("n_queries"))
+    // found = top-k rows where the retrieved neighbor IS the query's twin
+    def audit(m: String, res: DataFrame): DataFrame =
+      nQ.crossJoin(res.agg(
+        sum(when(col("q_id") === col("vec_id") + plantOff, 1L).otherwise(0L))
+          .as("found")))
+        .select(lit(m).as("method"), col("n_queries"),
+          coalesce(col("found"), lit(0L)).as("n_found"))
+    audit("brute", bruteSearch(base, isQ, 5))
+      .unionByName(audit("ivf", annIvfFrom(base, queryPred = isQ)))
+      .unionByName(audit("lsh", lshSearch(base, lshBuckets(col("embedding")), 5, isQ)))
+      .orderBy(col("method"))
   }
 
   /** Per-label corpus stats — the oracle-checked sanity slice (DuckDB
@@ -319,11 +395,21 @@ object SimilarityOps extends QueryPack {
     "ann_lsh_topk" -> annLsh,
     "ann_lsh_portable" -> annLshPortable,
     "ann_ivf_topk" -> annIvf,
+    "ann_recall" -> annRecall,
     "embedding_stats" -> embeddingStats,
   )
 
   override val oracle: Map[String, String] = Map(
     "ann_lsh_portable" -> annLshPortableOracleSql,
+    // planted-twin recall is exact by construction (see annRecall): every
+    // method must retrieve each twin's original, so the expected counts
+    // are a closed-form function of the plant modulus
+    "ann_recall" ->
+      """WITH p AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 101 = 0)
+        |SELECT m.method, p.n AS n_queries, p.n AS n_found
+        |FROM p, (SELECT 'brute' AS method UNION ALL SELECT 'ivf'
+        |         UNION ALL SELECT 'lsh') m
+        |ORDER BY method""".stripMargin,
     "embedding_stats" ->
       """WITH n AS (
         |  SELECT label, sqrt(list_sum(list_transform(embedding,

@@ -45,4 +45,24 @@ class ComponentsPropertySpec extends GraftSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === (0L until n).map(_ -> 0L).toMap)
   }
+
+  test("two-phase star rounds scale with log(diameter), not diameter") {
+    val n = 64
+    val edges = (0L until n - 1).map(i => (i, i + 1))
+    val (labels, rounds) = DedupOps.componentsWithRounds(
+      (0L until n).toDF("doc_id"), edges.toDF("a", "b"))
+    assert(labels.as[(Long, Long)].collect().toMap ===
+      (0L until n).map(_ -> 0L).toMap)
+    // plain min-label propagation needs ~n rounds on a path; the
+    // alternating large-star/small-star contraction needs ~log2(n)
+    assert(rounds <= 10, s"rounds=$rounds on a diameter-${n - 1} path")
+  }
+
+  test("empty edge set: every node is its own singleton component") {
+    val nodesDf = (0L until 5L).toDF("doc_id")
+    val edgesDf = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = DedupOps.componentsFromEdges(nodesDf, edgesDf)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (0L until 5L).map(i => i -> i).toMap)
+  }
 }

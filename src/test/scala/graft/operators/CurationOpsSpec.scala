@@ -44,6 +44,25 @@ class CurationOpsSpec extends GraftSpec {
     assert(planted.nonEmpty && planted.forall(got.contains))
   }
 
+  test("textRepetition defines keep for 1-/2-token docs (no NULL fracs)") {
+    val dir = writeDocs(Seq(
+      (1L, "one", "en", "s", 3L),
+      (2L, "two words", "en", "s", 9L),
+      (3L, "now three tokens here", "en", "s", 20L)))
+    val rows = CurationOps.textRepetition(spark, dir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("dup2_frac")), r.toString)
+      assert(!r.isNullAt(r.fieldIndex("dup3_frac")), r.toString)
+      assert(!r.isNullAt(r.fieldIndex("keep")), r.toString)
+    }
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // a doc too short to have n-grams has zero duplicate n-grams
+    assert(byId(1L).getDouble(byId(1L).fieldIndex("dup2_frac")) === 0.0)
+    assert(byId(1L).getDouble(byId(1L).fieldIndex("dup3_frac")) === 0.0)
+    assert(byId(2L).getDouble(byId(2L).fieldIndex("dup3_frac")) === 0.0)
+  }
+
   test("decontam_bloom is bit-identical to decontam_exact") {
     val exact = CurationOps.decontamExact(spark, sfDir).collect().toSeq
     val bloom = CurationOps.decontamBloom(spark, sfDir).collect().toSeq

@@ -98,4 +98,25 @@ class IvfAnnSpec extends GraftSpec {
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("repeated one-shot IVF builds do not accumulate corpus caches") {
+    def nCached = spark.sparkContext.getPersistentRDDs.size
+    SimilarityOps.annIvf(spark, sfDir).collect()
+    val afterFirst = nCached
+    SimilarityOps.annIvf(spark, sfDir).collect()
+    SimilarityOps.annIvf(spark, sfDir).collect()
+    assert(nCached <= afterFirst,
+      s"IVF corpus caches grew: $afterFirst -> $nCached")
+  }
+
+  test("IvfIndex handle owns its cache: close() releases it") {
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val idx = SimilarityOps.buildIvfIndex(corpus)
+    assert(spark.sparkContext.getPersistentRDDs.size === before + 1)
+    assert(idx.search(col("vec_id") < 5, 5).count() > 0)
+    idx.close()
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
+  }
 }

@@ -33,6 +33,12 @@ class AsofJoinSpec extends GraftSpec {
     assert(out === Map(1L -> 2.0, 2L -> 3.0, 4L -> 7.0))
   }
 
+  test("key/time names resolve case-insensitively, like Spark's resolver") {
+    val out = AsofJoin.asof(trades, quotes, "SYM", "Q_SYM", "T", "Q_T")
+      .select($"trade_id", $"px").as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 2.0, 2L -> 3.0, 4L -> 7.0))
+  }
+
   test("null times: left nulls drop, right nulls never match or block") {
     val l = Seq((1L, "a", Some(10L)), (2L, "a", None: Option[Long]))
       .toDF("id", "k", "t")
