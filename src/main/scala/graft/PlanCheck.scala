@@ -103,6 +103,18 @@ object PlanCheck {
     // (the 1-row k scalar is an intentional broadcast nested loop)
     Check("mixture_sample", mustContain = Seq("BroadcastHashJoin"),
       mustNot = Seq("CartesianProduct", "SortMergeJoin")),
+    // query table / df table / corpus stats all broadcast; the postings
+    // filter (term IN query-vocab) must reach the corpus side before the
+    // tf shuffle (it shows as a Filter above the scan, not above an agg)
+    Check("search_bm25", mustContain = Seq("BroadcastHashJoin", "HashAggregate"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin")),
+    // only join is the intentional 1-row corpus-stats broadcast
+    Check("search_term_stats", mustContain = Seq("HashAggregate"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin")),
+    // window digests join back keyed on the digest — no self-join of the
+    // un-aggregated window table, no cartesian
+    Check("dedup_substring_spans", mustContain = Seq("HashAggregate"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
   )
 
   def main(args: Array[String]): Unit = {

@@ -17,7 +17,7 @@ import graft.operators._
 object SparkEntry {
   private val packs: Seq[QueryPack] =
     Seq(Relational, AdvancedOps, TextOps, DedupOps, SimilarityOps,
-      MultimodalOps, PipeOps, NativeOps, CurationOps,
+      MultimodalOps, PipeOps, NativeOps, CurationOps, SearchOps,
       graft.streaming.StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -298,12 +298,23 @@ object DedupOps extends QueryPack {
     * arithmetic so the DuckDB oracle matches bit-for-bit. Jaccard is over
     * the df-capped shingle universe (see [[DfCap]]). */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // The exploded shingle table feeds FIVE consumers (the df-cap
+    // aggregate, both self-join sides, and the two size joins), and the
+    // zip_with shingle assembly is the dominant per-row cost — without
+    // materialization Catalyst re-plans the scan+explode under every
+    // consumer (measured: 8 scans, 8 Generates, zero reused exchanges).
+    // An eager localCheckpoint computes it once, distributed across
+    // executors; this is the one intermediate any production shingle
+    // pipeline caches. (A collect_list-per-shingle inverted list would
+    // avoid the self-join but materializes a hot shingle's FULL doc list
+    // in one task before the cap can drop it — OOM at scale.)
     val sh0 = docsSharded(s, d)
       .select(col("doc_id"), explode(shingles3).as("shingle"))
-    // left_semi against the low-df shingle set: keyed on shingle like the
-    // self-join below, so the exchange is reused, and NOT broadcast — the
-    // low-df set is O(distinct shingles), corpus-sized (AQE may still
-    // broadcast the df aggregate when it is actually small).
+      .localCheckpoint(true)
+    // semi-join against the low-df shingle set: keyed on shingle like the
+    // self-join below, and NOT broadcast — the low-df set is O(distinct
+    // shingles), corpus-sized (AQE may still broadcast the df aggregate
+    // when it is actually small).
     val lowDf = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select(col("shingle"))
     val sh = sh0.join(lowDf, Seq("shingle"), "left_semi")
@@ -492,6 +503,61 @@ object DedupOps extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Sliding-window substring dedup — the exact-substring signal of Lee
+    * et al. ("Deduplicating Training Data Makes Language Models Better")
+    * at token-window granularity: EVERY 8-token window (stride 1, unlike
+    * [[chunkDedup]]'s disjoint grid) is content-digested, a window is
+    * "duplicated" iff its digest occurs in more than one document, and a
+    * doc reports its duplicated-window fraction plus the LONGEST RUN of
+    * consecutive duplicated windows — a run of r windows certifies a
+    * duplicated substring of r+7 tokens, so the planted 10-token
+    * boilerplate header is recovered exactly (3 consecutive windows →
+    * 10-token span) on every 9th doc.
+    *
+    * Scale shape: explode (≈ n_tokens windows/doc) → one keyed shuffle on
+    * the digest (distinct-doc flag, partial-aggregated) → digest-keyed
+    * join back → per-doc window pass for the run length. No self-join, no
+    * all-pairs; work is linear in corpus tokens — the same budget the
+    * suffix-array approach pays, with Spark-shuffle instead of
+    * global-sort machinery. Docs under 8 tokens carry no window and are
+    * excluded (mirrored in the oracle). */
+  def substringSpans(s: SparkSession, d: String): DataFrame = {
+    val W = 8
+    val wins = docsSharded(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 9 === 0, concat(lit(boilerplate + " "), col("text")))
+          .otherwise(col("text")).as("t2"))
+      .select(col("doc_id"), split(col("t2"), " ").as("tk"))
+      .filter(size(col("tk")) >= W)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(tk) - $W), " +
+          s"i -> struct(CAST(i AS BIGINT) AS i, md5(array_join(slice(tk, i + 1, $W), ' ')) AS dg))")).as("w"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.dg").as("dg"))
+    val shared = wins.groupBy(col("dg"))
+      .agg((countDistinct(col("doc_id")) > 1).as("shared"))
+    val flagged = wins.join(shared, "dg")
+    // longest consecutive run of duplicated windows: the classic
+    // gaps-and-islands grouping (i - row_number is constant per run)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val runs = flagged.filter(col("shared"))
+      .withColumn("grp", col("i") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).as("max_run"))
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("shared"), 1L).otherwise(0L)).as("n_dup_windows"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 4).as("dup_frac"),
+        coalesce(col("max_run"), lit(0L)).as("max_run_windows"),
+        when(coalesce(col("max_run"), lit(0L)) > 0, coalesce(col("max_run"), lit(0L)) + (W - 1))
+          .otherwise(0L).as("longest_dup_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exactly 10 tokens so the planted header IS chunk 0 of every tagged
     * doc, shifting (not corrupting) the rest of the chunk grid. */
   private val boilerplate =
@@ -575,6 +641,7 @@ object DedupOps extends QueryPack {
     "dedup_embedding_pairs" -> embeddingDup,
     "dedup_components" -> connectedComponents,
     "dedup_chunk_exact" -> chunkDedup,
+    "dedup_substring_spans" -> substringSpans,
   )
 
   /** DuckDB twin of [[simhashPortable]] — the 60 vote sums and the bit
@@ -682,6 +749,33 @@ object DedupOps extends QueryPack {
          |   AS dup_frac
          |FROM ch JOIN sh USING (dg)
          |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+    "dedup_substring_spans" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 9 = 0 THEN '$boilerplate ' || text
+         |       ELSE text END AS t2 FROM documents),
+         |base AS (SELECT doc_id, string_split(t2, ' ') AS tk FROM aug
+         |  WHERE len(string_split(t2, ' ')) >= 8),
+         |idx AS (SELECT doc_id, tk, unnest(range(0, len(tk) - 7)) AS i FROM base),
+         |wn AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |  md5(array_to_string(tk[(i + 1):(i + 8)], ' ')) AS dg FROM idx),
+         |sh AS (SELECT dg, count(DISTINCT doc_id) > 1 AS shared FROM wn GROUP BY dg),
+         |j AS (SELECT wn.doc_id, wn.i, sh.shared FROM wn JOIN sh USING (dg)),
+         |dup AS (SELECT doc_id, i,
+         |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |  FROM j WHERE shared),
+         |runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run
+         |  FROM dup GROUP BY doc_id, grp),
+         |mr AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY doc_id),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+         |  FROM j GROUP BY doc_id)
+         |SELECT agg.doc_id, n_windows, n_dup_windows,
+         | round(CAST(n_dup_windows AS DOUBLE) / n_windows, 4) AS dup_frac,
+         | COALESCE(mr.max_run, 0) AS max_run_windows,
+         | CASE WHEN COALESCE(mr.max_run, 0) > 0 THEN COALESCE(mr.max_run, 0) + 7
+         |      ELSE 0 END AS longest_dup_tokens
+         |FROM agg LEFT JOIN mr ON agg.doc_id = mr.doc_id
+         |ORDER BY agg.doc_id""".stripMargin,
     "dedup_simhash_portable" -> simhashPortableOracleSql,
     "dedup_exact_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct,

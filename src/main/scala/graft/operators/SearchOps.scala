@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance scoring over the `documents` corpus — the retrieval
+  * side of a training-data pipeline (nearest-neighbor text search for
+  * decontamination audits, boosted sampling, corpus exploration).
+  *
+  * The reference has no search surface at all (its closest analog is the
+  * grep mapper, `tests/testdata/exec/grep_map.py:27-28` — a boolean
+  * containment filter); this pack adds the standard ranked-retrieval
+  * operators in their batch, whole-corpus shape.
+  *
+  * 100 TB design: everything here is one token-explode pass over the
+  * corpus with the query-term filter applied BEFORE the first shuffle, so
+  * the shuffled volume is O(postings of the query terms), not O(corpus
+  * tokens). The per-term document frequencies and the corpus length stats
+  * are tiny aggregates joined back by broadcast; the query table itself is
+  * a literal broadcast. No O(corpus) table is ever broadcast, collected,
+  * or self-joined.
+  *
+  * Scores are fixed-point: each per-(query,term,doc) BM25 contribution is
+  * rounded to integer micro-units BEFORE the final sum, so the aggregate
+  * is exact integer arithmetic — order-independent across partitionings
+  * and bit-identical in any engine that evaluates the same double-typed
+  * formula (the DuckDB oracle does, literally).
+  */
+object SearchOps extends QueryPack {
+
+  /** Fixed benchmark query set: (query_id, terms). Terms are drawn from
+    * the synthetic corpus vocabulary so every query has matches. */
+  private val bmQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("hash", "join"),
+    1L -> Seq("vector", "stream", "window"),
+    2L -> Seq("customer", "filter"))
+
+  private val K1 = 1.2
+  private val B  = 0.75
+
+  /** Okapi BM25 top-10 per query, all queries scored in ONE corpus pass.
+    *
+    * Shape: tokenize → filter to the union of query terms → per-(doc,term)
+    * tf with the doc length carried through the key (constant per doc) →
+    * broadcast-join the query table, the df table, and the 1-row corpus
+    * stats → integer-micro contributions summed per (query, doc) → per-query
+    * top-10 window. idf = ln(1 + (N - df + ½)/(df + ½)) (the standard
+    * non-negative Robertson idf).
+    */
+  def searchBm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val allTerms = bmQueries.flatMap(_._2).distinct
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // query-term filter BEFORE the tf shuffle: postings volume only
+    val postings = toks
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // 1-row corpus stats (N, Σdl) — the only full-corpus aggregate
+    val stats = toks
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("tk"))).cast("long").as("sum_dl"))
+    // per-term document frequency — ≤ |terms| rows
+    val dfT = postings.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val queryTable = bmQueries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * lit(K1 + 1)) /
+      (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / avgdl)) * lit(1e6)
+    val scored = postings
+      .join(broadcast(queryTable), "term")
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(contrib, 0).cast("long").as("contrib_micro"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** TF-IDF corpus statistics for the query vocabulary: df, total tf, and
+    * idf (in micro-units) per term — the inverted-index "dictionary" a
+    * ranked-retrieval deployment materializes once and broadcasts. Same
+    * one-pass/filter-first shape as [[searchBm25]]. */
+  def searchTermStats(s: SparkSession, d: String): DataFrame = {
+    val allTerms = bmQueries.flatMap(_._2).distinct
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val postings = toks
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"))
+    postings.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), sum(col("tf")).as("total_tf"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("df"), col("total_tf"),
+        round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1e6), 0)
+          .cast("long").as("idf_micro"))
+      .orderBy(col("term"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_bm25" -> searchBm25,
+    "search_term_stats" -> searchTermStats,
+  )
+
+  private val sqlTermList =
+    bmQueries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+  private val sqlQueryValues =
+    bmQueries.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+
+  override val oracle: Map[String, String] = Map(
+    "search_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(tk)) AS BIGINT) AS sum_dl FROM toks),
+         |exp AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         |  unnest(tk) AS term FROM toks),
+         |post AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM exp WHERE term IN ($sqlTermList) GROUP BY doc_id, dl, term),
+         |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM post GROUP BY term),
+         |q(query_id, term) AS (VALUES $sqlQueryValues),
+         |sc AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, p.doc_id,
+         |  CAST(sum(CAST(round(
+         |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         |      * (p.tf * ${K1 + 1}) /
+         |      (p.tf + $K1 * (${1 - B} + $B * p.dl /
+         |        (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) * 1000000.0
+         |  ) AS BIGINT)) AS BIGINT) AS score_micro
+         |  FROM post p JOIN q ON p.term = q.term
+         |  JOIN dft d ON p.term = d.term CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score_micro,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank FROM sc)
+         |SELECT query_id, doc_id, score_micro, rank FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "search_term_stats" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM toks),
+         |exp AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+         |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM exp WHERE term IN ($sqlTermList) GROUP BY doc_id, term)
+         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         | CAST(sum(tf) AS BIGINT) AS total_tf,
+         | CAST(round(ln(1.0 + (s.n_docs - count(DISTINCT doc_id) + 0.5)
+         |   / (count(DISTINCT doc_id) + 0.5)) * 1000000.0) AS BIGINT) AS idf_micro
+         |FROM post CROSS JOIN stats s GROUP BY term, s.n_docs
+         |ORDER BY term""".stripMargin,
+  )
+}

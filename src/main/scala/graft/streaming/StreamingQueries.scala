@@ -57,6 +57,14 @@ object StreamingQueries extends QueryPack {
     runAvailableNow(s, StreamingOps.tumblingAgg(eventsStream(s, d)))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Streaming sliding windows: 1-hour windows every 15 minutes, so each
+    * event lands in exactly 4 windows. Spark aligns window starts to the
+    * epoch, as does the oracle's `time_bucket` — each event's 4 windows
+    * are its 15-minute bucket minus k·15min for k = 0..3. */
+  def streamSliding(s: SparkSession, d: String): DataFrame =
+    runAvailableNow(s, StreamingOps.slidingAgg(eventsStream(s, d)))
+      .orderBy(col("w_start"), col("event_type"))
+
   /** Streaming session windows (30-min gap). Session-window semantics:
     * an event EXTENDS a session iff its ts falls strictly inside the
     * previous window [start, last + gap) — a gap of exactly 30 minutes
@@ -68,6 +76,7 @@ object StreamingQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
   )
 
@@ -76,6 +85,13 @@ object StreamingQueries extends QueryPack {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         | count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "stream_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type FROM events),
+        |w AS (SELECT time_bucket(INTERVAL 15 MINUTE, t)
+        |        - k * (INTERVAL 15 MINUTE) AS w_start, event_type
+        |      FROM e, unnest([0, 1, 2, 3]) AS u(k))
+        |SELECT w_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "stream_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
         |g AS (SELECT user_id, t,

@@ -19,6 +19,13 @@ class StreamingQueriesSpec extends GraftSpec {
     assert(streamed === batch)
   }
 
+  test("stream_sliding lands every event in exactly 4 windows") {
+    val got = StreamingQueries.streamSliding(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val totalN = got.map(_.getLong(2)).sum
+    assert(totalN === 4L * Tables.events(spark, sfDir).count())
+  }
+
   test("stream_session partitions every event into exactly one session") {
     val got = StreamingQueries.streamSession(spark, sfDir).collect()
     assert(got.nonEmpty)
