@@ -115,6 +115,17 @@ object PlanCheck {
     // un-aggregated window table, no cartesian
     Check("dedup_substring_spans", mustContain = Seq("HashAggregate"),
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // dense spine via distributed sequence-explode + one window pass —
+    // no driver-side calendar loop, no cartesian
+    Check("q39_gap_fill", mustContain = Seq("Window", "Generate"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // full outer cannot broadcast a build side — a keyed shuffle join is
+    // the CORRECT plan here, not a regression
+    Check("q40_full_outer", mustContain = Seq("FullOuter"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // one explode + one partial-agged groupBy; scoring is pure projection
+    Check("text_quality_model", mustContain = Seq("HashAggregate"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Join")),
   )
 
   def main(args: Array[String]): Unit = {

@@ -404,6 +404,32 @@ object DedupOps extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical-survivor selection — the dedup DECISION step a pipeline
+    * runs after clustering: within every multi-member duplicate cluster
+    * keep exactly one representative, here the highest-quality member
+    * (quality = `n_chars`, the stand-in for a real quality score; the
+    * planted +1e12 twin ids have no documents row and rank `-1`, so a
+    * real doc always wins). Deterministic tiebreak by lowest doc_id via
+    * the window ordering. One keyed window pass + one count aggregate
+    * over the labeling — the cluster step dominates, as it should. */
+  def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
+    val labeled = connectedComponents(s, d)
+    val q = labeled
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"), "left")
+      .withColumn("qual", coalesce(col("n_chars").cast("long"), lit(-1L)))
+    val sizes = q.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(col("qual").desc, col("doc_id"))
+    q.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(sizes, "component")
+      .filter(col("n_members") > 1)
+      .select(col("component"), col("n_members"),
+        col("doc_id").as("survivor_id"), col("qual").as("survivor_qual"))
+      .orderBy(col("component"))
+  }
+
   /** The reusable core behind [[connectedComponents]]:
     * `nodes(doc_id)` × undirected `edges(a, b)` → `(doc_id, component)`
     * where component = min node id reachable. Property-tested against a
@@ -640,6 +666,7 @@ object DedupOps extends QueryPack {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_embedding_pairs" -> embeddingDup,
     "dedup_components" -> connectedComponents,
+    "dedup_survivors" -> dedupSurvivors,
     "dedup_chunk_exact" -> chunkDedup,
     "dedup_substring_spans" -> substringSpans,
   )
@@ -723,6 +750,40 @@ object DedupOps extends QueryPack {
        |SELECT batch_id, corpus_id, est_jaccard FROM est
        |WHERE est_jaccard >= 0.5 ORDER BY batch_id, corpus_id""".stripMargin
   }
+
+  /** The recursive-CTE component labeling shared by the
+    * `dedup_components` and `dedup_survivors` oracles: same capped
+    * shingle universe, Jaccard edges, and planted +1e12 twins as the
+    * Spark plans, ending at the transitive-reachability CTE `reach`. */
+  private val componentsOracleCore =
+    """WITH RECURSIVE tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s0 AS (SELECT DISTINCT doc_id,
+      |        unnest(list_transform(range(1, len(toks) - 1),
+      |          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])) AS shingle
+      |      FROM tk WHERE len(toks) >= 3),
+      |lowdf AS (SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) <= 500),
+      |s AS (SELECT s0.* FROM s0 SEMI JOIN lowdf USING (shingle)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |jac AS (SELECT doc_a, doc_b
+      |  FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2),
+      |planted AS (SELECT doc_id AS a, doc_id + 1000000000000 AS b
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM jac
+      |  UNION SELECT a, b FROM planted
+      |  UNION SELECT doc_b, doc_a FROM jac
+      |  UNION SELECT b, a FROM planted),
+      |nodes AS (
+      |  SELECT doc_id FROM documents
+      |  UNION SELECT doc_id + 1000000000000 FROM documents WHERE doc_id % 97 = 0),
+      |reach AS (
+      |  SELECT doc_id AS src, doc_id AS dst FROM nodes
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)""".stripMargin
 
   override val oracle: Map[String, String] = Map(
     "ingest_dedup_exact" ->
@@ -843,37 +904,25 @@ object DedupOps extends QueryPack {
         |  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, est_jaccard FROM est
         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_components" ->
-      """WITH RECURSIVE tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |s0 AS (SELECT DISTINCT doc_id,
-        |        unnest(list_transform(range(1, len(toks) - 1),
-        |          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])) AS shingle
-        |      FROM tk WHERE len(toks) >= 3),
-        |lowdf AS (SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) <= 500),
-        |s AS (SELECT s0.* FROM s0 SEMI JOIN lowdf USING (shingle)),
-        |sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2),
-        |jac AS (SELECT doc_a, doc_b
-        |  FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
-        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2),
-        |planted AS (SELECT doc_id AS a, doc_id + 1000000000000 AS b
-        |  FROM documents WHERE doc_id % 97 = 0),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM jac
-        |  UNION SELECT a, b FROM planted
-        |  UNION SELECT doc_b, doc_a FROM jac
-        |  UNION SELECT b, a FROM planted),
-        |nodes AS (
-        |  SELECT doc_id FROM documents
-        |  UNION SELECT doc_id + 1000000000000 FROM documents WHERE doc_id % 97 = 0),
-        |reach AS (
-        |  SELECT doc_id AS src, doc_id AS dst FROM nodes
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+    "dedup_components" -> (componentsOracleCore +
+      """
         |SELECT src AS doc_id, min(dst) AS component FROM reach
-        |GROUP BY src ORDER BY doc_id""".stripMargin,
+        |GROUP BY src ORDER BY doc_id""".stripMargin),
+    "dedup_survivors" -> (componentsOracleCore +
+      """,
+        |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+        |q AS (SELECT c.doc_id, c.component,
+        |  CAST(COALESCE(d.n_chars, -1) AS BIGINT) AS qual
+        |  FROM comp c LEFT JOIN documents d ON c.doc_id = d.doc_id),
+        |sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM q GROUP BY component),
+        |rk AS (SELECT doc_id, component, qual,
+        |  row_number() OVER (PARTITION BY component ORDER BY qual DESC, doc_id) AS rn
+        |  FROM q)
+        |SELECT r.component, s.n_members, r.doc_id AS survivor_id,
+        | r.qual AS survivor_qual
+        |FROM rk r JOIN sizes s USING (component)
+        |WHERE rn = 1 AND n_members > 1 ORDER BY component""".stripMargin),
     "dedup_ngram_jaccard" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s0 AS (SELECT DISTINCT doc_id,

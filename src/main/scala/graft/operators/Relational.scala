@@ -402,8 +402,58 @@ object Relational extends QueryPack {
         |ORDER BY pri""".stripMargin)
   }
 
+  /** Time-series resample + forward fill (gap fill): each user's event
+    * stream is bucketed to hours, a per-user dense hourly spine is
+    * generated with `sequence()` (distributed — one array per user row,
+    * exploded; no driver-side calendar loop), observed buckets left-join
+    * onto it, and empty buckets carry the last observed hourly average
+    * forward via `last(..., ignoreNulls)` over a running frame. The
+    * standard resample/`LOCF` shape (pandas `resample().ffill()`,
+    * InfluxDB `fill(previous)`) that warehouse pipelines need for
+    * equal-spaced model features. One keyed shuffle + one window pass. */
+  def q39GapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") < 10)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"), col("value"))
+    val buckets = ev.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n_obs"), round(avg(col("value")), 4).as("avg_value"))
+    val spine = buckets.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(buckets, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("avg_value"), ignoreNulls = true).over(w).as("filled_avg"),
+        col("n_obs").isNull.as("is_gap"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  /** FULL OUTER join — the one join family the rest of the suite doesn't
+    * exercise: per-segment customer counts against a fixed quota table
+    * where one quota segment has no customers and two real segments have
+    * no quota, so BOTH null-padded sides materialize. Full outer cannot
+    * build a broadcast side (every unmatched build row must be emitted,
+    * which a replicated build cannot dedup), so Spark correctly plans a
+    * shuffle join on the key; `Seq`-key join coalesces like SQL USING. */
+  def q40FullOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val actual = customer(s, d).groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+    val quota = Seq(("AUTOMOBILE", 120L), ("BUILDING", 150L), ("ORBITAL", 50L))
+      .toDF("c_mktsegment", "quota")
+    actual.join(quota, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"), col("n_cust"), col("quota"),
+        when(col("n_cust").isNull, "quota_only")
+          .when(col("quota").isNull, "actual_only")
+          .otherwise("both").as("status"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_scalar_subquery" -> q38ScalarSubquery,
+    "q39_gap_fill" -> q39GapFill,
+    "q40_full_outer" -> q40FullOuter,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -439,6 +489,33 @@ object Relational extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q40_full_outer" ->
+      """WITH actual AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust
+        |  FROM customer GROUP BY 1),
+        |quota(c_mktsegment, quota) AS (VALUES
+        |  ('AUTOMOBILE', CAST(120 AS BIGINT)), ('BUILDING', CAST(150 AS BIGINT)),
+        |  ('ORBITAL', CAST(50 AS BIGINT)))
+        |SELECT COALESCE(a.c_mktsegment, q.c_mktsegment) AS c_mktsegment,
+        | a.n_cust, q.quota,
+        | CASE WHEN a.n_cust IS NULL THEN 'quota_only'
+        |      WHEN q.quota IS NULL THEN 'actual_only'
+        |      ELSE 'both' END AS status
+        |FROM actual a FULL JOIN quota q ON a.c_mktsegment = q.c_mktsegment
+        |ORDER BY 1""".stripMargin,
+    "q39_gap_fill" ->
+      """WITH ev AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |  value FROM events WHERE user_id < 10),
+        |b AS (SELECT user_id, hour, CAST(count(*) AS BIGINT) AS n_obs,
+        |  round(avg(value), 4) AS avg_value FROM ev GROUP BY 1, 2),
+        |r AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM b GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM r)
+        |SELECT s.user_id, s.hour, COALESCE(b.n_obs, 0) AS n_obs,
+        | last_value(b.avg_value IGNORE NULLS) OVER (PARTITION BY s.user_id
+        |   ORDER BY s.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg,
+        | b.n_obs IS NULL AS is_gap
+        |FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.hour = b.hour
+        |ORDER BY s.user_id, s.hour""".stripMargin,
     "q38_scalar_subquery" ->
       """SELECT o.o_orderpriority AS pri, count(*) AS n_above,
         |       round(avg(o.o_totalprice), 2) AS avg_above

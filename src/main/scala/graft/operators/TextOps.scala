@@ -191,7 +191,33 @@ object TextOps extends QueryPack {
       .orderBy(col("source"))
   }
 
+  /** Model-based quality scoring — the fastText/CCNet-style linear
+    * classifier over hashed token features, the filtering step quality
+    * pipelines run after the rule-based gates: each token hashes into one
+    * of 64 weight buckets (codegen [[graft.functions.PolyHash]], the
+    * portable base-31 fold), the bucket's INTEGER weight in [-50, 50]
+    * accumulates exactly (order-independent across any partitioning), and
+    * the doc's score is the mean weight — `z_micro` fixed-point, `keep`
+    * iff the raw integer sum is positive. The deterministic weight
+    * formula stands in for a broadcast trained-weight array; swapping it
+    * in changes no plan shape. One explode + one partial-agged groupBy:
+    * the same scale budget as token counting. */
+  def textQualityModel(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExpressions.register(s)
+    val wt = (graft.functions.HashExpressions.poly_hash(col("tok")) % 64) * 37 % 101 - 50
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"), wt.cast("long").as("wt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("z_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("z_sum"),
+        round(col("z_sum") * lit(10000.0) / col("n_tokens"), 0).cast("long").as("z_micro"),
+        (col("z_sum") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_model" -> textQualityModel,
     "text_sample_stratified" -> textSampleStratified,
     "text_token_budget" -> textTokenBudget,
     "text_tokens" -> textTokens,
@@ -208,6 +234,19 @@ object TextOps extends QueryPack {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${stops.map(w => s"'$w'").mkString(", ")})))"
 
   override val oracle: Map[String, String] = Map(
+    "text_quality_model" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS ph FROM tok),
+        |w AS (SELECT doc_id, (ph % 64) * 37 % 101 - 50 AS wt FROM h),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(wt) AS BIGINT) AS z_sum FROM w GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, z_sum,
+        | CAST(round(z_sum * 10000.0 / n_tokens) AS BIGINT) AS z_micro,
+        | z_sum > 0 AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "text_sample_stratified" ->
       """WITH g AS (SELECT doc_id, lang,
         |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS h,
