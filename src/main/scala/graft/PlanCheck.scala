@@ -126,6 +126,9 @@ object PlanCheck {
     // one explode + one partial-agged groupBy; scoring is pure projection
     Check("text_quality_model", mustContain = Seq("HashAggregate"),
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Join")),
+    // one keyed window pass, filter pushed to the scan, no join at all
+    Check("q41_rank_family", mustContain = Seq("Window", "PushedFilters: ["),
+      mustNot = Seq("Join", "HashAggregate")),
   )
 
   def main(args: Array[String]): Unit = {

@@ -450,10 +450,27 @@ object Relational extends QueryPack {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** The distribution-rank window family the suite didn't yet exercise:
+    * ntile (equi-depth bucketing), percent_rank, cume_dist — one keyed
+    * window pass with a total order (value, event_id) so ties are
+    * deterministic. percent_rank/cume_dist are exact rationals of row
+    * counts; rounded at 6dp identically in the oracle. */
+  def q41RankFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(s, d).filter(col("user_id") < 5)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("ntile4", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_scalar_subquery" -> q38ScalarSubquery,
     "q39_gap_fill" -> q39GapFill,
     "q40_full_outer" -> q40FullOuter,
+    "q41_rank_family" -> q41RankFamily,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -489,6 +506,14 @@ object Relational extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q41_rank_family" ->
+      """SELECT event_id, event_type, value,
+        | CAST(ntile(4) OVER w AS BIGINT) AS ntile4,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM events WHERE user_id < 5
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
     "q40_full_outer" ->
       """WITH actual AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust
         |  FROM customer GROUP BY 1),

@@ -80,6 +80,36 @@ object StreamingOps {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** Idempotent (exactly-once) parquet sink via `foreachBatch` + dynamic
+    * partition overwrite: every micro-batch writes into its own
+    * `batch_id=N` partition with overwrite semantics, so a batch REPLAYED
+    * after a failure (Structured Streaming's at-least-once contract for
+    * foreachBatch) overwrites its own partition instead of appending
+    * duplicates — the standard plain-parquet exactly-once recipe when a
+    * transactional table format isn't available. The checkpoint dir makes
+    * batch ids stable across restarts, which is what the idempotency
+    * keys on. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    val s = batch.sparkSession
+    val saved = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+  }
+
+  /** Start a streaming query that lands `df` into `outDir` through
+    * [[writeBatchIdempotent]]. */
+  def idempotentParquetSink(df: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatchIdempotent(batch.toDF(), id, outDir))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int)
