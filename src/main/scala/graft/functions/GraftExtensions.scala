@@ -43,5 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[ProbeCentroids], "graft_probe_centroids",
         "graft_probe_centroids(emb, flat_cents, k) - top-k centroid ids"),
       (exprs: Seq[Expression]) => ProbeCentroids(exprs(0), exprs(1), exprs(2))))
+    // the custom whole-operator surface: a conf-loaded session plans
+    // AsofJoinPlan nodes without any library-side register() call
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

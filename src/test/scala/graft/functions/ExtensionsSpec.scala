@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.GraftSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The pure-configuration deployment path: a session built with
+  * `withExtensions(new GraftExtensions)` (what
+  * `spark.sql.extensions=graft.functions.GraftExtensions` does at
+  * startup) must expose every custom expression to SQL and plan the
+  * as-of operator — with NO library-side `register()` call anywhere.
+  * Forked sbt tests run suites sequentially, so temporarily clearing the
+  * default session to force a genuinely new one is safe here.
+  */
+class ExtensionsSpec extends GraftSpec {
+
+  test("conf-loaded extensions expose SQL functions and the asof strategy") {
+    val base = spark // materialize the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s2 ne base, "builder must have created a fresh session")
+      // SQL-only user: functions resolve through the injected registry
+      val h = s2.sql("SELECT graft_poly_hash('abc') AS h").head().getLong(0)
+      assert(h === PolyHash.hash(UTF8String.fromString("abc")))
+      val c = s2.sql(
+        """SELECT graft_cosine(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+          |                    array(CAST(4.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS c""".stripMargin)
+        .head().getDouble(0)
+      assert(math.abs(c - 0.96) < 1e-9)
+      // whole-operator surface: the injected planner strategy (NOT
+      // experimental.extraStrategies) must plan the asof node
+      assert(s2.experimental.extraStrategies.isEmpty)
+      import s2.implicits._
+      val quotes = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "t", "tag")
+      val trades = Seq((1L, 15L), (1L, 25L)).toDF("k", "t")
+      val planned = graft.plans.AsofJoin.asof(trades, quotes, "k", "k", "t", "t")
+      // asof() defensively calls register(); prove the CONF path alone
+      // suffices by planning with extraStrategies stripped again
+      s2.experimental.extraStrategies = Nil
+      val got = planned.select($"k", $"t", $"tag").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._2)
+      assert(got.toSeq === Seq((1L, 15L, "a"), (1L, 25L, "b")))
+      assert(planned.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    } finally {
+      s2.experimental.extraStrategies = Nil
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
