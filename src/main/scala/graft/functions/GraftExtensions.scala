@@ -43,6 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[ProbeCentroids], "graft_probe_centroids",
         "graft_probe_centroids(emb, flat_cents, k) - top-k centroid ids"),
       (exprs: Seq[Expression]) => ProbeCentroids(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("graft_ngram_rows"),
+      info(classOf[NgramRows], "graft_ngram_rows",
+        "graft_ngram_rows(text, n) - one row per distinct word n-gram, with the distinct count"),
+      (exprs: Seq[Expression]) => NgramRows(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
     // the custom whole-operator surface: a conf-loaded session plans
     // AsofJoinPlan nodes without any library-side register() call
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

@@ -41,6 +41,15 @@ object CurationOps extends QueryPack {
     expr(s"CASE WHEN size($tk) >= $n THEN array_distinct($chain) ELSE array() END")
   }
 
+  /** Compiled 5-gram generator rows `(sh, n_sh)` — same distinct set as
+    * `ngrams(c, 5)` via [[graft.functions.NgramRows]], with the per-doc
+    * distinct count riding along (registration is idempotent). */
+  private def ngramRows5(c: Column): Column = {
+    graft.functions.GeneratorExpressions.register(
+      org.apache.spark.sql.SparkSession.active)
+    graft.functions.GeneratorExpressions.ngram_rows(c, 5)
+  }
+
   /** DuckDB twin of [[ngrams]] over a token-list column `tk`. */
   private def sqlNgrams(n: Int): String =
     s"CASE WHEN len(tk) >= $n THEN list_distinct(list_transform(" +
@@ -60,7 +69,8 @@ object CurationOps extends QueryPack {
   private def benchShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(col("doc_id") % 131 === 0)
-      .select(explode(ngrams("text", 5)).as("sh"))
+      .select(ngramRows5(col("text")).as(Seq("sh", "n_sh")))
+      .select(col("sh"))
       .unionByName(s.range(1).select(lit(canary).as("sh")))
       .distinct()
 
@@ -78,9 +88,10 @@ object CurationOps extends QueryPack {
         concat(col("text"),
           when(col("doc_id") % 23 === 0, lit(" " + canary)).otherwise(lit("")))
           .as("aug"))
-      .select(col("doc_id"), ngrams("aug", 5).as("shs"))
-      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"),
-        explode(col("shs")).as("sh"))
+      // one compiled generator pass emits (shingle, distinct-count)
+      // together — no 5-gram array materialization, no size() recompute
+      .select(col("doc_id"), ngramRows5(col("aug")).as(Seq("sh", "n_sh")))
+      .select(col("doc_id"), col("n_sh").as("n_shingles"), col("sh"))
 
   /** Exact decontamination: inner equi-join corpus 5-grams against the
     * broadcast benchmark set, then count hits per doc. Only MATCHING

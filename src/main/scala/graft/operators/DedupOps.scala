@@ -53,9 +53,20 @@ object DedupOps extends QueryPack {
     * expression version generated pathological Janino codegen.) */
   private val K = 32
 
+  /** (doc_id, shingle) rows — the row set `explode(shingles3)` produces,
+    * emitted by the compiled [[graft.functions.NgramRows]] generator
+    * instead of the interpreted zip_with chain (same distinct 3-gram set
+    * per doc, one JVM loop per row instead of per-element lambda frames). */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    graft.functions.GeneratorExpressions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        graft.functions.GeneratorExpressions.ngram_rows(col("text"), 3)
+          .as(Seq("shingle", "n_sh")))
+      .select(col("doc_id"), col("shingle"))
+  }
+
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val sh = docsSharded(s, d)
-      .select(col("doc_id"), explode(shingles3).as("shingle"))
+    val sh = shingleRows(docsSharded(s, d))
     val mins = (1 to K).map(i => min(expr(s"xxhash64(shingle, $i)")).as(s"h$i"))
     sh.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
@@ -190,8 +201,7 @@ object DedupOps extends QueryPack {
   /** Portable K-min signatures for a (doc_id, text) frame — the shared
     * core of [[minhashPortable]] and [[ingestDedupMinhash]]. */
   private def portableSigs(docs: DataFrame): DataFrame = {
-    val h = docs
-      .select(col("doc_id"), explode(shingles3).as("shingle"))
+    val h = shingleRows(docs)
       .select(col("doc_id"), polyHash(col("shingle")).as("h0"))
     val mins = (0 until KP).map(k =>
       min((col("h0") * (37 + 2 * k) + (1000 + k)) % P).as(s"p$k"))
@@ -308,8 +318,7 @@ object DedupOps extends QueryPack {
     // pipeline caches. (A collect_list-per-shingle inverted list would
     // avoid the self-join but materializes a hot shingle's FULL doc list
     // in one task before the cap can drop it — OOM at scale.)
-    val sh0 = docsSharded(s, d)
-      .select(col("doc_id"), explode(shingles3).as("shingle"))
+    val sh0 = shingleRows(docsSharded(s, d))
       .localCheckpoint(true)
     // semi-join against the low-df shingle set: keyed on shingle like the
     // self-join below, and NOT broadcast — the low-df set is O(distinct
