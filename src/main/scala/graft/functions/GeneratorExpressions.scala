@@ -75,17 +75,77 @@ case class NgramRows(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Native UDTF: one row per OVERLAPPING word-`n`-window (stride 1, all
+  * positions, duplicates kept) — `(i, sh)` for i = 0..tokens-n — the row
+  * set `explode(transform(sequence(0, size - n), i -> struct(i, <join of
+  * slice>)))` produces, without the interpreted per-element lambda.
+  * Feeds position-aware consumers (sliding-substring dedup) where
+  * [[NgramRows]]'s distinct-set semantics would lose the run structure. */
+case class NgramWindowRows(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(n >= 1, s"window size must be >= 1, got $n")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("i", LongType, nullable = false),
+    StructField("sh", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_ngram_windows needs a string input, got ${child.dataType.catalogString}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < n) return Iterator.empty
+    val sb = new java.lang.StringBuilder
+    val last = toks.length - n
+    new Iterator[InternalRow] {
+      private var i = 0
+      override def hasNext: Boolean = i <= last
+      override def next(): InternalRow = {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val row = InternalRow(i.toLong, UTF8String.fromString(sb.toString))
+        i += 1
+        row
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GeneratorExpressions {
-  /** Idempotently registers the generator in the session's registry. */
-  def register(s: SparkSession): Unit =
+  /** Idempotently registers the generators in the session's registry. */
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngram_rows",
       exprs => NgramRows(exprs(0),
         exprs(1).eval(null).asInstanceOf[Number].intValue()),
       "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngram_windows",
+      exprs => NgramWindowRows(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
+  }
 
   /** Column API (register first): use with a multi-alias, e.g.
     * `df.select(col("doc_id"), ngram_rows(col("text"), 3).as(Seq("sh", "n_sh")))`. */
   def ngram_rows(c: Column, n: Int): Column =
     call_function("graft_ngram_rows", c, org.apache.spark.sql.functions.lit(n))
+
+  /** Column API for the positional window generator (register first). */
+  def ngram_windows(c: Column, n: Int): Column =
+    call_function("graft_ngram_windows", c, org.apache.spark.sql.functions.lit(n))
 }

@@ -558,16 +558,18 @@ object DedupOps extends QueryPack {
     * excluded (mirrored in the oracle). */
   def substringSpans(s: SparkSession, d: String): DataFrame = {
     val W = 8
+    graft.functions.GeneratorExpressions.register(s)
     val wins = docsSharded(s, d)
       .select(col("doc_id"),
         when(col("doc_id") % 9 === 0, concat(lit(boilerplate + " "), col("text")))
           .otherwise(col("text")).as("t2"))
-      .select(col("doc_id"), split(col("t2"), " ").as("tk"))
-      .filter(size(col("tk")) >= W)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(tk) - $W), " +
-          s"i -> struct(CAST(i AS BIGINT) AS i, md5(array_join(slice(tk, i + 1, $W), ' ')) AS dg))")).as("w"))
-      .select(col("doc_id"), col("w.i").as("i"), col("w.dg").as("dg"))
+      // compiled positional window generator (one row per overlapping
+      // window, position kept) + codegen md5 — replaces the interpreted
+      // transform(sequence(...)) struct assembly
+      .select(col("doc_id"),
+        graft.functions.GeneratorExpressions.ngram_windows(col("t2"), W)
+          .as(Seq("i", "w")))
+      .select(col("doc_id"), col("i"), md5(col("w")).as("dg"))
     val shared = wins.groupBy(col("dg"))
       .agg((countDistinct(col("doc_id")) > 1).as("shared"))
     val flagged = wins.join(shared, "dg")

@@ -39,6 +39,24 @@ class GeneratorSpec extends GraftSpec {
     }
   }
 
+  test("window generator equals the transform(sequence) chain on the corpus") {
+    GeneratorExpressions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val viaChain = docs
+      .select(col("doc_id"), expr("split(text, ' ')").as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 8), " +
+          "i -> struct(CAST(i AS BIGINT) AS i, array_join(slice(tk, i + 1, 8), ' ') AS w))")).as("s"))
+      .select(col("doc_id"), col("s.i"), col("s.w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val viaGen = docs
+      .select(col("doc_id"),
+        GeneratorExpressions.ngram_windows(col("text"), 8).as(Seq("i", "w")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(viaGen === viaChain)
+  }
+
   test("generator edge cases: short docs, trailing spaces, nulls, SQL surface") {
     GeneratorExpressions.register(spark)
     import spark.implicits._
