@@ -129,6 +129,9 @@ object PlanCheck {
     // one keyed window pass, filter pushed to the scan, no join at all
     Check("q41_rank_family", mustContain = Seq("Window", "PushedFilters: ["),
       mustNot = Seq("Join", "HashAggregate")),
+    // map assembly is a two-level aggregation — no join, no cartesian
+    Check("q42_map_funcs", mustContain = Seq("ObjectHashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct")),
   )
 
   def main(args: Array[String]): Unit = {

@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_probe_centroids(emb, flat_cents, k) - top-k centroid ids"),
       (exprs: Seq[Expression]) => ProbeCentroids(exprs(0), exprs(1), exprs(2))))
     e.injectFunction((
+      FunctionIdentifier("graft_ngram_distinct_count"),
+      info(classOf[NgramDistinctCount], "graft_ngram_distinct_count",
+        "graft_ngram_distinct_count(text, n) - number of distinct word n-grams"),
+      (exprs: Seq[Expression]) => NgramDistinctCount(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    e.injectFunction((
       FunctionIdentifier("graft_ngram_rows"),
       info(classOf[NgramRows], "graft_ngram_rows",
         "graft_ngram_rows(text, n) - one row per distinct word n-gram, with the distinct count"),

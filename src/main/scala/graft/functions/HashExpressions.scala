@@ -56,13 +56,71 @@ object PolyHash {
   }
 }
 
+/** Codegen scalar: number of DISTINCT word-`n`-grams of a string — the
+  * value `size(array_distinct(<zip_with shingle chain>))` computes,
+  * without materializing the array or leaving whole-stage codegen (the
+  * generated code calls the static [[NgramOps.distinctCount]] helper,
+  * the same pattern as [[PolyHash]]). Tokenization matches
+  * `split(s, ' ')` (limit -1). */
+case class NgramDistinctCount(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ngram_distinct_count"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    NgramOps.distinctCount(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramOps.distinctCount($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramOps {
+  /** Called from both interpreted eval and generated code. */
+  def distinctCount(s: UTF8String, n: Int): Long = {
+    val toks = s.toString.split(" ", -1)
+    if (toks.length < n) return 0L
+    val set = new java.util.HashSet[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    set.size.toLong
+  }
+}
+
 object HashExpressions {
   /** Idempotently registers the hash expressions in the session's
     * function registry (also makes them available to `spark.sql`). */
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_poly_hash", exprs => PolyHash(exprs.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngram_distinct_count",
+      exprs => NgramDistinctCount(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
+  }
 
   /** Column API for the codegen'd polynomial hash (register first). */
   def poly_hash(c: Column): Column = call_function("graft_poly_hash", c)
+
+  /** Column API for the codegen'd distinct n-gram count (register first). */
+  def ngram_distinct_count(c: Column, n: Int): Column =
+    call_function("graft_ngram_distinct_count", c,
+      org.apache.spark.sql.functions.lit(n))
 }

@@ -27,22 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps extends QueryPack {
 
-  /** Distinct word-n-grams of column `colName` (empty when < n tokens).
-    * zip_with over n parallel slices: `split` is evaluated a constant
-    * number of times per row — the index-based `transform(sequence(...))`
-    * form re-splits per element (O(tokens²) interpreted) and is the
-    * known bench trap (see DedupOps.shingles3). */
-  private def ngrams(colName: String, n: Int): Column = {
-    val tk = s"split($colName, ' ')"
-    val m = s"size($tk) - ${n - 1}"
-    val chain = (2 to n).foldLeft(s"slice($tk, 1, $m)") { (acc, i) =>
-      s"zip_with($acc, slice($tk, $i, $m), (a, b) -> concat(a, ' ', b))"
-    }
-    expr(s"CASE WHEN size($tk) >= $n THEN array_distinct($chain) ELSE array() END")
-  }
-
-  /** Compiled 5-gram generator rows `(sh, n_sh)` — same distinct set as
-    * `ngrams(c, 5)` via [[graft.functions.NgramRows]], with the per-doc
+  /** Compiled 5-gram generator rows `(sh, n_sh)` — the distinct word
+    * 5-gram set via [[graft.functions.NgramRows]], with the per-doc
     * distinct count riding along (registration is idempotent). */
   private def ngramRows5(c: Column): Column = {
     graft.functions.GeneratorExpressions.register(
@@ -194,11 +180,13 @@ object CurationOps extends QueryPack {
     * per-row O(tokens²) lambda. The two branches re-join on doc_id
     * (both sides already keyed, one shuffle each). */
   def textRepetition(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.sharded(Tables.documents(s, d), "doc_id") // interpreted n-gram zips: see corpusShingles
+    graft.functions.HashExpressions.register(s)
+    import graft.functions.HashExpressions.ngram_distinct_count
+    val base = Tables.documents(s, d) // codegen n-gram counts: no reshard needed
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        size(ngrams("text", 2)).cast("long").as("d2"),
-        size(ngrams("text", 3)).cast("long").as("d3"))
+        ngram_distinct_count(col("text"), 2).as("d2"),
+        ngram_distinct_count(col("text"), 3).as("d3"))
     val top = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))

@@ -466,11 +466,35 @@ object Relational extends QueryPack {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** MapType + higher-order map functions — the complex-type surface:
+    * per-user event-type counts assembled into a MAP (map_from_entries
+    * over collected structs), then consumed with map_keys / map_filter /
+    * map_values / element access / aggregate. Output is rendered to
+    * SORTED strings so the map's nondeterministic iteration order never
+    * reaches the result; the oracle computes the same strings
+    * relationally (DuckDB string_agg ORDER BY). */
+  def q42MapFuncs(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.events(s, d).filter(col("user_id") < 20)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+    g.groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m"))
+      .select(col("user_id"),
+        size(map_keys(col("m"))).cast("long").as("n_types"),
+        expr("array_join(transform(array_sort(map_keys(m)), " +
+          "k -> concat(k, '=', CAST(m[k] AS STRING))), ',')").as("type_counts"),
+        expr("array_join(array_sort(map_keys(map_filter(m, (k, v) -> v >= 25))), ',')")
+          .as("heavy_types"),
+        expr("aggregate(map_values(m), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_scalar_subquery" -> q38ScalarSubquery,
     "q39_gap_fill" -> q39GapFill,
     "q40_full_outer" -> q40FullOuter,
     "q41_rank_family" -> q41RankFamily,
+    "q42_map_funcs" -> q42MapFuncs,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -506,6 +530,16 @@ object Relational extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q42_map_funcs" ->
+      """WITH g AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+        | string_agg(event_type || '=' || CAST(n AS VARCHAR), ','
+        |   ORDER BY event_type) AS type_counts,
+        | COALESCE(string_agg(CASE WHEN n >= 25 THEN event_type END, ','
+        |   ORDER BY event_type), '') AS heavy_types,
+        | CAST(sum(n) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q41_rank_family" ->
       """SELECT event_id, event_type, value,
         | CAST(ntile(4) OVER w AS BIGINT) AS ntile4,

@@ -57,6 +57,18 @@ class GeneratorSpec extends GraftSpec {
     assert(viaGen === viaChain)
   }
 
+  test("ngram_distinct_count equals size(array_distinct(chain)) on the corpus") {
+    graft.functions.HashExpressions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    Seq(2, 3).foreach { n =>
+      val rows = docs.select(
+          size(chainNgrams(n)).cast("long").as("viaChain"),
+          graft.functions.HashExpressions.ngram_distinct_count(col("text"), n).as("viaExpr"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) === r.getLong(1), s"n=$n"))
+    }
+  }
+
   test("generator edge cases: short docs, trailing spaces, nulls, SQL surface") {
     GeneratorExpressions.register(spark)
     import spark.implicits._
