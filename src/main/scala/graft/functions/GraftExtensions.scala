@@ -55,6 +55,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_ngram_rows(text, n) - one row per distinct word n-gram, with the distinct count"),
       (exprs: Seq[Expression]) => NgramRows(exprs(0),
         exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      info(classOf[SimHash64], "graft_simhash64",
+        "graft_simhash64(text) - fused 64-bit SimHash over distinct tokens"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      info(classOf[MinHashSignature], "graft_minhash_sig",
+        "graft_minhash_sig(text, k) - fused K-column MinHash signature over 3-gram shingles"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
     // the custom whole-operator surface: a conf-loaded session plans
     // AsofJoinPlan nodes without any library-side register() call
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

@@ -1,0 +1,261 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused per-document sketch expressions.
+  *
+  * The round-2/3 sketch pipelines computed signatures relationally:
+  * explode the doc's token/shingle set, then 64 vote `sum()`s (SimHash)
+  * or K `min()`s (MinHash) per doc — correct, partial-aggregated, but it
+  * ships every (doc, element-hash) row into a groupBy shuffle just to
+  * fold it back to one row per doc. A signature is a PER-ROW function of
+  * the document: these expressions compute it in one compiled loop, so
+  * the sketch stage becomes a shuffle-free projection (embarrassingly
+  * parallel at any scale) and the first shuffle in the whole dedup
+  * pipeline is the banded candidate join itself.
+  *
+  * Bit-compatibility contracts (all spec-pinned):
+  *  - [[SimHash64]] reproduces `sum±1 over bits of xxhash64(tok)` per
+  *    distinct token exactly — it calls the same
+  *    `XxHash64Function` (seed 42) Spark's `xxhash64` uses.
+  *  - [[MinHashSignature]] reproduces `min(xxhash64(shingle, i))` for
+  *    i = 1..K over distinct 3-gram shingles — the two-arg hash chains
+  *    the shingle hash into the literal's hash, replicated here.
+  *  - [[PortableMinHashSignature]] reproduces
+  *    `min((polyHash(shingle) * (37+2k) + (1000+k)) % P)` — the
+  *    DuckDB-reproducible family, so the portable oracles stay green.
+  *
+  * A doc with no element (under n tokens) has no signature: the
+  * expressions return NULL and callers filter it out, exactly like the
+  * explode form where such docs never produced a row.
+  */
+object SketchOps {
+  final val XxSeed = 42L
+
+  private def distinctNgrams(text: UTF8String, n: Int): java.util.LinkedHashSet[String] = {
+    val set = new java.util.LinkedHashSet[String]
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return set
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    set
+  }
+
+  /** 64-bit SimHash over distinct whitespace tokens (xxhash64, seed 42). */
+  def simhash64(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      if (seen.add(toks(t))) {
+        val h = XxHash64Function.hash(
+          UTF8String.fromString(toks(t)), StringType, XxSeed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sh |= (1L << b)
+      b += 1
+    }
+    sh
+  }
+
+  /** K-column MinHash signature over distinct 3-gram shingles:
+    * element k (1-based) = min over shingles of xxhash64(shingle, k).
+    * NULL when the doc has no shingle. */
+  def minhashSig(text: UTF8String, k: Int): ArrayData = {
+    val set = distinctNgrams(text, 3)
+    if (set.isEmpty) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    val it = set.iterator()
+    while (it.hasNext) {
+      val h1 = XxHash64Function.hash(
+        UTF8String.fromString(it.next()), StringType, XxSeed)
+      var i = 0
+      while (i < k) {
+        // the two-arg xxhash64(shingle, i+1): literal int hashed with the
+        // shingle's hash as seed
+        val h = XxHash64Function.hash(i + 1, IntegerType, h1)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Portable SB-bit SimHash over distinct whitespace tokens: vote b is
+    * the sign of `count((polyHash(tok) * A(b) + C(b)) % p >= p/2)` with
+    * the affine constants A(b) = (2654435761 * (b+1)) % p,
+    * C(b) = (40503 * (b+7) * (b+13)) % p — the ANSI-SQL-reproducible
+    * family of the DuckDB oracle. Every intermediate stays under 2^60. */
+  def portableSimhash(text: UTF8String, sb: Int, p: Long): Long = {
+    val toks = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]
+    val votes = new Array[Int](sb)
+    val a = new Array[Long](sb)
+    val c = new Array[Long](sb)
+    var b = 0
+    while (b < sb) {
+      a(b) = (2654435761L * (b + 1)) % p
+      c(b) = (40503L * (b + 7) * (b + 13)) % p
+      b += 1
+    }
+    var t = 0
+    while (t < toks.length) {
+      if (seen.add(toks(t))) {
+        val h0 = PolyHash.hash(UTF8String.fromString(toks(t)))
+        b = 0
+        while (b < sb) {
+          if ((h0 * a(b) + c(b)) % p >= p / 2) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var sk = 0L
+    b = 0
+    while (b < sb) {
+      if (votes(b) > 0) sk |= (1L << b)
+      b += 1
+    }
+    sk
+  }
+
+  /** KP-column portable signature over distinct 3-gram shingles:
+    * element k (0-based) = min of (polyHash * (37+2k) + (1000+k)) % P. */
+  def portableSig(text: UTF8String, kp: Int, p: Long): ArrayData = {
+    val set = distinctNgrams(text, 3)
+    if (set.isEmpty) return null
+    val mins = Array.fill(kp)(Long.MaxValue)
+    val it = set.iterator()
+    while (it.hasNext) {
+      val h0 = PolyHash.hash(UTF8String.fromString(it.next()))
+      var k = 0
+      while (k < kp) {
+        val h = (h0 * (37 + 2 * k) + (1000 + k)) % p
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class PortableSimHash(child: Expression, sb: Int, p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_simhash"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.portableSimhash(input.asInstanceOf[UTF8String], sb, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchOps.portableSimhash($c, $sb, ${p}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.minhashSig(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.SketchOps.minhashSig($c, $k);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class PortableMinHashSignature(child: Expression, kp: Int, p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "portable_minhash_sig"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.portableSig(input.asInstanceOf[UTF8String], kp, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.SketchOps.portableSig($c, $kp, ${p}L);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SketchExpressions {
+  /** Idempotently registers the sketch expressions. */
+  def register(s: SparkSession): Unit = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig",
+      exprs => MinHashSignature(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_portable_simhash",
+      exprs => PortableSimHash(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].longValue()),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_portable_minhash_sig",
+      exprs => PortableMinHashSignature(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].longValue()),
+      "built-in")
+  }
+
+  def simhash64(c: Column): Column = call_function("graft_simhash64", c)
+  def portable_simhash(c: Column, sb: Int, p: Long): Column =
+    call_function("graft_portable_simhash", c,
+      org.apache.spark.sql.functions.lit(sb), org.apache.spark.sql.functions.lit(p))
+  def minhash_sig(c: Column, k: Int): Column =
+    call_function("graft_minhash_sig", c, org.apache.spark.sql.functions.lit(k))
+  def portable_minhash_sig(c: Column, kp: Int, p: Long): Column =
+    call_function("graft_portable_minhash_sig", c,
+      org.apache.spark.sql.functions.lit(kp), org.apache.spark.sql.functions.lit(p))
+}

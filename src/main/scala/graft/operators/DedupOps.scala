@@ -65,29 +65,29 @@ object DedupOps extends QueryPack {
       .select(col("doc_id"), col("shingle"))
   }
 
+  /** K-column MinHash signatures in ONE fused codegen pass per doc
+    * ([[graft.functions.MinHashSignature]]) — bit-identical to the
+    * explode → K min(xxhash64(shingle, i)) aggregation it replaced
+    * (spec-pinned), but shuffle-free: the first shuffle of every MinHash
+    * pipeline is now the banded candidate join itself. Docs without a
+    * shingle (< 3 tokens) have no signature, as before. */
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(docsSharded(s, d))
-    val mins = (1 to K).map(i => min(expr(s"xxhash64(shingle, $i)")).as(s"h$i"))
-    sh.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((1 to K).map(i => col(s"h$i")): _*).as("sig"))
+    graft.functions.SketchExpressions.register(s)
+    docsSharded(s, d)
+      .select(col("doc_id"),
+        graft.functions.SketchExpressions.minhash_sig(col("text"), K).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
-  /** 64-bit SimHash, same explode→aggregate shape: per (doc, token-hash)
-    * row, each of the 64 bits votes +-1; 64 sum() aggregates, then the
-    * signs fold into one long. All codegen'd built-ins. */
+  /** 64-bit SimHash in ONE fused codegen pass per doc
+    * ([[graft.functions.SimHash64]]) — bit-identical to the explode →
+    * 64 vote-sum aggregation it replaced (spec-pinned: same
+    * xxhash64-seed-42 token hashes, same sign fold), but shuffle-free. */
   private def simhashes(s: SparkSession, d: String): DataFrame = {
-    val th = docsSharded(s, d)
+    graft.functions.SketchExpressions.register(s)
+    docsSharded(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
-    val fold = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
-    th.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fold.as("sh"))
+        graft.functions.SketchExpressions.simhash64(col("text")).as("sh"))
   }
 
   /** Exact-dup corpus stats: one always-nonempty row. */
@@ -201,11 +201,14 @@ object DedupOps extends QueryPack {
   /** Portable K-min signatures for a (doc_id, text) frame — the shared
     * core of [[minhashPortable]] and [[ingestDedupMinhash]]. */
   private def portableSigs(docs: DataFrame): DataFrame = {
-    val h = shingleRows(docs)
-      .select(col("doc_id"), polyHash(col("shingle")).as("h0"))
-    val mins = (0 until KP).map(k =>
-      min((col("h0") * (37 + 2 * k) + (1000 + k)) % P).as(s"p$k"))
-    h.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    graft.functions.SketchExpressions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        graft.functions.SketchExpressions
+          .portable_minhash_sig(col("text"), KP, P).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until KP).map(k => element_at(col("sig"), k + 1).as(s"p$k")): _*)
   }
 
   /** 4×2 banding of a portable signature frame → (doc_id, band, bk, p0..p7),
@@ -263,18 +266,14 @@ object DedupOps extends QueryPack {
   private val simC = (0 until SB).map(b => (40503L * (b + 7) * (b + 13)) % P)
 
   def simhashPortable(s: SparkSession, d: String): DataFrame = {
-    graft.functions.HashExpressions.register(s)
-    val th = docsSharded(s, d)
+    graft.functions.SketchExpressions.register(s)
+    // fused per-doc sketch ([[graft.functions.PortableSimHash]]) — same
+    // affine-vote integers as the 60-aggregate form (and the DuckDB
+    // oracle, which still spells out the votes), computed shuffle-free
+    val sk = docsSharded(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .select(col("doc_id"), polyHash(col("tok")).as("h0"))
-    val votes = (0 until SB).map(b =>
-      sum(when((col("h0") * simA(b) + simC(b)) % P >= P / 2, 1).otherwise(-1)).as(s"v$b"))
-    val fold = (0 until SB).map(b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
-    val sk = th.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fold.as("sk"))
+        graft.functions.SketchExpressions.portable_simhash(col("text"), SB, P)
+          .as("sk"))
     val allBands = sk.select(col("doc_id"), col("sk"),
       posexplode(expr("transform(sequence(0, 3), b -> (sk >> (15 * b)) & 32767)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
