@@ -132,6 +132,10 @@ object PlanCheck {
     // map assembly is a two-level aggregation — no join, no cartesian
     Check("q42_map_funcs", mustContain = Seq("ObjectHashAggregate"),
       mustNot = Seq("Join", "CartesianProduct")),
+    // the salted join is a plain (k, salt)-keyed equi-join — salting must
+    // never degrade it to a cartesian/BNLJ
+    Check("q43_salted_join", mustContain = Seq("HashAggregate"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
   )
 
   def main(args: Array[String]): Unit = {

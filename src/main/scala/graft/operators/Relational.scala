@@ -489,12 +489,33 @@ object Relational extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** Salted skew join, oracle-checked: half the event stream is funneled
+    * onto ONE hot key, then joined to a small dimension through
+    * [[SkewUtils.saltedJoin]] (deterministic row salt × replicated dim).
+    * The result must equal the plain relational join — salting spreads
+    * the hot key over 8 tasks WITHOUT changing semantics, and the DuckDB
+    * oracle (which has no salting) proves it. Values aggregate in exact
+    * integer cents so the comparison is FP-noise-free. */
+  def q43SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(when(col("user_id") < 50, 0L).otherwise(col("user_id")).as("k"),
+        col("value"))
+    val dim = ev.select(col("k")).distinct()
+      .withColumn("label", concat(lit("seg_"), (col("k") % 7).cast("string")))
+    SkewUtils.saltedJoin(ev, dim, "k", 8)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+      .orderBy(col("label"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_scalar_subquery" -> q38ScalarSubquery,
     "q39_gap_fill" -> q39GapFill,
     "q40_full_outer" -> q40FullOuter,
     "q41_rank_family" -> q41RankFamily,
     "q42_map_funcs" -> q42MapFuncs,
+    "q43_salted_join" -> q43SaltedJoin,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -530,6 +551,14 @@ object Relational extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q43_salted_join" ->
+      """WITH ev AS (SELECT CASE WHEN user_id < 50 THEN 0 ELSE user_id END AS k,
+        |  value FROM events),
+        |dim AS (SELECT DISTINCT k FROM ev),
+        |dim2 AS (SELECT k, 'seg_' || CAST(k % 7 AS VARCHAR) AS label FROM dim)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM ev JOIN dim2 USING (k) GROUP BY label ORDER BY label""".stripMargin,
     "q42_map_funcs" ->
       """WITH g AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
         |  FROM events WHERE user_id < 20 GROUP BY 1, 2)
