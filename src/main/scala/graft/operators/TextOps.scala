@@ -216,7 +216,28 @@ object TextOps extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-distribution Shannon entropy per doc — the information-theoretic
+    * repetition signal (low entropy = repetitive/templated text):
+    * H = ln(n) − (Σ c·ln c)/n over the token histogram. Each (doc, token)
+    * term is rounded to integer micro-units BEFORE the sum, so the
+    * aggregate is exact and order-independent; the one remaining double
+    * op (ln(n)·1e6 − m/n) is a deterministic function of exact integers,
+    * identical in the oracle. Explode → two partial-agged groupBys. */
+  def textEntropy(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(round(col("c") * log(col("c")) * lit(1e6), 0).cast("long")).as("m"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens")) * lit(1e6) - col("m") / col("n_tokens").cast("double"), 0)
+          .cast("long").as("entropy_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> textEntropy,
     "text_quality_model" -> textQualityModel,
     "text_sample_stratified" -> textSampleStratified,
     "text_token_budget" -> textTokenBudget,
@@ -234,6 +255,19 @@ object TextOps extends QueryPack {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${stops.map(w => s"'$w'").mkString(", ")})))"
 
   override val oracle: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY doc_id, tok),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CAST(round(c * ln(c) * 1000000.0) AS BIGINT)) AS BIGINT) AS m
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        | CAST(round(ln(n_tokens) * 1000000.0 - m / CAST(n_tokens AS DOUBLE))
+        |   AS BIGINT) AS entropy_micro
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "text_quality_model" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

@@ -54,6 +54,26 @@ class QueryExtrasSpec extends GraftSpec {
     }
   }
 
+  test("entropy matches a scalar recomputation") {
+    val dir = writeDocs(Seq(
+      (1L, "a a a a", "en", "t", 0L),          // zero entropy
+      (2L, "a b c d", "en", "t", 0L),          // maximal: ln(4)
+      (3L, "a a b b b c", "en", "t", 0L)))
+    val got = TextOps.textEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def expected(toks: Seq[String]): (Long, Long, Long) = {
+      val counts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.size.toLong
+      val m = counts.values.map(c => math.round(c * math.log(c.toDouble) * 1e6)).sum
+      (n, counts.size.toLong, math.round(math.log(n.toDouble) * 1e6 - m / n.toDouble))
+    }
+    assert(got(1L) === expected(Seq("a", "a", "a", "a")))
+    assert(got(1L)._3 === 0L)
+    assert(got(2L) === expected(Seq("a", "b", "c", "d")))
+    assert(got(2L)._3 === math.round(math.log(4.0) * 1e6))
+    assert(got(3L) === expected(Seq("a", "a", "b", "b", "b", "c")))
+  }
+
   test("quality model matches a scalar recomputation") {
     val dir = writeDocs(Seq(
       (1L, "alpha beta alpha", "en", "t", 0L),
