@@ -136,6 +136,11 @@ object PlanCheck {
     // never degrade it to a cartesian/BNLJ
     Check("q43_salted_join", mustContain = Seq("HashAggregate"),
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // corpus-sized work is ONE signature projection + per-source mins;
+    // the #sources² comparison is an INTENTIONAL tiny broadcast nested
+    // loop — but never a cartesian product
+    Check("dedup_source_overlap", mustContain = Seq("HashAggregate"),
+      mustNot = Seq("CartesianProduct")),
   )
 
   def main(args: Array[String]): Unit = {

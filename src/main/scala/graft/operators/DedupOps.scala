@@ -412,6 +412,43 @@ object DedupOps extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Source-level overlap estimation — the dataset-dedup PLANNING op: how
+    * much do two ingest sources (crawl snapshots, data vendors) overlap,
+    * estimated WITHOUT any cross-source document join. MinHash is
+    * mergeable: a source's signature over the union of its docs' shingle
+    * sets is the element-wise min of the per-doc signatures, so each
+    * source collapses to KP longs and the pairwise estimate is an
+    * O(#sources²) comparison of tiny signatures — at 100 TB the only
+    * corpus-sized work is the one signature projection. A synthetic
+    * `src_mirror` source (every 7th doc re-tagged) plants real overlap
+    * with every source so the estimator is exercised on nonzero signal,
+    * identically in the oracle. The #sources² comparison is an
+    * intentional tiny broadcast nested loop (O(#sources) rows). */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SketchExpressions.register(s)
+    val base = Tables.documents(s, d).select(col("source"), col("text"))
+    val withMirror = base.unionByName(
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+        .select(lit("src_mirror").as("source"), col("text")))
+    val sigs = withMirror
+      .select(col("source"),
+        graft.functions.SketchExpressions
+          .portable_minhash_sig(col("text"), KP, P).as("sig"))
+      .filter(col("sig").isNotNull)
+    val minCols = (0 until KP).map(k => min(element_at(col("sig"), k + 1)).as(s"p$k"))
+    val srcSig = sigs.groupBy(col("source")).agg(minCols.head, minCols.tail: _*)
+    val aSide = srcSig.select(col("source").as("src_a") +:
+      (0 until KP).map(k => col(s"p$k").as(s"a$k")): _*)
+    val bSide = srcSig.select(col("source").as("src_b") +:
+      (0 until KP).map(k => col(s"p$k").as(s"b$k")): _*)
+    val eq = (0 until KP).map(k =>
+      when(col(s"a$k") === col(s"b$k"), 1).otherwise(0)).reduce(_ + _)
+    aSide.join(broadcast(bSide), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), eq.cast("long").as("n_match"),
+        round(eq.cast("double") / KP, 4).as("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Canonical-survivor selection — the dedup DECISION step a pipeline
     * runs after clustering: within every multi-member duplicate cluster
     * keep exactly one representative, here the highest-quality member
@@ -677,6 +714,7 @@ object DedupOps extends QueryPack {
     "dedup_embedding_pairs" -> embeddingDup,
     "dedup_components" -> connectedComponents,
     "dedup_survivors" -> dedupSurvivors,
+    "dedup_source_overlap" -> sourceOverlap,
     "dedup_chunk_exact" -> chunkDedup,
     "dedup_substring_spans" -> substringSpans,
   )
@@ -759,6 +797,31 @@ object DedupOps extends QueryPack {
        |            JOIN sig sb ON corpus_id = sb.doc_id)
        |SELECT batch_id, corpus_id, est_jaccard FROM est
        |WHERE est_jaccard >= 0.5 ORDER BY batch_id, corpus_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[sourceOverlap]] — generated from the same KP/P
+    * affine constants; per-source distinct-shingle union, same planted
+    * mirror source. */
+  private val sourceOverlapOracleSql: String = {
+    val sigCols = (0 until KP).map(k =>
+      s"min((h0 * ${37 + 2 * k} + ${1000 + k}) % $P) AS p$k").mkString(", ")
+    val eqSum = (0 until KP).map(k => s"CAST(a.p$k = b.p$k AS INT)").mkString(" + ")
+    s"""WITH all0 AS (SELECT source, text FROM documents
+       |  UNION ALL SELECT 'src_mirror', text FROM documents WHERE doc_id % 7 = 0),
+       |tk AS (SELECT source, string_split(text, ' ') AS toks FROM all0),
+       |sh AS (SELECT DISTINCT source,
+       |    unnest(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])) AS shingle
+       |  FROM tk WHERE len(toks) >= 3),
+       |h AS (SELECT source, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(shingle, ''), c -> CAST(ord(c) AS BIGINT))),
+       |    (a, x) -> (a * 31 + x) % $P) AS h0 FROM sh),
+       |sig AS (SELECT source, $sigCols FROM h GROUP BY source)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       | CAST($eqSum AS BIGINT) AS n_match,
+       | round(($eqSum) / $KP.0, 4) AS est_jaccard
+       |FROM sig a JOIN sig b ON a.source < b.source
+       |ORDER BY src_a, src_b""".stripMargin
   }
 
   /** The recursive-CTE component labeling shared by the
@@ -848,6 +911,7 @@ object DedupOps extends QueryPack {
          |FROM agg LEFT JOIN mr ON agg.doc_id = mr.doc_id
          |ORDER BY agg.doc_id""".stripMargin,
     "dedup_simhash_portable" -> simhashPortableOracleSql,
+    "dedup_source_overlap" -> sourceOverlapOracleSql,
     "dedup_exact_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
         | count(*) - count(DISTINCT text) AS n_dup_rows
