@@ -177,22 +177,17 @@ object DedupOps extends QueryPack {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Base-31 polynomial fold of a string's codepoints mod 1e9+7 — pure
+  /** Modulus of the PORTABLE hash family: base-31 polynomial fold of a
+    * string's codepoints mod 1e9+7 ([[graft.functions.PolyHash]]) — pure
     * integer arithmetic DuckDB reproduces exactly (`ord` + `list_reduce`),
-    * unlike the engine-specific xxhash64 family. Implemented as the native
-    * codegen expression [[graft.functions.PolyHash]]: the higher-order
-    * `aggregate(split(s, ''))` formulation it replaces ran the fold
-    * through interpreted per-character lambda frames and dominated the
-    * portable queries' runtime (bit-equal integers, same oracles). */
+    * unlike the engine-specific xxhash64 family. */
   private val P = 1000000007L
-  private def polyHash(c: Column): Column =
-    graft.functions.HashExpressions.poly_hash(c)
 
   private val KP = 8
 
   /** MinHash+LSH over the PORTABLE hash family: 8-long signatures from
-    * affine transforms of [[polyHash]], banded 4×2 into candidate buckets.
-    * Same explode → K-min partial-aggregate → banded equi-join shape as
+    * affine transforms of the PolyHash, banded 4×2 into candidate
+    * buckets. Same fused-signature → banded equi-join shape as
     * [[minhashPairs]] (the xxhash64 production path), but every integer is
     * reproducible in ANSI SQL — so the whole pipeline (shingle → signature
     * → banding → estimate) is oracle-checked end to end rather than
