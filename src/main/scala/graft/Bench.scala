@@ -62,7 +62,11 @@ object Bench {
     // to a file (SPARK_GRAFT_BENCH_OUT, default bench/latest.json) and
     // echoed on stderr so the artifact parses even if a log harness
     // truncates one of the channels.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal locale would corrupt the JSON artifact
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

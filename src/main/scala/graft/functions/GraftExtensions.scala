@@ -56,6 +56,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => NgramRows(exprs(0),
         exprs(1).eval(null).asInstanceOf[Number].intValue())))
     e.injectFunction((
+      FunctionIdentifier("graft_ngram_windows"),
+      info(classOf[NgramWindowRows], "graft_ngram_windows",
+        "graft_ngram_windows(text, n) - one row per overlapping word n-window with its position"),
+      (exprs: Seq[Expression]) => NgramWindowRows(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("graft_portable_simhash"),
+      info(classOf[PortableSimHash], "graft_portable_simhash",
+        "graft_portable_simhash(text, sb, p) - fused SB-bit portable SimHash"),
+      (exprs: Seq[Expression]) => PortableSimHash(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].longValue())))
+    e.injectFunction((
+      FunctionIdentifier("graft_portable_minhash_sig"),
+      info(classOf[PortableMinHashSignature], "graft_portable_minhash_sig",
+        "graft_portable_minhash_sig(text, kp, p) - fused portable MinHash signature"),
+      (exprs: Seq[Expression]) => PortableMinHashSignature(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].longValue())))
+    e.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       info(classOf[SimHash64], "graft_simhash64",
         "graft_simhash64(text) - fused 64-bit SimHash over distinct tokens"),

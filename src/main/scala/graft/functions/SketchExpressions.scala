@@ -113,18 +113,22 @@ object SketchOps {
     * the affine constants A(b) = (2654435761 * (b+1)) % p,
     * C(b) = (40503 * (b+7) * (b+13)) % p — the ANSI-SQL-reproducible
     * family of the DuckDB oracle. Every intermediate stays under 2^60. */
+  // affine coefficients depend only on the expression's constant (sb, p)
+  // — memoized so per-row eval doesn't rebuild them (billions of rows)
+  private val affineCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]
+  private def affine(sb: Int, p: Long): (Array[Long], Array[Long]) =
+    affineCache.computeIfAbsent((sb, p), { case (n, m) =>
+      (Array.tabulate(n)(b => (2654435761L * (b + 1)) % m),
+        Array.tabulate(n)(b => (40503L * (b + 7) * (b + 13)) % m))
+    })
+
   def portableSimhash(text: UTF8String, sb: Int, p: Long): Long = {
     val toks = text.toString.split(" ", -1)
     val seen = new java.util.HashSet[String]
     val votes = new Array[Int](sb)
-    val a = new Array[Long](sb)
-    val c = new Array[Long](sb)
+    val (a, c) = affine(sb, p)
     var b = 0
-    while (b < sb) {
-      a(b) = (2654435761L * (b + 1)) % p
-      c(b) = (40503L * (b + 7) * (b + 13)) % p
-      b += 1
-    }
     var t = 0
     while (t < toks.length) {
       if (seen.add(toks(t))) {

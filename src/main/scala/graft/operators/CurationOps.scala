@@ -29,14 +29,16 @@ object CurationOps extends QueryPack {
 
   /** Compiled 5-gram generator rows `(sh, n_sh)` — the distinct word
     * 5-gram set via [[graft.functions.NgramRows]], with the per-doc
-    * distinct count riding along (registration is idempotent). */
-  private def ngramRows5(c: Column): Column = {
-    graft.functions.GeneratorExpressions.register(
-      org.apache.spark.sql.SparkSession.active)
+    * distinct count riding along (registration is idempotent, on the
+    * query's own session — not the thread-active one, which can differ
+    * in multi-session use). */
+  private def ngramRows5(s: SparkSession, c: Column): Column = {
+    graft.functions.GeneratorExpressions.register(s)
     graft.functions.GeneratorExpressions.ngram_rows(c, 5)
   }
 
-  /** DuckDB twin of [[ngrams]] over a token-list column `tk`. */
+  /** DuckDB twin of the [[graft.functions.NgramRows]] distinct-n-gram
+    * semantics over a token-list column `tk`. */
   private def sqlNgrams(n: Int): String =
     s"CASE WHEN len(tk) >= $n THEN list_distinct(list_transform(" +
       s"range(1, len(tk) - ${n - 2}), i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' ')))" +
@@ -55,7 +57,7 @@ object CurationOps extends QueryPack {
   private def benchShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(col("doc_id") % 131 === 0)
-      .select(ngramRows5(col("text")).as(Seq("sh", "n_sh")))
+      .select(ngramRows5(s, col("text")).as(Seq("sh", "n_sh")))
       .select(col("sh"))
       .unionByName(s.range(1).select(lit(canary).as("sh")))
       .distinct()
@@ -76,7 +78,7 @@ object CurationOps extends QueryPack {
           .as("aug"))
       // one compiled generator pass emits (shingle, distinct-count)
       // together — no 5-gram array materialization, no size() recompute
-      .select(col("doc_id"), ngramRows5(col("aug")).as(Seq("sh", "n_sh")))
+      .select(col("doc_id"), ngramRows5(s, col("aug")).as(Seq("sh", "n_sh")))
       .select(col("doc_id"), col("n_sh").as("n_shingles"), col("sh"))
 
   /** Exact decontamination: inner equi-join corpus 5-grams against the

@@ -124,11 +124,15 @@ object DedupOps extends QueryPack {
     * least one band bucket; estimate = matching signature fraction. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = minhashSigs(s, d)
+    // materialized once: the band table feeds the hot-bucket aggregate
+    // AND both self-join sides — un-checkpointed, Catalyst re-plans the
+    // scan+sketch+explode under each consumer (the ngramJaccard lesson)
     val allBands = docs.select(col("doc_id"), col("sig"),
       posexplode(expr("transform(sequence(0, 7), b -> xxhash64(" +
         "element_at(sig, 4*b+1), element_at(sig, 4*b+2), " +
         "element_at(sig, 4*b+3), element_at(sig, 4*b+4), b))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .localCheckpoint(true)
     // Same >500 hot-bucket cap as the SimHash paths: a band value shared
     // by thousands of docs costs |bucket|² join rows on one skewed key.
     // No broadcast hint — unlike the 16-bit SimHash chunks the xxhash64
@@ -158,6 +162,7 @@ object DedupOps extends QueryPack {
     val allBands = sh.select(col("doc_id"), col("sh"),
       posexplode(expr("transform(sequence(0, 3), b -> (sh >> (16 * b)) & 65535)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      .localCheckpoint(true) // one sketch pass for hot-agg + both join sides
     // Overfull-bucket cap (standard LSH hygiene): a band value shared by
     // thousands of docs has no discriminating power but costs |bucket|²
     // join rows on one skewed key — drop those buckets instead of letting
@@ -217,6 +222,7 @@ object DedupOps extends QueryPack {
     val all = sig.select(
       (col("doc_id") +: (0 until KP).map(k => col(s"p$k"))) :+ posexplode(bandArr): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
+      .localCheckpoint(true) // one sketch pass for hot-agg + both join sides
     val hot = all.groupBy(col("band"), col("bk"))
       .agg(count(lit(1)).as("bn")).filter(col("bn") > HotBucketCap)
       .select(col("band"), col("bk"))
@@ -272,6 +278,7 @@ object DedupOps extends QueryPack {
     val allBands = sk.select(col("doc_id"), col("sk"),
       posexplode(expr("transform(sequence(0, 3), b -> (sk >> (15 * b)) & 32767)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      .localCheckpoint(true) // one sketch pass for hot-agg + both join sides
     val hot = allBands.groupBy(col("band"), col("chunk"))
       .agg(count(lit(1)).as("bn")).filter(col("bn") > HotBucketCap)
       .select(col("band"), col("chunk"))
@@ -601,9 +608,12 @@ object DedupOps extends QueryPack {
         graft.functions.GeneratorExpressions.ngram_windows(col("t2"), W)
           .as(Seq("i", "w")))
       .select(col("doc_id"), col("i"), md5(col("w")).as("dg"))
+      // materialized: feeds the shared-digest aggregate AND the join left
+      .localCheckpoint(true)
     val shared = wins.groupBy(col("dg"))
       .agg((countDistinct(col("doc_id")) > 1).as("shared"))
-    val flagged = wins.join(shared, "dg")
+    // materialized: feeds the run-length pass AND the per-doc aggregate
+    val flagged = wins.join(shared, "dg").localCheckpoint(true)
     // longest consecutive run of duplicated windows: the classic
     // gaps-and-islands grouping (i - row_number is constant per run)
     val byDoc = org.apache.spark.sql.expressions.Window

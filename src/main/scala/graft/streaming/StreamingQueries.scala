@@ -27,19 +27,33 @@ object StreamingQueries extends QueryPack {
     * arithmetic to a microsecond timestamp). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = s.read.parquet(s"$d/events.parquet") // schema probe only
-    // the file stream source requires a DIRECTORY base path; the sf dir
-    // holds every table, so restrict the listing to the events file(s)
-    val raw = s.readStream.schema(batch.schema)
-      .option("pathGlobFilter", "events.parquet*")
-      .parquet(d)
+    val path = s"$d/events.parquet"
+    val batch = s.read.parquet(path) // schema probe only
+    // the file stream source requires a DIRECTORY base path. When the
+    // table is a directory of part files (the standard Spark write
+    // layout) stream from it directly; when it is a single file (this
+    // fixture's layout), stream from the parent with a leaf-name glob —
+    // pathGlobFilter matches LEAF file names, so the glob form would
+    // silently match nothing against a directory of part-*.parquet
+    val raw =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+        s.readStream.schema(batch.schema).parquet(path)
+      else
+        s.readStream.schema(batch.schema)
+          .option("pathGlobFilter", "events.parquet*")
+          .parquet(d)
     if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
   }
 
   /** Run a streaming aggregation to completion over the finite input and
-    * return its final result table. */
+    * return its final result. The memory-sink table is drained into a
+    * local DataFrame and DROPPED immediately — the sink's Complete-mode
+    * buffer and its catalog registration would otherwise be retained for
+    * the session's lifetime, leaking one full result set per invocation
+    * (the repeated-bench shape). The collect is bounded: these are
+    * windowed aggregates, not the raw stream. */
   private def runAvailableNow(s: SparkSession, agg: DataFrame): DataFrame = {
     val name = "g_stream_" + java.util.UUID.randomUUID().toString.take(8)
     val q = agg.writeStream.format("memory").queryName(name)
@@ -47,7 +61,12 @@ object StreamingQueries extends QueryPack {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name)
+    val sink = s.table(name)
+    val result = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(sink.collect(): _*)),
+      sink.schema)
+    s.catalog.dropTempView(name)
+    result
   }
 
   /** Streaming twin of q23: watermarked 1-hour tumbling windows. Produces

@@ -34,6 +34,15 @@ class ExtensionsSpec extends GraftSpec {
           |                    array(CAST(4.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS c""".stripMargin)
         .head().getDouble(0)
       assert(math.abs(c - 0.96) < 1e-9)
+      // the generator + sketch families must resolve from conf alone too
+      val nw = s2.sql(
+        "SELECT i, sh FROM (SELECT 'a b c d' AS t) LATERAL VIEW graft_ngram_windows(t, 3) g AS i, sh")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(nw === Seq((0L, "a b c"), (1L, "b c d")))
+      assert(s2.sql("SELECT graft_portable_simhash('x y z', 60, 1000000007) AS s")
+        .head().getLong(0) ===
+        SketchOps.portableSimhash(
+          org.apache.spark.unsafe.types.UTF8String.fromString("x y z"), 60, 1000000007L))
       // whole-operator surface: the injected planner strategy (NOT
       // experimental.extraStrategies) must plan the asof node
       assert(s2.experimental.extraStrategies.isEmpty)
