@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session cache hygiene for the eagerly-materialized intermediates
+  * (`localCheckpoint(true)` band/shingle/label tables, `persist`ed IVF
+  * corpora): their executor MEMORY_AND_DISK blocks are otherwise freed
+  * only when the driver GCs the RDD reference, which an interleaved
+  * bench loop should not depend on. `clear` drops every library-held
+  * memoized DataFrame reference (registered hooks) and then unpersists
+  * all persistent RDDs — safe at a pass boundary, where every query
+  * result is already materialized and nothing re-reads a checkpointed
+  * block. Long-running production deployments should instead substitute
+  * reliable `checkpoint`/`persist` with explicit per-pipeline lifecycle
+  * (see [[operators.SimilarityOps.IvfIndex.close]] for the owned form).
+  */
+object CacheRegistry {
+  private val hooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  /** Register a cache-invalidation hook (e.g. a memo map `clear`). Runs
+    * before the RDD unpersist sweep so no stale reference outlives its
+    * storage. */
+  def onClear(f: () => Unit): Unit = synchronized { hooks += f }
+
+  /** Invalidate every registered library cache and release all persistent
+    * RDD storage of the session's context. */
+  def clear(s: SparkSession): Unit = {
+    synchronized(hooks.toList).foreach(_.apply())
+    s.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
+  }
+}

@@ -131,12 +131,12 @@ object GeneratorExpressions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngram_rows",
       exprs => NgramRows(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+        LitArgs.int("graft_ngram_rows", "n", exprs(1))),
       "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngram_windows",
       exprs => NgramWindowRows(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+        LitArgs.int("graft_ngram_windows", "n", exprs(1))),
       "built-in")
   }
 

@@ -48,33 +48,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[NgramDistinctCount], "graft_ngram_distinct_count",
         "graft_ngram_distinct_count(text, n) - number of distinct word n-grams"),
       (exprs: Seq[Expression]) => NgramDistinctCount(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+        LitArgs.int("graft_ngram_distinct_count", "n", exprs(1)))))
     e.injectFunction((
       FunctionIdentifier("graft_ngram_rows"),
       info(classOf[NgramRows], "graft_ngram_rows",
         "graft_ngram_rows(text, n) - one row per distinct word n-gram, with the distinct count"),
       (exprs: Seq[Expression]) => NgramRows(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+        LitArgs.int("graft_ngram_rows", "n", exprs(1)))))
     e.injectFunction((
       FunctionIdentifier("graft_ngram_windows"),
       info(classOf[NgramWindowRows], "graft_ngram_windows",
         "graft_ngram_windows(text, n) - one row per overlapping word n-window with its position"),
       (exprs: Seq[Expression]) => NgramWindowRows(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+        LitArgs.int("graft_ngram_windows", "n", exprs(1)))))
     e.injectFunction((
       FunctionIdentifier("graft_portable_simhash"),
       info(classOf[PortableSimHash], "graft_portable_simhash",
         "graft_portable_simhash(text, sb, p) - fused SB-bit portable SimHash"),
       (exprs: Seq[Expression]) => PortableSimHash(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue(),
-        exprs(2).eval(null).asInstanceOf[Number].longValue())))
+        LitArgs.int("graft_portable_simhash", "sb", exprs(1)),
+        LitArgs.long("graft_portable_simhash", "p", exprs(2)))))
     e.injectFunction((
       FunctionIdentifier("graft_portable_minhash_sig"),
       info(classOf[PortableMinHashSignature], "graft_portable_minhash_sig",
         "graft_portable_minhash_sig(text, kp, p) - fused portable MinHash signature"),
       (exprs: Seq[Expression]) => PortableMinHashSignature(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue(),
-        exprs(2).eval(null).asInstanceOf[Number].longValue())))
+        LitArgs.int("graft_portable_minhash_sig", "kp", exprs(1)),
+        LitArgs.long("graft_portable_minhash_sig", "p", exprs(2)))))
     e.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       info(classOf[SimHash64], "graft_simhash64",
@@ -85,7 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[MinHashSignature], "graft_minhash_sig",
         "graft_minhash_sig(text, k) - fused K-column MinHash signature over 3-gram shingles"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+        LitArgs.int("graft_minhash_sig", "k", exprs(1)))))
     // the custom whole-operator surface: a conf-loaded session plans
     // AsofJoinPlan nodes without any library-side register() call
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

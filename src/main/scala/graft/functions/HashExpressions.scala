@@ -112,7 +112,7 @@ object HashExpressions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngram_distinct_count",
       exprs => NgramDistinctCount(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+        LitArgs.int("graft_ngram_distinct_count", "n", exprs(1))),
       "built-in")
   }
 

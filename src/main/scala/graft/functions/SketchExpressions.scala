@@ -237,19 +237,19 @@ object SketchExpressions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig",
       exprs => MinHashSignature(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+        LitArgs.int("graft_minhash_sig", "k", exprs(1))),
       "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_portable_simhash",
       exprs => PortableSimHash(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue(),
-        exprs(2).eval(null).asInstanceOf[Number].longValue()),
+        LitArgs.int("graft_portable_simhash", "sb", exprs(1)),
+        LitArgs.long("graft_portable_simhash", "p", exprs(2))),
       "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_portable_minhash_sig",
       exprs => PortableMinHashSignature(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue(),
-        exprs(2).eval(null).asInstanceOf[Number].longValue()),
+        LitArgs.int("graft_portable_minhash_sig", "kp", exprs(1)),
+        LitArgs.long("graft_portable_minhash_sig", "p", exprs(2))),
       "built-in")
   }
 

@@ -88,6 +88,9 @@ object DedupOps extends QueryPack {
     docsSharded(s, d)
       .select(col("doc_id"),
         graft.functions.SketchExpressions.simhash64(col("text")).as("sh"))
+      // preserve the row set of the explode→aggregate form this replaced:
+      // NULL-text docs have no sketch row (as minhashSigs already does)
+      .filter(col("sh").isNotNull)
   }
 
   /** Exact-dup corpus stats: one always-nonempty row. */
@@ -403,16 +406,33 @@ object DedupOps extends QueryPack {
     * (near-dup components are clique-like, so a handful at any scale —
     * same structure GraphX's CC uses). `localCheckpoint` cuts the
     * per-round lineage so the plan doesn't grow superlinearly. */
-  def connectedComponents(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"))
-    val planted = docs.filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("a"), (col("doc_id") + 1000000000000L).as("b"))
-    val jac = ngramJaccard(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val edges = planted.unionByName(jac)
-    val nodes = docs.unionByName(planted.select(col("b").as("doc_id"))).distinct()
-    componentsFromEdges(nodes, edges)
-      .orderBy(col("doc_id"))
-  }
+  def connectedComponents(s: SparkSession, d: String): DataFrame =
+    componentLabels(s, d).orderBy(col("doc_id"))
+
+  /** Memoized, eagerly-checkpointed component labeling shared by
+    * [[connectedComponents]] and [[dedupSurvivors]] — a production
+    * pipeline labels the corpus ONCE and every downstream decision
+    * (survivor pick, cluster stats, removal lists) reuses the labeling,
+    * so the library caches it the way the band tables are cached: one
+    * checkpointed (doc_id, component) table per (application, sf dir),
+    * invalidated by [[graft.CacheRegistry.clear]] at pass boundaries. */
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[operators] val labelBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  graft.CacheRegistry.onClear(() => labelCache.clear())
+
+  private[operators] def componentLabels(s: SparkSession, d: String): DataFrame =
+    labelCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      labelBuilds.incrementAndGet()
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val planted = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1000000000000L).as("b"))
+      val jac = ngramJaccard(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val edges = planted.unionByName(jac)
+      val nodes = docs.unionByName(planted.select(col("b").as("doc_id"))).distinct()
+      componentsFromEdges(nodes, edges).localCheckpoint(true)
+    })
 
   /** Source-level overlap estimation — the dataset-dedup PLANNING op: how
     * much do two ingest sources (crawl snapshots, data vendors) overlap,
@@ -460,7 +480,7 @@ object DedupOps extends QueryPack {
     * the window ordering. One keyed window pass + one count aggregate
     * over the labeling — the cluster step dominates, as it should. */
   def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
-    val labeled = connectedComponents(s, d)
+    val labeled = componentLabels(s, d)
     val q = labeled
       .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
         Seq("doc_id"), "left")

@@ -89,14 +89,13 @@ object StreamingOps {
     * transactional table format isn't available. The checkpoint dir makes
     * batch ids stable across restarts, which is what the idempotency
     * keys on. */
-  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit = {
-    val s = batch.sparkSession
-    val saved = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try batch.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
-    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
-  }
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    // per-writer overwrite mode (not session conf): a concurrent write on
+    // the same SparkSession must never observe this writer's dynamic mode
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
 
   /** Start a streaming query that lands `df` into `outDir` through
     * [[writeBatchIdempotent]]. */

@@ -3,7 +3,6 @@ package graft.streaming
 import graft.QueryPack
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Driver-declared CORRECTNESS entries for the streaming surface: each
   * query runs a [[StreamingOps]] transform over the parquet `events` table
@@ -13,67 +12,140 @@ import org.apache.spark.sql.streaming.Trigger
   * commit — is exercised and then hash-checked against a plain SQL
   * oracle, not just spec-tested.
   *
-  * The memory sink + Complete mode is the verification-harness choice
-  * ONLY: the result of a finite backfill must be a queryable DataFrame,
-  * and Append mode would withhold the windows the final watermark never
-  * closes. A production deployment writes Append to a real sink
-  * (parquet/Kafka) with the watermark evicting state incrementally —
-  * same transforms, unchanged.
+  * The sink is the exactly-once `foreachBatch` + dynamic-partition-
+  * overwrite parquet sink ([[StreamingOps.idempotentParquetSink]]), run in
+  * APPEND mode — the production shape: the watermark evicts window state
+  * incrementally and each closed window is emitted exactly once, to files,
+  * never through driver memory. A finite backfill in Append mode would
+  * normally withhold the windows the final watermark never passes, so the
+  * staged input carries one far-future FLUSH SENTINEL row (30 days past
+  * the corpus max — a standard finite-backfill device): processing it
+  * advances the watermark beyond every real window, the trailing state
+  * drains to the sink, and the sentinel's own groups are dropped on
+  * read-back (it contaminates only groups keyed by its own
+  * user_id = -1 / event_type = "__flush__"). The staged directory is
+  * hard-linked, not copied, so staging is O(#files) regardless of size.
   */
 object StreamingQueries extends QueryPack {
 
-  /** The `events` table as a stream — same TIMESTAMP(NANOS) handling as
+  private val FlushType = "__flush__"
+  /** 30 days in nanoseconds — the sentinel's distance past max(ts); far
+    * beyond the 2 h watermark delay + 1 h max window span, so every real
+    * window closes strictly before the sentinel's watermark. */
+  private val SentinelGapNs = 30L * 86400L * 1000000000L
+
+  /** Stage the events table into a temp directory (hard links; copy
+    * fallback across devices) plus one sentinel parquet file whose single
+    * row sits 30 days past the corpus max ts. Hard links preserve the
+    * originals' older mtime, so the file source's oldest-first ordering
+    * processes all real data before (or with) the sentinel — the sentinel
+    * must never advance the watermark ahead of unprocessed real rows. */
+  private def stageWithSentinel(s: SparkSession, d: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = Paths.get(s"$d/events.parquet")
+    val tmp = Files.createTempDirectory("graft_stream_in_")
+    val dataFiles: Seq[java.nio.file.Path] =
+      if (Files.isDirectory(src)) {
+        val it = Files.list(src).iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getFileName.toString
+          if (!n.startsWith("_") && !n.startsWith(".")) buf += f
+        }
+        buf.toSeq
+      } else Seq(src)
+    dataFiles.zipWithIndex.foreach { case (f, i) =>
+      val dst = tmp.resolve(f"data_$i%05d_${f.getFileName.toString}")
+      try Files.createLink(dst, f)
+      catch { case _: Exception => Files.copy(f, dst) }
+    }
+    // sentinel row with the RAW on-disk schema (ts may be nanos-long or
+    // timestamp depending on the fixture layout)
+    val batch = s.read.parquet(src.toString)
+    val tsIsLong =
+      batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsLit =
+      if (tsIsLong) {
+        val maxNs = batch.agg(max(col("ts"))).head.getLong(0)
+        lit(maxNs + SentinelGapNs)
+      } else {
+        val maxTs = batch.agg(max(col("ts"))).head.getTimestamp(0)
+        lit(new java.sql.Timestamp(maxTs.getTime + SentinelGapNs / 1000000L))
+      }
+    val sentinel = batch.limit(1).select(batch.columns.map {
+      case "ts"         => tsLit.as("ts")
+      case "event_id"   => lit(-1L).cast(batch.schema("event_id").dataType).as("event_id")
+      case "user_id"    => lit(-1L).cast(batch.schema("user_id").dataType).as("user_id")
+      case "event_type" => lit(FlushType).as("event_type")
+      case "value"      => lit(0.0).cast(batch.schema("value").dataType).as("value")
+      case other        => col(other)
+    }: _*)
+    val sentDir = Files.createTempDirectory("graft_stream_sent_")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+    val part = Files.list(sentDir).iterator()
+    var moved = false
+    while (part.hasNext && !moved) {
+      val f = part.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        Files.move(f, tmp.resolve("zz_sentinel.parquet")); moved = true
+      }
+    }
+    require(moved, "sentinel parquet part file not found")
+    deleteRecursively(sentDir)
+    tmp
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val it = Files.list(p).iterator()
+      while (it.hasNext) deleteRecursively(it.next())
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** The staged directory as a stream — same TIMESTAMP(NANOS) handling as
     * [[graft.Tables.events]] (nanos read as long, converted in integer
     * arithmetic to a microsecond timestamp). */
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$d/events.parquet"
-    val batch = s.read.parquet(path) // schema probe only
-    // the file stream source requires a DIRECTORY base path. When the
-    // table is a directory of part files (the standard Spark write
-    // layout) stream from it directly; when it is a single file (this
-    // fixture's layout), stream from the parent with a leaf-name glob —
-    // pathGlobFilter matches LEAF file names, so the glob form would
-    // silently match nothing against a directory of part-*.parquet
-    val raw =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
-        s.readStream.schema(batch.schema).parquet(path)
-      else
-        s.readStream.schema(batch.schema)
-          .option("pathGlobFilter", "events.parquet*")
-          .parquet(d)
-    if (batch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+  private def streamFromDir(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(dir).schema
+    val raw = s.readStream.schema(schema)
+      .option("latestFirst", "false") // oldest first: data before sentinel
+      .parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else raw
   }
 
-  /** Run a streaming aggregation to completion over the finite input and
-    * return its final result. The memory-sink table is drained into a
-    * local DataFrame and DROPPED immediately — the sink's Complete-mode
-    * buffer and its catalog registration would otherwise be retained for
-    * the session's lifetime, leaking one full result set per invocation
-    * (the repeated-bench shape). The collect is bounded: these are
-    * windowed aggregates, not the raw stream. */
-  private def runAvailableNow(s: SparkSession, agg: DataFrame): DataFrame = {
-    val name = "g_stream_" + java.util.UUID.randomUUID().toString.take(8)
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
+  /** Run a streaming transform over the finite staged input to completion
+    * through the exactly-once parquet sink and return the landed files as
+    * a DataFrame. No memory sink, no `collect()`, no Complete mode: rows
+    * flow executor → files, the driver only coordinates. The staged input
+    * and checkpoint dirs are deleted once the query terminates (their
+    * contents are fully processed); the sink dir must outlive the
+    * returned (lazy) DataFrame and is GC'd with the JVM's temp space. */
+  private def runBackfill(s: SparkSession, d: String)(
+      aggOf: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.Files
+    val staged = stageWithSentinel(s, d)
+    val out = Files.createTempDirectory("graft_stream_out_")
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt_")
+    val q = StreamingOps.idempotentParquetSink(
+      aggOf(streamFromDir(s, staged.toString)), out.toString, ckpt.toString)
     q.awaitTermination()
-    val sink = s.table(name)
-    val result = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(sink.collect(): _*)),
-      sink.schema)
-    s.catalog.dropTempView(name)
-    result
+    deleteRecursively(staged)
+    deleteRecursively(ckpt)
+    s.read.parquet(out.toString).drop("batch_id")
   }
 
   /** Streaming twin of q23: watermarked 1-hour tumbling windows. Produces
     * exactly q23's relation (minus the derived avg), so the oracle is the
     * same GROUP BY date_trunc. */
   def streamTumbling(s: SparkSession, d: String): DataFrame =
-    runAvailableNow(s, StreamingOps.tumblingAgg(eventsStream(s, d)))
+    runBackfill(s, d)(StreamingOps.tumblingAgg)
+      .filter(col("event_type") =!= FlushType)
       .orderBy(col("hour"), col("event_type"))
 
   /** Streaming sliding windows: 1-hour windows every 15 minutes, so each
@@ -81,7 +153,8 @@ object StreamingQueries extends QueryPack {
     * epoch, as does the oracle's `time_bucket` — each event's 4 windows
     * are its 15-minute bucket minus k·15min for k = 0..3. */
   def streamSliding(s: SparkSession, d: String): DataFrame =
-    runAvailableNow(s, StreamingOps.slidingAgg(eventsStream(s, d)))
+    runBackfill(s, d)(StreamingOps.slidingAgg)
+      .filter(col("event_type") =!= FlushType)
       .orderBy(col("w_start"), col("event_type"))
 
   /** Streaming session windows (30-min gap). Session-window semantics:
@@ -90,13 +163,36 @@ object StreamingQueries extends QueryPack {
     * starts a NEW session, hence the >= in the oracle's split flag
     * (unlike batch q24, whose lag-based rule used strict >). */
   def streamSession(s: SparkSession, d: String): DataFrame =
-    runAvailableNow(s, StreamingOps.sessionWindowAgg(eventsStream(s, d)))
+    runBackfill(s, d)(StreamingOps.sessionWindowAgg)
+      .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("sess_start"))
+
+  /** Custom-stateful sessionization via flatMapGroupsWithState
+    * ([[StreamingOps.statefulSessions]]) — the arbitrary-state API, run
+    * as a declared backfill: per-user event-time state, sessions emitted
+    * on close (mid-stream) or event-time timeout (the sentinel's
+    * watermark drains every open session). Timestamps surface as epoch
+    * MILLISECONDS (the state struct's arithmetic unit), and the gap rule
+    * is `gap > 30 min` CONTINUES ⇔ `gap <= 30 min`, i.e. an exactly-30-min
+    * gap still extends the session — both mirrored in the oracle
+    * (`epoch_ms`, split on `gap > 1800000`), unlike the built-in
+    * session_window whose exact-gap event starts a new session. */
+  def streamFmgwsSession(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    runBackfill(s, d) { df =>
+      StreamingOps.statefulSessions(s, df.as[StreamingOps.Ev]).toDF()
+    }
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("start_ms"), col("end_ms"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
+    "stream_fmgws_session" -> streamFmgwsSession,
   )
 
   override val oracle: Map[String, String] = Map(
@@ -124,5 +220,18 @@ object StreamingQueries extends QueryPack {
         |SELECT min(t) AS sess_start, max(t) + INTERVAL 30 MINUTE AS sess_end,
         | user_id, count(*) AS n_events
         |FROM f GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+    "stream_fmgws_session" ->
+      """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |g AS (SELECT user_id, t,
+        |  t - lag(t,1) OVER (PARTITION BY user_id ORDER BY t) AS gap
+        |  FROM e),
+        |f AS (SELECT user_id, t,
+        |  sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(t) AS start_ms, max(t) AS end_ms,
+        | count(*) AS n_events
+        |FROM f GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin,
   )
 }
