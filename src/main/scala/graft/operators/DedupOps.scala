@@ -234,7 +234,7 @@ object DedupOps extends QueryPack {
 
   /** Shared overfull-bucket bound for every banded LSH join (minhash,
     * simhash, portable twins, ingest). */
-  private val HotBucketCap = 500
+  private[operators] val HotBucketCap = 500
 
   private def portableEqCount: Column = (0 until KP).map(k =>
     when(col(s"a$k") === col(s"b$k"), 1).otherwise(0)).reduce(_ + _)
@@ -305,7 +305,7 @@ object DedupOps extends QueryPack {
     * corpora; truly-near-dup pairs still share plenty of rare shingles),
     * so both the index AND the per-doc sizes are computed over the capped
     * shingle universe — mirrored exactly in the DuckDB oracle. */
-  private val DfCap = 500
+  private[operators] val DfCap = 500
 
   /** Exact n-gram Jaccard via inverted-index equi-join on shingles —
     * |A∩B| from the join, |A|,|B| from per-doc shingle counts; all-integer

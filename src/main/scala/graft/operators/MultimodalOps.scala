@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * metadata extractor parses actual bytes out of a true `binary` column
   * (ByteBuffer big-endian reads, magic validation), exactly what a JPEG/
   * PNG header parser does — while the expected values stay independently
-  * computable by the DuckDB oracle without a blob parser. Only the deep
-  * pixel decode is stubbed. At scale this runs one decoder instance per
-  * partition (`mapPartitions`, amortized codec init), never per row.
+  * computable by the DuckDB oracle without a blob parser. The deep decode
+  * ([[mediaPixels]]) processes every payload byte into pixel statistics.
+  * At scale this runs one decoder instance per partition
+  * (`mapPartitions`, amortized codec init), never per row.
   *
   * Header layout (18 bytes, big-endian):
   *   bytes 0..3   magic "GRFT" (0x47524654)
@@ -53,10 +54,6 @@ object MultimodalOps extends QueryPack {
             lpad(hex(octet_length(col("text"))), 8, "0"))),
           encode(col("text"), "utf-8")).as("payload"))
 
-  /** STUB deep decoder: stands in for pixel/sample decoding (no codecs in
-    * this container). A real deployment replaces only this function. */
-  private def decodePixelsStub(payload: Array[Byte]): Unit = ()
-
   /** Binary ingest → per-partition batch header decode → typed metadata
     * table. The parse is real byte-level work: magic check + big-endian
     * field reads off the binary column. */
@@ -71,11 +68,53 @@ object MultimodalOps extends QueryPack {
         val w = buf.getInt(4)
         val h = buf.getInt(8)
         val f = buf.getShort(12).toInt
-        decodePixelsStub(payload)
         MediaMeta(id, payload.length.toLong, w.toLong, h.toLong, f.toLong)
       }
     }
     meta.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Per-doc pixel statistics from the decoded payload. */
+  case class PixelStats(doc_id: Long, n_px: Long, px_sum: Long,
+      px_min: Long, px_max: Long, px_checksum: Long)
+
+  /** DEEP payload decode: header parse, then a full pass over the frame
+    * bytes — sum / min / max over unsigned sample values plus a
+    * position-weighted checksum Σ i·vᵢ (1-based, order-sensitive: a
+    * shuffled or truncated payload breaks it where the order-free sums
+    * would not). One decoder loop per partition, the whole-payload work a
+    * real pixel decoder does, and the reason there is no remaining stub:
+    * every byte the column carries is processed. The declared length
+    * field is cross-checked against the physical payload first — a real
+    * decoder's truncation guard. The mean is derived as a Spark `round`
+    * column so its HALF_UP semantics match every other green ratio. */
+  def mediaPixels(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bin = payloads(s, d).as[(Long, Array[Byte])]
+    val stats = bin.mapPartitions { rows =>
+      rows.map { case (id, payload) =>
+        val buf = java.nio.ByteBuffer.wrap(payload)
+        require(buf.getInt(0) == 0x47524654, s"bad magic in doc $id")
+        val plen = buf.getInt(14)
+        require(payload.length == 18 + plen, s"truncated payload in doc $id")
+        var i = 0; var sum = 0L; var ck = 0L
+        var mn = 256L; var mx = -1L
+        while (i < plen) {
+          val v = (payload(18 + i) & 0xff).toLong
+          sum += v; ck += (i + 1) * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        if (plen == 0) { mn = 0L; mx = 0L }
+        PixelStats(id, plen.toLong, sum, mn, mx, ck)
+      }
+    }
+    stats.toDF()
+      .select(col("doc_id"), col("n_px"), col("px_sum"),
+        round(col("px_sum") / col("n_px"), 4).as("px_mean"),
+        col("px_min"), col("px_max"), col("px_checksum"))
+      .orderBy(col("doc_id"))
   }
 
   /** Frame sampling over the parsed frame count: every 10th frame index —
@@ -99,6 +138,7 @@ object MultimodalOps extends QueryPack {
     "multimodal_meta" -> mediaMeta,
     "multimodal_frame_sample" -> frameSample,
     "multimodal_bytes" -> mediaBytes,
+    "multimodal_pixels" -> mediaPixels,
   )
 
   // The oracle recomputes the header fields arithmetically (it has no blob
@@ -120,5 +160,18 @@ object MultimodalOps extends QueryPack {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         | length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the fixture text is pure ASCII (verified: strlen == length on every
+    // sf), so the oracle's per-CHARACTER codepoints equal the Spark
+    // side's per-BYTE values — the hash match proves the byte loop
+    // decoded the physical payload correctly
+    "multimodal_pixels" ->
+      """WITH b AS (
+        |  SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS v
+        |  FROM documents, unnest(range(1, strlen(text)+1)) AS u(i))
+        |SELECT doc_id, count(*) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+        | round(sum(v)/CAST(count(*) AS DOUBLE), 4) AS px_mean,
+        | CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max,
+        | CAST(sum(i*v) AS BIGINT) AS px_checksum
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -46,6 +46,29 @@ class JobServerSpec extends GraftSpec {
     } finally srv.forceStop()
   }
 
+  test("a job that throws mid-run is logged; the queue survives and the next job completes") {
+    val in = java.nio.file.Files.createTempDirectory("srv-in-").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(in, "file01"), "b line\na line\n")
+    val outRoot = java.nio.file.Files.createTempDirectory("srv-out-").toString
+    val srv = new JobServer(spark)
+    val port = srv.start()
+    try {
+      // nonexistent mapper executable → the pipe stage throws inside
+      // MapReduceJob.run; the runner must log and move on (the reference
+      // re-runs queued jobs after a worker dies mid-stage — same contract:
+      // one bad job never wedges the queue)
+      send(port, jobJson(in, s"$outRoot/bad", "/nonexistent/graft_mapper"))
+      send(port, jobJson(in, s"$outRoot/good", "sort"))
+      send(port, """{"message_type": "shutdown"}""")
+      srv.awaitTermination()
+      assert(srv.completedJobs === 1)
+      val good = scala.io.Source.fromFile(s"$outRoot/good/outputfile01").getLines().toSeq
+      assert(good === Seq("a line", "b line"))
+      assert(!new java.io.File(s"$outRoot/bad/outputfile01").exists())
+    } finally srv.forceStop()
+  }
+
   test("malformed and unknown messages are dropped, server stays up") {
     val srv = new JobServer(spark)
     val port = srv.start()

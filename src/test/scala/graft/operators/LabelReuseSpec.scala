@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.{CacheRegistry, GraftSpec}
+
+/** The shared component labeling: `dedup_components` and
+  * `dedup_survivors` must label the corpus ONCE per (application, dir) —
+  * the second consumer reuses the checkpointed labels — and
+  * [[CacheRegistry.clear]] is the explicit invalidation boundary.
+  */
+class LabelReuseSpec extends GraftSpec {
+
+  test("survivors reuse the memoized labeling; clear() forces a rebuild") {
+    CacheRegistry.clear(spark)
+    val b0 = DedupOps.labelBuilds.get()
+    val components = DedupOps.connectedComponents(spark, sfDir)
+    assert(components.count() > 0)
+    val survivors = DedupOps.dedupSurvivors(spark, sfDir)
+    assert(survivors.count() > 0)
+    assert(DedupOps.labelBuilds.get() === b0 + 1,
+      "second consumer must reuse the checkpointed labels, not rebuild")
+    CacheRegistry.clear(spark)
+    assert(DedupOps.dedupSurvivors(spark, sfDir).count() > 0)
+    assert(DedupOps.labelBuilds.get() === b0 + 2,
+      "clear() must invalidate the memoized labeling")
+  }
+
+  test("components and survivors agree on the component ids") {
+    CacheRegistry.clear(spark)
+    val labels = DedupOps.connectedComponents(spark, sfDir)
+    val survivorComponents = DedupOps.dedupSurvivors(spark, sfDir)
+      .select("component").collect().map(_.getLong(0)).toSet
+    val labelComponents =
+      labels.select("component").collect().map(_.getLong(0)).toSet
+    assert(survivorComponents.subsetOf(labelComponents))
+  }
+}

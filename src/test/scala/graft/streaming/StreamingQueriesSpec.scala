@@ -26,6 +26,28 @@ class StreamingQueriesSpec extends GraftSpec {
     assert(totalN === 4L * Tables.events(spark, sfDir).count())
   }
 
+  test("stream_fmgws_session matches an independent batch lag/gap sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    val got = StreamingQueries.streamFmgwsSession(spark, sfDir)
+      .collect().toSeq.map(_.toSeq)
+    assert(got.nonEmpty)
+    // batch twin of the stateful sessionizer's rule: ms-truncated times,
+    // a gap STRICTLY greater than 30 min starts a new session
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+    val batch = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 1000").as("t"))
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .withColumn("sid", sum(when(col("gap").isNull || col("gap") > 1800000L, 1)
+        .otherwise(0)).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("t")).as("start_ms"), max(col("t")).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"))
+      .orderBy(col("user_id"), col("start_ms"))
+      .collect().toSeq.map(_.toSeq)
+    assert(got === batch)
+  }
+
   test("stream_session partitions every event into exactly one session") {
     val got = StreamingQueries.streamSession(spark, sfDir).collect()
     assert(got.nonEmpty)
