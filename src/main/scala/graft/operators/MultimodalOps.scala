@@ -134,11 +134,80 @@ object MultimodalOps extends QueryPack {
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** 60-bit average-hash (aHash) of a payload's frame bytes — the
+    * perceptual-dedup primitive for media columns: sample 60 evenly-spaced
+    * bytes (offset ⌊j·plen/60⌋, the "resize to a fixed grid" step of a
+    * real aHash), set bit j iff the sample exceeds the sample mean. The
+    * mean test is the INTEGER inequality v·60 > Σv — no division, no
+    * float, so the DuckDB oracle reproduces the hash bit-for-bit. 60 bits
+    * (not 64) keeps every power-of-two term ANSI-safe in signed long
+    * arithmetic, same choice as the portable SimHash. */
+  private def aHash60(payload: Array[Byte], plen: Int): Long = {
+    val samples = new Array[Int](60)
+    var sum = 0L
+    var j = 0
+    while (j < 60) {
+      val v = payload(18 + ((j.toLong * plen) / 60).toInt) & 0xff
+      samples(j) = v; sum += v; j += 1
+    }
+    var h = 0L
+    j = 0
+    while (j < 60) {
+      if (samples(j) * 60L > sum) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
+  /** Perceptual near-dup pairs over the media payloads: per-partition
+    * deep decode → [[aHash60]] sketch, then the same banded-LSH relational
+    * shape as the text SimHash pipelines (4×15-bit chunks → equi-join →
+    * hamming ≤ 4 verify). Exact-copy payloads are planted (every 97th doc
+    * under doc_id + 1e12, the [[graft.operators.DedupOps]] convention) so
+    * the gate is non-vacuous at every scale; the oracle recomputes the
+    * hash from the text bytes and brute-forces the tiny planted pair set.
+    * Scale shape: the sketch is one decoder pass (no shuffle), the join
+    * is keyed on 15-bit chunks, work linear in corpus + candidates. */
+  def phashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = payloads(s, d)
+    val planted = base.unionByName(
+      base.filter(col("doc_id") % 97 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000000000L))
+    val hashed = planted.as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.map { case (id, payload) =>
+        val buf = java.nio.ByteBuffer.wrap(payload)
+        require(buf.getInt(0) == 0x47524654, s"bad magic in doc $id")
+        (id, aHash60(payload, buf.getInt(14)))
+      }
+    }.toDF("doc_id", "ph")
+    val allBands = hashed.select(col("doc_id"), col("ph"),
+      posexplode(expr("transform(sequence(0, 3), b -> (ph >> (15 * b)) & 32767)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      .localCheckpoint(true) // one decode pass for hot-agg + both join sides
+    // same overfull-bucket bound as every banded LSH join (mirrored in
+    // the oracle, so the cap is verified rather than asserted)
+    val hot = allBands.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > DedupOps.HotBucketCap)
+      .select(col("band"), col("chunk"))
+    val bands = allBands.join(broadcast(hot), Seq("band", "chunk"), "left_anti")
+    val left = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_a"), col("ph").as("ph_a"))
+    val right = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_b"), col("ph").as("ph_b"))
+    left.join(right, Seq("band", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("ph_a ^ ph_b")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 4)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> mediaMeta,
     "multimodal_frame_sample" -> frameSample,
     "multimodal_bytes" -> mediaBytes,
     "multimodal_pixels" -> mediaPixels,
+    "multimodal_phash_pairs" -> phashPairs,
   )
 
   // The oracle recomputes the header fields arithmetically (it has no blob
@@ -173,5 +242,32 @@ object MultimodalOps extends QueryPack {
         | CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max,
         | CAST(sum(i*v) AS BIGINT) AS px_checksum
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // recompute the 60-bit aHash from the text bytes (= frame bytes) and
+    // mirror the banded join + hot-bucket cap relationally
+    "multimodal_phash_pairs" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 97 = 0),
+        |s AS (SELECT doc_id, j,
+        |   ord(substr(text, CAST((j * strlen(text)) // 60 AS INT) + 1, 1)) AS v
+        |  FROM docs2, unnest(range(0, 60)) AS u(j)),
+        |h AS (SELECT doc_id,
+        |   CAST(sum(CASE WHEN v * 60 > sv THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+        |            ELSE 0 END) AS BIGINT) AS ph
+        |  FROM (SELECT doc_id, j, v, sum(v) OVER (PARTITION BY doc_id) AS sv FROM s)
+        |  GROUP BY doc_id),
+        |b AS (SELECT doc_id, ph, k AS band, (ph >> CAST(15 * k AS INT)) & 32767 AS chunk
+        |  FROM h, unnest(range(0, 4)) AS u(k)),
+        |hot AS (SELECT band, chunk FROM b GROUP BY band, chunk HAVING count(*) > 500),
+        |kept AS (SELECT * FROM b ANTI JOIN hot USING (band, chunk)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |    a.ph AS ph_a, c.ph AS ph_b
+        |  FROM kept a JOIN kept c ON a.band = c.band AND a.chunk = c.chunk
+        |   AND a.doc_id < c.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -223,6 +223,52 @@ object TextOps extends QueryPack {
     * aggregate is exact and order-independent; the one remaining double
     * op (ln(n)·1e6 − m/n) is a deterministic function of exact integers,
     * identical in the oracle. Explode → two partial-agged groupBys. */
+  /** Bigram-LM negative log-likelihood scoring — the CCNet/Gopher-style
+    * perplexity quality signal: train an add-one-smoothed bigram model ON
+    * the corpus (counts + vocab size), score every document by
+    * Σ −ln((c₂+1)/(c₁+V)) over its bigrams. High NLL-per-bigram = text
+    * the corpus LM finds surprising (boilerplate scores low, gibberish
+    * high) — the standard filter for web-scale pretraining data.
+    *
+    * Floating arithmetic is confined to single `ln`s OF INTEGERS, rounded
+    * to fixed-point micro-units per bigram TYPE before any summation
+    * (the [[textEntropy]] idiom) — order-independent integer sums both
+    * engines reproduce bit-for-bit. Scale shape: the bigram/context
+    * count tables are one partial-aggregated shuffle each over corpus
+    * tokens; scoring joins are keyed on bigram/context against
+    * one-row-per-key count tables (no blowup on hot n-grams); V rides a
+    * broadcast one-row frame — work is linear in corpus tokens, the
+    * same shape as the inverted-index pipelines. */
+  def textPerplexity(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), toks.as("tk"))
+    // (doc_id, left token, bigram) — one row per ADJACENT pair; feeds the
+    // two model aggregates and the per-doc scoring, so materialize once
+    val pairs = base.select(col("doc_id"),
+        explode(zip_with(
+          expr("slice(tk, 1, size(tk) - 1)"),
+          expr("slice(tk, 2, size(tk) - 1)"),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .select(col("doc_id"), col("p.l").as("l"),
+        concat(col("p.l"), lit(" "), col("p.r")).as("bg"))
+      .localCheckpoint(true)
+    val c2 = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy(col("l")).agg(count(lit(1)).as("c1"))
+    val vocab = base.select(explode(col("tk")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val dbc = pairs.groupBy(col("doc_id"), col("bg"), col("l"))
+      .agg(count(lit(1)).as("n"))
+    val term = round((log(col("c2") + 1) - log(col("c1") + col("v"))) * 1e6, 0)
+      .cast("long")
+    dbc.join(c2, "bg").join(c1, "l").crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("n"), term.as("t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"), (-sum(col("n") * col("t"))).as("nll_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micro"),
+        round(col("nll_micro") / col("n_bigrams").cast("double"), 0)
+          .cast("long").as("nll_per_bigram_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   def textEntropy(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks).as("tok"))
@@ -238,6 +284,7 @@ object TextOps extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_entropy" -> textEntropy,
+    "text_perplexity" -> textPerplexity,
     "text_quality_model" -> textQualityModel,
     "text_sample_stratified" -> textSampleStratified,
     "text_token_budget" -> textTokenBudget,
@@ -255,6 +302,23 @@ object TextOps extends QueryPack {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${stops.map(w => s"'$w'").mkString(", ")})))"
 
   override val oracle: Map[String, String] = Map(
+    "text_perplexity" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |big AS (SELECT doc_id, tk[i] AS l, tk[i] || ' ' || tk[i+1] AS bg
+        |  FROM tk, unnest(range(1, len(tk))) AS u(i)),
+        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY bg),
+        |c1 AS (SELECT l, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY l),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |dbc AS (SELECT doc_id, bg, l, CAST(count(*) AS BIGINT) AS n
+        |  FROM big GROUP BY doc_id, bg, l),
+        |terms AS (SELECT doc_id, n,
+        |  CAST(round((ln(c2.c2 + 1) - ln(c1.c1 + v.v)) * 1000000.0) AS BIGINT) AS t
+        |  FROM dbc JOIN c2 USING(bg) JOIN c1 USING(l) CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        | CAST(-sum(n * t) AS BIGINT) AS nll_micro,
+        | CAST(round(-sum(n * t) / CAST(sum(n) AS DOUBLE)) AS BIGINT) AS nll_per_bigram_micro
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

@@ -106,6 +106,22 @@ object StreamingQueries extends QueryPack {
     Files.deleteIfExists(p)
   }
 
+  /** The staged (data + sentinel) directory is identical for every
+    * backfill over the same events table, and building it costs two small
+    * Spark jobs (max-ts probe, sentinel write) — memoized per
+    * (application, sf dir) like the component labeling, invalidated and
+    * deleted by [[graft.CacheRegistry.clear]] at pass boundaries. */
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  graft.CacheRegistry.onClear(() => {
+    stagedCache.values.forEach(p => deleteRecursively(p))
+    stagedCache.clear()
+  })
+
+  private def stagedFor(s: SparkSession, d: String): java.nio.file.Path =
+    stagedCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d,
+      _ => stageWithSentinel(s, d))
+
   /** The staged directory as a stream — same TIMESTAMP(NANOS) handling as
     * [[graft.Tables.events]] (nanos read as long, converted in integer
     * arithmetic to a microsecond timestamp). */
@@ -129,13 +145,12 @@ object StreamingQueries extends QueryPack {
   private def runBackfill(s: SparkSession, d: String)(
       aggOf: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.Files
-    val staged = stageWithSentinel(s, d)
+    val staged = stagedFor(s, d)
     val out = Files.createTempDirectory("graft_stream_out_")
     val ckpt = Files.createTempDirectory("graft_stream_ckpt_")
     val q = StreamingOps.idempotentParquetSink(
       aggOf(streamFromDir(s, staged.toString)), out.toString, ckpt.toString)
     q.awaitTermination()
-    deleteRecursively(staged)
     deleteRecursively(ckpt)
     s.read.parquet(out.toString).drop("batch_id")
   }
