@@ -141,6 +141,16 @@ object PlanCheck {
     // loop — but never a cartesian product
     Check("dedup_source_overlap", mustContain = Seq("HashAggregate"),
       mustNot = Seq("CartesianProduct")),
+    // the bigram/context count tables are O(corpus n-grams) and must NOT
+    // be force-broadcast: with auto-broadcast off the scoring joins fall
+    // back to keyed sort-merge; the 1-row vocab scalar is an intentional
+    // broadcast nested loop
+    Check("text_perplexity", mustContain = Seq("SortMergeJoin", "HashAggregate"),
+      mustNot = Seq("CartesianProduct"), noAutoBroadcast = true),
+    // perceptual-hash candidates come from a (band, chunk)-keyed
+    // equi-join over the checkpointed sketch table — never a cartesian
+    Check("multimodal_phash_pairs", mustContain = Seq("HashAggregate"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
   )
 
   def main(args: Array[String]): Unit = {
