@@ -158,32 +158,45 @@ object DedupOps extends QueryPack {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash near-dup candidates: 4×16-bit bands → equi-join blocking,
-    * verify with hamming = bit_count(a XOR b) <= 8 (whole-stage codegen). */
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = simhashes(s, d)
-    val allBands = sh.select(col("doc_id"), col("sh"),
-      posexplode(expr("transform(sequence(0, 3), b -> (sh >> (16 * b)) & 65535)")))
+  /** Shared banded-hamming LSH pipeline over a 64-bit-or-less sketch
+    * frame `(doc_id, sk)`: split the sketch into `nBands` chunks of
+    * `bandBits` bits, equi-join on (band, chunk) with the overfull-bucket
+    * cap (standard LSH hygiene — a band value shared by thousands of docs
+    * has no discriminating power but costs |bucket|² join rows on one
+    * skewed key; the bound survives any corpus size), then verify with
+    * hamming = bit_count(a XOR b) <= maxHamming in whole-stage codegen.
+    * One sketch pass feeds the hot-bucket aggregate AND both join sides
+    * via the eager checkpoint. Used by [[simhashPairs]],
+    * [[simhashPortable]], and [[MultimodalOps.phashPairs]]. */
+  private[operators] def bandedHammingPairs(sketch: DataFrame,
+      nBands: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val allBands = sketch.select(col("doc_id"), col("sk"),
+      posexplode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> (sk >> ($bandBits * b)) & $mask)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-      .localCheckpoint(true) // one sketch pass for hot-agg + both join sides
-    // Overfull-bucket cap (standard LSH hygiene): a band value shared by
-    // thousands of docs has no discriminating power but costs |bucket|²
-    // join rows on one skewed key — drop those buckets instead of letting
-    // a single hot key serialize the stage. Bound survives any corpus size.
+      .localCheckpoint(true)
     val hot = allBands.groupBy(col("band"), col("chunk"))
       .agg(count(lit(1)).as("bn")).filter(col("bn") > HotBucketCap)
       .select(col("band"), col("chunk"))
     val bands = allBands.join(broadcast(hot), Seq("band", "chunk"), "left_anti")
-    val left = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val right = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val left = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_a"), col("sk").as("sk_a"))
+    val right = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_b"), col("sk").as("sk_b"))
     left.join(right, Seq("band", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(expr("sh_a ^ sh_b")).cast("long").as("hamming"))
+        bit_count(expr("sk_a ^ sk_b")).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** SimHash near-dup candidates: 4×16-bit bands → equi-join blocking,
+    * verify with hamming = bit_count(a XOR b) <= 8 (whole-stage codegen). */
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    bandedHammingPairs(
+      simhashes(s, d).select(col("doc_id"), col("sh").as("sk")),
+      nBands = 4, bandBits = 16, maxHamming = 8)
 
   /** Modulus of the PORTABLE hash family: base-31 polynomial fold of a
     * string's codepoints mod 1e9+7 ([[graft.functions.PolyHash]]) — pure
@@ -278,23 +291,7 @@ object DedupOps extends QueryPack {
       .select(col("doc_id"),
         graft.functions.SketchExpressions.portable_simhash(col("text"), SB, P)
           .as("sk"))
-    val allBands = sk.select(col("doc_id"), col("sk"),
-      posexplode(expr("transform(sequence(0, 3), b -> (sk >> (15 * b)) & 32767)")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-      .localCheckpoint(true) // one sketch pass for hot-agg + both join sides
-    val hot = allBands.groupBy(col("band"), col("chunk"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") > HotBucketCap)
-      .select(col("band"), col("chunk"))
-    val bands = allBands.join(broadcast(hot), Seq("band", "chunk"), "left_anti")
-    val left = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_a"), col("sk").as("sk_a"))
-    val right = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_b"), col("sk").as("sk_b"))
-    left.join(right, Seq("band", "chunk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(expr("sk_a ^ sk_b")).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 4)
-      .orderBy(col("doc_a"), col("doc_b"))
+    bandedHammingPairs(sk, nBands = 4, bandBits = 15, maxHamming = 4)
   }
 
   /** Document-frequency cap for the exact-Jaccard inverted index: a

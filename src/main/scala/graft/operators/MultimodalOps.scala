@@ -110,7 +110,11 @@ object MultimodalOps extends QueryPack {
         PixelStats(id, plen.toLong, sum, mn, mx, ck)
       }
     }
+    // empty payloads have no pixel row — matches the oracle (whose unnest
+    // over 1..strlen generates zero rows) and keeps the ANSI-mode mean
+    // division away from 0/0
     stats.toDF()
+      .filter(col("n_px") > 0)
       .select(col("doc_id"), col("n_px"), col("px_sum"),
         round(col("px_sum") / col("n_px"), 4).as("px_mean"),
         col("px_min"), col("px_max"), col("px_checksum"))
@@ -170,7 +174,10 @@ object MultimodalOps extends QueryPack {
     * is keyed on 15-bit chunks, work linear in corpus + candidates. */
   def phashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = payloads(s, d)
+    // empty payloads carry no frame bytes to hash — no sketch row, the
+    // minhashSigs/simhashes convention (mirrored in the oracle's
+    // strlen > 0 guard)
+    val base = payloads(s, d).filter(length(col("payload")) > 18)
     val planted = base.unionByName(
       base.filter(col("doc_id") % 97 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000000000L))
@@ -180,26 +187,10 @@ object MultimodalOps extends QueryPack {
         require(buf.getInt(0) == 0x47524654, s"bad magic in doc $id")
         (id, aHash60(payload, buf.getInt(14)))
       }
-    }.toDF("doc_id", "ph")
-    val allBands = hashed.select(col("doc_id"), col("ph"),
-      posexplode(expr("transform(sequence(0, 3), b -> (ph >> (15 * b)) & 32767)")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-      .localCheckpoint(true) // one decode pass for hot-agg + both join sides
-    // same overfull-bucket bound as every banded LSH join (mirrored in
-    // the oracle, so the cap is verified rather than asserted)
-    val hot = allBands.groupBy(col("band"), col("chunk"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") > DedupOps.HotBucketCap)
-      .select(col("band"), col("chunk"))
-    val bands = allBands.join(broadcast(hot), Seq("band", "chunk"), "left_anti")
-    val left = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_a"), col("ph").as("ph_a"))
-    val right = bands.select(col("band"), col("chunk"), col("doc_id").as("doc_b"), col("ph").as("ph_b"))
-    left.join(right, Seq("band", "chunk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(expr("ph_a ^ ph_b")).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 4)
-      .orderBy(col("doc_a"), col("doc_b"))
+    }.toDF("doc_id", "sk")
+    // same banded-LSH join + hot-bucket cap as the text sketches
+    // (mirrored in the oracle, so the cap is verified rather than asserted)
+    DedupOps.bandedHammingPairs(hashed, nBands = 4, bandBits = 15, maxHamming = 4)
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -246,10 +237,10 @@ object MultimodalOps extends QueryPack {
     // mirror the banded join + hot-bucket cap relationally
     "multimodal_phash_pairs" ->
       """WITH docs2 AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id, text FROM documents WHERE strlen(text) > 0
         |  UNION ALL
         |  SELECT doc_id + 1000000000000 AS doc_id, text FROM documents
-        |  WHERE doc_id % 97 = 0),
+        |  WHERE doc_id % 97 = 0 AND strlen(text) > 0),
         |s AS (SELECT doc_id, j,
         |   ord(substr(text, CAST((j * strlen(text)) // 60 AS INT) + 1, 1)) AS v
         |  FROM docs2, unnest(range(0, 60)) AS u(j)),

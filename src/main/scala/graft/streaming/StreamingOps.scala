@@ -139,7 +139,13 @@ object StreamingOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1))
+                  // min/max keep the bounds monotone when a late row
+                  // (inside the watermark, older than carried state)
+                  // arrives in a later micro-batch — a bare `last = t`
+                  // would move the session end BACKWARDS and reset the
+                  // timeout earlier
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed ::= SessionOut(user, s.start, s.last, s.n)
                   cur = Some(SessionState(t, t, 1))

@@ -40,22 +40,30 @@ object StreamingQueries extends QueryPack {
     * originals' older mtime, so the file source's oldest-first ordering
     * processes all real data before (or with) the sentinel — the sentinel
     * must never advance the watermark ahead of unprocessed real rows. */
+  /** Directory entries as a materialized list — `Files.list` streams hold
+    * an open directory fd until closed, so never leak the stream. */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = java.nio.file.Files.list(p)
+    try {
+      val it = st.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    } finally st.close()
+  }
+
   private def stageWithSentinel(s: SparkSession, d: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = Paths.get(s"$d/events.parquet")
     val tmp = Files.createTempDirectory("graft_stream_in_")
     val dataFiles: Seq[java.nio.file.Path] =
-      if (Files.isDirectory(src)) {
-        val it = Files.list(src).iterator()
-        val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-        while (it.hasNext) {
-          val f = it.next()
+      if (Files.isDirectory(src))
+        listDir(src).filter { f =>
           val n = f.getFileName.toString
-          if (!n.startsWith("_") && !n.startsWith(".")) buf += f
+          !n.startsWith("_") && !n.startsWith(".")
         }
-        buf.toSeq
-      } else Seq(src)
+      else Seq(src)
     dataFiles.zipWithIndex.foreach { case (f, i) =>
       val dst = tmp.resolve(f"data_$i%05d_${f.getFileName.toString}")
       try Files.createLink(dst, f)
@@ -84,25 +92,16 @@ object StreamingQueries extends QueryPack {
     }: _*)
     val sentDir = Files.createTempDirectory("graft_stream_sent_")
     sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
-    val part = Files.list(sentDir).iterator()
-    var moved = false
-    while (part.hasNext && !moved) {
-      val f = part.next()
-      if (f.getFileName.toString.endsWith(".parquet")) {
-        Files.move(f, tmp.resolve("zz_sentinel.parquet")); moved = true
-      }
-    }
-    require(moved, "sentinel parquet part file not found")
+    val part = listDir(sentDir).find(_.getFileName.toString.endsWith(".parquet"))
+    require(part.nonEmpty, "sentinel parquet part file not found")
+    Files.move(part.get, tmp.resolve("zz_sentinel.parquet"))
     deleteRecursively(sentDir)
     tmp
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
-    if (Files.isDirectory(p)) {
-      val it = Files.list(p).iterator()
-      while (it.hasNext) deleteRecursively(it.next())
-    }
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 
@@ -135,18 +134,32 @@ object StreamingQueries extends QueryPack {
     else raw
   }
 
+  /** Sink output dirs live until the next [[graft.CacheRegistry.clear]]:
+    * the returned DataFrame reads them lazily, so they must outlive the
+    * query result's consumption — the same pass-boundary contract as the
+    * checkpointed band/label tables. */
+  private val outDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  graft.CacheRegistry.onClear(() => {
+    outDirs.forEach(p => deleteRecursively(p))
+    outDirs.clear()
+  })
+
   /** Run a streaming transform over the finite staged input to completion
     * through the exactly-once parquet sink and return the landed files as
     * a DataFrame. No memory sink, no `collect()`, no Complete mode: rows
-    * flow executor → files, the driver only coordinates. The staged input
-    * and checkpoint dirs are deleted once the query terminates (their
-    * contents are fully processed); the sink dir must outlive the
-    * returned (lazy) DataFrame and is GC'd with the JVM's temp space. */
+    * flow executor → files, the driver only coordinates. The checkpoint
+    * dir is deleted once the query terminates (fully processed); the
+    * staged input is memoized and the sink dir backs the lazy result, so
+    * both are reclaimed by [[graft.CacheRegistry.clear]] at the next pass
+    * boundary (or with the JVM's temp space at process exit). */
   private def runBackfill(s: SparkSession, d: String)(
       aggOf: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.Files
     val staged = stagedFor(s, d)
     val out = Files.createTempDirectory("graft_stream_out_")
+    outDirs.add(out)
     val ckpt = Files.createTempDirectory("graft_stream_ckpt_")
     val q = StreamingOps.idempotentParquetSink(
       aggOf(streamFromDir(s, staged.toString)), out.toString, ckpt.toString)
