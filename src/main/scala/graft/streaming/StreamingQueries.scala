@@ -216,11 +216,44 @@ object StreamingQueries extends QueryPack {
       .orderBy(col("user_id"), col("start_ms"))
   }
 
+  /** Bounded-state streaming exact dedup, end to end: the stream is
+    * unioned with itself (every event arrives TWICE — the at-least-once
+    * delivery shape dedup exists for), then
+    * `dropDuplicatesWithinWatermark` on the unique event id restores
+    * exactly the original relation while holding one state row per key
+    * only inside the watermark horizon. Duplicate rows are bit-identical,
+    * so whichever copy survives is deterministic. Dedup is a stateful
+    * FILTER — rows emit immediately in Append mode — and the oracle is
+    * simply the events table itself. */
+  def streamDedup(s: SparkSession, d: String): DataFrame =
+    runBackfill(s, d) { df =>
+      df.unionByName(df)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+    }
+      .filter(col("event_type") =!= FlushType)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("event_id"))
+
+  /** Watermarked STREAM-STREAM interval join as a declared query: each
+    * purchase joined to the same user's clicks from the preceding hour,
+    * both sides of [[StreamingOps.streamStreamJoin]] fed from the same
+    * staged stream. Inner stream-stream joins emit matches as they are
+    * found (the watermark bounds buffered state, not emission), so the
+    * finite backfill lands the complete join; the sentinel never joins
+    * (its event_type is neither purchase nor click). */
+  def streamStreamInterval(s: SparkSession, d: String): DataFrame =
+    runBackfill(s, d) { df => StreamingOps.streamStreamJoin(df, df) }
+      .orderBy(col("p_id"), col("c_id"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
     "stream_fmgws_session" -> streamFmgwsSession,
+    "stream_dedup" -> streamDedup,
+    "stream_join" -> streamStreamInterval,
   )
 
   override val oracle: Map[String, String] = Map(
@@ -248,6 +281,22 @@ object StreamingQueries extends QueryPack {
         |SELECT min(t) AS sess_start, max(t) + INTERVAL 30 MINUTE AS sess_end,
         | user_id, count(*) AS n_events
         |FROM f GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        | value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "stream_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
+        |    CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user,
+        |    CAST(ts AS TIMESTAMP) AS c_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p_id, p_user, c_id,
+        | epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
+        |FROM p JOIN c ON p_user = c_user
+        | AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
+        |ORDER BY p_id, c_id""".stripMargin,
     "stream_fmgws_session" ->
       """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t FROM events),
         |g AS (SELECT user_id, t,
