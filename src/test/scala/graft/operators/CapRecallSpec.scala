@@ -50,6 +50,7 @@ class CapRecallSpec extends GraftSpec {
     "simhash_pairs" -> (DedupOps.simhashPairs _),
     "minhash_portable" -> (DedupOps.minhashPortable _),
     "simhash_portable" -> (DedupOps.simhashPortable _),
+    "phash_pairs" -> (MultimodalOps.phashPairs _),
   )
 
   for (seed <- Seq(41, 42)) {
