@@ -134,6 +134,47 @@ object StreamingQueries extends QueryPack {
     else raw
   }
 
+  /** The events table streamed DIRECTLY from its source files — for the
+    * operators that emit in-flight (stateful dedup, inner stream-stream
+    * join) and therefore need no flush sentinel: nothing is withheld
+    * behind the watermark, so the unstaged source is both cheaper (no
+    * sentinel batch) and the truer production shape. The file stream
+    * source needs a directory; a single-file fixture streams from its
+    * parent with a leaf-name glob (pathGlobFilter matches LEAF names). */
+  private def eventsStreamDirect(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val raw =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+        s.readStream.schema(schema).parquet(path)
+      else
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet*")
+          .parquet(d)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** [[runBackfill]] minus the sentinel staging: run an
+    * emit-in-flight transform over the raw source stream through the
+    * exactly-once parquet sink. */
+  private def runDirect(s: SparkSession, d: String)(
+      aggOf: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_stream_out_")
+    outDirs.add(out)
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt_")
+    withStatePartitions(s) {
+      val q = StreamingOps.idempotentParquetSink(
+        aggOf(eventsStreamDirect(s, d)), out.toString, ckpt.toString)
+      q.awaitTermination()
+    }
+    deleteRecursively(ckpt)
+    s.read.parquet(out.toString).drop("batch_id")
+  }
+
   /** Sink output dirs live until the next [[graft.CacheRegistry.clear]]:
     * the returned DataFrame reads them lazily, so they must outlive the
     * query result's consumption — the same pass-boundary contract as the
@@ -145,6 +186,27 @@ object StreamingQueries extends QueryPack {
     outDirs.forEach(p => deleteRecursively(p))
     outDirs.clear()
   })
+
+  /** Streaming state partitioning for the finite backfills. The state
+    * store pays a per-partition, per-micro-batch maintenance/commit cost,
+    * so running a bounded backfill at the session's full shuffle width
+    * is pure overhead (measured on local[32]: every stream query more
+    * than halves at width 8). A quarter of the cluster parallelism
+    * (floor 4) keeps the backfill parallel while bounding that fixed
+    * cost; `spark.graft.stream.statePartitions` overrides. The setting
+    * is applied around the whole query run because Spark fixes a
+    * stream's state partition count from the session conf at start —
+    * there is no per-writer option — and the declared backfills are
+    * sequential driver entry points, so nothing else plans against the
+    * temporary value (a concurrent planner in the same session would;
+    * production deployments size the session conf directly instead). */
+  private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    s.conf.set(key, s.conf.get("spark.graft.stream.statePartitions",
+      math.max(4, s.sparkContext.defaultParallelism / 4).toString))
+    try body finally s.conf.set(key, saved)
+  }
 
   /** Run a streaming transform over the finite staged input to completion
     * through the exactly-once parquet sink and return the landed files as
@@ -161,9 +223,11 @@ object StreamingQueries extends QueryPack {
     val out = Files.createTempDirectory("graft_stream_out_")
     outDirs.add(out)
     val ckpt = Files.createTempDirectory("graft_stream_ckpt_")
-    val q = StreamingOps.idempotentParquetSink(
-      aggOf(streamFromDir(s, staged.toString)), out.toString, ckpt.toString)
-    q.awaitTermination()
+    withStatePartitions(s) {
+      val q = StreamingOps.idempotentParquetSink(
+        aggOf(streamFromDir(s, staged.toString)), out.toString, ckpt.toString)
+      q.awaitTermination()
+    }
     deleteRecursively(ckpt)
     s.read.parquet(out.toString).drop("batch_id")
   }
@@ -223,15 +287,14 @@ object StreamingQueries extends QueryPack {
     * exactly the original relation while holding one state row per key
     * only inside the watermark horizon. Duplicate rows are bit-identical,
     * so whichever copy survives is deterministic. Dedup is a stateful
-    * FILTER — rows emit immediately in Append mode — and the oracle is
-    * simply the events table itself. */
+    * FILTER — rows emit immediately in Append mode, so the raw unstaged
+    * source suffices — and the oracle is simply the events table. */
   def streamDedup(s: SparkSession, d: String): DataFrame =
-    runBackfill(s, d) { df =>
+    runDirect(s, d) { df =>
       df.unionByName(df)
         .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark("event_id")
     }
-      .filter(col("event_type") =!= FlushType)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .orderBy(col("event_id"))
@@ -239,12 +302,11 @@ object StreamingQueries extends QueryPack {
   /** Watermarked STREAM-STREAM interval join as a declared query: each
     * purchase joined to the same user's clicks from the preceding hour,
     * both sides of [[StreamingOps.streamStreamJoin]] fed from the same
-    * staged stream. Inner stream-stream joins emit matches as they are
-    * found (the watermark bounds buffered state, not emission), so the
-    * finite backfill lands the complete join; the sentinel never joins
-    * (its event_type is neither purchase nor click). */
+    * raw source stream. Inner stream-stream joins emit matches as they
+    * are found (the watermark bounds buffered state, not emission), so
+    * the finite backfill lands the complete join with no sentinel. */
   def streamStreamInterval(s: SparkSession, d: String): DataFrame =
-    runBackfill(s, d) { df => StreamingOps.streamStreamJoin(df, df) }
+    runDirect(s, d) { df => StreamingOps.streamStreamJoin(df, df) }
       .orderBy(col("p_id"), col("c_id"))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
