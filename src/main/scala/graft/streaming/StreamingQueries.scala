@@ -34,12 +34,6 @@ object StreamingQueries extends QueryPack {
     * window closes strictly before the sentinel's watermark. */
   private val SentinelGapNs = 30L * 86400L * 1000000000L
 
-  /** Stage the events table into a temp directory (hard links; copy
-    * fallback across devices) plus one sentinel parquet file whose single
-    * row sits 30 days past the corpus max ts. Hard links preserve the
-    * originals' older mtime, so the file source's oldest-first ordering
-    * processes all real data before (or with) the sentinel — the sentinel
-    * must never advance the watermark ahead of unprocessed real rows. */
   /** Directory entries as a materialized list — `Files.list` streams hold
     * an open directory fd until closed, so never leak the stream. */
   private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
@@ -52,6 +46,12 @@ object StreamingQueries extends QueryPack {
     } finally st.close()
   }
 
+  /** Stage the events table into a temp directory (hard links; copy
+    * fallback across devices) plus one sentinel parquet file whose single
+    * row sits 30 days past the corpus max ts. Hard links preserve the
+    * originals' older mtime, so the file source's oldest-first ordering
+    * processes all real data before (or with) the sentinel — the sentinel
+    * must never advance the watermark ahead of unprocessed real rows. */
   private def stageWithSentinel(s: SparkSession, d: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -76,13 +76,13 @@ object StreamingQueries extends QueryPack {
       batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
     val tsLit =
       if (tsIsLong) {
-        val maxNs = batch.agg(max(col("ts"))).head.getLong(0)
+        val maxNs = batch.agg(max(col("ts"))).head().getLong(0)
         lit(maxNs + SentinelGapNs)
       } else {
-        val maxTs = batch.agg(max(col("ts"))).head.getTimestamp(0)
+        val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
         lit(new java.sql.Timestamp(maxTs.getTime + SentinelGapNs / 1000000L))
       }
-    val sentinel = batch.limit(1).select(batch.columns.map {
+    val sentinel = batch.limit(1).select(batch.columns.toIndexedSeq.map {
       case "ts"         => tsLit.as("ts")
       case "event_id"   => lit(-1L).cast(batch.schema("event_id").dataType).as("event_id")
       case "user_id"    => lit(-1L).cast(batch.schema("user_id").dataType).as("user_id")
