@@ -121,17 +121,20 @@ object StreamingQueries extends QueryPack {
     stagedCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d,
       _ => stageWithSentinel(s, d))
 
-  /** The staged directory as a stream — same TIMESTAMP(NANOS) handling as
-    * [[graft.Tables.events]] (nanos read as long, converted in integer
-    * arithmetic to a microsecond timestamp). */
+  /** The fixture's TIMESTAMP(NANOS) handling, shared by every stream
+    * builder — same as [[graft.Tables.events]]: nanos read as long,
+    * converted in integer arithmetic to a microsecond timestamp. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+
+  /** The staged directory as a stream. */
   private def streamFromDir(s: SparkSession, dir: String): DataFrame = {
     val schema = s.read.parquet(dir).schema
-    val raw = s.readStream.schema(schema)
+    normalizeTs(s.readStream.schema(schema)
       .option("latestFirst", "false") // oldest first: data before sentinel
-      .parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+      .parquet(dir))
   }
 
   /** The events table streamed DIRECTLY from its source files — for the
@@ -140,39 +143,27 @@ object StreamingQueries extends QueryPack {
     * behind the watermark, so the unstaged source is both cheaper (no
     * sentinel batch) and the truer production shape. The file stream
     * source needs a directory; a single-file fixture streams from its
-    * parent with a leaf-name glob (pathGlobFilter matches LEAF names). */
+    * parent with a leaf-name glob (pathGlobFilter matches LEAF names).
+    *
+    * Watermark safety: rows older than (watermark) are DROPPED by the
+    * stateful operators, and the watermark only advances BETWEEN
+    * micro-batches — so a backfill is exact iff no batch carries rows
+    * older than a previous batch's max ts minus the delay. The file
+    * source splits batches only when `maxFilesPerTrigger` is set; these
+    * builders never set it, so every available file lands in ONE batch
+    * and nothing is ever late. A deployment that re-enables rate limits
+    * accepts ordinary watermark semantics instead. */
   private def eventsStreamDirect(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/events.parquet"
     val schema = s.read.parquet(path).schema
-    val raw =
+    normalizeTs(
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
         s.readStream.schema(schema).parquet(path)
       else
         s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet*")
-          .parquet(d)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
-  }
-
-  /** [[runBackfill]] minus the sentinel staging: run an
-    * emit-in-flight transform over the raw source stream through the
-    * exactly-once parquet sink. */
-  private def runDirect(s: SparkSession, d: String)(
-      aggOf: DataFrame => DataFrame): DataFrame = {
-    import java.nio.file.Files
-    val out = Files.createTempDirectory("graft_stream_out_")
-    outDirs.add(out)
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt_")
-    withStatePartitions(s) {
-      val q = StreamingOps.idempotentParquetSink(
-        aggOf(eventsStreamDirect(s, d)), out.toString, ckpt.toString)
-      q.awaitTermination()
-    }
-    deleteRecursively(ckpt)
-    s.read.parquet(out.toString).drop("batch_id")
+          .parquet(d))
   }
 
   /** Sink output dirs live until the next [[graft.CacheRegistry.clear]]:
@@ -208,29 +199,41 @@ object StreamingQueries extends QueryPack {
     try body finally s.conf.set(key, saved)
   }
 
-  /** Run a streaming transform over the finite staged input to completion
+  /** Run a streaming transform over a finite source to completion
     * through the exactly-once parquet sink and return the landed files as
     * a DataFrame. No memory sink, no `collect()`, no Complete mode: rows
     * flow executor → files, the driver only coordinates. The checkpoint
     * dir is deleted once the query terminates (fully processed); the
-    * staged input is memoized and the sink dir backs the lazy result, so
-    * both are reclaimed by [[graft.CacheRegistry.clear]] at the next pass
-    * boundary (or with the JVM's temp space at process exit). */
-  private def runBackfill(s: SparkSession, d: String)(
+    * sink dir backs the lazy result, reclaimed by
+    * [[graft.CacheRegistry.clear]] at the next pass boundary (or with
+    * the JVM's temp space at process exit). */
+  private def runStream(s: SparkSession)(source: => DataFrame)(
       aggOf: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.Files
-    val staged = stagedFor(s, d)
     val out = Files.createTempDirectory("graft_stream_out_")
     outDirs.add(out)
     val ckpt = Files.createTempDirectory("graft_stream_ckpt_")
     withStatePartitions(s) {
       val q = StreamingOps.idempotentParquetSink(
-        aggOf(streamFromDir(s, staged.toString)), out.toString, ckpt.toString)
+        aggOf(source), out.toString, ckpt.toString)
       q.awaitTermination()
     }
     deleteRecursively(ckpt)
     s.read.parquet(out.toString).drop("batch_id")
   }
+
+  /** [[runStream]] over the memoized sentinel-staged input — for the
+    * Append-mode aggregations, whose trailing windows only drain once
+    * the sentinel advances the final watermark. */
+  private def runBackfill(s: SparkSession, d: String)(
+      aggOf: DataFrame => DataFrame): DataFrame =
+    runStream(s)(streamFromDir(s, stagedFor(s, d).toString))(aggOf)
+
+  /** [[runStream]] over the raw unstaged source — for the operators that
+    * emit in-flight and need no sentinel. */
+  private def runDirect(s: SparkSession, d: String)(
+      aggOf: DataFrame => DataFrame): DataFrame =
+    runStream(s)(eventsStreamDirect(s, d))(aggOf)
 
   /** Streaming twin of q23: watermarked 1-hour tumbling windows. Produces
     * exactly q23's relation (minus the derived avg), so the oracle is the

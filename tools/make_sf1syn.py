@@ -31,4 +31,7 @@ COPY (
 n, d = con.execute(
     f"SELECT count(*), count(DISTINCT doc_id) FROM '{out}/documents.parquet'"
 ).fetchone()
+# re-keying collides if the source already uses doc_ids >= 1e7 — refuse
+# to emit a corpus whose pair structure would be silently corrupted
+assert n == d, f"doc_id collision after re-keying: {n} rows, {d} distinct"
 print(f"{out}/documents.parquet: {n} rows, {d} distinct doc_ids")
