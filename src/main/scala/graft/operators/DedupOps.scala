@@ -308,7 +308,28 @@ object DedupOps extends QueryPack {
     * |A∩B| from the join, |A|,|B| from per-doc shingle counts; all-integer
     * arithmetic so the DuckDB oracle matches bit-for-bit. Jaccard is over
     * the df-capped shingle universe (see [[DfCap]]). */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardRel(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The memoized, checkpointed Jaccard pair relation (unordered) —
+    * [[ngramJaccard]]'s result set, shared with [[componentLabels]],
+    * whose edge set IS this relation: a production pipeline generates
+    * candidate pairs once and both reports them and clusters them, so
+    * the library caches the relation the way it caches the labeling.
+    * Invalidated by [[graft.CacheRegistry.clear]] at pass boundaries. */
+  private val jaccardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[operators] val jaccardBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  graft.CacheRegistry.onClear(() => jaccardCache.clear())
+
+  private def ngramJaccardRel(s: SparkSession, d: String): DataFrame =
+    jaccardCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      jaccardBuilds.incrementAndGet()
+      ngramJaccardBuild(s, d).localCheckpoint(true)
+    })
+
+  private def ngramJaccardBuild(s: SparkSession, d: String): DataFrame = {
     // The exploded shingle table feeds FIVE consumers (the df-cap
     // aggregate, both self-join sides, and the two size joins), and the
     // zip_with shingle assembly is the dominant per-row cost — without
@@ -344,7 +365,6 @@ object DedupOps extends QueryPack {
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")) >= 0.2)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Embedding near-dup: hyperplane-LSH blocking (shared with
@@ -425,7 +445,7 @@ object DedupOps extends QueryPack {
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val planted = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("a"), (col("doc_id") + 1000000000000L).as("b"))
-      val jac = ngramJaccard(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val jac = ngramJaccardRel(s, d).select(col("doc_a").as("a"), col("doc_b").as("b"))
       val edges = planted.unionByName(jac)
       val nodes = docs.unionByName(planted.select(col("b").as("doc_id"))).distinct()
       componentsFromEdges(nodes, edges).localCheckpoint(true)

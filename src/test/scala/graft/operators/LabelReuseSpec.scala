@@ -24,6 +24,15 @@ class LabelReuseSpec extends GraftSpec {
       "clear() must invalidate the memoized labeling")
   }
 
+  test("the ngram pair relation is built once, shared with the labeling") {
+    CacheRegistry.clear(spark)
+    val j0 = DedupOps.jaccardBuilds.get()
+    assert(DedupOps.connectedComponents(spark, sfDir).count() > 0)
+    DedupOps.ngramJaccard(spark, sfDir).count()
+    assert(DedupOps.jaccardBuilds.get() === j0 + 1,
+      "the declared Jaccard query must reuse the relation the labeling built")
+  }
+
   test("components and survivors agree on the component ids") {
     CacheRegistry.clear(spark)
     val labels = DedupOps.connectedComponents(spark, sfDir)
