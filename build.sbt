@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses the bench's LAST stdout line as JSON. By default
+// sbt relays a forked run's stdout through its logger ("[info] " prefix)
+// and appends a "[success] Total time…" trailer — both corrupt the parse.
+// StdoutOutput makes the forked JVM write to the real stdout unwrapped;
+// showSuccess := false drops the trailer.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
