@@ -71,9 +71,14 @@ object DedupOps extends QueryPack {
     * (spec-pinned), but shuffle-free: the first shuffle of every MinHash
     * pipeline is now the banded candidate join itself. Docs without a
     * shingle (< 3 tokens) have no signature, as before. */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    graft.functions.SketchExpressions.register(s)
-    docsSharded(s, d)
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    minhashSigsFrom(docsSharded(s, d))
+
+  /** Signature pass over an explicit (doc_id, text) frame — shared by the
+    * declared corpus query and the planted-twin recall audit. */
+  private def minhashSigsFrom(docs: DataFrame): DataFrame = {
+    graft.functions.SketchExpressions.register(docs.sparkSession)
+    docs
       .select(col("doc_id"),
         graft.functions.SketchExpressions.minhash_sig(col("text"), K).as("sig"))
       .filter(col("sig").isNotNull)
@@ -83,9 +88,12 @@ object DedupOps extends QueryPack {
     * ([[graft.functions.SimHash64]]) — bit-identical to the explode →
     * 64 vote-sum aggregation it replaced (spec-pinned: same
     * xxhash64-seed-42 token hashes, same sign fold), but shuffle-free. */
-  private def simhashes(s: SparkSession, d: String): DataFrame = {
-    graft.functions.SketchExpressions.register(s)
-    docsSharded(s, d)
+  private def simhashes(s: SparkSession, d: String): DataFrame =
+    simhashesFrom(docsSharded(s, d))
+
+  private def simhashesFrom(docs: DataFrame): DataFrame = {
+    graft.functions.SketchExpressions.register(docs.sparkSession)
+    docs
       .select(col("doc_id"),
         graft.functions.SketchExpressions.simhash64(col("text")).as("sh"))
       // preserve the row set of the explode→aggregate form this replaced:
@@ -125,8 +133,13 @@ object DedupOps extends QueryPack {
   /** MinHash+LSH candidate pairs with signature-estimated Jaccard.
     * bands=8 × rows=4 over a K=32 signature; candidates = pairs sharing at
     * least one band bucket; estimate = matching signature fraction. */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = minhashSigs(s, d)
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsFrom(minhashSigs(s, d))
+
+  /** The banded candidate join over an explicit (doc_id, sig) frame —
+    * shared by the declared query and [[sketchRecall]], so the audit
+    * measures the EXACT production pipeline, cap included. */
+  private[operators] def minhashPairsFrom(docs: DataFrame): DataFrame = {
     // materialized once: the band table feeds the hot-bucket aggregate
     // AND both self-join sides — un-checkpointed, Catalyst re-plans the
     // scan+sketch+explode under each consumer (the ngramJaccard lesson)
@@ -194,8 +207,11 @@ object DedupOps extends QueryPack {
   /** SimHash near-dup candidates: 4×16-bit bands → equi-join blocking,
     * verify with hamming = bit_count(a XOR b) <= 8 (whole-stage codegen). */
   def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairsFrom(docsSharded(s, d))
+
+  private[operators] def simhashPairsFrom(docs: DataFrame): DataFrame =
     bandedHammingPairs(
-      simhashes(s, d).select(col("doc_id"), col("sh").as("sk")),
+      simhashesFrom(docs).select(col("doc_id"), col("sh").as("sk")),
       nBands = 4, bandBits = 16, maxHamming = 8)
 
   /** Modulus of the PORTABLE hash family: base-31 polynomial fold of a
@@ -567,9 +583,17 @@ object DedupOps extends QueryPack {
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint(true)
       // fixpoint: the canonical pair set stopped changing (both stars are
-      // then identities and every component is a star on its minimum)
-      converged = next.count() == pairs.count() &&
-        next.except(pairs).isEmpty
+      // then identities and every component is a star on its minimum).
+      // ONE exact symmetric-difference job over the two checkpointed sets
+      // (±1-tagged union → groupBy on the pair → any nonzero tag sum),
+      // replacing the count()+count()+except() trio — each round now pays
+      // a single convergence job, and partial aggregation collapses the
+      // all-zero tag sums map-side (both inputs are distinct pair sets).
+      converged = next.select(col("a"), col("b"), lit(1L).as("t"))
+        .unionByName(pairs.select(col("a"), col("b"), lit(-1L).as("t")))
+        .groupBy(col("a"), col("b")).agg(sum(col("t")).as("t"))
+        .filter(col("t") =!= 0)
+        .isEmpty
       pairs = next
     }
     val labels = nodes
@@ -743,8 +767,45 @@ object DedupOps extends QueryPack {
       .orderBy(col("batch_id"), col("corpus_id"))
   }
 
+  /** Oracle-gated recall audit for the PRODUCTION sketch pipelines —
+    * the same planted-twin device as [[graft.operators.SimilarityOps.annRecall]]:
+    * every 97th doc is re-appended as an exact copy under `doc_id + 1e12`
+    * (the [[exactGroups]] convention), and the audit counts how many of
+    * those planted (orig, twin) pairs the xxhash64 MinHash and SimHash
+    * pipelines — run UNCHANGED, hot-bucket cap included — report back.
+    * Identical texts have identical sketches, so every twin collides with
+    * its original in EVERY band at est_jaccard 1.0 / hamming 0; expected
+    * recall is therefore exactly the eligible-query count, which DuckDB
+    * states in closed form (a doc is eligible for MinHash iff it has a
+    * 3-shingle, i.e. >= 3 tokens; for SimHash iff text is non-null).
+    * Turns `dedup_minhash_pairs`/`dedup_simhash_pairs` from rows-only
+    * signals into an oracle-gated recall contract — any banding, cap,
+    * threshold, or sketch regression breaks the hash. */
+  def sketchRecall(s: SparkSession, d: String): DataFrame = {
+    val plantOff = 1000000000000L
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 97 === 0)
+      .withColumn("doc_id", col("doc_id") + plantOff)
+    val base = Tables.sharded(docs.unionByName(planted), "doc_id")
+    val isPlantSrc = col("doc_id") % 97 === 0 && col("text").isNotNull
+    val mhQ = docs.filter(isPlantSrc && size(split(col("text"), " ", -1)) >= 3)
+      .agg(count(lit(1)).as("n_queries"))
+    val shQ = docs.filter(isPlantSrc)
+      .agg(count(lit(1)).as("n_queries"))
+    def audit(m: String, nQ: DataFrame, pairs: DataFrame): DataFrame =
+      nQ.crossJoin(pairs.agg(
+        sum(when(col("doc_b") === col("doc_a") + plantOff, 1L).otherwise(0L))
+          .as("found")))
+        .select(lit(m).as("method"), col("n_queries"),
+          coalesce(col("found"), lit(0L)).as("n_found"))
+    audit("minhash", mhQ, minhashPairsFrom(minhashSigsFrom(base)))
+      .unionByName(audit("simhash", shQ, simhashPairsFrom(base)))
+      .orderBy(col("method"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_dedup_exact" -> ingestDedupExact,
+    "dedup_sketch_recall" -> sketchRecall,
     "ingest_dedup_minhash" -> ingestDedupMinhash,
     "dedup_exact_stats" -> exactStats,
     "dedup_exact_groups" -> exactGroups,
@@ -901,6 +962,19 @@ object DedupOps extends QueryPack {
       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)""".stripMargin
 
   override val oracle: Map[String, String] = Map(
+    // planted-twin recall is exact by construction (see sketchRecall):
+    // identical texts share every band bucket, so each method must
+    // recover every eligible twin pair — the expected counts are a
+    // closed-form function of the plant modulus and eligibility
+    "dedup_sketch_recall" ->
+      """WITH mh AS (SELECT count(*) AS n FROM documents
+        |  WHERE doc_id % 97 = 0 AND text IS NOT NULL
+        |    AND len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT count(*) AS n FROM documents
+        |  WHERE doc_id % 97 = 0 AND text IS NOT NULL)
+        |SELECT 'minhash' AS method, n AS n_queries, n AS n_found FROM mh
+        |UNION ALL SELECT 'simhash', n, n FROM sh
+        |ORDER BY method""".stripMargin,
     "ingest_dedup_exact" ->
       s"""WITH $ingestCtes,
          |cd AS (SELECT md5(text) AS fp, min(doc_id) AS dup_of FROM corpus
