@@ -29,4 +29,32 @@ object CacheRegistry {
     s.sparkContext.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking = false))
   }
+
+  /** Memo key for a source-derived cache: (application, path, data
+    * version), where the version folds every underlying file's name,
+    * length, and mtime — so regenerating the source in place (same path,
+    * new data) misses the cache instead of silently serving stale
+    * checkpointed results. One driver-side FS listing per lookup: free
+    * locally, one namenode listing per query at scale. */
+  def memoKey(s: SparkSession, path: String): String =
+    s.sparkContext.applicationId + "|" + path + "|" + dataVersion(s, path)
+
+  /** Fingerprint of a file/directory's current contents (recursive name ×
+    * length × mtime fold); `"absent"` when the path does not exist. */
+  def dataVersion(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      var h = 1125899906842597L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        h = h * 31 + f.getPath.getName.hashCode
+        h = h * 31 + f.getLen
+        h = h * 31 + f.getModificationTime
+      }
+      java.lang.Long.toHexString(h)
+    }
+  }
 }

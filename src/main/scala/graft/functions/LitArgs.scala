@@ -27,9 +27,18 @@ private[functions] object LitArgs {
     v.asInstanceOf[Number].longValue()
   }
 
-  /** Foldable non-null integral argument as Int. */
-  def int(fn: String, param: String, e: Expression): Int =
-    integral(fn, param, e).toInt
+  /** Foldable non-null integral argument as Int. An out-of-Int-range long
+    * literal raises the same analysis error instead of silently wrapping
+    * (e.g. `graft_minhash_sig(text, 5000000000)` must not become a
+    * negative k). */
+  def int(fn: String, param: String, e: Expression): Int = {
+    val v = integral(fn, param, e)
+    if (v < Int.MinValue || v > Int.MaxValue) throw new AnalysisException(
+      "NON_FOLDABLE_ARGUMENT",
+      Map("funcName" -> s""""$fn"""", "paramName" -> s""""$param"""",
+        "paramType" -> "\"INT\""))
+    v.toInt
+  }
 
   /** Foldable non-null integral argument as Long. */
   def long(fn: String, param: String, e: Expression): Long =

@@ -340,7 +340,8 @@ object DedupOps extends QueryPack {
   graft.CacheRegistry.onClear(() => jaccardCache.clear())
 
   private def ngramJaccardRel(s: SparkSession, d: String): DataFrame =
-    jaccardCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+    jaccardCache.computeIfAbsent(
+      graft.CacheRegistry.memoKey(s, d + "/documents.parquet"), _ => {
       jaccardBuilds.incrementAndGet()
       ngramJaccardBuild(s, d).localCheckpoint(true)
     })
@@ -456,7 +457,8 @@ object DedupOps extends QueryPack {
   graft.CacheRegistry.onClear(() => labelCache.clear())
 
   private[operators] def componentLabels(s: SparkSession, d: String): DataFrame =
-    labelCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+    labelCache.computeIfAbsent(
+      graft.CacheRegistry.memoKey(s, d + "/documents.parquet"), _ => {
       labelBuilds.incrementAndGet()
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val planted = docs.filter(col("doc_id") % 97 === 0)

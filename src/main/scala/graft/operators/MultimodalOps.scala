@@ -107,6 +107,15 @@ object MultimodalOps extends QueryPack {
           i += 1
         }
         if (plen == 0) { mn = 0L; mx = 0L }
+        // oracle-parity invariant: the DuckDB twin samples the text per
+        // CHARACTER (ord/substr) while this loop reads per BYTE — equal
+        // only while the fixture text is pure ASCII. A multi-byte UTF-8
+        // fixture must fail loudly here, not hash-mismatch downstream.
+        // (mx is the max over every payload byte, so this checks all of
+        // them for free; a true binary-media corpus would drop this guard
+        // together with the text-derived oracle.)
+        require(mx <= 127, s"non-ASCII payload byte in doc $id: " +
+          "the DuckDB oracle samples per character, parity needs ASCII")
         PixelStats(id, plen.toLong, sum, mn, mx, ck)
       }
     }
@@ -185,7 +194,19 @@ object MultimodalOps extends QueryPack {
       rows.map { case (id, payload) =>
         val buf = java.nio.ByteBuffer.wrap(payload)
         require(buf.getInt(0) == 0x47524654, s"bad magic in doc $id")
-        (id, aHash60(payload, buf.getInt(14)))
+        val plen = buf.getInt(14)
+        // oracle-parity invariant (see mediaPixels): the oracle's substr
+        // sampling is per CHARACTER; one multi-byte char anywhere in the
+        // text shifts every later byte offset, so assert pure ASCII over
+        // the whole payload — one branch per already-resident byte.
+        var i = 0
+        while (i < plen) {
+          require((payload(18 + i) & 0xff) <= 127,
+            s"non-ASCII payload byte in doc $id: " +
+              "the DuckDB oracle samples per character, parity needs ASCII")
+          i += 1
+        }
+        (id, aHash60(payload, plen))
       }
     }.toDF("doc_id", "sk")
     // same banded-LSH join + hot-bucket cap as the text sketches

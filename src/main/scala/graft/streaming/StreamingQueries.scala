@@ -118,7 +118,8 @@ object StreamingQueries extends QueryPack {
   })
 
   private def stagedFor(s: SparkSession, d: String): java.nio.file.Path =
-    stagedCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d,
+    stagedCache.computeIfAbsent(
+      graft.CacheRegistry.memoKey(s, d + "/events.parquet"),
       _ => stageWithSentinel(s, d))
 
   /** The fixture's TIMESTAMP(NANOS) handling, shared by every stream
@@ -213,12 +214,14 @@ object StreamingQueries extends QueryPack {
     val out = Files.createTempDirectory("graft_stream_out_")
     outDirs.add(out)
     val ckpt = Files.createTempDirectory("graft_stream_ckpt_")
-    withStatePartitions(s) {
+    // finally: a failed query must not leak its checkpoint temp dir (the
+    // out dir stays — it is tracked in outDirs and reclaimed by the
+    // CacheRegistry.clear hook either way)
+    try withStatePartitions(s) {
       val q = StreamingOps.idempotentParquetSink(
         aggOf(source), out.toString, ckpt.toString)
       q.awaitTermination()
-    }
-    deleteRecursively(ckpt)
+    } finally deleteRecursively(ckpt)
     s.read.parquet(out.toString).drop("batch_id")
   }
 

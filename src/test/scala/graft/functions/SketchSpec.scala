@@ -102,4 +102,14 @@ class SketchSpec extends GraftSpec {
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(got === Map(1L -> true, 2L -> false))
   }
+
+  test("an out-of-Int-range literal arg raises an analysis error, not a wrap") {
+    import spark.implicits._
+    SketchExpressions.register(spark)
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("graft_minhash_sig(text, 5000000000)")).collect()
+    }
+    assert(e.getCondition == "NON_FOLDABLE_ARGUMENT")
+  }
 }
