@@ -137,6 +137,43 @@ case class ProbeCentroids(first: Expression, second: Expression, third: Expressi
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Element-wise vector sum over an `array<float>` column — the Lloyd-round
+  * mean's aggregation, as a typed [[org.apache.spark.sql.expressions.Aggregator]]
+  * (ObjectHashAggregate with map-side partial aggregation): each input
+  * split contributes ONE kC×dim partial per cluster to the shuffle. The
+  * `posexplode → groupBy(cl, pos) → avg` formulation it replaces shuffled
+  * a 64× row blowup of the corpus every Lloyd round. Empty buffer = no
+  * rows; mismatched dims fail fast (a silent zip would mis-train every
+  * centroid). */
+object VecSumAgg
+    extends org.apache.spark.sql.expressions.Aggregator[Seq[Float], Array[Double], Seq[Double]] {
+  override def zero: Array[Double] = Array.empty[Double]
+  override def reduce(b: Array[Double], a: Seq[Float]): Array[Double] = {
+    if (b.isEmpty) a.toArray.map(_.toDouble)
+    else {
+      require(b.length == a.length, s"dim mismatch: ${b.length} vs ${a.length}")
+      var i = 0
+      while (i < b.length) { b(i) += a(i); i += 1 }
+      b
+    }
+  }
+  override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+    if (x.isEmpty) y
+    else if (y.isEmpty) x
+    else {
+      require(x.length == y.length, s"dim mismatch: ${x.length} vs ${y.length}")
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+  }
+  override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
 object CentroidExpressions {
   /** Idempotent per-session registration (same pattern as
     * [[VectorExpressions.register]]). */

@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Cosine similarity over two `array<float>` columns as a native Catalyst
   * expression with whole-stage codegen: one fused loop computing dot
@@ -113,6 +113,74 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One fused kernel for a multi-table hyperplane-LSH bucket array: plane
+  * p's projection is the LEFT-FOLD sum Σᵢ (double)emb[i]·w[p·dim+i] in
+  * index order — bit-identical (IEEE-754) to the
+  * `aggregate(zip_with(emb, w, (x,ww) -> x·ww), 0.0, +)` chain it
+  * replaces, which the portable DuckDB oracle reproduces with
+  * `list_reduce`. The composed form evaluated nTables×bits interpreted
+  * higher-order folds per row (48 lambda-frame walks per vector); this
+  * loops over ONE flattened `array<double>` plane matrix in generated
+  * code, same result, same cost model (O(nPlanes·dim) flops), no
+  * interpretation. Bucket t = sign bits of its planes + (t << 32), the
+  * table-id fold the join key expects. */
+object HyperplaneOps {
+  /** `planes` is nPlanes row-major dim-length blocks; nPlanes must be a
+    * multiple of bitsPerTable and align with emb's dim, else empty (a
+    * silent misalignment would bucket every row wrong). */
+  def buckets(emb: ArrayData, planes: ArrayData, bitsPerTable: Int): ArrayData = {
+    val dim = emb.numElements()
+    if (dim == 0 || bitsPerTable <= 0 || planes.numElements() % dim != 0)
+      return new GenericArrayData(Array.empty[Any])
+    val nPlanes = planes.numElements() / dim
+    if (nPlanes % bitsPerTable != 0)
+      return new GenericArrayData(Array.empty[Any])
+    val nTables = nPlanes / bitsPerTable
+    val out = new Array[Any](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bits = 0L
+      var j = 0
+      while (j < bitsPerTable) {
+        val off = (t * bitsPerTable + j) * dim
+        var s = 0.0
+        var i = 0
+        while (i < dim) {
+          s += emb.getFloat(i).toDouble * planes.getDouble(off + i)
+          i += 1
+        }
+        if (s >= 0) bits |= (1L << j)
+        j += 1
+      }
+      out(t) = bits + (t.toLong << 32)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `hyperplane_buckets(emb, flatPlanes, bitsPerTable)` → array<long>. */
+case class HyperplaneBuckets(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType), IntegerType)
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    HyperplaneOps.buckets(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.functions.HyperplaneOps.buckets($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorExpressions {
   /** Idempotently registers the custom expressions in the session's
     * function registry (also makes them available to `spark.sql`). */
@@ -121,7 +189,14 @@ object VectorExpressions {
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane_buckets",
+      exprs => HyperplaneBuckets(exprs(0), exprs(1), exprs(2)), "built-in")
   }
+
+  def hyperplane_buckets(emb: Column, flatPlanes: Column,
+      bitsPerTable: Column): Column =
+    call_function("graft_hyperplane_buckets", emb, flatPlanes, bitsPerTable)
 
   /** Column API for the codegen'd cosine (register(s) must have run). */
   def cosine_similarity(a: Column, b: Column): Column =

@@ -41,20 +41,14 @@ object SimilarityOps extends QueryPack {
     Seq.fill(nTables * bitsPerTable)(Seq.fill(64)(rnd.nextGaussian()))
   }
 
-  private def proj(emb: Column, p: Seq[Double]): Column =
-    aggregate(zip_with(emb, typedlit(p), (x, w) => x.cast("double") * w),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Array of `nTables` bucket ids (table index folded into high bits). */
-  def lshBuckets(emb: Column): Column = {
-    val buckets = (0 until nTables).map { t =>
-      val bits = (0 until bitsPerTable).map { j =>
-        when(proj(emb, planes(t * bitsPerTable + j)) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      (bits + lit(t.toLong << 32)).as(s"b$t")
-    }
-    array(buckets: _*)
-  }
+  /** Array of `nTables` bucket ids (table index folded into high bits) —
+    * ONE fused codegen kernel over the flattened plane matrix
+    * ([[graft.functions.HyperplaneBuckets]]), bit-identical to the
+    * 48-fold `aggregate(zip_with(...))` composition it replaced (same
+    * left-fold summation order; sign test, bucket ids unchanged). */
+  def lshBuckets(emb: Column): Column =
+    graft.functions.VectorExpressions.hyperplane_buckets(
+      emb, typedlit(planes.flatten), lit(bitsPerTable))
 
   /** Single coarse bucket (first table) — kept for blocked pair gen where
     * one table suffices (e.g. near-dup verification at tight thresholds). */
@@ -140,20 +134,14 @@ object SimilarityOps extends QueryPack {
   private def portableWeights(k: Int): Seq[Double] =
     (1 to 64).map(i => if ((i * pA(k) + pC(k)) % PP >= PP / 2) 1.0 else -1.0)
 
-  private def portableProj(emb: Column, w: Seq[Double]): Column =
-    aggregate(zip_with(emb, typedlit(w), (x, ww) => x.cast("double") * ww),
-      lit(0.0), (acc, v) => acc + v)
-
-  private def portableBuckets(emb: Column): Column = {
-    val buckets = (0 until nTables).map { t =>
-      val bits = (0 until bitsPerTable).map { j =>
-        when(portableProj(emb, portableWeights(t * bitsPerTable + j)) >= 0,
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      (bits + lit(t.toLong << 32)).as(s"pb$t")
-    }
-    array(buckets: _*)
-  }
+  /** Same fused kernel as [[lshBuckets]] over the portable ±1 planes —
+    * the left-fold order is what the DuckDB oracle's `list_reduce`
+    * reproduces, so the swap is hash-invariant by construction. */
+  private def portableBuckets(emb: Column): Column =
+    graft.functions.VectorExpressions.hyperplane_buckets(
+      emb,
+      typedlit((0 until nTables * bitsPerTable).flatMap(portableWeights)),
+      lit(bitsPerTable))
 
   /** ANN with the portable plane family — identical plan shape to
     * [[annLsh]] by construction (same [[lshSearch]] body, different
@@ -233,29 +221,48 @@ object SimilarityOps extends QueryPack {
     graft.functions.CentroidExpressions.probe_centroids(
       emb, typedlit(cents.flatten), lit(nProbe))
 
+  /** Convergence threshold for the Lloyd loop: stop once no centroid
+    * component moved by more than this between rounds — a converged
+    * quantizer re-pays a full corpus pass for a no-op update otherwise. */
+  private val ivfEps = 1e-4
+
   /** Spherical k-means coarse quantizer. Seeds are the `kC` vectors with
     * smallest xxhash64(vec_id) — a deterministic distributed sample
-    * (TakeOrdered, no full sort). Each Lloyd round is one distributed
-    * assign+mean job; only the kC×dim centroid matrix ever reaches the
-    * driver, so training is corpus-size-independent on the driver side.
-    * Empty clusters keep their previous centroid. */
+    * (TakeOrdered, no full sort). Each Lloyd round is ONE distributed
+    * assign+sum job: per-cluster element-wise vector sums via the typed
+    * [[graft.functions.VecSumAgg]] aggregator (map-side partials, kC rows
+    * per split to the shuffle — the posexplode formulation it replaces
+    * shuffled a dim× row blowout of the corpus per round); only the
+    * kC×dim centroid matrix ever reaches the driver, so training is
+    * corpus-size-independent on the driver side. Empty clusters keep
+    * their previous centroid. Rounds stop early once the max component
+    * movement drops under [[ivfEps]]. */
   private def trainCentroids(emb: DataFrame, kC: Int): Seq[Seq[Float]] = {
+    val vecSum = udaf(graft.functions.VecSumAgg)
     var cents: Seq[Seq[Float]] = emb
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(kC)
       .collect().map(_.getSeq[Float](1).toSeq).toSeq
-    for (_ <- 1 to ivfIters) {
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < ivfIters && moved > ivfEps) {
       val means = emb
         .select(nearestCluster(col("embedding"), cents).as("cl"),
-          posexplode(col("embedding")))
-        .groupBy(col("cl"), col("pos")).agg(avg(col("col")).as("m"))
+          col("embedding"))
         .groupBy(col("cl"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("cent"))
+        .agg(vecSum(col("embedding")).as("vsum"), count(lit(1)).as("n"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toSeq)
+        .map { r =>
+          val n = r.getLong(2)
+          r.getInt(0) -> r.getSeq[Double](1).map(v => (v / n).toFloat).toSeq
+        }
         .toMap
-      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+      val next = cents.indices.map(i => means.getOrElse(i, cents(i)))
+      moved = cents.iterator.zip(next.iterator).map { case (a, b) =>
+        a.iterator.zip(b.iterator).map(p => math.abs(p._1 - p._2).toDouble).max
+      }.max
+      cents = next
+      iter += 1
     }
     cents
   }
