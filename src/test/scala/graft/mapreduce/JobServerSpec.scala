@@ -69,6 +69,48 @@ class JobServerSpec extends GraftSpec {
     } finally srv.forceStop()
   }
 
+  test("concurrent clients submitting DURING a running job: all accepted, FIFO vs the running job") {
+    val in = java.nio.file.Files.createTempDirectory("srv-in-").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(in, "file01"), "b line\na line\n")
+    val outRoot = java.nio.file.Files.createTempDirectory("srv-out-").toString
+    val srv = new JobServer(spark)
+    val port = srv.start()
+    try {
+      // job 1 sleeps long enough that every concurrent submission below
+      // provably arrives while it is RUNNING (interleaved accepts, the
+      // reference's test_master_04 multi-job FIFO shape under concurrency)
+      send(port, jobJson(in, s"$outRoot/j1", "sleep 3; sort"))
+      Thread.sleep(300) // let job 1 start
+      val n = 4
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val clients = (0 until n).map { i =>
+        new Thread(() =>
+          try send(port, jobJson(in, s"$outRoot/c$i", "sort"))
+          catch { case t: Throwable => errs.add(t) })
+      }
+      clients.foreach(_.start())
+      clients.foreach(_.join(10000))
+      assert(errs.isEmpty, s"concurrent submits failed: $errs")
+      send(port, """{"message_type": "shutdown"}""")
+      srv.awaitTermination()
+      // every interleaved submission was accepted and ran (none dropped
+      // by accept contention), and the pre-existing running job finished
+      // FIRST — queue order preserved relative to the in-flight job
+      assert(srv.completedJobs === n + 1)
+      val j1 = new java.io.File(s"$outRoot/j1/outputfile01")
+      assert(j1.exists())
+      (0 until n).foreach { i =>
+        val c = new java.io.File(s"$outRoot/c$i/outputfile01")
+        assert(c.exists(), s"client $i output missing")
+        assert(j1.lastModified() <= c.lastModified(),
+          s"client $i completed before the job that was already running")
+        val lines = scala.io.Source.fromFile(c).getLines().toSeq
+        assert(lines === Seq("a line", "b line"))
+      }
+    } finally srv.forceStop()
+  }
+
   test("malformed and unknown messages are dropped, server stays up") {
     val srv = new JobServer(spark)
     val port = srv.start()
