@@ -72,16 +72,20 @@ object StreamingQueries extends QueryPack {
     // sentinel row with the RAW on-disk schema (ts may be nanos-long or
     // timestamp depending on the fixture layout)
     val batch = s.read.parquet(src.toString)
-    val tsIsLong =
-      batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    val tsLit =
-      if (tsIsLong) {
+    val tsLit = batch.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         val maxNs = batch.agg(max(col("ts"))).head().getLong(0)
         lit(maxNs + SentinelGapNs)
-      } else {
+      // NTZ surfaces as LocalDateTime on the driver; the sentinel literal
+      // must stay NTZ so its file unions with the staged raw schema
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        val maxTs = batch.agg(max(col("ts"))).head()
+          .getAs[java.time.LocalDateTime](0)
+        lit(maxTs.plusNanos(SentinelGapNs))
+      case _ =>
         val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
         lit(new java.sql.Timestamp(maxTs.getTime + SentinelGapNs / 1000000L))
-      }
+    }
     val sentinel = batch.limit(1).select(batch.columns.toIndexedSeq.map {
       case "ts"         => tsLit.as("ts")
       case "event_id"   => lit(-1L).cast(batch.schema("event_id").dataType).as("event_id")
@@ -122,13 +126,19 @@ object StreamingQueries extends QueryPack {
       graft.CacheRegistry.memoKey(s, d + "/events.parquet"),
       _ => stageWithSentinel(s, d))
 
-  /** The fixture's TIMESTAMP(NANOS) handling, shared by every stream
-    * builder — same as [[graft.Tables.events]]: nanos read as long,
-    * converted in integer arithmetic to a microsecond timestamp. */
+  /** Event-time column normalization, shared by every stream builder —
+    * same as [[graft.Tables.events]]: TIMESTAMP(NANOS) read as long and
+    * converted in integer arithmetic; TIMESTAMP_NTZ (DuckDB/pandas-written
+    * corpora) cast to TIMESTAMP — value-preserving under the pinned UTC
+    * session TZ, and required by the watermark operators. */
   private def normalizeTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** The staged directory as a stream. */
   private def streamFromDir(s: SparkSession, dir: String): DataFrame = {

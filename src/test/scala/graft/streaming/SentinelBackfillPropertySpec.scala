@@ -95,6 +95,25 @@ class SentinelBackfillPropertySpec extends GraftSpec {
     }
   }
 
+  test("a TIMESTAMP_NTZ events corpus (DuckDB/pandas-written) backfills correctly") {
+    val rnd = new scala.util.Random(77)
+    val rows = genEvents(rnd, 80)
+    val dir = java.nio.file.Files.createTempDirectory("graft-evntz-").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamingQueries.streamTumbling(spark, dir)
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+    assert(sorted(got) === sorted(want))
+    graft.CacheRegistry.clear(spark)
+  }
+
   test("degenerate inputs: single row, and all rows on one instant") {
     for (rows <- Seq(
       Seq((0L, ts(baseMs), 1L, "click", 1.0)),

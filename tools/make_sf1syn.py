@@ -35,3 +35,38 @@ n, d = con.execute(
 # to emit a corpus whose pair structure would be silently corrupted
 assert n == d, f"doc_id collision after re-keying: {n} rows, {d} distinct"
 print(f"{out}/documents.parquet: {n} rows, {d} distinct doc_ids")
+
+# events: 10 replicas with DISTINCT users (user_id + k*1e6) over the SAME
+# time range — streaming state (sessions per user, join state per user)
+# grows 10x while the window grid stays fixed, which is the state-pressure
+# axis the stream_* scaling point needs. Timestamps unchanged.
+con.execute(f"""
+COPY (
+  SELECT event_id + k*1000000000 AS event_id, ts,
+         user_id + k*1000000 AS user_id, event_type, value, props
+  FROM '{src}/events.parquet', unnest(range(0,10)) AS u(k)
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+""")
+ne, de = con.execute(
+    f"SELECT count(*), count(DISTINCT event_id) FROM '{out}/events.parquet'"
+).fetchone()
+assert ne == de, f"event_id collision after re-keying: {ne} rows, {de} distinct"
+print(f"{out}/events.parquet: {ne} rows, {de} distinct event_ids")
+
+# embeddings: 10 replicas, vectors circularly shifted by k dims — norms
+# and within-replica pair structure preserved, cross-replica vectors
+# decorrelated (a verbatim copy would plant N spurious exact-dup pairs).
+con.execute(f"""
+COPY (
+  SELECT vec_id + k*10000000 AS vec_id,
+         list_concat(embedding[(CAST(k AS INT)+1):64],
+                     embedding[1:CAST(k AS INT)]) AS embedding,
+         label
+  FROM '{src}/embeddings.parquet', unnest(range(0,10)) AS u(k)
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+""")
+nv, dv = con.execute(
+    f"SELECT count(*), count(DISTINCT vec_id) FROM '{out}/embeddings.parquet'"
+).fetchone()
+assert nv == dv, f"vec_id collision after re-keying: {nv} rows, {dv} distinct"
+print(f"{out}/embeddings.parquet: {nv} rows, {dv} distinct vec_ids")
