@@ -15,7 +15,12 @@ object PlanCheck {
       // plan with spark.sql.autoBroadcastJoinThreshold=-1 so any remaining
       // BroadcastExchange must come from an explicit broadcast() hint —
       // the way to prove a query does NOT force-broadcast an unbounded table
-      noAutoBroadcast: Boolean = false)
+      noAutoBroadcast: Boolean = false,
+      // memoized queries return an eagerly-checkpointed relation whose
+      // declared plan is just a checkpoint scan; `build` explains the
+      // underlying un-memoized dataflow instead, so the check pins the
+      // plan shape the build actually pays for
+      build: Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] = None)
 
   private val checks = Seq(
     Check("q2_filter_pushdown",
@@ -46,7 +51,10 @@ object PlanCheck {
     // and the keyed joins fall back to sort-merge
     Check("dedup_ngram_jaccard", mustContain = Seq("SortMergeJoin"),
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "BroadcastExchange"),
-      noAutoBroadcast = true),
+      noAutoBroadcast = true,
+      // the declared query serves the memoized checkpoint; pin the plan
+      // of the build that populates it
+      build = Some((s, d) => graft.operators.DedupOps.ngramJaccardBuild(s, d))),
     // as-of via composition: window pass, no join explosion
     Check("q26_asof_join", mustContain = Seq("Window"),
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
@@ -151,6 +159,11 @@ object PlanCheck {
     // equi-join over the checkpointed sketch table — never a cartesian
     Check("multimodal_phash_pairs", mustContain = Seq("HashAggregate"),
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // the recall audit runs the UNCHANGED production band joins over the
+    // planted corpus; the only nested loops are the one-row count
+    // crossJoins — never a cartesian over data
+    Check("dedup_sketch_recall", mustContain = Seq("HashAggregate"),
+      mustNot = Seq("CartesianProduct")),
   )
 
   def main(args: Array[String]): Unit = {
@@ -166,7 +179,10 @@ object PlanCheck {
     checks.foreach { c =>
       val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       if (c.noAutoBroadcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val df = SparkEntry.queries(c.query)(spark, sfDir)
+      val df = c.build match {
+        case Some(b) => b(spark, sfDir)
+        case None    => SparkEntry.queries(c.query)(spark, sfDir)
+      }
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

@@ -346,7 +346,7 @@ object DedupOps extends QueryPack {
       ngramJaccardBuild(s, d).localCheckpoint(true)
     })
 
-  private def ngramJaccardBuild(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ngramJaccardBuild(s: SparkSession, d: String): DataFrame = {
     // The exploded shingle table feeds FIVE consumers (the df-cap
     // aggregate, both self-join sides, and the two size joins), and the
     // zip_with shingle assembly is the dominant per-row cost — without
