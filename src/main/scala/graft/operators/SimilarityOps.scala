@@ -243,6 +243,9 @@ object SimilarityOps extends QueryPack {
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(kC)
       .collect().map(_.getSeq[Float](1).toSeq).toSeq
+    // zero-row corpus: no seeds, no quantizer to train (the Lloyd loop's
+    // movement max is undefined over zero centroids)
+    if (cents.isEmpty) return cents
     var iter = 0
     var moved = Double.MaxValue
     while (iter < ivfIters && moved > ivfEps) {
@@ -359,11 +362,23 @@ object SimilarityOps extends QueryPack {
     * exactly n_queries for every method. The DuckDB oracle states that
     * expectation in closed form; any blocking/probe/rerank regression
     * breaks the hash. Turns `ann_lsh_topk`/`ann_ivf_topk` from rows-only
-    * signals into an oracle-gated recall contract. */
-  def annRecall(s: SparkSession, d: String): DataFrame = {
+    * signals into an oracle-gated recall contract.
+    *
+    * Scale note: the brute ground-truth pass is O(corpus × queries), and
+    * the every-101st query set grows WITH the corpus — fine for the
+    * declared fixture-scale audit, quadratic on a production corpus.
+    * `sampleEvery` thins the planted query set k-fold (deterministic
+    * modular sample, so an oracle can still state the expectation in
+    * closed form): pick it so queries stay roughly constant as the corpus
+    * grows and the audit stays linear. */
+  def annRecall(s: SparkSession, d: String): DataFrame =
+    annRecall(s, d, sampleEvery = 1L)
+
+  def annRecall(s: SparkSession, d: String, sampleEvery: Long): DataFrame = {
+    require(sampleEvery >= 1L, s"sampleEvery must be >= 1, got $sampleEvery")
     val plantOff = 1000000000000L
     val base0 = corpus(s, d)
-    val planted = base0.filter(col("vec_id") % 101 === 0)
+    val planted = base0.filter(col("vec_id") % (101L * sampleEvery) === 0)
       .withColumn("vec_id", col("vec_id") + plantOff)
     val base = base0.unionByName(planted)
     val isQ = col("vec_id") >= plantOff

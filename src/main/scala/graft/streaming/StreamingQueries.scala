@@ -72,6 +72,10 @@ object StreamingQueries extends QueryPack {
     // sentinel row with the RAW on-disk schema (ts may be nanos-long or
     // timestamp depending on the fixture layout)
     val batch = s.read.parquet(src.toString)
+    // zero-row events: there is nothing to flush (and no max ts to probe),
+    // so stage the empty data files with no sentinel — the backfill is
+    // the empty relation
+    if (batch.isEmpty) return tmp
     val tsLit = batch.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         val maxNs = batch.agg(max(col("ts"))).head().getLong(0)
@@ -227,12 +231,19 @@ object StreamingQueries extends QueryPack {
     // finally: a failed query must not leak its checkpoint temp dir (the
     // out dir stays — it is tracked in outDirs and reclaimed by the
     // CacheRegistry.clear hook either way)
+    val planned = aggOf(source)
     try withStatePartitions(s) {
       val q = StreamingOps.idempotentParquetSink(
-        aggOf(source), out.toString, ckpt.toString)
+        planned, out.toString, ckpt.toString)
       q.awaitTermination()
     } finally deleteRecursively(ckpt)
-    s.read.parquet(out.toString).drop("batch_id")
+    // a zero-row source fires no micro-batch, so the sink dir has no
+    // files to infer a schema from — the result is planned's empty
+    // relation in that case
+    if (listDir(out).isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        planned.schema)
+    else s.read.parquet(out.toString).drop("batch_id")
   }
 
   /** [[runStream]] over the memoized sentinel-staged input — for the

@@ -109,6 +109,23 @@ class IvfAnnSpec extends GraftSpec {
       s"IVF corpus caches grew: $afterFirst -> $nCached")
   }
 
+  test("sampled recall audit stays exact with a thinned query set") {
+    // sampleEvery is the linear-at-scale knob: the planted query set
+    // thins k-fold but every remaining twin must still be found by all
+    // three methods (recall == n_queries is exact by construction)
+    val full = SimilarityOps.annRecall(spark, sfDir).collect()
+    val thin = SimilarityOps.annRecall(spark, sfDir, sampleEvery = 2L).collect()
+    assert(thin.length === 3)
+    thin.foreach { r =>
+      assert(r.getAs[Long]("n_found") === r.getAs[Long]("n_queries"),
+        s"${r.getAs[String]("method")}: recall not exact on the thinned set")
+    }
+    val fullQ = full.head.getAs[Long]("n_queries")
+    val thinQ = thin.head.getAs[Long]("n_queries")
+    assert(thinQ < fullQ && thinQ > 0,
+      s"thinned query set should shrink: $fullQ -> $thinQ")
+  }
+
   test("IvfIndex handle owns its cache: close() releases it") {
     val corpus = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
