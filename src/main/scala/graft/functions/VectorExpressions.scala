@@ -20,12 +20,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * Accumulation order (sequential adds, double precision) matches both the
   * higher-order-function formulation and DuckDB's list_dot_product, so
   * results are bit-identical to the oracle's.
+  *
+  * Degenerate inputs yield NULL, never NaN: a zero-norm vector makes the
+  * quotient 0/0, and Spark SQL orders NaN ABOVE every real number — one
+  * corrupt embedding row would rank #1 in every descending top-k it
+  * touches and pass every `>= threshold` filter. NULL instead drops out
+  * of threshold filters and sorts last under the default DESC ordering,
+  * so corrupt rows lose instead of win.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+  override def nullable: Boolean = true
   // The eval/codegen paths read 4-byte floats via ArrayData.getFloat; an
   // array<double> argument (e.g. a SQL array literal) would silently
   // produce garbage without this declaration — ImplicitCastInputTypes
@@ -45,7 +53,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val r = dot / (math.sqrt(na) * math.sqrt(nb))
+    if (java.lang.Double.isFinite(r)) r else null
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,6 +66,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val r = ctx.freshName("r")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
@@ -65,7 +75,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $yi = (double) $b.getFloat($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double $r = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (java.lang.Double.isFinite($r)) { ${ev.value} = $r; }
+         |else { ${ev.isNull} = true; }
        """.stripMargin
     })
 
@@ -74,12 +86,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Dot product over two `array<float>` columns (same codegen rationale). */
+/** Dot product over two `array<float>` columns (same codegen rationale,
+  * same finite-or-NULL contract as [[CosineSimilarity]]: a NaN/Inf
+  * component yields NULL rather than a NaN that outranks every real
+  * score). */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
+  override def nullable: Boolean = true
   override def inputTypes: Seq[ArrayType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
 
@@ -90,7 +106,7 @@ case class FloatDotProduct(left: Expression, right: Expression)
     var dot = 0.0
     var i = 0
     while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    dot
+    if (java.lang.Double.isFinite(dot)) dot else null
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -104,7 +120,8 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = $dot;
+         |if (java.lang.Double.isFinite($dot)) { ${ev.value} = $dot; }
+         |else { ${ev.isNull} = true; }
        """.stripMargin
     })
 

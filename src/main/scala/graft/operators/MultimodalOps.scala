@@ -40,9 +40,14 @@ object MultimodalOps extends QueryPack {
   private def framesCol: Column = lit(1) + pmod(col("doc_id"), lit(60)).cast("int")
 
   /** documents → (doc_id, payload: binary) with the GRFT header prepended
-    * to the UTF-8 text bytes. Pure codegen'd expressions. */
+    * to the UTF-8 text bytes. Pure codegen'd expressions. A document with
+    * NULL text carries no media blob and is excluded here — every
+    * downstream decoder wraps the payload in a ByteBuffer, and a null
+    * byte array would NPE inside the executor loop (the oracles mirror
+    * the same `text IS NOT NULL` guard). */
   def payloads(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .filter(col("text").isNotNull)
       .withColumn("w", widthCol).withColumn("h", heightCol).withColumn("f", framesCol)
       .select(col("doc_id"),
         concat(
@@ -232,11 +237,12 @@ object MultimodalOps extends QueryPack {
         | 64 + doc_id % 1856 AS width,
         | 64 + (doc_id * 7) % 1016 AS height,
         | 1 + doc_id % 60 AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     "multimodal_frame_sample" ->
       """SELECT doc_id, 1 + doc_id % 60 AS n_frames,
         | unnest(range(0, CAST(1 + doc_id % 60 AS BIGINT), 10)) AS frame_idx
-        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_bytes" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         | length(text) AS n_chars

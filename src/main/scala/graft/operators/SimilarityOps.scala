@@ -54,9 +54,17 @@ object SimilarityOps extends QueryPack {
     * one table suffices (e.g. near-dup verification at tight thresholds). */
   def lshBucket(emb: Column): Column = element_at(lshBuckets(emb), 1)
 
+  /** The searchable corpus: rows WITHOUT an embedding are excluded up
+    * front — a null vector has no similarity to anything, and letting it
+    * through NPEs the IVF seed sample (`getSeq(1).toSeq` on the collected
+    * row) and the typed vector aggregator. A crawl-scale corpus is
+    * guaranteed to contain such rows; dropping them at the scan (a pushed
+    * IsNotNull filter) is the only placement that covers every index
+    * family at once. */
   private def corpus(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
   }
 
   /** Default query set for the declared topk queries: vectors 0–4. */
@@ -397,13 +405,18 @@ object SimilarityOps extends QueryPack {
   }
 
   /** Per-label corpus stats — the oracle-checked sanity slice (DuckDB
-    * computes the same norms over the same lists cast to double). */
+    * computes the same norms over the same lists cast to double). Rows
+    * whose norm is undefined (null embedding) or non-finite (a NaN/Inf
+    * component) are excluded BEFORE the aggregate — one NaN norm would
+    * otherwise poison avg/max for its whole label group (NaN propagates
+    * through sums; the oracle mirrors the same guard). */
   def embeddingStats(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val norm = sqrt(aggregate(col("embedding"),
       lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
     Tables.embeddings(s, d)
       .select(col("label"), norm.as("nrm"))
+      .filter(col("nrm").isNotNull && !isnan(col("nrm")))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         round(avg(col("nrm")), 4).as("avg_norm"),
@@ -439,7 +452,8 @@ object SimilarityOps extends QueryPack {
         |  FROM embeddings)
         |SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm,
         | round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
-        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+        |FROM n WHERE nrm IS NOT NULL AND NOT isnan(nrm)
+        |GROUP BY label ORDER BY label""".stripMargin,
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
         |           FROM embeddings WHERE vec_id < 5),

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{GraftSpec, SparkEntry}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Every documents/embeddings-driven query must survive PATHOLOGICAL
+  * content — the rows a 100 TB crawl corpus is guaranteed to contain:
+  * null/empty/whitespace-only text, null metadata, multi-byte UTF-8,
+  * single giant tokens, highly repetitive long documents, embedded
+  * newlines/tabs, zero vectors, null/empty/truncated/NaN embeddings.
+  *
+  * The fixture is the REAL sf0.001 corpus plus a planted pathological
+  * tail, so every query keeps its normal data shape and additionally
+  * digests the hostile rows. Contract checked per query:
+  *
+  *   1. it completes (no NPE, no ANSI divide/overflow error, no codegen
+  *      crash) — except the multimodal pixel family, whose documented
+  *      contract is to fail LOUDLY on non-ASCII payloads (the DuckDB
+  *      oracle samples per character; silent hash-mismatch is the
+  *      alternative), and
+  *   2. no floating-point column in its result carries NaN/Infinity —
+  *      the silent-poison case: NaN sorts ABOVE every real value in a
+  *      descending top-k, so one corrupt embedding would otherwise
+  *      hijack every neighbor list it touches.
+  */
+class PathologicalContentSpec extends GraftSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("n_chars", LongType, nullable = true)))
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType), nullable = true),
+    StructField("label", IntegerType, nullable = false)))
+
+  private def doc(id: Long, text: String, lang: String = "en",
+      source: String = "src_path"): Row =
+    Row(id, text, lang, source,
+      if (text == null) null else text.length.toLong)
+
+  private lazy val pathoDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-patho-").toString
+    val repeated = Array.fill(5000)("dup").mkString(" ") // 5k-token one-word doc
+    val docs = Seq(
+      doc(9000001L, ""),                              // empty text
+      doc(9000002L, "tok"),                           // single token
+      doc(9000003L, " \t \n  "),                      // whitespace only
+      Row(9000004L, null, null, null, null),          // all-null row
+      doc(9000005L, "héllo wörld 北京 🚀 café naïve résumé 東京 データ", "zh"),
+      doc(9000006L, repeated),                        // long + degenerate-repetitive
+      doc(9000007L, repeated),                        // exact dup of the above
+      doc(9000008L, "x" * 20000),                     // one 20k-char token
+      doc(9000009L, "line one\nline two\tand a tab"), // embedded newline/tab
+    )
+    val zeros = Array.fill(64)(0.0f)
+    val nans = Array.tabulate(64)(i => if (i == 7) Float.NaN else 0.1f)
+    val embs = Seq(
+      Row(9000001L, zeros, 0),                        // zero vector -> 0/0
+      Row(9000002L, null, 1),                         // null embedding
+      Row(9000003L, Array.empty[Float], 2),           // empty array
+      Row(9000004L, Array(1.0f, 2.0f), 3),            // truncated (dim 2, not 64)
+      Row(9000005L, nans, 4),                         // NaN component
+    )
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    base.unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(docs), docSchema))
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val baseE = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    baseE.unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(embs), embSchema))
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** documents/embeddings-driven query families (the TPC-H q* and the
+    * events-driven stream_* families never see the planted rows). */
+  private val sweptPrefixes = Seq("ann_", "curation_", "decontam_", "dedup_",
+    "embedding_", "ingest_", "mixture_", "mr_", "multimodal_", "native_",
+    "pack_", "search_", "text_")
+
+  /** The documented loud-failure surface: per-character oracle parity
+    * requires ASCII payloads, and the planted UTF-8 doc must trip the
+    * guard rather than hash-mismatch downstream. */
+  private val asciiGuarded = Set("multimodal_pixels", "multimodal_phash_pairs")
+
+  private def floatCols(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.schema.fields.zipWithIndex.collect {
+      case (StructField(_, DoubleType | FloatType, _, _), i) => i
+    }.toIndexedSeq
+
+  test("documents/embeddings queries survive pathological content, no NaN/Inf leaks") {
+    graft.CacheRegistry.clear(spark)
+    val swept = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => sweptPrefixes.exists(n.startsWith) }
+    assert(swept.size >= 40, s"sweep lost coverage: only ${swept.size} queries matched")
+    val failures = swept.flatMap { case (name, fn) =>
+      try {
+        val df = fn(spark, pathoDir)
+        val fc = floatCols(df)
+        val rows = df.collect()
+        if (asciiGuarded.contains(name))
+          Some(s"$name: expected the documented non-ASCII failure, but it returned ${rows.length} rows")
+        else {
+          val poisoned = rows.iterator.flatMap { r =>
+            fc.iterator.filter(i => !r.isNullAt(i)).flatMap { i =>
+              val v = r.get(i) match {
+                case d: java.lang.Double => d.doubleValue()
+                case f: java.lang.Float  => f.doubleValue()
+              }
+              if (v.isNaN || v.isInfinite)
+                Some(s"$name: ${df.schema(i).name}=$v in row $r") else None
+            }
+          }.take(1).toSeq
+          poisoned.headOption
+        }
+      } catch {
+        case e: Throwable =>
+          val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+          if (asciiGuarded.contains(name) && chain.contains("non-ASCII")) None
+          else Some(s"$name: threw ${e.getClass.getSimpleName}: ${chain.take(200)}")
+      }
+    }
+    graft.CacheRegistry.clear(spark)
+    assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
+  }
+
+  test("the planted repetitive dup pair is recovered by substring spans") {
+    val spans = DedupOps.substringSpans(spark, pathoDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 9000006L &&
+        org.apache.spark.sql.functions.col("doc_id") <= 9000007L)
+      .collect()
+    assert(spans.length == 2)
+    spans.foreach { r =>
+      // every window of the 5000-token one-word doc is shared with its twin
+      assert(r.getAs[Double]("dup_frac") == 1.0, r.toString)
+      assert(r.getAs[Long]("longest_dup_tokens") == 5000L, r.toString)
+    }
+  }
+}
