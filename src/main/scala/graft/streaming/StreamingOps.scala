@@ -17,18 +17,38 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Event-time ingress gate shared by every watermark-driven operator: a
+    * row with NULL event time has no place on the watermark timeline — it
+    * would pool under a NULL window/state key that no watermark ever
+    * closes (in Append mode it is withheld forever: a state LEAK on an
+    * unbounded feed) and it NPEs the typed sessionization's per-group
+    * sort. Such rows are dropped at ingress — the contract every
+    * event-time engine applies to null-timestamp records. */
+  private def eventTimed(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events.filter(col(tsCol).isNotNull)
+
+  /** NaN/Inf measure values enter windowed sums as NULL (ignored): one
+    * corrupt reading would otherwise poison its whole window's aggregate
+    * — the same silent-NaN hazard the similarity kernels guard against
+    * (NaN also ORDERS above every real value in Spark SQL, so a poisoned
+    * sum would top every ranking built on it). */
+  private def finiteOrNull(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(isnan(c) || c === lit(Double.PositiveInfinity) ||
+      c === lit(Double.NegativeInfinity), lit(null)).otherwise(c)
+
   /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark:
     * late rows beyond the watermark are dropped, state is bounded. */
   def tumblingAgg(events: DataFrame): DataFrame =
-    events
+    eventTimed(events)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(finiteOrNull(col("value"))), 2).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
   /** Sliding 1-hour window every 15 minutes. */
   def slidingAgg(events: DataFrame): DataFrame =
-    events
+    eventTimed(events)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -36,7 +56,7 @@ object StreamingOps {
 
   /** Built-in session windows: 30-minute inactivity gap. */
   def sessionWindowAgg(events: DataFrame): DataFrame =
-    events
+    eventTimed(events)
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -51,7 +71,7 @@ object StreamingOps {
     * `dropDuplicates` (state grows forever) cannot give at 100 TB/day.
     * Input needs an event-time `ts` column plus the payload `text`. */
   def streamingDedup(docs: DataFrame, delay: String = "1 hour"): DataFrame =
-    docs
+    eventTimed(docs)
       .withColumn("fp", md5(col("text")))
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("fp")
@@ -64,11 +84,11 @@ object StreamingOps {
     * is refused in Append mode). The streaming sibling of the batch
     * range join q9 / as-of family. */
   def streamStreamJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
-    val p = purchases.filter(col("event_type") === "purchase")
+    val p = eventTimed(purchases).filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
-    val c = clicks.filter(col("event_type") === "click")
+    val c = eventTimed(clicks).filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
@@ -109,15 +129,24 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  // value is a BOXED Double: sessionization never reads the measure, and
+  // a feed's missing (null) value must not kill the typed encoder (a
+  // primitive field throws NOT_NULL_ASSERT_VIOLATION on null)
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
-      event_type: String, value: Double)
+      event_type: String, value: java.lang.Double)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * arbitrary-state API for semantics session_window can't express
     * (e.g. emitting only on session close, custom timeout policy).
-    * Event-time timeout keyed per user; state is one small struct/user. */
+    * Event-time timeout keyed per user; state is one small struct/user.
+    *
+    * Input contract: `ts` and `user_id` must be non-null BEFORE the
+    * `.as[Ev]` conversion — `Ev.user_id` is a primitive Long (the
+    * encoder throws on null) and the per-group sort dereferences `ts`.
+    * A sessionization has no meaning for an unidentified user or an
+    * untimed event; the declared entry filters both at ingress. */
   def statefulSessions(spark: SparkSession, events: Dataset[Ev],
       gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
     import spark.implicits._

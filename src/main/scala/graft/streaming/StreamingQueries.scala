@@ -264,7 +264,10 @@ object StreamingQueries extends QueryPack {
     * same GROUP BY date_trunc. */
   def streamTumbling(s: SparkSession, d: String): DataFrame =
     runBackfill(s, d)(StreamingOps.tumblingAgg)
-      .filter(col("event_type") =!= FlushType)
+      // null-SAFE comparison: a corpus with NULL event types keeps its
+      // null group (a valid GROUP BY key) — only the sentinel's own
+      // group is scrubbed
+      .filter(!(col("event_type") <=> lit(FlushType)))
       .orderBy(col("hour"), col("event_type"))
 
   /** Streaming sliding windows: 1-hour windows every 15 minutes, so each
@@ -273,7 +276,7 @@ object StreamingQueries extends QueryPack {
     * are its 15-minute bucket minus k·15min for k = 0..3. */
   def streamSliding(s: SparkSession, d: String): DataFrame =
     runBackfill(s, d)(StreamingOps.slidingAgg)
-      .filter(col("event_type") =!= FlushType)
+      .filter(!(col("event_type") <=> lit(FlushType)))
       .orderBy(col("w_start"), col("event_type"))
 
   /** Streaming session windows (30-min gap). Session-window semantics:
@@ -299,7 +302,12 @@ object StreamingQueries extends QueryPack {
   def streamFmgwsSession(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     runBackfill(s, d) { df =>
-      StreamingOps.statefulSessions(s, df.as[StreamingOps.Ev]).toDF()
+      // statefulSessions' input contract: Ev.user_id is a primitive Long
+      // (encoder throws on null) and the per-group sort dereferences ts —
+      // an untimed or unidentified event has no session to belong to
+      StreamingOps.statefulSessions(s,
+        df.filter(col("ts").isNotNull && col("user_id").isNotNull)
+          .as[StreamingOps.Ev]).toDF()
     }
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("start_ms"), col("end_ms"),
@@ -318,7 +326,10 @@ object StreamingQueries extends QueryPack {
     * source suffices — and the oracle is simply the events table. */
   def streamDedup(s: SparkSession, d: String): DataFrame =
     runDirect(s, d) { df =>
-      df.unionByName(df)
+      // ingress contract: an untimed row has no watermark horizon to be
+      // deduplicated within (its state key would never evict)
+      df.filter(col("ts").isNotNull)
+        .unionByName(df.filter(col("ts").isNotNull))
         .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark("event_id")
     }

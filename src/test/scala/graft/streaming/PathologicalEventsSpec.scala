@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.{GraftSpec, SparkEntry}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** The streaming twin of `PathologicalContentSpec`: every declared
+  * stream_* query must survive the event rows a production feed is
+  * guaranteed to deliver — null event time, null user/type keys, NaN and
+  * null measure values, and a decades-old timestamp — under the declared
+  * ingress contract:
+  *
+  *   - an UNTIMED row (null ts) is dropped by every watermark-driven
+  *     operator: it has no place on the watermark timeline, would pool
+  *     under a state key no watermark ever closes, and NPEs the typed
+  *     sessionization's per-group sort;
+  *   - a null GROUP key (event_type) is a legitimate SQL group and
+  *     survives the windowed aggregations (the sentinel scrub is
+  *     null-safe);
+  *   - sessionization requires an identity: null-user rows produce no
+  *     session (and must not kill the typed encoder);
+  *   - NaN/Inf measure values enter windowed sums as NULL — one corrupt
+  *     reading must not poison its window's aggregate — while pass-through
+  *     operators (dedup) echo the user's raw rows faithfully;
+  *   - an ancient-but-valid timestamp is real data: it lands in its own
+  *     window/session and is emitted, not silently lost.
+  */
+class PathologicalEventsSpec extends GraftSpec {
+
+  private lazy val (pathoDir, baseCount, maxNs) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val mx = raw.agg(max(col("ts"))).head().getLong(0)
+    val n = raw.count()
+    // (event_id, ts_ns, user_id, event_type, value, props). The ancient
+    // event sits at 1970-01-02, NOT the epoch itself: a fresh streaming
+    // query's initial watermark is epoch-0 ms and stateful dedup treats
+    // rows at/before the watermark as late — an event time at/before
+    // 1970-01-01T00:00:00 is degenerate under Spark's event-time model.
+    val day2Ns = 86400L * 1000000000L
+    val planted = Seq(
+      Row(9000001L, null, 7L, "click", 1.0, null),              // untimed
+      Row(9000002L, day2Ns, 9001L, "click", 2.0, null),         // 1970 event
+      Row(9000003L, mx, null, "click", 3.0, null),              // no identity
+      Row(9000004L, mx, 9002L, null, 4.0, null),                // null group key
+      Row(9000005L, mx, 9003L, "purchase", Double.NaN, null),   // corrupt measure
+      Row(9000006L, mx, 9004L, "purchase", null, null),         // missing measure
+      Row(9000007L, mx - 1800L * 1000000000L, null, "purchase", 5.0, null))
+    val dir = java.nio.file.Files.createTempDirectory("graft-patho-ev-").toString
+    raw.unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(planted), raw.schema))
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    (dir, n, mx)
+  }
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, pathoDir).collect().toSeq
+
+  test("windowed aggs: untimed rows dropped, null group kept, NaN can't poison a sum") {
+    graft.CacheRegistry.clear(spark)
+    val tumbling = run("stream_tumbling")
+    // computed float stats carry no NaN/Inf anywhere
+    tumbling.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val v = r.getDouble(3)
+        assert(!v.isNaN && !v.isInfinite, s"poisoned sum_value: $r")
+      }
+    }
+    // exactly the timed rows are aggregated: base + 6 planted valid-ts
+    assert(tumbling.map(_.getLong(2)).sum == baseCount + 6)
+    // the 1970 event has its own window, emitted not lost
+    val ancient = tumbling.filter(_.getAs[java.sql.Timestamp]("hour").getTime == 86400000L)
+    assert(ancient.map(_.getLong(2)).sum == 1L, s"1970 window: $ancient")
+    // the null event_type group survives the (null-safe) sentinel scrub
+    assert(tumbling.count(_.isNullAt(1)) == 1)
+    val sliding = run("stream_sliding")
+    // 1-hour windows every 15 min: the ancient event lands in exactly 4
+    assert(sliding.count(r => !r.isNullAt(1) && r.getString(1) == "click" &&
+      r.getAs[java.sql.Timestamp]("w_start").getTime <= 86400000L) == 4)
+  }
+
+  test("sessionization: no session without identity or time; ancient session emitted") {
+    val sess = run("stream_session")
+    assert(sess.forall(!_.isNullAt(2)), "null-user session leaked")
+    assert(sess.count(_.getLong(2) == 9001L) == 1, "1970 session missing")
+    val fmgws = run("stream_fmgws_session")
+    assert(fmgws.forall(!_.isNullAt(0)), "typed path emitted a null user")
+    val ancient = fmgws.filter(_.getLong(0) == 9001L)
+    assert(ancient.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      == Seq((86400000L, 86400000L, 1L)), s"1970 stateful session: $ancient")
+  }
+
+  test("dedup echoes identified rows faithfully; join never matches a null key") {
+    val dedup = run("stream_dedup")
+    val ids = dedup.map(_.getLong(0)).toSet
+    assert(!ids.contains(9000001L), "untimed row survived dedup")
+    assert(Set(9000002L, 9000003L, 9000004L, 9000005L, 9000006L, 9000007L)
+      .subsetOf(ids), "a timed planted row was lost by dedup")
+    // raw passthrough: the corrupt measure is the user's data, echoed as-is
+    assert(dedup.find(_.getLong(0) == 9000005L).get.getDouble(4).isNaN)
+    val joined = run("stream_join")
+    assert(joined.forall(!_.isNullAt(1)), "null-user join row")
+    assert(!joined.exists(_.getLong(0) == 9000007L),
+      "null-user purchase matched a click")
+    graft.CacheRegistry.clear(spark)
+  }
+}
