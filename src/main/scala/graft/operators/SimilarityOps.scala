@@ -78,6 +78,10 @@ object SimilarityOps extends QueryPack {
     val scored = base.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      // a candidate with UNDEFINED similarity (zero-norm / non-finite
+      // vector → NULL cosine) is not a neighbor — without this it would
+      // still fill trailing top-k ranks (NULL sorts last, not out)
+      .filter(col("cos").isNotNull)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -110,6 +114,7 @@ object SimilarityOps extends QueryPack {
       .join(base, "vec_id")
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .filter(col("cos").isNotNull) // see bruteSearch: NULL cos ≠ neighbor
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -309,6 +314,7 @@ object SimilarityOps extends QueryPack {
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+        .filter(col("cos").isNotNull) // see bruteSearch: NULL cos ≠ neighbor
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= k)

@@ -130,6 +130,21 @@ class PathologicalContentSpec extends GraftSpec {
     assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
   }
 
+  test("degenerate vectors are never retrieved as neighbors") {
+    // zero (9000001), null (9000002), empty (9000003), NaN (9000005)
+    // have UNDEFINED similarity → excluded from every top-k; the
+    // truncated dim-2 vector (9000004) keeps the documented common-prefix
+    // semantics and MAY legitimately rank
+    val excluded = Set(9000001L, 9000002L, 9000003L, 9000005L)
+    for (q <- Seq("ann_brute_topk", "ann_lsh_topk", "ann_lsh_portable", "ann_ivf_topk")) {
+      val neighbors = SparkEntry.queries(q)(spark, pathoDir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(neighbors.intersect(excluded).isEmpty,
+        s"$q retrieved a degenerate vector: ${neighbors.intersect(excluded)}")
+    }
+    graft.CacheRegistry.clear(spark)
+  }
+
   test("the planted repetitive dup pair is recovered by substring spans") {
     val spans = DedupOps.substringSpans(spark, pathoDir)
       .filter(org.apache.spark.sql.functions.col("doc_id") >= 9000006L &&
