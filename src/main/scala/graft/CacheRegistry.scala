@@ -39,6 +39,37 @@ object CacheRegistry {
   def memoKey(s: SparkSession, path: String): String =
     s.sparkContext.applicationId + "|" + path + "|" + dataVersion(s, path)
 
+  /** Source-derived memo bounded to ONE live generation per
+    * (application, path): `getOrBuild` rebuilds when the source's data
+    * version changes and DISPOSES the superseded value, instead of
+    * accumulating one entry per version — a long-lived session that
+    * regenerates a source N times between pass boundaries would
+    * otherwise pin N checkpointed copies. Dropped checkpoint references
+    * are reclaimed by Spark's ContextCleaner once unreferenced; the
+    * `dispose` callback covers resources the cleaner can't see (staged
+    * temp dirs). Auto-registers its own [[onClear]] hook; the build runs
+    * under the map's per-key lock, same as `computeIfAbsent` did. */
+  final class VersionedMemo[V](dispose: V => Unit = (_: V) => ()) {
+    private val m =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, V)]()
+    CacheRegistry.onClear(() => clear())
+    def getOrBuild(s: SparkSession, path: String)(build: => V): V =
+      m.compute(s.sparkContext.applicationId + "|" + path, (_, old) => {
+        val ver = dataVersion(s, path)
+        if (old != null && old._1 == ver) old
+        else {
+          if (old != null) dispose(old._2)
+          (ver, build)
+        }
+      })._2
+    /** Live entry count — at most one per (application, path). */
+    def size: Int = m.size
+    def clear(): Unit = {
+      m.values.forEach(v => dispose(v._2))
+      m.clear()
+    }
+  }
+
   /** Fingerprint of a file/directory's current contents (recursive name ×
     * length × mtime fold); `"absent"` when the path does not exist. */
   def dataVersion(s: SparkSession, path: String): String = {

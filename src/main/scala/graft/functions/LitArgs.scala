@@ -28,15 +28,18 @@ private[functions] object LitArgs {
   }
 
   /** Foldable non-null integral argument as Int. An out-of-Int-range long
-    * literal raises the same analysis error instead of silently wrapping
+    * literal raises an analysis error instead of silently wrapping
     * (e.g. `graft_minhash_sig(text, 5000000000)` must not become a
-    * negative k). */
+    * negative k) — with a RANGE-oriented message, not NON_FOLDABLE:
+    * the argument IS a foldable literal, its value is merely too large,
+    * and the error must name the actual problem. */
   def int(fn: String, param: String, e: Expression): Int = {
     val v = integral(fn, param, e)
     if (v < Int.MinValue || v > Int.MaxValue) throw new AnalysisException(
-      "NON_FOLDABLE_ARGUMENT",
-      Map("funcName" -> s""""$fn"""", "paramName" -> s""""$param"""",
-        "paramType" -> "\"INT\""))
+      "INVALID_NUMERIC_LITERAL_RANGE",
+      Map("rawStrippedQualifier" -> s"$v (parameter $param of $fn)",
+        "typeName" -> "INT", "minValue" -> Int.MinValue.toString,
+        "maxValue" -> Int.MaxValue.toString))
     v.toInt
   }
 

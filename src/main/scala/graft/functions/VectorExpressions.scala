@@ -144,7 +144,11 @@ case class FloatDotProduct(left: Expression, right: Expression)
 object HyperplaneOps {
   /** `planes` is nPlanes row-major dim-length blocks; nPlanes must be a
     * multiple of bitsPerTable and align with emb's dim, else empty (a
-    * silent misalignment would bucket every row wrong). */
+    * silent misalignment would bucket every row wrong). The modulo check
+    * cannot catch an off-dim vector whose length merely DIVIDES the
+    * flattened matrix (it would slice into garbage pseudo-tables) — the
+    * caller must gate on the index's fixed dim, as
+    * [[graft.operators.SimilarityOps.lshBuckets]] does. */
   def buckets(emb: ArrayData, planes: ArrayData, bitsPerTable: Int): ArrayData = {
     val dim = emb.numElements()
     if (dim == 0 || bitsPerTable <= 0 || planes.numElements() % dim != 0)

@@ -333,18 +333,15 @@ object DedupOps extends QueryPack {
     * candidate pairs once and both reports them and clusters them, so
     * the library caches the relation the way it caches the labeling.
     * Invalidated by [[graft.CacheRegistry.clear]] at pass boundaries. */
-  private val jaccardCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val jaccardCache = new graft.CacheRegistry.VersionedMemo[DataFrame]()
   private[operators] val jaccardBuilds =
     new java.util.concurrent.atomic.AtomicInteger(0)
-  graft.CacheRegistry.onClear(() => jaccardCache.clear())
 
   private def ngramJaccardRel(s: SparkSession, d: String): DataFrame =
-    jaccardCache.computeIfAbsent(
-      graft.CacheRegistry.memoKey(s, d + "/documents.parquet"), _ => {
+    jaccardCache.getOrBuild(s, d + "/documents.parquet") {
       jaccardBuilds.incrementAndGet()
       ngramJaccardBuild(s, d).localCheckpoint(true)
-    })
+    }
 
   private[graft] def ngramJaccardBuild(s: SparkSession, d: String): DataFrame = {
     // The exploded shingle table feeds FIVE consumers (the df-cap
@@ -450,15 +447,13 @@ object DedupOps extends QueryPack {
     * so the library caches it the way the band tables are cached: one
     * checkpointed (doc_id, component) table per (application, sf dir),
     * invalidated by [[graft.CacheRegistry.clear]] at pass boundaries. */
-  private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val labelCache = new graft.CacheRegistry.VersionedMemo[DataFrame]()
   private[operators] val labelBuilds =
     new java.util.concurrent.atomic.AtomicInteger(0)
-  graft.CacheRegistry.onClear(() => labelCache.clear())
+  private[operators] def labelCacheSize: Int = labelCache.size
 
   private[operators] def componentLabels(s: SparkSession, d: String): DataFrame =
-    labelCache.computeIfAbsent(
-      graft.CacheRegistry.memoKey(s, d + "/documents.parquet"), _ => {
+    labelCache.getOrBuild(s, d + "/documents.parquet") {
       labelBuilds.incrementAndGet()
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val planted = docs.filter(col("doc_id") % 97 === 0)
@@ -467,7 +462,7 @@ object DedupOps extends QueryPack {
       val edges = planted.unionByName(jac)
       val nodes = docs.unionByName(planted.select(col("b").as("doc_id"))).distinct()
       componentsFromEdges(nodes, edges).localCheckpoint(true)
-    })
+    }
 
   /** Source-level overlap estimation — the dataset-dedup PLANNING op: how
     * much do two ingest sources (crawl snapshots, data vendors) overlap,

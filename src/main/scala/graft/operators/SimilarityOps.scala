@@ -36,35 +36,49 @@ object SimilarityOps extends QueryPack {
     * a candidate is anything sharing >= 1 of the query's buckets. */
   private val nTables = 8
   private val bitsPerTable = 6
+  /** The index's FIXED vector dimension — hyperplane LSH, like any
+    * trained quantizer, is built for one dim: the plane matrix is
+    * `nPlanes` dim-length blocks. */
+  private val Dim = 64
   private lazy val planes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42L)
-    Seq.fill(nTables * bitsPerTable)(Seq.fill(64)(rnd.nextGaussian()))
+    Seq.fill(nTables * bitsPerTable)(Seq.fill(Dim)(rnd.nextGaussian()))
   }
 
   /** Array of `nTables` bucket ids (table index folded into high bits) —
     * ONE fused codegen kernel over the flattened plane matrix
     * ([[graft.functions.HyperplaneBuckets]]), bit-identical to the
     * 48-fold `aggregate(zip_with(...))` composition it replaced (same
-    * left-fold summation order; sign test, bucket ids unchanged). */
+    * left-fold summation order; sign test, bucket ids unchanged).
+    *
+    * Gated on `size(emb) == Dim`: the kernel derives the plane count
+    * from `planes.length / dim`, so a shorter vector whose length merely
+    * DIVIDES the flattened matrix (dim 2/4/8/16/32 against 48×64) would
+    * be sliced into garbage pseudo-tables that can spuriously collide
+    * with real buckets. An off-dim vector gets NO buckets — it is not in
+    * this index — and its empty array explodes to zero candidate rows. */
   def lshBuckets(emb: Column): Column =
-    graft.functions.VectorExpressions.hyperplane_buckets(
-      emb, typedlit(planes.flatten), lit(bitsPerTable))
+    when(size(emb) === Dim,
+      graft.functions.VectorExpressions.hyperplane_buckets(
+        emb, typedlit(planes.flatten), lit(bitsPerTable)))
+      .otherwise(typedlit(Array.empty[Long]))
 
   /** Single coarse bucket (first table) — kept for blocked pair gen where
     * one table suffices (e.g. near-dup verification at tight thresholds). */
   def lshBucket(emb: Column): Column = element_at(lshBuckets(emb), 1)
 
-  /** The searchable corpus: rows WITHOUT an embedding are excluded up
-    * front — a null vector has no similarity to anything, and letting it
-    * through NPEs the IVF seed sample (`getSeq(1).toSeq` on the collected
-    * row) and the typed vector aggregator. A crawl-scale corpus is
-    * guaranteed to contain such rows; dropping them at the scan (a pushed
-    * IsNotNull filter) is the only placement that covers every index
-    * family at once. */
+  /** The searchable corpus: rows WITHOUT an embedding (null or empty
+    * array) are excluded up front — such a vector has no similarity to
+    * anything, and letting it through NPEs the IVF seed sample
+    * (`getSeq(1).toSeq` on the collected row), feeds a zero-length seed
+    * into the Lloyd movement fold (`empty.max`), and crashes the typed
+    * vector aggregator. A crawl-scale corpus is guaranteed to contain
+    * such rows; dropping them at the scan (pushed filters) is the only
+    * placement that covers every index family at once. */
   private def corpus(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .filter(col("embedding").isNotNull)
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
   }
 
   /** Default query set for the declared topk queries: vectors 0–4. */
@@ -149,12 +163,15 @@ object SimilarityOps extends QueryPack {
 
   /** Same fused kernel as [[lshBuckets]] over the portable ±1 planes —
     * the left-fold order is what the DuckDB oracle's `list_reduce`
-    * reproduces, so the swap is hash-invariant by construction. */
+    * reproduces, so the swap is hash-invariant by construction. Same
+    * fixed-dim gate as the production family. */
   private def portableBuckets(emb: Column): Column =
-    graft.functions.VectorExpressions.hyperplane_buckets(
-      emb,
-      typedlit((0 until nTables * bitsPerTable).flatMap(portableWeights)),
-      lit(bitsPerTable))
+    when(size(emb) === Dim,
+      graft.functions.VectorExpressions.hyperplane_buckets(
+        emb,
+        typedlit((0 until nTables * bitsPerTable).flatMap(portableWeights)),
+        lit(bitsPerTable)))
+      .otherwise(typedlit(Array.empty[Long]))
 
   /** ANN with the portable plane family — identical plan shape to
     * [[annLsh]] by construction (same [[lshSearch]] body, different
@@ -299,6 +316,7 @@ object SimilarityOps extends QueryPack {
     * lifecycle end (releases the persisted corpus). */
   final class IvfIndex private[SimilarityOps] (
       private[SimilarityOps] val corpus: DataFrame,
+      private val backing: DataFrame,
       val centroids: Seq[Seq[Float]], val nProbe: Int) {
     /** Top-k probe: explode the query set over its nProbe nearest lists,
       * keyed join on the cluster id, exact-cosine rerank. */
@@ -323,7 +341,7 @@ object SimilarityOps extends QueryPack {
     /** Release the persisted corpus backing this index. Lazy results built
       * from [[search]] stay correct afterwards (they recompute from
       * lineage), they just lose the cache. */
-    def close(): Unit = corpus.unpersist(false)
+    def close(): Unit = backing.unpersist(false)
   }
 
   /** Build an IVF index over an explicit corpus.
@@ -340,10 +358,24 @@ object SimilarityOps extends QueryPack {
     // Lloyd round, indexing, query side); persist the projected corpus so
     // an expensive upstream lineage executes once, not per pass.
     val emb = emb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kC = clusters.getOrElse(ivfClusterCount(emb.count()))
+    // IVF is a FIXED-DIM index (like any trained quantizer): the index
+    // dim is the corpus's modal embedding length (ties → larger), and
+    // vectors of any other length are excluded — a truncated vector
+    // cannot share a centroid vector-sum with full-dim ones (the typed
+    // aggregator rightly refuses the merge), and scoring it against a
+    // flattened kC×dim centroid matrix would misread plane offsets. One
+    // tiny aggregate over the already-persisted corpus; a no-op slice on
+    // a uniform corpus.
+    val dimRow = emb.groupBy(size(col("embedding")).as("dim"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("dim").desc).head(1)
+    val embU =
+      if (dimRow.isEmpty) emb
+      else emb.filter(size(col("embedding")) === dimRow(0).getInt(0))
+    val kC = clusters.getOrElse(ivfClusterCount(embU.count()))
     val nProbe = probes.getOrElse(
       math.max(ivfProbes, math.ceil(math.sqrt(kC.toDouble)).toInt))
-    new IvfIndex(emb, trainCentroids(emb, kC), nProbe)
+    new IvfIndex(embU, emb, trainCentroids(embU, kC), nProbe)
   }
 
   /** The most recent fire-and-forget index built by [[annIvfFrom]]: the
@@ -392,7 +424,13 @@ object SimilarityOps extends QueryPack {
     require(sampleEvery >= 1L, s"sampleEvery must be >= 1, got $sampleEvery")
     val plantOff = 1000000000000L
     val base0 = corpus(s, d)
-    val planted = base0.filter(col("vec_id") % (101L * sampleEvery) === 0)
+    // plant twins only of WELL-FORMED vectors: a zero-norm or non-finite
+    // vector has undefined self-similarity (cos(v, v) is NULL, see the
+    // kernel contract), so its twin is unfindable by construction and
+    // would understate recall. cos(v, v) IS NOT NULL is exactly the
+    // "norm positive and finite" predicate the oracle states.
+    val planted = base0.filter(col("vec_id") % (101L * sampleEvery) === 0 &&
+        cosine(col("embedding"), col("embedding")).isNotNull)
       .withColumn("vec_id", col("vec_id") + plantOff)
     val base = base0.unionByName(planted)
     val isQ = col("vec_id") >= plantOff
@@ -422,7 +460,8 @@ object SimilarityOps extends QueryPack {
       lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
     Tables.embeddings(s, d)
       .select(col("label"), norm.as("nrm"))
-      .filter(col("nrm").isNotNull && !isnan(col("nrm")))
+      .filter(col("nrm").isNotNull && !isnan(col("nrm")) &&
+        col("nrm") =!= Double.PositiveInfinity) // an Inf component → +Inf norm
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         round(avg(col("nrm")), 4).as("avg_norm"),
@@ -446,7 +485,14 @@ object SimilarityOps extends QueryPack {
     // method must retrieve each twin's original, so the expected counts
     // are a closed-form function of the plant modulus
     "ann_recall" ->
-      """WITH p AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 101 = 0)
+      """WITH nr AS (
+        |  SELECT sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |  WHERE vec_id % 101 = 0 AND embedding IS NOT NULL
+        |    AND len(embedding) > 0),
+        |p AS (SELECT count(*) AS n FROM nr
+        |      WHERE nrm > 0 AND NOT isnan(nrm) AND NOT isinf(nrm))
         |SELECT m.method, p.n AS n_queries, p.n AS n_found
         |FROM p, (SELECT 'brute' AS method UNION ALL SELECT 'ivf'
         |         UNION ALL SELECT 'lsh') m
@@ -458,7 +504,7 @@ object SimilarityOps extends QueryPack {
         |  FROM embeddings)
         |SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm,
         | round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
-        |FROM n WHERE nrm IS NOT NULL AND NOT isnan(nrm)
+        |FROM n WHERE nrm IS NOT NULL AND NOT isnan(nrm) AND NOT isinf(nrm)
         |GROUP BY label ORDER BY label""".stripMargin,
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb

@@ -54,9 +54,12 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
-  /** Built-in session windows: 30-minute inactivity gap. */
+  /** Built-in session windows: 30-minute inactivity gap. Sessionization
+    * requires an identity (same contract as [[statefulSessions]]): a
+    * null-user row belongs to no session and is dropped at ingress. */
   def sessionWindowAgg(events: DataFrame): DataFrame =
     eventTimed(events)
+      .filter(col("user_id").isNotNull)
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))

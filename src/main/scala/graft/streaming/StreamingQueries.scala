@@ -72,23 +72,23 @@ object StreamingQueries extends QueryPack {
     // sentinel row with the RAW on-disk schema (ts may be nanos-long or
     // timestamp depending on the fixture layout)
     val batch = s.read.parquet(src.toString)
-    // zero-row events: there is nothing to flush (and no max ts to probe),
-    // so stage the empty data files with no sentinel — the backfill is
-    // the empty relation
-    if (batch.isEmpty) return tmp
+    // no TIMED rows (zero rows, or every ts NULL): there is nothing to
+    // flush (and no max ts to offset), so stage the data files with no
+    // sentinel — the ingress filter drops untimed rows and the backfill
+    // is the empty relation. ONE null-aware max probe covers both cases
+    // (max skips NULLs; an all-NULL or empty input yields a NULL max).
+    val maxRow = batch.agg(max(col("ts"))).head()
+    if (maxRow.isNullAt(0)) return tmp
     val tsLit = batch.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        val maxNs = batch.agg(max(col("ts"))).head().getLong(0)
-        lit(maxNs + SentinelGapNs)
+        lit(maxRow.getLong(0) + SentinelGapNs)
       // NTZ surfaces as LocalDateTime on the driver; the sentinel literal
       // must stay NTZ so its file unions with the staged raw schema
       case org.apache.spark.sql.types.TimestampNTZType =>
-        val maxTs = batch.agg(max(col("ts"))).head()
-          .getAs[java.time.LocalDateTime](0)
-        lit(maxTs.plusNanos(SentinelGapNs))
+        lit(maxRow.getAs[java.time.LocalDateTime](0).plusNanos(SentinelGapNs))
       case _ =>
-        val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
-        lit(new java.sql.Timestamp(maxTs.getTime + SentinelGapNs / 1000000L))
+        lit(new java.sql.Timestamp(
+          maxRow.getTimestamp(0).getTime + SentinelGapNs / 1000000L))
     }
     val sentinel = batch.limit(1).select(batch.columns.toIndexedSeq.map {
       case "ts"         => tsLit.as("ts")
@@ -119,16 +119,10 @@ object StreamingQueries extends QueryPack {
     * (application, sf dir) like the component labeling, invalidated and
     * deleted by [[graft.CacheRegistry.clear]] at pass boundaries. */
   private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
-  graft.CacheRegistry.onClear(() => {
-    stagedCache.values.forEach(p => deleteRecursively(p))
-    stagedCache.clear()
-  })
+    new graft.CacheRegistry.VersionedMemo[java.nio.file.Path](deleteRecursively)
 
   private def stagedFor(s: SparkSession, d: String): java.nio.file.Path =
-    stagedCache.computeIfAbsent(
-      graft.CacheRegistry.memoKey(s, d + "/events.parquet"),
-      _ => stageWithSentinel(s, d))
+    stagedCache.getOrBuild(s, d + "/events.parquet")(stageWithSentinel(s, d))
 
   /** Event-time column normalization, shared by every stream builder —
     * same as [[graft.Tables.events]]: TIMESTAMP(NANOS) read as long and
@@ -286,7 +280,9 @@ object StreamingQueries extends QueryPack {
     * (unlike batch q24, whose lag-based rule used strict >). */
   def streamSession(s: SparkSession, d: String): DataFrame =
     runBackfill(s, d)(StreamingOps.sessionWindowAgg)
-      .filter(col("user_id") >= 0)
+      // scrub exactly the sentinel's RESERVED key (user_id = -1), not a
+      // blanket >= 0: a corpus with other negative user ids keeps them
+      .filter(!(col("user_id") <=> lit(-1L)))
       .orderBy(col("user_id"), col("sess_start"))
 
   /** Custom-stateful sessionization via flatMapGroupsWithState
@@ -309,7 +305,7 @@ object StreamingQueries extends QueryPack {
         df.filter(col("ts").isNotNull && col("user_id").isNotNull)
           .as[StreamingOps.Ev]).toDF()
     }
-      .filter(col("user_id") >= 0)
+      .filter(!(col("user_id") <=> lit(-1L))) // sentinel key scrub, see streamSession
       .select(col("user_id"), col("start_ms"), col("end_ms"),
         col("n_events").cast("long").as("n_events"))
       .orderBy(col("user_id"), col("start_ms"))
@@ -356,20 +352,29 @@ object StreamingQueries extends QueryPack {
     "stream_join" -> streamStreamInterval,
   )
 
+  // Every oracle mirrors the engine's event-time ingress contract
+  // (`ts IS NOT NULL`; identity for sessionization; NaN/Inf measures
+  // enter sums as NULL) so the SQL states the same semantics the engine
+  // declares — on well-formed corpora the guards are no-ops.
   override val oracle: Map[String, String] = Map(
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
-        | count(*) AS n, round(sum(value),2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+        | count(*) AS n,
+        | round(sum(CASE WHEN isnan(value) OR isinf(value) THEN NULL
+        |                ELSE value END), 2) AS sum_value
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "stream_sliding" ->
-      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type FROM events),
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type FROM events
+        |           WHERE ts IS NOT NULL),
         |w AS (SELECT time_bucket(INTERVAL 15 MINUTE, t)
         |        - k * (INTERVAL 15 MINUTE) AS w_start, event_type
         |      FROM e, unnest([0, 1, 2, 3]) AS u(k))
         |SELECT w_start, event_type, count(*) AS n
         |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "stream_session" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+        |           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |g AS (SELECT user_id, t,
         |  epoch_us(t) - epoch_us(lag(t,1) OVER (PARTITION BY user_id ORDER BY t)) AS gap
         |  FROM e),
@@ -384,21 +389,22 @@ object StreamingQueries extends QueryPack {
     "stream_dedup" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
         | value
-        |FROM events ORDER BY event_id""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL ORDER BY event_id""".stripMargin,
     "stream_join" ->
       """WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
         |    CAST(ts AS TIMESTAMP) AS p_ts
-        |  FROM events WHERE event_type = 'purchase'),
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
         |c AS (SELECT event_id AS c_id, user_id AS c_user,
         |    CAST(ts AS TIMESTAMP) AS c_ts
-        |  FROM events WHERE event_type = 'click')
+        |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL)
         |SELECT p_id, p_user, c_id,
         | epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
         |FROM p JOIN c ON p_user = c_user
         | AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
         |ORDER BY p_id, c_id""".stripMargin,
     "stream_fmgws_session" ->
-      """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t FROM events),
+      """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t FROM events
+        |           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |g AS (SELECT user_id, t,
         |  t - lag(t,1) OVER (PARTITION BY user_id ORDER BY t) AS gap
         |  FROM e),

@@ -103,13 +103,16 @@ class SketchSpec extends GraftSpec {
     assert(got === Map(1L -> true, 2L -> false))
   }
 
-  test("an out-of-Int-range literal arg raises an analysis error, not a wrap") {
+  test("an out-of-Int-range literal arg raises a RANGE error, not a wrap") {
     import spark.implicits._
     SketchExpressions.register(spark)
     val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       df.select(expr("graft_minhash_sig(text, 5000000000)")).collect()
     }
-    assert(e.getCondition == "NON_FOLDABLE_ARGUMENT")
+    // the argument IS foldable — the diagnostic must name the actual
+    // problem (value out of INT range), not claim non-foldability
+    assert(e.getCondition == "INVALID_NUMERIC_LITERAL_RANGE")
+    assert(e.getMessage.contains("5000000000"))
   }
 }

@@ -59,12 +59,19 @@ class PathologicalContentSpec extends GraftSpec {
     )
     val zeros = Array.fill(64)(0.0f)
     val nans = Array.tabulate(64)(i => if (i == 7) Float.NaN else 0.1f)
+    val infs = Array.tabulate(64)(i =>
+      if (i == 3) Float.PositiveInfinity else 0.2f)
     val embs = Seq(
       Row(9000001L, zeros, 0),                        // zero vector -> 0/0
       Row(9000002L, null, 1),                         // null embedding
       Row(9000003L, Array.empty[Float], 2),           // empty array
       Row(9000004L, Array(1.0f, 2.0f), 3),            // truncated (dim 2, not 64)
       Row(9000005L, nans, 4),                         // NaN component
+      Row(9000006L, infs, 0),                         // Inf component -> Inf norm
+      // SECOND off-dim vector, different length: two truncated vectors
+      // colliding in one IVF cluster would crash the typed vector-sum
+      // aggregator were they not excluded by the index's fixed-dim rule
+      Row(9000007L, Array(1.0f, 2.0f, 3.0f, 4.0f), 1),
     )
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     base.unionByName(spark.createDataFrame(
@@ -131,11 +138,12 @@ class PathologicalContentSpec extends GraftSpec {
   }
 
   test("degenerate vectors are never retrieved as neighbors") {
-    // zero (9000001), null (9000002), empty (9000003), NaN (9000005)
-    // have UNDEFINED similarity → excluded from every top-k; the
-    // truncated dim-2 vector (9000004) keeps the documented common-prefix
-    // semantics and MAY legitimately rank
-    val excluded = Set(9000001L, 9000002L, 9000003L, 9000005L)
+    // zero (9000001), null (9000002), empty (9000003), NaN (9000005),
+    // Inf (9000006) have UNDEFINED similarity → excluded from every
+    // top-k; the truncated vectors (9000004/9000007) keep the documented
+    // common-prefix semantics under brute force and MAY legitimately rank
+    // there (the fixed-dim LSH/IVF indexes exclude them)
+    val excluded = Set(9000001L, 9000002L, 9000003L, 9000005L, 9000006L)
     for (q <- Seq("ann_brute_topk", "ann_lsh_topk", "ann_lsh_portable", "ann_ivf_topk")) {
       val neighbors = SparkEntry.queries(q)(spark, pathoDir)
         .select("vec_id").collect().map(_.getLong(0)).toSet

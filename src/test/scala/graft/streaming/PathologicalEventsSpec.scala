@@ -90,6 +90,21 @@ class PathologicalEventsSpec extends GraftSpec {
       == Seq((86400000L, 86400000L, 1L)), s"1970 stateful session: $ancient")
   }
 
+  test("a corpus with rows but no timed rows backfills to the empty relation") {
+    // non-empty events whose ts values are ALL null: the sentinel stage
+    // has no max ts to offset — it must stage without a sentinel (not
+    // NPE on the null max) and the ingress filter yields zero windows
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val allNull = Seq(Row(1L, null, 7L, "click", 1.0, null),
+      Row(2L, null, 8L, "view", 2.0, null))
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullts-ev-").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(allNull), raw.schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(SparkEntry.queries("stream_tumbling")(spark, dir).count() == 0L)
+    assert(SparkEntry.queries("stream_dedup")(spark, dir).count() == 0L)
+    graft.CacheRegistry.clear(spark)
+  }
+
   test("dedup echoes identified rows faithfully; join never matches a null key") {
     val dedup = run("stream_dedup")
     val ids = dedup.map(_.getLong(0)).toSet
