@@ -30,25 +30,24 @@ object CacheRegistry {
       .foreach(_.unpersist(blocking = false))
   }
 
-  /** Memo key for a source-derived cache: (application, path, data
-    * version), where the version folds every underlying file's name,
-    * length, and mtime — so regenerating the source in place (same path,
-    * new data) misses the cache instead of silently serving stale
-    * checkpointed results. One driver-side FS listing per lookup: free
-    * locally, one namenode listing per query at scale. */
-  def memoKey(s: SparkSession, path: String): String =
-    s.sparkContext.applicationId + "|" + path + "|" + dataVersion(s, path)
-
   /** Source-derived memo bounded to ONE live generation per
-    * (application, path): `getOrBuild` rebuilds when the source's data
-    * version changes and DISPOSES the superseded value, instead of
-    * accumulating one entry per version — a long-lived session that
-    * regenerates a source N times between pass boundaries would
-    * otherwise pin N checkpointed copies. Dropped checkpoint references
-    * are reclaimed by Spark's ContextCleaner once unreferenced; the
-    * `dispose` callback covers resources the cleaner can't see (staged
-    * temp dirs). Auto-registers its own [[onClear]] hook; the build runs
-    * under the map's per-key lock, same as `computeIfAbsent` did. */
+    * (application, path): entries are keyed by (application, path) and
+    * carry the source's data version — a fold of every underlying
+    * file's name, length, and mtime — so regenerating the source in
+    * place (same path, new data) misses instead of silently serving
+    * stale checkpointed results, and the superseded value is DISPOSED
+    * instead of accumulating one entry per version (a long-lived
+    * session that regenerates a source N times between pass boundaries
+    * would otherwise pin N checkpointed copies). Dropped checkpoint
+    * references are reclaimed by Spark's ContextCleaner once
+    * unreferenced — and consumers still holding the superseded frame
+    * keep it alive through their own reference, so eager turnover is
+    * safe for DataFrames; the `dispose` callback covers resources the
+    * cleaner can't see (a caller whose value is NOT safely reclaimable
+    * while in use, e.g. a staged directory, should dispose by RETIRING
+    * to a pass-boundary cleanup instead of destroying eagerly).
+    * Auto-registers its own [[onClear]] hook; the build runs under the
+    * map's per-key lock, same as `computeIfAbsent` did. */
   final class VersionedMemo[V](dispose: V => Unit = (_: V) => ()) {
     private val m =
       new java.util.concurrent.ConcurrentHashMap[String, (String, V)]()
@@ -58,8 +57,12 @@ object CacheRegistry {
         val ver = dataVersion(s, path)
         if (old != null && old._1 == ver) old
         else {
+          // build FIRST: if it throws, compute leaves the map unchanged
+          // and the old generation stays live and undisposed — disposing
+          // first would leave a map entry pointing at a dead value
+          val fresh = (ver, build)
           if (old != null) dispose(old._2)
-          (ver, build)
+          fresh
         }
       })._2
     /** Live entry count — at most one per (application, path). */

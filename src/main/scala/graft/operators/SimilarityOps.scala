@@ -64,8 +64,12 @@ object SimilarityOps extends QueryPack {
       .otherwise(typedlit(Array.empty[Long]))
 
   /** Single coarse bucket (first table) — kept for blocked pair gen where
-    * one table suffices (e.g. near-dup verification at tight thresholds). */
-  def lshBucket(emb: Column): Column = element_at(lshBuckets(emb), 1)
+    * one table suffices (e.g. near-dup verification at tight thresholds).
+    * NULL (not an ANSI element_at error) when the vector is off-dim or
+    * null: [[lshBuckets]] returns an EMPTY bucket array for those, and
+    * element_at(empty, 1) throws under Spark 4's default ANSI mode. */
+  def lshBucket(emb: Column): Column =
+    when(size(emb) === Dim, element_at(lshBuckets(emb), 1))
 
   /** The searchable corpus: rows WITHOUT an embedding (null or empty
     * array) are excluded up front — such a vector has no similarity to
@@ -372,7 +376,9 @@ object SimilarityOps extends QueryPack {
     val embU =
       if (dimRow.isEmpty) emb
       else emb.filter(size(col("embedding")) === dimRow(0).getInt(0))
-    val kC = clusters.getOrElse(ivfClusterCount(embU.count()))
+    // the modal-dim group's count IS embU's row count — no second scan
+    val kC = clusters.getOrElse(ivfClusterCount(
+      if (dimRow.isEmpty) 0L else dimRow(0).getLong(1)))
     val nProbe = probes.getOrElse(
       math.max(ivfProbes, math.ceil(math.sqrt(kC.toDouble)).toInt))
     new IvfIndex(embU, emb, trainCentroids(embU, kC), nProbe)
@@ -424,12 +430,17 @@ object SimilarityOps extends QueryPack {
     require(sampleEvery >= 1L, s"sampleEvery must be >= 1, got $sampleEvery")
     val plantOff = 1000000000000L
     val base0 = corpus(s, d)
-    // plant twins only of WELL-FORMED vectors: a zero-norm or non-finite
-    // vector has undefined self-similarity (cos(v, v) is NULL, see the
-    // kernel contract), so its twin is unfindable by construction and
-    // would understate recall. cos(v, v) IS NOT NULL is exactly the
-    // "norm positive and finite" predicate the oracle states.
+    // plant twins only of WELL-FORMED, INDEX-DIM vectors: a zero-norm or
+    // non-finite vector has undefined self-similarity (cos(v, v) is
+    // NULL, see the kernel contract) so its twin is unfindable by any
+    // method, and an off-dim vector is excluded from the fixed-dim
+    // LSH/IVF indexes by contract so its twin is unfindable by the
+    // indexed methods — either would understate recall against the
+    // oracle's closed-form expectation. cos(v, v) IS NOT NULL is exactly
+    // the "norm positive and finite" predicate the oracle states; the
+    // dim gate mirrors its len(embedding) = 64.
     val planted = base0.filter(col("vec_id") % (101L * sampleEvery) === 0 &&
+        size(col("embedding")) === Dim &&
         cosine(col("embedding"), col("embedding")).isNotNull)
       .withColumn("vec_id", col("vec_id") + plantOff)
     val base = base0.unionByName(planted)
@@ -459,6 +470,10 @@ object SimilarityOps extends QueryPack {
     val norm = sqrt(aggregate(col("embedding"),
       lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
     Tables.embeddings(s, d)
+      // empty arrays out BEFORE the fold: Spark's aggregate seed makes
+      // an empty embedding's norm 0.0 while DuckDB's list_sum([]) is
+      // NULL — the size gate keeps both engines excluding the row
+      .filter(size(col("embedding")) > 0)
       .select(col("label"), norm.as("nrm"))
       .filter(col("nrm").isNotNull && !isnan(col("nrm")) &&
         col("nrm") =!= Double.PositiveInfinity) // an Inf component → +Inf norm
@@ -490,7 +505,7 @@ object SimilarityOps extends QueryPack {
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         |  FROM embeddings
         |  WHERE vec_id % 101 = 0 AND embedding IS NOT NULL
-        |    AND len(embedding) > 0),
+        |    AND len(embedding) = 64),
         |p AS (SELECT count(*) AS n FROM nr
         |      WHERE nrm > 0 AND NOT isnan(nrm) AND NOT isinf(nrm))
         |SELECT m.method, p.n AS n_queries, p.n AS n_found
@@ -501,7 +516,7 @@ object SimilarityOps extends QueryPack {
       """WITH n AS (
         |  SELECT label, sqrt(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings)
+        |  FROM embeddings WHERE len(embedding) > 0)
         |SELECT label, count(*) AS n, round(avg(nrm), 4) AS avg_norm,
         | round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
         |FROM n WHERE nrm IS NOT NULL AND NOT isnan(nrm) AND NOT isinf(nrm)

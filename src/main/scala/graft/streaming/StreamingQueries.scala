@@ -118,8 +118,24 @@ object StreamingQueries extends QueryPack {
     * Spark jobs (max-ts probe, sentinel write) — memoized per
     * (application, sf dir) like the component labeling, invalidated and
     * deleted by [[graft.CacheRegistry.clear]] at pass boundaries. */
+  /** Superseded staged dirs are RETIRED, not deleted eagerly: a backfill
+    * started against the previous generation may still be mid-read (the
+    * JobServer supports interleaved client submissions), and yanking its
+    * parquet files fails the running stream. The pass-boundary clear()
+    * is the documented safe deletion point. Hook ORDER matters: the
+    * memo's own clear hook (registered first, in its constructor)
+    * retires the live generation, then this hook — registered after —
+    * deletes everything retired, so one clear() reclaims all dirs. */
+  private val retiredStaging =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
   private val stagedCache =
-    new graft.CacheRegistry.VersionedMemo[java.nio.file.Path](deleteRecursively)
+    new graft.CacheRegistry.VersionedMemo[java.nio.file.Path](
+      p => retiredStaging.add(p))
+  graft.CacheRegistry.onClear(() => {
+    retiredStaging.forEach(p => deleteRecursively(p))
+    retiredStaging.clear()
+  })
 
   private def stagedFor(s: SparkSession, d: String): java.nio.file.Path =
     stagedCache.getOrBuild(s, d + "/events.parquet")(stageWithSentinel(s, d))
@@ -354,19 +370,23 @@ object StreamingQueries extends QueryPack {
 
   // Every oracle mirrors the engine's event-time ingress contract
   // (`ts IS NOT NULL`; identity for sessionization; NaN/Inf measures
-  // enter sums as NULL) so the SQL states the same semantics the engine
-  // declares — on well-formed corpora the guards are no-ops.
+  // enter sums as NULL) AND its reserved-sentinel-key scrub
+  // (event_type '__flush__' / user_id -1, null-safely) so the SQL
+  // states the same semantics the engine declares — on well-formed
+  // corpora every guard is a no-op.
   override val oracle: Map[String, String] = Map(
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         | count(*) AS n,
         | round(sum(CASE WHEN isnan(value) OR isinf(value) THEN NULL
         |                ELSE value END), 2) AS sum_value
-        |FROM events WHERE ts IS NOT NULL
+        |FROM events
+        |WHERE ts IS NOT NULL AND event_type IS DISTINCT FROM '__flush__'
         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "stream_sliding" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type FROM events
-        |           WHERE ts IS NOT NULL),
+        |           WHERE ts IS NOT NULL
+        |             AND event_type IS DISTINCT FROM '__flush__'),
         |w AS (SELECT time_bucket(INTERVAL 15 MINUTE, t)
         |        - k * (INTERVAL 15 MINUTE) AS w_start, event_type
         |      FROM e, unnest([0, 1, 2, 3]) AS u(k))
@@ -374,7 +394,8 @@ object StreamingQueries extends QueryPack {
         |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "stream_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events
-        |           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |           WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |             AND user_id <> -1),
         |g AS (SELECT user_id, t,
         |  epoch_us(t) - epoch_us(lag(t,1) OVER (PARTITION BY user_id ORDER BY t)) AS gap
         |  FROM e),
@@ -404,7 +425,8 @@ object StreamingQueries extends QueryPack {
         |ORDER BY p_id, c_id""".stripMargin,
     "stream_fmgws_session" ->
       """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t FROM events
-        |           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |           WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |             AND user_id <> -1),
         |g AS (SELECT user_id, t,
         |  t - lag(t,1) OVER (PARTITION BY user_id ORDER BY t) AS gap
         |  FROM e),
