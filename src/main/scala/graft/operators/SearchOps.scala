@@ -112,9 +112,67 @@ object SearchOps extends QueryPack {
       .orderBy(col("term"))
   }
 
+  /** RRF smoothing constant — the standard k=60 from Cormack et al. */
+  private val RrfK = 60
+
+  /** Dense retriever leg for [[searchHybridRrf]]: the query embedding for
+    * query id q is `embeddings.vec_id = q` (the embeddings table is the
+    * dense representation of the documents corpus — shared id space), and
+    * the corpus is scanned ONCE against the broadcast 3-vector query set.
+    * Unlike the ANN audits there is no self-exclusion: the query vector
+    * stands for the QUERY, not a corpus document, so retrieving the
+    * same-id document is a legitimate (usually top-1) hit. */
+  private[operators] def denseTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+    val q = emb.filter(col("vec_id") < bmQueries.length)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb.crossJoin(broadcast(q)) // broadcast |queries|-row frame
+      .select(col("q_id"), col("vec_id"),
+        round(SimilarityOps.cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .filter(col("cos").isNotNull) // undefined similarity ≠ a neighbor
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion: fuse the BM25 top-10
+    * ([[searchBm25]]) with the dense cosine top-10 ([[denseTopK]]) per
+    * query — `score(d) = Σ_legs 1/(60 + rank_leg(d))`, a missing leg
+    * contributing 0 — and re-rank. Contributions are integer micro-units
+    * (`round(1e6/(60+rank))`), so the fused score is exact integer
+    * arithmetic in any engine.
+    *
+    * 100 TB shape: each leg is its own one-pass index scan (BM25's
+    * postings shuffle, the dense leg's corpus scan); the FUSION itself
+    * touches only the two ≤(|queries|·10)-row rank tables — a broadcast
+    * full-outer join, no corpus data. This is the textbook reason RRF is
+    * the production hybrid default: legs stay independent and the merge
+    * needs ranks only, never score calibration across retrievers. */
+  def searchHybridRrf(s: SparkSession, d: String): DataFrame = {
+    val sparse = searchBm25(s, d)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r_sparse"))
+    val dense = denseTopK(s, d, 10)
+      .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("r_dense"))
+    def contrib(r: Column): Column =
+      coalesce(round(lit(1e6) / (lit(RrfK) + r), 0).cast("long"), lit(0L))
+    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (contrib(col("r_sparse")) + contrib(col("r_dense"))).as("rrf_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_bm25" -> searchBm25,
     "search_term_stats" -> searchTermStats,
+    "search_hybrid_rrf" -> searchHybridRrf,
   )
 
   private val sqlTermList =
@@ -122,32 +180,66 @@ object SearchOps extends QueryPack {
   private val sqlQueryValues =
     bmQueries.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
 
+  /** The BM25 ranked-top-10 relation as a reusable CTE block (`r` is the
+    * final ranked relation) — shared by the `search_bm25` oracle and the
+    * sparse leg of the `search_hybrid_rrf` oracle. */
+  private val bm25Ctes: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(tk)) AS BIGINT) AS sum_dl FROM toks),
+       |exp AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+       |  unnest(tk) AS term FROM toks),
+       |post AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM exp WHERE term IN ($sqlTermList) GROUP BY doc_id, dl, term),
+       |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM post GROUP BY term),
+       |q(query_id, term) AS (VALUES $sqlQueryValues),
+       |sc AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, p.doc_id,
+       |  CAST(sum(CAST(round(
+       |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |      * (p.tf * ${K1 + 1}) /
+       |      (p.tf + $K1 * (${1 - B} + $B * p.dl /
+       |        (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) * 1000000.0
+       |  ) AS BIGINT)) AS BIGINT) AS score_micro
+       |  FROM post p JOIN q ON p.term = q.term
+       |  JOIN dft d ON p.term = d.term CROSS JOIN stats s
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score_micro,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank FROM sc)""".stripMargin
+
   override val oracle: Map[String, String] = Map(
     "search_bm25" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(len(tk)) AS BIGINT) AS sum_dl FROM toks),
-         |exp AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
-         |  unnest(tk) AS term FROM toks),
-         |post AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-         |  FROM exp WHERE term IN ($sqlTermList) GROUP BY doc_id, dl, term),
-         |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-         |  FROM post GROUP BY term),
-         |q(query_id, term) AS (VALUES $sqlQueryValues),
-         |sc AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, p.doc_id,
-         |  CAST(sum(CAST(round(
-         |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-         |      * (p.tf * ${K1 + 1}) /
-         |      (p.tf + $K1 * (${1 - B} + $B * p.dl /
-         |        (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) * 1000000.0
-         |  ) AS BIGINT)) AS BIGINT) AS score_micro
-         |  FROM post p JOIN q ON p.term = q.term
-         |  JOIN dft d ON p.term = d.term CROSS JOIN stats s
-         |  GROUP BY 1, 2),
-         |r AS (SELECT query_id, doc_id, score_micro,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank FROM sc)
+      s"""WITH $bm25Ctes
          |SELECT query_id, doc_id, score_micro, rank FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "search_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |sp AS (SELECT query_id, doc_id, rank AS r_sparse FROM r WHERE rank <= 10),
+         |qe AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+         |       FROM embeddings WHERE vec_id < ${bmQueries.length}),
+         |ds AS (SELECT q_id, e.vec_id,
+         |  round(list_dot_product(q_emb, e.embedding::DOUBLE[]) /
+         |    (sqrt(list_dot_product(q_emb, q_emb)) *
+         |     sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cos
+         |  FROM embeddings e CROSS JOIN qe
+         |  WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0),
+         |dn AS (SELECT q_id, vec_id,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id) AS BIGINT) AS r_dense
+         |  FROM ds WHERE cos IS NOT NULL AND NOT isnan(cos) AND NOT isinf(cos)),
+         |dn10 AS (SELECT * FROM dn WHERE r_dense <= 10),
+         |f AS (SELECT coalesce(sp.query_id, dn10.q_id) AS query_id,
+         |  coalesce(sp.doc_id, dn10.vec_id) AS doc_id,
+         |  coalesce(CAST(round(1000000.0 / ($RrfK + sp.r_sparse)) AS BIGINT), 0)
+         |    + coalesce(CAST(round(1000000.0 / ($RrfK + dn10.r_dense)) AS BIGINT), 0)
+         |    AS rrf_micro
+         |  FROM sp FULL OUTER JOIN dn10
+         |    ON sp.query_id = dn10.q_id AND sp.doc_id = dn10.vec_id),
+         |fr AS (SELECT query_id, doc_id, rrf_micro,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank FROM f)
+         |SELECT query_id, doc_id, rrf_micro, rank FROM fr
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "search_term_stats" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

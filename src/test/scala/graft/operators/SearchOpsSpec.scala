@@ -63,6 +63,58 @@ class SearchOpsSpec extends GraftSpec {
     }
   }
 
+  test("search_hybrid_rrf is the exact RRF fusion of its two legs") {
+    val got = SearchOps.searchHybridRrf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty)
+    val sparse = SearchOps.searchBm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val dense = SearchOps.denseTopK(spark, sfDir, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    def contrib(r: Option[Long]): Long =
+      r.map(rk => math.round(1e6 / (60 + rk))).getOrElse(0L)
+    val expected = (sparse.keySet ++ dense.keySet).toSeq
+      .map { k => (k._1, k._2, contrib(sparse.get(k)) + contrib(dense.get(k))) }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy { case (_, id, s) => (-s, id) }.take(10).zipWithIndex
+          .map { case ((q, id, s), i) => (q, id, s, (i + 1).toLong) }
+      }.sortBy(t => (t._1, t._4))
+    assert(got === expected)
+    // both legs are represented in the fused top-10 (fusion isn't
+    // degenerating to a single retriever)
+    val gotKeys = got.map(t => (t._1, t._2)).toSet
+    assert(gotKeys.intersect(sparse.keySet).nonEmpty)
+    assert(gotKeys.intersect(dense.keySet).nonEmpty)
+  }
+
+  test("dense leg top-1 for query 0 matches a scalar cosine scan") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val q = emb(0L)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      // same index-order left-fold float→double contract as the kernel
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val best = emb.toSeq
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(q, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, c) => (-c, id) }.head
+    val gotTop = SearchOps.denseTopK(spark, sfDir, 10).collect()
+      .filter(r => r.getLong(0) == 0L && r.getLong(3) == 1L)
+      .map(r => (r.getLong(1), r.getDouble(2))).head
+    assert(gotTop === best)
+  }
+
   test("substring spans recover a planted duplicated span exactly") {
     val shared10 = (1 to 10).map(i => s"s$i").mkString(" ")
     // doc ids chosen to dodge the %9 boilerplate plant; filler tokens
