@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path => HPath}
+
+/** Data-layout management — the operators a 100 TB lake needs BETWEEN
+  * queries: multi-dimensional clustering for scan pruning, and small-file
+  * compaction for metadata/scan efficiency. The reference engine has no
+  * layout surface (its sink is a flat `outputfileNN` directory,
+  * `master/__main__.py:448-463`); these are the Spark-native versions of
+  * what its operators would need at warehouse scale.
+  *
+  *  - Z-ORDER: interleave the bits of two dimension keys into a Morton
+  *    code and range-partition + sort the data by it. Files then cover
+  *    axis-aligned squares of the key space instead of slabs of one
+  *    dimension, so parquet min/max (zone-map) pruning works for
+  *    predicates on EITHER dimension — the standard multi-dimensional
+  *    clustering trick (Delta/Iceberg `ZORDER BY`/sort orders).
+  *  - COMPACTION: bin-pack many small files into ~target-size files.
+  *    Planning is pure file-listing metadata (no data read); only files
+  *    under the small-file threshold are rewritten (ONE shuffle of the
+  *    small-file bytes); files already at target size are copied through
+  *    byte-identical, so the rewrite cost tracks the small-file fraction,
+  *    not the table size.
+  */
+object LayoutOps extends QueryPack {
+
+  /** Bits per dimension in the Morton code (values are taken mod 2^16;
+    * production callers quantize/rank wider domains onto the grid first). */
+  private val GridBits = 16
+  private val GridSize = 1L << GridBits
+
+  /** Morton (Z-order) code of two keys: bit i of x lands at position 2i,
+    * bit i of y at 2i+1. Pure integer shift/mask arithmetic — codegen'd
+    * by Catalyst into one fused projection, no UDF. */
+  def zvalue(x: Column, y: Column): Column = {
+    val xq = pmod(x.cast("long"), lit(GridSize))
+    val yq = pmod(y.cast("long"), lit(GridSize))
+    (0 until GridBits).map { i =>
+      shiftleft(shiftright(xq, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yq, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** The same Morton code in portable SQL — generated from the same loop
+    * constants as [[zvalue]], so the two engines compute bit-identical
+    * codes by construction. */
+  def zvalueSql(x: String, y: String): String =
+    (0 until GridBits).flatMap { i =>
+      Seq(s"(((($x % $GridSize) >> $i) & 1) << ${2 * i})",
+        s"(((($y % $GridSize) >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+
+  /** Write `df` clustered by the Z-order of (xCol, yCol) into `nFiles`
+    * range-partitioned, internally sorted parquet files. Range
+    * partitioning makes each file own a CONTIGUOUS z-range (an aligned
+    * run of grid cells), which is what turns per-file min/max stats into
+    * a 2-D pruning index. The helper z-column is dropped before write —
+    * the layout, not the schema, carries the clustering. */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String,
+      outDir: String, nFiles: Int): Unit =
+    df.withColumn("__z", zvalue(col(xCol), col(yCol)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Declared query: the Morton grid aggregated to 256-cell resolution
+    * (drop the low 4 interleaved bit-pairs) over lineitem's
+    * (l_partkey, l_suppkey) — per cell: row count and the bounding box of
+    * both keys. The bounding boxes demonstrate WHY z-clustering prunes:
+    * every cell is an axis-aligned square, so min/max stats of a z-run
+    * are tight in both dimensions at once. One scan, one shuffle on the
+    * cell id. */
+  def layoutZorder(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .withColumn("cell", shiftright(
+        zvalue(col("l_partkey"), col("l_suppkey")), 8))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+        min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+      .orderBy(col("cell"))
+
+  /** What one [[compact]] run did — counts and bytes from the plan
+    * (listing) side, so a caller can assert/log the rewrite footprint. */
+  final case class CompactionReport(nInputFiles: Int, nSmallFiles: Int,
+      nPassthroughFiles: Int, nOutputFiles: Int, smallBytes: Long,
+      passthroughBytes: Long)
+
+  private def listParquet(fs: FileSystem, dir: String): Seq[(HPath, Long)] =
+    fs.listStatus(new HPath(dir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath, st.getLen))
+      .sortBy(_._1.getName)
+
+  /** Bin-pack the parquet files of `inDir` into ~`targetBytes` files in
+    * `outDir`. Files >= `smallThreshold` are copied through byte-identical
+    * (no decode/re-encode); the rest are read ONCE and re-written as
+    * `ceil(smallBytes / targetBytes)` round-robin bins — size-balanced by
+    * the law of large numbers, no per-bin driver loop, one job. Planning
+    * touches only the file listing: at 100 TB the driver cost is the
+    * metadata scan, and the rewrite shuffles only the small-file bytes. */
+  def compact(s: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long, smallThreshold: Long): CompactionReport = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val fs = FileSystem.get(new java.net.URI(inDir),
+      s.sparkContext.hadoopConfiguration)
+    val all = listParquet(fs, inDir)
+    val (small, big) = all.partition(_._2 < smallThreshold)
+    val smallBytes = small.map(_._2).sum
+    val nBins = math.max(1,
+      math.ceil(smallBytes.toDouble / targetBytes).toInt)
+    fs.mkdirs(new HPath(outDir))
+    if (small.nonEmpty)
+      s.read.parquet(small.map(_._1.toString): _*)
+        .repartition(nBins)
+        .write.mode("append").parquet(outDir)
+    // pass-through: byte copy, renamed to dodge sink-file collisions
+    big.zipWithIndex.foreach { case ((p, _), i) =>
+      FileUtil.copy(fs, p, fs,
+        new HPath(outDir, f"passthrough-$i%05d-${p.getName}"),
+        false, s.sparkContext.hadoopConfiguration)
+    }
+    CompactionReport(all.size, small.size, big.size,
+      listParquet(fs, outDir).size, smallBytes, big.map(_._2).sum)
+  }
+
+  /** Scratch dirs backing lazy compaction results — reclaimed at the
+    * next [[graft.CacheRegistry.clear]] pass boundary (same contract as
+    * the streaming sink dirs). */
+  private val tmpDirs = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[java.nio.file.Path]())
+  graft.CacheRegistry.onClear(() => {
+    tmpDirs.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(p.toFile)
+    }
+    tmpDirs.clear()
+  })
+
+  /** Declared query: scatter lineitem into 64 small files, compact them
+    * to ~1/8 of the total, and prove CONTENT PRESERVATION by emitting
+    * order-independent integer checksums of the compacted output — which
+    * the oracle computes from the original table. The checksum row is
+    * exact integer arithmetic (quantity is a 2-dp value, so ×100 rounds
+    * to the same integer in any engine). */
+  def layoutCompaction(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_layout_")
+    tmpDirs.add(root)
+    val scatter = root.resolve("scatter").toString
+    val out = root.resolve("compact").toString
+    Tables.lineitem(s, d).repartition(64)
+      .write.mode("overwrite").parquet(scatter)
+    val fs = FileSystem.get(new java.net.URI(scatter),
+      s.sparkContext.hadoopConfiguration)
+    val total = listParquet(fs, scatter).map(_._2).sum
+    compact(s, scatter, out, targetBytes = math.max(total / 8, 1L),
+      smallThreshold = Long.MaxValue)
+    // a zero-row table scatters to zero data files, so the compacted dir
+    // has nothing to infer a schema from — aggregate the (empty) source
+    // relation instead: same (0, NULL, NULL, NULL) row the oracle yields
+    val compacted =
+      if (listParquet(fs, out).isEmpty) Tables.lineitem(s, d).filter(lit(false))
+      else s.read.parquet(out)
+    compacted.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_orderkey")).as("sum_order"),
+      sum(round(col("l_quantity") * 100, 0).cast("long")).as("sum_qty_c"),
+      sum(pmod(col("l_orderkey") * 1000003L + col("l_linenumber") * 7919L +
+        col("l_partkey") * 31L + col("l_suppkey"), lit(1000000007L)))
+        .as("poly_sum"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> layoutZorder,
+    "layout_compaction" -> layoutCompaction,
+  )
+
+  override val oracle: Map[String, String] = Map(
+    "layout_zorder" ->
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(${zvalueSql("l_partkey", "l_suppkey")} AS BIGINT) AS zval
+         |  FROM lineitem)
+         |SELECT CAST(zval >> 8 AS BIGINT) AS cell,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+         |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+         |FROM z GROUP BY 1 ORDER BY cell""".stripMargin,
+    "layout_compaction" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_order,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum((l_orderkey * 1000003 + l_linenumber * 7919 +
+        |    l_partkey * 31 + l_suppkey) % 1000000007) AS BIGINT) AS poly_sum
+        |FROM lineitem""".stripMargin,
+  )
+}
