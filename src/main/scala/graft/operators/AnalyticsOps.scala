@@ -1,0 +1,325 @@
+package graft.operators
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-operations analytics a 100 TB data platform runs daily, each
+  * expressed as one declarative plan Catalyst can own end-to-end:
+  *
+  *  - [[profileColumns]]     — one-pass column profiler (ingest QA)
+  *  - [[cdcSnapshotDelta]]   — snapshot-diff CDC: upsert/delete extraction
+  *  - [[cohortRetention]]    — weekly cohort retention over the event log
+  *  - [[eventsOhlc]]         — time-series downsampling to hourly OHLC bars
+  *  - [[graphPagerank]]      — fixed-iteration PageRank in exact integer
+  *                             micro-units (order-independent at any scale)
+  *  - [[sampleWeighted]]     — deterministic weighted sampling without
+  *                             replacement (priority sampling)
+  *
+  * Scale notes live on each method; the shared principles: one shuffle per
+  * logical phase, integer arithmetic wherever summation order could move a
+  * float's last ulp, and deterministic tiebreaks on every top-k.
+  */
+object AnalyticsOps extends QueryPack {
+
+  /** One-pass column profiler over `documents`: per column the row count,
+    * null count, exact distinct count, and 20-char min/max representation.
+    *
+    * Shape: a SINGLE aggregate computes every metric — one scan, map-side
+    * partials, one shuffle. The exact multi-column DISTINCTs make Catalyst
+    * plan an Expand (rows ×5, one per distinct group) before the partial
+    * aggregate; that is the textbook exact-profile shape and is bounded by
+    * the scan, not the shuffle (the partial agg collapses each partition
+    * to its distinct set before anything moves). At 100 TB you would flip
+    * the distinct metrics to `approx_count_distinct` and lose the Expand
+    * entirely; the oracle needs exact counts, and the plan is otherwise
+    * identical. The wide one-row result is exploded to one row per column
+    * driver-side-free (explode of a 5-element literal array).
+    */
+  def profileColumns(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def nulls(c: String)  = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
+    def repr(c: Column)   = substring(c.cast("string"), 1, 20)
+    val wide = docs.agg(
+      count(lit(1)).as("n_rows"),
+      nulls("doc_id"), countDistinct(col("doc_id")).as("doc_id_distinct"),
+      repr(min(col("doc_id"))).as("doc_id_min"), repr(max(col("doc_id"))).as("doc_id_max"),
+      nulls("text"), countDistinct(col("text")).as("text_distinct"),
+      repr(min(col("text"))).as("text_min"), repr(max(col("text"))).as("text_max"),
+      nulls("lang"), countDistinct(col("lang")).as("lang_distinct"),
+      repr(min(col("lang"))).as("lang_min"), repr(max(col("lang"))).as("lang_max"),
+      nulls("source"), countDistinct(col("source")).as("source_distinct"),
+      repr(min(col("source"))).as("source_min"), repr(max(col("source"))).as("source_max"),
+      nulls("n_chars"), countDistinct(col("n_chars")).as("n_chars_distinct"),
+      repr(min(col("n_chars"))).as("n_chars_min"), repr(max(col("n_chars"))).as("n_chars_max"))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    wide.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("n_rows"),
+        col(s"${c}_nulls").as("n_nulls"),
+        col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_repr"), col(s"${c}_max").as("max_repr"))): _*))
+        .as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Snapshot-diff CDC: given the previous and current snapshot of a keyed
+    * table, emit the (key, op) delta — I(nsert), U(pdate), D(elete). The
+    * "current" snapshot is derived deterministically from `documents` so
+    * the oracle can rebuild it: doc_id%13==0 deleted, else doc_id%7==0
+    * text-revised, and doc_id%17==0 re-inserted under key doc_id+10M.
+    *
+    * Shape: both snapshots reduce to (key, digest) at the scan — the md5
+    * digest is computed map-side so only 16 bytes per row reach the
+    * shuffle, never the document text — then ONE full-outer shuffle join
+    * on the primary key classifies every key. This is the incremental-
+    * ingest primitive: at 100 TB you run it per partition-slice and feed
+    * the 'I'/'U' keys to the ingest dedup path ([[DedupOps]]), and it
+    * scales exactly like the exact-dedup digest join because it IS that
+    * join plus a three-way CASE.
+    */
+  def cdcSnapshotDelta(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val next = base.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" [rev2]")))
+          .otherwise(col("text")))
+      .unionByName(base.filter(col("doc_id") % 17 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L))
+    def keyed(df: DataFrame) = df.select(col("doc_id"),
+      md5(concat_ws("", coalesce(col("text"), lit("")),
+        coalesce(col("lang"), lit("")), coalesce(col("source"), lit(""))))
+        .as("digest"))
+    val p = keyed(base).withColumnRenamed("digest", "prev_digest")
+    val n = keyed(next).withColumnRenamed("digest", "next_digest")
+    p.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("op",
+        when(col("next_digest").isNull, lit("D"))
+          .when(col("prev_digest").isNull, lit("I"))
+          .when(col("prev_digest") =!= col("next_digest"), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("doc_id"), col("op"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the ISO week of their
+    * first event; each (cohort_week, week_offset) cell counts the distinct
+    * users from that cohort active `offset` weeks later.
+    *
+    * Shape: one window pass partitioned by user (min-ts is computed in the
+    * same shuffle that would be needed for any per-user reduction), then
+    * one aggregate shuffle on the (cohort, offset) cell — no join back,
+    * no self-join. Offsets are exact integer day-diffs `div` 7 between
+    * week-truncated dates, so no float touches the result.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, d).select(col("user_id"), col("ts"))
+      .withColumn("cohort_week", to_date(date_trunc("week", min(col("ts")).over(w))))
+      .withColumn("event_week", to_date(date_trunc("week", col("ts"))))
+      .withColumn("week_offset",
+        expr("CAST(datediff(event_week, cohort_week) div 7 AS INT)"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Time-series downsampling: hourly OHLC bars per event type. Open and
+    * close are the value at the first/last event of the bar with a total
+    * (ts, event_id) tiebreak, so every bar is deterministic even under
+    * timestamp ties; volume is the 2dp-rounded value sum (the established
+    * float-sum convention, `q23`).
+    *
+    * Shape: one shuffle on the bar key drives BOTH window orders (same
+    * partitioning, two sort orders) and the final aggregate collapses the
+    * bar in the same exchange — Catalyst reuses the exchange, so the plan
+    * is scan → shuffle(bar key) → sort ×2 → agg. Bars are naturally
+    * balanced (hash on (event_type, hour)); a hot hour would salt exactly
+    * like any skewed agg key.
+    */
+  def eventsOhlc(s: SparkSession, d: String): DataFrame = {
+    val bar = date_trunc("hour", col("ts"))
+    val part = Window.partitionBy(col("event_type"), col("bar"))
+    Tables.events(s, d)
+      .select(col("event_type"), bar.as("bar"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rn_open", row_number().over(part.orderBy(col("ts"), col("event_id"))))
+      .withColumn("rn_close", row_number().over(part.orderBy(col("ts").desc, col("event_id").desc)))
+      .groupBy(col("event_type"), col("bar"))
+      .agg(
+        max(when(col("rn_open") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_close") === 1, col("value"))).as("close"),
+        round(sum(col("value")), 2).as("volume"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("bar"))
+  }
+
+  /** Fixed-iteration PageRank (3 rounds, damping 0.85) over the bipartite
+    * supplier↔part graph implied by `lineitem`, walked as an undirected
+    * graph (each distinct supply pair contributes both directed edges).
+    * Node ids are longs (`2*suppkey` / `2*partkey+1`); ranks are exact
+    * integer MICRO-UNITS (`1e6` start, `0.15` → `150000`), contributions
+    * are integer `div` — so the per-node result is bit-identical under
+    * ANY summation order, the property float PageRank loses the moment
+    * two executors add contributions in different orders. Top-20 with a
+    * (rank, node) total order.
+    *
+    * Shape: the edge list is built once (distinct pair shuffle), joined
+    * once with out-degrees, and cached by Catalyst's exchange reuse;
+    * each iteration is join(rank, on src) → agg(on dst) — two shuffles
+    * per round on key-partitioned longs, the canonical distributed
+    * PageRank shape. Every node has in-edges by construction (undirected
+    * expansion), so no dangling-node left join is needed.
+    */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    val edges = pairs.select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .unionByName(pairs.select((col("l_partkey") * 2 + 1).as("src"), (col("l_suppkey") * 2).as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(deg, "src")
+    var rank = edges.select(col("src").as("node")).distinct()
+      .withColumn("rank_micro", lit(1000000L))
+    for (_ <- 1 to 3) {
+      rank = edgesDeg.join(rank, edgesDeg("src") === rank("node"))
+        .select(col("dst"), expr("(rank_micro * 85) div (100 * outdeg)").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + sum(col("contrib"))).as("rank_micro"))
+        .withColumnRenamed("dst", "node")
+    }
+    rank.select(
+        when(col("node") % 2 === 0, lit("s")).otherwise(lit("p")).as("node_type"),
+        expr("node div 2").as("key"),
+        col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("node_type"), col("key"))
+      .limit(20)
+  }
+
+  /** Deterministic weighted sampling without replacement — priority
+    * sampling (Duffield–Lund–Thorup): each document draws a uniform
+    * `u ∈ (0,1]` from the portable md5 hash of its key and gets priority
+    * `w/u` with `w = n_chars`; the sample is the top-k by priority. The
+    * uniform is `(h32+1)/2^32` — exact in a double (≤ 2^32, then a
+    * power-of-two divide), so the single `w/u` IEEE division is the only
+    * rounding and both engines agree bit-for-bit.
+    *
+    * Shape: scalar projection + `TakeOrderedAndProject` — map-side
+    * top-k per partition, k rows per partition to the driver-side merge,
+    * never a full sort. The same plan at 100 TB moves k·#partitions rows.
+    */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val h = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+    Tables.documents(s, d)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(1L)).as("weight"))
+      .withColumn("u", (h + 1).cast("double") / lit(4294967296.0))
+      .withColumn("priority", col("weight").cast("double") / col("u"))
+      .select(col("doc_id"), col("weight"), col("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_columns"    -> profileColumns,
+    "cdc_snapshot_delta" -> cdcSnapshotDelta,
+    "cohort_retention"   -> cohortRetention,
+    "events_ohlc"        -> eventsOhlc,
+    "graph_pagerank"     -> graphPagerank,
+    "sample_weighted"    -> sampleWeighted,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "profile_columns" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | substring(CAST(min($c) AS VARCHAR), 1, 20) AS min_repr,
+           | substring(CAST(max($c) AS VARCHAR), 1, 20) AS max_repr
+           |FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "cdc_snapshot_delta" ->
+      """WITH base AS (SELECT doc_id, text, lang, source FROM documents),
+        |next AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text,'') || ' [rev2]'
+        |         ELSE text END AS text, lang, source
+        |  FROM base WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, lang, source
+        |  FROM base WHERE doc_id % 17 = 0),
+        |p AS (SELECT doc_id, md5(coalesce(text,'') || chr(1) ||
+        |        coalesce(lang,'') || chr(1) || coalesce(source,'')) AS prev_digest
+        |      FROM base),
+        |n AS (SELECT doc_id, md5(coalesce(text,'') || chr(1) ||
+        |        coalesce(lang,'') || chr(1) || coalesce(source,'')) AS next_digest
+        |      FROM next),
+        |j AS (SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
+        |        CASE WHEN n.next_digest IS NULL THEN 'D'
+        |             WHEN p.prev_digest IS NULL THEN 'I'
+        |             WHEN p.prev_digest <> n.next_digest THEN 'U' END AS op
+        |      FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id)
+        |SELECT doc_id, op FROM j WHERE op IS NOT NULL ORDER BY doc_id""".stripMargin,
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT user_id, ts,
+        |        CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS DATE) AS cohort_week,
+        |        CAST(date_trunc('week', ts) AS DATE) AS event_week
+        |      FROM e)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, event_week) // 7 AS INTEGER) AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "events_ohlc" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
+        |        ts, event_id, value,
+        |        row_number() OVER (PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |                           ORDER BY ts, event_id) AS rn_open,
+        |        row_number() OVER (PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |                           ORDER BY ts DESC, event_id DESC) AS rn_close
+        |      FROM events)
+        |SELECT event_type, bar,
+        |  max(CASE WHEN rn_open = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_close = 1 THEN value END) AS close,
+        |  round(sum(value), 2) AS volume, count(*) AS n_events
+        |FROM e GROUP BY event_type, bar ORDER BY event_type, bar""".stripMargin,
+    "graph_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |edges AS (SELECT sk*2 AS src, pk*2+1 AS dst FROM pairs
+        |          UNION ALL
+        |          SELECT pk*2+1 AS src, sk*2 AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM edges),
+        |r1 AS (SELECT e.dst AS node,
+        |         150000 + CAST(sum((r.rank_micro * 85) // (100 * d.outdeg)) AS BIGINT) AS rank_micro
+        |       FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |         150000 + CAST(sum((r.rank_micro * 85) // (100 * d.outdeg)) AS BIGINT) AS rank_micro
+        |       FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON r.node = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |         150000 + CAST(sum((r.rank_micro * 85) // (100 * d.outdeg)) AS BIGINT) AS rank_micro
+        |       FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON r.node = e.src
+        |       GROUP BY e.dst)
+        |SELECT CASE WHEN node % 2 = 0 THEN 's' ELSE 'p' END AS node_type,
+        |  node // 2 AS key, rank_micro
+        |FROM r3
+        |ORDER BY rank_micro DESC, node_type, key LIMIT 20""".stripMargin,
+    "sample_weighted" ->
+      """WITH g AS (SELECT doc_id, coalesce(n_chars, 1) AS weight,
+        |  (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+        |    / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+        |  CAST(weight AS DOUBLE) / u AS priority
+        |FROM g ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin,
+  )
+}

@@ -86,9 +86,9 @@ class PathologicalContentSpec extends GraftSpec {
 
   /** documents/embeddings-driven query families (the TPC-H q* and the
     * events-driven stream_* families never see the planted rows). */
-  private val sweptPrefixes = Seq("ann_", "curation_", "decontam_", "dedup_",
-    "embedding_", "ingest_", "mixture_", "mr_", "multimodal_", "native_",
-    "pack_", "search_", "text_")
+  private val sweptPrefixes = Seq("ann_", "cdc_", "curation_", "decontam_",
+    "dedup_", "embedding_", "ingest_", "mixture_", "mr_", "multimodal_",
+    "native_", "pack_", "profile_", "sample_", "search_", "text_")
 
   /** The documented loud-failure surface: per-character oracle parity
     * requires ASCII payloads, and the planted UTF-8 doc must trip the
