@@ -164,6 +164,38 @@ object PlanCheck {
     // crossJoins — never a cartesian over data
     Check("dedup_sketch_recall", mustContain = Seq("HashAggregate"),
       mustNot = Seq("CartesianProduct")),
+    // one-pass profiler: a single aggregate (Expand feeds the exact
+    // multi-column DISTINCTs) — never a join, never a second scan.
+    // min/max over string columns forces a SortAggregate (string agg
+    // buffers aren't hash-mutable), so accept any aggregate flavor.
+    Check("profile_columns", mustContain = Seq("Expand", "Aggregate"),
+      mustNot = Seq("Join", "CartesianProduct")),
+    // snapshot diff: both sides reduce to (key, digest) BEFORE the one
+    // full-outer shuffle join; full-outer has no broadcast form, so the
+    // plan must be keyed sort-merge — and the 16-byte digest (not the
+    // text) is what crosses the exchange
+    Check("cdc_snapshot_delta",
+      mustContain = Seq("SortMergeJoin", "FullOuter"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      noAutoBroadcast = true),
+    // cohort cells: one window pass (per-user min in the user shuffle)
+    // then one aggregate — no join back onto the event log
+    Check("cohort_retention", mustContain = Seq("Window", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct")),
+    // OHLC bars: both window orders and the final aggregate share the
+    // (event_type, bar) exchange — no join, no cartesian
+    Check("events_ohlc", mustContain = Seq("Window", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct")),
+    // pagerank rounds are keyed joins on long node ids; the rank table
+    // is O(nodes) and must fall back to sort-merge without a hint —
+    // never a cartesian/BNLJ
+    Check("graph_pagerank", mustContain = Seq("SortMergeJoin", "HashAggregate"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      noAutoBroadcast = true),
+    // priority sampling: global top-k stays TakeOrderedAndProject
+    // (map-side k per partition), never a full sort of the corpus
+    Check("sample_weighted", mustContain = Seq("TakeOrderedAndProject"),
+      mustNot = Seq("Join", "CartesianProduct")),
   )
 
   def main(args: Array[String]): Unit = {

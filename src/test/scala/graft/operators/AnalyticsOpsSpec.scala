@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{GraftSpec, Tables}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ground truth for the warehouse-analytics pack: the profiler against a
+  * hand-computed fixture, CDC classification re-derived independently,
+  * cohort/OHLC cells against tiny event fixtures with deliberate
+  * timestamp ties, integer PageRank against a driver-side naive walk of
+  * the SAME graph, and priority sampling against a scalar re-computation
+  * of every hash. */
+class AnalyticsOpsSpec extends GraftSpec {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def writeEvents(rows: Seq[Row]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-an-ev-").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), eventsSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("profiler: every cell of a hand-computed fixture") {
+    val dir = writeDocs(Seq(
+      (1L, "abc", "en", "web", 3L),
+      (2L, null, "en", null, 5L),
+      (3L, "zz", "fr", "web", 5L)))
+    val got = AnalyticsOps.profileColumns(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(got("doc_id") === ((3L, 0L, 3L, "1", "3")))
+    assert(got("text") === ((3L, 1L, 2L, "abc", "zz")))
+    assert(got("lang") === ((3L, 0L, 2L, "en", "fr")))
+    assert(got("source") === ((3L, 1L, 1L, "web", "web")))
+    assert(got("n_chars") === ((3L, 0L, 2L, "3", "5")))
+  }
+
+  test("CDC delta: classification law re-derived from the base snapshot") {
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expected =
+      ids.filter(_ % 13 == 0).map(_ -> "D") ++
+      ids.filter(id => id % 13 != 0 && id % 7 == 0).map(_ -> "U") ++
+      ids.filter(_ % 17 == 0).map(id => (id + 10000000L) -> "I")
+    val got = AnalyticsOps.cdcSnapshotDelta(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got === expected)
+  }
+
+  test("cohort retention: exact cells on a three-user fixture") {
+    // 2024-01-01 is a Monday; weeks W0/W1/W2 start 01-01 / 01-08 / 01-15
+    val dir = writeEvents(Seq(
+      Row(1L, ts("2024-01-02 10:00:00"), 1L, "click", 1.0, null),
+      Row(2L, ts("2024-01-16 10:00:00"), 1L, "click", 1.0, null),
+      Row(3L, ts("2024-01-03 09:00:00"), 2L, "view", 1.0, null),
+      Row(4L, ts("2024-01-10 09:00:00"), 3L, "view", 1.0, null)))
+    val got = AnalyticsOps.cohortRetention(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 2) -> 1L,
+      ("2024-01-08", 0) -> 1L))
+  }
+
+  test("OHLC bars: tied timestamps resolve by event_id, volume sums") {
+    val dir = writeEvents(Seq(
+      Row(1L, ts("2024-03-05 10:00:00"), 1L, "t", 5.0, null),
+      Row(2L, ts("2024-03-05 10:00:00"), 1L, "t", 7.0, null), // open tie
+      Row(3L, ts("2024-03-05 10:30:00"), 1L, "t", 1.0, null),
+      Row(4L, ts("2024-03-05 10:59:00"), 1L, "t", 9.0, null),
+      Row(5L, ts("2024-03-05 10:59:00"), 1L, "t", 2.0, null), // close tie
+      Row(6L, ts("2024-03-05 11:15:00"), 1L, "t", 4.0, null)))
+    val got = AnalyticsOps.eventsOhlc(spark, dir).collect()
+      .map(r => r.getTimestamp(1).toString ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getLong(7))).toMap
+    assert(got("2024-03-05 10:00:00.0") === ((5.0, 9.0, 1.0, 2.0, 24.0, 5L)))
+    assert(got("2024-03-05 11:00:00.0") === ((4.0, 4.0, 4.0, 4.0, 4.0, 1L)))
+  }
+
+  test("integer PageRank: bit-identical to a driver-side naive walk") {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select("l_suppkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (s, p) =>
+      Seq((2 * s, 2 * p + 1), (2 * p + 1, 2 * s)) }
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (src, dst) =>
+        contrib(dst) += rank(src) * 85 / (100L * outdeg(src)) }
+      rank = contrib.map { case (n, c) => n -> (150000L + c) }.toMap
+    }
+    val expected = rank.toSeq
+      .map { case (n, rm) =>
+        (if (n % 2 == 0) "s" else "p", n / 2, rm) }
+      .sortBy { case (t, k, rm) => (-rm, t, k) }
+      .take(20)
+    val got = AnalyticsOps.graphPagerank(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
+  test("priority sampling: scalar md5 recomputation agrees on the top-20") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = docs.map { case (id, w) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4294967296.0
+      (id, w, w.toDouble / u)
+    }.sortBy { case (id, _, p) => (-p, id) }.take(20).toSeq
+    val got = AnalyticsOps.sampleWeighted(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+  }
+}

@@ -28,9 +28,19 @@ import org.apache.spark.sql.functions._
 class PathologicalEventsSpec extends GraftSpec {
 
   private lazy val (pathoDir, baseCount, maxNs) = {
+    // `events.ts` is parquet TIMESTAMP(NANOS) in some fixture generations
+    // (read as epoch-nanos long under the legacy conf) and a plain
+    // microsecond timestamp in others — mirror Tables.events' dual
+    // contract: normalize max-ts to epoch-nanos, plant rows as nanos
+    // longs, and convert them to whatever type the source declares.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val mx = raw.agg(max(col("ts"))).head().getLong(0)
+    val tsType = raw.schema("ts").dataType
+    val tsIsLong = tsType == org.apache.spark.sql.types.LongType
+    val mx =
+      if (tsIsLong) raw.agg(max(col("ts"))).head().getLong(0)
+      else raw.agg(max(unix_micros(col("ts").cast("timestamp"))))
+        .head().getLong(0) * 1000L
     val n = raw.count()
     // (event_id, ts_ns, user_id, event_type, value, props). The ancient
     // event sits at 1970-01-02, NOT the epoch itself: a fresh streaming
@@ -47,8 +57,17 @@ class PathologicalEventsSpec extends GraftSpec {
       Row(9000006L, mx, 9004L, "purchase", null, null),         // missing measure
       Row(9000007L, mx - 1800L * 1000000000L, null, "purchase", 5.0, null))
     val dir = java.nio.file.Files.createTempDirectory("graft-patho-ev-").toString
-    raw.unionByName(spark.createDataFrame(
-        spark.sparkContext.parallelize(planted), raw.schema))
+    val longTsSchema = org.apache.spark.sql.types.StructType(raw.schema.map(f =>
+      if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
+    val plantedRaw = spark.createDataFrame(
+      spark.sparkContext.parallelize(planted), longTsSchema)
+    val plantedDf =
+      if (tsIsLong) plantedRaw
+      // session tz is UTC, so the timestamp → NTZ cast preserves the instant
+      else plantedRaw.withColumn("ts",
+        expr("timestamp_micros(ts div 1000)").cast(tsType))
+    raw.unionByName(plantedDf)
       .coalesce(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
     (dir, n, mx)
   }
