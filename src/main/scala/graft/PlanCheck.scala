@@ -20,7 +20,11 @@ object PlanCheck {
       // declared plan is just a checkpoint scan; `build` explains the
       // underlying un-memoized dataflow instead, so the check pins the
       // plan shape the build actually pays for
-      build: Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] = None)
+      build: Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] = None,
+      // upper bounds on physical node COUNTS (formatted-mode detail
+      // headers "(N) <node>"), e.g. "Exchange" -> 2 pins the shuffle
+      // budget of a plan, "Scan parquet" -> 5 its scan budget
+      maxNodes: Seq[(String, Int)] = Nil)
 
   private val checks = Seq(
     Check("q2_filter_pushdown",
@@ -189,13 +193,33 @@ object PlanCheck {
     // pagerank rounds are keyed joins on long node ids; the rank table
     // is O(nodes) and must fall back to sort-merge without a hint —
     // never a cartesian/BNLJ
+    // declared result is a per-round checkpoint scan; pin the shape of
+    // the round dataflow each iteration actually pays for
     Check("graph_pagerank", mustContain = Seq("SortMergeJoin", "HashAggregate"),
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
-      noAutoBroadcast = true),
+      noAutoBroadcast = true,
+      build = Some((s, d) => graft.operators.AnalyticsOps.pagerankRoundPlan(s, d))),
     // priority sampling: global top-k stays TakeOrderedAndProject
     // (map-side k per partition), never a full sort of the corpus
     Check("sample_weighted", mustContain = Seq("TakeOrderedAndProject"),
       mustNot = Seq("Join", "CartesianProduct")),
+    // z-order cell audit: pure codegen projection feeding ONE partial-agg
+    // shuffle plus the final sort's range exchange — no join, no extra
+    // shuffle, and the scan reads only the two clustered keys
+    Check("layout_zorder",
+      mustContain = Seq("HashAggregate",
+        "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // hybrid RRF: the fusion is a keyed merge join of two tiny rank
+    // tables (full outer cannot broadcast a side — SMJ is the right
+    // shape), per-query top-k is rank-limited BEFORE the window sort
+    // (WindowGroupLimit), and the whole two-leg plan touches the corpus
+    // a bounded number of times (3 documents + 2 embeddings scans)
+    Check("search_hybrid_rrf",
+      mustContain = Seq("SortMergeJoin FullOuter", "WindowGroupLimit"),
+      mustNot = Seq("CartesianProduct"),
+      maxNodes = Seq("Scan parquet" -> 5)),
   )
 
   def main(args: Array[String]): Unit = {
@@ -220,7 +244,17 @@ object PlanCheck {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
       val missing = c.mustContain.filterNot(plan.contains)
       val present = c.mustNot.filter(plan.contains)
-      if (missing.isEmpty && present.isEmpty) {
+      // count formatted-mode detail headers "(N) <node>" — one per
+      // physical node, so substring noise in expressions never counts
+      val headerRe = """^\((\d+)\) (.+?)\s*$""".r
+      val headers = plan.linesIterator.collect {
+        case headerRe(_, node) => node
+      }.toSeq
+      val over = c.maxNodes.flatMap { case (node, cap) =>
+        val n = headers.count(_.startsWith(node))
+        if (n > cap) Some(s"$node x$n > $cap") else None
+      }
+      if (missing.isEmpty && present.isEmpty && over.isEmpty) {
         println(s"OK   ${c.query}")
       } else {
         failed += 1

@@ -68,7 +68,10 @@ object AnalyticsOps extends QueryPack {
     * table, emit the (key, op) delta — I(nsert), U(pdate), D(elete). The
     * "current" snapshot is derived deterministically from `documents` so
     * the oracle can rebuild it: doc_id%13==0 deleted, else doc_id%7==0
-    * text-revised, and doc_id%17==0 re-inserted under key doc_id+10M.
+    * text-revised, else doc_id%19==0 boundary-shifted (the last character
+    * of `text` moves to the front of `lang` — total bytes unchanged, so an
+    * unseparated digest would silently miss this Update), and doc_id%17==0
+    * re-inserted under key doc_id+10M.
     *
     * Shape: both snapshots reduce to (key, digest) at the scan — the md5
     * digest is computed map-side so only 16 bytes per row reach the
@@ -82,11 +85,19 @@ object AnalyticsOps extends QueryPack {
   def cdcSnapshotDelta(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val shift = col("doc_id") % 19 === 0 && col("doc_id") % 7 =!= 0 &&
+      length(coalesce(col("text"), lit(""))) >= 1
     val next = base.filter(col("doc_id") % 13 =!= 0)
-      .withColumn("text",
+      .select(
+        col("doc_id"),
         when(col("doc_id") % 7 === 0,
           concat(coalesce(col("text"), lit("")), lit(" [rev2]")))
-          .otherwise(col("text")))
+          .when(shift, expr("substring(text, 1, length(text) - 1)"))
+          .otherwise(col("text")).as("text"),
+        when(shift, concat(expr("substring(text, length(text), 1)"),
+          coalesce(col("lang"), lit(""))))
+          .otherwise(col("lang")).as("lang"),
+        col("source"))
       .unionByName(base.filter(col("doc_id") % 17 === 0)
         .withColumn("doc_id", col("doc_id") + 10000000L))
     def keyed(df: DataFrame) = df.select(col("doc_id"),
@@ -168,28 +179,55 @@ object AnalyticsOps extends QueryPack {
     * two executors add contributions in different orders. Top-20 with a
     * (rank, node) total order.
     *
-    * Shape: the edge list is built once (distinct pair shuffle), joined
-    * once with out-degrees, and cached by Catalyst's exchange reuse;
-    * each iteration is join(rank, on src) → agg(on dst) — two shuffles
-    * per round on key-partitioned longs, the canonical distributed
-    * PageRank shape. Every node has in-edges by construction (undirected
-    * expansion), so no dangling-node left join is needed.
+    * Shape: the edge-with-degree frame is built once and materialized
+    * (`localCheckpoint`, the [[DedupOps.componentsWithRounds]] idiom) —
+    * it feeds every round, and without the checkpoint the distinct-pair
+    * shuffle would re-execute per action while the loop-carried rank
+    * grows a 2·rounds-join lineage. Each round re-checkpoints `rank`, so
+    * the per-round plan is always the same two keyed shuffles —
+    * join(rank, on src) → agg(on dst), the canonical distributed
+    * PageRank shape — at ANY round count. Every node has in-edges by
+    * construction (undirected expansion), so no dangling-node left join
+    * is needed.
     */
-  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+  def graphPagerank(s: SparkSession, d: String): DataFrame =
+    graphPagerank(s, d, rounds = 3)
+
+  private def pagerankEdges(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d)
       .select(col("l_suppkey"), col("l_partkey")).distinct()
-    val edges = pairs.select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+    pairs.select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       .unionByName(pairs.select((col("l_partkey") * 2 + 1).as("src"), (col("l_suppkey") * 2).as("dst")))
+  }
+
+  private def pagerankRound(edgesDeg: DataFrame, rank: DataFrame): DataFrame =
+    edgesDeg.join(rank, edgesDeg("src") === rank("node"))
+      .select(col("dst"), expr("(rank_micro * 85) div (100 * outdeg)").as("contrib"))
+      .groupBy(col("dst"))
+      .agg((lit(150000L) + sum(col("contrib"))).as("rank_micro"))
+      .withColumnRenamed("dst", "node")
+
+  /** One round's dataflow with NO materialization barriers — the plan each
+    * iteration actually pays for (the declared query returns a checkpoint
+    * scan, so PlanCheck pins the join/agg shape through this builder). */
+  private[graft] def pagerankRoundPlan(s: SparkSession, d: String): DataFrame = {
+    val edges = pagerankEdges(s, d)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(deg, "src")
+    val rank = edges.select(col("src").as("node")).distinct()
+      .withColumn("rank_micro", lit(1000000L))
+    pagerankRound(edges.join(deg, "src"), rank)
+  }
+
+  def graphPagerank(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val edges = pagerankEdges(s, d)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
     var rank = edges.select(col("src").as("node")).distinct()
       .withColumn("rank_micro", lit(1000000L))
-    for (_ <- 1 to 3) {
-      rank = edgesDeg.join(rank, edgesDeg("src") === rank("node"))
-        .select(col("dst"), expr("(rank_micro * 85) div (100 * outdeg)").as("contrib"))
-        .groupBy(col("dst"))
-        .agg((lit(150000L) + sum(col("contrib"))).as("rank_micro"))
-        .withColumnRenamed("dst", "node")
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      rank = pagerankRound(edgesDeg, rank).localCheckpoint(true)
     }
     rank.select(
         when(col("node") % 2 === 0, lit("s")).otherwise(lit("p")).as("node_type"),
@@ -249,7 +287,14 @@ object AnalyticsOps extends QueryPack {
         |next AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text,'') || ' [rev2]'
-        |         ELSE text END AS text, lang, source
+        |         WHEN doc_id % 19 = 0 AND length(coalesce(text,'')) >= 1
+        |           THEN substring(text, 1, length(text) - 1)
+        |         ELSE text END AS text,
+        |    CASE WHEN doc_id % 19 = 0 AND doc_id % 7 <> 0
+        |              AND length(coalesce(text,'')) >= 1
+        |           THEN substring(text, length(text), 1) || coalesce(lang,'')
+        |         ELSE lang END AS lang,
+        |    source
         |  FROM base WHERE doc_id % 13 <> 0
         |  UNION ALL
         |  SELECT doc_id + 10000000, text, lang, source

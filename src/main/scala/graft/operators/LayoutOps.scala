@@ -98,33 +98,63 @@ object LayoutOps extends QueryPack {
       .sortBy(_._1.getName)
 
   /** Bin-pack the parquet files of `inDir` into ~`targetBytes` files in
-    * `outDir`. Files >= `smallThreshold` are copied through byte-identical
-    * (no decode/re-encode); the rest are read ONCE and re-written as
+    * `outDir`. Files >= `smallThreshold` pass through byte-identical (no
+    * decode/re-encode); the rest are read ONCE and re-written as
     * `ceil(smallBytes / targetBytes)` round-robin bins — size-balanced by
     * the law of large numbers, no per-bin driver loop, one job. Planning
     * touches only the file listing: at 100 TB the driver cost is the
-    * metadata scan, and the rewrite shuffles only the small-file bytes. */
+    * metadata scan, and the rewrite shuffles only the small-file bytes.
+    *
+    * The whole output is STAGED in a sibling temp dir and swapped into
+    * place with one rename, so a retried/re-run compact converges to the
+    * same final `outDir` (never an appended mixture), and readers see
+    * either the old layout or the complete new one.
+    *
+    * Pass-through cost: with `movePassthrough=true` (default) each large
+    * file MIGRATES into the new layout by `fs.rename` — O(1) metadata per
+    * file, no bytes move, which is the only sane cost model when the
+    * already-compact fraction is most of a 100 TB table (note: this
+    * consumes the large files from `inDir`, the normal contract for a
+    * layout rewrite that replaces the table directory). With `false` the
+    * originals are preserved and the copy runs as ONE distributed job
+    * (each task block-copies its files), never a sequential driver loop. */
   def compact(s: SparkSession, inDir: String, outDir: String,
-      targetBytes: Long, smallThreshold: Long): CompactionReport = {
+      targetBytes: Long, smallThreshold: Long,
+      movePassthrough: Boolean = true): CompactionReport = {
     require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
-    val fs = FileSystem.get(new java.net.URI(inDir),
-      s.sparkContext.hadoopConfiguration)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(inDir), hconf)
     val all = listParquet(fs, inDir)
     val (small, big) = all.partition(_._2 < smallThreshold)
     val smallBytes = small.map(_._2).sum
     val nBins = math.max(1,
       math.ceil(smallBytes.toDouble / targetBytes).toInt)
-    fs.mkdirs(new HPath(outDir))
+    val staging = new HPath(outDir + ".__staging")
+    fs.delete(staging, true)
     if (small.nonEmpty)
       s.read.parquet(small.map(_._1.toString): _*)
         .repartition(nBins)
-        .write.mode("append").parquet(outDir)
-    // pass-through: byte copy, renamed to dodge sink-file collisions
-    big.zipWithIndex.foreach { case ((p, _), i) =>
-      FileUtil.copy(fs, p, fs,
-        new HPath(outDir, f"passthrough-$i%05d-${p.getName}"),
-        false, s.sparkContext.hadoopConfiguration)
+        .write.mode("overwrite").parquet(staging.toString)
+    else fs.mkdirs(staging)
+    // pass-through names carry an index to dodge sink-file collisions
+    val moves = big.zipWithIndex.map { case ((p, _), i) =>
+      (p.toString, new HPath(staging, f"passthrough-$i%05d-${p.getName}").toString)
     }
+    if (movePassthrough)
+      moves.foreach { case (src, dst) => fs.rename(new HPath(src), new HPath(dst)) }
+    else if (moves.nonEmpty) {
+      // distributed byte copy: one job, each task copies its slice
+      val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
+      s.sparkContext
+        .parallelize(moves, math.min(moves.size, 32))
+        .foreach { case (src, dst) =>
+          val tfs = FileSystem.get(new java.net.URI(src), serConf.value)
+          FileUtil.copy(tfs, new HPath(src), tfs, new HPath(dst),
+            false, serConf.value)
+        }
+    }
+    fs.delete(new HPath(outDir), true)
+    fs.rename(staging, new HPath(outDir))
     CompactionReport(all.size, small.size, big.size,
       listParquet(fs, outDir).size, smallBytes, big.map(_._2).sum)
   }

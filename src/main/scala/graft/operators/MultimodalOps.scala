@@ -46,7 +46,23 @@ object MultimodalOps extends QueryPack {
     * byte array would NPE inside the executor loop (the oracles mirror
     * the same `text IS NOT NULL` guard). */
   def payloads(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    payloadsOf(Tables.documents(s, d))
+
+  /** The corpus plus planted multi-byte rows: every 101st doc re-entered
+    * under doc_id+2e12 with a 2-byte (U+00E9) and 3-byte (U+2713) suffix.
+    * The driver corpus is pure ASCII, so without these rows the byte-level
+    * decode paths would never be exercised where bytes ≠ characters; the
+    * oracles rebuild the same rows with chr() and sample per BYTE. */
+  private[operators] def utf8PlantedDocs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    base.unionByName(base
+      .filter(col("doc_id") % 101 === 0 && col("text").isNotNull)
+      .select((col("doc_id") + 2000000000000L).as("doc_id"),
+        concat(col("text"), lit(" \u00e9\u2713")).as("text")))
+  }
+
+  private def payloadsOf(docs: DataFrame): DataFrame =
+    docs
       .filter(col("text").isNotNull)
       .withColumn("w", widthCol).withColumn("h", heightCol).withColumn("f", framesCol)
       .select(col("doc_id"),
@@ -95,7 +111,7 @@ object MultimodalOps extends QueryPack {
     * column so its HALF_UP semantics match every other green ratio. */
   def mediaPixels(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bin = payloads(s, d).as[(Long, Array[Byte])]
+    val bin = payloadsOf(utf8PlantedDocs(s, d)).as[(Long, Array[Byte])]
     val stats = bin.mapPartitions { rows =>
       rows.map { case (id, payload) =>
         val buf = java.nio.ByteBuffer.wrap(payload)
@@ -112,15 +128,9 @@ object MultimodalOps extends QueryPack {
           i += 1
         }
         if (plen == 0) { mn = 0L; mx = 0L }
-        // oracle-parity invariant: the DuckDB twin samples the text per
-        // CHARACTER (ord/substr) while this loop reads per BYTE — equal
-        // only while the fixture text is pure ASCII. A multi-byte UTF-8
-        // fixture must fail loudly here, not hash-mismatch downstream.
-        // (mx is the max over every payload byte, so this checks all of
-        // them for free; a true binary-media corpus would drop this guard
-        // together with the text-derived oracle.)
-        require(mx <= 127, s"non-ASCII payload byte in doc $id: " +
-          "the DuckDB oracle samples per character, parity needs ASCII")
+        // no ASCII restriction: the oracle samples the payload per BYTE
+        // (hex(encode(text)) two-char slices), so any UTF-8 content —
+        // including the planted multi-byte rows — agrees bit-for-bit
         PixelStats(id, plen.toLong, sum, mn, mx, ck)
       }
     }
@@ -191,7 +201,8 @@ object MultimodalOps extends QueryPack {
     // empty payloads carry no frame bytes to hash — no sketch row, the
     // minhashSigs/simhashes convention (mirrored in the oracle's
     // strlen > 0 guard)
-    val base = payloads(s, d).filter(length(col("payload")) > 18)
+    val base = payloadsOf(utf8PlantedDocs(s, d))
+      .filter(length(col("payload")) > 18)
     val planted = base.unionByName(
       base.filter(col("doc_id") % 97 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000000000L))
@@ -200,17 +211,8 @@ object MultimodalOps extends QueryPack {
         val buf = java.nio.ByteBuffer.wrap(payload)
         require(buf.getInt(0) == 0x47524654, s"bad magic in doc $id")
         val plen = buf.getInt(14)
-        // oracle-parity invariant (see mediaPixels): the oracle's substr
-        // sampling is per CHARACTER; one multi-byte char anywhere in the
-        // text shifts every later byte offset, so assert pure ASCII over
-        // the whole payload — one branch per already-resident byte.
-        var i = 0
-        while (i < plen) {
-          require((payload(18 + i) & 0xff) <= 127,
-            s"non-ASCII payload byte in doc $id: " +
-              "the DuckDB oracle samples per character, parity needs ASCII")
-          i += 1
-        }
+        // no ASCII restriction: the oracle samples per BYTE (see
+        // mediaPixels), so multi-byte UTF-8 payloads hash identically
         (id, aHash60(payload, plen))
       }
     }.toDF("doc_id", "sk")
@@ -247,30 +249,50 @@ object MultimodalOps extends QueryPack {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         | length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // the fixture text is pure ASCII (verified: strlen == length on every
-    // sf), so the oracle's per-CHARACTER codepoints equal the Spark
-    // side's per-BYTE values — the hash match proves the byte loop
-    // decoded the physical payload correctly
+    // the oracle samples the payload per BYTE — hex(encode(text)) carries
+    // the UTF-8 bytes, and each two-hex-char slice is one byte value — so
+    // the parity holds for ANY text, including the planted multi-byte
+    // rows (every 101st doc re-entered with a 2-byte + 3-byte suffix)
     "multimodal_pixels" ->
-      """WITH b AS (
-        |  SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS v
-        |  FROM documents, unnest(range(1, strlen(text)+1)) AS u(i))
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000000 AS doc_id,
+        |    text || ' ' || chr(233) || chr(10003) AS text
+        |  FROM documents WHERE doc_id % 101 = 0 AND text IS NOT NULL),
+        |hx AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    CAST(strlen(text) AS BIGINT) AS blen FROM docs2),
+        |b AS (
+        |  SELECT doc_id, i,
+        |    CAST(('0x' || substring(h, CAST(2*i-1 AS INT), 2)) AS BIGINT) AS v
+        |  FROM hx, unnest(range(1, blen+1)) AS u(i))
         |SELECT doc_id, count(*) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
         | round(sum(v)/CAST(count(*) AS DOUBLE), 4) AS px_mean,
         | CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max,
         | CAST(sum(i*v) AS BIGINT) AS px_checksum
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // recompute the 60-bit aHash from the text bytes (= frame bytes) and
-    // mirror the banded join + hot-bucket cap relationally
+    // recompute the 60-bit aHash from the payload BYTES (hex-slice
+    // sampling, multi-byte safe) and mirror the banded join + hot-bucket
+    // cap relationally; docs0 adds the planted multi-byte rows first so
+    // the %97 twin planting sees the same corpus the Spark side does
     "multimodal_phash_pairs" ->
-      """WITH docs2 AS (
-        |  SELECT doc_id, text FROM documents WHERE strlen(text) > 0
+      """WITH docs0 AS (
+        |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000000000 AS doc_id, text FROM documents
+        |  SELECT doc_id + 2000000000000 AS doc_id,
+        |    text || ' ' || chr(233) || chr(10003) AS text
+        |  FROM documents WHERE doc_id % 101 = 0 AND text IS NOT NULL),
+        |docs2 AS (
+        |  SELECT doc_id, text FROM docs0 WHERE strlen(text) > 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000 AS doc_id, text FROM docs0
         |  WHERE doc_id % 97 = 0 AND strlen(text) > 0),
+        |hxt AS (SELECT doc_id, hex(encode(text)) AS hxs,
+        |    CAST(strlen(text) AS BIGINT) AS blen FROM docs2),
         |s AS (SELECT doc_id, j,
-        |   ord(substr(text, CAST((j * strlen(text)) // 60 AS INT) + 1, 1)) AS v
-        |  FROM docs2, unnest(range(0, 60)) AS u(j)),
+        |   CAST(('0x' || substring(hxs,
+        |     CAST(2 * ((j * blen) // 60) + 1 AS INT), 2)) AS BIGINT) AS v
+        |  FROM hxt, unnest(range(0, 60)) AS u(j)),
         |h AS (SELECT doc_id,
         |   CAST(sum(CASE WHEN v * 60 > sv THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
         |            ELSE 0 END) AS BIGINT) AS ph

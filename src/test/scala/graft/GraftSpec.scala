@@ -24,6 +24,11 @@ trait GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object GraftSpec {
   lazy val session: SparkSession = {
+    // Fixtures built via java.sql.Timestamp.valueOf (local wall time) and
+    // assertions on Timestamp.toString both render in the JVM default tz;
+    // the session tz is UTC — pin the JVM default so the two agree on any
+    // host (fractional offsets, DST near fixture dates).
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

@@ -43,15 +43,32 @@ class AnalyticsOpsSpec extends GraftSpec {
   }
 
   test("CDC delta: classification law re-derived from the base snapshot") {
-    val ids = Tables.documents(spark, sfDir).select("doc_id")
-      .collect().map(_.getLong(0)).toSet
+    import org.apache.spark.sql.functions.{coalesce, col, length, lit}
+    val idLen = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(coalesce(col("text"), lit(""))))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ids = idLen.keySet
     val expected =
       ids.filter(_ % 13 == 0).map(_ -> "D") ++
-      ids.filter(id => id % 13 != 0 && id % 7 == 0).map(_ -> "U") ++
+      ids.filter(id => id % 13 != 0 &&
+        (id % 7 == 0 || (id % 19 == 0 && idLen(id) >= 1))).map(_ -> "U") ++
       ids.filter(_ % 17 == 0).map(id => (id + 10000000L) -> "I")
     val got = AnalyticsOps.cdcSnapshotDelta(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSet
     assert(got === expected)
+  }
+
+  test("CDC delta: a boundary-shift row (char moves text->lang) is an Update") {
+    // doc_id=19: %13!=0, %7!=0, %19==0 → next snapshot has text="a",
+    // lang="bfr" where base had text="ab", lang="fr". The concatenated
+    // bytes are IDENTICAL without a field separator — this row exists to
+    // prove the -separated digest catches the move.
+    val dir = writeDocs(Seq(
+      (19L, "ab", "fr", "web", 2L),
+      (20L, "same", "en", "web", 4L)))
+    val got = AnalyticsOps.cdcSnapshotDelta(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(19L -> "U"))
   }
 
   test("cohort retention: exact cells on a three-user fixture") {
@@ -84,7 +101,7 @@ class AnalyticsOpsSpec extends GraftSpec {
     assert(got("2024-03-05 11:00:00.0") === ((4.0, 4.0, 4.0, 4.0, 4.0, 1L)))
   }
 
-  test("integer PageRank: bit-identical to a driver-side naive walk") {
+  private def naivePagerankTop20(rounds: Int): Seq[(String, Long, Long)] = {
     val pairs = Tables.lineitem(spark, sfDir)
       .select("l_suppkey", "l_partkey").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -92,20 +109,32 @@ class AnalyticsOpsSpec extends GraftSpec {
       Seq((2 * s, 2 * p + 1), (2 * p + 1, 2 * s)) }
     val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     var rank = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to rounds) {
       val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
       edges.foreach { case (src, dst) =>
         contrib(dst) += rank(src) * 85 / (100L * outdeg(src)) }
       rank = contrib.map { case (n, c) => n -> (150000L + c) }.toMap
     }
-    val expected = rank.toSeq
+    rank.toSeq
       .map { case (n, rm) =>
         (if (n % 2 == 0) "s" else "p", n / 2, rm) }
       .sortBy { case (t, k, rm) => (-rm, t, k) }
-      .take(20)
+      .take(20).toSeq
+  }
+
+  test("integer PageRank: bit-identical to a driver-side naive walk") {
     val got = AnalyticsOps.graphPagerank(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(got === expected)
+    assert(got === naivePagerankTop20(3))
+  }
+
+  test("integer PageRank: 12 rounds, per-round checkpoint keeps lineage flat") {
+    // Pre-checkpoint this would grow a 24-join lineage; the per-round
+    // localCheckpoint keeps every iteration's plan identical. Answer still
+    // bit-exact against the naive walk at the same depth.
+    val got = AnalyticsOps.graphPagerank(spark, sfDir, rounds = 12).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === naivePagerankTop20(12))
   }
 
   test("priority sampling: scalar md5 recomputation agrees on the top-20") {

@@ -69,6 +69,77 @@ class LayoutOpsSpec extends GraftSpec {
     rm(root.toFile)
   }
 
+  test("z-order keeps pruning the SECOND dimension where a 1-D key sort is blind") {
+    // The structural payoff of z-clustering: a layout sorted by l_partkey
+    // prunes partkey boxes as well as z does, but every one of its files
+    // spans the full suppkey range — a suppkey band prunes NOTHING. The
+    // z-layout interleaves suppkey bits into the file order, so the same
+    // band excludes files whose suppkey bounding box misses it. Run at
+    // sf0.01 / 64 files so both key domains have enough bits to interleave.
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val root = java.nio.file.Files.createTempDirectory("graft_zorder2_spec_")
+    val pkSorted = root.resolve("pk").toString
+    val zord = root.resolve("z").toString
+    val nFiles = 64
+    li.repartitionByRange(nFiles, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(pkSorted)
+    LayoutOps.zorderWrite(li, "l_partkey", "l_suppkey", zord, nFiles)
+    // suppkey band, no partkey constraint (wide-open pk bounds)
+    val (s0, s1) = (32L, 47L)
+    val nPk = overlapping(pkSorted, Long.MinValue / 2, Long.MaxValue / 2, s0, s1)
+    val nZ = overlapping(zord, Long.MinValue / 2, Long.MaxValue / 2, s0, s1)
+    assert(nPk === nFiles.toLong, "pk-sorted layout cannot prune a suppkey band")
+    assert(nZ < nPk, s"z-order should prune the suppkey band: z=$nZ pk=$nPk")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(root.toFile)
+  }
+
+  test("compaction re-run is idempotent; pass-through moves or copies as asked") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_idem_")
+    val in = root.resolve("in").toString
+    val out = root.resolve("out").toString
+    li.repartition(8).write.mode("overwrite").parquet(in)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(in),
+      spark.sparkContext.hadoopConfiguration)
+    def files(d: String) = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val total = files(in).map(_.getLen).sum
+    def checksum(d: String) = spark.read.parquet(d)
+      .agg(count(lit(1)), sum("l_orderkey")).head()
+    // all-small compact, run TWICE into the same outDir: the staged
+    // swap must converge (pre-fix, mode("append") doubled the data)
+    val r1 = LayoutOps.compact(spark, in, out, total / 2, Long.MaxValue)
+    val c1 = checksum(out)
+    val n1 = files(out).length
+    val r2 = LayoutOps.compact(spark, in, out, total / 2, Long.MaxValue)
+    assert(checksum(out) === c1, "re-run must not change content")
+    assert(files(out).length === n1, "re-run must not append files")
+    assert(r2.nOutputFiles === r1.nOutputFiles)
+    // pass-through with movePassthrough=false: distributed copy, input kept
+    val out2 = root.resolve("out2").toString
+    val thresh = files(in).map(_.getLen).sorted.apply(4)
+    val keep = LayoutOps.compact(spark, in, out2, total / 2, thresh,
+      movePassthrough = false)
+    assert(keep.nPassthroughFiles > 0)
+    assert(files(in).length === 8, "copy mode must preserve the input files")
+    assert(checksum(out2) === checksum(in))
+    // pass-through with movePassthrough=true: O(1) rename migrates them
+    val out3 = root.resolve("out3").toString
+    val moved = LayoutOps.compact(spark, in, out3, total / 2, thresh)
+    assert(moved.nPassthroughFiles === keep.nPassthroughFiles)
+    assert(files(in).length === 8 - moved.nPassthroughFiles,
+      "move mode migrates large files out of the input dir")
+    assert(checksum(out3) === c1)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(root.toFile)
+  }
+
   test("compaction hits the planned bin count and passes large files through") {
     val li = graft.Tables.lineitem(spark, sfDir)
     val root = java.nio.file.Files.createTempDirectory("graft_compact_spec_")

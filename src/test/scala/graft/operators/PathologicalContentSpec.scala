@@ -15,10 +15,9 @@ import org.apache.spark.sql.types._
   * digests the hostile rows. Contract checked per query:
   *
   *   1. it completes (no NPE, no ANSI divide/overflow error, no codegen
-  *      crash) — except the multimodal pixel family, whose documented
-  *      contract is to fail LOUDLY on non-ASCII payloads (the DuckDB
-  *      oracle samples per character; silent hash-mismatch is the
-  *      alternative), and
+  *      crash) — including the multimodal pixel family on multi-byte
+  *      UTF-8 (its oracle samples the payload per BYTE via
+  *      hex(encode(text)) slicing, so no ASCII restriction), and
   *   2. no floating-point column in its result carries NaN/Infinity —
   *      the silent-poison case: NaN sorts ABOVE every real value in a
   *      descending top-k, so one corrupt embedding would otherwise
@@ -90,10 +89,6 @@ class PathologicalContentSpec extends GraftSpec {
     "dedup_", "embedding_", "ingest_", "mixture_", "mr_", "multimodal_",
     "native_", "pack_", "profile_", "sample_", "search_", "text_")
 
-  /** The documented loud-failure surface: per-character oracle parity
-    * requires ASCII payloads, and the planted UTF-8 doc must trip the
-    * guard rather than hash-mismatch downstream. */
-  private val asciiGuarded = Set("multimodal_pixels", "multimodal_phash_pairs")
 
   private def floatCols(df: org.apache.spark.sql.DataFrame): Seq[Int] =
     df.schema.fields.zipWithIndex.collect {
@@ -110,27 +105,22 @@ class PathologicalContentSpec extends GraftSpec {
         val df = fn(spark, pathoDir)
         val fc = floatCols(df)
         val rows = df.collect()
-        if (asciiGuarded.contains(name))
-          Some(s"$name: expected the documented non-ASCII failure, but it returned ${rows.length} rows")
-        else {
-          val poisoned = rows.iterator.flatMap { r =>
-            fc.iterator.filter(i => !r.isNullAt(i)).flatMap { i =>
-              val v = r.get(i) match {
-                case d: java.lang.Double => d.doubleValue()
-                case f: java.lang.Float  => f.doubleValue()
-              }
-              if (v.isNaN || v.isInfinite)
-                Some(s"$name: ${df.schema(i).name}=$v in row $r") else None
+        val poisoned = rows.iterator.flatMap { r =>
+          fc.iterator.filter(i => !r.isNullAt(i)).flatMap { i =>
+            val v = r.get(i) match {
+              case d: java.lang.Double => d.doubleValue()
+              case f: java.lang.Float  => f.doubleValue()
             }
-          }.take(1).toSeq
-          poisoned.headOption
-        }
+            if (v.isNaN || v.isInfinite)
+              Some(s"$name: ${df.schema(i).name}=$v in row $r") else None
+          }
+        }.take(1).toSeq
+        poisoned.headOption
       } catch {
         case e: Throwable =>
           val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
             .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
-          if (asciiGuarded.contains(name) && chain.contains("non-ASCII")) None
-          else Some(s"$name: threw ${e.getClass.getSimpleName}: ${chain.take(200)}")
+          Some(s"$name: threw ${e.getClass.getSimpleName}: ${chain.take(200)}")
       }
     }
     graft.CacheRegistry.clear(spark)

@@ -34,6 +34,22 @@ class PerplexityPhashSpec extends GraftSpec {
     assert(byDoc(9L) > byDoc(1L))
   }
 
+  test("pixel stats decode multi-byte UTF-8 per BYTE, not per character") {
+    // "Aé✓" in UTF-8: 'A'=65, é=0xC3 0xA9 (195,169), ✓=0xE2 0x9C 0x93
+    // (226,156,147) — six bytes, and the position-weighted checksum pins
+    // their exact order
+    val dir = writeDocs(Seq((5L, "A\u00e9\u2713", "en", "t", 3L)))
+    val r = MultimodalOps.mediaPixels(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(0) === 5L)
+    assert(row.getLong(1) === 6L)      // n_px = bytes, not 3 characters
+    assert(row.getLong(2) === 958L)    // 65+195+169+226+156+147
+    assert(row.getLong(4) === 65L)     // min
+    assert(row.getLong(5) === 226L)    // max
+    assert(row.getLong(6) === 3528L)   // Σ i·v over the byte order
+  }
+
   test("planted payload twins meet at hamming 0 in phash pairs") {
     val docs = (0L to 120L).map { i =>
       (i, s"document number $i with payload content ${i * 31} and tail ${i * 7}", "en", "t", 40L)

@@ -70,3 +70,26 @@ nv, dv = con.execute(
 ).fetchone()
 assert nv == dv, f"vec_id collision after re-keying: {nv} rows, {dv} distinct"
 print(f"{out}/embeddings.parquet: {nv} rows, {dv} distinct vec_ids")
+
+# lineitem: 10 replicas with DISJOINT part/supplier key spaces
+# (l_partkey + k*1e7, l_suppkey + k*1e6) — the bipartite supplier<->part
+# graph grows to 10x nodes AND 10x edges as ten disconnected subgraphs,
+# the right scaling axis for graph_pagerank (rank mass stays local; a
+# verbatim copy would just multiply edge weights). layout_compaction and
+# layout_zorder see 10x file bytes with the same per-key distribution.
+con.execute(f"""
+COPY (
+  SELECT l_orderkey + k*100000000 AS l_orderkey,
+         l_partkey + k*10000000 AS l_partkey,
+         l_suppkey + k*1000000 AS l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM '{src}/lineitem.parquet', unnest(range(0,10)) AS u(k)
+) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+""")
+nl, dl = con.execute(
+    f"""SELECT count(*), count(DISTINCT l_orderkey*10 + l_linenumber)
+        FROM '{out}/lineitem.parquet'"""
+).fetchone()
+assert nl == dl, f"lineitem key collision after re-keying: {nl} rows, {dl} distinct"
+print(f"{out}/lineitem.parquet: {nl} rows, {dl} distinct line keys")
