@@ -220,6 +220,25 @@ object PlanCheck {
       mustContain = Seq("SortMergeJoin FullOuter", "WindowGroupLimit"),
       mustNot = Seq("CartesianProduct"),
       maxNodes = Seq("Scan parquet" -> 5)),
+    // CMS: the 4096-cell sketch rides a BROADCAST into the probe join
+    // (hinted, so it survives auto-broadcast off); heavy aggregation is
+    // hash-based with map-side partials, and nothing cartesian
+    Check("text_cms_heavyhitters",
+      mustContain = Seq("BroadcastHashJoin", "HashAggregate"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin"),
+      noAutoBroadcast = true),
+    // quantized ANN: scales (1 row) and queries (5 rows) broadcast; the
+    // corpus is scanned, never shuffled into a join
+    Check("ann_quantized_topk",
+      mustContain = Seq("BroadcastExchange"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin"),
+      noAutoBroadcast = true),
+    // anomaly: per-type moments broadcast back over one corpus scan,
+    // global top-100 via TakeOrdered, no full sort
+    Check("events_anomaly",
+      mustContain = Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin"),
+      noAutoBroadcast = true),
   )
 
   def main(args: Array[String]): Unit = {

@@ -169,6 +169,42 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("event_type"), col("bar"))
   }
 
+  /** Per-type z-score anomaly extraction: flag events whose value sits
+    * more than 3 standard deviations from their type's mean, reporting
+    * z² in 4dp (z itself needs a sqrt; z² is the same ranking and stays
+    * a ratio of exactly-computed integers). Values are converted to
+    * integer cents at the scan, so the per-type moments (n, Σv, Σv²) are
+    * EXACT integers — no float summation-order drift can move a
+    * borderline event across the 3σ gate — and the final ratio is one
+    * deterministic double division both engines perform on identical
+    * integers. (At ~100 TB per type the Σv² long would need DECIMAL
+    * widening; the declared scales stay far inside 2^63.)
+    *
+    * Shape: one aggregate shuffle for the per-type moments (a handful of
+    * rows), broadcast back over the scan, top-100 by TakeOrdered — the
+    * corpus is read once and never shuffled. NaN/Inf/null values are
+    * excluded at the scan in both engines (they have no place on a real
+    * number line; the established NULL-not-NaN contract). */
+  def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.MaxValue))
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("v_c"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("v_c")).as("s1"),
+      sum(col("v_c") * col("v_c")).as("s2"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("num", (col("n") * col("v_c") - col("s1")).cast("double"))
+      .withColumn("den", col("n").cast("double") * col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double"))
+      .filter(col("den") > 0 && col("num") * col("num") > lit(9.0) * col("den"))
+      .select(col("event_id"), col("event_type"), col("v_c"),
+        round(col("num") * col("num") / col("den"), 4).as("z2"))
+      .orderBy(col("z2").desc, col("event_id"))
+      .limit(100)
+  }
+
   /** Fixed-iteration PageRank (3 rounds, damping 0.85) over the bipartite
     * supplier↔part graph implied by `lineitem`, walked as an undirected
     * graph (each distinct supply pair contributes both directed edges).
@@ -266,6 +302,7 @@ object AnalyticsOps extends QueryPack {
     "cdc_snapshot_delta" -> cdcSnapshotDelta,
     "cohort_retention"   -> cohortRetention,
     "events_ohlc"        -> eventsOhlc,
+    "events_anomaly"     -> eventsAnomaly,
     "graph_pagerank"     -> graphPagerank,
     "sample_weighted"    -> sampleWeighted,
   )
@@ -335,6 +372,21 @@ object AnalyticsOps extends QueryPack {
         |  max(CASE WHEN rn_close = 1 THEN value END) AS close,
         |  round(sum(value), 2) AS volume, count(*) AS n_events
         |FROM e GROUP BY event_type, bar ORDER BY event_type, bar""".stripMargin,
+    "events_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events WHERE value IS NOT NULL AND isfinite(value)),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v_c) AS BIGINT) AS s1, CAST(sum(v_c*v_c) AS BIGINT) AS s2
+        |  FROM e GROUP BY event_type),
+        |j AS (SELECT e.event_id, e.event_type, e.v_c,
+        |    CAST(st.n * e.v_c - st.s1 AS DOUBLE) AS num,
+        |    CAST(st.n AS DOUBLE) * CAST(st.s2 AS DOUBLE)
+        |      - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE) AS den
+        |  FROM e JOIN st USING (event_type))
+        |SELECT event_id, event_type, v_c, round(num*num/den, 4) AS z2
+        |FROM j WHERE den > 0 AND num*num > 9.0*den
+        |ORDER BY z2 DESC, event_id LIMIT 100""".stripMargin,
     "graph_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
         |edges AS (SELECT sk*2 AS src, pk*2+1 AS dst FROM pairs

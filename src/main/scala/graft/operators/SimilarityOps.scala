@@ -110,6 +110,55 @@ object SimilarityOps extends QueryPack {
   def annBruteForce(s: SparkSession, d: String): DataFrame =
     bruteSearch(corpus(s, d), defaultQueries, 10)
 
+  /** Scalar-quantized (int8) nearest neighbors: per-dimension symmetric
+    * quantization q = round(v·127 / max|v_dim|), then EXACT integer dot
+    * products over the quantized vectors, top-10 per query (score desc,
+    * vec_id tiebreak). The 100 TB rationale: int8 cuts vector memory and
+    * scan bandwidth 4× and turns the scoring kernel into integer MACs —
+    * the standard first rung of vector-search compression (IVF-SQ /
+    * faiss SQ8 shape). Because the quantized values and their dot
+    * products are small integers derived from one deterministic rounding,
+    * the WHOLE search result — scores included — is oracle-checkable,
+    * unlike float scores that drift with summation order.
+    *
+    * Shape: one posexplode + 64-row aggregate learns the per-dim scales
+    * (the "training" pass); the scales ride a 1-row broadcast into a
+    * single quantize-and-score corpus scan against the broadcast query
+    * set — same plan skeleton as [[annBruteForce]], integer arithmetic
+    * instead of float cosine. Off-dim vectors are excluded by the
+    * fixed-dim index rule. */
+  def annQuantizedTopK(s: SparkSession, d: String): DataFrame = {
+    // fixed-dim AND finite: a NaN/Inf component would poison the learned
+    // scale (max |v|) and ANSI-throw in the integer cast — a quantizer
+    // indexes only well-formed vectors (abs(v) < Inf is false for BOTH
+    // NaN and ±Inf, one predicate covers all three)
+    val base = corpus(s, d).filter(size(col("embedding")) === Dim &&
+      expr("forall(embedding, v -> abs(CAST(v AS DOUBLE)) < CAST('Infinity' AS DOUBLE))"))
+    // per-dim max|v| (the quantizer's scale vector), assembled into ONE
+    // ordered array row — dims are struct-sorted so the array index is
+    // the dimension, no collect(), one broadcast row
+    val scales = base
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(max(abs(col("v").cast("double"))).as("m"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("sm"))
+      .select(transform(col("sm"), x => x.getField("m")).as("scales"))
+    val quantized = base.crossJoin(broadcast(scales))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("scales"), (v, m) =>
+          when(m > 0, round(v.cast("double") * 127.0 / m, 0))
+            .otherwise(0.0).cast("long")).as("qv"))
+    val q = quantized.filter(defaultQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val scored = quantized.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("aggregate(zip_with(q_qv, qv, (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Shared LSH search body (production + portable differ only in the
     * bucket expression): bucket equi-join → candidate ID pairs — the
     * multi-table collision dedup runs on the (q_id, vec_id) pair alone
@@ -487,6 +536,7 @@ object SimilarityOps extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> annBruteForce,
+    "ann_quantized_topk" -> annQuantizedTopK,
     "ann_lsh_topk" -> annLsh,
     "ann_lsh_portable" -> annLshPortable,
     "ann_ivf_topk" -> annIvf,
@@ -496,6 +546,33 @@ object SimilarityOps extends QueryPack {
 
   override val oracle: Map[String, String] = Map(
     "ann_lsh_portable" -> annLshPortableOracleSql,
+    // int8 quantization + integer dot products: every step is exact
+    // arithmetic on identical doubles/integers, so the full result —
+    // scores included — reproduces in SQL
+    "ann_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |             AND len(list_filter(embedding, x ->
+        |               NOT (abs(CAST(x AS DOUBLE)) < CAST('infinity' AS DOUBLE)))) = 0),
+        |dims AS (SELECT CAST(i AS INT) AS i FROM unnest(range(1, 65)) AS u(i)),
+        |flat AS (SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS v
+        |         FROM e, dims d),
+        |sc AS (SELECT i, max(abs(v)) AS m FROM flat GROUP BY i),
+        |qz AS (SELECT f.vec_id, f.i,
+        |    CASE WHEN s.m > 0 THEN CAST(round(f.v * 127.0 / s.m) AS BIGINT)
+        |         ELSE 0 END AS q
+        |  FROM flat f JOIN sc s USING (i)),
+        |qs AS (SELECT vec_id, i, q FROM qz WHERE vec_id < 5),
+        |dots AS (SELECT qs.vec_id AS q_id, z.vec_id,
+        |    CAST(sum(qs.q * z.q) AS BIGINT) AS score
+        |  FROM qs JOIN qz z USING (i) WHERE z.vec_id <> qs.vec_id
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT q_id, vec_id, score,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+        |      AS rank
+        |  FROM dots)
+        |SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // planted-twin recall is exact by construction (see annRecall): every
     // method must retrieve each twin's original, so the expected counts
     // are a closed-form function of the plant modulus

@@ -282,7 +282,48 @@ object TextOps extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-min-sketch heavy hitters: token frequencies estimated from a
+    * FIXED-SIZE mergeable sketch — depth 4 × width 1024 integer cells —
+    * reported, for the exact top-50 tokens, next to the exact count. The
+    * estimate is min over the token's 4 cells; the row hashes are
+    * portable md5-derived integers, so BOTH engines build bit-identical
+    * sketches and the estimate itself (including its collision noise) is
+    * oracle-checked, not just the exact counts.
+    *
+    * Why this matters at 100 TB: the sketch is 4096 cells no matter the
+    * corpus — map-side partial aggregation collapses every partition to
+    * ≤4096 rows before the ONE tiny shuffle, and sketches merge by cell
+    * addition, so the frequency-estimation cost is O(tokens) map work +
+    * a constant-size reduce, where the exact vocab aggregate's shuffle
+    * grows with the live vocabulary. The CMS one-sided error
+    * (estimate ≥ truth, always) is asserted in the spec. */
+  def textCmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val depth = 4
+    val width = 1024
+    // portable row hash: first 8 md5 hex chars of "r:token" as an int,
+    // reduced mod width — non-negative, so % == pmod in both engines
+    def bucket(tokCol: String): Column =
+      expr(s"CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', $tokCol)), " +
+        s"1, 8), 16, 10) AS BIGINT) % $width")
+    val rs = array((0 until depth).map(lit): _*)
+    val tokens = Tables.documents(s, d).select(explode(toks).as("token"))
+    val sketch = tokens
+      .select(col("token"), explode(rs).as("r"))
+      .select(col("r"), bucket("token").as("bucket"))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cell"))
+    val top = tokens.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token")).limit(50)
+    top
+      .select(col("token"), col("n_exact"), explode(rs).as("r"))
+      .withColumn("bucket", bucket("token"))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("token"), col("n_exact"))
+      .agg(min(col("cell")).as("n_cms"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cms_heavyhitters" -> textCmsHeavyHitters,
     "text_entropy" -> textEntropy,
     "text_perplexity" -> textPerplexity,
     "text_quality_model" -> textQualityModel,
@@ -302,6 +343,26 @@ object TextOps extends QueryPack {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${stops.map(w => s"'$w'").mkString(", ")})))"
 
   override val oracle: Map[String, String] = Map(
+    "text_cms_heavyhitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |r AS (SELECT unnest(range(0, 4)) AS r),
+        |cells AS (
+        |  SELECT r.r,
+        |    CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || t.token),
+        |      1, 8)) AS BIGINT) % 1024 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cell
+        |  FROM t, r GROUP BY 1, 2),
+        |top AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+        |        FROM t GROUP BY token ORDER BY n_exact DESC, token LIMIT 50),
+        |probe AS (
+        |  SELECT top.token, top.n_exact, r.r,
+        |    CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || top.token),
+        |      1, 8)) AS BIGINT) % 1024 AS bucket
+        |  FROM top, r)
+        |SELECT p.token, p.n_exact, CAST(min(c.cell) AS BIGINT) AS n_cms
+        |FROM probe p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+        |GROUP BY p.token, p.n_exact
+        |ORDER BY n_exact DESC, token""".stripMargin,
     "text_perplexity" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |big AS (SELECT doc_id, tk[i] AS l, tk[i] || ' ' || tk[i+1] AS bg

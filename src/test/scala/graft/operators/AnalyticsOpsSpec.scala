@@ -137,6 +137,20 @@ class AnalyticsOpsSpec extends GraftSpec {
     assert(got === naivePagerankTop20(12))
   }
 
+  test("anomaly extraction: exactly the planted outlier, z2 hand-computed") {
+    // type "t": twenty 10.00s and one 100.00 — n=21, s1=30000c,
+    // s2=1.2e8c². Outlier: num=21*10000-30000=180000, den=21*1.2e8-9e8
+    // =1.62e9, num²=3.24e10 > 9·den → flagged, z² = 3.24e10/1.62e9 = 20.
+    // Normals: num=-9000, num²=8.1e7 < 1.458e10 → clean.
+    val rows = (1L to 20L).map(i =>
+      Row(i, ts("2024-03-05 10:00:00"), 1L, "t", 10.0, null)) :+
+      Row(21L, ts("2024-03-05 11:00:00"), 1L, "t", 100.0, null)
+    val dir = writeEvents(rows)
+    val got = AnalyticsOps.eventsAnomaly(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((21L, 10000L, 20.0)))
+  }
+
   test("priority sampling: scalar md5 recomputation agrees on the top-20") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), coalesce(col("n_chars"), lit(1L)))
