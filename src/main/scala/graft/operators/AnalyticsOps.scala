@@ -218,13 +218,14 @@ object AnalyticsOps extends QueryPack {
     * Shape: the edge-with-degree frame is built once and materialized
     * (`localCheckpoint`, the [[DedupOps.componentsWithRounds]] idiom) —
     * it feeds every round, and without the checkpoint the distinct-pair
-    * shuffle would re-execute per action while the loop-carried rank
-    * grows a 2·rounds-join lineage. Each round re-checkpoints `rank`, so
-    * the per-round plan is always the same two keyed shuffles —
-    * join(rank, on src) → agg(on dst), the canonical distributed
-    * PageRank shape — at ANY round count. Every node has in-edges by
-    * construction (undirected expansion), so no dangling-node left join
-    * is needed.
+    * shuffle would re-execute per action. The loop-carried rank is
+    * re-checkpointed every 4th round: lineage stays bounded (≤ 8 joins)
+    * at ANY depth, while shallow runs — including the declared 3-round
+    * query — pay ZERO extra materializations (Catalyst's exchange reuse
+    * already folds the short lineage). Each round is the same two keyed
+    * shuffles — join(rank, on src) → agg(on dst), the canonical
+    * distributed PageRank shape. Every node has in-edges by construction
+    * (undirected expansion), so no dangling-node left join is needed.
     */
   def graphPagerank(s: SparkSession, d: String): DataFrame =
     graphPagerank(s, d, rounds = 3)
@@ -261,9 +262,9 @@ object AnalyticsOps extends QueryPack {
     val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
     var rank = edges.select(col("src").as("node")).distinct()
       .withColumn("rank_micro", lit(1000000L))
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      rank = pagerankRound(edgesDeg, rank).localCheckpoint(true)
+    for (round <- 1 to rounds) {
+      rank = pagerankRound(edgesDeg, rank)
+      if (round % 4 == 0) rank = rank.localCheckpoint(true)
     }
     rank.select(
         when(col("node") % 2 === 0, lit("s")).otherwise(lit("p")).as("node_type"),

@@ -300,22 +300,26 @@ object TextOps extends QueryPack {
   def textCmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
     val depth = 4
     val width = 1024
-    // portable row hash: first 8 md5 hex chars of "r:token" as an int,
-    // reduced mod width — non-negative, so % == pmod in both engines
-    def bucket(tokCol: String): Column =
-      expr(s"CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', $tokCol)), " +
-        s"1, 8), 16, 10) AS BIGINT) % $width")
+    // portable row hashes: ONE md5 per token, its 32 hex chars sliced
+    // into 4 disjoint 8-char windows — four independent 32-bit hashes
+    // for the price of one digest (the hashing dominates the sketch
+    // build, so this is the 4x constant that matters at 10x data).
+    // Non-negative, so % == pmod in both engines.
+    val bucket: Column =
+      expr(s"CAST(conv(substring(h, 1 + 8 * CAST(r AS INT), 8), 16, 10) " +
+        s"AS BIGINT) % $width")
     val rs = array((0 until depth).map(lit): _*)
     val tokens = Tables.documents(s, d).select(explode(toks).as("token"))
     val sketch = tokens
-      .select(col("token"), explode(rs).as("r"))
-      .select(col("r"), bucket("token").as("bucket"))
+      .select(md5(col("token")).as("h"), explode(rs).as("r"))
+      .select(col("r"), bucket.as("bucket"))
       .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cell"))
     val top = tokens.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("token")).limit(50)
     top
-      .select(col("token"), col("n_exact"), explode(rs).as("r"))
-      .withColumn("bucket", bucket("token"))
+      .select(col("token"), col("n_exact"), md5(col("token")).as("h"),
+        explode(rs).as("r"))
+      .withColumn("bucket", bucket)
       .join(broadcast(sketch), Seq("r", "bucket"))
       .groupBy(col("token"), col("n_exact"))
       .agg(min(col("cell")).as("n_cms"))
@@ -348,16 +352,16 @@ object TextOps extends QueryPack {
         |r AS (SELECT unnest(range(0, 4)) AS r),
         |cells AS (
         |  SELECT r.r,
-        |    CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || t.token),
-        |      1, 8)) AS BIGINT) % 1024 AS bucket,
+        |    CAST(('0x' || substring(md5(t.token),
+        |      1 + 8 * CAST(r.r AS INT), 8)) AS BIGINT) % 1024 AS bucket,
         |    CAST(count(*) AS BIGINT) AS cell
         |  FROM t, r GROUP BY 1, 2),
         |top AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
         |        FROM t GROUP BY token ORDER BY n_exact DESC, token LIMIT 50),
         |probe AS (
         |  SELECT top.token, top.n_exact, r.r,
-        |    CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || top.token),
-        |      1, 8)) AS BIGINT) % 1024 AS bucket
+        |    CAST(('0x' || substring(md5(top.token),
+        |      1 + 8 * CAST(r.r AS INT), 8)) AS BIGINT) % 1024 AS bucket
         |  FROM top, r)
         |SELECT p.token, p.n_exact, CAST(min(c.cell) AS BIGINT) AS n_cms
         |FROM probe p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket

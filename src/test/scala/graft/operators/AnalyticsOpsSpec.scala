@@ -128,10 +128,11 @@ class AnalyticsOpsSpec extends GraftSpec {
     assert(got === naivePagerankTop20(3))
   }
 
-  test("integer PageRank: 12 rounds, per-round checkpoint keeps lineage flat") {
-    // Pre-checkpoint this would grow a 24-join lineage; the per-round
-    // localCheckpoint keeps every iteration's plan identical. Answer still
-    // bit-exact against the naive walk at the same depth.
+  test("integer PageRank: 12 rounds, periodic checkpoint keeps lineage bounded") {
+    // Uncheckpointed this would grow a 24-join lineage; the every-4th-round
+    // localCheckpoint bounds the plan at <= 8 joins at any depth (and the
+    // declared 3-round query pays zero extra materializations). Answer
+    // still bit-exact against the naive walk at the same depth.
     val got = AnalyticsOps.graphPagerank(spark, sfDir, rounds = 12).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === naivePagerankTop20(12))

