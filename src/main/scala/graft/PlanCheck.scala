@@ -239,6 +239,18 @@ object PlanCheck {
       mustContain = Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
       mustNot = Seq("CartesianProduct", "SortMergeJoin"),
       noAutoBroadcast = true),
+    // funnel: per-user stage frames are O(users) — they must NOT be
+    // force-broadcast; keyed joins + hash aggs, nothing cartesian
+    Check("events_funnel",
+      mustContain = Seq("SortMergeJoin", "HashAggregate"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "BroadcastExchange"),
+      noAutoBroadcast = true),
+    // per-stratum top-k: rank-limited window (map-side k per group),
+    // no join, no global TakeOrdered of the corpus
+    Check("sample_stratified_topk",
+      mustContain = Seq("WindowGroupLimit"),
+      mustNot = Seq("Join", "CartesianProduct")),
   )
 
   def main(args: Array[String]): Unit = {

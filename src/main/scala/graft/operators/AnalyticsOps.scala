@@ -169,6 +169,67 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("event_type"), col("bar"))
   }
 
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * first view, the first click strictly after it, and the first
+    * purchase strictly after that click — later steps only count inside
+    * 7 days of the entering view (the attribution window). Output is the
+    * per-stage distinct-user count, the shape every growth dashboard
+    * wants and a pure-integer result.
+    *
+    * Shape: three chained keyed aggregations, all hash-partitioned on
+    * `user_id` — Catalyst reuses the exchange, so the corpus shuffles on
+    * the user key once and each later stage joins/aggregates within the
+    * same partitioning. The stage frames shrink monotonically (funnel!),
+    * and nothing is windowed over the whole corpus. At 100 TB this is
+    * one shuffle of the event log + per-user work, the minimum any
+    * order-sensitive funnel needs. */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val week = expr("INTERVAL 7 DAYS")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + week)
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t2") && col("ts") <= col("t1") + week)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+      // a stage nobody reached is absent, not a zero row — the zero-row-
+      // corpus contract every declared query keeps (EmptyCorpusSpec)
+      .filter(col("n_users") > 0)
+      .orderBy(col("stage"))
+  }
+
+  /** Per-stratum weighted sampling without replacement: the top-5 docs
+    * per language by the SAME md5-derived priority as [[sampleWeighted]]
+    * — the per-group variant a mixture builder runs to pull a fixed
+    * quota from every stratum in one pass. Window top-k per group
+    * (rank-limited before any full sort), never a global shuffle of the
+    * corpus order. */
+  def sampleStratifiedTopK(s: SparkSession, d: String): DataFrame = {
+    val h = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_chars"), lit(1L)).as("weight"))
+      .withColumn("u", (h + 1).cast("double") / lit(4294967296.0))
+      .withColumn("priority", col("weight").cast("double") / col("u"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("doc_id"), col("weight"), col("priority"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** Per-type z-score anomaly extraction: flag events whose value sits
     * more than 3 standard deviations from their type's mean, reporting
     * z² in 4dp (z itself needs a sqrt; z² is the same ranking and stays
@@ -304,6 +365,8 @@ object AnalyticsOps extends QueryPack {
     "cohort_retention"   -> cohortRetention,
     "events_ohlc"        -> eventsOhlc,
     "events_anomaly"     -> eventsAnomaly,
+    "events_funnel"      -> eventsFunnel,
+    "sample_stratified_topk" -> sampleStratifiedTopK,
     "graph_pagerank"     -> graphPagerank,
     "sample_weighted"    -> sampleWeighted,
   )
@@ -373,6 +436,40 @@ object AnalyticsOps extends QueryPack {
         |  max(CASE WHEN rn_close = 1 THEN value END) AS close,
         |  round(sum(value), 2) AS volume, count(*) AS n_events
         |FROM e GROUP BY event_type, bar ORDER BY event_type, bar""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, v.t1, min(e.ts) AS t2
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 7 DAY
+        |      GROUP BY e.user_id, v.t1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= c.t1 + INTERVAL 7 DAY
+        |      GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT '2_click' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM c
+        |  UNION ALL
+        |  SELECT '3_purchase' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM p)
+        |WHERE n_users > 0 ORDER BY stage""".stripMargin,
+    "sample_stratified_topk" ->
+      """WITH g AS (SELECT doc_id, lang, coalesce(n_chars, 1) AS weight,
+        |  (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+        |    / 4294967296.0 AS u
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, CAST(weight AS BIGINT) AS weight,
+        |    CAST(weight AS DOUBLE) / u AS priority,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(weight AS DOUBLE) / u DESC, doc_id) AS rank
+        |  FROM g)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, weight, priority
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "events_anomaly" ->
       """WITH e AS (SELECT event_id, event_type,
         |    CAST(round(value * 100) AS BIGINT) AS v_c

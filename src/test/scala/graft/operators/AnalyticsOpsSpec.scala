@@ -152,6 +152,49 @@ class AnalyticsOpsSpec extends GraftSpec {
     assert(got.toSeq === Seq((21L, 10000L, 20.0)))
   }
 
+  test("funnel: order violations and window expiry drop users per stage") {
+    val d1 = "2024-03-01 10:00:00"
+    val rows = Seq(
+      // user 1: clean view -> click -> purchase
+      Row(1L, ts(d1), 1L, "view", 1.0, null),
+      Row(2L, ts("2024-03-02 10:00:00"), 1L, "click", 1.0, null),
+      Row(3L, ts("2024-03-03 10:00:00"), 1L, "purchase", 1.0, null),
+      // user 2: click BEFORE its first view -> counts only as a view
+      Row(4L, ts(d1), 2L, "click", 1.0, null),
+      Row(5L, ts("2024-03-02 10:00:00"), 2L, "view", 1.0, null),
+      // user 3: click 8 days later -> outside the 7-day window
+      Row(6L, ts(d1), 3L, "view", 1.0, null),
+      Row(7L, ts("2024-03-09 11:00:00"), 3L, "click", 1.0, null),
+      // user 4: purchase outside the window measured from the VIEW
+      Row(8L, ts(d1), 4L, "view", 1.0, null),
+      Row(9L, ts("2024-03-02 10:00:00"), 4L, "click", 1.0, null),
+      Row(10L, ts("2024-03-09 11:00:00"), 4L, "purchase", 1.0, null),
+      // user 5: purchase with no view -> invisible to the funnel
+      Row(11L, ts(d1), 5L, "purchase", 1.0, null))
+    val got = AnalyticsOps.eventsFunnel(spark, writeEvents(rows)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("1_view" -> 4L, "2_click" -> 2L, "3_purchase" -> 1L))
+  }
+
+  test("stratified sampling: per-lang quota, priorities re-derived scalar-side") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), coalesce(col("n_chars"), lit(1L)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = docs.map { case (id, lang, w) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4294967296.0
+      (lang, id, w, w.toDouble / u)
+    }.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.sortBy { case (_, id, _, p) => (-p, id) }.take(5).zipWithIndex
+        .map { case ((_, id, w, p), i) => (lang, (i + 1).toLong, id, w, p) }
+    }
+    val got = AnalyticsOps.sampleStratifiedTopK(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSet === expected.toSet)
+  }
+
   test("priority sampling: scalar md5 recomputation agrees on the top-20") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), coalesce(col("n_chars"), lit(1L)))
