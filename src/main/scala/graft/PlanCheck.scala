@@ -251,6 +251,13 @@ object PlanCheck {
     Check("sample_stratified_topk",
       mustContain = Seq("WindowGroupLimit"),
       mustNot = Seq("Join", "CartesianProduct")),
+    // approx percentiles: GK/exact sketches aggregate via
+    // ObjectHashAggregate; the ≤3·|types| probe rows broadcast back —
+    // the corpus itself never joins shuffled
+    Check("events_approx_percentiles",
+      mustContain = Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin"),
+      noAutoBroadcast = true),
   )
 
   def main(args: Array[String]): Unit = {

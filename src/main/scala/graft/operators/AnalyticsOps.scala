@@ -230,6 +230,56 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Approximate percentiles (the KLL/GK-family `percentile_approx`
+    * sketch) audited against the exact interpolated percentile, per
+    * event type. The raw sketch output is engine-specific, so — the
+    * [[AdvancedOps.q30ApproxDistinct]] convention — the oracle-checked
+    * columns are the EXACT percentile (linear interpolation over integer
+    * cents, identical in both engines) plus `within_bound`: the rank
+    * interval of the approx value must overlap the target rank within
+    * the sketch's guaranteed n/accuracy rank error (+1 interpolation
+    * slack). DuckDB asserts `true`; a broken sketch (off by more than
+    * the deterministic GK bound) fails the hash.
+    *
+    * Shape: ONE aggregate computes n + both percentile families per
+    * type; the rank audit joins the ≤3·|types| probe rows back over one
+    * corpus scan (broadcast), so the whole query is two passes and no
+    * corpus shuffle beyond the type agg — the sketch is why: at 100 TB
+    * `percentile_approx` merges map-side GK summaries instead of
+    * shuffling raw values the way the exact percentile must. */
+  def eventsApproxPercentiles(s: SparkSession, d: String): DataFrame = {
+    val acc = 1000
+    val ps = Seq(0.5, 0.9, 0.99)
+    val psArr = s"array(${ps.mkString(", ")})"
+    val ev = Tables.events(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.MaxValue))
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("v_c"))
+    val st = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      expr(s"percentile(v_c, $psArr)").as("exact_arr"),
+      expr(s"percentile_approx(v_c, $psArr, $acc)").as("approx_arr"))
+    val pr = st
+      .select(col("event_type"), col("n"), col("approx_arr"),
+        posexplode(col("exact_arr")).as(Seq("i", "exact_raw")))
+      .select(col("event_type"), col("n"), col("i"), col("exact_raw"),
+        element_at(typedlit(ps), col("i") + 1).as("p"),
+        element_at(col("approx_arr"), col("i") + 1).as("approx_v"))
+    val cnts = ev
+      .join(broadcast(pr.select(col("event_type"), col("i"), col("approx_v"))),
+        Seq("event_type"))
+      .groupBy(col("event_type"), col("i")).agg(
+        sum(when(col("v_c") <= col("approx_v"), 1L).otherwise(0L)).as("cnt_le"),
+        sum(when(col("v_c") < col("approx_v"), 1L).otherwise(0L)).as("cnt_lt"))
+    val tol = col("n").cast("double") / acc + 1.0
+    pr.join(broadcast(cnts), Seq("event_type", "i"))
+      .select(col("event_type"), col("p"),
+        round(col("exact_raw"), 4).as("exact_c"), col("n"),
+        (col("cnt_le") >= col("p") * col("n") - tol &&
+          col("cnt_lt") <= col("p") * col("n") + tol).as("within_bound"))
+      .orderBy(col("event_type"), col("p"))
+  }
+
   /** Per-type z-score anomaly extraction: flag events whose value sits
     * more than 3 standard deviations from their type's mean, reporting
     * z² in 4dp (z itself needs a sqrt; z² is the same ranking and stays
@@ -366,6 +416,7 @@ object AnalyticsOps extends QueryPack {
     "events_ohlc"        -> eventsOhlc,
     "events_anomaly"     -> eventsAnomaly,
     "events_funnel"      -> eventsFunnel,
+    "events_approx_percentiles" -> eventsApproxPercentiles,
     "sample_stratified_topk" -> sampleStratifiedTopK,
     "graph_pagerank"     -> graphPagerank,
     "sample_weighted"    -> sampleWeighted,
@@ -436,6 +487,17 @@ object AnalyticsOps extends QueryPack {
         |  max(CASE WHEN rn_close = 1 THEN value END) AS close,
         |  round(sum(value), 2) AS volume, count(*) AS n_events
         |FROM e GROUP BY event_type, bar ORDER BY event_type, bar""".stripMargin,
+    "events_approx_percentiles" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events WHERE value IS NOT NULL AND isfinite(value)),
+        |st AS (SELECT event_type,
+        |    quantile_cont(v_c, [0.5, 0.9, 0.99]) AS qs,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, ([0.5, 0.9, 0.99])[i] AS p,
+        |  round(qs[i], 4) AS exact_c, n, true AS within_bound
+        |FROM st, unnest(range(1, 4)) AS u(i)
+        |ORDER BY event_type, p""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events),

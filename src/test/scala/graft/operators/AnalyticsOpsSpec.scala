@@ -152,6 +152,16 @@ class AnalyticsOpsSpec extends GraftSpec {
     assert(got.toSeq === Seq((21L, 10000L, 20.0)))
   }
 
+  test("approx percentiles: exact interpolation hand-checked, bound holds") {
+    // values 0.01..0.04 -> cents 1..4; p=0.5 over n=4: rank 1.5 (0-based)
+    // -> 2 + 0.5*(3-2) = 2.5; p=0.9: rank 2.7 -> 3.7; p=0.99: 3.97
+    val rows = (1L to 4L).map(i =>
+      Row(i, ts("2024-03-01 10:00:00"), 1L, "t", i * 0.01, null))
+    val got = AnalyticsOps.eventsApproxPercentiles(spark, writeEvents(rows))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getBoolean(4)))
+    assert(got.toSeq === Seq((0.5, 2.5, true), (0.9, 3.7, true), (0.99, 3.97, true)))
+  }
+
   test("funnel: order violations and window expiry drop users per stage") {
     val d1 = "2024-03-01 10:00:00"
     val rows = Seq(

@@ -34,6 +34,27 @@ class SourcesSpec extends GraftSpec {
     assert(back.count() == Tables.documents(spark, sfDir).count())
   }
 
+  test("parquet schema evolution: mergeSchema unions columns across generations") {
+    // generation 1 writes (doc_id, text); generation 2 adds a `score`
+    // column — the append-only evolution every long-lived lake table
+    // goes through. mergeSchema must union the schemas and null-fill the
+    // column where a file generation lacks it.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve-").toString + "/out"
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(dir)
+    Seq((3L, "gamma", 0.75)).toDF("doc_id", "text", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("doc_id", "score", "text"))
+    val rows = merged.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(r.fieldIndex("text")),
+        if (r.isNullAt(r.fieldIndex("score"))) None
+        else Some(r.getDouble(r.fieldIndex("score")))))
+    assert(rows.toSeq === Seq((1L, "alpha", None), (2L, "beta", None),
+      (3L, "gamma", Some(0.75))))
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part-").toString + "/out"
     Tables.documents(spark, sfDir).write.partitionBy("lang").parquet(dir)
