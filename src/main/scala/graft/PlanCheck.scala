@@ -258,6 +258,12 @@ object PlanCheck {
       mustContain = Seq("ObjectHashAggregate", "BroadcastHashJoin"),
       mustNot = Seq("CartesianProduct", "SortMergeJoin"),
       noAutoBroadcast = true),
+    // merge-apply: the delta derivation keeps the extractor's keyed
+    // full-outer; the final 1-row audit assembly may broadcast but
+    // nothing cartesian over data
+    Check("cdc_merge_apply",
+      mustContain = Seq("SortMergeJoin FullOuter", "HashAggregate"),
+      mustNot = Seq("CartesianProduct")),
   )
 
   def main(args: Array[String]): Unit = {

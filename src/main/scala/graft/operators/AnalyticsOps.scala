@@ -82,12 +82,14 @@ object AnalyticsOps extends QueryPack {
     * scales exactly like the exact-dedup digest join because it IS that
     * join plus a three-way CASE.
     */
-  def cdcSnapshotDelta(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
+  private def cdcBase(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+
+  private def cdcNext(base: DataFrame): DataFrame = {
     val shift = col("doc_id") % 19 === 0 && col("doc_id") % 7 =!= 0 &&
       length(coalesce(col("text"), lit(""))) >= 1
-    val next = base.filter(col("doc_id") % 13 =!= 0)
+    base.filter(col("doc_id") % 13 =!= 0)
       .select(
         col("doc_id"),
         when(col("doc_id") % 7 === 0,
@@ -100,6 +102,11 @@ object AnalyticsOps extends QueryPack {
         col("source"))
       .unionByName(base.filter(col("doc_id") % 17 === 0)
         .withColumn("doc_id", col("doc_id") + 10000000L))
+  }
+
+  def cdcSnapshotDelta(s: SparkSession, d: String): DataFrame = {
+    val base = cdcBase(s, d)
+    val next = cdcNext(base)
     def keyed(df: DataFrame) = df.select(col("doc_id"),
       md5(concat_ws("", coalesce(col("text"), lit("")),
         coalesce(col("lang"), lit("")), coalesce(col("source"), lit(""))))
@@ -114,6 +121,54 @@ object AnalyticsOps extends QueryPack {
       .filter(col("op").isNotNull)
       .select(col("doc_id"), col("op"))
       .orderBy(col("doc_id"))
+  }
+
+  /** MERGE-apply of the CDC delta — the other half of the replication
+    * contract: [[cdcSnapshotDelta]] EXTRACTS the (key, op) delta; this
+    * REPLAYS it onto the base snapshot and audits that the merged table
+    * equals the independently-derived next snapshot. Output is the one
+    * audit row every replication job logs: rows updated / inserted /
+    * deleted, the merged row count, and `matches` — equality of an
+    * order-independent integer checksum (sum of per-row 32-bit md5
+    * prefixes over ␁-separated fields) between merged and next. A wrong
+    * merge — dropped update, double-applied insert, resurrected delete —
+    * flips `matches` and fails the hash.
+    *
+    * Shape: kept rows are one left join of base against the (small)
+    * delta; updated/inserted payloads are one join of next against the
+    * delta; checksums are map-side digests reduced by an order-free sum.
+    * Everything scales like the extractor's digest join. */
+  def cdcMergeApply(s: SparkSession, d: String): DataFrame = {
+    val base = cdcBase(s, d)
+    val next = cdcNext(base)
+    val delta = cdcSnapshotDelta(s, d).select(col("doc_id"), col("op"))
+    val dig = expr("CAST(conv(substring(md5(concat_ws('', " +
+      "CAST(doc_id AS STRING), coalesce(text, ''), coalesce(lang, ''), " +
+      "coalesce(source, ''))), 1, 8), 16, 10) AS BIGINT)")
+    val kept = base.join(delta, Seq("doc_id"), "left_outer")
+      .filter(col("op").isNull)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val upserted = next.join(delta.filter(col("op").isin("U", "I")), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val merged = kept.unionByName(upserted)
+    val mc = merged.agg(count(lit(1)).as("n_merged"),
+      coalesce(sum(dig), lit(0L)).as("ck_merged"))
+    val nc = next.agg(count(lit(1)).as("n_next"),
+      coalesce(sum(dig), lit(0L)).as("ck_next"))
+    val ops = delta.agg(
+      sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"),
+      sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserted"),
+      sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deleted"))
+    ops.crossJoin(mc).crossJoin(nc)
+      .select(
+        coalesce(col("n_updated"), lit(0L)).as("n_updated"),
+        coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+        col("n_merged"),
+        (col("n_merged") === col("n_next") &&
+          col("ck_merged") === col("ck_next")).as("matches"))
+      // zero-row-corpus contract: no snapshot, no audit row
+      .filter(col("n_merged") + coalesce(col("n_deleted"), lit(0L)) > 0)
   }
 
   /** Weekly cohort retention: users are cohorted by the ISO week of their
@@ -412,6 +467,7 @@ object AnalyticsOps extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns"    -> profileColumns,
     "cdc_snapshot_delta" -> cdcSnapshotDelta,
+    "cdc_merge_apply"    -> cdcMergeApply,
     "cohort_retention"   -> cohortRetention,
     "events_ohlc"        -> eventsOhlc,
     "events_anomaly"     -> eventsAnomaly,
@@ -463,6 +519,62 @@ object AnalyticsOps extends QueryPack {
         |             WHEN p.prev_digest <> n.next_digest THEN 'U' END AS op
         |      FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id)
         |SELECT doc_id, op FROM j WHERE op IS NOT NULL ORDER BY doc_id""".stripMargin,
+    "cdc_merge_apply" ->
+      """WITH base AS (SELECT doc_id, text, lang, source FROM documents),
+        |next AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN coalesce(text,'') || ' [rev2]'
+        |         WHEN doc_id % 19 = 0 AND length(coalesce(text,'')) >= 1
+        |           THEN substring(text, 1, length(text) - 1)
+        |         ELSE text END AS text,
+        |    CASE WHEN doc_id % 19 = 0 AND doc_id % 7 <> 0
+        |              AND length(coalesce(text,'')) >= 1
+        |           THEN substring(text, length(text), 1) || coalesce(lang,'')
+        |         ELSE lang END AS lang,
+        |    source
+        |  FROM base WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, lang, source
+        |  FROM base WHERE doc_id % 17 = 0),
+        |p AS (SELECT doc_id, md5(coalesce(text,'') || chr(1) ||
+        |        coalesce(lang,'') || chr(1) || coalesce(source,'')) AS pd
+        |      FROM base),
+        |n AS (SELECT doc_id, md5(coalesce(text,'') || chr(1) ||
+        |        coalesce(lang,'') || chr(1) || coalesce(source,'')) AS nd
+        |      FROM next),
+        |d2 AS (SELECT doc_id, op FROM (
+        |    SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
+        |      CASE WHEN n.nd IS NULL THEN 'D'
+        |           WHEN p.pd IS NULL THEN 'I'
+        |           WHEN p.pd <> n.nd THEN 'U' END AS op
+        |    FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id)
+        |  WHERE op IS NOT NULL),
+        |kept AS (SELECT b.doc_id, b.text, b.lang, b.source
+        |  FROM base b LEFT JOIN d2 USING (doc_id) WHERE d2.op IS NULL),
+        |ups AS (SELECT nx.doc_id, nx.text, nx.lang, nx.source
+        |  FROM next nx JOIN d2 USING (doc_id) WHERE d2.op IN ('U','I')),
+        |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ups),
+        |ckm AS (SELECT CAST(count(*) AS BIGINT) AS n_merged,
+        |    coalesce(CAST(sum(CAST(('0x' || substring(md5(
+        |      CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text,'') || chr(1) ||
+        |      coalesce(lang,'') || chr(1) || coalesce(source,'')), 1, 8))
+        |      AS BIGINT)) AS BIGINT), 0) AS ck_merged
+        |  FROM merged),
+        |ckn AS (SELECT CAST(count(*) AS BIGINT) AS n_next,
+        |    coalesce(CAST(sum(CAST(('0x' || substring(md5(
+        |      CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text,'') || chr(1) ||
+        |      coalesce(lang,'') || chr(1) || coalesce(source,'')), 1, 8))
+        |      AS BIGINT)) AS BIGINT), 0) AS ck_next
+        |  FROM next),
+        |ops AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_updated,
+        |    CAST(coalesce(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_inserted,
+        |    CAST(coalesce(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_deleted
+        |  FROM d2)
+        |SELECT n_updated, n_inserted, n_deleted, n_merged,
+        |  (n_merged = n_next AND ck_merged = ck_next) AS matches
+        |FROM ops, ckm, ckn
+        |WHERE n_merged + n_deleted > 0""".stripMargin,
     "cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |c AS (SELECT user_id, ts,

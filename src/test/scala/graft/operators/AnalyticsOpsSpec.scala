@@ -71,6 +71,18 @@ class AnalyticsOpsSpec extends GraftSpec {
     assert(got === Map(19L -> "U"))
   }
 
+  test("CDC merge-apply: replayed delta reconstructs next, counts tie out") {
+    val deltaOps = AnalyticsOps.cdcSnapshotDelta(spark, sfDir).collect()
+      .map(_.getString(1)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val r = AnalyticsOps.cdcMergeApply(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(0) === deltaOps.getOrElse("U", 0L), "n_updated")
+    assert(row.getLong(1) === deltaOps.getOrElse("I", 0L), "n_inserted")
+    assert(row.getLong(2) === deltaOps.getOrElse("D", 0L), "n_deleted")
+    assert(row.getBoolean(4), "merged table must checksum-equal the next snapshot")
+  }
+
   test("cohort retention: exact cells on a three-user fixture") {
     // 2024-01-01 is a Monday; weeks W0/W1/W2 start 01-01 / 01-08 / 01-15
     val dir = writeEvents(Seq(
