@@ -264,6 +264,16 @@ object PlanCheck {
     Check("cdc_merge_apply",
       mustContain = Seq("SortMergeJoin FullOuter", "HashAggregate"),
       mustNot = Seq("CartesianProduct")),
+    // centroids: one generator + one keyed agg to 64·|labels| cells —
+    // no join anywhere
+    Check("embedding_centroids",
+      mustContain = Seq("Generate", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct")),
+    // kNN classify: the label join runs over ≤10·|queries| neighbor
+    // rows, never a corpus-by-corpus product
+    Check("ann_knn_classify",
+      mustContain = Seq("HashAggregate"),
+      mustNot = Seq("CartesianProduct")),
   )
 
   def main(args: Array[String]): Unit = {

@@ -159,6 +159,48 @@ object SimilarityOps extends QueryPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Per-label centroid table: for every (label, dimension), the member
+    * count and 6dp mean component over well-formed (fixed-dim, finite)
+    * vectors — the "class prototype" table a retrieval or clustering
+    * pipeline materializes for probing and drift monitoring. Long shape
+    * (label, dim) rather than an array column so the oracle hash covers
+    * every component.
+    *
+    * Shape: one posexplode + ONE aggregate shuffle on the (label, dim)
+    * key — 64·|labels| cells regardless of corpus size, the same
+    * partial-agg collapse as every sketch here. */
+  def embeddingCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim &&
+        expr("forall(embedding, v -> abs(CAST(v AS DOUBLE)) < CAST('Infinity' AS DOUBLE))"))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), round(avg(col("v").cast("double")), 6).as("mean_v"))
+      .orderBy(col("label"), col("dim"))
+
+  /** k-NN classification by retrieval: each query vector takes the
+    * MAJORITY label of its exact top-10 cosine neighbors (vote count
+    * desc, label asc tiebreak — fully deterministic). The classic
+    * "search as a classifier" audit: it exercises retrieval + metadata
+    * join + per-query reduction, and the label vote is integer-exact in
+    * both engines.
+    *
+    * Shape: [[annBruteForce]]'s one corpus scan, then the ≤10·|queries|
+    * neighbor rows join the label table keyed and reduce per query —
+    * nothing beyond the search itself touches the corpus. */
+  def annKnnClassify(s: SparkSession, d: String): DataFrame = {
+    val neighbors = annBruteForce(s, d).select(col("q_id"), col("vec_id"))
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = neighbors.join(labels, Seq("vec_id"))
+      .groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("label").as("predicted"), col("votes"))
+      .orderBy(col("q_id"))
+  }
+
   /** Shared LSH search body (production + portable differ only in the
     * bucket expression): bucket equi-join → candidate ID pairs — the
     * multi-table collision dedup runs on the (q_id, vec_id) pair alone
@@ -537,6 +579,8 @@ object SimilarityOps extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> annBruteForce,
     "ann_quantized_topk" -> annQuantizedTopK,
+    "ann_knn_classify" -> annKnnClassify,
+    "embedding_centroids" -> embeddingCentroids,
     "ann_lsh_topk" -> annLsh,
     "ann_lsh_portable" -> annLshPortable,
     "ann_ivf_topk" -> annIvf,
@@ -573,6 +617,41 @@ object SimilarityOps extends QueryPack {
         |  FROM dots)
         |SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank
         |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "embedding_centroids" ->
+      """WITH e AS (SELECT label, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |    AND len(list_filter(embedding, x ->
+        |      NOT (abs(CAST(x AS DOUBLE)) < CAST('infinity' AS DOUBLE)))) = 0),
+        |flat AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM e, unnest(range(1, 65)) AS u(i))
+        |SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(v), 6) AS mean_v
+        |FROM flat GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "ann_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q_id, e.vec_id AS vec_id,
+        |   round(list_dot_product(q_emb, e.embedding::DOUBLE[]) /
+        |     (sqrt(list_dot_product(q_emb, q_emb)) *
+        |      sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cos
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored),
+        |votes AS (
+        |  SELECT r.q_id, l.label, CAST(count(*) AS BIGINT) AS votes
+        |  FROM ranked r JOIN embeddings l ON r.vec_id = l.vec_id
+        |  WHERE r.rank <= 10 GROUP BY r.q_id, l.label),
+        |best AS (
+        |  SELECT q_id, label, votes,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY votes DESC, label) AS rk
+        |  FROM votes)
+        |SELECT q_id, label AS predicted, votes FROM best
+        |WHERE rk = 1 ORDER BY q_id""".stripMargin,
     // planted-twin recall is exact by construction (see annRecall): every
     // method must retrieve each twin's original, so the expected counts
     // are a closed-form function of the plant modulus
