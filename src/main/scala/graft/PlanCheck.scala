@@ -274,6 +274,12 @@ object PlanCheck {
     Check("ann_knn_classify",
       mustContain = Seq("HashAggregate"),
       mustNot = Seq("CartesianProduct")),
+    // normalization: a shuffle-free scalar projection (the single
+    // Exchange is the final presentation sort's range partitioning)
+    Check("text_normalize",
+      mustContain = Seq("Scan parquet"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      maxNodes = Seq("Exchange" -> 1)),
   )
 
   def main(args: Array[String]): Unit = {

@@ -381,14 +381,13 @@ object AnalyticsOps extends QueryPack {
     * two executors add contributions in different orders. Top-20 with a
     * (rank, node) total order.
     *
-    * Shape: the edge-with-degree frame is built once and materialized
-    * (`localCheckpoint`, the [[DedupOps.componentsWithRounds]] idiom) —
-    * it feeds every round, and without the checkpoint the distinct-pair
-    * shuffle would re-execute per action. The loop-carried rank is
-    * re-checkpointed every 4th round: lineage stays bounded (≤ 8 joins)
-    * at ANY depth, while shallow runs — including the declared 3-round
-    * query — pay ZERO extra materializations (Catalyst's exchange reuse
-    * already folds the short lineage). Each round is the same two keyed
+    * Shape: shallow runs (≤ 4 rounds, including the declared 3-round
+    * query) build ONE lazy DAG — Catalyst's exchange reuse folds the
+    * short lineage and no materialization barrier is paid at all. Deeper
+    * runs switch to the [[DedupOps.componentsWithRounds]] idiom: the
+    * edge-with-degree frame is `localCheckpoint`ed once (it feeds every
+    * round) and the loop-carried rank every 4th round, so lineage stays
+    * bounded (≤ 8 joins) at ANY depth. Each round is the same two keyed
     * shuffles — join(rank, on src) → agg(on dst), the canonical
     * distributed PageRank shape. Every node has in-edges by construction
     * (undirected expansion), so no dangling-node left join is needed.
@@ -423,14 +422,16 @@ object AnalyticsOps extends QueryPack {
 
   def graphPagerank(s: SparkSession, d: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val deep = rounds > 4
     val edges = pagerankEdges(s, d)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
+    val edgesDegLazy = edges.join(deg, "src")
+    val edgesDeg = if (deep) edgesDegLazy.localCheckpoint(true) else edgesDegLazy
     var rank = edges.select(col("src").as("node")).distinct()
       .withColumn("rank_micro", lit(1000000L))
     for (round <- 1 to rounds) {
       rank = pagerankRound(edgesDeg, rank)
-      if (round % 4 == 0) rank = rank.localCheckpoint(true)
+      if (deep && round % 4 == 0) rank = rank.localCheckpoint(true)
     }
     rank.select(
         when(col("node") % 2 === 0, lit("s")).otherwise(lit("p")).as("node_type"),

@@ -282,6 +282,38 @@ object TextOps extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical text normalization — the first stage of every training
+    * corpus pipeline: Unicode NFC composition (via the codegen
+    * `graft_nfc` expression — ASCII fast-path, stays in whole-stage
+    * codegen), lowercase, whitespace collapse, trim. Output audits the
+    * rewrite per document: char counts before/after, whether anything
+    * changed, and the md5 of the normalized text (so the oracle checks
+    * the exact normalized BYTES, not just lengths). Every 103rd doc is
+    * re-entered with a decomposed-form suffix ("cafe" + COMBINING ACUTE)
+    * so NFC does real composition work on the otherwise-ASCII corpus —
+    * both engines must agree the combining pair became one code point.
+    *
+    * Shape: a pure scalar projection — shuffle-free, scales with input
+    * splits like every other text scorer here. */
+  def textNormalize(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextNormExpressions.register(s)
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val docs = base.unionByName(base
+        .filter(col("doc_id") % 103 === 0 && col("text").isNotNull)
+        .select((col("doc_id") + 3000000000000L).as("doc_id"),
+          concat(col("text"), lit(" cafe\u0301")).as("text")))
+      .filter(col("text").isNotNull)
+    val norm = trim(regexp_replace(
+      lower(graft.functions.TextNormExpressions.nfc(col("text"))),
+      "[ \\t\\n\\r]+", " "))
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(norm).cast("long").as("n_chars_norm"),
+        (norm =!= col("text")).as("changed"),
+        md5(norm).as("norm_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Count-min-sketch heavy hitters: token frequencies estimated from a
     * FIXED-SIZE mergeable sketch — depth 4 × width 1024 integer cells —
     * reported, for the exact top-50 tokens, next to the exact count. The
@@ -328,6 +360,7 @@ object TextOps extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_cms_heavyhitters" -> textCmsHeavyHitters,
+    "text_normalize" -> textNormalize,
     "text_entropy" -> textEntropy,
     "text_perplexity" -> textPerplexity,
     "text_quality_model" -> textQualityModel,
@@ -347,6 +380,21 @@ object TextOps extends QueryPack {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${stops.map(w => s"'$w'").mkString(", ")})))"
 
   override val oracle: Map[String, String] = Map(
+    "text_normalize" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 3000000000000 AS doc_id,
+        |    text || ' cafe' || chr(769) AS text
+        |  FROM documents WHERE doc_id % 103 = 0 AND text IS NOT NULL),
+        |n AS (SELECT doc_id, text,
+        |    trim(regexp_replace(lower(nfc_normalize(text)),
+        |      '[ \t\n\r]+', ' ', 'g')) AS norm
+        |  FROM docs)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(norm) AS BIGINT) AS n_chars_norm,
+        |  (norm <> text) AS changed, md5(norm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     "text_cms_heavyhitters" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |r AS (SELECT unnest(range(0, 4)) AS r),
