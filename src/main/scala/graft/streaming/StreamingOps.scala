@@ -54,6 +54,22 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Per-hour per-user activity counts — the streaming half of the
+    * heavy-hitters serving path. State is one count per (open window,
+    * active user), watermark-bounded: at 10× users the state grows 10×
+    * but stays strictly inside the 2-hour horizon. The top-k RANK runs
+    * batch-side over the sink table (streaming aggregations admit no
+    * window functions — ranking the served table is the standard
+    * lambda-architecture read path). Identity rule as sessionization:
+    * a null-user row belongs to no per-user count. */
+  def hourlyUserCounts(events: DataFrame): DataFrame =
+    eventTimed(events)
+      .filter(col("user_id").isNotNull)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("user_id"), col("n"))
+
   /** Built-in session windows: 30-minute inactivity gap. Sessionization
     * requires an identity (same contract as [[statefulSessions]]): a
     * null-user row belongs to no session and is dropped at ingress. */

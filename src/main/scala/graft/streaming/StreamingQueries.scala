@@ -359,7 +359,25 @@ object StreamingQueries extends QueryPack {
     runDirect(s, d) { df => StreamingOps.streamStreamJoin(df, df) }
       .orderBy(col("p_id"), col("c_id"))
 
+  /** Streaming heavy-hitters serving path: the stream maintains
+    * watermarked per-hour per-user counts ([[StreamingOps
+    * .hourlyUserCounts]] — Append mode, sentinel-flushed like every
+    * windowed agg here); the declared result then RANKS the sink table
+    * to each hour's top-3 users (count desc, user asc — deterministic).
+    * Sentinel scrub: the reserved user_id -1, exactly as
+    * [[streamSession]]. */
+  def streamTopkUsers(s: SparkSession, d: String): DataFrame = {
+    val counts = runBackfill(s, d)(StreamingOps.hourlyUserCounts)
+      .filter(col("user_id") =!= -1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour")).orderBy(col("n").desc, col("user_id"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("hour"), col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_topk_users" -> streamTopkUsers,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -375,6 +393,19 @@ object StreamingQueries extends QueryPack {
   // states the same semantics the engine declares — on well-formed
   // corpora every guard is a no-op.
   override val oracle: Map[String, String] = Map(
+    "stream_topk_users" ->
+      """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    user_id
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id <> -1),
+        |c AS (SELECT hour, user_id, CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT hour, user_id, n,
+        |    row_number() OVER (PARTITION BY hour ORDER BY n DESC, user_id)
+        |      AS rank
+        |  FROM c)
+        |SELECT hour, user_id, n, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY hour, rank""".stripMargin,
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         | count(*) AS n,
