@@ -108,7 +108,7 @@ object AnalyticsOps extends QueryPack {
     val base = cdcBase(s, d)
     val next = cdcNext(base)
     def keyed(df: DataFrame) = df.select(col("doc_id"),
-      md5(concat_ws("", coalesce(col("text"), lit("")),
+      md5(concat_ws("\u0001", coalesce(col("text"), lit("")),
         coalesce(col("lang"), lit("")), coalesce(col("source"), lit(""))))
         .as("digest"))
     val p = keyed(base).withColumnRenamed("digest", "prev_digest")
@@ -142,7 +142,7 @@ object AnalyticsOps extends QueryPack {
     val base = cdcBase(s, d)
     val next = cdcNext(base)
     val delta = cdcSnapshotDelta(s, d).select(col("doc_id"), col("op"))
-    val dig = expr("CAST(conv(substring(md5(concat_ws('', " +
+    val dig = expr("CAST(conv(substring(md5(concat_ws('\u0001', " +
       "CAST(doc_id AS STRING), coalesce(text, ''), coalesce(lang, ''), " +
       "coalesce(source, ''))), 1, 8), 16, 10) AS BIGINT)")
     val kept = base.join(delta, Seq("doc_id"), "left_outer")
@@ -308,7 +308,7 @@ object AnalyticsOps extends QueryPack {
     val psArr = s"array(${ps.mkString(", ")})"
     val ev = Tables.events(s, d)
       .filter(col("value").isNotNull && !isnan(col("value")) &&
-        abs(col("value")) < lit(Double.MaxValue))
+        abs(col("value")) < lit(Double.PositiveInfinity))
       .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("v_c"))
     val st = ev.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
@@ -354,7 +354,7 @@ object AnalyticsOps extends QueryPack {
   def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .filter(col("value").isNotNull && !isnan(col("value")) &&
-        abs(col("value")) < lit(Double.MaxValue))
+        abs(col("value")) < lit(Double.PositiveInfinity))
       .select(col("event_id"), col("event_type"),
         round(col("value") * 100, 0).cast("long").as("v_c"))
     val stats = ev.groupBy(col("event_type")).agg(
@@ -409,9 +409,10 @@ object AnalyticsOps extends QueryPack {
       .agg((lit(150000L) + sum(col("contrib"))).as("rank_micro"))
       .withColumnRenamed("dst", "node")
 
-  /** One round's dataflow with NO materialization barriers — the plan each
-    * iteration actually pays for (the declared query returns a checkpoint
-    * scan, so PlanCheck pins the join/agg shape through this builder). */
+  /** One round's dataflow with NO materialization barriers — the
+    * canonical per-iteration shape PlanCheck pins through this builder
+    * regardless of cadence (shallow runs build one lazy multi-round DAG;
+    * deep runs interleave checkpoint scans — see [[graphPagerank]]). */
   private[graft] def pagerankRoundPlan(s: SparkSession, d: String): DataFrame = {
     val edges = pagerankEdges(s, d)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -431,7 +432,10 @@ object AnalyticsOps extends QueryPack {
       .withColumn("rank_micro", lit(1000000L))
     for (round <- 1 to rounds) {
       rank = pagerankRound(edgesDeg, rank)
-      if (deep && round % 4 == 0) rank = rank.localCheckpoint(true)
+      // skip the barrier on the FINAL round — the result is consumed
+      // once immediately; lineage bounding buys nothing there
+      if (deep && round % 4 == 0 && round < rounds)
+        rank = rank.localCheckpoint(true)
     }
     rank.select(
         when(col("node") % 2 === 0, lit("s")).otherwise(lit("p")).as("node_type"),

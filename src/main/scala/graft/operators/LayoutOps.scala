@@ -124,13 +124,28 @@ object LayoutOps extends QueryPack {
     require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
     val hconf = s.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new java.net.URI(inDir), hconf)
+    val staging = new HPath(outDir + ".__staging")
+    // crash recovery FIRST — before planning and before discarding
+    // staging: a prior move-mode run may have already migrated
+    // pass-through files into staging and died before the swap, and
+    // those files exist nowhere else. Restore them to inDir (idempotent:
+    // a clean staging has none) so this run's listing re-plans them,
+    // then clear the dir. Without this, re-run-after-crash deletes data.
+    if (fs.exists(staging)) {
+      fs.listStatus(staging).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("passthrough-"))
+        .foreach { st =>
+          val orig = st.getPath.getName.replaceFirst("passthrough-\\d{5}-", "")
+          require(fs.rename(st.getPath, new HPath(inDir, orig)),
+            s"crash recovery: could not restore ${st.getPath} to $inDir")
+        }
+    }
+    fs.delete(staging, true)
     val all = listParquet(fs, inDir)
     val (small, big) = all.partition(_._2 < smallThreshold)
     val smallBytes = small.map(_._2).sum
     val nBins = math.max(1,
       math.ceil(smallBytes.toDouble / targetBytes).toInt)
-    val staging = new HPath(outDir + ".__staging")
-    fs.delete(staging, true)
     if (small.nonEmpty)
       s.read.parquet(small.map(_._1.toString): _*)
         .repartition(nBins)
@@ -141,7 +156,13 @@ object LayoutOps extends QueryPack {
       (p.toString, new HPath(staging, f"passthrough-$i%05d-${p.getName}").toString)
     }
     if (movePassthrough)
-      moves.foreach { case (src, dst) => fs.rename(new HPath(src), new HPath(dst)) }
+      moves.foreach { case (src, dst) =>
+        // Hadoop rename reports failure by RETURNING false (cross-fs
+        // move, dest problems) — silently losing a file from the plan
+        // is not acceptable, so fail loudly
+        require(fs.rename(new HPath(src), new HPath(dst)),
+          s"pass-through rename failed: $src -> $dst")
+      }
     else if (moves.nonEmpty) {
       // distributed byte copy: one job, each task copies its slice
       val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
@@ -154,7 +175,8 @@ object LayoutOps extends QueryPack {
         }
     }
     fs.delete(new HPath(outDir), true)
-    fs.rename(staging, new HPath(outDir))
+    require(fs.rename(staging, new HPath(outDir)),
+      s"staging swap failed: $staging -> $outDir (output stranded in staging)")
     CompactionReport(all.size, small.size, big.size,
       listParquet(fs, outDir).size, smallBytes, big.map(_._2).sum)
   }

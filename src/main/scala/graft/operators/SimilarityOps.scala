@@ -596,7 +596,7 @@ object SimilarityOps extends QueryPack {
     "ann_quantized_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings
         |           WHERE embedding IS NOT NULL AND len(embedding) = 64
-        |             AND len(list_filter(embedding, x ->
+        |             AND len(list_filter(embedding, x -> x IS NULL OR
         |               NOT (abs(CAST(x AS DOUBLE)) < CAST('infinity' AS DOUBLE)))) = 0),
         |dims AS (SELECT CAST(i AS INT) AS i FROM unnest(range(1, 65)) AS u(i)),
         |flat AS (SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS v
@@ -620,7 +620,7 @@ object SimilarityOps extends QueryPack {
     "embedding_centroids" ->
       """WITH e AS (SELECT label, embedding FROM embeddings
         |  WHERE embedding IS NOT NULL AND len(embedding) = 64
-        |    AND len(list_filter(embedding, x ->
+        |    AND len(list_filter(embedding, x -> x IS NULL OR
         |      NOT (abs(CAST(x AS DOUBLE)) < CAST('infinity' AS DOUBLE)))) = 0),
         |flat AS (SELECT label, CAST(i - 1 AS INT) AS dim,
         |    CAST(embedding[i] AS DOUBLE) AS v
@@ -628,19 +628,29 @@ object SimilarityOps extends QueryPack {
         |SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
         |  round(avg(v), 6) AS mean_v
         |FROM flat GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // degenerate-input guards mirror the Spark side (null/empty vectors
+    // excluded at the corpus; NULL/NaN cosine is never a neighbor). The
+    // len-equality guard protects DuckDB's list_dot_product from
+    // erroring on an off-dim vector — the one place the oracle cannot
+    // express graft_cosine's documented min-length prefix semantics
+    // (irrelevant on a fixed-dim corpus, where the guard is a no-op).
     "ann_knn_classify" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
-        |           FROM embeddings WHERE vec_id < 5),
+      """WITH e0 AS (SELECT vec_id, embedding FROM embeddings
+        |            WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+        |      FROM e0 WHERE vec_id < 5),
         |scored AS (
         |  SELECT q_id, e.vec_id AS vec_id,
         |   round(list_dot_product(q_emb, e.embedding::DOUBLE[]) /
         |     (sqrt(list_dot_product(q_emb, q_emb)) *
         |      sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cos
-        |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+        |  FROM e0 e JOIN q ON e.vec_id <> q.q_id
+        |  WHERE len(e.embedding) = len(q_emb)),
         |ranked AS (
         |  SELECT q_id, vec_id,
         |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-        |  FROM scored),
+        |  FROM scored
+        |  WHERE cos IS NOT NULL AND NOT isnan(cos)),
         |votes AS (
         |  SELECT r.q_id, l.label, CAST(count(*) AS BIGINT) AS votes
         |  FROM ranked r JOIN embeddings l ON r.vec_id = l.vec_id

@@ -140,6 +140,42 @@ class LayoutOpsSpec extends GraftSpec {
     rm(root.toFile)
   }
 
+  test("compaction recovers pass-through files stranded by a mid-run crash") {
+    // simulate the worst crash window: a move-mode run that migrated
+    // large files into staging and died before the swap — the files
+    // exist ONLY in staging. The re-run must restore them to the input
+    // and converge to a complete output, not delete them.
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_crash_")
+    val in = root.resolve("in").toString
+    val out = root.resolve("out").toString
+    li.repartition(6).write.mode("overwrite").parquet(in)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(in),
+      spark.sparkContext.hadoopConfiguration)
+    def files(d: String) = fs.listStatus(new org.apache.hadoop.fs.Path(d))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val orig = spark.read.parquet(in)
+      .agg(count(lit(1)), sum("l_orderkey")).head()
+    // hand-build the crashed state: staging exists, one input file
+    // already migrated under the passthrough naming scheme
+    val staging = new org.apache.hadoop.fs.Path(out + ".__staging")
+    fs.mkdirs(staging)
+    val victim = files(in).head.getPath
+    assert(fs.rename(victim,
+      new org.apache.hadoop.fs.Path(staging, f"passthrough-00000-${victim.getName}")))
+    assert(files(in).length === 5)
+    // re-run: recovery must pull the stranded file back before planning
+    val total = files(in).map(_.getLen).sum
+    LayoutOps.compact(spark, in, out, math.max(total, 1L), Long.MaxValue)
+    val got = spark.read.parquet(out)
+      .agg(count(lit(1)), sum("l_orderkey")).head()
+    assert(got === orig, "recovered output must contain ALL original rows")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(root.toFile)
+  }
+
   test("compaction hits the planned bin count and passes large files through") {
     val li = graft.Tables.lineitem(spark, sfDir)
     val root = java.nio.file.Files.createTempDirectory("graft_compact_spec_")
