@@ -86,14 +86,19 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
-    println(line)
     System.err.println(line)
-    // The full line above can exceed a bounded tail capture (observed:
-    // the driver's BENCH artifact starting mid-key). The LAST stdout line
-    // is therefore a SHORT driver-schema record — always inside any tail
-    // window — carrying the headline number and a pointer to the full
-    // per-query map persisted above.
+    System.err.flush()
+    // stdout carries EXACTLY ONE short line. Round 7 showed that printing
+    // the multi-KB per-query map to stdout before the compact record can
+    // lose the final line in the driver's bounded capture (the tail ended
+    // mid-stream at the full map; parsed:null). The full map lives in
+    // `$out` and on stderr; stdout is reserved for the one record every
+    // tail window can hold. spark.stop() runs FIRST so no shutdown
+    // logging or hang can follow the record — it is the process's last
+    // write.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] stop: ${e.getMessage}") }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir","n":${results.size},"file":"$out"}""")
-    spark.stop()
+    System.out.flush()
   }
 }

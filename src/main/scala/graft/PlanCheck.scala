@@ -24,7 +24,12 @@ object PlanCheck {
       // upper bounds on physical node COUNTS (formatted-mode detail
       // headers "(N) <node>"), e.g. "Exchange" -> 2 pins the shuffle
       // budget of a plan, "Scan parquet" -> 5 its scan budget
-      maxNodes: Seq[(String, Int)] = Nil)
+      maxNodes: Seq[(String, Int)] = Nil,
+      // plan with AQE off so ReuseExchange applies statically and the
+      // formatted plan shows the TRUE exchange count (AQE explain prints
+      // the textual initial plan, where every reused exchange counts
+      // once per occurrence — useless for a shuffle budget)
+      noAdaptive: Boolean = false)
 
   private val checks = Seq(
     Check("q2_filter_pushdown",
@@ -102,8 +107,12 @@ object PlanCheck {
     // side of a hash join; the corpus side must never cartesian
     Check("decontam_exact", mustContain = Seq("BroadcastHashJoin"),
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin")),
-    Check("decontam_bloom", mustContain = Seq("BroadcastHashJoin"),
-      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin")),
+    // the bloom probe must be the codegen expression (shows by name in
+    // the Filter detail), never a scala udf (which would break
+    // whole-stage codegen at the hottest filter of the pipeline)
+    Check("decontam_bloom",
+      mustContain = Seq("BroadcastHashJoin", "graft_bloom_might_contain"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "UDF")),
     // one window pass, no self-join
     Check("pack_sequences", mustContain = Seq("Window"),
       mustNot = Seq("Join")),
@@ -199,6 +208,19 @@ object PlanCheck {
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
       noAutoBroadcast = true,
       build = Some((s, d) => graft.operators.AnalyticsOps.pagerankRoundPlan(s, d))),
+    // whole 3-round pagerank exchange budget (AQE off → reuse visible):
+    // one pair-distinct (reused by every other appearance), per-round
+    // edge-side hash + deg where canonicalization permits reuse, one
+    // rank0, three round aggs — 8 total, ONE marginal exchange per
+    // round in the executed DAG. The pin fails if the plan regresses to
+    // re-shuffling the pair table per round per direction (the union
+    // shape this replaced: 10 fresh exchanges, 14 scans vs 1).
+    Check("graph_pagerank_budget",
+      mustContain = Seq("SortMergeJoin", "HashAggregate", "ReusedExchange"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      noAutoBroadcast = true, noAdaptive = true,
+      build = Some((s, d) => graft.operators.AnalyticsOps.pagerankDeclaredPlan(s, d)),
+      maxNodes = Seq("Exchange" -> 8, "Scan parquet" -> 1)),
     // priority sampling: global top-k stays TakeOrderedAndProject
     // (map-side k per partition), never a full sort of the corpus
     Check("sample_weighted", mustContain = Seq("TakeOrderedAndProject"),
@@ -240,12 +262,17 @@ object PlanCheck {
       mustNot = Seq("CartesianProduct", "SortMergeJoin"),
       noAutoBroadcast = true),
     // funnel: per-user stage frames are O(users) — they must NOT be
-    // force-broadcast; keyed joins + hash aggs, nothing cartesian
+    // force-broadcast; keyed joins + hash aggs, nothing cartesian.
+    // Exchange budget (AQE off → reuse visible): the corpus shuffles on
+    // the user key once as three disjoint stage slices (3), each stage's
+    // singleton count-agg adds one (3), plus one stage-frame reuse
+    // boundary — any regression to re-shuffling a stage frame breaks 7
     Check("events_funnel",
       mustContain = Seq("SortMergeJoin", "HashAggregate"),
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "BroadcastExchange"),
-      noAutoBroadcast = true),
+      noAutoBroadcast = true, noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 7, "Scan parquet" -> 4)),
     // per-stratum top-k: rank-limited window (map-side k per group),
     // no join, no global TakeOrdered of the corpus
     Check("sample_stratified_topk",
@@ -260,10 +287,23 @@ object PlanCheck {
       noAutoBroadcast = true),
     // merge-apply: the delta derivation keeps the extractor's keyed
     // full-outer; the final 1-row audit assembly may broadcast but
-    // nothing cartesian over data
+    // nothing cartesian over data. Budgets (AQE off): the audit's two
+    // checksum legs + delta replay bound the table at 8 scans and the
+    // keyed joins/aggs at 7 exchanges (4 more arrive as ReusedExchange)
     Check("cdc_merge_apply",
       mustContain = Seq("SortMergeJoin FullOuter", "HashAggregate"),
-      mustNot = Seq("CartesianProduct")),
+      mustNot = Seq("CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 7, "Scan parquet" -> 8)),
+    // streaming top-k serving read: rank over the streamed sink table is
+    // ONE parquet scan, rank-limited per hour BEFORE any sort
+    // (WindowGroupLimit), with only the window hash + presentation range
+    // exchanges — never a join back onto the stream
+    Check("stream_topk_users",
+      mustContain = Seq("WindowGroupLimit", "Window"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
     // centroids: one generator + one keyed agg to 64·|labels| cells —
     // no join anywhere
     Check("embedding_centroids",
@@ -294,7 +334,9 @@ object PlanCheck {
     var failed = 0
     checks.foreach { c =>
       val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
       if (c.noAutoBroadcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      if (c.noAdaptive) spark.conf.set("spark.sql.adaptive.enabled", "false")
       val df = c.build match {
         case Some(b) => b(spark, sfDir)
         case None    => SparkEntry.queries(c.query)(spark, sfDir)
@@ -302,6 +344,7 @@ object PlanCheck {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
       val missing = c.mustContain.filterNot(plan.contains)
       val present = c.mustNot.filter(plan.contains)
       // count formatted-mode detail headers "(N) <node>" — one per

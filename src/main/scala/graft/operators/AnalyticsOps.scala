@@ -128,11 +128,14 @@ object AnalyticsOps extends QueryPack {
     * REPLAYS it onto the base snapshot and audits that the merged table
     * equals the independently-derived next snapshot. Output is the one
     * audit row every replication job logs: rows updated / inserted /
-    * deleted, the merged row count, and `matches` — equality of an
-    * order-independent integer checksum (sum of per-row 32-bit md5
-    * prefixes over ␁-separated fields) between merged and next. A wrong
-    * merge — dropped update, double-applied insert, resurrected delete —
-    * flips `matches` and fails the hash.
+    * deleted, the merged row count, and `matches` — equality of TWO
+    * order-independent integer checksums (sums of independent 32-bit md5
+    * words over ␁-separated fields) between merged and next. The
+    * guarantee is probabilistic — an additive sum can in principle be
+    * cancelled by offsetting substitutions — but a wrong merge must
+    * cancel BOTH independent word-sums simultaneously (~2⁻⁶⁴), so in
+    * practice a dropped update, double-applied insert, or resurrected
+    * delete flips `matches`.
     *
     * Shape: kept rows are one left join of base against the (small)
     * delta; updated/inserted payloads are one join of next against the
@@ -142,9 +145,11 @@ object AnalyticsOps extends QueryPack {
     val base = cdcBase(s, d)
     val next = cdcNext(base)
     val delta = cdcSnapshotDelta(s, d).select(col("doc_id"), col("op"))
-    val dig = expr("CAST(conv(substring(md5(concat_ws('\u0001', " +
+    def digWord(from: Int) = expr("CAST(conv(substring(md5(concat_ws('\u0001', " +
       "CAST(doc_id AS STRING), coalesce(text, ''), coalesce(lang, ''), " +
-      "coalesce(source, ''))), 1, 8), 16, 10) AS BIGINT)")
+      "coalesce(source, ''))), " + from + ", 8), 16, 10) AS BIGINT)")
+    val dig = digWord(1)
+    val dig2 = digWord(9)
     val kept = base.join(delta, Seq("doc_id"), "left_outer")
       .filter(col("op").isNull)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
@@ -152,9 +157,11 @@ object AnalyticsOps extends QueryPack {
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val merged = kept.unionByName(upserted)
     val mc = merged.agg(count(lit(1)).as("n_merged"),
-      coalesce(sum(dig), lit(0L)).as("ck_merged"))
+      coalesce(sum(dig), lit(0L)).as("ck_merged"),
+      coalesce(sum(dig2), lit(0L)).as("ck2_merged"))
     val nc = next.agg(count(lit(1)).as("n_next"),
-      coalesce(sum(dig), lit(0L)).as("ck_next"))
+      coalesce(sum(dig), lit(0L)).as("ck_next"),
+      coalesce(sum(dig2), lit(0L)).as("ck2_next"))
     val ops = delta.agg(
       sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"),
       sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserted"),
@@ -166,7 +173,8 @@ object AnalyticsOps extends QueryPack {
         coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
         col("n_merged"),
         (col("n_merged") === col("n_next") &&
-          col("ck_merged") === col("ck_next")).as("matches"))
+          col("ck_merged") === col("ck_next") &&
+          col("ck2_merged") === col("ck2_next")).as("matches"))
       // zero-row-corpus contract: no snapshot, no audit row
       .filter(col("n_merged") + coalesce(col("n_deleted"), lit(0L)) > 0)
   }
@@ -381,25 +389,48 @@ object AnalyticsOps extends QueryPack {
     * two executors add contributions in different orders. Top-20 with a
     * (rank, node) total order.
     *
-    * Shape: shallow runs (≤ 4 rounds, including the declared 3-round
-    * query) build ONE lazy DAG — Catalyst's exchange reuse folds the
-    * short lineage and no materialization barrier is paid at all. Deeper
-    * runs switch to the [[DedupOps.componentsWithRounds]] idiom: the
-    * edge-with-degree frame is `localCheckpoint`ed once (it feeds every
+    * Shape: the loop-invariant edge-with-degree frame is pre-partitioned
+    * (and pre-sorted) on the join key ONCE; the loop-carried rank leaves
+    * each round clustered on `node` by its own `groupBy(dst)`, so every
+    * round's contribution join finds both sides co-partitioned and the
+    * per-round cost is the ONE aggregation exchange — not a re-shuffle
+    * of both sides. Shallow runs (≤ 4 rounds, including the declared
+    * 3-round query) build ONE lazy DAG — Catalyst's exchange reuse
+    * serves every round from the single edge repartition. Deeper runs
+    * switch to the [[DedupOps.componentsWithRounds]] idiom: the
+    * partitioned edge frame is `localCheckpoint`ed once (it feeds every
     * round) and the loop-carried rank every 4th round, so lineage stays
-    * bounded (≤ 8 joins) at ANY depth. Each round is the same two keyed
-    * shuffles — join(rank, on src) → agg(on dst), the canonical
-    * distributed PageRank shape. Every node has in-edges by construction
+    * bounded at ANY depth. Every node has in-edges by construction
     * (undirected expansion), so no dangling-node left join is needed.
+    *
+    * Fault-tolerance trade (shared with [[DedupOps.componentsWithRounds]]):
+    * `localCheckpoint` stores blocks on executors only — an executor loss
+    * mid-run makes the checkpointed frame unrecoverable and fails the
+    * job (re-run restarts from the scan), unlike reliable `checkpoint`
+    * which survives it at the price of a distributed-FS round-trip per
+    * barrier. Deep runs therefore trade intra-job fault tolerance for
+    * speed; on an unreliable cluster swap in `checkpoint` + a checkpoint
+    * dir.
     */
   def graphPagerank(s: SparkSession, d: String): DataFrame =
     graphPagerank(s, d, rounds = 3)
 
   private def pagerankEdges(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d)
-      .select(col("l_suppkey"), col("l_partkey")).distinct()
-    pairs.select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-      .unionByName(pairs.select((col("l_partkey") * 2 + 1).as("src"), (col("l_suppkey") * 2).as("dst")))
+      .select(col("l_suppkey"), col("l_partkey"))
+      .filter(col("l_suppkey").isNotNull && col("l_partkey").isNotNull)
+      .distinct()
+    // undirected expansion as an inline explode, NOT a union of two
+    // projections: a union re-plans the distinct under each branch's
+    // pushed filters (isNotNull(src) diverges per direction), which
+    // breaks exchange reuse and re-shuffles the pair table once per
+    // round per branch. One distinct pass, rows doubled in the same
+    // stage, nothing for reuse to miss.
+    pairs.select(explode(array(
+        struct((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst")),
+        struct((col("l_partkey") * 2 + 1).as("src"), (col("l_suppkey") * 2).as("dst"))))
+      .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   private def pagerankRound(edgesDeg: DataFrame, rank: DataFrame): DataFrame =
@@ -416,20 +447,45 @@ object AnalyticsOps extends QueryPack {
   private[graft] def pagerankRoundPlan(s: SparkSession, d: String): DataFrame = {
     val edges = pagerankEdges(s, d)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions("src")
     val rank = edges.select(col("src").as("node")).distinct()
       .withColumn("rank_micro", lit(1000000L))
-    pagerankRound(edges.join(deg, "src"), rank)
+    pagerankRound(edgesDeg, rank)
   }
+
+  /** The full declared dataflow at a FIXED round count, exposed so
+    * PlanCheck can pin its total exchange budget: the loop-invariant
+    * edge table shuffles once (its repartition is textually identical
+    * under every round's join, so exchange reuse serves rounds 2..n from
+    * round 1's shuffle files), the initial rank rides deg's exchange,
+    * and each round adds exactly ONE exchange — its contribution
+    * aggregation — because the rank side arrives alias-aware
+    * hash-clustered on `node` from the previous round's `groupBy(dst)`. */
+  private[graft] def pagerankDeclaredPlan(s: SparkSession, d: String): DataFrame =
+    graphPagerank(s, d, rounds = 3)
 
   def graphPagerank(s: SparkSession, d: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val deep = rounds > 4
     val edges = pagerankEdges(s, d)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // Pre-partition (and pre-sort) the loop-invariant edge table on the
+    // join key ONCE. Every round's contribution join then finds BOTH
+    // sides already clustered — edgesDeg by this exchange, rank by the
+    // previous round's groupBy(dst) — so the per-round cost collapses to
+    // the one aggregation exchange instead of re-shuffling both sides.
+    // Shallow runs keep it lazy (ReuseExchange serves all rounds from
+    // the single repartition); deep runs localCheckpoint the partitioned
+    // frame — LogicalRDD preserves partitioning AND ordering, so the
+    // reuse survives the lineage cut.
     val edgesDegLazy = edges.join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions("src")
     val edgesDeg = if (deep) edgesDegLazy.localCheckpoint(true) else edgesDegLazy
-    var rank = edges.select(col("src").as("node")).distinct()
-      .withColumn("rank_micro", lit(1000000L))
+    // deg's keys ARE the node set (every node has out-edges by the
+    // undirected expansion), so the initial rank rides deg's exchange —
+    // no separate distinct-over-edges shuffle
+    var rank = deg.select(col("src").as("node"), lit(1000000L).as("rank_micro"))
     for (round <- 1 to rounds) {
       rank = pagerankRound(edgesDeg, rank)
       // skip the barrier on the FINAL round — the result is consumed
@@ -563,13 +619,21 @@ object AnalyticsOps extends QueryPack {
         |    coalesce(CAST(sum(CAST(('0x' || substring(md5(
         |      CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text,'') || chr(1) ||
         |      coalesce(lang,'') || chr(1) || coalesce(source,'')), 1, 8))
-        |      AS BIGINT)) AS BIGINT), 0) AS ck_merged
+        |      AS BIGINT)) AS BIGINT), 0) AS ck_merged,
+        |    coalesce(CAST(sum(CAST(('0x' || substring(md5(
+        |      CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text,'') || chr(1) ||
+        |      coalesce(lang,'') || chr(1) || coalesce(source,'')), 9, 8))
+        |      AS BIGINT)) AS BIGINT), 0) AS ck2_merged
         |  FROM merged),
         |ckn AS (SELECT CAST(count(*) AS BIGINT) AS n_next,
         |    coalesce(CAST(sum(CAST(('0x' || substring(md5(
         |      CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text,'') || chr(1) ||
         |      coalesce(lang,'') || chr(1) || coalesce(source,'')), 1, 8))
-        |      AS BIGINT)) AS BIGINT), 0) AS ck_next
+        |      AS BIGINT)) AS BIGINT), 0) AS ck_next,
+        |    coalesce(CAST(sum(CAST(('0x' || substring(md5(
+        |      CAST(doc_id AS VARCHAR) || chr(1) || coalesce(text,'') || chr(1) ||
+        |      coalesce(lang,'') || chr(1) || coalesce(source,'')), 9, 8))
+        |      AS BIGINT)) AS BIGINT), 0) AS ck2_next
         |  FROM next),
         |ops AS (SELECT
         |    CAST(coalesce(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_updated,
@@ -577,7 +641,8 @@ object AnalyticsOps extends QueryPack {
         |    CAST(coalesce(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_deleted
         |  FROM d2)
         |SELECT n_updated, n_inserted, n_deleted, n_merged,
-        |  (n_merged = n_next AND ck_merged = ck_next) AS matches
+        |  (n_merged = n_next AND ck_merged = ck_next
+        |   AND ck2_merged = ck2_next) AS matches
         |FROM ops, ckm, ckn
         |WHERE n_merged + n_deleted > 0""".stripMargin,
     "cohort_retention" ->

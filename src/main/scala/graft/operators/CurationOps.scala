@@ -99,18 +99,18 @@ object CurationOps extends QueryPack {
     * 2^20 capacity / 1% fp) is broadcast and applied as a MAP-SIDE
     * filter, so the exact verify join only ever sees the tiny stream of
     * bloom survivors (true hits + ~1% fps) instead of every corpus
-    * shingle. The `mightContain` probe is the one place a UDF is
-    * justified: Spark exposes no public codegen expression over a
-    * sketch BloomFilter, and the probe replaces a corpus-sized join
-    * input. Results are bit-identical to [[decontamExact]] (the exact
+    * shingle. The probe is the codegen
+    * [[graft.functions.BloomMightContain]] expression (Spark's own
+    * `BloomFilterMightContain` is internal API, and a scala udf here
+    * would break whole-stage codegen at the hottest filter in the
+    * pipeline). Results are bit-identical to [[decontamExact]] (the exact
     * join re-verifies survivors), so it shares the same DuckDB oracle. */
   def decontamBloom(s: SparkSession, d: String): DataFrame = {
     val bench = benchShingles(s, d)
     val bf = bench.stat.bloomFilter("sh", 1L << 20, 0.01)
     val bfB = s.sparkContext.broadcast(bf)
-    val might = udf((x: String) => x != null && bfB.value.mightContainString(x))
     corpusShingles(s, d)
-      .filter(might(col("sh")))
+      .filter(graft.functions.BloomExpressions.might_contain(s, bfB, col("sh")))
       .join(broadcast(bench), "sh")
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_matched"))

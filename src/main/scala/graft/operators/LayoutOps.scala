@@ -106,9 +106,12 @@ object LayoutOps extends QueryPack {
     * metadata scan, and the rewrite shuffles only the small-file bytes.
     *
     * The whole output is STAGED in a sibling temp dir and swapped into
-    * place with one rename, so a retried/re-run compact converges to the
-    * same final `outDir` (never an appended mixture), and readers see
-    * either the old layout or the complete new one.
+    * place by renaming the old `outDir` aside and renaming staging in —
+    * never an appended mixture, and a retried/re-run compact converges to
+    * the same final `outDir`. The swap is two metadata renames, not
+    * atomic: a crash between them leaves no `outDir` for one re-run to
+    * repair (all bytes remain recoverable from the aside dir + staging;
+    * re-running converges).
     *
     * Pass-through cost: with `movePassthrough=true` (default) each large
     * file MIGRATES into the new layout by `fs.rename` — O(1) metadata per
@@ -135,8 +138,13 @@ object LayoutOps extends QueryPack {
       fs.listStatus(staging).toSeq
         .filter(st => st.isFile && st.getPath.getName.startsWith("passthrough-"))
         .foreach { st =>
-          val orig = st.getPath.getName.replaceFirst("passthrough-\\d{5}-", "")
-          require(fs.rename(st.getPath, new HPath(inDir, orig)),
+          val orig = new HPath(inDir,
+            st.getPath.getName.replaceFirst("passthrough-\\d{5}-", ""))
+          // copy-mode runs never consume the original: if it still exists
+          // in inDir the staged file is a redundant byte copy — drop it.
+          // Only a move-mode orphan (destination absent) must rename back.
+          if (fs.exists(orig)) fs.delete(st.getPath, false)
+          else require(fs.rename(st.getPath, orig),
             s"crash recovery: could not restore ${st.getPath} to $inDir")
         }
     }
@@ -174,9 +182,19 @@ object LayoutOps extends QueryPack {
             false, serConf.value)
         }
     }
-    fs.delete(new HPath(outDir), true)
-    require(fs.rename(staging, new HPath(outDir)),
+    // swap: rename the old layout aside (one metadata op — readers lose
+    // outDir for two renames, not for a full recursive delete), bring
+    // staging in, THEN drop the old bytes. A crash mid-swap strands data
+    // in `.__old`/staging but loses nothing; re-run converges.
+    val outPath = new HPath(outDir)
+    val aside = new HPath(outDir + ".__old")
+    fs.delete(aside, true)
+    val hadOld = fs.exists(outPath)
+    if (hadOld) require(fs.rename(outPath, aside),
+      s"swap failed: could not move old $outDir aside")
+    require(fs.rename(staging, outPath),
       s"staging swap failed: $staging -> $outDir (output stranded in staging)")
+    if (hadOld) fs.delete(aside, true)
     CompactionReport(all.size, small.size, big.size,
       listParquet(fs, outDir).size, smallBytes, big.map(_._2).sum)
   }

@@ -208,8 +208,15 @@ object SimilarityOps extends QueryPack {
     * → query vectors broadcast back for the exact-cosine rerank →
     * per-query top-k. */
   private def lshSearch(base: DataFrame, bucketCol: Column, k: Int,
-      queryPred: Column = defaultQueries): DataFrame = {
-    val bucketed = base.select(col("vec_id"), explode(bucketCol).as("bucket"))
+      queryPred: Column = defaultQueries): DataFrame =
+    lshSearchFrom(
+      base.select(col("vec_id"), explode(bucketCol).as("bucket")), base, k,
+      queryPred)
+
+  /** [[lshSearch]] body over an explicit (possibly PRE-BUILT and loaded)
+    * bucket table — the state [[saveLshBuckets]] persists. */
+  private def lshSearchFrom(bucketed: DataFrame, base: DataFrame, k: Int,
+      queryPred: Column): DataFrame = {
     val q = bucketed.filter(queryPred)
       .select(col("bucket"), col("vec_id").as("q_id"))
     val cand = bucketed.join(broadcast(q), Seq("bucket"))
@@ -234,6 +241,27 @@ object SimilarityOps extends QueryPack {
     * the query in any table; exact cosine re-ranks the candidate set. */
   def annLsh(s: SparkSession, d: String): DataFrame =
     lshSearch(corpus(s, d), lshBuckets(col("embedding")), 5)
+
+  /** Persist the production LSH index state to `path`: the exploded
+    * (vec_id, bucket) table — the expensive part, one fused-kernel pass
+    * over the corpus — plus the (vec_id, embedding) vectors the rerank
+    * needs. Both are one distributed write; nothing touches the driver. */
+  def saveLshBuckets(base: DataFrame, path: String): Unit = {
+    base.select(col("vec_id"),
+        explode(lshBuckets(col("embedding"))).as("bucket"))
+      .write.mode("overwrite").parquet(path + "/buckets")
+    base.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(path + "/vectors")
+  }
+
+  /** Search a [[saveLshBuckets]]-persisted LSH index: the stored bucket
+    * table replaces the hashing pass, so a session that never saw the
+    * hyperplanes (only the constants baked into the saved buckets)
+    * answers bit-identically to the building session. */
+  def lshSearchSaved(s: SparkSession, path: String, k: Int,
+      queryPred: Column = defaultQueries): DataFrame =
+    lshSearchFrom(s.read.parquet(path + "/buckets"),
+      s.read.parquet(path + "/vectors"), k, queryPred)
 
   // ---- portable LSH: oracle-checkable twin of annLsh ----------------------
   //
@@ -413,11 +441,18 @@ object SimilarityOps extends QueryPack {
       private[SimilarityOps] val corpus: DataFrame,
       private val backing: DataFrame,
       val centroids: Seq[Seq[Float]], val nProbe: Int) {
+    /** Assigned inverted lists: a LOADED index carries its stored `cl`
+      * column; an in-session one derives it with the codegen
+      * nearest-centroid projection (deterministic, so both forms agree
+      * bit-for-bit). */
+    private def indexedCorpus: DataFrame =
+      if (corpus.columns.contains("cl")) corpus
+      else corpus.select(col("vec_id"), col("embedding"),
+        nearestCluster(col("embedding"), centroids).as("cl"))
     /** Top-k probe: explode the query set over its nProbe nearest lists,
       * keyed join on the cluster id, exact-cosine rerank. */
     def search(queryPred: Column, k: Int): DataFrame = {
-      val indexed = corpus.select(col("vec_id"), col("embedding"),
-        nearestCluster(col("embedding"), centroids).as("cl"))
+      val indexed = indexedCorpus
       val q = corpus.filter(queryPred)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           explode(probeClusters(col("embedding"), centroids, nProbe)).as("cl"))
@@ -437,6 +472,37 @@ object SimilarityOps extends QueryPack {
       * from [[search]] stay correct afterwards (they recompute from
       * lineage), they just lose the cache. */
     def close(): Unit = backing.unpersist(false)
+
+    /** Persist the index to `path` so later sessions serve from it
+      * without retraining — the 100 TB usage shape (train once, search
+      * many): `corpus/` holds the ASSIGNED inverted lists (vec_id,
+      * embedding, cl — one distributed write, assignment never
+      * recomputed again) and `centroids/` the kC×dim matrix + nProbe
+      * (≤ 1 MB, one file). [[SimilarityOps.loadIvfIndex]] restores an
+      * index whose `search` is bit-identical to this one's. */
+    def save(path: String): Unit = {
+      val s = corpus.sparkSession
+      indexedCorpus.write.mode("overwrite").parquet(path + "/corpus")
+      import s.implicits._
+      centroids.zipWithIndex
+        .map { case (v, i) => (i, v, nProbe) }
+        .toDF("cl", "centroid", "n_probe")
+        .coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    }
+  }
+
+  /** Reload an [[IvfIndex.save]]d index: the centroid matrix (≤ 1 MB)
+    * is the only driver-side read; the assigned corpus stays a lazy
+    * persisted scan. `search` answers bit-identically to the index that
+    * was saved — no retraining, no reassignment. */
+  def loadIvfIndex(s: SparkSession, path: String): IvfIndex = {
+    graft.functions.CentroidExpressions.register(s)
+    val cent = s.read.parquet(path + "/centroids").orderBy(col("cl")).collect()
+    require(cent.nonEmpty, s"no centroids at $path/centroids — not a saved IVF index")
+    val cents: Seq[Seq[Float]] = cent.map(_.getSeq[Float](1).toSeq).toSeq
+    val corpus = s.read.parquet(path + "/corpus")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    new IvfIndex(corpus, corpus, cents, cent(0).getInt(2))
   }
 
   /** Build an IVF index over an explicit corpus.

@@ -358,8 +358,68 @@ object TextOps extends QueryPack {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  /** PRODUCTION count-min sketch — the [[textCmsHeavyHitters]] twin with
+    * the hash family swapped from portable md5 (one digest + four hex
+    * slices, string-allocation-bound) to four seeded `xxhash64` calls —
+    * codegen'd long arithmetic, no string materialization, the hash a
+    * 100 TB sketch build would actually use. Same 4×1024 mergeable
+    * integer sketch, same probe shape; only the row-hash family (and so
+    * the collision noise) differs, which is exactly why this path is
+    * gated by [[textCmsRecall]] instead of a value-replay oracle — the
+    * dedup_minhash_pairs / dedup_sketch_recall convention. */
+  def textCmsProduction(s: SparkSession, d: String): DataFrame = {
+    val depth = 4
+    val width = 1024
+    def rowBuckets(t: Column): Column = array((0 until depth).map(r =>
+      struct(lit(r).as("r"),
+        pmod(xxhash64(t, lit(r)), lit(width)).as("bucket"))): _*)
+    val tokens = Tables.documents(s, d).select(explode(toks).as("token"))
+    val sketch = tokens
+      .select(explode(rowBuckets(col("token"))).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cell"))
+    val top = tokens.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token")).limit(50)
+    top
+      .select(col("token"), col("n_exact"),
+        explode(rowBuckets(col("token"))).as("rb"))
+      .select(col("token"), col("n_exact"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("token"), col("n_exact"))
+      .agg(min(col("cell")).as("n_cms"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  /** Oracle gate for the production CMS: over the top-50 exact tokens,
+    * every estimate must respect the CMS one-sided error (`n_cms >=
+    * n_exact` — a single underestimate means the sketch is broken) and
+    * sit within 8× the expected collision mass (`(n_cms - n_exact) *
+    * width <= 8 * (n_total - n_exact)`; Markov per row ⇒ a min over 4
+    * independent rows exceeds 8× with probability < 8⁻⁴, and the seeded
+    * hash makes the realization deterministic per corpus). The audit row
+    * also carries the exact top-50 mass, which ties the production
+    * pipeline's exact leg to the DuckDB-recomputed truth. */
+  def textCmsRecall(s: SparkSession, d: String): DataFrame = {
+    val width = 1024
+    val est = textCmsProduction(s, d)
+    val nTotal = Tables.documents(s, d).select(explode(toks).as("token"))
+      .agg(count(lit(1)).as("n_total"))
+    est.crossJoin(broadcast(nTotal))
+      .agg(
+        count(lit(1)).as("n_top"),
+        sum(when(col("n_cms") >= col("n_exact"), 1L).otherwise(0L)).as("n_lb_ok"),
+        sum(when((col("n_cms") - col("n_exact")) * width <=
+          lit(8L) * (col("n_total") - col("n_exact")), 1L).otherwise(0L)).as("n_ub_ok"),
+        sum(col("n_exact")).as("exact_top_mass"))
+      // zero-row-corpus contract: no tokens, no audit row
+      .filter(col("n_top") > 0)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_cms_heavyhitters" -> textCmsHeavyHitters,
+    "text_cms_production" -> textCmsProduction,
+    "text_cms_recall" -> textCmsRecall,
     "text_normalize" -> textNormalize,
     "text_entropy" -> textEntropy,
     "text_perplexity" -> textPerplexity,
@@ -395,6 +455,20 @@ object TextOps extends QueryPack {
         |  CAST(length(norm) AS BIGINT) AS n_chars_norm,
         |  (norm <> text) AS changed, md5(norm) AS norm_md5
         |FROM n ORDER BY doc_id""".stripMargin,
+    // the production CMS estimates are xxhash64-family-dependent (not
+    // replayable in DuckDB), so the oracle checks the AUDIT: every
+    // top-50 estimate obeys the one-sided error and the 8x collision
+    // bound (expected counts are the top size itself), and the exact
+    // top-50 mass matches the recomputed truth
+    "text_cms_recall" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |top AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+        |        FROM t GROUP BY token ORDER BY n_exact DESC, token LIMIT 50)
+        |SELECT CAST(count(*) AS BIGINT) AS n_top,
+        |       CAST(count(*) AS BIGINT) AS n_lb_ok,
+        |       CAST(count(*) AS BIGINT) AS n_ub_ok,
+        |       CAST(sum(n_exact) AS BIGINT) AS exact_top_mass
+        |FROM top HAVING count(*) > 0""".stripMargin,
     "text_cms_heavyhitters" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |r AS (SELECT unnest(range(0, 4)) AS r),
