@@ -320,6 +320,30 @@ object PlanCheck {
       mustContain = Seq("Scan parquet"),
       mustNot = Seq("Join", "CartesianProduct"),
       maxNodes = Seq("Exchange" -> 1)),
+    // triangles: degree and wedge joins are keyed on node ids (O(V)/O(E)
+    // tables — sort-merge without a hint, NEVER cartesian over edges);
+    // the only nested-loop joins are the three hinted one-row summary
+    // crosses. Scan budget: the folded edge list is derived once and
+    // reused (ReusedExchange) by degree/orientation/wedge legs
+    Check("graph_triangles",
+      mustContain = Seq("SortMergeJoin", "HashAggregate"),
+      mustNot = Seq("CartesianProduct"),
+      noAutoBroadcast = true, noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 2)),
+    // time-RANGE trailing frame: ONE window exchange (hash by user) and
+    // the running frame evaluated inside a single Window node — no
+    // self-join, no (event × hour) explosion, scan reads 4 columns
+    Check("events_range_trailing",
+      mustContain = Seq("Window", "RangeFrame"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      maxNodes = Seq("Exchange" -> 1, "Scan parquet" -> 1)),
+    // corr stats: one partial-agg shuffle to |event_type| rows; the
+    // closed forms are pure projection on the aggregate output — no
+    // join, no second pass over the corpus
+    Check("events_corr_stats",
+      mustContain = Seq("HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
   )
 
   def main(args: Array[String]): Unit = {

@@ -525,6 +525,72 @@ object AnalyticsOps extends QueryPack {
       .limit(20)
   }
 
+  /** Time-based RANGE window frame: per user, the trailing-one-hour sum
+    * and count of event values at every event — the "rolling feature"
+    * shape of a fraud/abuse scorer. The frame is `RANGE (t−1h, t]` over
+    * epoch MICROSECONDS, so peers (equal timestamps) share a frame and
+    * the result is order-independent; values ride as exact integer cents.
+    *
+    * Shape: ONE window exchange (hash by user_id, sort by time within the
+    * partition). Spark evaluates a RANGE frame with a sliding two-pointer
+    * over the sorted partition — O(rows) per user, never re-summing the
+    * hour from scratch. At 100 TB this is the per-entity-timeline plan:
+    * state is one partition's sort, no self-join, no explosion of
+    * (event × hour) pairs like the naive interval-join phrasing.
+    */
+  def eventsRangeTrailing(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+      .rangeBetween(-3600L * 1000000L + 1, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.PositiveInfinity) &&
+        col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_c"))
+      .withColumn("trail_sum_c", sum(col("v_c")).over(w))
+      .withColumn("trail_n", count(lit(1)).over(w))
+  }
+
+  /** Correlation / dispersion / regression statistics per event type from
+    * EXACT integer moments: one scan accumulates n, Σx, Σy, Σx², Σy², Σxy
+    * as BIGINTs (x = value in cents, y = hour-of-day), then the classic
+    * closed forms run on those integers in double — both engines compute
+    * the identical expression tree over identical integers, so the
+    * micro-rounded outputs match bit-for-bit (the same discipline as
+    * [[eventsAnomaly]]; naive `corr()` would drift by summation order).
+    *
+    * Shape: one partial-aggregated shuffle to |event_type| rows; the
+    * closed forms are driver-free scalar math on the tiny result. The
+    * same plan at 100 TB moves six longs per (partition × type).
+    */
+  def eventsCorrStats(s: SparkSession, d: String): DataFrame = {
+    val moments = Tables.events(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.PositiveInfinity) && col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("x"),
+        hour(col("ts")).cast("long").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+        sum(expr("x * y")).as("sxy"))
+    // covariance numerators/denominators in double from the exact longs;
+    // zero-variance groups yield NULL (not NaN/Inf) by the CASE guards
+    val nD = "CAST(n AS DOUBLE)"
+    val vx = s"($nD * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val vy = s"($nD * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val cv = s"($nD * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    moments.select(col("event_type"), col("n"), col("sx"), col("sy"),
+        expr(s"CASE WHEN $vx > 0 AND $vy > 0 THEN CAST(round($cv / (sqrt($vx) * sqrt($vy)) * 1000000.0) AS BIGINT) END")
+          .as("corr_micro"),
+        expr(s"CASE WHEN n > 1 THEN CAST(round(sqrt($vx / ($nD * ($nD - 1.0))) * 1000.0) AS BIGINT) END")
+          .as("stddev_x_milli"),
+        expr(s"CASE WHEN $vy > 0 THEN CAST(round($cv / $vy * 1000000.0) AS BIGINT) END")
+          .as("slope_x_on_y_micro"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_columns"    -> profileColumns,
     "cdc_snapshot_delta" -> cdcSnapshotDelta,
@@ -534,6 +600,8 @@ object AnalyticsOps extends QueryPack {
     "events_anomaly"     -> eventsAnomaly,
     "events_funnel"      -> eventsFunnel,
     "events_approx_percentiles" -> eventsApproxPercentiles,
+    "events_range_trailing" -> eventsRangeTrailing,
+    "events_corr_stats"  -> eventsCorrStats,
     "sample_stratified_topk" -> sampleStratifiedTopK,
     "graph_pagerank"     -> graphPagerank,
     "sample_weighted"    -> sampleWeighted,
@@ -680,6 +748,48 @@ object AnalyticsOps extends QueryPack {
         |  round(qs[i], 4) AS exact_c, n, true AS within_bound
         |FROM st, unnest(range(1, 4)) AS u(i)
         |ORDER BY event_type, p""".stripMargin,
+    "events_range_trailing" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events
+        |  WHERE value IS NOT NULL AND isfinite(value)
+        |    AND ts IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT event_id, user_id, t_us, v_c,
+        |  CAST(sum(v_c) OVER w AS BIGINT) AS trail_sum_c,
+        |  CAST(count(*) OVER w AS BIGINT) AS trail_n
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+        |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "events_corr_stats" ->
+      """WITH m AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM (SELECT event_type,
+        |      CAST(round(value * 100) AS BIGINT) AS x,
+        |      CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
+        |    FROM events
+        |    WHERE value IS NOT NULL AND isfinite(value) AND ts IS NOT NULL)
+        |  GROUP BY event_type)
+        |SELECT event_type, n, sx, sy,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |    THEN CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) END AS corr_micro,
+        |  CASE WHEN n > 1
+        |    THEN CAST(round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) * 1000.0) AS BIGINT) END AS stddev_x_milli,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |    THEN CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) END AS slope_x_on_y_micro
+        |FROM m ORDER BY event_type""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events),

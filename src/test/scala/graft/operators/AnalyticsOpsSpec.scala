@@ -174,6 +174,48 @@ class AnalyticsOpsSpec extends GraftSpec {
     assert(got.toSeq === Seq((0.5, 2.5, true), (0.9, 3.7, true), (0.99, 3.97, true)))
   }
 
+  test("range trailing: 1h frame boundary, peers, and user isolation") {
+    val rows = Seq(
+      Row(1L, ts("2024-03-01 10:00:00"), 1L, "t", 1.0, null),
+      Row(2L, ts("2024-03-01 10:30:00"), 1L, "t", 2.0, null),
+      // exactly 1h after e1: the (t-1h, t] frame EXCLUDES e1
+      Row(3L, ts("2024-03-01 11:00:00"), 1L, "t", 4.0, null),
+      // peer of e3: RANGE frames include all peers in BOTH frames
+      Row(4L, ts("2024-03-01 11:00:00"), 1L, "t", 8.0, null),
+      // another user: frames never cross the partition
+      Row(5L, ts("2024-03-01 10:45:00"), 2L, "t", 16.0, null),
+      // dropped rows: null ts, null user, non-finite value
+      Row(6L, null, 1L, "t", 1.0, null),
+      Row(7L, ts("2024-03-01 10:10:00"), null, "t", 1.0, null),
+      Row(8L, ts("2024-03-01 10:10:00"), 1L, "t", Double.NaN, null))
+    val got = AnalyticsOps.eventsRangeTrailing(spark, writeEvents(rows))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map(
+      1L -> ((100L, 1L)), 2L -> ((300L, 2L)),
+      3L -> ((1400L, 3L)), 4L -> ((1400L, 3L)),
+      5L -> ((1600L, 1L))))
+  }
+
+  test("corr stats: exact-moment closed forms on a linear fixture") {
+    val rows = Seq(
+      // x = 100·hour cents: perfectly linear -> corr 1, slope 100 c/h
+      Row(1L, ts("2024-03-01 01:00:00"), 1L, "t", 1.0, null),
+      Row(2L, ts("2024-03-01 02:00:00"), 1L, "t", 2.0, null),
+      Row(3L, ts("2024-03-01 03:00:00"), 1L, "t", 3.0, null),
+      // zero hour variance -> corr and slope NULL, stddev still defined
+      Row(4L, ts("2024-03-01 05:00:00"), 1L, "z", 1.0, null),
+      Row(5L, ts("2024-03-01 05:30:00"), 1L, "z", 3.0, null))
+    val got = AnalyticsOps.eventsCorrStats(spark, writeEvents(rows)).collect()
+    val t = got.find(_.getString(0) == "t").get
+    assert(t.getLong(1) == 3 && t.getLong(2) == 600 && t.getLong(3) == 6)
+    assert(t.getLong(4) == 1000000L)   // corr_micro
+    assert(t.getLong(5) == 100000L)    // stddev 100c -> milli
+    assert(t.getLong(6) == 100000000L) // slope 100 c/hour in micro
+    val z = got.find(_.getString(0) == "z").get
+    assert(z.isNullAt(4) && z.isNullAt(6))
+    assert(z.getLong(5) == 141421L) // sqrt(2)·100c in milli
+  }
+
   test("funnel: order violations and window expiry drop users per stage") {
     val d1 = "2024-03-01 10:00:00"
     val rows = Seq(

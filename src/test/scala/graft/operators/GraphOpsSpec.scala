@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.GraftSpec
+import org.apache.spark.sql.DataFrame
+
+/** [[GraphOps.triangleStats]] against graphs with known closed-form
+  * answers, plus a randomized cross-check against brute-force triple
+  * enumeration — the oriented-wedge algorithm must agree with O(n³)
+  * truth on every sampled graph. */
+class GraphOpsSpec extends GraftSpec {
+
+  private def edgesDf(es: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("u", "v")
+  }
+
+  private def stats(es: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+    val r = GraphOps.triangleStats(edgesDf(es)).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  private def bruteTriangles(es: Seq[(Long, Long)]): Long = {
+    val e = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(p => p._1 != p._2).distinct.toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    nodes.combinations(3).count { case Seq(a, b, c) =>
+      e((a, b)) && e((b, c)) && e((a, c))
+    }
+  }
+
+  test("K4: 4 triangles, clustering coefficient 1") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val (n, m, w, t, cm) = stats(k4)
+    assert(n == 4 && m == 6)
+    assert(w == 12) // 4 nodes of degree 3: 4 * C(3,2)
+    assert(t == 4)
+    assert(cm == 1000000L) // 3*4/12
+  }
+
+  test("C5 (5-cycle): 0 triangles") {
+    val c5 = (0L to 4L).map(i => (i, (i + 1) % 5))
+    val (n, m, w, t, cm) = stats(c5)
+    assert(n == 5 && m == 5 && t == 0 && cm == 0L)
+    assert(w == 5) // every node degree 2 -> one wedge each
+  }
+
+  test("triangle with a pendant edge") {
+    // 0-1-2 triangle, 3 hangs off 0: T=1, wedges = C(3,2) + 2*C(2,2)... per node:
+    // deg(0)=3 -> 3 wedges, deg(1)=deg(2)=2 -> 1 each, deg(3)=1 -> 0; W=5
+    val (n, m, w, t, cm) = stats(Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 3L)))
+    assert(n == 4 && m == 4 && w == 5 && t == 1)
+    assert(cm == 600000L) // 3*1/5
+  }
+
+  test("star graph: many wedges, zero triangles") {
+    val star = (1L to 9L).map(i => (0L, i))
+    val (_, _, w, t, _) = stats(star)
+    assert(w == 36 && t == 0)
+  }
+
+  test("random graphs match brute-force triple enumeration") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val nNodes = 8 + trial * 3
+      val es = (0 until nNodes * 2).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter(p => p._1 != p._2)
+      val (_, _, _, t, _) = stats(es)
+      assert(t == bruteTriangles(es), s"trial $trial: $es")
+    }
+  }
+
+  test("query runs on the sf0.001 tables and finds triangles") {
+    val r = GraphOps.graphTriangles(spark, sfDir).collect()(0)
+    assert(r.getLong(0) > 0)   // nodes
+    assert(r.getLong(3) > 0, "folded lineitem graph should contain triangles")
+    assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+  }
+}
