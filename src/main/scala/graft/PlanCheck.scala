@@ -344,6 +344,28 @@ object PlanCheck {
       mustContain = Seq("HashAggregate"),
       mustNot = Seq("Join", "CartesianProduct"),
       maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // LATERAL top-N per outer row: Catalyst must decorrelate into a
+    // rank-limited window join — one pass over the inner table
+    // (WindowGroupLimit caps each key's buffer at N), never a
+    // per-outer-row re-execution and never a cartesian
+    Check("q44_lateral_topk",
+      mustContain = Seq("WindowGroupLimit"),
+      mustNot = Seq("CartesianProduct"),
+      maxNodes = Seq("Scan parquet" -> 2)),
+    // shard manifest: one scalar projection + one 16-group aggregate —
+    // no join; exchanges are the agg hash + presentation sort
+    Check("curation_shard_manifest",
+      mustContain = Seq("HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // KL divergence: corpus shuffles ONCE into (source, token) counts;
+    // totals/vocab/pairs are tiny and ride broadcast nested loops into
+    // the map-side term expansion — no keyed join of the corpus against
+    // anything, nothing cartesian over data
+    Check("text_source_divergence",
+      mustContain = Seq("HashAggregate", "BroadcastNestedLoopJoin"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin"),
+      maxNodes = Seq("Scan parquet" -> 4)),
   )
 
   def main(args: Array[String]): Unit = {

@@ -142,7 +142,28 @@ object AdvancedOps extends QueryPack {
           .as("within_bound"))
       .orderBy(col("l_returnflag"))
 
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — the SQL "top-N
+    * per outer row" idiom. Catalyst decorrelates the inner query
+    * (DecorrelateInnerQuery + RewriteLateralSubquery) into a ranked
+    * window/join over the inner table, so the executed plan is a bounded
+    * per-key rank, never one subquery execution per outer row — the
+    * difference between O(|outer|·|inner|) re-scans and ONE pass at
+    * 100 TB. The per-nation top-2 result is deterministic via the
+    * (acctbal DESC, name) total order. */
+  def q44LateralTopK(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    s.sql(
+      """SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+        |FROM graft_nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM graft_customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, acctbal DESC, c.c_name""".stripMargin)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_lateral_topk" -> q44LateralTopK,
     "q26_asof_join" -> q26AsofJoin,
     "q26b_asof_native" -> q26AsofNative,
     "q26c_asof_outer" -> q26AsofOuter,
@@ -153,6 +174,13 @@ object AdvancedOps extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q44_lateral_topk" ->
+      """SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, acctbal DESC, c.c_name""".stripMargin,
     "q26_asof_join" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
         |           FROM events WHERE event_type = 'purchase'),

@@ -273,7 +273,35 @@ object CurationOps extends QueryPack {
       .orderBy(col("source"))
   }
 
+  private val nShards = 16
+
+  /** Deterministic balanced output sharding — the training-data writer's
+    * last step: every document is assigned `shard = h32(doc_id) mod 16`
+    * from the portable md5 hash (rerun-stable, content-independent, no
+    * RNG), and the manifest reports per-shard document/char/token totals
+    * so a skewed shard is caught BEFORE the training job reads it. The
+    * hash gate means adding documents never reassigns existing ones —
+    * shard files are append-stable across incremental runs.
+    *
+    * Shape: one scalar projection + one 16-group aggregate; the actual
+    * write is `partitionBy("shard")` on the same column (spec-proven to
+    * agree file-by-file with this manifest). At 100 TB both the manifest
+    * and the write move each row exactly once. */
+  def curationShardManifest(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)" +
+          s" % $nShards").as("shard"),
+        coalesce(col("n_chars"), lit(0L)).as("nc"),
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("nt"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"),
+        sum(col("nt")).as("sum_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_shard_manifest" -> curationShardManifest,
     "curation_pipeline" -> curationPipeline,
     "decontam_exact" -> decontamExact,
     "decontam_bloom" -> decontamBloom,
@@ -346,6 +374,14 @@ object CurationOps extends QueryPack {
        |FROM g GROUP BY source ORDER BY source""".stripMargin
 
   override val oracle: Map[String, String] = Map(
+    "curation_shard_manifest" ->
+      """SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 16 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(coalesce(len(string_split(text, ' ')), 0)) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
     "curation_pipeline" -> pipelineSql,
     "decontam_exact" -> decontamSql,
     // bit-identical by construction (bloom is a prefilter; the exact

@@ -416,7 +416,58 @@ object TextOps extends QueryPack {
       .filter(col("n_top") > 0)
   }
 
+  /** Token-distribution divergence between corpus sources: KL(P‖Q) for
+    * every ordered source pair, with add-one smoothing over the shared
+    * vocabulary — the drift/mixing-QA signal that catches one source
+    * going off-distribution (scraper breakage, template flooding)
+    * before training does.
+    *
+    * Fixed-point discipline: each token's contribution
+    * `p·ln(p/q)` is computed from exact BIGINT counts through an
+    * identical double expression tree in both engines and rounded to
+    * NANO units per TERM — the sum of longs is order-independent, so
+    * the result is bit-stable at any parallelism (the
+    * [[textPerplexity]] convention).
+    *
+    * Shape: one (source, token) count shuffle; totals are |sources| rows
+    * and vocab ONE row (both broadcast); the per-term relation is
+    * vocab × pairs rows built MAP-SIDE (token-map × broadcast pair
+    * table — no shuffle), then one tiny keyed agg. Sources are a
+    * bounded catalog dimension (tens, not millions) — the S² pair fan
+    * rides on that bound, while the corpus itself is touched once. */
+  def textSourceDivergence(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .filter(col("source").isNotNull)
+      .select(col("source"), explode(toks).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val vocab = counts.agg(countDistinct(col("token")).as("v"))
+    val pairs = totals.as("a").crossJoin(totals.as("b"))
+      .filter(col("a.source") =!= col("b.source"))
+      .select(col("a.source").as("s1"), col("a.n").as("n1"),
+        col("b.source").as("s2"), col("b.n").as("n2"))
+      .crossJoin(vocab)
+    // per-token source→count map: every vocab token once, smoothed
+    // against EVERY pair on the map side (tokens absent from both
+    // sides still carry the constant smoothing term, as the closed
+    // form requires)
+    val tmap = counts.groupBy(col("token"))
+      .agg(map_from_entries(collect_list(struct(col("source"), col("c")))).as("m"))
+    val p = "((c1 + 1) / CAST(n1 + v AS DOUBLE))"
+    val q = "((c2 + 1) / CAST(n2 + v AS DOUBLE))"
+    tmap.crossJoin(broadcast(pairs))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("v"),
+        coalesce(expr("m[s1]"), lit(0L)).as("c1"),
+        coalesce(expr("m[s2]"), lit(0L)).as("c2"))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("v"),
+        expr(s"CAST(round($p * ln($p / $q) * 1000000000.0) AS BIGINT)").as("t"))
+      .groupBy(col("s1"), col("s2"), col("n1"), col("n2"), col("v"))
+      .agg(sum(col("t")).as("kl_nano"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_source_divergence" -> textSourceDivergence,
     "text_cms_heavyhitters" -> textCmsHeavyHitters,
     "text_cms_production" -> textCmsProduction,
     "text_cms_recall" -> textCmsRecall,
@@ -440,6 +491,27 @@ object TextOps extends QueryPack {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${stops.map(w => s"'$w'").mkString(", ")})))"
 
   override val oracle: Map[String, String] = Map(
+    "text_source_divergence" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE source IS NOT NULL),
+        |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY source, token),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY source),
+        |voc AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM c),
+        |vt AS (SELECT DISTINCT token FROM c),
+        |pairs AS (SELECT a.source AS s1, a.n AS n1, b.source AS s2, b.n AS n2
+        |  FROM tot a, tot b WHERE a.source <> b.source),
+        |terms AS (SELECT p.s1, p.s2, p.n1, p.n2, voc.v,
+        |    coalesce(c1.c, 0) AS c1, coalesce(c2.c, 0) AS c2
+        |  FROM vt CROSS JOIN pairs p CROSS JOIN voc
+        |  LEFT JOIN c c1 ON c1.source = p.s1 AND c1.token = vt.token
+        |  LEFT JOIN c c2 ON c2.source = p.s2 AND c2.token = vt.token)
+        |SELECT s1, s2, n1, n2, v,
+        |  CAST(sum(CAST(round(((c1 + 1) / CAST(n1 + v AS DOUBLE))
+        |    * ln(((c1 + 1) / CAST(n1 + v AS DOUBLE))
+        |         / ((c2 + 1) / CAST(n2 + v AS DOUBLE)))
+        |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS kl_nano
+        |FROM terms GROUP BY s1, s2, n1, n2, v ORDER BY s1, s2""".stripMargin,
     "text_normalize" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
