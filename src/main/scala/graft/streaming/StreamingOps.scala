@@ -46,6 +46,27 @@ object StreamingOps {
         round(sum(finiteOrNull(col("value"))), 2).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** TWO chained stateful operators in ONE streaming query — bounded
+    * dedup feeding a watermarked windowed aggregation
+    * (`dropDuplicatesWithinWatermark` → window/groupBy). This is the
+    * production ingest topology in one pass: an at-least-once feed is
+    * deduplicated on the unique event id and the SAME query maintains
+    * the hourly rollup, with no intermediate landing table, no second
+    * checkpoint, no re-read. Spark 4 propagates the single upstream
+    * watermark through both stateful operators (multi-stateful
+    * pipelines are supported in Append mode); each holds its own
+    * bounded state — one row per id inside the horizon, one row per
+    * open (window, type) group. */
+  def dedupThenTumbling(events: DataFrame): DataFrame =
+    eventTimed(events)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(finiteOrNull(col("value"))), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Sliding 1-hour window every 15 minutes. */
   def slidingAgg(events: DataFrame): DataFrame =
     eventTimed(events)

@@ -376,7 +376,23 @@ object StreamingQueries extends QueryPack {
       .orderBy(col("hour"), col("rank"))
   }
 
+  /** Chained stateful operators — the at-least-once ingest topology as
+    * ONE streaming query: the staged stream is union-doubled (every row,
+    * including the sentinel, arrives twice), the first stateful operator
+    * restores exactly-once by id, and the second maintains the hourly
+    * rollup; the sentinel's surviving copy advances the shared watermark
+    * and drains the trailing windows. The oracle is therefore identical
+    * to [[streamTumbling]]'s — a correct chain makes the duplication
+    * invisible. */
+  def streamDedupWindows(s: SparkSession, d: String): DataFrame =
+    runBackfill(s, d) { df =>
+      StreamingOps.dedupThenTumbling(df.unionByName(df))
+    }
+      .filter(!(col("event_type") <=> lit(FlushType)))
+      .orderBy(col("hour"), col("event_type"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup_windows" -> streamDedupWindows,
     "stream_topk_users" -> streamTopkUsers,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
@@ -407,6 +423,16 @@ object StreamingQueries extends QueryPack {
         |SELECT hour, user_id, n, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY hour, rank""".stripMargin,
     "stream_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        | count(*) AS n,
+        | round(sum(CASE WHEN isnan(value) OR isinf(value) THEN NULL
+        |                ELSE value END), 2) AS sum_value
+        |FROM events
+        |WHERE ts IS NOT NULL AND event_type IS DISTINCT FROM '__flush__'
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // identical to stream_tumbling BY DESIGN: the chained dedup must make
+    // the union-doubling invisible to the windowed aggregate
+    "stream_dedup_windows" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         | count(*) AS n,
         | round(sum(CASE WHEN isnan(value) OR isinf(value) THEN NULL

@@ -98,6 +98,17 @@ class PathologicalEventsSpec extends GraftSpec {
       r.getAs[java.sql.Timestamp]("w_start").getTime <= 86400000L) == 4)
   }
 
+  test("chained dedup+windows equals the single-operator windowed agg") {
+    // the chain's dedup leg must make the union-doubling invisible: on
+    // ANY corpus (pathological rows included) its output is exactly the
+    // plain tumbling aggregation's
+    val chained = run("stream_dedup_windows")
+      .map(r => (r.get(0), r.get(1)) -> ((r.get(2), r.get(3)))).toMap
+    val plain = run("stream_tumbling")
+      .map(r => (r.get(0), r.get(1)) -> ((r.get(2), r.get(3)))).toMap
+    assert(chained === plain)
+  }
+
   test("sessionization: no session without identity or time; ancient session emitted") {
     val sess = run("stream_session")
     assert(sess.forall(!_.isNullAt(2)), "null-user session leaked")
