@@ -358,6 +358,14 @@ object PlanCheck {
       mustContain = Seq("HashAggregate"),
       mustNot = Seq("Join", "CartesianProduct"),
       maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // histogram: per-type bounds broadcast back over one corpus re-scan
+    // (the events_anomaly two-pass pattern) — keyed hash aggs, no SMJ,
+    // nothing cartesian
+    Check("events_histogram",
+      mustContain = Seq("BroadcastHashJoin", "HashAggregate"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin"),
+      noAutoBroadcast = true,
+      maxNodes = Seq("Scan parquet" -> 2)),
     // KL divergence: corpus shuffles ONCE into (source, token) counts;
     // totals/vocab/pairs are tiny and ride broadcast nested loops into
     // the map-side term expansion — no keyed join of the corpus against

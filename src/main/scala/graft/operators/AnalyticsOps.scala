@@ -591,7 +591,35 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** Equi-width histogram per event type: 10 bins spanning each type's
+    * [min, max] value range, entirely in integer cents —
+    * `bin = ((x−lo)·10) div (hi−lo+1)` maps lo→0 and hi→9 with no float
+    * edge ambiguity (the classic float-width histogram puts boundary
+    * values in different bins depending on rounding; integer division
+    * cannot).
+    *
+    * Shape: the per-type bounds are a tiny aggregate (|types| rows)
+    * broadcast back over ONE corpus re-scan, then a keyed
+    * (type, bin) aggregate — the [[eventsAnomaly]] two-pass pattern. At
+    * 100 TB both passes are scan-bound with map-side partials. */
+  def eventsHistogram(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.PositiveInfinity))
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+    val bounds = e.groupBy(col("event_type"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    e.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("bin", expr("((x - lo) * 10) div (hi - lo + 1)"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("bin_min"),
+        max(col("x")).as("bin_max"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_histogram"   -> eventsHistogram,
     "profile_columns"    -> profileColumns,
     "cdc_snapshot_delta" -> cdcSnapshotDelta,
     "cdc_merge_apply"    -> cdcMergeApply,
@@ -748,6 +776,16 @@ object AnalyticsOps extends QueryPack {
         |  round(qs[i], 4) AS exact_c, n, true AS within_bound
         |FROM st, unnest(range(1, 4)) AS u(i)
         |ORDER BY event_type, p""".stripMargin,
+    "events_histogram" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND isfinite(value)),
+        |b AS (SELECT event_type, min(x) AS lo, max(x) AS hi
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_type,
+        |  CAST(((x - lo) * 10) // (hi - lo + 1) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n, min(x) AS bin_min, max(x) AS bin_max
+        |FROM e JOIN b USING (event_type)
+        |GROUP BY e.event_type, bin ORDER BY event_type, bin""".stripMargin,
     "events_range_trailing" ->
       """WITH e AS (SELECT event_id, user_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,

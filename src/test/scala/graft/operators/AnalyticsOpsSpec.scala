@@ -196,6 +196,20 @@ class AnalyticsOpsSpec extends GraftSpec {
       5L -> ((1600L, 1L))))
   }
 
+  test("histogram: integer bins map lo->0 and hi->9; degenerate range -> one bin") {
+    val rows = (0L to 9L).map(i =>
+      Row(i + 1, ts("2024-03-01 10:00:00"), 1L, "t", i * 0.01, null)) ++
+      Seq(Row(20L, ts("2024-03-01 10:00:00"), 1L, "z", 5.0, null),
+        Row(21L, ts("2024-03-01 11:00:00"), 1L, "z", 5.0, null))
+    val got = AnalyticsOps.eventsHistogram(spark, writeEvents(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // cents 0..9 over [0,9]: bin = (x*10) div 10 = x — one value per bin
+    (0L to 9L).foreach(x => assert(got(("t", x)) === ((1L, x, x))))
+    assert(got(("z", 0L)) === ((2L, 500L, 500L)))
+    assert(got.size === 11)
+  }
+
   test("corr stats: exact-moment closed forms on a linear fixture") {
     val rows = Seq(
       // x = 100·hour cents: perfectly linear -> corr 1, slope 100 c/h
