@@ -67,6 +67,33 @@ object StreamingOps {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** STREAM-STATIC join feeding a windowed aggregation: each streamed
+    * event is enriched against a broadcast batch dimension (per-type
+    * long-run moments) — a stateless join, re-planned per micro-batch —
+    * and the same query then maintains the hourly above-long-run-mean
+    * counts. The mean test is exact rational arithmetic
+    * (`x·cnt > sum`, never a float mean), so batch and streaming agree
+    * bit-for-bit. Rows whose type is absent from the dimension (null
+    * types, the backfill sentinel) drop at the join — enrichment
+    * requires a dimension match — but the watermark still advances:
+    * event-time tracking happens at the watermark node upstream of the
+    * join, so the sentinel flushes the trailing windows even though its
+    * own row never reaches the aggregate. */
+  def enrichAboveMean(events: DataFrame, typeStats: DataFrame): DataFrame =
+    eventTimed(events)
+      .withWatermark("ts", "2 hours")
+      .withColumn("x_c",
+        when(col("value").isNotNull && !isnan(col("value")) &&
+            abs(col("value")) < lit(Double.PositiveInfinity),
+          expr("CAST(round(value * 100) AS BIGINT)")))
+      .join(broadcast(typeStats), Seq("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x_c") * col("m_cnt") > col("m_sum"), 1L).otherwise(0L))
+          .as("n_above"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("n_above"))
+
   /** Sliding 1-hour window every 15 minutes. */
   def slidingAgg(events: DataFrame): DataFrame =
     eventTimed(events)

@@ -391,7 +391,28 @@ object StreamingQueries extends QueryPack {
       .filter(!(col("event_type") <=> lit(FlushType)))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Stream-static enrichment — the lambda-architecture join: the stream
+    * is enriched against the BATCH-computed per-type moments (exact
+    * integer cents, the [[graft.operators.AnalyticsOps]] discipline) and
+    * windowed into hourly above-mean counts. The static dimension
+    * excludes null types (an inner enrichment join cannot match them)
+    * and the sentinel's reserved type never appears in batch stats, so
+    * the join itself performs the sentinel scrub. */
+  def streamEnrichAboveMean(s: SparkSession, d: String): DataFrame = {
+    val finite = col("value").isNotNull && !isnan(col("value")) &&
+      abs(col("value")) < lit(Double.PositiveInfinity)
+    val stats = graft.Tables.events(s, d)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(sum(when(finite, 1L).otherwise(0L)).as("m_cnt"),
+        coalesce(sum(when(finite,
+          expr("CAST(round(value * 100) AS BIGINT)"))), lit(0L)).as("m_sum"))
+    runBackfill(s, d)(df => StreamingOps.enrichAboveMean(df, stats))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_enrich_abovemean" -> streamEnrichAboveMean,
     "stream_dedup_windows" -> streamDedupWindows,
     "stream_topk_users" -> streamTopkUsers,
     "stream_tumbling" -> streamTumbling,
@@ -430,6 +451,23 @@ object StreamingQueries extends QueryPack {
         |FROM events
         |WHERE ts IS NOT NULL AND event_type IS DISTINCT FROM '__flush__'
         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "stream_enrich_abovemean" ->
+      """WITH s AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN value IS NOT NULL AND isfinite(value)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS m_cnt,
+        |    CAST(coalesce(sum(CASE WHEN value IS NOT NULL AND isfinite(value)
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS m_sum
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY event_type),
+        |e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    event_type,
+        |    CASE WHEN value IS NOT NULL AND isfinite(value)
+        |         THEN CAST(round(value * 100) AS BIGINT) END AS x_c
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT e.hour, e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN x_c * m_cnt > m_sum THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_above
+        |FROM e JOIN s USING (event_type)
+        |GROUP BY e.hour, e.event_type ORDER BY hour, event_type""".stripMargin,
     // identical to stream_tumbling BY DESIGN: the chained dedup must make
     // the union-doubling invisible to the windowed aggregate
     "stream_dedup_windows" ->

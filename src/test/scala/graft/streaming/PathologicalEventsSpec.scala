@@ -98,6 +98,36 @@ class PathologicalEventsSpec extends GraftSpec {
       r.getAs[java.sql.Timestamp]("w_start").getTime <= 86400000L) == 4)
   }
 
+  test("stream-static enrichment: typed+timed rows join, NaN never counts above-mean") {
+    val enriched = run("stream_enrich_abovemean")
+    // inner enrichment join drops null-type rows; untimed rows drop at
+    // ingress — everything else (NaN/null measures included) is counted
+    assert(enriched.map(_.getLong(2)).sum == baseCount + 5)
+    // a corrupt measure can never satisfy the exact rational mean test
+    enriched.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
+    // the batch twin of the same exact-rational test agrees cell-by-cell
+    val stream = enriched.map(r =>
+      (r.get(0), r.get(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val finite = col("value").isNotNull && !isnan(col("value")) &&
+      abs(col("value")) < lit(Double.PositiveInfinity)
+    val ev = graft.Tables.events(spark, pathoDir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(sum(when(finite, 1L).otherwise(0L)).as("m_cnt"),
+        coalesce(sum(when(finite,
+          expr("CAST(round(value * 100) AS BIGINT)"))), lit(0L)).as("m_sum"))
+    val batch = ev
+      .withColumn("x_c", when(finite, expr("CAST(round(value * 100) AS BIGINT)")))
+      .join(stats, Seq("event_type"))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x_c") * col("m_cnt") > col("m_sum"), 1L).otherwise(0L))
+          .as("n_above"))
+      .collect()
+      .map(r => (r.get(0), r.get(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(stream === batch)
+  }
+
   test("chained dedup+windows equals the single-operator windowed agg") {
     // the chain's dedup leg must make the union-doubling invisible: on
     // ANY corpus (pathological rows included) its output is exactly the
