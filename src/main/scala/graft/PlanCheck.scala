@@ -358,6 +358,13 @@ object PlanCheck {
       mustContain = Seq("HashAggregate"),
       mustNot = Seq("Join", "CartesianProduct"),
       maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // PQ-ADC: codebook (128 rows) and LUT (|q|·8·16 rows) are the ONLY
+    // join builds and both ride explicit broadcasts; the corpus is
+    // never shuffled into a join and nothing is cartesian
+    Check("ann_pq_topk",
+      mustContain = Seq("BroadcastHashJoin", "HashAggregate"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin"),
+      noAutoBroadcast = true),
     // histogram: per-type bounds broadcast back over one corpus re-scan
     // (the events_anomaly two-pass pattern) — keyed hash aggs, no SMJ,
     // nothing cartesian

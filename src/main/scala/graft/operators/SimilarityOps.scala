@@ -110,6 +110,30 @@ object SimilarityOps extends QueryPack {
   def annBruteForce(s: SparkSession, d: String): DataFrame =
     bruteSearch(corpus(s, d), defaultQueries, 10)
 
+  /** Int8-quantized corpus `(vec_id, qv: array<long>)` — the shared
+    * "training + quantize" front of the SQ and PQ searches. Fixed-dim
+    * AND finite: a NaN/Inf component would poison the learned scale
+    * (max |v|) and ANSI-throw in the integer cast — a quantizer indexes
+    * only well-formed vectors (abs(v) < Inf is false for BOTH NaN and
+    * ±Inf, one predicate covers all three). The per-dim max|v| scale
+    * vector is assembled into ONE ordered array row — dims are
+    * struct-sorted so the array index is the dimension, no collect(),
+    * one broadcast row. */
+  private def int8Corpus(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d).filter(size(col("embedding")) === Dim &&
+      expr("forall(embedding, v -> abs(CAST(v AS DOUBLE)) < CAST('Infinity' AS DOUBLE))"))
+    val scales = base
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(max(abs(col("v").cast("double"))).as("m"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("sm"))
+      .select(transform(col("sm"), x => x.getField("m")).as("scales"))
+    base.crossJoin(broadcast(scales))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("scales"), (v, m) =>
+          when(m > 0, round(v.cast("double") * 127.0 / m, 0))
+            .otherwise(0.0).cast("long")).as("qv"))
+  }
+
   /** Scalar-quantized (int8) nearest neighbors: per-dimension symmetric
     * quantization q = round(v·127 / max|v_dim|), then EXACT integer dot
     * products over the quantized vectors, top-10 per query (score desc,
@@ -128,31 +152,87 @@ object SimilarityOps extends QueryPack {
     * instead of float cosine. Off-dim vectors are excluded by the
     * fixed-dim index rule. */
   def annQuantizedTopK(s: SparkSession, d: String): DataFrame = {
-    // fixed-dim AND finite: a NaN/Inf component would poison the learned
-    // scale (max |v|) and ANSI-throw in the integer cast — a quantizer
-    // indexes only well-formed vectors (abs(v) < Inf is false for BOTH
-    // NaN and ±Inf, one predicate covers all three)
-    val base = corpus(s, d).filter(size(col("embedding")) === Dim &&
-      expr("forall(embedding, v -> abs(CAST(v AS DOUBLE)) < CAST('Infinity' AS DOUBLE))"))
-    // per-dim max|v| (the quantizer's scale vector), assembled into ONE
-    // ordered array row — dims are struct-sorted so the array index is
-    // the dimension, no collect(), one broadcast row
-    val scales = base
-      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy(col("dim")).agg(max(abs(col("v").cast("double"))).as("m"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("sm"))
-      .select(transform(col("sm"), x => x.getField("m")).as("scales"))
-    val quantized = base.crossJoin(broadcast(scales))
-      .select(col("vec_id"),
-        zip_with(col("embedding"), col("scales"), (v, m) =>
-          when(m > 0, round(v.cast("double") * 127.0 / m, 0))
-            .otherwise(0.0).cast("long")).as("qv"))
+    val quantized = int8Corpus(s, d)
     val q = quantized.filter(defaultQueries)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
     val scored = quantized.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         expr("aggregate(zip_with(q_qv, qv, (a, b) -> a * b), " +
           "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val pqSubspaces = 8
+  private val pqSubDim = Dim / pqSubspaces // 8 dims per subvector
+  private val pqCodes = 16                 // 4-bit codes
+
+  /** Product-quantization ANN with ADC scoring — the memory-compression
+    * rung above int8: each vector is stored as 8 four-bit CODES (64
+    * floats → 4 bytes, a 64× compression), each code naming the nearest
+    * codebook entry for one 8-dim subvector; a query is answered by one
+    * 8×16 lookup table of exact integer sub-dot-products and a
+    * table-sum per candidate (faiss's IVFPQ/ADC serving shape).
+    *
+    * The codebook is SAMPLED, not Lloyd-trained: the 16 anchors are the
+    * corpus vectors with the smallest portable-md5 priority (a
+    * deterministic uniform draw — the standard random-codebook PQ
+    * variant), and all arithmetic downstream of the int8 quantizer is
+    * exact integer math. That trade makes the ENTIRE pipeline — codes,
+    * LUT, ADC scores, ranks — oracle-checkable in closed form, where
+    * iterative k-means training would be float-order-dependent (the IVF
+    * family covers that side, gated by its recall audit).
+    *
+    * Shape: encode = one broadcast join of (vec, sub) slices against the
+    * 128-row codebook + a min-struct argmin agg (never a shuffle of
+    * the corpus against itself); serving = codes ⋈ broadcast LUT
+    * (|q|·8·16 rows) + one (q, vec) sum-agg + rank-limited top-k. At
+    * 100 TB the stored index is the 4-byte code column — the scan reads
+    * 64× fewer vector bytes than brute force. */
+  def annPqTopK(s: SparkSession, d: String): DataFrame = {
+    val quantized = int8Corpus(s, d)
+    // (vec, sub, 8-dim subvector)
+    val subs = quantized
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("sub"), col("qv"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(qv, sub * $pqSubDim + 1, $pqSubDim)").as("sv"))
+    // deterministic uniform codebook draw: 16 anchors by md5 priority
+    val anchors = quantized
+      .withColumn("pri", expr(
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+      .orderBy(col("pri"), col("vec_id")).limit(pqCodes)
+      .withColumn("j",
+        row_number().over(Window.orderBy(col("pri"), col("vec_id"))) - 1)
+    val codebook = anchors
+      .select(col("j"),
+        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("sub"), col("qv"))
+      .select(col("j"), col("sub"),
+        expr(s"slice(qv, sub * $pqSubDim + 1, $pqSubDim)").as("cv"))
+    // encode: nearest codebook entry per (vec, sub) by exact integer L2;
+    // min over (dist, j) structs breaks ties on the smaller code
+    val codes = subs.join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("j"),
+        expr("aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
+    // ADC lookup table: per (query, sub, code) the exact integer
+    // sub-dot-product of the UNENCODED query against the codebook
+    val lut = subs.filter(defaultQueries)
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("q_sv"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("j"),
+        expr("aggregate(zip_with(q_sv, cv, (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("l"))
+    val scored = codes
+      .join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("j"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("l")).as("score"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
@@ -645,6 +725,7 @@ object SimilarityOps extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> annBruteForce,
     "ann_quantized_topk" -> annQuantizedTopK,
+    "ann_pq_topk" -> annPqTopK,
     "ann_knn_classify" -> annKnnClassify,
     "embedding_centroids" -> embeddingCentroids,
     "ann_lsh_topk" -> annLsh,
@@ -681,6 +762,55 @@ object SimilarityOps extends QueryPack {
         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
         |      AS rank
         |  FROM dots)
+        |SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // sampled-codebook product quantization: every stage downstream of
+    // the int8 quantizer is integer arithmetic (codes, LUT, ADC scores),
+    // so the WHOLE search replays in closed-form SQL — ties in the
+    // argmin broken on the smaller code in both engines
+    "ann_pq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |             AND len(list_filter(embedding, x -> x IS NULL OR
+        |               NOT (abs(CAST(x AS DOUBLE)) < CAST('infinity' AS DOUBLE)))) = 0),
+        |dims AS (SELECT CAST(i AS INT) AS i FROM unnest(range(1, 65)) AS u(i)),
+        |flat AS (SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS v
+        |         FROM e, dims d),
+        |sc AS (SELECT i, max(abs(v)) AS m FROM flat GROUP BY i),
+        |qz AS (SELECT f.vec_id, f.i,
+        |    CASE WHEN s.m > 0 THEN CAST(round(f.v * 127.0 / s.m) AS BIGINT)
+        |         ELSE 0 END AS q
+        |  FROM flat f JOIN sc s USING (i)),
+        |pri AS (SELECT vec_id,
+        |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS pri
+        |  FROM e),
+        |anch AS (SELECT vec_id,
+        |    row_number() OVER (ORDER BY pri, vec_id) - 1 AS j
+        |  FROM pri ORDER BY pri, vec_id LIMIT 16),
+        |cb AS (SELECT a.j, (z.i - 1) // 8 AS sub, (z.i - 1) % 8 AS dsub, z.q AS c
+        |  FROM anch a JOIN qz z ON z.vec_id = a.vec_id),
+        |enc AS (SELECT z.vec_id, (z.i - 1) // 8 AS sub, cb.j,
+        |    CAST(sum((z.q - cb.c) * (z.q - cb.c)) AS BIGINT) AS dist
+        |  FROM qz z JOIN cb ON cb.sub = (z.i - 1) // 8 AND cb.dsub = (z.i - 1) % 8
+        |  GROUP BY z.vec_id, (z.i - 1) // 8, cb.j),
+        |codes AS (SELECT vec_id, sub, j AS code FROM (
+        |    SELECT vec_id, sub, j,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, j) AS rn
+        |    FROM enc) WHERE rn = 1),
+        |lut AS (SELECT z.vec_id AS q_id, (z.i - 1) // 8 AS sub, cb.j,
+        |    CAST(sum(z.q * cb.c) AS BIGINT) AS l
+        |  FROM qz z JOIN cb ON cb.sub = (z.i - 1) // 8 AND cb.dsub = (z.i - 1) % 8
+        |  WHERE z.vec_id < 5
+        |  GROUP BY z.vec_id, (z.i - 1) // 8, cb.j),
+        |adc AS (SELECT l.q_id, c.vec_id, CAST(sum(l.l) AS BIGINT) AS score
+        |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.j = c.code
+        |  WHERE c.vec_id <> l.q_id
+        |  GROUP BY l.q_id, c.vec_id),
+        |rk AS (SELECT q_id, vec_id, score,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id)
+        |      AS rank
+        |  FROM adc)
         |SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank
         |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "embedding_centroids" ->
