@@ -87,12 +87,22 @@ object GraphOps extends QueryPack {
 
   private val P = 997L
 
-  /** Canonical distinct edge list folded from lineitem:
-    * `(l_orderkey mod P, l_partkey mod P)` — a dense pseudo-random
-    * unipartite graph with real triangles at every SF. */
+  /** Canonical distinct edge list folded from lineitem: one pair per
+    * order (`l_linenumber = 1` — the full multi-line fold saturates the
+    * P-node space into a near-complete graph at sf0.1, 80M wedges for no
+    * extra signal), nodes `band·P + key mod P` where
+    * `band = l_orderkey div 1e8`. The band term is 0 on the natural
+    * corpora (orderkeys < 1e8) and splits the 10× synthetic corpus's
+    * shifted key ranges into ten DISJOINT subgraphs — so the sweep's
+    * graph grows to 10× nodes AND 10× edges (measured 10.0× wedges and
+    * triangles), the same axis the PageRank fold uses, instead of
+    * re-saturating one fixed fold. */
   private def foldedEdges(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .select((col("l_orderkey") % P).as("a"), (col("l_partkey") % P).as("b"))
+      .filter(col("l_linenumber") === 1)
+      .select(
+        expr(s"(l_orderkey div 100000000) * $P + (l_orderkey % $P)").as("a"),
+        expr(s"(l_orderkey div 100000000) * $P + (l_partkey % $P)").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
@@ -107,9 +117,12 @@ object GraphOps extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     "graph_triangles" ->
-      s"""WITH e AS (SELECT DISTINCT least(l_orderkey % $P, l_partkey % $P) AS u,
-        |    greatest(l_orderkey % $P, l_partkey % $P) AS v
-        |  FROM lineitem WHERE l_orderkey % $P <> l_partkey % $P),
+      s"""WITH p AS (SELECT
+        |    (l_orderkey // 100000000) * $P + (l_orderkey % $P) AS a,
+        |    (l_orderkey // 100000000) * $P + (l_partkey % $P) AS b
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM p WHERE a <> b),
         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
         |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
         |  GROUP BY node),
