@@ -358,6 +358,13 @@ object PlanCheck {
       mustContain = Seq("HashAggregate"),
       mustNot = Seq("Join", "CartesianProduct"),
       maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // shuffled-hash: the hint must engage the third join strategy — a
+    // partitioned hash build, no sort passes, no broadcast of the
+    // O(orders) side even with auto-broadcast off
+    Check("q45_shuffle_hash",
+      mustContain = Seq("ShuffledHashJoin", "HashAggregate"),
+      mustNot = Seq("SortMergeJoin", "CartesianProduct", "BroadcastExchange"),
+      noAutoBroadcast = true),
     // PQ-ADC: codebook (128 rows) and LUT (|q|·8·16 rows) are the ONLY
     // join builds and both ride explicit broadcasts; the corpus is
     // never shuffled into a join and nothing is cartesian

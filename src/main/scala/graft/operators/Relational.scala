@@ -509,7 +509,26 @@ object Relational extends QueryPack {
       .orderBy(col("label"))
   }
 
+  /** SHUFFLED-HASH join — the third join strategy next to broadcast (q3/
+    * q5/q8) and sort-merge (q4/q5): both sides shuffle on the key but the
+    * smaller PARTITIONED side builds an in-memory hash table instead of
+    * both sides sorting. The right pick when the build side is too big to
+    * broadcast yet far smaller than the probe side — it skips both sort
+    * passes of SMJ. Forced here via the SHUFFLE_HASH hint on orders
+    * (Spark only auto-selects SHJ under size conditions
+    * `spark.sql.join.preferSortMergeJoin=false` rarely met at test scale);
+    * the hint is the documented production mechanism. */
+  def q45ShuffleHashJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).hint("SHUFFLE_HASH"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_shuffle_hash" -> q45ShuffleHashJoin,
     "q38_scalar_subquery" -> q38ScalarSubquery,
     "q39_gap_fill" -> q39GapFill,
     "q40_full_outer" -> q40FullOuter,
@@ -551,6 +570,11 @@ object Relational extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q45_shuffle_hash" ->
+      """SELECT o.o_orderstatus, count(*) AS n_lines,
+        |  round(sum(l.l_extendedprice), 2) AS total_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
     "q43_salted_join" ->
       """WITH ev AS (SELECT CASE WHEN user_id < 50 THEN 0 ELSE user_id END AS k,
         |  value FROM events),
