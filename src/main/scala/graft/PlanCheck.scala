@@ -388,6 +388,21 @@ object PlanCheck {
       mustContain = Seq("HashAggregate", "BroadcastNestedLoopJoin"),
       mustNot = Seq("CartesianProduct", "SortMergeJoin"),
       maxNodes = Seq("Scan parquet" -> 4)),
+    // banded fuzzy join: an equi-join on the band key (never a cartesian
+    // or BNLJ — the blocking key is what makes the dictionary join
+    // hash-partitionable), dictionary distinct is one exchange per side
+    Check("entity_fuzzy_pairs",
+      mustContain = Seq("levenshtein"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      noAutoBroadcast = true),
+    // skyline: banded windows + broadcast prefix-max — the corpus-sized
+    // stages are one distinct agg and one partitioned window; no
+    // dominance self-join, no single-task global window over the corpus
+    Check("pareto_frontier",
+      mustContain = Seq("Window", "HashAggregate"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      maxNodes = Seq("Scan parquet" -> 2)),
   )
 
   def main(args: Array[String]): Unit = {

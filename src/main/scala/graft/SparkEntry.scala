@@ -18,7 +18,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] =
     Seq(Relational, AdvancedOps, TextOps, DedupOps, SimilarityOps,
       MultimodalOps, PipeOps, NativeOps, CurationOps, SearchOps,
-      LayoutOps, AnalyticsOps, GraphOps, graft.streaming.StreamingQueries)
+      LayoutOps, AnalyticsOps, GraphOps, EntityOps,
+      graft.streaming.StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -618,7 +618,58 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  /** 2-D Pareto frontier (skyline) over parts: minimize price, maximize
+    * size — "no other part is at most as expensive AND at least as
+    * large". The classic formulation is a quadratic dominance anti-join;
+    * the sort-based identity (sort by price asc / size desc → a point is
+    * on the frontier iff its size exceeds the running max of everything
+    * before it) makes it one ordered scan — but a bare global window
+    * funnels the whole input through ONE task. This runs the scan as a
+    * distributed prefix-max instead:
+    *
+    *  1. collapse to distinct `(price, size)` points with counts — the
+    *     frontier of the distinct set IS the frontier of the multiset,
+    *     and the point set is domain-bounded (≤ |prices|·|sizes|), not
+    *     corpus-bounded;
+    *  2. band by fixed price ranges (all prices in band b are strictly
+    *     below all of band b+1), local running-max window PER BAND —
+    *     parallel across bands;
+    *  3. per-band maxima (|bands| rows) → prefix max of strictly-lower
+    *     bands on the driver-scale frame, broadcast back;
+    *  4. survivor ⟺ size > max(local running max, lower-band prefix max).
+    *
+    * Same two-phase scan pattern as [[eventsAnomaly]]/[[eventsHistogram]]:
+    * every corpus-sized stage is a keyed aggregate or a partitioned
+    * window; nothing corpus-sized crosses one task. Fixed-point cents
+    * keep both engines in integer arithmetic. Band width is chosen from
+    * the known price domain (a production run derives bands from a
+    * quantile sketch first pass). */
+  def paretoFrontier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.part(s, d)
+      .select(expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"),
+        col("p_size").cast("long").as("size"))
+      .groupBy(col("price_cents"), col("size"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("band", expr("price_cents div 1000"))
+    val local = Window.partitionBy(col("band"))
+      .orderBy(col("price_cents").asc, col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // |bands| rows: the unpartitioned window runs over a ~10-row frame
+    val bandMax = pts.groupBy(col("band")).agg(max(col("size")).as("bmax"))
+      .withColumn("pmax", max(col("bmax")).over(
+        Window.orderBy(col("band")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("band"), col("pmax"))
+    pts.withColumn("lmax", max(col("size")).over(local))
+      .join(broadcast(bandMax), "band")
+      .filter(col("size") > coalesce(greatest(col("lmax"), col("pmax")),
+        lit(Long.MinValue)))
+      .select(col("price_cents"), col("size"), col("n_parts"))
+      .orderBy(col("price_cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pareto_frontier"    -> paretoFrontier,
     "events_histogram"   -> eventsHistogram,
     "profile_columns"    -> profileColumns,
     "cdc_snapshot_delta" -> cdcSnapshotDelta,
@@ -636,6 +687,20 @@ object AnalyticsOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // the oracle runs the GLOBAL single-window formulation — agreement
+    // proves the banded prefix-max decomposition is exact
+    "pareto_frontier" ->
+      """WITH pts AS (
+        |  SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |         CAST(p_size AS BIGINT) AS size, count(*) AS n_parts
+        |  FROM part GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, max(size) OVER (ORDER BY price_cents ASC, size DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+        |  FROM pts)
+        |SELECT price_cents, size, n_parts FROM w
+        |WHERE m IS NULL OR size > m
+        |ORDER BY price_cents""".stripMargin,
     "profile_columns" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
