@@ -395,6 +395,13 @@ object PlanCheck {
       mustContain = Seq("levenshtein"),
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
       noAutoBroadcast = true),
+    // phrase match: position-shift joins are keyed equi-joins on
+    // (doc_id, pos) over vocabulary-filtered postings — never a
+    // cartesian/BNLJ, and the corpus scans carry the phrase-term filter
+    Check("search_phrase",
+      mustContain = Seq("HashAggregate"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      noAutoBroadcast = true),
     // skyline: banded windows + broadcast prefix-max — the corpus-sized
     // stages are one distinct agg and one partitioned window; no
     // dominance self-join, no single-task global window over the corpus
