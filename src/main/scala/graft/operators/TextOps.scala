@@ -466,7 +466,58 @@ object TextOps extends QueryPack {
       .orderBy(col("s1"), col("s2"))
   }
 
+  /** RAG-style chunking: overlapping token windows of [[ChunkW]] tokens
+    * at stride [[ChunkS]] (8-token overlap) — the retrieval-index unit a
+    * training/RAG pipeline materializes from every document. Emits one
+    * row per chunk with its token count and a content fingerprint
+    * (md5 of the joined window), NOT the chunk text — the fingerprint is
+    * what chunk-level dedup and index-build stages key on, and it keeps
+    * the output row width constant.
+    *
+    * Shape: pure per-document codegen projection (split → sequence of
+    * starts → explode → slice) — NO shuffle except the output sort;
+    * embarrassingly parallel at 100 TB. Chunk starts are 0, S, 2S, …
+    * while start < n_tokens, so the final window may be short but every
+    * token is covered. */
+  def textChunkWindows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(tk) - 1, $ChunkS)")).as("start"),
+        col("tk"))
+      .select(col("doc_id"), (col("start") / ChunkS).cast("long").as("chunk_idx"),
+        expr(s"slice(tk, start + 1, $ChunkW)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("fingerprint"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  /** Adjacent character-pair frequencies within tokens — the merge-
+    * candidate statistic a BPE tokenizer trainer computes each round
+    * (the most frequent pair becomes the next merge). Top-50 pairs by
+    * count, pair-lexicographic tie-break.
+    *
+    * Shape: token explode → per-token pair explode (codegen `transform`
+    * over a character sequence — character-based substring, so multi-byte
+    * UTF-8 pairs count correctly) → ONE partial-aggregated count shuffle
+    * → TakeOrderedAndProject top-50. Never a full sort. */
+  def textBpePairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(char_length(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(t) - 1), i -> substring(t, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(50)
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk_windows" -> textChunkWindows,
+    "text_bpe_pairs" -> textBpePairs,
     "text_source_divergence" -> textSourceDivergence,
     "text_cms_heavyhitters" -> textCmsHeavyHitters,
     "text_cms_production" -> textCmsProduction,
@@ -491,6 +542,23 @@ object TextOps extends QueryPack {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${stops.map(w => s"'$w'").mkString(", ")})))"
 
   override val oracle: Map[String, String] = Map(
+    "text_chunk_windows" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0),
+         |c AS (SELECT doc_id, i // $ChunkS AS chunk_idx,
+         |  tk[i + 1 : i + $ChunkW] AS chunk
+         |  FROM t, unnest(generate_series(0, len(tk) - 1, $ChunkS)) AS u(i))
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS fingerprint
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |pr AS (SELECT t[i : i + 1] AS pair FROM tok,
+        |  unnest(generate_series(1, length(t) - 1)) AS u(i)
+        |  WHERE length(t) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pr
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "text_source_divergence" ->
       """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS token
         |  FROM documents WHERE source IS NOT NULL),
