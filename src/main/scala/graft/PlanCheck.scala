@@ -395,6 +395,13 @@ object PlanCheck {
       mustContain = Seq("levenshtein"),
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
       noAutoBroadcast = true),
+    // incremental MV merge: the view↔delta merge is a keyed full-outer
+    // (SMJ — an O(keys) side must never broadcast), and the delta/audit
+    // arms are keyed aggregates; no cartesian anywhere
+    Check("mv_incremental_refresh",
+      mustContain = Seq("SortMergeJoin FullOuter", "HashAggregate"),
+      mustNot = Seq("CartesianProduct"),
+      noAutoBroadcast = true),
     // phrase match: position-shift joins are keyed equi-joins on
     // (doc_id, pos) over vocabulary-filtered postings — never a
     // cartesian/BNLJ, and the corpus scans carry the phrase-term filter

@@ -668,7 +668,103 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("price_cents"))
   }
 
+  /** Incremental materialized-view maintenance: a per-customer
+    * (order count, revenue cents) MV is refreshed by applying a signed
+    * delta batch — deletes as (−1, −cents), the insert half of updates
+    * as (+1, +new cents) — via ONE keyed full-outer merge of partial
+    * aggregates, instead of recomputing the base table. Groups whose
+    * count reaches zero leave the view. The delta here is synthesized
+    * deterministically from the orders table (`o_orderkey % 20 == 0` →
+    * delete; `% 10 == 0` otherwise → price-bump update), standing in
+    * for a CDC feed.
+    *
+    * The query then AUDITS the incremental path in-engine: it recomputes
+    * the view from the applied table and counts groups where the
+    * incrementally-maintained row differs — emitted as `n_mismatch`
+    * (must be 0). Output is a 1-row summary, so the oracle can recompute
+    * the final state directly while the mismatch count proves the
+    * delta-merge produced it too.
+    *
+    * 100 TB shape: the view and the delta aggregate are both keyed
+    * partial aggregates; the merge is a co-partitioned keyed join; the
+    * delta side is O(changed keys). Nothing rescans the base except the
+    * audit (which a production run samples or skips). */
+  def mvIncrementalRefresh(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val mv0 = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+    val touched = o.filter(col("o_orderkey") % 10 === 0)
+    val delta = touched
+      .select(col("o_custkey"), lit(-1L).as("w"), (-col("cents")).as("wc"))
+      .unionByName(touched.filter(col("o_orderkey") % 20 =!= 0)
+        .select(col("o_custkey"), lit(1L).as("w"),
+          (col("cents") + 500L).as("wc")))
+    val dAgg = delta.groupBy(col("o_custkey"))
+      .agg(sum(col("w")).as("dn"), sum(col("wc")).as("dc"))
+    val mv1 = mv0.join(dAgg, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("sc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("sc"))
+      .filter(col("n") > 0)
+    // audit: recompute from the applied table; any differing group counts
+    val applied = o.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_custkey"), col("cents"))
+      .unionByName(touched.filter(col("o_orderkey") % 20 =!= 0)
+        .select(col("o_custkey"), (col("cents") + 500L).as("cents")))
+    val rec = applied.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("rn"), sum(col("cents")).as("rsc"))
+    val mismatch = mv1.join(rec, Seq("o_custkey"), "full_outer")
+      .filter(coalesce(col("n"), lit(-1L)) =!= coalesce(col("rn"), lit(-2L)) ||
+        coalesce(col("sc"), lit(-1L)) =!= coalesce(col("rsc"), lit(-2L)))
+      .agg(count(lit(1)).as("n_mismatch"))
+    mv1.agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_orders"),
+        sum(col("sc")).as("sum_cents"))
+      .crossJoin(broadcast(mismatch))
+      .select(col("n_groups"), col("n_orders"), col("sum_cents"),
+        coalesce(col("n_mismatch"), lit(0L)).as("n_mismatch"))
+      .filter(col("n_groups") > 0)
+  }
+
+  /** Mergeable approximate-distinct sketches: per event type, the
+    * DataSketches HLL estimate of distinct users, computed BOTH directly
+    * and as a union of 8 per-shard sketches (the 100 TB shape: shards
+    * sketch independently — e.g. per day or per partition — and the
+    * serving tier merges, never re-scanning history). Emits the exact
+    * count plus two audit booleans: the direct and the merged estimate
+    * must each land within 3% of exact (lgK=14 ⇒ ~0.8% RSE, so 3% is a
+    * ~4σ bound — deterministic for a fixed corpus since HLL register
+    * updates are order-insensitive max operations).
+    *
+    * The estimates themselves are library-specific, so the oracle checks
+    * the exact counts and the audit verdicts — the same gate pattern as
+    * `ann_recall`/`text_cms_recall`. */
+  def sketchHllDistinct(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"))
+    val direct = e.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14)))
+        .as("est_d"))
+    val merged = e.withColumn("shard", pmod(col("user_id"), lit(8)))
+      .groupBy(col("event_type"), col("shard"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_m"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    val bound = (est: Column, ex: Column) =>
+      abs(est - ex) * lit(100L) <= ex * lit(3L)
+    exact.join(direct, "event_type").join(merged, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        bound(col("est_d"), col("exact_distinct")).as("direct_ok"),
+        bound(col("est_m"), col("exact_distinct")).as("merged_ok"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_incremental_refresh" -> mvIncrementalRefresh,
+    "sketch_hll_distinct" -> sketchHllDistinct,
     "pareto_frontier"    -> paretoFrontier,
     "events_histogram"   -> eventsHistogram,
     "profile_columns"    -> profileColumns,
@@ -687,6 +783,32 @@ object AnalyticsOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // final MV state recomputed directly; n_mismatch is the in-engine
+    // audit of the incremental path (0 = delta-merge produced the same
+    // view the recompute does)
+    "mv_incremental_refresh" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |applied AS (
+        |  SELECT o_custkey, cents FROM o WHERE o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_custkey, cents + 500 FROM o
+        |  WHERE o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0),
+        |mv AS (SELECT o_custkey, count(*) AS n, sum(cents) AS sc
+        |  FROM applied GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_orders,
+        |  CAST(sum(sc) AS BIGINT) AS sum_cents,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |FROM mv HAVING count(*) > 0""".stripMargin,
+    // estimates are DataSketches-specific; the oracle pins the exact
+    // distinct counts and the audit verdicts (the ann_recall pattern)
+    "sketch_hll_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        |  true AS direct_ok, true AS merged_ok
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the oracle runs the GLOBAL single-window formulation — agreement
     // proves the banded prefix-max decomposition is exact
     "pareto_frontier" ->
