@@ -257,4 +257,74 @@ object StreamingOps {
           }
       }
   }
+
+  /** Input row for [[RecordHighProcessor]]: event time pre-converted to
+    * epoch micros (full timestamp precision — `Timestamp.getTime` is
+    * millis and would mis-order sub-ms neighbors) and the measure
+    * pre-converted to micro-units by the SAME `round(value * 1e6)`
+    * expression the batch queries use, so the processor never does float
+    * arithmetic. */
+  case class REv(ts_micro: Long, event_id: Long, user_id: Long, v_micro: Long)
+  case class RecordOut(user_id: Long, n_records: Long, max_micro: Long)
+
+  /** Per-user running record-high detection on the `transformWithState`
+    * arbitrary-state API (Spark 4): ValueState holds `(count, max)` per
+    * user across micro-batches; each batch folds its rows in
+    * `(ts, event_id)` order and emits the user's updated totals — the
+    * serving-table shape where the latest row per key is current.
+    *
+    * `transformWithState` is the successor to [[statefulSessions]]'s
+    * flatMapGroupsWithState: typed composite state (value/list/map),
+    * explicit TTL, timers — and it REQUIRES the RocksDB state store
+    * provider, which is the 100 TB-scale choice anyway (state spills to
+    * disk with changelog checkpointing instead of living on the JVM
+    * heap). The declared entry sets the provider for the query's run.
+    *
+    * Determinism: rows within a group arrive unordered, so the fold
+    * sorts by full-precision event time with event_id tie-break — the
+    * exact ORDER BY of the oracle's window replay. */
+  class RecordHighProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, REv, RecordOut] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("recordhigh",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[REv],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RecordOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_micro, e.event_id))
+      var (cnt, mx) = if (st.exists()) st.get() else (0L, Long.MinValue)
+      sorted.foreach { e =>
+        if (e.v_micro > mx) { mx = e.v_micro; cnt += 1 }
+      }
+      st.update((cnt, mx))
+      Iterator.single(RecordOut(user, cnt, mx))
+    }
+  }
+
+  /** The record-high pipeline over a raw events stream: ingress-filter
+    * untimed/unidentified/non-finite rows (the processor's primitive
+    * fields and integer fold require all four fields), convert to
+    * [[REv]], run [[RecordHighProcessor]] keyed by user. */
+  def recordHighs(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull &&
+        abs(col("value")) < lit(Double.PositiveInfinity))
+      .select(expr("unix_micros(ts)").as("ts_micro"), col("event_id"),
+        col("user_id"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v_micro"))
+      .as[REv]
+      .groupByKey(_.user_id)
+      .transformWithState(new RecordHighProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
 }

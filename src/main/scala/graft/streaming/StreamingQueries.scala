@@ -349,6 +349,29 @@ object StreamingQueries extends QueryPack {
         col("value"))
       .orderBy(col("event_id"))
 
+  /** Per-user record-high tracking on the `transformWithState` API
+    * ([[StreamingOps.RecordHighProcessor]]): typed ValueState per user,
+    * RocksDB state store (required by the API, and the at-scale choice —
+    * state on disk with changelog checkpoints, not JVM heap). The
+    * processor emits each touched user's running (record count, max)
+    * per batch; a finite single-batch backfill therefore lands exactly
+    * one row per user — the full-history answer the oracle replays with
+    * an ordered window. The provider conf is scoped to the run: Spark
+    * reads it at query start, and the declared backfills are sequential
+    * driver entry points. */
+  def streamRecordHighs(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runDirect(s, d)(df => StreamingOps.recordHighs(s, df))
+      .orderBy(col("user_id"))
+    finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Watermarked STREAM-STREAM interval join as a declared query: each
     * purchase joined to the same user's clicks from the preceding hour,
     * both sides of [[StreamingOps.streamStreamJoin]] fed from the same
@@ -412,6 +435,7 @@ object StreamingQueries extends QueryPack {
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_record_highs" -> streamRecordHighs,
     "stream_enrich_abovemean" -> streamEnrichAboveMean,
     "stream_dedup_windows" -> streamDedupWindows,
     "stream_topk_users" -> streamTopkUsers,
@@ -430,6 +454,23 @@ object StreamingQueries extends QueryPack {
   // states the same semantics the engine declares — on well-formed
   // corpora every guard is a no-op.
   override val oracle: Map[String, String] = Map(
+    // ordered-window replay of the stateful fold: a row is a record iff
+    // it beats the running max over (ts, event_id) order
+    "stream_record_highs" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value * 1000000) AS BIGINT) AS vm
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND isfinite(value)),
+        |r AS (SELECT user_id, vm,
+        |    max(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE pm IS NULL OR vm > pm) AS BIGINT)
+        |    AS n_records,
+        |  CAST(max(vm) AS BIGINT) AS max_micro
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_topk_users" ->
       """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
         |    user_id
