@@ -18,7 +18,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] =
     Seq(Relational, AdvancedOps, TextOps, DedupOps, SimilarityOps,
       MultimodalOps, PipeOps, NativeOps, CurationOps, SearchOps,
-      LayoutOps, AnalyticsOps, GraphOps, EntityOps,
+      LayoutOps, AnalyticsOps, GraphOps, EntityOps, QualityOps,
       graft.streaming.StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
