@@ -762,7 +762,30 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** New-user accounting: per day, the count of users whose FIRST-EVER
+    * event falls on that day, plus the running cumulative user count —
+    * the growth dashboard's top line, and the classic "cumulative
+    * distinct" query that a naive COUNT(DISTINCT) OVER would answer
+    * with an ever-growing state.
+    *
+    * Shape: first-seen day = ONE keyed min-aggregate over users (the
+    * heavy, corpus-sized stage — partial-aggregated); daily counts and
+    * the cumulative sum then run over |days| rows (the unpartitioned
+    * window's frame is calendar-bounded, not corpus-bounded). */
+  def eventsNewUsers(s: SparkSession, d: String): DataFrame = {
+    val first = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    first.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_new_users" -> eventsNewUsers,
     "mv_incremental_refresh" -> mvIncrementalRefresh,
     "sketch_hll_distinct" -> sketchHllDistinct,
     "pareto_frontier"    -> paretoFrontier,
@@ -783,6 +806,14 @@ object AnalyticsOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "events_new_users" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+        |SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
     // final MV state recomputed directly; n_mismatch is the in-engine
     // audit of the incremental path (0 = delta-merge produced the same
     // view the recompute does)

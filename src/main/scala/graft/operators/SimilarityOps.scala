@@ -258,6 +258,54 @@ object SimilarityOps extends QueryPack {
       .agg(count(lit(1)).as("n"), round(avg(col("v").cast("double")), 6).as("mean_v"))
       .orderBy(col("label"), col("dim"))
 
+  /** Pairwise centroid-distance matrix: cosine between every pair of
+    * per-label class prototypes — the embedding-space confusion proxy a
+    * drift monitor tracks (labels whose prototypes converge are the ones
+    * a classifier will start conflating).
+    *
+    * Determinism: per-(label, dim) sums are EXACT integer micros
+    * (`round(v·1e6)` summed as longs — order-independent); each pair's
+    * per-dim product and the squared norms are rounded to longs BEFORE
+    * their 64-term sums (the BM25 fixed-point pattern), so the only
+    * float ops are per-term products and one final division on
+    * identical inputs in both engines.
+    *
+    * Shape: the corpus is touched by ONE posexplode + (label, dim)
+    * aggregate (64·|labels| cells out); the pair fan is |labels|²·64
+    * rows of tiny integers — broadcast-joined, corpus-size-independent. */
+  def embedCentroidDistances(s: SparkSession, d: String): DataFrame = {
+    val comp = Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim &&
+        col("label").isNotNull &&
+        expr("forall(embedding, v -> abs(CAST(v AS DOUBLE)) < CAST('Infinity' AS DOUBLE))"))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)")).as("sm"))
+      // centroid component in micro units (double, from exact integers)
+      .select(col("label"), col("dim"),
+        (col("sm").cast("double") / col("n")).as("c"))
+    val norms = comp.groupBy(col("label"))
+      .agg(sum(expr("CAST(round(c * c) AS BIGINT)")).as("n2"))
+    val pairs = comp.as("a")
+      .join(broadcast(comp.as("b")),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        expr("CAST(round(a.c * b.c) AS BIGINT)").as("t"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("t")).as("dot"))
+    pairs
+      .join(broadcast(norms.select(col("label").as("label_a"), col("n2").as("na"))),
+        "label_a")
+      .join(broadcast(norms.select(col("label").as("label_b"), col("n2").as("nb"))),
+        "label_b")
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("label_a"), col("label_b"),
+        expr("CAST(round(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1000000) AS BIGINT)")
+          .as("cos_micro"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   /** k-NN classification by retrieval: each query vector takes the
     * MAJORITY label of its exact top-10 cosine neighbors (vote count
     * desc, label asc tiebreak — fully deterministic). The classic
@@ -728,6 +776,7 @@ object SimilarityOps extends QueryPack {
     "ann_pq_topk" -> annPqTopK,
     "ann_knn_classify" -> annKnnClassify,
     "embedding_centroids" -> embeddingCentroids,
+    "embed_centroid_distances" -> embedCentroidDistances,
     "ann_lsh_topk" -> annLsh,
     "ann_lsh_portable" -> annLshPortable,
     "ann_ivf_topk" -> annIvf,
@@ -737,6 +786,35 @@ object SimilarityOps extends QueryPack {
 
   override val oracle: Map[String, String] = Map(
     "ann_lsh_portable" -> annLshPortableOracleSql,
+    // exact-integer micro sums per (label, dim); per-term rounding before
+    // the 64-term sums — float ops only on identical inputs
+    "embed_centroid_distances" ->
+      s"""WITH w AS (SELECT label, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) = $Dim
+         |    AND label IS NOT NULL
+         |    AND len(list_filter(embedding, x ->
+         |      NOT isfinite(CAST(x AS DOUBLE)))) = 0),
+         |e AS (SELECT label, unnest(embedding)::DOUBLE AS v,
+         |  generate_subscripts(embedding, 1) AS dim FROM w),
+         |comp AS (SELECT label, dim, count(*) AS n,
+         |  sum(CAST(round(v * 1000000) AS BIGINT)) AS sm
+         |  FROM e GROUP BY 1, 2),
+         |c AS (SELECT label, dim, CAST(sm AS DOUBLE) / n AS c FROM comp),
+         |norms AS (SELECT label,
+         |  CAST(sum(CAST(round(c * c) AS BIGINT)) AS BIGINT) AS n2
+         |  FROM c GROUP BY label),
+         |pairs AS (SELECT a.label AS label_a, b.label AS label_b,
+         |  CAST(sum(CAST(round(a.c * b.c) AS BIGINT)) AS BIGINT) AS dot
+         |  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+         |  GROUP BY 1, 2)
+         |SELECT p.label_a, p.label_b,
+         |  CAST(round(p.dot / (sqrt(CAST(na.n2 AS DOUBLE)) *
+         |    sqrt(CAST(nb.n2 AS DOUBLE))) * 1000000) AS BIGINT) AS cos_micro
+         |FROM pairs p
+         |JOIN norms na ON na.label = p.label_a
+         |JOIN norms nb ON nb.label = p.label_b
+         |WHERE na.n2 > 0 AND nb.n2 > 0
+         |ORDER BY label_a, label_b""".stripMargin,
     // int8 quantization + integer dot products: every step is exact
     // arithmetic on identical doubles/integers, so the full result —
     // scores included — reproduces in SQL

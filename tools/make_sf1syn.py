@@ -98,3 +98,43 @@ nl, nb, nsrc = con.execute(
 assert nb == 10 and nl == 10 * nsrc, \
     f"lineitem replication broken: {nl} rows ({nsrc} source), {nb} key bands"
 print(f"{out}/lineitem.parquet: {nl} rows in {nb} disjoint part-key bands")
+
+# part: 10 replicas with disjoint partkeys but the SAME name/price/size
+# domains — entity_fuzzy_pairs stays dictionary-bound (64 distinct names)
+# while its corpus-sized distinct scan grows 10x, and pareto_frontier's
+# point set stays domain-bounded while the collapse input grows 10x:
+# exactly the claimed scaling axes.
+con.execute(f"""
+COPY (
+  SELECT p_partkey + k*10000000 AS p_partkey, p_name, p_brand, p_type,
+         p_size, p_retailprice
+  FROM '{src}/part.parquet', unnest(range(0,10)) AS u(k)
+) TO '{out}/part.parquet' (FORMAT PARQUET)
+""")
+print(f"{out}/part.parquet: replicated")
+
+# orders + customer + supplier: disjoint key bands per replica — 10x MV
+# groups for mv_incremental_refresh, 10x FK edges for the quality audits,
+# with referential integrity preserved within each replica.
+con.execute(f"""
+COPY (
+  SELECT o_orderkey + k*100000000 AS o_orderkey,
+         o_custkey + k*1000000 AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM '{src}/orders.parquet', unnest(range(0,10)) AS u(k)
+) TO '{out}/orders.parquet' (FORMAT PARQUET)
+""")
+con.execute(f"""
+COPY (
+  SELECT c_custkey + k*1000000 AS c_custkey, c_name, c_nationkey,
+         c_acctbal, c_mktsegment
+  FROM '{src}/customer.parquet', unnest(range(0,10)) AS u(k)
+) TO '{out}/customer.parquet' (FORMAT PARQUET)
+""")
+con.execute(f"""
+COPY (
+  SELECT s_suppkey + k*1000000 AS s_suppkey, s_name, s_nationkey, s_acctbal
+  FROM '{src}/supplier.parquet', unnest(range(0,10)) AS u(k)
+) TO '{out}/supplier.parquet' (FORMAT PARQUET)
+""")
+print(f"{out}/orders,customer,supplier: replicated with disjoint key bands")
