@@ -162,7 +162,30 @@ object AdvancedOps extends QueryPack {
         |ORDER BY n.n_name, acctbal DESC, c.c_name""".stripMargin)
   }
 
+  /** Filtered aggregates (SQL:2003 `FILTER (WHERE …)`) combined with
+    * per-group DISTINCT and an interpolating median — the modern
+    * aggregate surface in ONE pass: Spark plans the FILTER clauses as
+    * conditional accumulation inside the same HashAggregate (no
+    * self-join, no second scan), the DISTINCT via a partial distinct
+    * expand, and the median as a sort-based percentile. Fixed-point
+    * cents on the median keep both engines integer-exact (both
+    * interpolate the even-count midpoint identically on the same
+    * doubles). */
+  def q46FilterAggs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.PositiveInfinity))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("count(*) FILTER (WHERE value > 50)").as("n_high"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr("count(DISTINCT user_id) FILTER (WHERE value > 50)").as("n_users_high"),
+        expr("CAST(round(median(value) * 100) AS BIGINT)").as("median_cents"))
+      .orderBy(col("event_type"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_filter_aggs" -> q46FilterAggs,
     "q44_lateral_topk" -> q44LateralTopK,
     "q26_asof_join" -> q26AsofJoin,
     "q26b_asof_native" -> q26AsofNative,
@@ -174,6 +197,17 @@ object AdvancedOps extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q46_filter_aggs" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT user_id) FILTER (WHERE value > 50) AS BIGINT)
+        |    AS n_users_high,
+        |  CAST(round(median(value) * 100) AS BIGINT) AS median_cents
+        |FROM events
+        |WHERE value IS NOT NULL AND isfinite(value)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q44_lateral_topk" ->
       """SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
         |FROM nation n,

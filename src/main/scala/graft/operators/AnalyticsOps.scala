@@ -784,7 +784,112 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("day"))
   }
 
+  /** First-order behavioral transition matrix: for every adjacent pair
+    * of events in a user's timeline, the (from_type → to_type) count and
+    * the row-normalized transition probability — the Markov-chain input
+    * of next-action prediction and funnel diagnosis.
+    *
+    * Shape: ONE user-keyed window (lead over (ts, event_id) order — the
+    * timeline sort is per-user, parallel across users) feeding one
+    * (from, to) aggregate of |types|² cells; the probability is an exact
+    * integer division against broadcast per-from totals. */
+  def eventsTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("total"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div total").as("p_micro"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Interval-union coverage (gaps-and-islands): each event opens a
+    * 5-minute activity interval; per user, overlapping intervals merge
+    * into islands and the output is the island count, the total covered
+    * time, and the first-to-last span — the "how much of the day was
+    * this user actually active" statistic that naive `max-min` spans
+    * overstate and per-event sums double-count.
+    *
+    * Shape: every window (prev-running-max, island cum-sum) and both
+    * aggregates share the SAME `user_id` hash partitioning, so the event
+    * log shuffles on the user key exactly once and the per-user timeline
+    * sort is paid once and reused; islands never leave their partition.
+    * Microsecond integer arithmetic end to end — no float drift. */
+  def eventsIntervalCoverage(s: SparkSession, d: String): DataFrame = {
+    val span = 300L * 1000000L // 5 min in microseconds
+    val iv = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + span)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("st"), col("en"))
+    iv
+      .withColumn("prev_max",
+        max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max").isNull || col("st") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        expr("sum(ien - ist) div 1000000").as("covered_sec"),
+        expr("(max(ien) - min(ist)) div 1000000").as("span_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Integer-exact exponential smoothing (α = 1/2) over each user's last
+    * 8 observations: the EWMA is computed as an exact rational — the
+    * numerator doubles each step toward the newest value
+    * (`Σ cents·2^(i-1)`), the denominator is `2^n − 1` — then projected
+    * to integer micro-units. Newer events dominate, history decays
+    * geometrically, and both engines agree bit-for-bit because no float
+    * ever enters the recurrence.
+    *
+    * Shape: both row-number windows and the final aggregate share one
+    * `user_id` partitioning (one shuffle, one per-user sort each way);
+    * the top-8 filter caps per-user state at 8 rows regardless of how
+    * deep a user's history is — at 100 TB the heavy user costs the same
+    * as the light one past the window scan. */
+  def eventsEwma(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull && !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.PositiveInfinity))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wAsc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    base
+      .withColumn("rd", row_number().over(wDesc)).filter(col("rd") <= 8)
+      .withColumn("rn", row_number().over(wAsc))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_recent"),
+        expr("sum(cents * CAST(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(rn - 1 AS INT)) AS BIGINT))").as("num"),
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(count(1) AS INT)) - 1 AS BIGINT)").as("den"))
+      .select(col("user_id"), col("n_recent"),
+        expr("(num * 1000000) div den").as("ewma_micro"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_interval_coverage" -> eventsIntervalCoverage,
+    "events_ewma" -> eventsEwma,
+    "events_transitions" -> eventsTransitions,
     "events_new_users" -> eventsNewUsers,
     "mv_incremental_refresh" -> mvIncrementalRefresh,
     "sketch_hll_distinct" -> sketchHllDistinct,
@@ -806,6 +911,61 @@ object AnalyticsOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "events_interval_coverage" ->
+      """WITH iv AS (SELECT user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS st,
+        |    CAST(epoch_us(ts) AS BIGINT) + 300000000 AS en
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |m AS (SELECT user_id, st, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |f AS (SELECT user_id, st, en,
+        |    CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END
+        |      AS new_island
+        |  FROM m),
+        |g AS (SELECT user_id, st, en,
+        |    sum(new_island) OVER (PARTITION BY user_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |isl AS (SELECT user_id, island, min(st) AS ist, max(en) AS ien
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(ien - ist) // 1000000 AS BIGINT) AS covered_sec,
+        |  CAST((max(ien) - min(ist)) // 1000000 AS BIGINT) AS span_sec
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_ewma" ->
+      """WITH b AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL AND isfinite(value)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rd FROM b),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS rn FROM r WHERE rd <= 8),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+        |    sum(cents * (CAST(1 AS BIGINT) << (rn - 1))) AS num,
+        |    (CAST(1 AS BIGINT) << count(*)) - 1 AS den
+        |  FROM k GROUP BY user_id)
+        |SELECT user_id, n_recent,
+        |  CAST((num * 1000000) // den AS BIGINT) AS ewma_micro
+        |FROM a ORDER BY user_id""".stripMargin,
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS total
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  CAST((c.n * 1000000) // t.total AS BIGINT) AS p_micro
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "events_new_users" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events
         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1),

@@ -300,7 +300,52 @@ object CurationOps extends QueryPack {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("shard"))
 
+  /** Leakage-proof train/val/test assignment: the split gate hashes the
+    * document's CONTENT fingerprint (`md5(text)`), not its id — so exact
+    * duplicates can never straddle train and test, the classic eval
+    *-contamination bug of id-keyed splits. The output is the per-split
+    * manifest (doc/char totals, duplicate-member count) plus a global
+    * audit pair: duplicate groups straddling splits under content keying
+    * (0 by construction) vs under the naive id keying (the leak the
+    * content key exists to close).
+    *
+    * Shape: one shuffle of the corpus on the 16-byte fingerprint serves
+    * the group-size aggregate AND the join back (same key, exchange
+    * reused); the per-split rollup is a 3-group partial agg and the
+    * audit is a broadcast one-row cross — nothing else moves. Adding
+    * documents never reassigns existing ones (pure content hash, no
+    * RNG), so splits are append-stable across ingest runs. */
+  def curationSplitLeakproof(s: SparkSession, d: String): DataFrame = {
+    def gate(h: Column) =
+      when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"),
+        md5(col("text")).as("fp"))
+      .withColumn("split", gate(
+        expr("CAST(conv(substring(fp, 1, 8), 16, 10) AS BIGINT) % 100")))
+      .withColumn("split_id", gate(expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)" +
+          " AS BIGINT) % 100")))
+    val groups = docs.groupBy(col("fp"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col("split")).as("ns_content"),
+        countDistinct(col("split_id")).as("ns_id"))
+    val audit = groups.filter(col("sz") > 1)
+      .agg(
+        coalesce(sum(when(col("ns_content") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("leaky_groups_content"),
+        coalesce(sum(when(col("ns_id") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("leaky_groups_id"))
+    docs.join(groups.select(col("fp"), col("sz")), "fp")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"),
+        sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .crossJoin(broadcast(audit))
+      .orderBy(col("split"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_split_leakproof" -> curationSplitLeakproof,
     "curation_shard_manifest" -> curationShardManifest,
     "curation_pipeline" -> curationPipeline,
     "decontam_exact" -> decontamExact,
@@ -374,6 +419,37 @@ object CurationOps extends QueryPack {
        |FROM g GROUP BY source ORDER BY source""".stripMargin
 
   override val oracle: Map[String, String] = Map(
+    "curation_split_leakproof" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc,
+        |    md5(text) AS fp FROM documents),
+        |g8 AS (SELECT *,
+        |    CAST(('0x' || substring(fp, 1, 8)) AS BIGINT) % 100 AS hc,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 AS hi
+        |  FROM d),
+        |s AS (SELECT doc_id, nc, fp,
+        |    CASE WHEN hc < 80 THEN 'train' WHEN hc < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CASE WHEN hi < 80 THEN 'train' WHEN hi < 90 THEN 'val'
+        |         ELSE 'test' END AS split_id
+        |  FROM g8),
+        |grp AS (SELECT fp, count(*) AS sz,
+        |    count(DISTINCT split) AS nsc, count(DISTINCT split_id) AS nsi
+        |  FROM s GROUP BY fp),
+        |aud AS (SELECT
+        |    coalesce(CAST(sum(CASE WHEN nsc > 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT), 0) AS leaky_groups_content,
+        |    coalesce(CAST(sum(CASE WHEN nsi > 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT), 0) AS leaky_groups_id
+        |  FROM grp WHERE sz > 1)
+        |SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(s.nc) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN grp.sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  aud.leaky_groups_content, aud.leaky_groups_id
+        |FROM s JOIN grp USING (fp) CROSS JOIN aud
+        |GROUP BY s.split, aud.leaky_groups_content, aud.leaky_groups_id
+        |ORDER BY s.split""".stripMargin,
     "curation_shard_manifest" ->
       """SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |    AS BIGINT) % 16 AS shard,
