@@ -417,6 +417,62 @@ object PlanCheck {
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin"),
       maxNodes = Seq("Scan parquet" -> 2)),
+    // transitions: ONE user-key window exchange feeds the pair agg; the
+    // per-from totals ride an explicit broadcast back — the corpus never
+    // joins shuffled, nothing cartesian. Exchanges (AQE off): window
+    // hash + pair-agg hash + totals-agg hash + presentation sort = 4
+    Check("events_transitions",
+      mustContain = Seq("Window", "BroadcastHashJoin", "HashAggregate"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin"),
+      noAutoBroadcast = true, noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 4, "Scan parquet" -> 1)),
+    // interval coverage: both windows and both aggs share the single
+    // user-key partitioning — ONE data exchange plus the presentation
+    // sort; no join anywhere
+    Check("events_interval_coverage",
+      mustContain = Seq("Window", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // EWMA: two windows + final agg all hash by user_id — one data
+    // exchange, one presentation sort; per-user state capped at 8 rows
+    Check("events_ewma",
+      mustContain = Seq("Window", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // filtered aggs: FILTER clauses + distinct expand + median stay in
+    // ONE aggregation lineage — no self-join, single corpus scan
+    Check("q46_filter_aggs",
+      mustContain = Seq("HashAggregate", "Expand"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      maxNodes = Seq("Scan parquet" -> 1)),
+    // leakproof split: ONE linear pipeline — one corpus scan, the
+    // fingerprint shuffle, the |splits|-row rollup, and the global audit
+    // as an unpartitioned window over ≤3 rows; NO join of any kind.
+    // Exchanges: fp hash + split hash + window singleton + sort = 4
+    Check("curation_split_leakproof",
+      mustContain = Seq("HashAggregate", "Window"),
+      mustNot = Seq("Join", "CartesianProduct", "Expand"),
+      noAutoBroadcast = true, noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 4, "Scan parquet" -> 1)),
+    // bigram LM: corpus touched by ONE generate + per-doc window; the
+    // (w1,w2) relation is vocabulary-bounded, ctx joins keyed on it and
+    // the scalar V broadcasts — the token stream never joins shuffled
+    // (AQE off so the bi-relation's ReusedExchange is visible — the
+    // token stream is generated twice: bigram leg + vocabulary leg)
+    Check("text_bigram_lm",
+      mustContain = Seq("Window", "HashAggregate", "Generate"),
+      mustNot = Seq("CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 2)),
+    // pattern match: one user-keyed sequence agg + a singleton fold +
+    // stack projection — no join, two exchanges (user hash + singleton)
+    Check("events_pattern_match",
+      mustContain = Seq("HashAggregate", "Generate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
   )
 
   def main(args: Array[String]): Unit = {

@@ -886,7 +886,53 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** Sequence-pattern matching over per-user event timelines — the
+    * MATCH_RECOGNIZE workload: each user's journey becomes one ordered
+    * event-type string and three behavioral patterns (direct conversion
+    * `view purchase`, assisted conversion `view click purchase`,
+    * frustration `error error`) are counted as non-overlapping regex
+    * occurrences, reported as matched-user and total-occurrence counts
+    * per pattern.
+    *
+    * Shape: ONE user-keyed aggregation builds every sequence (state
+    * bounded by per-user history, the same contract as sessionization —
+    * a production run on unbounded timelines would chunk by session
+    * first); all three patterns scan each sequence in the SAME projection
+    * (one pass, no re-aggregation per pattern), fold to a single 6-cell
+    * row, and `stack` unpivots to the 3-row report. Event types are a
+    * closed word vocabulary, so the space-joined regexes cannot match
+    * across token boundaries. */
+  def eventsPatternMatch(s: SparkSession, d: String): DataFrame = {
+    val occs = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, event_type)))," +
+          " x -> x.event_type)"), " ").as("seq"))
+      .select(
+        expr("regexp_count(seq, 'view purchase')").cast("long").as("od"),
+        expr("regexp_count(seq, 'view click purchase')").cast("long")
+          .as("oa"),
+        expr("regexp_count(seq, 'error error')").cast("long").as("oe"))
+    occs
+      .agg(
+        sum(when(col("od") > 0, 1L).otherwise(0L)).as("ud"),
+        sum(col("od")).as("sd"),
+        sum(when(col("oa") > 0, 1L).otherwise(0L)).as("ua"),
+        sum(col("oa")).as("sa"),
+        sum(when(col("oe") > 0, 1L).otherwise(0L)).as("ue"),
+        sum(col("oe")).as("se"))
+      .select(expr(
+        "stack(3, 'direct_purchase', ud, sd," +
+          " 'assisted_purchase', ua, sa," +
+          " 'error_retry', ue, se) AS (pattern, n_users, n_occurrences)"))
+      .filter(col("n_users").isNotNull)
+      .orderBy(col("pattern"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_pattern_match" -> eventsPatternMatch,
     "events_interval_coverage" -> eventsIntervalCoverage,
     "events_ewma" -> eventsEwma,
     "events_transitions" -> eventsTransitions,
@@ -911,6 +957,31 @@ object AnalyticsOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "events_pattern_match" ->
+      """WITH s AS (SELECT user_id,
+        |    string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY user_id),
+        |o AS (SELECT
+        |    len(regexp_extract_all(seq, 'view purchase')) AS od,
+        |    len(regexp_extract_all(seq, 'view click purchase')) AS oa,
+        |    len(regexp_extract_all(seq, 'error error')) AS oe
+        |  FROM s),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN od > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ud,
+        |    CAST(sum(od) AS BIGINT) AS sd,
+        |    CAST(sum(CASE WHEN oa > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ua,
+        |    CAST(sum(oa) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN oe > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ue,
+        |    CAST(sum(oe) AS BIGINT) AS se
+        |  FROM o)
+        |SELECT p.pattern, p.n_users, p.n_occurrences FROM (
+        |  SELECT 'direct_purchase' AS pattern, ud AS n_users,
+        |    sd AS n_occurrences FROM a
+        |  UNION ALL SELECT 'assisted_purchase', ua, sa FROM a
+        |  UNION ALL SELECT 'error_retry', ue, se FROM a) p
+        |WHERE p.n_users IS NOT NULL ORDER BY p.pattern""".stripMargin,
     "events_interval_coverage" ->
       """WITH iv AS (SELECT user_id,
         |    CAST(epoch_us(ts) AS BIGINT) AS st,

@@ -309,38 +309,51 @@ object CurationOps extends QueryPack {
     * (0 by construction) vs under the naive id keying (the leak the
     * content key exists to close).
     *
-    * Shape: one shuffle of the corpus on the 16-byte fingerprint serves
-    * the group-size aggregate AND the join back (same key, exchange
-    * reused); the per-split rollup is a 3-group partial agg and the
-    * audit is a broadcast one-row cross — nothing else moves. Adding
-    * documents never reassigns existing ones (pure content hash, no
-    * RNG), so splits are append-stable across ingest runs. */
+    * Shape: the split gate is a pure function of the fingerprint, so
+    * everything folds into ONE linear pipeline — one corpus scan, one
+    * fingerprint shuffle, one |splits|-row rollup: the per-group
+    * aggregate carries size, char total, the group's split, and both
+    * straddle flags (min≠max — no distinct expand); the global audit
+    * pair is the sum of per-split partials, taken by an unpartitioned
+    * window over the ≤3-row rollup (never a self-join, never a second
+    * scan, no branch to recompute). Adding documents never reassigns
+    * existing ones (pure content hash, no RNG), so splits are
+    * append-stable across ingest runs. */
   def curationSplitLeakproof(s: SparkSession, d: String): DataFrame = {
     def gate(h: Column) =
       when(h < 80, "train").when(h < 90, "val").otherwise("test")
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"),
-        md5(col("text")).as("fp"))
+      .select(coalesce(col("n_chars"), lit(0L)).as("nc"),
+        md5(col("text")).as("fp"),
+        gate(expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)" +
+            " AS BIGINT) % 100")).as("split_id"))
       .withColumn("split", gate(
         expr("CAST(conv(substring(fp, 1, 8), 16, 10) AS BIGINT) % 100")))
-      .withColumn("split_id", gate(expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)" +
-          " AS BIGINT) % 100")))
+    // one aggregate per content group; `split` is constant within a
+    // group (a function of fp), so max() carries it while the
+    // min≠max straddle flag COMPUTES that invariant rather than
+    // assuming it (and min≠max on split_id detects the id-keyed leak
+    // without a distinct expand)
     val groups = docs.groupBy(col("fp"))
-      .agg(count(lit(1)).as("sz"),
-        countDistinct(col("split")).as("ns_content"),
-        countDistinct(col("split_id")).as("ns_id"))
-    val audit = groups.filter(col("sz") > 1)
-      .agg(
-        coalesce(sum(when(col("ns_content") > 1, 1L).otherwise(0L)), lit(0L))
-          .as("leaky_groups_content"),
-        coalesce(sum(when(col("ns_id") > 1, 1L).otherwise(0L)), lit(0L))
-          .as("leaky_groups_id"))
-    docs.join(groups.select(col("fp"), col("sz")), "fp")
+      .agg(count(lit(1)).as("sz"), sum(col("nc")).as("snc"),
+        max(col("split")).as("split"),
+        (min(col("split")) =!= max(col("split"))).as("straddles_content"),
+        (min(col("split_id")) =!= max(col("split_id"))).as("straddles_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    groups
       .groupBy(col("split"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"),
-        sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
-      .crossJoin(broadcast(audit))
+      .agg(sum(col("sz")).as("n_docs"), sum(col("snc")).as("sum_chars"),
+        sum(when(col("sz") > 1, col("sz")).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("sz") > 1 && col("straddles_content"), 1L)
+          .otherwise(0L)).as("lc_part"),
+        sum(when(col("sz") > 1 && col("straddles_id"), 1L)
+          .otherwise(0L)).as("li_part"))
+      .select(col("split"), col("n_docs"), col("sum_chars"),
+        col("n_dup_docs"),
+        sum(col("lc_part")).over(wAll).as("leaky_groups_content"),
+        sum(col("li_part")).over(wAll).as("leaky_groups_id"))
       .orderBy(col("split"))
   }
 

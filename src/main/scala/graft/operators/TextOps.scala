@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis over the `documents` table — the training-data-pipeline
@@ -515,7 +516,41 @@ object TextOps extends QueryPack {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(50)
 
+  /** Laplace-smoothed bigram language model — the top-50 adjacent token
+    * pairs with their add-one conditional probability
+    * `p(w2|w1) = (c(w1w2)+1) / (c(w1·)+V)`, the estimator a classic
+    * n-gram LM trains and a data-quality pass uses to spot boilerplate
+    * (high-probability chains) vs noise (uniformly improbable ones).
+    * `c(w1·)` is the context total (occurrences of `w1` with a
+    * successor), `V` the corpus-wide distinct-token vocabulary; the
+    * probability is exact integer micro-units — no float division.
+    *
+    * Shape: one posexplode, bigrams via a per-document lead window
+    * (position sort is per-doc and parallel; never a corpus sort), ONE
+    * partial-aggregated (w1,w2) count shuffle bounded by the bigram
+    * vocabulary, context totals derived from that same tiny relation,
+    * the scalar V broadcast, and TakeOrderedAndProject for the top-50. */
+  def textBigramLm(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val bi = ex.withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_bigram"))
+    val ctx = bi.groupBy(col("w1")).agg(sum(col("n_bigram")).as("n_context"))
+    val vocab = ex.agg(countDistinct(col("w")).as("v"))
+    bi.join(ctx, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), col("n_bigram"), col("n_context"),
+        expr("((n_bigram + 1) * 1000000) div (n_context + v)")
+          .as("p_laplace_micro"))
+      .orderBy(col("n_bigram").desc, col("w1"), col("w2")).limit(50)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_lm" -> textBigramLm,
     "text_chunk_windows" -> textChunkWindows,
     "text_bpe_pairs" -> textBpePairs,
     "text_source_divergence" -> textSourceDivergence,
@@ -542,6 +577,23 @@ object TextOps extends QueryPack {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${stops.map(w => s"'$w'").mkString(", ")})))"
 
   override val oracle: Map[String, String] = Map(
+    "text_bigram_lm" ->
+      """WITH ex AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    generate_subscripts(string_split(text, ' '), 1) AS p
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id
+        |    ORDER BY p) AS w2 FROM ex),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_bigram
+        |  FROM b WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_context
+        |  FROM bi GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM ex)
+        |SELECT bi.w1, bi.w2, bi.n_bigram, ctx.n_context,
+        |  CAST(((bi.n_bigram + 1) * 1000000) // (ctx.n_context + v.v)
+        |    AS BIGINT) AS p_laplace_micro
+        |FROM bi JOIN ctx USING (w1) CROSS JOIN v
+        |ORDER BY bi.n_bigram DESC, bi.w1, bi.w2 LIMIT 50""".stripMargin,
     "text_chunk_windows" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
          |  WHERE text IS NOT NULL AND length(text) > 0),
