@@ -473,6 +473,32 @@ object PlanCheck {
       mustNot = Seq("Join", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // k-hop BFS: frontier joins are keyed SMJ against the ONE
+    // pre-partitioned edge exchange (reused every round — AQE off makes
+    // the ReusedExchange visible); anti-joins keyed; nothing cartesian,
+    // nothing broadcast-forced over the corpus
+    // (scan budget 3: ONE lineitem scan — every round's edge probe is a
+    // ReusedExchange off it — plus the O(suppliers) seed table planned
+    // under two prunings; the corpus-sized table is never re-read)
+    Check("graph_khop",
+      mustContain = Seq("SortMergeJoin", "ReusedExchange"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      noAutoBroadcast = true, noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 3)),
+    // time-weighted average: lead window + agg share the user hash —
+    // one data exchange plus the presentation sort; no join
+    Check("events_timeweighted",
+      mustContain = Seq("Window", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // Benford: one 9-group agg, share window over 9 rows, broadcast
+    // 9-row literal join — the corpus is scanned once and never joined
+    Check("quality_benford",
+      mustContain = Seq("HashAggregate", "BroadcastHashJoin"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin"),
+      noAutoBroadcast = true, noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1)),
   )
 
   def main(args: Array[String]): Unit = {

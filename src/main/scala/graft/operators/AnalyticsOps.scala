@@ -931,7 +931,117 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("pattern"))
   }
 
+  /** Bounded-depth BFS over the supplier–part supply graph: minimum hop
+    * distance (≤ 3) from a deterministic seed set of suppliers, reported
+    * as per-hop node counts with id-range and id-sum checksums — the
+    * "blast radius" primitive of recall expansion, contamination
+    * tracing, and graph sampling.
+    *
+    * Shape: classic distributed frontier BFS — per round ONE keyed join
+    * of the loop-invariant edge table (pre-partitioned by `src` once;
+    * every round reuses that exchange) against the previous frontier,
+    * one distinct, and one anti-join against the visited set. Work per
+    * round is O(frontier ∪ visited), rounds are fixed at 3, and nothing
+    * is ever quadratic — at 100 TB this is 3 shuffles of a shrinking
+    * frontier, not a transitive closure. */
+  def graphKhop(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_partkey"))
+      .filter(col("l_suppkey").isNotNull && col("l_partkey").isNotNull)
+      .distinct()
+    val edges = pairs.select(explode(array(
+        struct((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst")),
+        struct((col("l_partkey") * 2 + 1).as("src"), (col("l_suppkey") * 2).as("dst"))))
+      .as("e"))
+      .select(col("e.src").cast("long").as("src"),
+        col("e.dst").cast("long").as("dst"))
+      .repartition(col("src")).sortWithinPartitions("src")
+    val seeds = Tables.supplier(s, d)
+      .filter(col("s_suppkey").isNotNull && col("s_suppkey") % 7 === 0)
+      .select((col("s_suppkey") * 2).cast("long").as("node")).distinct()
+    var visited = seeds.withColumn("hop", lit(0L))
+    var frontier = seeds
+    for (k <- 1 to 3) {
+      val next = edges
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+      visited = visited.unionByName(next.withColumn("hop", lit(k.toLong)))
+      frontier = next
+    }
+    visited.groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"), sum(col("node")).as("sum_nodes"))
+      .orderBy(col("hop"))
+  }
+
+  /** Duration-weighted average value per user: each observation holds
+    * until the user's next event (the step-function reading of a metric
+    * stream), so the mean is weighted by holding time — the correct
+    * summary when sampling is irregular, where the plain average
+    * over-counts burst periods. Integer end to end: whole-second
+    * durations, cent values, centi-cent output — both engines agree
+    * bit-for-bit.
+    *
+    * Shape: one user-keyed lead window + the aggregate on the same
+    * partitioning (one shuffle of the event log); the final HAVING drops
+    * degenerate all-zero-duration users instead of dividing by zero. */
+  def eventsTimeweighted(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull && !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.PositiveInfinity))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("dur_s",
+        expr("(lead(t_us, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)" +
+          " - t_us) div 1000000"))
+      .filter(col("dur_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_s")).as("total_dur_s"),
+        expr("(sum(cents * dur_s) * 100) div sum(dur_s)").as("twa_centicents"))
+      .filter(col("total_dur_s") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  /** Benford's-law first-digit audit on the value column — the
+    * fraud/corruption smoke test: observed leading-digit frequencies
+    * against the Benford expectation, with exact integer micro-unit
+    * shares (the expectation table is a fixed integer literal, not a
+    * runtime log — no float in either engine).
+    *
+    * Shape: one 9-group aggregate over a scan-level projection; the
+    * expected distribution joins as a broadcast 9-row literal. */
+  def qualityBenford(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // round(log10(1 + 1/d) * 1e6) for d = 1..9, fixed by definition
+    val expected = Seq(
+      (1L, 301030L), (2L, 176091L), (3L, 124939L), (4L, 96910L),
+      (5L, 79181L), (6L, 66947L), (7L, 57992L), (8L, 51153L), (9L, 45757L))
+      .toDF("digit", "benford_micro")
+    val digits = Tables.events(s, d)
+      .filter(col("value").isNotNull && !isnan(col("value")) &&
+        col("value") > 0)
+      .select(expr(
+        "CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS STRING)," +
+          " 1, 1) AS BIGINT)").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    digits
+      .withColumn("p_micro", expr("(n * 1000000) div (sum(n) OVER " +
+        "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"))
+      .join(broadcast(expected), "digit")
+      .select(col("digit"), col("n"), col("p_micro"), col("benford_micro"),
+        abs(col("p_micro") - col("benford_micro")).as("dev_micro"))
+      .orderBy(col("digit"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_khop" -> graphKhop,
+    "events_timeweighted" -> eventsTimeweighted,
+    "quality_benford" -> qualityBenford,
     "events_pattern_match" -> eventsPatternMatch,
     "events_interval_coverage" -> eventsIntervalCoverage,
     "events_ewma" -> eventsEwma,
@@ -957,6 +1067,72 @@ object AnalyticsOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "graph_khop" ->
+      """WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |e AS (SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |    FROM pairs
+        |  UNION ALL
+        |  SELECT l_partkey * 2 + 1, l_suppkey * 2 FROM pairs),
+        |d0 AS (SELECT DISTINCT CAST(s_suppkey * 2 AS BIGINT) AS node
+        |  FROM supplier WHERE s_suppkey IS NOT NULL AND s_suppkey % 7 = 0),
+        |d1 AS (SELECT DISTINCT e.dst AS node FROM e
+        |  JOIN d0 ON e.src = d0.node
+        |  WHERE e.dst NOT IN (SELECT node FROM d0)),
+        |d2 AS (SELECT DISTINCT e.dst AS node FROM e
+        |  JOIN d1 ON e.src = d1.node
+        |  WHERE e.dst NOT IN (SELECT node FROM d0)
+        |    AND e.dst NOT IN (SELECT node FROM d1)),
+        |d3 AS (SELECT DISTINCT e.dst AS node FROM e
+        |  JOIN d2 ON e.src = d2.node
+        |  WHERE e.dst NOT IN (SELECT node FROM d0)
+        |    AND e.dst NOT IN (SELECT node FROM d1)
+        |    AND e.dst NOT IN (SELECT node FROM d2)),
+        |v AS (SELECT CAST(0 AS BIGINT) AS hop, node FROM d0
+        |  UNION ALL SELECT 1, node FROM d1
+        |  UNION ALL SELECT 2, node FROM d2
+        |  UNION ALL SELECT 3, node FROM d3)
+        |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(min(node) AS BIGINT) AS min_node,
+        |  CAST(max(node) AS BIGINT) AS max_node,
+        |  CAST(sum(node) AS BIGINT) AS sum_nodes
+        |FROM v GROUP BY hop ORDER BY hop""".stripMargin,
+    "events_timeweighted" ->
+      """WITH b AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(epoch_us(ts) AS BIGINT) AS t_us
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL AND isfinite(value)),
+        |d AS (SELECT user_id, cents,
+        |    (lead(t_us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - t_us) // 1000000 AS dur_s
+        |  FROM b),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |    CAST(sum(dur_s) AS BIGINT) AS total_dur_s,
+        |    CAST((sum(cents * dur_s) * 100) // sum(dur_s) AS BIGINT)
+        |      AS twa_centicents
+        |  FROM d WHERE dur_s IS NOT NULL
+        |  GROUP BY user_id HAVING sum(dur_s) > 0)
+        |SELECT * FROM a ORDER BY user_id""".stripMargin,
+    "quality_benford" ->
+      """WITH exp9 AS (SELECT * FROM (VALUES
+        |    (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+        |    (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |  AS t(digit, benford_micro)),
+        |d AS (SELECT CAST(substring(CAST(CAST(round(value * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM events
+        |  WHERE value IS NOT NULL AND isfinite(value) AND value > 0),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+        |  WHERE digit >= 1 GROUP BY digit),
+        |p AS (SELECT digit, n,
+        |    CAST((n * 1000000) // (sum(n) OVER ()) AS BIGINT) AS p_micro
+        |  FROM c)
+        |SELECT p.digit, p.n, p.p_micro,
+        |  CAST(e.benford_micro AS BIGINT) AS benford_micro,
+        |  CAST(abs(p.p_micro - e.benford_micro) AS BIGINT) AS dev_micro
+        |FROM p JOIN exp9 e ON p.digit = e.digit
+        |ORDER BY p.digit""".stripMargin,
     "events_pattern_match" ->
       """WITH s AS (SELECT user_id,
         |    string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
