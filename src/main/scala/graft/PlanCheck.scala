@@ -499,6 +499,30 @@ object PlanCheck {
       mustNot = Seq("CartesianProduct", "SortMergeJoin"),
       noAutoBroadcast = true, noAdaptive = true,
       maxNodes = Seq("Scan parquet" -> 1)),
+    // TF-IDF keywords: postings/df/N all derive from the one token
+    // explode; the df join is KEYED (SMJ — the vocabulary is
+    // corpus-sized at scale, it must never broadcast), N rides the one
+    // explicit broadcast, and the per-doc top-3 is a rank-limited window
+    Check("text_tfidf_keywords",
+      mustContain = Seq("WindowGroupLimit", "SortMergeJoin", "Generate"),
+      mustNot = Seq("CartesianProduct"),
+      noAutoBroadcast = true, noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 3)),
+    // weighted median: (flag,price) pre-agg shrinks the windowed
+    // relation to distinct prices; both frames + final min share the
+    // flag ordering — keyed shuffles only, no join
+    Check("q47_weighted_median",
+      mustContain = Seq("Window", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1)),
+    // deciles: one per-type window + one same-partitioning agg — a
+    // single data exchange plus the presentation sort, no join
+    Check("events_deciles",
+      mustContain = Seq("Window", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
   )
 
   def main(args: Array[String]): Unit = {

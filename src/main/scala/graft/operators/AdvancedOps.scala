@@ -184,7 +184,42 @@ object AdvancedOps extends QueryPack {
         expr("CAST(round(median(value) * 100) AS BIGINT)").as("median_cents"))
       .orderBy(col("event_type"))
 
+  /** Exact weighted median (lower) of extended price weighted by
+    * quantity, per return flag — the order statistic `median` cannot
+    * answer when observations carry weights. Computed by the cumulative
+    *-weight identity (first price whose running weight reaches half the
+    * total), entirely in integer cents — no interpolation, no float.
+    *
+    * Shape: one (flag, price) pre-aggregation collapses duplicate price
+    * points BEFORE any window (making the running sum tie-order
+    * independent AND shrinking the windowed relation to distinct
+    * prices), then two frames over the same flag partitioning and a
+    * |flags|-row min — the corpus shuffles twice, both times keyed. */
+  def q47WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isNotNull &&
+        col("l_extendedprice").isNotNull && col("l_quantity").isNotNull)
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      .groupBy(col("flag"), col("price_cents"))
+      .agg(sum(col("qty")).as("w"))
+    val ord = Window.partitionBy(col("flag")).orderBy(col("price_cents"))
+    val all = Window.partitionBy(col("flag"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pts
+      .withColumn("cumw", sum(col("w")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("w")).over(all))
+      .filter(col("cumw") * 2 >= col("total"))
+      .groupBy(col("flag"))
+      .agg(min(col("price_cents")).as("wmedian_cents"),
+        max(col("total")).as("total_weight"))
+      .orderBy(col("flag"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_weighted_median" -> q47WeightedMedian,
     "q46_filter_aggs" -> q46FilterAggs,
     "q44_lateral_topk" -> q44LateralTopK,
     "q26_asof_join" -> q26AsofJoin,
@@ -197,6 +232,23 @@ object AdvancedOps extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q47_weighted_median" ->
+      """WITH pts AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL
+        |  GROUP BY 1, 2),
+        |c AS (SELECT flag, price_cents,
+        |    sum(w) OVER (PARTITION BY flag ORDER BY price_cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER (PARTITION BY flag) AS total
+        |  FROM pts)
+        |SELECT flag, CAST(min(price_cents) AS BIGINT) AS wmedian_cents,
+        |  CAST(max(total) AS BIGINT) AS total_weight
+        |FROM c WHERE cumw * 2 >= total
+        |GROUP BY flag ORDER BY flag""".stripMargin,
     "q46_filter_aggs" ->
       """SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n_rows,

@@ -1038,7 +1038,35 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("digit"))
   }
 
+  /** Equi-DEPTH histogram (deciles) per event type — the complement of
+    * the equi-width `events_histogram`: ntile(10) splits each type's
+    * value distribution into ten equal-population buckets and reports
+    * each bucket's row count and integer-cent bounds, the spec a
+    * data-profiler or choropleth binner actually wants on skewed data
+    * (equal-width bins collapse to one hot bin there).
+    *
+    * Shape: one window (per-type sort, parallel across types) + one
+    * (type, decile) aggregate on the same partitioning — a single
+    * shuffle of the scanned columns; full-precision (cents, event_id)
+    * order makes every ntile assignment deterministic in both engines. */
+  def eventsDeciles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.PositiveInfinity))
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_deciles" -> eventsDeciles,
     "graph_khop" -> graphKhop,
     "events_timeweighted" -> eventsTimeweighted,
     "quality_benford" -> qualityBenford,
@@ -1067,6 +1095,20 @@ object AnalyticsOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "events_deciles" ->
+      """WITH b AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND value IS NOT NULL AND isfinite(value)),
+        |t AS (SELECT event_type, cents,
+        |    ntile(10) OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS decile
+        |  FROM b)
+        |SELECT event_type, CAST(decile AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(cents) AS BIGINT) AS lo_cents,
+        |  CAST(max(cents) AS BIGINT) AS hi_cents
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "graph_khop" ->
       """WITH pairs AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
         |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),

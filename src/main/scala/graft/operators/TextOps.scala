@@ -549,7 +549,42 @@ object TextOps extends QueryPack {
       .orderBy(col("n_bigram").desc, col("w1"), col("w2")).limit(50)
   }
 
+  /** Per-document TF-IDF keyword extraction: the top-3 terms of every
+    * document by `tf · ln(N/df)` — the classic summarizer/tagger
+    * primitive. Scores follow the BM25 fixed-point convention (the ONE
+    * float log rounded to micro-units per (doc, term) before any
+    * comparison), ranking ties broken by term.
+    *
+    * Shape: one token explode → (doc, term, tf) partial-agg shuffle
+    * (postings volume); df/N derive from that same relation (tiny term
+    * table joins KEYED — the vocabulary is corpus-sized at 100 TB, never
+    * broadcast); the top-3 is a rank-limited window per doc
+    * (WindowGroupLimit — each doc buffers 3 rows, no global sort). */
+  def textTfidfKeywords(s: SparkSession, d: String): DataFrame = {
+    val postings = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = postings.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("term"))
+    postings.join(dfT, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") /
+          col("df").cast("double")) * lit(1e6), 0).cast("long")
+          .as("score_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3 && col("score_micro") > 0)
+      .select(col("doc_id"), col("rank"), col("term"), col("score_micro"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_keywords" -> textTfidfKeywords,
     "text_bigram_lm" -> textBigramLm,
     "text_chunk_windows" -> textChunkWindows,
     "text_bpe_pairs" -> textBpePairs,
@@ -577,6 +612,26 @@ object TextOps extends QueryPack {
     s"len(list_filter(string_split(text, ' '), t -> t IN (${stops.map(w => s"'$w'").mkString(", ")})))"
 
   override val oracle: Map[String, String] = Map(
+    "text_tfidf_keywords" ->
+      """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM p GROUP BY 1, 2),
+        |dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        |  WHERE text IS NOT NULL),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |    CAST(round(tf.tf * ln(CAST(n.n_docs AS DOUBLE)
+        |      / CAST(dfT.df AS DOUBLE)) * 1e6) AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfT USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score_micro,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_micro DESC, term) AS rank
+        |  FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score_micro
+        |FROM r WHERE rank <= 3 AND score_micro > 0
+        |ORDER BY doc_id, rank""".stripMargin,
     "text_bigram_lm" ->
       """WITH ex AS (SELECT doc_id,
         |    unnest(string_split(text, ' ')) AS w,
