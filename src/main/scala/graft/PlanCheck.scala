@@ -523,6 +523,20 @@ object PlanCheck {
       mustNot = Seq("Join", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // global index: numbering reads the checkpointed range-partitioned
+    // frame; offsets (≤16 rows) ride the one explicit broadcast — the
+    // corpus is never globally windowed (no single-task sort of data)
+    Check("layout_global_index",
+      mustContain = Seq("Window", "BroadcastHashJoin"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin"),
+      noAutoBroadcast = true, noAdaptive = true),
+    // changepoint: every window (prefix, totals, rank) shares the ONE
+    // type-keyed exchange; no join, no second scan
+    Check("events_changepoint",
+      mustContain = Seq("Window", "RowFrame"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
   )
 
   def main(args: Array[String]): Unit = {

@@ -1065,7 +1065,45 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("event_type"), col("decile"))
   }
 
+  /** CUSUM change-point detection per event type: the position where
+    * the cumulative deviation from the series mean peaks — the standard
+    * single-change estimator (the argmax of |Σ(xᵢ − x̄)|). Computed on
+    * the integer-scaled statistic `D_t = n·S_t − t·T` (= n·Σ deviations,
+    * never a float mean), so both engines agree exactly; ties resolve to
+    * the earliest position.
+    *
+    * Shape: prefix sums and positions from ONE per-type ordered window,
+    * totals from the same partitioning's unbounded frame, and the argmax
+    * as a rank-1 filter — everything lives in a single type-keyed
+    * exchange; no join, no second scan. */
+  def eventsChangepoint(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val all = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull && !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.PositiveInfinity))
+      .select(col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("s_t", sum(col("cents")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("tot", sum(col("cents")).over(all))
+      .withColumn("d_abs", abs(col("n") * col("s_t") - col("t") * col("tot")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("d_abs").desc, col("t"))).cast("long"))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n"), col("t").as("t_star"),
+        col("event_id").as("event_at_peak"), col("d_abs").as("peak_dev_n"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_changepoint" -> eventsChangepoint,
     "events_deciles" -> eventsDeciles,
     "graph_khop" -> graphKhop,
     "events_timeweighted" -> eventsTimeweighted,
@@ -1095,6 +1133,29 @@ object AnalyticsOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "events_changepoint" ->
+      """WITH b AS (SELECT event_type, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND isfinite(value)),
+        |w AS (SELECT event_type, event_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS BIGINT) AS t,
+        |    CAST(sum(cents) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS s_t,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM b),
+        |d AS (SELECT event_type, n, t, event_id,
+        |    abs(n * s_t - t * tot) AS d_abs,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * s_t - t * tot) DESC, t) AS rk
+        |  FROM w)
+        |SELECT event_type, n, t AS t_star, event_id AS event_at_peak,
+        |  CAST(d_abs AS BIGINT) AS peak_dev_n
+        |FROM d WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "events_deciles" ->
       """WITH b AS (SELECT event_type, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS cents
