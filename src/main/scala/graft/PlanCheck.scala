@@ -537,6 +537,20 @@ object PlanCheck {
       mustNot = Seq("Join", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // price reconcile: per-order line agg + keyed left join — both
+    // shuffles on the order key, never a broadcast of either fact table
+    Check("quality_price_reconcile",
+      mustContain = Seq("SortMergeJoin LeftOuter", "HashAggregate"),
+      mustNot = Seq("CartesianProduct", "BroadcastExchange"),
+      noAutoBroadcast = true, noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 4, "Scan parquet" -> 2)),
+    // autocorr: one type-keyed window + moment agg on the same
+    // partitioning; the closed form is projection on |types| rows
+    Check("events_autocorr",
+      mustContain = Seq("Window", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
   )
 
   def main(args: Array[String]): Unit = {

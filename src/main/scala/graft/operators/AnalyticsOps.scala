@@ -1102,7 +1102,45 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** Lag-1 autocorrelation per event type — does the series remember
+    * itself one step back, the first diagnostic of any time-series model
+    * (and of accidental ordering bugs: shuffled data autocorrelates to
+    * ~0). Pairs come from ONE per-type lead window; the correlation is
+    * the [[eventsCorrStats]] closed form over EXACT integer moments of
+    * (xₜ, xₜ₊₁), micro-rounded at the very end — no float summation
+    * drift, zero-variance series yield NULL, never NaN.
+    *
+    * Shape: one type-keyed window + the moment aggregate on the same
+    * partitioning — a single shuffle of (type, cents); the closed form
+    * is a pure projection on |types| rows. */
+  def eventsAutocorr(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val moments = Tables.events(s, d)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull && !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.PositiveInfinity))
+      .select(col("event_type"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+      .withColumn("y", lead(col("x"), 1).over(ord))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"), sum(expr("x * y")).as("sxy"))
+    val nD = "CAST(n AS DOUBLE)"
+    val vx = s"($nD * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val vy = s"($nD * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val cv = s"($nD * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    moments.select(col("event_type"), col("n").as("n_pairs"),
+        expr(s"CASE WHEN $vx > 0 AND $vy > 0 THEN " +
+          s"CAST(round($cv / (sqrt($vx) * sqrt($vy)) * 1000000.0) AS BIGINT)" +
+          " END").as("autocorr_micro"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_autocorr" -> eventsAutocorr,
     "events_changepoint" -> eventsChangepoint,
     "events_deciles" -> eventsDeciles,
     "graph_khop" -> graphKhop,
@@ -1133,6 +1171,33 @@ object AnalyticsOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "events_autocorr" ->
+      """WITH b AS (SELECT event_type, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND isfinite(value)),
+        |p AS (SELECT event_type, x,
+        |    lead(x) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
+        |  FROM b),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM p WHERE y IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n AS n_pairs,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |  THEN CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) END AS autocorr_micro
+        |FROM m ORDER BY event_type""".stripMargin,
     "events_changepoint" ->
       """WITH b AS (SELECT event_type, ts, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS cents

@@ -73,12 +73,75 @@ object QualityOps extends QueryPack {
       .orderBy(col("fk"))
   }
 
+  /** Cross-table AGGREGATE reconciliation — the TPC-H consistency
+    * check: recompute each order's total from its lines
+    * (`Σ round(extprice·(1−disc)·(1+tax)·100)` — per-line cent rounding,
+    * the fixed-point convention) and reconcile against the order
+    * header's `o_totalprice`, reported per order status as exact-match /
+    * within-a-dollar / lineless counts plus the worst absolute
+    * deviation. FK audits catch missing rows; THIS catches rows that
+    * exist but disagree.
+    *
+    * Shape: one keyed per-order aggregate of lineitem + one keyed
+    * left join onto orders (both shuffles on the order key, partials
+    * map-side) + a |statuses|-row rollup. Nothing broadcast-forced,
+    * nothing quadratic. */
+  def priceReconcile(s: SparkSession, d: String): DataFrame = {
+    val lines = Tables.lineitem(s, d)
+      .filter(col("l_orderkey").isNotNull && col("l_extendedprice").isNotNull &&
+        col("l_discount").isNotNull && col("l_tax").isNotNull)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * " +
+        "(1 + l_tax) * 100) AS BIGINT)")).as("recomputed_cents"),
+        count(lit(1)).as("n_lines"))
+    Tables.orders(s, d)
+      .filter(col("o_orderkey").isNotNull)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("header_cents"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("recomputed_cents").isNull, 1L).otherwise(0L))
+          .as("n_lineless"),
+        sum(when(col("header_cents") === col("recomputed_cents"), 1L)
+          .otherwise(0L)).as("n_exact"),
+        sum(when(abs(col("header_cents") - col("recomputed_cents")) <= 100, 1L)
+          .otherwise(0L)).as("n_within_dollar"),
+        max(abs(col("header_cents") - col("recomputed_cents")))
+          .as("max_abs_dev_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_contract_audit" -> contractAudit,
     "quality_ref_integrity" -> refIntegrity,
+    "quality_price_reconcile" -> priceReconcile,
   )
 
   def oracle: Map[String, String] = Map(
+    "quality_price_reconcile" ->
+      """WITH l AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) *
+        |      (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS recomputed_cents,
+        |    CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+        |  GROUP BY l_orderkey),
+        |o AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS header_cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL)
+        |SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN l.recomputed_cents IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_lineless,
+        |  CAST(sum(CASE WHEN o.header_cents = l.recomputed_cents
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN abs(o.header_cents - l.recomputed_cents) <= 100
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_dollar,
+        |  CAST(max(abs(o.header_cents - l.recomputed_cents)) AS BIGINT)
+        |    AS max_abs_dev_cents
+        |FROM o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
     "quality_contract_audit" ->
       """WITH doc AS (
         |  SELECT 'documents' AS table_name, rule, n_violations,
