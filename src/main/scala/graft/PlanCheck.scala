@@ -551,6 +551,20 @@ object PlanCheck {
       mustNot = Seq("Join", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // winsorize: the |types|-row exact-percentile bounds broadcast back
+    // over one re-scan (the anomaly/histogram two-pass shape) — the
+    // corpus is never shuffled into a join
+    Check("events_winsorized",
+      mustContain = Seq("ObjectHashAggregate", "BroadcastHashJoin"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin"),
+      noAutoBroadcast = true,
+      maxNodes = Seq("Scan parquet" -> 2)),
+    // dow profile: one ≤168-group agg + share window over the grid
+    Check("events_dow_profile",
+      mustContain = Seq("HashAggregate", "Window"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1)),
   )
 
   def main(args: Array[String]): Unit = {

@@ -1139,7 +1139,65 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** Winsorized (clipped) robust statistics per event type: values are
+    * clamped to the type's exact interpolated [p5, p95] band and the
+    * clipped mean reported next to the clip counts — the outlier-robust
+    * mean a metrics pipeline publishes when single corrupt points must
+    * not move the aggregate. Percentile interpolation follows the q27
+    * convention (exact `percentile`, identical in both engines); the
+    * mean is micro-rounded at a resolution where FP summation-order
+    * noise collapses.
+    *
+    * Shape: the [[eventsAnomaly]] two-pass pattern — a |types|-row exact
+    *-percentile aggregate broadcast back over one corpus re-scan, then a
+    * keyed partial agg. Both passes scan-bound at any scale. */
+  def eventsWinsorized(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.PositiveInfinity))
+      .select(col("event_type"), col("value"))
+    val bounds = base.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+    base.join(broadcast(bounds), "event_type")
+      .select(col("event_type"),
+        when(col("value") < col("p05"), col("p05"))
+          .when(col("value") > col("p95"), col("p95"))
+          .otherwise(col("value")).as("clipped"),
+        when(col("value") < col("p05"), 1L).otherwise(0L).as("lo"),
+        when(col("value") > col("p95"), 1L).otherwise(0L).as("hi"),
+        col("p05"), col("p95"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("lo")).as("n_clipped_lo"), sum(col("hi")).as("n_clipped_hi"),
+        expr("CAST(round(max(p05) * 1000000) AS BIGINT)").as("p05_micro"),
+        expr("CAST(round(max(p95) * 1000000) AS BIGINT)").as("p95_micro"),
+        expr("CAST(round(avg(clipped) * 1000000) AS BIGINT)")
+          .as("winsorized_mean_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Day-of-week × hour seasonality profile: the traffic heatmap grid —
+    * per (dow, hour) cell counts and exact micro-unit share of total,
+    * the baseline any anomaly alert compares against. (Spark dayofweek
+    * is 1=Sunday; the oracle aligns DuckDB's 0-based dow.)
+    *
+    * Shape: one ≤168-group aggregate with map-side partials + a share
+    * window over the tiny grid — nothing but the scan touches data. */
+  def eventsDowProfile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .select(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .groupBy(col("dow"), col("hr")).agg(count(lit(1)).as("n"))
+      .withColumn("share_micro", expr("(n * 1000000) div (sum(n) OVER " +
+        "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"))
+      .orderBy(col("dow"), col("hr"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_winsorized" -> eventsWinsorized,
+    "events_dow_profile" -> eventsDowProfile,
     "events_autocorr" -> eventsAutocorr,
     "events_changepoint" -> eventsChangepoint,
     "events_deciles" -> eventsDeciles,
@@ -1171,6 +1229,38 @@ object AnalyticsOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "events_winsorized" ->
+      """WITH b AS (SELECT event_type, value FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND isfinite(value)),
+        |q AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM b GROUP BY event_type),
+        |c AS (SELECT b.event_type,
+        |    CASE WHEN b.value < q.p05 THEN q.p05
+        |         WHEN b.value > q.p95 THEN q.p95 ELSE b.value END AS clipped,
+        |    CASE WHEN b.value < q.p05 THEN 1 ELSE 0 END AS lo,
+        |    CASE WHEN b.value > q.p95 THEN 1 ELSE 0 END AS hi,
+        |    q.p05, q.p95
+        |  FROM b JOIN q USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(lo) AS BIGINT) AS n_clipped_lo,
+        |  CAST(sum(hi) AS BIGINT) AS n_clipped_hi,
+        |  CAST(round(max(p05) * 1000000) AS BIGINT) AS p05_micro,
+        |  CAST(round(max(p95) * 1000000) AS BIGINT) AS p95_micro,
+        |  CAST(round(avg(clipped) * 1000000) AS BIGINT)
+        |    AS winsorized_mean_micro
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_dow_profile" ->
+      """WITH g AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |    CAST(hour(ts) AS BIGINT) AS hr
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT dow, hr, CAST(count(*) AS BIGINT) AS n
+        |  FROM g GROUP BY 1, 2)
+        |SELECT dow, hr, n,
+        |  CAST((n * 1000000) // (sum(n) OVER ()) AS BIGINT) AS share_micro
+        |FROM c ORDER BY dow, hr""".stripMargin,
     "events_autocorr" ->
       """WITH b AS (SELECT event_type, ts, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS x
