@@ -288,13 +288,66 @@ object LayoutOps extends QueryPack {
       .orderBy(col("global_seq"))
   }
 
+  /** Versioned-table time travel end to end on
+    * [[graft.sources.SnapshotTable]]: three commits (base load, append,
+    * overwrite) against a scratch table, then one snapshot read per
+    * version — each must see EXACTLY its manifest's file set (the append
+    * visible only from v2, the overwrite replacing everything at v3,
+    * earlier versions untouched by later commits). Output is the
+    * per-version rollup the oracle recomputes from the same doc_id
+    * partitioning rules. */
+  def layoutSnapshots(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("doc_id") % 3 === 0), overwrite = false)
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("doc_id") % 3 === 1), overwrite = false)
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("doc_id") % 3 === 2), overwrite = true)
+    (1 to 3).map { v =>
+      val snap = graft.sources.SnapshotTable.readAsOf(s, table, v)
+      // a zero-row corpus commits no data files, so the snapshot has no
+      // schema to infer — aggregate the (empty) source relation instead
+      // (the layoutCompaction convention)
+      val rel = if (snap.columns.isEmpty) docs.filter(lit(false)) else snap
+      rel
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .select(lit(v.toLong).as("version"), col("n_docs"),
+          col("sum_chars"), col("sum_ids"))
+    }.reduce(_ unionByName _)
+      .filter(col("n_docs") > 0)
+      .orderBy(col("version"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> layoutZorder,
     "layout_compaction" -> layoutCompaction,
     "layout_global_index" -> layoutGlobalIndex,
+    "layout_snapshots" -> layoutSnapshots,
   )
 
   override val oracle: Map[String, String] = Map(
+    // versions: v1 = ids%3==0, v2 = v1 + ids%3==1, v3 = overwrite
+    // with ids%3==2 only — the snapshot semantics restated in SQL
+    "layout_snapshots" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |v AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, * FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 2, * FROM d WHERE doc_id % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 3, * FROM d WHERE doc_id % 3 = 2)
+        |SELECT version, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM v GROUP BY version HAVING count(*) > 0
+        |ORDER BY version""".stripMargin,
     // the oracle IS the naive single-window formulation — agreement
     // proves the range-partitioned two-phase numbering is exact
     "layout_global_index" ->
