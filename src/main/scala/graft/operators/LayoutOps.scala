@@ -324,11 +324,44 @@ object LayoutOps extends QueryPack {
       .orderBy(col("version"))
   }
 
+  /** MERGE into the versioned table: base-load the `%3==0` slice, then
+    * one [[graft.sources.SnapshotTable.merge]] that (a) updates every
+    * even-id row (chars bumped by 1000), (b) inserts the `%3==1` slice,
+    * and (c) deletes the `%9==0` ids — the upsert/delete/insert triple
+    * every CDC apply needs, landing as ONE atomic overwrite commit.
+    * Output: the post-merge rollup plus the untouched v1 rollup (time
+    * travel proves the merge rewrote forward, not in place). */
+  def layoutSnapshotMerge(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_smrg_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    graft.sources.SnapshotTable.commit(s, table, base, overwrite = false)
+    val upserts = base.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), (col("nc") + 1000L).as("nc"))
+      .unionByName(docs.filter(col("doc_id") % 3 === 1))
+    val deletes = docs.filter(col("doc_id") % 9 === 0).select(col("doc_id"))
+    graft.sources.SnapshotTable.merge(s, table, upserts, deletes, "doc_id")
+    def roll(v: Int) = {
+      val snap = graft.sources.SnapshotTable.readAsOf(s, table, v)
+      val rel = if (snap.columns.isEmpty) docs.filter(lit(false)) else snap
+      rel.agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .select(lit(v.toLong).as("version"), col("n_docs"),
+          col("sum_chars"), col("sum_ids"))
+    }
+    roll(1).unionByName(roll(2))
+      .filter(col("n_docs") > 0).orderBy(col("version"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> layoutZorder,
     "layout_compaction" -> layoutCompaction,
     "layout_global_index" -> layoutGlobalIndex,
     "layout_snapshots" -> layoutSnapshots,
+    "layout_snapshot_merge" -> layoutSnapshotMerge,
   )
 
   override val oracle: Map[String, String] = Map(
@@ -343,6 +376,28 @@ object LayoutOps extends QueryPack {
         |  SELECT 2, * FROM d WHERE doc_id % 3 IN (0, 1)
         |  UNION ALL
         |  SELECT 3, * FROM d WHERE doc_id % 3 = 2)
+        |SELECT version, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM v GROUP BY version HAVING count(*) > 0
+        |ORDER BY version""".stripMargin,
+    // v1 = the %3==0 base; v2 = after MERGE: evens updated (+1000),
+    // %3==1 inserted, odd %9==0 survivors deleted (an upsert for a key
+    // also in the delete set wins — the query's stated semantics)
+    "layout_snapshot_merge" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |v AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, doc_id, nc FROM d
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 2, doc_id, nc + 1000 FROM d
+        |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 2, doc_id, nc FROM d
+        |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 1 AND doc_id % 9 <> 0
+        |  UNION ALL
+        |  SELECT 2, doc_id, nc FROM d WHERE doc_id % 3 = 1)
         |SELECT version, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(nc) AS BIGINT) AS sum_chars,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids

@@ -92,4 +92,23 @@ object SnapshotTable {
     if (files.isEmpty) s.emptyDataFrame
     else s.read.parquet(files: _*)
   }
+
+  /** MERGE (upsert + delete) as a new snapshot version: rows of the
+    * current snapshot whose `key` appears in `upserts` are replaced,
+    * rows whose key appears in `deleteKeys` are removed, and all
+    * `upserts` rows land — published as one atomic overwrite commit, so
+    * readers see the pre-merge or post-merge table, never a mixture.
+    *
+    * Shape: one keyed anti-join per exclusion set (never a broadcast of
+    * the table side) + a union — the standard copy-on-write MERGE; at
+    * 100 TB the rewrite cost is the table scan, the commit itself stays
+    * two metadata renames. */
+  def merge(s: SparkSession, tableDir: String, upserts: DataFrame,
+      deleteKeys: DataFrame, key: String): Int = {
+    val cur = readAsOf(s, tableDir, Int.MaxValue)
+    val kept = cur
+      .join(upserts.select(key).distinct(), Seq(key), "left_anti")
+      .join(deleteKeys.select(key).distinct(), Seq(key), "left_anti")
+    commit(s, tableDir, kept.unionByName(upserts), overwrite = true)
+  }
 }

@@ -47,6 +47,24 @@ class SnapshotTableSpec extends GraftSpec {
     assert(ids(SnapshotTable.readAsOf(spark, t, 2)) == Set(1L, 2L))
   }
 
+  test("merge: upsert replaces, delete removes, upsert wins a delete tie") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap4-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), overwrite = false)
+    // upsert id 2 -> "B", insert id 9; delete ids 3 and 2 (2 also
+    // upserted -> the upsert wins)
+    SnapshotTable.merge(spark, t,
+      Seq((2L, "B"), (9L, "i")).toDF("id", "v"),
+      Seq(3L, 2L).toDF("id"), "id")
+    val got = SnapshotTable.readAsOf(spark, t, 99)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (9L, "i")))
+    // v1 untouched by the merge
+    assert(ids(SnapshotTable.readAsOf(spark, t, 1)) == Set(1L, 2L, 3L))
+  }
+
   test("a running reader's plan is pinned to its snapshot's files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-snap3-").toString
