@@ -42,7 +42,7 @@ object SnapshotTable {
       .sorted
   }
 
-  private def manifestFiles(s: SparkSession, tableDir: String,
+  private def manifestLines(s: SparkSession, tableDir: String,
       version: Int): Seq[String] = {
     val f = fs(s, tableDir)
     val p = new HPath(commitsDir(tableDir), f"v$version%05d.txt")
@@ -52,11 +52,39 @@ object SnapshotTable {
     finally in.close()
   }
 
+  // manifest data lines; '#'-prefixed lines are metadata (e.g. #txn:)
+  private def manifestFiles(s: SparkSession, tableDir: String,
+      version: Int): Seq[String] =
+    manifestLines(s, tableDir, version).filterNot(_.startsWith("#"))
+
+  /** Transaction ids already committed to this table (from `#txn:`
+    * manifest metadata) — the replay-detection set of
+    * [[commitIdempotent]]. */
+  def committedTxns(s: SparkSession, tableDir: String): Set[String] =
+    versions(s, tableDir).flatMap { v =>
+      manifestLines(s, tableDir, v)
+        .collect { case l if l.startsWith("#txn:") => l.stripPrefix("#txn:") }
+    }.toSet
+
   /** Commit `df` as the next version. `overwrite = false` appends to the
     * previous snapshot's file list; `overwrite = true` replaces it.
     * Returns the committed version number. */
   def commit(s: SparkSession, tableDir: String, df: DataFrame,
-      overwrite: Boolean): Int = {
+      overwrite: Boolean): Int = commit(s, tableDir, df, overwrite, None)
+
+  /** Idempotent commit for replayable writers (a streaming `foreachBatch`
+    * sink): if `txnId` was ever committed, the call is a no-op returning
+    * None — a micro-batch replayed after a crash-restart cannot land
+    * twice. The txn id travels IN the manifest (`#txn:` metadata line),
+    * so it is published by the same atomic rename as the data — there is
+    * no window where data is visible but its txn is not. */
+  def commitIdempotent(s: SparkSession, tableDir: String, df: DataFrame,
+      overwrite: Boolean, txnId: String): Option[Int] =
+    if (committedTxns(s, tableDir).contains(txnId)) None
+    else Some(commit(s, tableDir, df, overwrite, Some(txnId)))
+
+  private def commit(s: SparkSession, tableDir: String, df: DataFrame,
+      overwrite: Boolean, txnId: Option[String]): Int = {
     val f = fs(s, tableDir)
     val prev = versions(s, tableDir)
     val v = prev.lastOption.getOrElse(0) + 1
@@ -75,7 +103,8 @@ object SnapshotTable {
     f.mkdirs(cd)
     val tmp = new HPath(cd, f".tmp-v$v%05d")
     val out = f.create(tmp, true)
-    try out.write((base ++ newFiles).mkString("\n").getBytes("UTF-8"))
+    val meta = txnId.map(id => s"#txn:$id").toSeq
+    try out.write((meta ++ base ++ newFiles).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     // the commit point: an atomic metadata rename publishes the version
     require(f.rename(tmp, new HPath(cd, f"v$v%05d.txt")),

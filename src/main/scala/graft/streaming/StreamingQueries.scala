@@ -434,7 +434,54 @@ object StreamingQueries extends QueryPack {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Streaming → versioned-table sink (the eleventh streaming query):
+    * the tumbling aggregation lands in a [[graft.sources.SnapshotTable]]
+    * via `foreachBatch` + [[graft.sources.SnapshotTable.commitIdempotent]]
+    * with the micro-batch id as the transaction id — each closed window
+    * batch becomes ONE atomic append commit, and a batch replayed after
+    * a crash-restart is recognized by its txn id and skipped, so the
+    * table holds every window exactly once. The declared result is the
+    * latest snapshot read back (sentinel group scrubbed), checked
+    * against the same SQL oracle as `stream_tumbling` — the lakehouse
+    * sink must land the very relation the file sink lands. */
+  def streamSnapshotSink(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_stream_snap_")
+    outDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val ckpt = Files.createTempDirectory("graft_stream_snapck_")
+    val planned = StreamingOps.tumblingAgg(
+      streamFromDir(s, stagedFor(s, d).toString))
+    try withStatePartitions(s) {
+      val q = planned.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            graft.sources.SnapshotTable.commitIdempotent(
+              batch.sparkSession, table, batch.toDF(),
+              overwrite = false, txnId = s"batch-$id")
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    val empty = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], planned.schema)
+    val res =
+      if (graft.sources.SnapshotTable.versions(s, table).isEmpty) empty
+      else {
+        val snap = graft.sources.SnapshotTable.readAsOf(s, table, Int.MaxValue)
+        if (snap.columns.isEmpty) empty else snap
+      }
+    res.filter(!(col("event_type") <=> lit(FlushType)))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_snapshot_sink" -> streamSnapshotSink,
     "stream_record_highs" -> streamRecordHighs,
     "stream_enrich_abovemean" -> streamEnrichAboveMean,
     "stream_dedup_windows" -> streamDedupWindows,
@@ -454,6 +501,16 @@ object StreamingQueries extends QueryPack {
   // states the same semantics the engine declares — on well-formed
   // corpora every guard is a no-op.
   override val oracle: Map[String, String] = Map(
+    // identical relation to stream_tumbling — the lakehouse sink must
+    // land exactly what the file sink lands
+    "stream_snapshot_sink" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        | count(*) AS n,
+        | round(sum(CASE WHEN isnan(value) OR isinf(value) THEN NULL
+        |                ELSE value END), 2) AS sum_value
+        |FROM events
+        |WHERE ts IS NOT NULL AND event_type IS DISTINCT FROM '__flush__'
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     // ordered-window replay of the stateful fold: a row is a record iff
     // it beats the running max over (ts, event_id) order
     "stream_record_highs" ->

@@ -65,6 +65,23 @@ class SnapshotTableSpec extends GraftSpec {
     assert(ids(SnapshotTable.readAsOf(spark, t, 1)) == Set(1L, 2L, 3L))
   }
 
+  test("idempotent commits: a replayed txn id is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap5-").toString
+    val t = s"$dir/tbl"
+    assert(SnapshotTable.commitIdempotent(spark, t, Seq(1L).toDF("id"),
+      overwrite = false, txnId = "b0").contains(1))
+    assert(SnapshotTable.commitIdempotent(spark, t, Seq(2L).toDF("id"),
+      overwrite = false, txnId = "b1").contains(2))
+    // crash-restart replay of batch b1 with different (stale) content:
+    // recognized and skipped — no third version, table unchanged
+    assert(SnapshotTable.commitIdempotent(spark, t, Seq(99L).toDF("id"),
+      overwrite = false, txnId = "b1").isEmpty)
+    assert(SnapshotTable.versions(spark, t) == Seq(1, 2))
+    assert(ids(SnapshotTable.readAsOf(spark, t, 99)) == Set(1L, 2L))
+    assert(SnapshotTable.committedTxns(spark, t) == Set("b0", "b1"))
+  }
+
   test("a running reader's plan is pinned to its snapshot's files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-snap3-").toString
