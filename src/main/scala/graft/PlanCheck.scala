@@ -565,6 +565,19 @@ object PlanCheck {
       mustNot = Seq("Join", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Scan parquet" -> 1)),
+    // time rollup: ONE Expand-based aggregate pass over one scan
+    Check("q48_time_rollup",
+      mustContain = Seq("Expand", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // burstiness: two chained aggs (minute grid, per-type reduction) —
+    // one corpus scan, no join
+    Check("events_burstiness",
+      mustContain = Seq("HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 3, "Scan parquet" -> 1)),
   )
 
   def main(args: Array[String]): Unit = {

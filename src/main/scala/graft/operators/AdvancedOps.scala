@@ -218,7 +218,31 @@ object AdvancedOps extends QueryPack {
       .orderBy(col("flag"))
   }
 
+  /** ROLLUP over the time hierarchy (year → month → day) with
+    * `grouping_id` disambiguating the subtotal levels — the calendar
+    * drill-down every BI cube runs (q11 rolls up DIMENSIONS; this rolls
+    * up the DATE hierarchy, where subtotal rows would otherwise collide
+    * with detail rows — `gid` + coalesced level keys keep every row
+    * addressable). One Expand-based aggregate pass; revenue in exact
+    * integer cents. */
+  def q48TimeRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dd"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .rollup(col("y"), col("m"), col("dd"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .select(coalesce(col("y"), lit(-1L)).as("y"),
+        coalesce(col("m"), lit(-1L)).as("m"),
+        coalesce(col("dd"), lit(-1L)).as("dd"),
+        col("gid"), col("n_orders"), col("sum_cents"))
+      .orderBy(col("y"), col("m"), col("dd"), col("gid"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_time_rollup" -> q48TimeRollup,
     "q47_weighted_median" -> q47WeightedMedian,
     "q46_filter_aggs" -> q46FilterAggs,
     "q44_lateral_topk" -> q44LateralTopK,
@@ -232,6 +256,19 @@ object AdvancedOps extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    "q48_time_rollup" ->
+      """WITH b AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |    CAST(month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(day(o_orderdate) AS BIGINT) AS dd,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderdate IS NOT NULL)
+        |SELECT coalesce(y, -1) AS y, coalesce(m, -1) AS m,
+        |  coalesce(dd, -1) AS dd,
+        |  CAST(GROUPING(y, m, dd) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM b GROUP BY ROLLUP (y, m, dd)
+        |ORDER BY y, m, dd, gid""".stripMargin,
     "q47_weighted_median" ->
       """WITH pts AS (SELECT l_returnflag AS flag,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,

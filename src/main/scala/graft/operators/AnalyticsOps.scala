@@ -1195,7 +1195,36 @@ object AnalyticsOps extends QueryPack {
         "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"))
       .orderBy(col("dow"), col("hr"))
 
+  /** Burstiness per event type: minute-resolution arrival counts reduced
+    * to the peak minute, the peak count, and the integer peak-to-mean
+    * ratio — the "is this traffic smooth or spiky" statistic that decides
+    * provisioning headroom (mean-based capacity is wrong exactly when
+    * this ratio is high). Mean = events per ACTIVE minute; ties resolve
+    * to the earliest peak minute.
+    *
+    * Shape: one (type, minute) partial-agg pass, then a |active minutes|
+    *-row per-type reduction via max_by/aggregates — nothing joins, the
+    * corpus is scanned once. */
+  def eventsBurstiness(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .groupBy(col("event_type"), col("minute"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_active_minutes"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("peak_n"),
+        expr("min_by(minute, struct(-n, minute))").as("peak_minute"))
+      .select(col("event_type"), col("n_active_minutes"), col("n_events"),
+        col("peak_n"), col("peak_minute"),
+        expr("(peak_n * n_active_minutes * 1000000) div n_events")
+          .as("burst_ratio_micro"))
+      .orderBy(col("event_type"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_burstiness" -> eventsBurstiness,
     "events_winsorized" -> eventsWinsorized,
     "events_dow_profile" -> eventsDowProfile,
     "events_autocorr" -> eventsAutocorr,
@@ -1229,6 +1258,26 @@ object AnalyticsOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "events_burstiness" ->
+      """WITH c AS (SELECT event_type, date_trunc('minute', ts) AS minute,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_active_minutes,
+        |    CAST(sum(n) AS BIGINT) AS n_events,
+        |    CAST(max(n) AS BIGINT) AS peak_n
+        |  FROM c GROUP BY 1),
+        |r AS (SELECT event_type, minute,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, minute) AS rk
+        |  FROM c)
+        |SELECT t.event_type, t.n_active_minutes, t.n_events, t.peak_n,
+        |  r.minute AS peak_minute,
+        |  CAST((t.peak_n * t.n_active_minutes * 1000000) // t.n_events
+        |    AS BIGINT) AS burst_ratio_micro
+        |FROM t JOIN r ON t.event_type = r.event_type AND r.rk = 1
+        |ORDER BY t.event_type""".stripMargin,
     "events_winsorized" ->
       """WITH b AS (SELECT event_type, value FROM events
         |  WHERE event_type IS NOT NULL AND value IS NOT NULL

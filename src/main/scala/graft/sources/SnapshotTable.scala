@@ -134,7 +134,12 @@ object SnapshotTable {
     * two metadata renames. */
   def merge(s: SparkSession, tableDir: String, upserts: DataFrame,
       deleteKeys: DataFrame, key: String): Int = {
-    val cur = readAsOf(s, tableDir, Int.MaxValue)
+    // merging into a fresh (or empty-snapshot) table: the current state
+    // is the empty relation in the upserts' schema
+    val cur0 =
+      if (versions(s, tableDir).isEmpty) upserts.filter(org.apache.spark.sql.functions.lit(false))
+      else readAsOf(s, tableDir, Int.MaxValue)
+    val cur = if (cur0.columns.isEmpty) upserts.filter(org.apache.spark.sql.functions.lit(false)) else cur0
     val kept = cur
       .join(upserts.select(key).distinct(), Seq(key), "left_anti")
       .join(deleteKeys.select(key).distinct(), Seq(key), "left_anti")
