@@ -237,11 +237,25 @@ object PlanCheck {
     // tables (full outer cannot broadcast a side — SMJ is the right
     // shape), per-query top-k is rank-limited BEFORE the window sort
     // (WindowGroupLimit), and the whole two-leg plan touches the corpus
-    // a bounded number of times (3 documents + 2 embeddings scans)
+    // a bounded number of times (2 documents + 2 embeddings scans); the
+    // declared query serves the memoized postings index, so pin the
+    // un-memoized build dataflow
     Check("search_hybrid_rrf",
-      mustContain = Seq("SortMergeJoin FullOuter", "WindowGroupLimit"),
+      mustContain = Seq("FullOuter", "WindowGroupLimit"),
       mustNot = Seq("CartesianProduct"),
-      maxNodes = Seq("Scan parquet" -> 5)),
+      maxNodes = Seq("Scan parquet" -> 5),
+      build = Some((s, d) => graft.operators.SearchOps.searchHybridRrfBuild(s, d))),
+    // bm25 index build: vocabulary filter applied under the Generate
+    // (postings volume to the tf shuffle), query/df/stats joins all
+    // broadcast — the corpus never shuffles into a join
+    // 3 scans: postings explode, the df-table derivation, corpus stats —
+    // paid ONCE per corpus generation; the declared query serves the
+    // checkpoint with zero corpus scans
+    Check("search_bm25",
+      mustContain = Seq("Generate", "BroadcastHashJoin", "WindowGroupLimit"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin"),
+      maxNodes = Seq("Scan parquet" -> 3),
+      build = Some((s, d) => graft.operators.SearchOps.searchBm25Build(s, d))),
     // CMS: the 4096-cell sketch rides a BROADCAST into the probe join
     // (hinted, so it survives auto-broadcast off); heavy aggregation is
     // hash-based with map-side partials, and nothing cartesian
@@ -368,10 +382,15 @@ object PlanCheck {
     // PQ-ADC: codebook (128 rows) and LUT (|q|·8·16 rows) are the ONLY
     // join builds and both ride explicit broadcasts; the corpus is
     // never shuffled into a join and nothing is cartesian
+    // (AQE off so the exchange budget sees the true static count: 6 —
+    // the scale/codebook/LUT broadcast builds plus the per-query rank
+    // and presentation exchanges; a regression shuffling the encoded
+    // corpus into a join breaks both the budget and the no-SMJ pin)
     Check("ann_pq_topk",
-      mustContain = Seq("BroadcastHashJoin", "HashAggregate"),
+      mustContain = Seq("BroadcastHashJoin", "HashAggregate", "WindowGroupLimit"),
       mustNot = Seq("CartesianProduct", "SortMergeJoin"),
-      noAutoBroadcast = true),
+      noAutoBroadcast = true, noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 6, "Scan parquet" -> 4)),
     // histogram: per-type bounds broadcast back over one corpus re-scan
     // (the events_anomaly two-pass pattern) — keyed hash aggs, no SMJ,
     // nothing cartesian
@@ -480,11 +499,18 @@ object PlanCheck {
     // (scan budget 3: ONE lineitem scan — every round's edge probe is a
     // ReusedExchange off it — plus the O(suppliers) seed table planned
     // under two prunings; the corpus-sized table is never re-read)
+    // (exchange budget 12: the one-off edge fold/repartition + seeds,
+    // then per round ONE frontier-side shuffle, one distinct, and the
+    // anti-join's visited side — the edge side of every round's probe
+    // must stay a ReusedExchange; re-shuffling the edge list per round
+    // adds 3 and breaks the budget. Nothing broadcast: frontier and
+    // visited are O(V) at scale.)
     Check("graph_khop",
       mustContain = Seq("SortMergeJoin", "ReusedExchange"),
-      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "BroadcastExchange"),
       noAutoBroadcast = true, noAdaptive = true,
-      maxNodes = Seq("Scan parquet" -> 3)),
+      maxNodes = Seq("Exchange" -> 12, "Scan parquet" -> 3)),
     // time-weighted average: lead window + agg share the user hash —
     // one data exchange plus the presentation sort; no join
     Check("events_timeweighted",
@@ -589,8 +615,10 @@ object PlanCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional second arg: comma-separated query names to check alone
+    val only = args.lift(1).map(_.split(",").toSet)
     var failed = 0
-    checks.foreach { c =>
+    checks.filter(c => only.forall(_.contains(c.query))).foreach { c =>
       val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
       if (c.noAutoBroadcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -619,11 +647,12 @@ object PlanCheck {
         println(s"OK   ${c.query}")
       } else {
         failed += 1
-        println(s"FAIL ${c.query} missing=$missing forbidden=$present")
+        println(s"FAIL ${c.query} missing=$missing forbidden=$present over=$over")
         println(plan.linesIterator.take(40).mkString("\n"))
       }
     }
-    println(s"\nplan checks: ${checks.size - failed}/${checks.size} ok")
+    val ran = checks.count(c => only.forall(_.contains(c.query)))
+    println(s"\nplan checks: ${ran - failed}/$ran ok")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

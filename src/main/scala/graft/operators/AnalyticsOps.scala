@@ -740,8 +740,11 @@ object AnalyticsOps extends QueryPack {
     * the exact counts and the audit verdicts — the same gate pattern as
     * `ann_recall`/`text_cms_recall`. */
   def sketchHllDistinct(s: SparkSession, d: String): DataFrame = {
+    // event_type IS NOT NULL on BOTH engine and oracle: the audit's
+    // inner equi-joins on event_type would silently drop a NULL group
+    // the oracle's GROUP BY keeps — state the exclusion once, up front
     val e = Tables.events(s, d)
-      .filter(col("user_id").isNotNull)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"), col("user_id"))
     val direct = e.groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14)))
@@ -1022,7 +1025,10 @@ object AnalyticsOps extends QueryPack {
       (5L, 79181L), (6L, 66947L), (7L, 57992L), (8L, 51153L), (9L, 45757L))
       .toDF("digit", "benford_micro")
     val digits = Tables.events(s, d)
-      .filter(col("value").isNotNull && !isnan(col("value")) &&
+      // abs < Inf is false for NaN AND ±Inf (a +Inf value would round to
+      // Long.MaxValue and count as digit 9); matches the oracle's isfinite
+      .filter(col("value").isNotNull &&
+        abs(col("value")) < lit(Double.PositiveInfinity) &&
         col("value") > 0)
       .select(expr(
         "CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS STRING)," +
@@ -1552,7 +1558,7 @@ object AnalyticsOps extends QueryPack {
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
         |  true AS direct_ok, true AS merged_ok
-        |FROM events WHERE user_id IS NOT NULL
+        |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the oracle runs the GLOBAL single-window formulation — agreement
     // proves the banded prefix-max decomposition is exact

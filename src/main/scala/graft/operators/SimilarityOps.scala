@@ -601,16 +601,43 @@ object SimilarityOps extends QueryPack {
       * lineage), they just lose the cache. */
     def close(): Unit = backing.unpersist(false)
 
+    /** Incremental append — the ingest shape ([[graft.operators.DedupOps]]
+      * `ingestDedupMinhash` discipline): assign ONLY the batch to the
+      * EXISTING centroids (one codegen projection over O(batch) rows — no
+      * retraining, no corpus reassignment, no driver data) and extend the
+      * inverted lists. Off-dim / null vectors are excluded by the same
+      * fixed-dim index contract as [[buildIvfIndex]]. Returns a NEW index
+      * with its own cache lifecycle (close both when done); the centroids
+      * are shared unchanged, so existing vectors keep their exact
+      * assignments — a planted duplicate lands in precisely its
+      * original's list. Quantizer drift under sustained appends is the
+      * operator's retraining policy (rebuild when recall audits decay),
+      * exactly as for any trained ANN index. */
+    def append(newVectors: DataFrame): IvfIndex = {
+      val dim = centroids.headOption.map(_.length).getOrElse(0)
+      val assigned = newVectors.select(col("vec_id"), col("embedding"))
+        .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+        .select(col("vec_id"), col("embedding"),
+          nearestCluster(col("embedding"), centroids).as("cl"))
+      val ext = indexedCorpus.unionByName(assigned)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      new IvfIndex(ext, ext, centroids, nProbe)
+    }
+
     /** Persist the index to `path` so later sessions serve from it
       * without retraining — the 100 TB usage shape (train once, search
-      * many): `corpus/` holds the ASSIGNED inverted lists (vec_id,
-      * embedding, cl — one distributed write, assignment never
-      * recomputed again) and `centroids/` the kC×dim matrix + nProbe
-      * (≤ 1 MB, one file). [[SimilarityOps.loadIvfIndex]] restores an
-      * index whose `search` is bit-identical to this one's. */
+      * many): `corpus/` is a [[graft.sources.SnapshotTable]] holding the
+      * ASSIGNED inverted lists (vec_id, embedding, cl — one distributed
+      * write, assignment never recomputed again; appends land as new
+      * atomic snapshot versions, see
+      * [[SimilarityOps.appendToIvfIndex]]) and `centroids/` the kC×dim
+      * matrix + nProbe (≤ 1 MB, one file).
+      * [[SimilarityOps.loadIvfIndex]] restores an index whose `search`
+      * is bit-identical to this one's. */
     def save(path: String): Unit = {
       val s = corpus.sparkSession
-      indexedCorpus.write.mode("overwrite").parquet(path + "/corpus")
+      graft.sources.SnapshotTable.commit(s, path + "/corpus",
+        indexedCorpus, overwrite = true)
       import s.implicits._
       centroids.zipWithIndex
         .map { case (v, i) => (i, v, nProbe) }
@@ -621,16 +648,40 @@ object SimilarityOps extends QueryPack {
 
   /** Reload an [[IvfIndex.save]]d index: the centroid matrix (≤ 1 MB)
     * is the only driver-side read; the assigned corpus stays a lazy
-    * persisted scan. `search` answers bit-identically to the index that
-    * was saved — no retraining, no reassignment. */
+    * persisted scan of the LATEST snapshot version. `search` answers
+    * bit-identically to the index that was saved/appended — no
+    * retraining, no reassignment. */
   def loadIvfIndex(s: SparkSession, path: String): IvfIndex = {
     graft.functions.CentroidExpressions.register(s)
     val cent = s.read.parquet(path + "/centroids").orderBy(col("cl")).collect()
     require(cent.nonEmpty, s"no centroids at $path/centroids — not a saved IVF index")
     val cents: Seq[Seq[Float]] = cent.map(_.getSeq[Float](1).toSeq).toSeq
-    val corpus = s.read.parquet(path + "/corpus")
+    val corpus = graft.sources.SnapshotTable
+      .readAsOf(s, path + "/corpus", Int.MaxValue)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     new IvfIndex(corpus, corpus, cents, cent(0).getInt(2))
+  }
+
+  /** Incremental append to a SAVED index: O(batch) work end to end —
+    * one ≤1 MB centroid read, one codegen assignment projection over
+    * the batch, one atomic snapshot-table append commit (two metadata
+    * operations regardless of index size). The index's history is the
+    * table's: `readAsOf` an older version serves the pre-append index,
+    * and [[graft.sources.SnapshotTable.vacuum]] bounds its storage.
+    * Returns the committed corpus version. */
+  def appendToIvfIndex(s: SparkSession, path: String,
+      newVectors: DataFrame): Int = {
+    graft.functions.CentroidExpressions.register(s)
+    val cent = s.read.parquet(path + "/centroids").orderBy(col("cl")).collect()
+    require(cent.nonEmpty, s"no centroids at $path/centroids — not a saved IVF index")
+    val cents: Seq[Seq[Float]] = cent.map(_.getSeq[Float](1).toSeq).toSeq
+    val assigned = newVectors.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull &&
+        size(col("embedding")) === cents.head.length)
+      .select(col("vec_id"), col("embedding"),
+        nearestCluster(col("embedding"), cents).as("cl"))
+    graft.sources.SnapshotTable.commit(s, path + "/corpus",
+      assigned, overwrite = false)
   }
 
   /** Build an IVF index over an explicit corpus.
@@ -744,6 +795,42 @@ object SimilarityOps extends QueryPack {
       .orderBy(col("method"))
   }
 
+  /** Recall audit for the INCREMENTAL index path — the
+    * [[IvfIndex.append]] contract made oracle-checkable: build the IVF
+    * index over the NATURAL corpus only, append the planted exact-copy
+    * twins as a post-build batch (the ingest shape: O(batch) assignment
+    * against the already-trained centroids), then search with the twins
+    * as queries. A twin is assigned to precisely its original's
+    * inverted list (assignment is deterministic on identical vectors
+    * against the SAME centroids) and probes its own list first, so
+    * every appended query finds its original at cos exactly 1.0 —
+    * expected recall is n_queries in closed form, same as
+    * [[annRecall]], and any regression in the append path (drifted
+    * centroids, re-trained quantizer, missed batch rows) breaks the
+    * oracle hash. */
+  def annIvfAppend(s: SparkSession, d: String): DataFrame = {
+    val plantOff = 1000000000000L
+    val base0 = corpus(s, d)
+    val planted = base0.filter(col("vec_id") % 101L === 0 &&
+        size(col("embedding")) === Dim &&
+        cosine(col("embedding"), col("embedding")).isNotNull)
+      .withColumn("vec_id", col("vec_id") + plantOff)
+    val baseIdx = buildIvfIndex(base0)
+    val idx = baseIdx.append(planted)
+    val prev = lastAnonIndex.getAndSet(idx)
+    if (prev != null) prev.close()
+    // the appended index's persist covers the union; the base build's
+    // separate cache is no longer needed
+    baseIdx.close()
+    val nQ = planted.agg(count(lit(1)).as("n_queries"))
+    val res = idx.search(col("vec_id") >= lit(plantOff), 5)
+    nQ.crossJoin(res.agg(
+        sum(when(col("q_id") === col("vec_id") + plantOff, 1L).otherwise(0L))
+          .as("found")))
+      .select(lit("ivf_append").as("method"), col("n_queries"),
+        coalesce(col("found"), lit(0L)).as("n_found"))
+  }
+
   /** Per-label corpus stats — the oracle-checked sanity slice (DuckDB
     * computes the same norms over the same lists cast to double). Rows
     * whose norm is undefined (null embedding) or non-finite (a NaN/Inf
@@ -780,6 +867,7 @@ object SimilarityOps extends QueryPack {
     "ann_lsh_topk" -> annLsh,
     "ann_lsh_portable" -> annLshPortable,
     "ann_ivf_topk" -> annIvf,
+    "ann_ivf_append" -> annIvfAppend,
     "ann_recall" -> annRecall,
     "embedding_stats" -> embeddingStats,
   )
@@ -952,6 +1040,19 @@ object SimilarityOps extends QueryPack {
         |FROM p, (SELECT 'brute' AS method UNION ALL SELECT 'ivf'
         |         UNION ALL SELECT 'lsh') m
         |ORDER BY method""".stripMargin,
+    // same closed-form expectation for the incremental path: an appended
+    // exact-copy twin is found by construction (see annIvfAppend)
+    "ann_ivf_append" ->
+      """WITH nr AS (
+        |  SELECT sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |  WHERE vec_id % 101 = 0 AND embedding IS NOT NULL
+        |    AND len(embedding) = 64),
+        |p AS (SELECT count(*) AS n FROM nr
+        |      WHERE nrm > 0 AND NOT isnan(nrm) AND NOT isinf(nrm))
+        |SELECT 'ivf_append' AS method, p.n AS n_queries, p.n AS n_found
+        |FROM p""".stripMargin,
     "embedding_stats" ->
       """WITH n AS (
         |  SELECT label, sqrt(list_sum(list_transform(embedding,

@@ -315,7 +315,7 @@ object StreamingOps {
     import spark.implicits._
     events
       .filter(col("ts").isNotNull && col("user_id").isNotNull &&
-        col("value").isNotNull &&
+        col("event_id").isNotNull && col("value").isNotNull &&
         abs(col("value")) < lit(Double.PositiveInfinity))
       .select(expr("unix_micros(ts)").as("ts_micro"), col("event_id"),
         col("user_id"),

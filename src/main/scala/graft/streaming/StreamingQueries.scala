@@ -518,6 +518,7 @@ object StreamingQueries extends QueryPack {
         |    CAST(round(value * 1000000) AS BIGINT) AS vm
         |  FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL
         |    AND value IS NOT NULL AND isfinite(value)),
         |r AS (SELECT user_id, vm,
         |    max(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -48,8 +48,9 @@ class EmptyCorpusSpec extends GraftSpec {
     // side as quota_only rows; everything else must come back with zero
     // rows
     val summaryRows = Set("dedup_exact_stats", "dedup_sketch_recall",
-      "ann_recall", "text_token_budget", "q6_revenue_filter",
-      "q40_full_outer", "layout_compaction", "profile_columns")
+      "ann_recall", "ann_ivf_append", "text_token_budget",
+      "q6_revenue_filter", "q40_full_outer", "layout_compaction",
+      "profile_columns")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

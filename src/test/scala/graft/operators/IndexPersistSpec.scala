@@ -42,7 +42,9 @@ class IndexPersistSpec extends GraftSpec {
 
     // the stored inverted lists really carry the assignment — the loaded
     // corpus has a cl column and every vector appears exactly once
-    val stored = spark.read.parquet(s"$dir/corpus")
+    // (the corpus is a snapshot TABLE now: appends land as new versions)
+    val stored = graft.sources.SnapshotTable
+      .readAsOf(spark, s"$dir/corpus", Int.MaxValue)
     assert(stored.columns.toSet == Set("vec_id", "embedding", "cl"))
     assert(stored.groupBy(col("vec_id")).count().filter(col("count") > 1).isEmpty)
   }

@@ -81,7 +81,8 @@ class IvfTrainReplaySpec extends GraftSpec {
     // the full inverted-list contents, via the persisted assignment
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-replay-").toString
     idx.save(dir)
-    val assigned = spark.read.parquet(s"$dir/corpus")
+    val assigned = graft.sources.SnapshotTable
+      .readAsOf(spark, s"$dir/corpus", Int.MaxValue)
       .select(col("vec_id"), col("cl")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val expected = vecs.map { case (id, v) => id -> nearestId(v, expectedCents) }.toMap

@@ -38,6 +38,21 @@ class SearchIndexSpec extends GraftSpec {
     assert(!rows.contains("vector") || rows("vector")._1 > 0)
   }
 
+  test("the postings index builds ONCE across the whole search family") {
+    graft.CacheRegistry.clear(spark)
+    val before = SearchOps.postingsBuilds.get()
+    SearchOps.searchBm25(spark, sfDir).collect()
+    SearchOps.searchTermStats(spark, sfDir).collect()
+    SearchOps.searchPostings(spark, sfDir).collect()
+    SearchOps.searchHybridRrf(spark, sfDir).collect()
+    assert(SearchOps.postingsBuilds.get() - before == 1,
+      "search family re-tokenized the corpus instead of sharing the index")
+    // a pass boundary invalidates; the next query rebuilds exactly once
+    graft.CacheRegistry.clear(spark)
+    SearchOps.searchTermStats(spark, sfDir).collect()
+    assert(SearchOps.postingsBuilds.get() - before == 2)
+  }
+
   test("tf ties break by doc_id ascending in the posting order") {
     val dir = writeDocs(Seq(
       (10L, "join join", "en", "a", 9L),
