@@ -356,12 +356,51 @@ object LayoutOps extends QueryPack {
       .filter(col("n_docs") > 0).orderBy(col("version"))
   }
 
+  /** Zone-map data skipping end to end: land lineitem in a snapshot
+    * table RANGE-CLUSTERED by order key (the write-side layout
+    * discipline — same idea as Z-order, one dimension), then probe
+    * three narrow key bands. Each probe's filter is pruned against the
+    * manifest's per-file min/max at PLAN time, so a band touches ~1 of
+    * the 8 range files — the query reads band-sized data, not
+    * table-sized, with zero filesystem calls to decide. The oracle
+    * recomputes the same three bands over the raw table; agreement
+    * proves skipping never drops a matching row. Band bounds are exact
+    * integer arithmetic on max(l_orderkey) so both engines derive
+    * identical literals. */
+  def layoutSnapshotPrune(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sprune_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey").isNotNull)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    graft.sources.SnapshotTable.commit(s, table,
+      li.repartitionByRange(8, col("l_orderkey")), overwrite = false)
+    val snap = graft.sources.SnapshotTable.readAsOf(s, table, Int.MaxValue)
+    val rel = if (snap.columns.isEmpty) li.filter(lit(false)) else snap
+    val mx = Option(li.agg(max(col("l_orderkey"))).head().get(0))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    (1 to 3).map { k =>
+      val lo = mx / 10 * (k * 3) // bands at 30/60/90% of the key space
+      val hi = lo + mx / 100     // each 1% wide
+      rel.filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")), lit(0L))
+            .as("sum_qty_c"),
+          coalesce(sum(col("l_partkey")), lit(0L)).cast("long").as("sum_pk"))
+        .select(lit(k.toLong).as("band"), col("n_rows"), col("sum_qty_c"),
+          col("sum_pk"))
+    }.reduce(_ unionByName _)
+      .filter(col("n_rows") > 0)
+      .orderBy(col("band"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> layoutZorder,
     "layout_compaction" -> layoutCompaction,
     "layout_global_index" -> layoutGlobalIndex,
     "layout_snapshots" -> layoutSnapshots,
     "layout_snapshot_merge" -> layoutSnapshotMerge,
+    "layout_snapshot_prune" -> layoutSnapshotPrune,
   )
 
   override val oracle: Map[String, String] = Map(
@@ -403,6 +442,22 @@ object LayoutOps extends QueryPack {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM v GROUP BY version HAVING count(*) > 0
         |ORDER BY version""".stripMargin,
+    // the same three 1%-wide bands over the raw table — agreement
+    // proves the zone-map skip never drops a matching row
+    "layout_snapshot_prune" ->
+      """WITH m AS (SELECT max(l_orderkey) AS mx FROM lineitem
+        |           WHERE l_orderkey IS NOT NULL),
+        |b AS (SELECT k, (mx // 10) * (k * 3) AS lo,
+        |             (mx // 10) * (k * 3) + mx // 100 AS hi
+        |      FROM m, (VALUES (1), (2), (3)) AS t(k))
+        |SELECT CAST(b.k AS BIGINT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_c,
+        |  CAST(sum(l_partkey) AS BIGINT) AS sum_pk
+        |FROM lineitem l JOIN b ON l.l_orderkey >= b.lo AND l.l_orderkey < b.hi
+        |GROUP BY b.k HAVING count(*) > 0
+        |ORDER BY band""".stripMargin,
     // the oracle IS the naive single-window formulation — agreement
     // proves the range-partitioned two-phase numbering is exact
     "layout_global_index" ->

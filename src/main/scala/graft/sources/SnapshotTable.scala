@@ -391,6 +391,17 @@ object SnapshotTable {
       }.toMap
   }
 
+  /** The manifest-planned relation over an explicit entry subset —
+    * shared by [[readAsOf]] and [[compact]] (which must read 10k small
+    * files without 10k driver-side path resolutions). */
+  private def relationFor(s: SparkSession, tableDir: String, sc: StructType,
+      es: Seq[FileEntry]): DataFrame =
+    s.baseRelationToDataFrame(HadoopFsRelation(
+      new ManifestFileIndex(new HPath(tableDir), es),
+      partitionSchema = StructType(Nil), dataSchema = sc,
+      bucketSpec = None, fileFormat = new ParquetFileFormat,
+      options = Map.empty)(s))
+
   /** The stored snapshot schema is always nullable at the top level:
     * under evolution any column may be absent from some epoch's files
     * (added later, or omitted by an append), and the vectorized parquet
@@ -418,71 +429,156 @@ object SnapshotTable {
       ok
     }
 
-  private def commitInternal(s: SparkSession, tableDir: String, df: DataFrame,
-      overwrite: Boolean, txnId: Option[String]): Option[Int] = {
+  /** Write `df` into a fresh, race-free uniquely-named data directory
+    * (staged + renamed) and return it with the manifest entries
+    * (path, size, rows, zone maps) of its files. */
+  private def writeDataDir(s: SparkSession, tableDir: String, df: DataFrame,
+      uniq: String): (HPath, Seq[String]) = {
     val f = fs(s, tableDir)
-    // the data write happens ONCE, to a race-free uniquely-named dir;
-    // version races below retry only the (tiny) manifest publish
-    val uniq = java.util.UUID.randomUUID.toString.take(8)
     val staging = new HPath(tableDir, s".staging-$uniq")
     val dataDir = new HPath(tableDir, s"data/c-$uniq")
-    var dataWritten = false
-    def writeData(): Seq[String] = {
-      df.write.mode("overwrite").parquet(staging.toString)
-      f.mkdirs(dataDir.getParent)
-      require(f.rename(staging, dataDir),
-        s"snapshot commit: data rename failed $staging -> $dataDir")
-      dataWritten = true
-      val statuses = f.listStatus(dataDir).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      val stats =
-        if (statuses.isEmpty) Map.empty[String, (Long, String)]
-        else collectFileStats(s, dataDir.toString, df.schema)
-      statuses.map { st =>
-        stats.get(st.getPath.toUri.getPath) match {
-          case Some((rows, cols)) =>
-            s"${st.getPath.toString}\t${st.getLen}\t$rows\t$cols"
-          case None => s"${st.getPath.toString}\t${st.getLen}\t\t"
-        }
-      }.sorted
-    }
-    var newFiles: Seq[String] = Seq.empty
+    df.write.mode("overwrite").parquet(staging.toString)
+    f.mkdirs(dataDir.getParent)
+    require(f.rename(staging, dataDir),
+      s"snapshot commit: data rename failed $staging -> $dataDir")
+    val statuses = f.listStatus(dataDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val stats =
+      if (statuses.isEmpty) Map.empty[String, (Long, String)]
+      else collectFileStats(s, dataDir.toString, df.schema)
+    (dataDir, statuses.map { st =>
+      stats.get(st.getPath.toUri.getPath) match {
+        case Some((rows, cols)) =>
+          s"${st.getPath.toString}\t${st.getLen}\t$rows\t$cols"
+        case None => s"${st.getPath.toString}\t${st.getLen}\t\t"
+      }
+    }.sorted)
+  }
+
+  /** The optimistic-commit loop shared by [[commitInternal]] and
+    * [[compact]]: each attempt reads the latest manifest, asks `prepare`
+    * for the next snapshot's content (entries, schema, txn set), and
+    * publishes it under the next version number with the atomic
+    * create-exclusive; a lost version race re-reads and retries, so
+    * `prepare` always sees the manifest it will be serialized after.
+    * `prepare` returning None aborts (replayed txn, maintenance
+    * conflict) and publishNext returns None. */
+  private def publishNext(s: SparkSession, tableDir: String)(
+      prepare: Option[Manifest] => Option[(Seq[String], StructType, Seq[String])])
+      : Option[Int] = {
+    val f = fs(s, tableDir)
+    val uniq = java.util.UUID.randomUUID.toString.take(8)
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       attempt += 1
       val prev = versions(s, tableDir)
       val prevManifest = prev.lastOption.map(readManifest(s, tableDir, _))
-      // replay check INSIDE the retry loop: a zombie writer racing the
-      // live one with the same txn id loses the version race, re-reads,
-      // and sees the txn landed
-      if (txnId.exists(id => prevManifest.exists(_.txns.contains(id)))) {
-        if (dataWritten) f.delete(dataDir, true) // orphan; invisible anyway
-        return None
+      prepare(prevManifest) match {
+        case None => return None
+        case Some((entries, schema, txns)) =>
+          val v = prev.lastOption.getOrElse(0) + 1
+          val cd = commitsDir(tableDir)
+          f.mkdirs(cd)
+          val tmp = new HPath(cd, s".tmp-$uniq-$attempt")
+          val out = f.create(tmp, true)
+          val meta = txns.map(id => s"#txn:$id") :+ s"#schema:${schema.json}"
+          try out.write((meta ++ entries).mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          // the commit point: atomic create-exclusive of the version name
+          if (publish(f, tmp, manifestPath(tableDir, v))) return Some(v)
+        // lost the race — someone else published v; retry against v+1
       }
-      if (!dataWritten) newFiles = writeData() // first attempt only
-      val v = prev.lastOption.getOrElse(0) + 1
-      val base = if (overwrite) Seq.empty
-        else prevManifest.map(_.files).getOrElse(Seq.empty)
-      val schema = storedSchema(
-        if (overwrite) df.schema
-        else prevManifest.flatMap(_.schema)
-          .map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
-      // txn ids accumulate across commits — including overwrites: replay
-      // detection must survive a table rewrite
-      val txns = (prevManifest.map(_.txns).getOrElse(Set.empty) ++ txnId).toSeq.sorted
-      val cd = commitsDir(tableDir)
-      f.mkdirs(cd)
-      val tmp = new HPath(cd, s".tmp-$uniq-$attempt")
-      val out = f.create(tmp, true)
-      val meta = txns.map(id => s"#txn:$id") :+ s"#schema:${schema.json}"
-      try out.write((meta ++ base ++ newFiles).mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      // the commit point: atomic create-exclusive of the version name
-      if (publish(f, tmp, manifestPath(tableDir, v))) return Some(v)
-      // lost the race — someone else published v; retry against v+1
     }
     throw new IllegalStateException(
       s"snapshot commit: lost $MaxCommitAttempts version races in $tableDir")
+  }
+
+  private def commitInternal(s: SparkSession, tableDir: String, df: DataFrame,
+      overwrite: Boolean, txnId: Option[String]): Option[Int] = {
+    val f = fs(s, tableDir)
+    // the data write happens ONCE; version races retry only the (tiny)
+    // manifest publish
+    val uniq = java.util.UUID.randomUUID.toString.take(8)
+    var written: Option[(HPath, Seq[String])] = None
+    val res = publishNext(s, tableDir) { prevManifest =>
+      // replay check INSIDE the retry loop: a zombie writer racing the
+      // live one with the same txn id loses the version race, re-reads,
+      // and sees the txn landed
+      if (txnId.exists(id => prevManifest.exists(_.txns.contains(id)))) None
+      else {
+        if (written.isEmpty)
+          written = Some(writeDataDir(s, tableDir, df, uniq))
+        val base = if (overwrite) Seq.empty
+          else prevManifest.map(_.files).getOrElse(Seq.empty)
+        val schema = storedSchema(
+          if (overwrite) df.schema
+          else prevManifest.flatMap(_.schema)
+            .map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
+        // txn ids accumulate across commits — including overwrites:
+        // replay detection must survive a table rewrite
+        val txns = (prevManifest.map(_.txns).getOrElse(Set.empty) ++ txnId).toSeq.sorted
+        Some((base ++ written.get._2, schema, txns))
+      }
+    }
+    if (res.isEmpty) written.foreach(w => f.delete(w._1, true)) // orphan
+    res
+  }
+
+  /** Test hook: runs between a maintenance operation's data write and
+    * its publish attempt — lets a spec inject a concurrent commit into
+    * the race window. */
+  private[graft] var beforePublishHook: () => Unit = () => ()
+
+  /** OPTIMIZE: bin-pack the current snapshot's small files
+    * (< `smallFileBytes`) into ~`targetFileBytes` replacements,
+    * published as ONE new version whose manifest carries every large
+    * file through UNTOUCHED — readers see identical rows before and
+    * after, history still serves the old layout, and [[vacuum]] later
+    * reclaims the superseded small files. The read-side win is plan
+    * fan-out (one task per tiny file) and zone-map quality; the
+    * rewrite cost is the small-file bytes only, never the table.
+    *
+    * Optimistic concurrency: the publish attempt re-reads the LATEST
+    * manifest and aborts (returns None, deleting its output) if any
+    * compacted file is no longer live there — a concurrent overwrite/
+    * merge/vacuum/competing-compaction would otherwise have its effect
+    * silently resurrected. Concurrent APPENDS commute: their files are
+    * carried through by the re-read. Returns the new version, or None
+    * when there was nothing to compact or a conflict aborted. */
+  def compact(s: SparkSession, tableDir: String, smallFileBytes: Long,
+      targetFileBytes: Long): Option[Int] = {
+    require(smallFileBytes > 0 && targetFileBytes > 0,
+      "compact thresholds must be positive")
+    val prev = versions(s, tableDir)
+    if (prev.isEmpty) return None
+    val m0 = readManifest(s, tableDir, prev.last)
+    (m0.schema, m0.entries) match {
+      case (Some(schema0), Some(es0)) =>
+        val small = es0.filter(_.status.getLen < smallFileBytes)
+        if (small.size <= 1) return None
+        val nOut = math.max(1, math.ceil(
+          small.map(_.status.getLen).sum.toDouble / targetFileBytes).toInt)
+        val f = fs(s, tableDir)
+        val uniq = java.util.UUID.randomUUID.toString.take(8)
+        val (dataDir, newFiles) = writeDataDir(s, tableDir,
+          relationFor(s, tableDir, storedSchema(schema0), small)
+            .repartition(nOut), uniq)
+        val compacted = small.map(_.status.getPath.toString).toSet
+        beforePublishHook()
+        val res = publishNext(s, tableDir) { pm =>
+          pm.flatMap { m =>
+            if (!compacted.subsetOf(m.paths.toSet)) None // conflict: abort
+            else Some((
+              m.files.filterNot(e => compacted.contains(e.takeWhile(_ != '\t')))
+                ++ newFiles,
+              m.schema.getOrElse(storedSchema(schema0)),
+              m.txns.toSeq.sorted))
+          }
+        }
+        if (res.isEmpty) f.delete(dataDir, true)
+        res
+      case _ => None // legacy manifest without schema/sizes: not compactable
+    }
   }
 
   /** Snapshot read: exactly the files version `asOf`'s manifest lists
@@ -504,11 +600,7 @@ object SnapshotTable {
         // the zero-RPC plan: file list, sizes, schema, and zone maps all
         // from the manifest — constant driver cost no matter how many
         // files, and pushed-down filters data-skip whole files
-        s.baseRelationToDataFrame(HadoopFsRelation(
-          new ManifestFileIndex(new HPath(tableDir), es),
-          partitionSchema = StructType(Nil), dataSchema = sc,
-          bucketSpec = None, fileFormat = new ParquetFileFormat,
-          options = Map.empty)(s))
+        relationFor(s, tableDir, sc, es)
       case (Some(sc), None) => s.read.schema(sc).parquet(m.paths: _*)
       case (None, _) => s.read.parquet(m.paths: _*) // legacy manifest
     }

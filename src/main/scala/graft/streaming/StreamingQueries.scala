@@ -462,6 +462,20 @@ object StreamingQueries extends QueryPack {
             graft.sources.SnapshotTable.commitIdempotent(
               batch.sparkSession, table, batch.toDF(),
               overwrite = false, txnId = s"batch-$id")
+            // lakehouse hygiene INSIDE the stream: every 8th batch
+            // bin-packs the accumulated micro-batch files (compact) and
+            // expires superseded versions (vacuum) — file count and
+            // version history stay O(recent) over an UNBOUNDED stream,
+            // while the cumulative txn set keeps exactly-once intact
+            // across maintenance (it rides every manifest, vacuum
+            // included). Best-effort by design: a crash between commit
+            // and maintenance just defers the sweep to batch id+8.
+            if (id % 8 == 7) {
+              graft.sources.SnapshotTable.compact(batch.sparkSession,
+                table, smallFileBytes = 8L << 20, targetFileBytes = 128L << 20)
+              graft.sources.SnapshotTable.vacuum(batch.sparkSession,
+                table, keepVersions = 8)
+            }
             ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -138,6 +138,36 @@ class SnapshotMaintenanceSpec extends GraftSpec {
     assert(SnapshotTable.readAsOf(spark, t, 2).columns.length == 3)
   }
 
+  test("the streaming-sink maintenance policy keeps an unbounded table bounded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint6-").toString
+    val t = s"$dir/tbl"
+    // the stream_snapshot_sink loop, deterministically: one idempotent
+    // commit per micro-batch, compact+vacuum every 8th
+    (0 until 25).foreach { id =>
+      assert(SnapshotTable.commitIdempotent(spark, t, Seq(id.toLong).toDF("id"),
+        overwrite = false, txnId = s"batch-$id").nonEmpty)
+      if (id % 8 == 7) {
+        SnapshotTable.compact(spark, t, smallFileBytes = 8L << 20,
+          targetFileBytes = 128L << 20)
+        SnapshotTable.vacuum(spark, t, keepVersions = 8)
+      }
+    }
+    val res = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(ids(res) == (0L until 25L).toSet, "maintenance lost or duplicated rows")
+    // bounded: versions = the 8 kept at the last sweep + the tail since;
+    // files = one pack + the tail's singletons, not 25+ micro-batch files
+    assert(SnapshotTable.versions(spark, t).size <= 12)
+    assert(res.inputFiles.length <= 4,
+      s"expected packed layout, got ${res.inputFiles.length} files")
+    // exactly-once survives maintenance: an early batch's replay is
+    // still recognized after its version was compacted AND vacuumed
+    assert(SnapshotTable.commitIdempotent(spark, t, Seq(999L).toDF("id"),
+      overwrite = false, txnId = "batch-3").isEmpty)
+    assert(ids(SnapshotTable.readAsOf(spark, t, Int.MaxValue)) ==
+      (0L until 25L).toSet)
+  }
+
   test("a 10k-file snapshot: manifest round-trip sub-second, ONE scan planned") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-maint5-").toString
