@@ -394,6 +394,43 @@ object LayoutOps extends QueryPack {
       .orderBy(col("band"))
   }
 
+  /** Change-feed (CDF) semantics end to end on
+    * [[graft.sources.SnapshotTable.readChanges]]: the same three
+    * commits as [[layoutSnapshots]] (append, append, overwrite), then
+    * the per-step change feed — step 1→2 is a pure append (served by
+    * the zero-compute added-files fast path: the feed's scan reads
+    * ONLY the new files), step 2→3 crosses an overwrite (exact
+    * multiset diff: every pre-overwrite row deleted, the new slice
+    * inserted). The oracle restates both deltas in closed form. */
+  def layoutSnapshotChanges(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_schg_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("doc_id") % 3 === 0), overwrite = false)
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("doc_id") % 3 === 1), overwrite = false)
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("doc_id") % 3 === 2), overwrite = true)
+    (1 to 2).map { step =>
+      val ch = graft.sources.SnapshotTable.readChanges(s, table, step, step + 1)
+      val rel =
+        if (ch.columns.isEmpty)
+          docs.filter(lit(false))
+            .select(lit("insert").as("change_type"), col("doc_id"), col("nc"))
+        else ch
+      rel.groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("nc")).as("sum_chars"))
+        .select(lit(step.toLong).as("step"), col("change_type"),
+          col("n_rows"), col("sum_ids"), col("sum_chars"))
+    }.reduce(_ unionByName _)
+      .filter(col("n_rows") > 0)
+      .orderBy(col("step"), col("change_type"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> layoutZorder,
     "layout_compaction" -> layoutCompaction,
@@ -401,6 +438,7 @@ object LayoutOps extends QueryPack {
     "layout_snapshots" -> layoutSnapshots,
     "layout_snapshot_merge" -> layoutSnapshotMerge,
     "layout_snapshot_prune" -> layoutSnapshotPrune,
+    "layout_snapshot_changes" -> layoutSnapshotChanges,
   )
 
   override val oracle: Map[String, String] = Map(
@@ -442,6 +480,25 @@ object LayoutOps extends QueryPack {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM v GROUP BY version HAVING count(*) > 0
         |ORDER BY version""".stripMargin,
+    // step 1->2: append of the %3==1 slice (inserts only); step 2->3:
+    // overwrite with the %3==2 slice (everything prior deleted, the new
+    // slice inserted) — the change-feed contract in closed form
+    "layout_snapshot_changes" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |c AS (
+        |  SELECT 1 AS step, 'insert' AS change_type, doc_id, nc FROM d
+        |  WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 2, 'delete', doc_id, nc FROM d WHERE doc_id % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 2, 'insert', doc_id, nc FROM d WHERE doc_id % 3 = 2)
+        |SELECT CAST(step AS BIGINT) AS step, change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars
+        |FROM c GROUP BY 1, 2 HAVING count(*) > 0
+        |ORDER BY step, change_type""".stripMargin,
     // the same three 1%-wide bands over the raw table — agreement
     // proves the zone-map skip never drops a matching row
     "layout_snapshot_prune" ->

@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+/** Change feed ([[SnapshotTable.readChanges]]): pure appends serve the
+  * zero-compute added-files fast path, rewrites fall back to an exact
+  * multiset diff — so compaction (row-preserving) yields an EMPTY feed
+  * while merges yield precise delete/insert pairs. */
+class SnapshotChangesSpec extends GraftSpec {
+
+  private def changes(t: String, a: Int, b: Int): Set[(String, Long)] =
+    SnapshotTable.readChanges(spark, t, a, b)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("append fast path: the feed's scan reads only the added files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg1-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      spark.range(0, 100).select(col("id")).repartition(4), overwrite = false)
+    SnapshotTable.commit(spark, t, Seq(100L, 101L).toDF("id"), overwrite = false)
+    val feed = SnapshotTable.readChanges(spark, t, 1, 2)
+    assert(changes(t, 1, 2) == Set(("insert", 100L), ("insert", 101L)))
+    // zero-compute: the plan's file set is the appended files only, not
+    // the 4 base files
+    assert(feed.inputFiles.length <= 2,
+      s"append feed read ${feed.inputFiles.length} files, expected the delta only")
+    // identity and cross-version feeds
+    assert(changes(t, 2, 2).isEmpty)
+    assert(changes(t, 1, 1).isEmpty)
+    val all = changes(t, 0, 2) // from before v1: everything is an insert
+    assert(all.size == 102 && all.forall(_._1 == "insert"))
+  }
+
+  test("compaction is invisible to the feed; overwrites and merges are exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg2-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), overwrite = false)
+    SnapshotTable.commit(spark, t, Seq((4L, "d")).toDF("id", "v"), overwrite = false)
+    // v3 = compaction: same rows, new layout -> EMPTY feed
+    assert(SnapshotTable.compact(spark, t, 1L << 20, 1L << 30).contains(3))
+    assert(SnapshotTable.readChanges(spark, t, 2, 3).count() == 0)
+    // v4 = merge: upsert id 2 (b->B), delete id 3, insert id 9
+    SnapshotTable.merge(spark, t,
+      Seq((2L, "B"), (9L, "i")).toDF("id", "v"), Seq(3L).toDF("id"), "id")
+    val got = SnapshotTable.readChanges(spark, t, 3, 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("delete", 2L, "b"), ("insert", 2L, "B"),
+      ("delete", 3L, "c"), ("insert", 9L, "i")))
+    // spanning the compaction AND the merge from v1: net change only
+    val span = SnapshotTable.readChanges(spark, t, 1, 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(span == Set(
+      ("delete", 2L, "b"), ("insert", 2L, "B"),
+      ("delete", 3L, "c"), ("insert", 9L, "i"), ("insert", 4L, "d")))
+  }
+
+  test("evolution: a feed crossing a column-add serves the new schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg3-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, Seq((1L, "a")).toDF("id", "v"), overwrite = false)
+    SnapshotTable.commit(spark, t,
+      Seq((2L, "b", 0.5)).toDF("id", "v", "score"), overwrite = false)
+    val feed = SnapshotTable.readChanges(spark, t, 1, 2)
+    assert(feed.columns.toSeq == Seq("change_type", "id", "v", "score"))
+    val r = feed.collect()
+    assert(r.length == 1 && r(0).getString(0) == "insert" &&
+      r(0).getLong(1) == 2L && r(0).getDouble(3) == 0.5)
+  }
+}
