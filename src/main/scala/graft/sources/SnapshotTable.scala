@@ -650,6 +650,13 @@ object SnapshotTable {
     require(fromV <= toV, s"readChanges: fromV $fromV > toV $toV")
     val vs = versions(s, tableDir)
     val v1 = vs.filter(_ <= fromV).lastOption
+    // fromV = 0 means "from genesis" (everything is an insert); any
+    // OTHER unresolvable fromV is an EXPIRED version — vacuum dropped
+    // the baseline, so the delta is uncomputable and reporting the
+    // whole table as inserts would silently corrupt an incremental
+    // consumer. Refuse, like any CDF over a vacuumed range.
+    require(fromV == 0 || v1.nonEmpty,
+      s"readChanges: version $fromV expired (retained: ${vs.headOption.getOrElse("-")}..${vs.lastOption.getOrElse("-")}) in $tableDir")
     val v2 = vs.filter(_ <= toV).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"no published version <= $toV in $tableDir"))
@@ -690,6 +697,19 @@ object SnapshotTable {
         val a = readUnder(v1)
         val b = readUnder(Some(v2))
         tag(b.exceptAll(a), "insert").unionByName(tag(a.exceptAll(b), "delete"))
+    }
+  }
+
+  /** Metadata-only row count of a snapshot: the per-file row counts the
+    * manifest already carries, summed — no scan, no Spark job, O(1)
+    * filesystem reads. None when any entry predates row-count
+    * collection (legacy manifest) — callers fall back to `count()`. */
+  def rowCount(s: SparkSession, tableDir: String, asOf: Int): Option[Long] = {
+    val vs = versions(s, tableDir).filter(_ <= asOf)
+    require(vs.nonEmpty, s"no published version <= $asOf in $tableDir")
+    readManifest(s, tableDir, vs.last).entries.flatMap { es =>
+      val rs = es.map(_.rows)
+      if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sum)
     }
   }
 

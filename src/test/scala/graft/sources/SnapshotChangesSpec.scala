@@ -59,6 +59,63 @@ class SnapshotChangesSpec extends GraftSpec {
       ("delete", 3L, "c"), ("insert", 9L, "i"), ("insert", 4L, "d")))
   }
 
+  test("an incremental consumer replaying the feed reconstructs every snapshot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg4-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = false)
+    SnapshotTable.commit(spark, t, Seq((3L, "c")).toDF("id", "v"), overwrite = false)
+    SnapshotTable.merge(spark, t,
+      Seq((2L, "B")).toDF("id", "v"), Seq(1L).toDF("id"), "id")
+    SnapshotTable.commit(spark, t, Seq((9L, "z")).toDF("id", "v"), overwrite = true)
+    // fold the feed version by version against a driver-side multiset —
+    // the MV-maintenance consumer shape
+    var state = Map.empty[(Long, String), Int]
+    val latest = SnapshotTable.versions(spark, t).last
+    (0 until latest).foreach { v =>
+      SnapshotTable.readChanges(spark, t, v, v + 1).collect().foreach { r =>
+        val key = (r.getLong(1), r.getString(2))
+        val d = if (r.getString(0) == "insert") 1 else -1
+        state = state.updated(key, state.getOrElse(key, 0) + d)
+      }
+      val want = SnapshotTable.readAsOf(spark, t, v + 1).collect()
+        .groupBy(r => (r.getLong(0), r.getString(1))).view.mapValues(_.length).toMap
+      assert(state.filter(_._2 != 0) == want,
+        s"feed replay diverged from snapshot at version ${v + 1}")
+    }
+  }
+
+  test("a feed from an expired version refuses; from genesis still serves") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg5-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, Seq(1L).toDF("id"), overwrite = false)
+    SnapshotTable.commit(spark, t, Seq(2L).toDF("id"), overwrite = false)
+    SnapshotTable.commit(spark, t, Seq(3L).toDF("id"), overwrite = false)
+    SnapshotTable.vacuum(spark, t, keepVersions = 2)
+    // v1 is gone: a delta from it is uncomputable — silently reporting
+    // the full table as inserts would corrupt an incremental consumer
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readChanges(spark, t, 1, 3)
+    }
+    assert(changes(t, 2, 3) == Set(("insert", 3L)))
+    assert(changes(t, 0, 3).size == 3) // genesis feed: explicit fromV = 0
+  }
+
+  test("rowCount answers from the manifest alone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg6-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      spark.range(0, 123).select(col("id")).repartition(4), overwrite = false)
+    SnapshotTable.commit(spark, t, Seq(900L).toDF("id"), overwrite = false)
+    assert(SnapshotTable.rowCount(spark, t, 1).contains(123L))
+    assert(SnapshotTable.rowCount(spark, t, 2).contains(124L))
+    assert(SnapshotTable.rowCount(spark, t, 2).get ==
+      SnapshotTable.readAsOf(spark, t, 2).count())
+  }
+
   test("evolution: a feed crossing a column-add serves the new schema") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-chg3-").toString

@@ -69,4 +69,39 @@ class TransformStateSpec extends GraftSpec {
       (1L, 1L, 2L, 7000000L)  // u1 after batch 1: count CARRIED to 2
     ))
   }
+
+  test("a null event_id row is filtered at ingress, not an encoder crash") {
+    import org.apache.spark.sql.Row
+    val in = java.nio.file.Files.createTempDirectory("graft-tws2-in-").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+    def ts(mins: Long) = new java.sql.Timestamp(mins * 60000L)
+    // the REv encoder's event_id is a primitive Long: without the
+    // ingress filter a NULL here NPEs the whole query instead of
+    // dropping the row (the stated ingress contract)
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(null, ts(10), 1L, "view", 5.0),
+        Row(2L, ts(20), 1L, "view", 3.0))), schema)
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val out = java.nio.file.Files.createTempDirectory("graft-tws2-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tws2-ck-").toString
+    try {
+      val q = StreamingOps.idempotentParquetSink(
+        StreamingOps.recordHighs(spark,
+          spark.readStream.schema(schema).parquet(in)), out, ckpt)
+      q.awaitTermination()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    val rows = spark.read.parquet(out)
+      .select(col("user_id"), col("n_records"), col("max_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // only the identified row folds: one record at 3.0
+    assert(rows == Set((1L, 1L, 3000000L)))
+  }
 }
