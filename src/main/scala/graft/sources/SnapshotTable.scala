@@ -700,6 +700,41 @@ object SnapshotTable {
     }
   }
 
+  /** Incremental consumption of a snapshot table with a durable cursor:
+    * reads the change feed from the last-processed version (persisted
+    * at `cursorPath`) to the current latest, hands it to `f`, and
+    * advances the cursor ONLY AFTER `f` returns — so a consumer that
+    * crashes mid-apply REPLAYS the same `(from, to]` range on restart.
+    * That is at-least-once into `f`; pairing it with an idempotent
+    * apply (e.g. [[commitIdempotent]] into a downstream table with the
+    * range as the txn id — the composition `SnapshotChangesSpec`
+    * proves) yields exactly-once end to end, the
+    * checkpoint/foreachBatch discipline without a streaming runtime.
+    * Returns the processed `(from, to]` range, None when caught up.
+    * Single consumer per cursor by contract (the cursor is plain
+    * read/write state, like a Kafka consumer-group offset). */
+  def followChanges(s: SparkSession, tableDir: String, cursorPath: String)(
+      f: (DataFrame, Int, Int) => Unit): Option[(Int, Int)] = {
+    val fsys = fs(s, tableDir)
+    val cp = new HPath(cursorPath)
+    val from: Int =
+      if (!fsys.exists(cp)) 0
+      else {
+        val in = fsys.open(cp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      }
+    val to = versions(s, tableDir).lastOption.getOrElse(0)
+    if (to <= from) return None
+    f(readChanges(s, tableDir, from, to), from, to)
+    val tmp = new HPath(cp.getParent, s".${cp.getName}.tmp")
+    val out = fsys.create(tmp, true)
+    try out.write(to.toString.getBytes("UTF-8")) finally out.close()
+    fsys.delete(cp, false)
+    require(fsys.rename(tmp, cp), s"cursor advance failed: $tmp -> $cp")
+    Some((from, to))
+  }
+
   /** Metadata-only row count of a snapshot: the per-file row counts the
     * manifest already carries, summed — no scan, no Spark job, O(1)
     * filesystem reads. None when any entry predates row-count

@@ -103,6 +103,45 @@ class SnapshotChangesSpec extends GraftSpec {
     assert(changes(t, 0, 3).size == 3) // genesis feed: explicit fromV = 0
   }
 
+  test("followChanges: durable cursor + idempotent sink = exactly-once downstream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg7-").toString
+    val t = s"$dir/src"
+    val down = s"$dir/down"
+    val cursor = s"$dir/cursor"
+    def pump(): Option[(Int, Int)] =
+      SnapshotTable.followChanges(spark, t, cursor) { (feed, from, to) =>
+        SnapshotTable.commitIdempotent(spark, down,
+          feed.filter(col("change_type") === "insert").drop("change_type"),
+          overwrite = false, txnId = s"feed-$from-$to")
+        ()
+      }
+    SnapshotTable.commit(spark, t, Seq(1L, 2L).toDF("id"), overwrite = false)
+    SnapshotTable.commit(spark, t, Seq(3L).toDF("id"), overwrite = false)
+    assert(pump().contains((0, 2)))
+    assert(ids(SnapshotTable.readAsOf(spark, down, Int.MaxValue)) == Set(1L, 2L, 3L))
+    assert(pump().isEmpty) // caught up
+    SnapshotTable.commit(spark, t, Seq(4L).toDF("id"), overwrite = false)
+    // crash BETWEEN apply and cursor advance: the apply lands, the
+    // cursor does not — restart must replay the same range and the
+    // idempotent sink must swallow the duplicate
+    intercept[RuntimeException] {
+      SnapshotTable.followChanges(spark, t, cursor) { (feed, from, to) =>
+        SnapshotTable.commitIdempotent(spark, down,
+          feed.filter(col("change_type") === "insert").drop("change_type"),
+          overwrite = false, txnId = s"feed-$from-$to")
+        throw new RuntimeException("crash before cursor advance")
+      }
+    }
+    assert(pump().contains((2, 3))) // replayed; txn id dedupes the apply
+    assert(ids(SnapshotTable.readAsOf(spark, down, Int.MaxValue)) ==
+      Set(1L, 2L, 3L, 4L), "replay duplicated or lost rows")
+    assert(pump().isEmpty)
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
   test("rowCount answers from the manifest alone") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-chg6-").toString
