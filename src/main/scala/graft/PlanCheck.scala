@@ -597,6 +597,16 @@ object PlanCheck {
       mustNot = Seq("Join", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // bucketed snapshot join: BOTH scans report the bucket hash
+    // partitioning, so the join itself is exchange-free — the only two
+    // exchanges are the segment aggregation and the presentation sort.
+    // A bucket-layout regression re-shuffles the join inputs and breaks
+    // the budget at 4.
+    Check("layout_snapshot_bucketed",
+      mustContain = Seq("SortMergeJoin", "HashAggregate"),
+      mustNot = Seq("CartesianProduct", "BroadcastExchange"),
+      noAutoBroadcast = true, noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 2)),
     // burstiness: two chained aggs (minute grid, per-type reduction) —
     // one corpus scan, no join
     Check("events_burstiness",

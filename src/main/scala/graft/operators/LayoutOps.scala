@@ -431,6 +431,43 @@ object LayoutOps extends QueryPack {
       .orderBy(col("step"), col("change_type"))
   }
 
+  /** Exchange-free co-located join over BUCKETED snapshot tables:
+    * orders and customer are committed hash-clustered by customer key
+    * (8 buckets each) via
+    * [[graft.sources.SnapshotTable.commitBucketed]], so the join runs
+    * WITHOUT shuffling either side — the scan itself reports the hash
+    * partitioning the join needs. At 100 TB this is the difference
+    * between re-shuffling the fact table on every query and paying the
+    * cluster once at write time (`SnapshotBucketSpec` + the PlanCheck
+    * exchange budget pin the no-shuffle plan; this oracle pins that
+    * bucket routing never loses a row). */
+  def layoutSnapshotBucketed(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sbkt_")
+    tmpDirs.add(root)
+    val to = root.resolve("orders").toString
+    val tc = root.resolve("cust").toString
+    graft.sources.SnapshotTable.commitBucketed(s, to,
+      Tables.orders(s, d).filter(col("o_custkey").isNotNull)
+        .select(col("o_custkey"), col("o_totalprice")),
+      overwrite = false, nBuckets = 8, bucketCol = "o_custkey")
+    graft.sources.SnapshotTable.commitBucketed(s, tc,
+      Tables.customer(s, d).filter(col("c_custkey").isNotNull)
+        .select(col("c_custkey"), col("c_mktsegment")),
+      overwrite = false, nBuckets = 8, bucketCol = "c_custkey")
+    val o = graft.sources.SnapshotTable.readAsOf(s, to, 1)
+    val c = graft.sources.SnapshotTable.readAsOf(s, tc, 1)
+    if (o.columns.isEmpty || c.columns.isEmpty)
+      return s.emptyDataFrame.withColumn("c_mktsegment", lit(""))
+        .withColumn("n_orders", lit(0L)).withColumn("sum_price_c", lit(0L))
+        .filter(lit(false))
+        .select(col("c_mktsegment"), col("n_orders"), col("sum_price_c"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sum_price_c"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> layoutZorder,
     "layout_compaction" -> layoutCompaction,
@@ -439,6 +476,7 @@ object LayoutOps extends QueryPack {
     "layout_snapshot_merge" -> layoutSnapshotMerge,
     "layout_snapshot_prune" -> layoutSnapshotPrune,
     "layout_snapshot_changes" -> layoutSnapshotChanges,
+    "layout_snapshot_bucketed" -> layoutSnapshotBucketed,
   )
 
   override val oracle: Map[String, String] = Map(
@@ -480,6 +518,16 @@ object LayoutOps extends QueryPack {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM v GROUP BY version HAVING count(*) > 0
         |ORDER BY version""".stripMargin,
+    // the bucketed co-located join must equal the plain join exactly —
+    // a mis-routed bucket would silently drop matches
+    "layout_snapshot_bucketed" ->
+      """SELECT c.c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     // step 1->2: append of the %3==1 slice (inserts only); step 2->3:
     // overwrite with the %3==2 slice (everything prior deleted, the new
     // slice inserted) — the change-feed contract in closed form

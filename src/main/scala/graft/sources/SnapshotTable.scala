@@ -140,7 +140,7 @@ object SnapshotTable {
     * legacy entries degrade gracefully (no stats → no skipping; bare
     * path → driver-side resolution). */
   private case class Manifest(txns: Set[String], schema: Option[StructType],
-      files: Seq[String]) {
+      files: Seq[String], bucket: Option[(Int, String)] = None) {
     def paths: Seq[String] = files.map(_.takeWhile(_ != '\t'))
     def entries: Option[Seq[FileEntry]] =
       if (files.exists(!_.contains('\t'))) None
@@ -297,7 +297,11 @@ object SnapshotTable {
       schema = lines.collectFirst {
         case l if l.startsWith("#schema:") =>
           DataType.fromJson(l.stripPrefix("#schema:")).asInstanceOf[StructType] },
-      files = lines.filterNot(_.startsWith("#")))
+      files = lines.filterNot(_.startsWith("#")),
+      bucket = lines.collectFirst {
+        case l if l.startsWith("#bucket:") =>
+          val p = l.stripPrefix("#bucket:").split(":", 2)
+          (p(0).toInt, new String(b64d(p(1)), "UTF-8")) })
   }
 
   /** Transaction ids already committed to this table — the replay-
@@ -395,11 +399,14 @@ object SnapshotTable {
     * shared by [[readAsOf]] and [[compact]] (which must read 10k small
     * files without 10k driver-side path resolutions). */
   private def relationFor(s: SparkSession, tableDir: String, sc: StructType,
-      es: Seq[FileEntry]): DataFrame =
+      es: Seq[FileEntry],
+      bucket: Option[(Int, String)] = None): DataFrame =
     s.baseRelationToDataFrame(HadoopFsRelation(
       new ManifestFileIndex(new HPath(tableDir), es),
       partitionSchema = StructType(Nil), dataSchema = sc,
-      bucketSpec = None, fileFormat = new ParquetFileFormat,
+      bucketSpec = bucket.map { case (n, c) =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c), Nil) },
+      fileFormat = new ParquetFileFormat,
       options = Map.empty)(s))
 
   /** The stored snapshot schema is always nullable at the top level:
@@ -431,16 +438,46 @@ object SnapshotTable {
 
   /** Write `df` into a fresh, race-free uniquely-named data directory
     * (staged + renamed) and return it with the manifest entries
-    * (path, size, rows, zone maps) of its files. */
-  private def writeDataDir(s: SparkSession, tableDir: String, df: DataFrame,
-      uniq: String): (HPath, Seq[String]) = {
+    * (path, size, rows, zone maps) of its files. With `bucket` set,
+    * the batch is hash-clustered into `n` buckets first
+    * (`repartition(n, col)` — partition index i IS Spark's bucket id:
+    * both are `pmod(murmur3(key), n)`), sorted within each bucket, and
+    * each output file is renamed to carry its bucket id in Spark's
+    * `_%05d` bucket-file convention so the scan can group by bucket. */
+  private def writeDataDir(s: SparkSession, tableDir: String, df0: DataFrame,
+      uniq: String, bucket: Option[(Int, String)] = None): (HPath, Seq[String]) = {
+    import org.apache.spark.sql.functions.col
     val f = fs(s, tableDir)
     val staging = new HPath(tableDir, s".staging-$uniq")
     val dataDir = new HPath(tableDir, s"data/c-$uniq")
+    val df = bucket match {
+      case Some((n, c)) =>
+        df0.repartition(n, col(c)).sortWithinPartitions(col(c))
+      case None => df0
+    }
     df.write.mode("overwrite").parquet(staging.toString)
     f.mkdirs(dataDir.getParent)
     require(f.rename(staging, dataDir),
       s"snapshot commit: data rename failed $staging -> $dataDir")
+    if (bucket.isDefined) {
+      // task index == bucket id (hash-repartitioned write); stamp it
+      // into the name where BucketingUtils.getBucketId finds it
+      val partRe = """part-(\d+)-.*""".r
+      f.listStatus(dataDir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          val name = st.getPath.getName
+          val bid = name match {
+            case partRe(idx) => idx.toInt
+            case _ => throw new IllegalStateException(
+              s"bucketed commit: unrecognized part file name $name")
+          }
+          val dot = name.indexOf('.')
+          val renamed = name.substring(0, dot) + f"_$bid%05d" + name.substring(dot)
+          require(f.rename(st.getPath, new HPath(dataDir, renamed)),
+            s"bucketed commit: rename failed for $name")
+        }
+    }
     val statuses = f.listStatus(dataDir).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val stats =
@@ -464,7 +501,7 @@ object SnapshotTable {
     * `prepare` returning None aborts (replayed txn, maintenance
     * conflict) and publishNext returns None. */
   private def publishNext(s: SparkSession, tableDir: String)(
-      prepare: Option[Manifest] => Option[(Seq[String], StructType, Seq[String])])
+      prepare: Option[Manifest] => Option[(Seq[String], StructType, Seq[String], Option[(Int, String)])])
       : Option[Int] = {
     val f = fs(s, tableDir)
     val uniq = java.util.UUID.randomUUID.toString.take(8)
@@ -475,13 +512,15 @@ object SnapshotTable {
       val prevManifest = prev.lastOption.map(readManifest(s, tableDir, _))
       prepare(prevManifest) match {
         case None => return None
-        case Some((entries, schema, txns)) =>
+        case Some((entries, schema, txns, bucket)) =>
           val v = prev.lastOption.getOrElse(0) + 1
           val cd = commitsDir(tableDir)
           f.mkdirs(cd)
           val tmp = new HPath(cd, s".tmp-$uniq-$attempt")
           val out = f.create(tmp, true)
-          val meta = txns.map(id => s"#txn:$id") :+ s"#schema:${schema.json}"
+          val meta = txns.map(id => s"#txn:$id") ++
+            Seq(s"#schema:${schema.json}") ++
+            bucket.map { case (n, c) => s"#bucket:$n:${b64e(c)}" }
           try out.write((meta ++ entries).mkString("\n").getBytes("UTF-8"))
           finally out.close()
           // the commit point: atomic create-exclusive of the version name
@@ -494,7 +533,8 @@ object SnapshotTable {
   }
 
   private def commitInternal(s: SparkSession, tableDir: String, df: DataFrame,
-      overwrite: Boolean, txnId: Option[String]): Option[Int] = {
+      overwrite: Boolean, txnId: Option[String],
+      bucket: Option[(Int, String)] = None): Option[Int] = {
     val f = fs(s, tableDir)
     // the data write happens ONCE; version races retry only the (tiny)
     // manifest publish
@@ -506,8 +546,18 @@ object SnapshotTable {
       // and sees the txn landed
       if (txnId.exists(id => prevManifest.exists(_.txns.contains(id)))) None
       else {
+        // a bucketed APPEND requires the live layout to be the same
+        // bucket spec (its file names must all parse bucket ids, and
+        // mixed specs have no partitioning meaning)
+        if (bucket.isDefined && !overwrite)
+          prevManifest.filter(_.files.nonEmpty).foreach { m =>
+            require(m.bucket == bucket,
+              s"bucketed append ${bucket.get} onto a table laid out as " +
+                s"${m.bucket.map(_.toString).getOrElse("unbucketed")} — " +
+                "overwrite to re-bucket")
+          }
         if (written.isEmpty)
-          written = Some(writeDataDir(s, tableDir, df, uniq))
+          written = Some(writeDataDir(s, tableDir, df, uniq, bucket))
         val base = if (overwrite) Seq.empty
           else prevManifest.map(_.files).getOrElse(Seq.empty)
         val schema = storedSchema(
@@ -517,11 +567,39 @@ object SnapshotTable {
         // txn ids accumulate across commits — including overwrites:
         // replay detection must survive a table rewrite
         val txns = (prevManifest.map(_.txns).getOrElse(Set.empty) ++ txnId).toSeq.sorted
-        Some((base ++ written.get._2, schema, txns))
+        // the resulting layout property: a bucketed commit asserts it, a
+        // PLAIN append onto a bucketed table DEGRADES it (the new files
+        // carry no bucket ids — readers fall back to unbucketed scans
+        // rather than mis-grouping), an overwrite resets it
+        val outBucket =
+          if (overwrite) bucket
+          else if (bucket.isDefined) bucket
+          else None
+        Some((base ++ written.get._2, schema, txns, outBucket))
       }
     }
     if (res.isEmpty) written.foreach(w => f.delete(w._1, true)) // orphan
     res
+  }
+
+  /** Commit hash-CLUSTERED by `bucketCol` into `nBuckets` buckets —
+    * Spark's bucketed-table layout inside the snapshot table: the scan
+    * reports `HashPartitioning(bucketCol, nBuckets)`, so joins and
+    * aggregations on the bucket key between bucketed snapshots (or
+    * self-joins) run EXCHANGE-FREE — the co-located-join answer at
+    * 100 TB, where re-shuffling the fact table per query is the
+    * dominant cost. Appends must keep the same spec (refused
+    * otherwise); a plain append degrades the table to unbucketed
+    * (readers stay correct, they just lose the free partitioning);
+    * an overwrite re-buckets. Zone maps, time travel, txns, vacuum,
+    * and the change feed all compose unchanged. */
+  def commitBucketed(s: SparkSession, tableDir: String, df: DataFrame,
+      overwrite: Boolean, nBuckets: Int, bucketCol: String): Int = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(df.columns.contains(bucketCol),
+      s"bucket column '$bucketCol' not in ${df.columns.mkString(",")}")
+    commitInternal(s, tableDir, df, overwrite, None,
+      Some((nBuckets, bucketCol))).get
   }
 
   /** Test hook: runs between a maintenance operation's data write and
@@ -552,6 +630,10 @@ object SnapshotTable {
     val prev = versions(s, tableDir)
     if (prev.isEmpty) return None
     val m0 = readManifest(s, tableDir, prev.last)
+    // a bucketed table's file-per-bucket mapping IS its layout —
+    // bin-packing across buckets would destroy it; per-bucket
+    // compaction is a re-bucketing overwrite (commitBucketed) instead
+    if (m0.bucket.isDefined) return None
     (m0.schema, m0.entries) match {
       case (Some(schema0), Some(es0)) =>
         val small = es0.filter(_.status.getLen < smallFileBytes)
@@ -572,7 +654,8 @@ object SnapshotTable {
               m.files.filterNot(e => compacted.contains(e.takeWhile(_ != '\t')))
                 ++ newFiles,
               m.schema.getOrElse(storedSchema(schema0)),
-              m.txns.toSeq.sorted))
+              m.txns.toSeq.sorted,
+              m.bucket))
           }
         }
         if (res.isEmpty) f.delete(dataDir, true)
@@ -597,10 +680,11 @@ object SnapshotTable {
         .getOrElse(s.emptyDataFrame)
     else (m.schema, m.entries) match {
       case (Some(sc), Some(es)) =>
-        // the zero-RPC plan: file list, sizes, schema, and zone maps all
-        // from the manifest — constant driver cost no matter how many
-        // files, and pushed-down filters data-skip whole files
-        relationFor(s, tableDir, sc, es)
+        // the zero-RPC plan: file list, sizes, schema, zone maps, and
+        // bucket layout all from the manifest — constant driver cost no
+        // matter how many files, pushed-down filters data-skip whole
+        // files, and a bucketed layout reports its hash partitioning
+        relationFor(s, tableDir, sc, es, m.bucket)
       case (Some(sc), None) => s.read.schema(sc).parquet(m.paths: _*)
       case (None, _) => s.read.parquet(m.paths: _*) // legacy manifest
     }
