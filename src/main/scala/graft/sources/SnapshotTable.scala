@@ -693,14 +693,51 @@ object SnapshotTable {
   /** MERGE (upsert + delete) as a new snapshot version: rows of the
     * current snapshot whose `key` appears in `upserts` are replaced,
     * rows whose key appears in `deleteKeys` are removed, and all
-    * `upserts` rows land — published as one atomic overwrite commit, so
-    * readers see the pre-merge or post-merge table, never a mixture.
+    * `upserts` rows land — published as ONE atomic commit, so readers
+    * see the pre-merge or post-merge table, never a mixture.
     *
-    * Shape: one keyed anti-join per exclusion set (never a broadcast of
-    * the table side) + a union — the standard copy-on-write MERGE; at
-    * 100 TB the rewrite cost is the table scan, the commit itself stays
-    * a staged write + one metadata link. */
+    * Rewrite cost is SELECTIVE: one column-pruned key scan finds the
+    * files that actually CONTAIN touched keys, only those are
+    * rewritten (keyed anti-joins + the upserts), and every untouched
+    * file is carried through the manifest by reference — at 100 TB a
+    * merge touching 0.1% of keys rewrites ~0.1% of files, not the
+    * table. Published with conflict detection: if ANY commit landed
+    * since the merge planned (the live file set changed), the publish
+    * aborts and the whole merge re-plans against the new state —
+    * serializable read-modify-write, unlike a blind overwrite which
+    * would silently drop a concurrent append. Falls back to the
+    * full-rewrite overwrite for fresh/legacy/bucketed tables or when
+    * the upsert schema diverges from the table's. */
   def merge(s: SparkSession, tableDir: String, upserts: DataFrame,
+      deleteKeys: DataFrame, key: String): Int = {
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val prev = versions(s, tableDir)
+      val sel = prev.lastOption.map(readManifest(s, tableDir, _)) match {
+        case Some(m0) =>
+          (m0.schema, m0.entries) match {
+            case (Some(sc0), Some(es0)) if m0.bucket.isEmpty && es0.nonEmpty &&
+                upserts.columns.sorted.sameElements(sc0.fieldNames.sorted) =>
+              mergeSelective(s, tableDir, m0, storedSchema(sc0), es0,
+                upserts, deleteKeys, key)
+            case _ => Some(mergeFull(s, tableDir, upserts, deleteKeys, key))
+          }
+        case None => Some(mergeFull(s, tableDir, upserts, deleteKeys, key))
+      }
+      sel match {
+        case Some(v) => return v
+        case None => // a commit landed mid-merge: re-plan against it
+      }
+    }
+    throw new IllegalStateException(
+      s"merge: lost $MaxCommitAttempts re-plan races in $tableDir")
+  }
+
+  /** The pre-selective full-rewrite path (fresh/legacy/bucketed tables,
+    * diverging upsert schema): anti-join the whole current snapshot and
+    * land everything as one overwrite commit. */
+  private def mergeFull(s: SparkSession, tableDir: String, upserts: DataFrame,
       deleteKeys: DataFrame, key: String): Int = {
     // merging into a fresh (or empty-snapshot) table: the current state
     // is the empty relation in the upserts' schema
@@ -712,6 +749,57 @@ object SnapshotTable {
       .join(upserts.select(key).distinct(), Seq(key), "left_anti")
       .join(deleteKeys.select(key).distinct(), Seq(key), "left_anti")
     commit(s, tableDir, kept.unionByName(upserts), overwrite = true)
+  }
+
+  /** One selective-merge attempt against manifest `m0`. Returns None
+    * when a concurrent commit invalidated the plan (caller re-plans). */
+  private def mergeSelective(s: SparkSession, tableDir: String, m0: Manifest,
+      sc0: StructType, es0: Seq[FileEntry], upserts: DataFrame,
+      deleteKeys: DataFrame, key: String): Option[Int] = {
+    import org.apache.spark.sql.functions._
+    val f = fs(s, tableDir)
+    val touched = upserts.select(col(key))
+      .unionByName(deleteKeys.select(col(key))).distinct()
+    // exact affected-file discovery: ONE column-pruned scan of the key
+    // column semi-joined with the touched set — file names reach the
+    // driver, data never does
+    val affectedPaths = relationFor(s, tableDir, sc0, es0)
+      .select(input_file_name().as("__f"), col(key))
+      .join(touched, Seq(key), "left_semi")
+      .select(col("__f")).distinct()
+      .collect().map(r => new HPath(r.getString(0)).toUri.getPath).toSet
+    val (affected, carried) = es0.partition(e =>
+      affectedPaths.contains(e.status.getPath.toUri.getPath))
+    // rows to rewrite: the affected files' survivors + every upsert (an
+    // untouched file cannot contain a touched key BY CONSTRUCTION of
+    // the membership scan, so survivors elsewhere stay on disk as-is)
+    val base =
+      if (affected.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc0)
+      else relationFor(s, tableDir, sc0, affected)
+    val kept = base
+      .join(upserts.select(col(key)).distinct(), Seq(key), "left_anti")
+      .join(deleteKeys.select(col(key)).distinct(), Seq(key), "left_anti")
+    val uniq = java.util.UUID.randomUUID.toString.take(8)
+    val (dataDir, newFiles) = writeDataDir(s, tableDir,
+      kept.unionByName(upserts, allowMissingColumns = true)
+        .select(sc0.fieldNames.map(col).toSeq: _*), uniq)
+    val carriedPaths = carried.map(_.status.getPath.toString).toSet
+    beforePublishHook()
+    val res = publishNext(s, tableDir) { pm =>
+      pm.flatMap { m =>
+        // serializability: the merge planned against m0's EXACT file
+        // set; any concurrent commit (append included — its rows were
+        // not merged over) invalidates the plan
+        if (m.files != m0.files) None
+        else Some((
+          m.files.filter(e => carriedPaths.contains(e.takeWhile(_ != '\t')))
+            ++ newFiles,
+          m.schema.getOrElse(sc0), m.txns.toSeq.sorted, m.bucket))
+      }
+    }
+    if (res.isEmpty) f.delete(dataDir, true) // conflicting plan: re-plan
+    res
   }
 
   /** Change feed between two published versions — every row added or
