@@ -369,11 +369,11 @@ object SnapshotTable {
     * range); float bounds are widened to double BEFORE encoding so the
     * stored decimal round-trips exactly. */
   private def collectFileStats(s: SparkSession, dataDir: String,
-      schema: StructType): Map[String, (Long, String)] = {
+      schema: StructType): Option[Map[String, (Long, String)]] = {
     import org.apache.spark.sql.functions._
     val cols = schema.fields.toSeq
       .flatMap(fl => statKind(fl.dataType).map(fl.name -> _))
-    if (cols.isEmpty) return Map.empty
+    if (cols.isEmpty) return None // no eligible columns: pass skipped
     val aggs = cols.flatMap { case (n, _) => Seq(min(col(n)), max(col(n)),
       sum(when(col(n).isNull, 1L).otherwise(0L))) }
     def enc(v: Any): String = v match {
@@ -392,7 +392,7 @@ object SnapshotTable {
         }
         new HPath(r.getString(0)).toUri.getPath ->
           (r.getLong(1), fields.mkString(";"))
-      }.toMap
+      }.toMap match { case m => Some(m) }
   }
 
   /** The manifest-planned relation over an explicit entry subset —
@@ -481,12 +481,18 @@ object SnapshotTable {
     val statuses = f.listStatus(dataDir).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val stats =
-      if (statuses.isEmpty) Map.empty[String, (Long, String)]
+      if (statuses.isEmpty) None
       else collectFileStats(s, dataDir.toString, df.schema)
     (dataDir, statuses.map { st =>
-      stats.get(st.getPath.toUri.getPath) match {
-        case Some((rows, cols)) =>
-          s"${st.getPath.toString}\t${st.getLen}\t$rows\t$cols"
+      stats match {
+        case Some(m) => m.get(st.getPath.toUri.getPath) match {
+          case Some((rows, cols)) =>
+            s"${st.getPath.toString}\t${st.getLen}\t$rows\t$cols"
+          // the stats pass covered the whole dir, so a file it never
+          // grouped is a ZERO-ROW file (a writer task with an empty
+          // partition) — record that, don't leave the count unknown
+          case None => s"${st.getPath.toString}\t${st.getLen}\t0\t"
+        }
         case None => s"${st.getPath.toString}\t${st.getLen}\t\t"
       }
     }.sorted)

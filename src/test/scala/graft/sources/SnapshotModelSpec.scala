@@ -4,10 +4,13 @@ import graft.GraftSpec
 import org.apache.spark.sql.functions._
 
 /** Model-based property test: random sequences of snapshot operations
-  * (append, overwrite, merge, idempotent replay) against an in-memory
-  * reference model — after EVERY operation the live table must equal the
-  * model, and every historical version must still read back exactly as
-  * it did when it was current (immutability of published snapshots). */
+  * (append, overwrite, merge, idempotent replay, compact, vacuum)
+  * against an in-memory reference model — after EVERY operation the
+  * live table must equal the model, every RETAINED historical version
+  * must still read back exactly as it did when it was current
+  * (immutability of published snapshots), the metadata row count must
+  * match, and the per-step CHANGE FEED must equal the model diff
+  * (with compaction producing an empty feed). */
 class SnapshotModelSpec extends GraftSpec {
 
   test("random op sequences match the in-memory model at every version") {
@@ -19,6 +22,7 @@ class SnapshotModelSpec extends GraftSpec {
       val t = s"$dir/tbl"
       var model = Map.empty[Long, Long] // id -> v
       val history = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+      var earliestRetained = 1
       var replayed = 0
 
       def df(m: Map[Long, Long]) =
@@ -30,14 +34,13 @@ class SnapshotModelSpec extends GraftSpec {
           case s => s.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         }
 
-      for (step <- 1 to 12) {
+      for (step <- 1 to 16) {
         val ids = (1 to rnd.nextInt(5) + 1)
           .map(_ => rnd.nextInt(10).toLong).distinct
         val rows = ids.map(i => i -> (step * 100L + i)).toMap
-        rnd.nextInt(4) match {
-          case 0 => // append commit (new files shadow nothing in the
-            // model sense only if ids are fresh — appends with repeated
-            // ids would duplicate rows, so append only fresh ids)
+        val before = model
+        rnd.nextInt(6) match {
+          case 0 => // append commit (fresh ids only — see round-8 note)
             val fresh = rows.filter { case (k, _) => !model.contains(k) }
             SnapshotTable.commit(spark, t, df(fresh), overwrite = false)
             model = model ++ fresh
@@ -58,6 +61,28 @@ class SnapshotModelSpec extends GraftSpec {
               overwrite = false, txnId = txn).isEmpty)
             replayed += 1
             model = model ++ fresh
+          case 4 => // compact: row-preserving maintenance; a no-op when
+            // there is <=1 small file publishes NO version — normalize
+            // by appending a fresh filler row so every step publishes
+            // exactly one version (keeps history bookkeeping simple)
+            SnapshotTable.compact(spark, t, 1L << 20, 1L << 30) match {
+              case Some(_) => // content unchanged
+              case None =>
+                val filler = Map((900L + step) -> step.toLong)
+                SnapshotTable.commit(spark, t, df(filler), overwrite = false)
+                model = model ++ filler
+            }
+          case 5 => // vacuum THEN a normal append (vacuum publishes no
+            // version; history before the cutoff becomes unreadable)
+            val keep = rnd.nextInt(3) + 1
+            val latest = SnapshotTable.versions(spark, t).lastOption.getOrElse(0)
+            if (latest > 0) {
+              SnapshotTable.vacuum(spark, t, keepVersions = keep)
+              earliestRetained = math.max(earliestRetained, latest - keep + 1)
+            }
+            val fresh = rows.filter { case (k, _) => !model.contains(k) }
+            SnapshotTable.commit(spark, t, df(fresh), overwrite = false)
+            model = model ++ fresh
         }
         history += model
         val latest = SnapshotTable.versions(spark, t).last
@@ -65,12 +90,34 @@ class SnapshotModelSpec extends GraftSpec {
           s"round $round step $step: version count ${latest} != ops ${history.size}")
         assert(readBack(Int.MaxValue) == model,
           s"round $round step $step: live table diverged from model")
+        // metadata row count agrees with the model
+        assert(SnapshotTable.rowCount(spark, t, Int.MaxValue)
+          .contains(model.size.toLong),
+          s"round $round step $step: rowCount != model size")
+        // the per-step change feed equals the model diff (empty when the
+        // step was a row-preserving compaction)
+        if (latest >= 2 && latest - 1 >= earliestRetained) {
+          val feed = SnapshotTable.readChanges(spark, t, latest - 1, latest)
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1) -> r.getLong(2))).toSet
+          val prev = history(history.size - 2)
+          val want =
+            (model.toSet -- prev.toSet).map(p => ("insert", p)) ++
+              (prev.toSet -- model.toSet).map(p => ("delete", p))
+          assert(feed == want,
+            s"round $round step $step: change feed diverged from model diff")
+        }
       }
-      // immutability: every historical version still reads as recorded
+      // immutability: every RETAINED historical version still reads as
+      // recorded; expired versions refuse
       history.zipWithIndex.foreach { case (m, i) =>
-        assert(readBack(i + 1) == m,
-          s"round $round: version ${i + 1} changed after later commits")
+        val v = i + 1
+        if (v >= earliestRetained)
+          assert(readBack(v) == m,
+            s"round $round: version $v changed after later commits")
       }
+      if (earliestRetained > 1)
+        intercept[IllegalArgumentException] { readBack(earliestRetained - 1) }
       assert(replayed >= 0)
     }
   }
