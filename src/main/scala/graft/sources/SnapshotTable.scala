@@ -913,6 +913,48 @@ object SnapshotTable {
     Some((from, to))
   }
 
+  /** The latest snapshot's recorded schema, if any — what a streaming
+    * read fixes its output schema to. */
+  private[sources] def tableSchema(s: SparkSession,
+      tableDir: String): Option[StructType] =
+    versions(s, tableDir).lastOption
+      .flatMap(v => readManifest(s, tableDir, v).schema)
+      .map(storedSchema)
+
+  /** One streaming micro-batch of a snapshot table: the rows ADDED
+    * going version `fromV` → `toV`. Pure append chains serve exactly
+    * the added files (zero planning compute). A rewrite in between
+    * (overwrite/merge/compaction) breaks append semantics: refused
+    * unless `ignoreChanges`, which then emits the new/rewritten files'
+    * rows (rewritten survivors re-emit — the documented Delta
+    * `ignoreChanges` contract; downstream must tolerate replays). */
+  private[sources] def streamBatch(s: SparkSession, tableDir: String,
+      fromV: Int, toV: Int, ignoreChanges: Boolean): DataFrame = {
+    val vs = versions(s, tableDir)
+    val v2 = vs.filter(_ <= toV).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version <= $toV in $tableDir"))
+    val v1 = vs.filter(_ <= fromV).lastOption
+    require(fromV == 0 || v1.nonEmpty,
+      s"snapshot stream: version $fromV expired in $tableDir — the stream " +
+        "fell behind the vacuum retention window; restart from scratch")
+    val m2 = readManifest(s, tableDir, v2)
+    val sc = m2.schema.map(storedSchema).getOrElse(throw new IllegalArgumentException(
+      s"snapshot stream: legacy manifest without schema in $tableDir"))
+    val es2 = m2.entries.getOrElse(throw new IllegalArgumentException(
+      s"snapshot stream: legacy manifest without file metadata in $tableDir"))
+    val paths1 = v1.map(v => readManifest(s, tableDir, v).paths.toSet)
+      .getOrElse(Set.empty)
+    require(paths1.subsetOf(es2.map(_.status.getPath.toString).toSet) || ignoreChanges,
+      s"snapshot stream: $tableDir was REWRITTEN (overwrite/merge/compaction) " +
+        s"between versions $fromV and $toV — append semantics broken; pass " +
+        "option ignoreChanges=true to stream new/rewritten files anyway")
+    val added = es2.filterNot(e => paths1.contains(e.status.getPath.toString))
+    if (added.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+    else relationFor(s, tableDir, sc, added)
+  }
+
   /** Metadata-only row count of a snapshot: the per-file row counts the
     * manifest already carries, summed — no scan, no Spark job, O(1)
     * filesystem reads. None when any entry predates row-count

@@ -494,7 +494,61 @@ object StreamingQueries extends QueryPack {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Streaming FROM the lakehouse (the twelfth streaming query): the
+    * events feed lands in a [[graft.sources.SnapshotTable]] as three
+    * append versions, then a `readStream` over the TABLE
+    * ([[graft.sources.SnapshotSourceProvider]] — offsets are version
+    * numbers, each batch plans exactly the delta files from manifest
+    * metadata) aggregates per-type counts per micro-batch and lands
+    * them exactly-once in a result table via idempotent txn commits;
+    * the declared result re-sums the partials. The oracle is the plain
+    * per-type count over the raw events — agreement proves no version's
+    * rows were dropped, duplicated, or double-fed through the
+    * source→sink round trip. */
+  def streamSnapshotSource(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_ssrcq_")
+    outDirs.add(root)
+    val src = root.resolve("src").toString
+    val res = root.resolve("res").toString
+    val ckpt = Files.createTempDirectory("graft_ssrcq_ck_")
+    val ev = graft.Tables.events(s, d).select(col("event_type"), col("user_id"))
+    // three append versions: an ingest feed (null user ids ride slice 0)
+    (0 until 3).foreach { k =>
+      graft.sources.SnapshotTable.commit(s, src,
+        ev.filter(coalesce(pmod(col("user_id"), lit(3)), lit(0)) === k),
+        overwrite = false)
+    }
+    try {
+      val q = s.readStream
+        .format("graft.sources.SnapshotSourceProvider")
+        .option("path", src).load()
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            graft.sources.SnapshotTable.commitIdempotent(
+              batch.sparkSession, res,
+              batch.groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+              overwrite = false, txnId = s"batch-$id")
+            ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    if (graft.sources.SnapshotTable.versions(s, res).isEmpty)
+      return ev.filter(lit(false)).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    graft.sources.SnapshotTable.readAsOf(s, res, Int.MaxValue)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_snapshot_source" -> streamSnapshotSource,
     "stream_snapshot_sink" -> streamSnapshotSink,
     "stream_record_highs" -> streamRecordHighs,
     "stream_enrich_abovemean" -> streamEnrichAboveMean,
@@ -515,6 +569,10 @@ object StreamingQueries extends QueryPack {
   // states the same semantics the engine declares — on well-formed
   // corpora every guard is a no-op.
   override val oracle: Map[String, String] = Map(
+    // the source->sink round trip must conserve every event exactly once
+    "stream_snapshot_source" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // identical relation to stream_tumbling — the lakehouse sink must
     // land exactly what the file sink lands
     "stream_snapshot_sink" ->
