@@ -49,25 +49,65 @@ class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegiste
     val ignoreChanges = params.collectFirst {
       case (k, v) if k.equalsIgnoreCase("ignoreChanges") => v.toBoolean
     }.getOrElse(false)
+    val maxVersions = params.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") => v.toInt
+    }
     new SnapshotStreamSource(ctx, path(params),
-      sourceSchema(ctx, schema, providerName, params)._2, ignoreChanges)
+      sourceSchema(ctx, schema, providerName, params)._2, ignoreChanges,
+      maxVersions)
   }
 }
 
-/** The V1 source: version-numbered offsets over the snapshot table. */
+/** The V1 source: version-numbered offsets over the snapshot table,
+  * with admission control (`maxVersionsPerTrigger` caps each batch's
+  * version span — backfill over a long history proceeds in bounded
+  * bites instead of one giant batch) and real `Trigger.AvailableNow`
+  * support (the end version is pinned at trigger start, so the run
+  * drains exactly what existed and stops) — the `FileStreamSource`
+  * integration pattern. */
 class SnapshotStreamSource(ctx: SQLContext, tableDir: String,
-    override val schema: StructType, ignoreChanges: Boolean) extends Source {
+    override val schema: StructType, ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, ReadMaxFiles}
+
+  @volatile private var availableNowCap: Option[Int] = None
 
   // an offset restored from the checkpoint arrives as SerializedOffset
   // (raw json) — both forms carry the version number
-  private def ver(o: V1Offset): Int = o match {
+  private def ver(o: AnyRef): Int = o match {
+    case null => 0
     case l: LongOffset => l.offset.toInt
-    case other => other.json.trim.toInt
+    case v1: V1Offset => v1.json.trim.toInt
+    case v2: V2Offset => v2.json.trim.toInt
   }
 
-  override def getOffset: Option[V1Offset] =
-    SnapshotTable.versions(ctx.sparkSession, tableDir)
-      .lastOption.map(v => LongOffset(v.toLong))
+  private def latestPublished: Int =
+    SnapshotTable.versions(ctx.sparkSession, tableDir).lastOption.getOrElse(0)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(latestPublished)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission-controlled end offset: the latest published version,
+    * capped by the AvailableNow pin and by the per-trigger version
+    * budget. Null when caught up (the contract for "no new batch"). */
+  override def latestOffset(startOffset: V2Offset, limit: ReadLimit): V2Offset = {
+    val start = ver(startOffset)
+    val latest = availableNowCap.fold(latestPublished)(math.min(_, latestPublished))
+    val end = limit match {
+      case f: ReadMaxFiles => math.min(latest, start + f.maxFiles())
+      case _ => latest
+    }
+    if (end <= start) null else LongOffset(end.toLong)
+  }
+
+  override def getOffset: Option[V1Offset] = { // plain-path fallback
+    val latest = availableNowCap.fold(latestPublished)(math.min(_, latestPublished))
+    if (latest <= 0) None else Some(LongOffset(latest.toLong))
+  }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val fromV = start.map(ver).getOrElse(0) // fresh stream: from genesis

@@ -58,6 +58,38 @@ class SnapshotStreamSpec extends GraftSpec {
     assert(SnapshotTable.readAsOf(spark, out, Int.MaxValue).count() == 5)
   }
 
+  test("maxVersionsPerTrigger paces the backfill into bounded batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssrc4-").toString
+    val t = s"$dir/src"
+    val ck = s"$dir/ck"
+    (1 to 5).foreach(k =>
+      SnapshotTable.commit(spark, t, Seq(k.toLong).toDF("id"), overwrite = false))
+    val batches = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Seq[Long])]())
+    val q = spark.readStream
+      .format("graft.sources.SnapshotSourceProvider")
+      .option("path", t)
+      .option("maxVersionsPerTrigger", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          batches.add((id, batch.collect().map(_.getLong(0)).toSeq.sorted))
+          ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toList.sortBy(_._1)
+    // 5 versions at <=2 per trigger: exactly 3 bounded batches, drained
+    assert(got.map(_._2) == List(Seq(1L, 2L), Seq(3L, 4L), Seq(5L)),
+      s"unexpected batch pacing: $got")
+  }
+
   test("a rewrite under the stream fails it; ignoreChanges streams on") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ssrc2-").toString
