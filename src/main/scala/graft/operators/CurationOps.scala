@@ -357,10 +357,58 @@ object CurationOps extends QueryPack {
       .orderBy(col("split"))
   }
 
+  /** MINSTD LCG shuffle key: `doc_id * 48271 mod (2^31 - 1)` — a full
+    * 31-bit permutation-grade scramble in exact modular integer
+    * arithmetic both engines compute identically, so the "random"
+    * order is reproducible everywhere (no rand(), no engine-specific
+    * hash). The seed perturbs additively BEFORE the multiply. */
+  private def shuffleKey(id: Column, seed: Long): Column =
+    pmod((pmod(id + lit(seed), lit(2147483647L))) * lit(48271L),
+      lit(2147483647L))
+
+  /** Deterministic distributed corpus shuffle — every epoch of training
+    * wants the corpus in a DIFFERENT but perfectly REPRODUCIBLE random
+    * order (elastic re-runs, resumed jobs, and audits must all see the
+    * same permutation). Order = an LCG scramble of doc_id (seeded per
+    * epoch), positions = stable global sequence numbers in that order.
+    *
+    * Shape: the `layout_global_index` two-phase numbering over the
+    * shuffle key — range-repartition by key (parallel sort), local
+    * row numbers, per-partition offsets broadcast back — NEVER the
+    * one-task `row_number() OVER (ORDER BY ...)` collapse; at 100 TB
+    * this is one range exchange, same cost as any global sort. The
+    * oracle IS the naive global window over the same key — agreement
+    * proves the two-phase numbering is exact. */
+  def curationShuffle(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seed = 20240814L
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), shuffleKey(col("doc_id"), seed).as("shuf_key"))
+    val parted = docs.repartitionByRange(16, col("shuf_key"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = parted.groupBy(col("pid"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val local = Window.partitionBy(col("pid"))
+      .orderBy(col("shuf_key"), col("doc_id"))
+    parted
+      .withColumn("local_rn", row_number().over(local).cast("long"))
+      .join(broadcast(offsets), "pid")
+      .select(col("doc_id"), col("shuf_key"),
+        (col("offset") + col("local_rn")).as("shuf_seq"))
+      .orderBy(col("shuf_seq"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_split_leakproof" -> curationSplitLeakproof,
     "curation_shard_manifest" -> curationShardManifest,
     "curation_pipeline" -> curationPipeline,
+    "curation_shuffle" -> curationShuffle,
     "decontam_exact" -> decontamExact,
     "decontam_bloom" -> decontamBloom,
     "pack_sequences" -> packSequences,
@@ -432,6 +480,17 @@ object CurationOps extends QueryPack {
        |FROM g GROUP BY source ORDER BY source""".stripMargin
 
   override val oracle: Map[String, String] = Map(
+    // the oracle IS the naive single-window formulation over the same
+    // LCG key — agreement proves the two-phase numbering is exact
+    "curation_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    ((doc_id + 20240814) % 2147483647) * 48271 % 2147483647
+        |      AS shuf_key
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id, CAST(shuf_key AS BIGINT) AS shuf_key,
+        |  CAST(row_number() OVER (ORDER BY shuf_key, doc_id) AS BIGINT)
+        |    AS shuf_seq
+        |FROM k ORDER BY shuf_seq""".stripMargin,
     "curation_split_leakproof" ->
       """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc,
         |    md5(text) AS fp FROM documents),
