@@ -1,10 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** `spark.readStream` over a [[SnapshotTable]] — the lakehouse-as-source
@@ -18,8 +18,19 @@ import org.apache.spark.sql.types.StructType
   * unless `ignoreChanges=true`, which streams new/rewritten files and
   * may re-emit rewritten survivors (the documented Delta contract).
   *
-  * Usage:
+  * The provider is also the table format's STANDARD batch doorway —
+  * the full DataFrame reader/writer API works against it:
   * {{{
+  * // batch read, optionally time-traveled
+  * spark.read.format("graft.sources.SnapshotSourceProvider")
+  *   .option("path", tableDir)
+  *   .option("versionAsOf", "3")         // optional time travel
+  *   .load()
+  * // batch write: every mode is ONE atomic snapshot commit
+  * df.write.format("graft.sources.SnapshotSourceProvider")
+  *   .mode("append")                      // or "overwrite"
+  *   .option("path", tableDir).save()
+  * // streaming read
   * spark.readStream
   *   .format("graft.sources.SnapshotSourceProvider")
   *   .option("path", tableDir)           // required
@@ -27,8 +38,41 @@ import org.apache.spark.sql.types.StructType
   *   .load()
   * }}}
   */
-class SnapshotSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class SnapshotSourceProvider extends StreamSourceProvider
+    with RelationProvider with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
+
+  /** Batch read: the manifest-planned relation (zero-RPC planning,
+    * zone-map skipping, bucket partitioning), optionally time-traveled
+    * via `versionAsOf`. */
+  override def createRelation(ctx: SQLContext,
+      params: Map[String, String]): BaseRelation = {
+    val asOf = params.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.toInt
+    }.getOrElse(Int.MaxValue)
+    SnapshotTable.baseRelation(ctx.sparkSession, path(params), asOf)
+  }
+
+  /** Batch write: `Append`/`Overwrite` land as one atomic snapshot
+    * commit each (every writer mode inherits the format's concurrency,
+    * schema-evolution, and zone-map guarantees); `ErrorIfExists` and
+    * `Ignore` honor the standard DataFrameWriter contract against the
+    * table's published-version existence. */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      params: Map[String, String], data: DataFrame): BaseRelation = {
+    val t = path(params)
+    val exists = SnapshotTable.versions(ctx.sparkSession, t).nonEmpty
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"snapshot table $t already exists (mode ErrorIfExists)")
+      case SaveMode.Ignore if exists => // no-op by contract
+      case m =>
+        SnapshotTable.commit(ctx.sparkSession, t, data,
+          overwrite = m == SaveMode.Overwrite)
+    }
+    createRelation(ctx, params)
+  }
 
   private def path(params: Map[String, String]): String =
     params.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }

@@ -913,6 +913,28 @@ object SnapshotTable {
     Some((from, to))
   }
 
+  /** The manifest-planned snapshot as a [[org.apache.spark.sql.sources.BaseRelation]]
+    * — the batch half of the `graft-snapshot` data-source format
+    * ([[SnapshotSourceProvider]]): zero-RPC planning, zone-map
+    * skipping, and bucket partitioning all intact through the standard
+    * `spark.read.format(...)` doorway. */
+  private[sources] def baseRelation(s: SparkSession, tableDir: String,
+      asOf: Int): org.apache.spark.sql.sources.BaseRelation = {
+    val vs = versions(s, tableDir).filter(_ <= asOf)
+    require(vs.nonEmpty, s"no published version <= $asOf in $tableDir")
+    val m = readManifest(s, tableDir, vs.last)
+    val sc = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"legacy manifest without schema in $tableDir — read via SnapshotTable.readAsOf"))
+    val es = m.entries.getOrElse(throw new IllegalArgumentException(
+      s"legacy manifest without file metadata in $tableDir — read via SnapshotTable.readAsOf"))
+    HadoopFsRelation(
+      new ManifestFileIndex(new HPath(tableDir), es),
+      partitionSchema = StructType(Nil), dataSchema = sc,
+      bucketSpec = m.bucket.map { case (n, c) =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c), Nil) },
+      fileFormat = new ParquetFileFormat, options = Map.empty)(s)
+  }
+
   /** The latest snapshot's recorded schema, if any — what a streaming
     * read fixes its output schema to. */
   private[sources] def tableSchema(s: SparkSession,
