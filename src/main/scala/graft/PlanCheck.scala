@@ -597,6 +597,21 @@ object PlanCheck {
       mustNot = Seq("Join", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
+    // zone-map probes: three band aggregates over the snapshot relation —
+    // each scan plans from manifest metadata and data-skips to its band;
+    // no join anywhere near the fact table
+    Check("layout_snapshot_prune",
+      mustContain = Seq("HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 3)),
+    // deterministic shuffle: the layout_global_index two-phase shape —
+    // range exchange + per-partition window, offsets (<=16 rows) ride
+    // the one explicit broadcast; never a single-task global window
+    Check("curation_shuffle",
+      mustContain = Seq("Window", "BroadcastHashJoin"),
+      mustNot = Seq("CartesianProduct", "SortMergeJoin"),
+      noAutoBroadcast = true, noAdaptive = true),
     // bucketed snapshot join: BOTH scans report the bucket hash
     // partitioning, so the join itself is exchange-free — the only two
     // exchanges are the segment aggregation and the presentation sort.
