@@ -767,11 +767,22 @@ object SnapshotTable {
     val touched = upserts.select(col(key))
       .unionByName(deleteKeys.select(col(key))).distinct()
     // exact affected-file discovery: ONE column-pruned scan of the key
-    // column semi-joined with the touched set — file names reach the
-    // driver, data never does
-    val affectedPaths = relationFor(s, tableDir, sc0, es0)
+    // column against the touched set — file names reach the driver,
+    // data never does. A SMALL touched set (the common CDC-apply case)
+    // is inlined as a literal IN-list so the membership scan is itself
+    // zone-map pruned: on a range-clustered table the scan then reads
+    // only the candidate files, making a small merge metadata-bound end
+    // to end. Larger sets fall back to the keyed semi-join (identical
+    // EqualTo semantics either way, nulls never match in both forms).
+    val keyScan = relationFor(s, tableDir, sc0, es0)
       .select(input_file_name().as("__f"), col(key))
-      .join(touched, Seq(key), "left_semi")
+    val smallSet = touched.limit(1025).collect().map(_.get(0))
+    val matched =
+      if (smallSet.isEmpty) keyScan.filter(lit(false)) // nothing touched
+      else if (smallSet.length <= 1024)
+        keyScan.filter(col(key).isin(smallSet.toIndexedSeq: _*))
+      else keyScan.join(touched, Seq(key), "left_semi")
+    val affectedPaths = matched
       .select(col("__f")).distinct()
       .collect().map(r => new HPath(r.getString(0)).toUri.getPath).toSet
     val (affected, carried) = es0.partition(e =>
@@ -1018,32 +1029,54 @@ object SnapshotTable {
     val keep: Set[String] =
       retained.flatMap(v => readManifest(s, tableDir, v).paths).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
+    // Every walk below tolerates paths VANISHING underfoot: an aborted
+    // concurrent commit/merge/compaction deletes its own orphan dir,
+    // and racing that delete must not fail the sweep (chaos-spec
+    // finding — the local FS throws from mid-listing when a dir
+    // disappears). A vanished path needed no vacuuming anyway.
+    def safeWalk(root: HPath): Seq[FileStatus] = {
+      var attempt = 0
+      while (attempt < 3) {
+        attempt += 1
+        try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+          val it = f.listFiles(root, true)
+          while (it.hasNext) out += it.next()
+          return out.toSeq
+        } catch {
+          case _: java.io.FileNotFoundException => return Seq.empty
+          case _: RuntimeException if attempt < 3 => // re-list and go again
+        }
+      }
+      Seq.empty
+    }
+    def safeList(root: HPath): Seq[FileStatus] =
+      try { if (f.exists(root)) f.listStatus(root).toSeq else Seq.empty }
+      catch { case _: java.io.FileNotFoundException | _: RuntimeException => Seq.empty }
     // phase 1: expired versions become unresolvable
     expired.foreach(v => f.delete(manifestPath(tableDir, v), false))
     // phase 2: unreferenced data files (crashed writers' orphans included)
     var deleted = 0
     val dataRoot = new HPath(tableDir, "data")
     if (f.exists(dataRoot)) {
-      val it = f.listFiles(dataRoot, true)
-      val doomed = scala.collection.mutable.ArrayBuffer.empty[HPath]
-      while (it.hasNext) {
-        val st = it.next()
-        if (!keep.contains(st.getPath.toString) && st.getModificationTime <= cutoff)
-          doomed += st.getPath
+      safeWalk(dataRoot).foreach { st =>
+        if (!keep.contains(st.getPath.toString) &&
+            st.getModificationTime <= cutoff &&
+            (try f.delete(st.getPath, false) catch { case _: Exception => false }))
+          deleted += 1
       }
-      doomed.foreach { p => if (f.delete(p, false)) deleted += 1 }
       // phase 3: now-empty data subdirectories
-      f.listStatus(dataRoot).filter(_.isDirectory).foreach { d =>
-        if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, false)
+      safeList(dataRoot).filter(_.isDirectory).foreach { d =>
+        try { if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, false) }
+        catch { case _: java.io.FileNotFoundException | _: RuntimeException => }
       }
     }
     // crashed-commit litter outside data/: staged dirs and temp manifests
-    f.listStatus(new HPath(tableDir)).toSeq
+    safeList(new HPath(tableDir))
       .filter(st => st.getPath.getName.startsWith(".staging-") &&
         st.getModificationTime <= cutoff)
-      .foreach(st => f.delete(st.getPath, true))
-    val cd = commitsDir(tableDir)
-    if (f.exists(cd)) f.listStatus(cd).toSeq
+      .foreach(st => try f.delete(st.getPath, true) catch { case _: Exception => })
+    safeList(commitsDir(tableDir))
       .filter(st => st.getPath.getName.startsWith(".tmp-") &&
         st.getModificationTime <= cutoff)
       .foreach(st => f.delete(st.getPath, false))
