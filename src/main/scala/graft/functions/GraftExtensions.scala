@@ -15,7 +15,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(cls: Class[_], name: String, usage: String) =
-    new ExpressionInfo(cls.getName, null, name, usage, "")
+    // the full (non-deprecated) constructor: usage kept, the doc-site
+    // fields (arguments/examples/note/group/since/deprecated/source)
+    // empty — "built-in" is the only accepted source label
+    new ExpressionInfo(cls.getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((

@@ -852,7 +852,7 @@ object SnapshotTable {
     val m2 = readManifest(s, tableDir, v2)
     val schema2 = m2.schema.map(storedSchema)
     def tag(df: DataFrame, t: String): DataFrame =
-      df.select(lit(t).as("change_type") +: df.columns.map(col): _*)
+      df.select(lit(t).as("change_type") +: df.columns.toIndexedSeq.map(col): _*)
     def emptyChanges: DataFrame = schema2 match {
       case Some(sc) => tag(s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc), "insert")
@@ -999,6 +999,25 @@ object SnapshotTable {
       val rs = es.map(_.rows)
       if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sum)
     }
+  }
+
+  /** Table history as a DataFrame — one row per RETAINED version with
+    * its file count, recorded row count (null pre-stats), total bytes,
+    * cumulative txn count, and bucket layout: the `DESCRIBE HISTORY`
+    * inspection surface, answered from manifests alone (no data I/O). */
+  def history(s: SparkSession, tableDir: String): DataFrame = {
+    import s.implicits._
+    versions(s, tableDir).map { v =>
+      val m = readManifest(s, tableDir, v)
+      val rows = m.entries.flatMap { es =>
+        val rs = es.map(_.rows)
+        if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sum)
+      }
+      val bytes = m.entries.map(_.map(_.status.getLen).sum)
+      (v, m.files.size.toLong, rows, bytes, m.txns.size.toLong,
+        m.bucket.map { case (n, c) => s"$n:$c" })
+    }.toDF("version", "n_files", "n_rows", "total_bytes", "n_txns", "bucket")
+      .orderBy(org.apache.spark.sql.functions.col("version"))
   }
 
   /** Retention sweep result: manifests expired, data files deleted. */

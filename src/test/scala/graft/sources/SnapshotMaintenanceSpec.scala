@@ -168,6 +168,26 @@ class SnapshotMaintenanceSpec extends GraftSpec {
       (0L until 25L).toSet)
   }
 
+  test("history answers from manifests alone: versions, files, rows, txns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint7-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      spark.range(0, 10).select(col("id")).repartition(2), overwrite = false)
+    SnapshotTable.commitIdempotent(spark, t, Seq(99L).toDF("id"),
+      overwrite = false, txnId = "b0")
+    SnapshotTable.commitBucketed(spark, t, Seq(7L).toDF("id"),
+      overwrite = true, nBuckets = 4, bucketCol = "id")
+    val h = SnapshotTable.history(spark, t).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        Option(r.getString(5))))
+    assert(h.length == 3)
+    assert(h(0) == ((1, 2L, 10L, 0L, None)))
+    assert(h(1) == ((2, 3L, 11L, 1L, None)))     // append carries files+txn
+    assert(h(2)._1 == 3 && h(2)._3 == 1L &&
+      h(2)._4 == 1L && h(2)._5.contains("4:id")) // overwrite, bucketed
+  }
+
   test("a 10k-file snapshot: manifest round-trip sub-second, ONE scan planned") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-maint5-").toString
