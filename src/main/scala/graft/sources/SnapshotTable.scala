@@ -45,10 +45,28 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    never change an existing column's type; overwrites reset the
   *    schema to the committed frame's. Time travel returns each
   *    version under the schema it was committed with.
-  *  - [[vacuum]] bounds storage: expire all but the last K versions
-  *    and delete every data file no retained manifest references.
-  *    Ordered so a crash mid-vacuum never breaks a retained reader
-  *    (expired manifests drop first; only then unreferenced files).
+  *  - Every manifest entry carries the file's SIZE, ROW COUNT, and
+  *    per-column ZONE MAPS (min/max/null counts, collected by one
+  *    O(batch) pass at commit), so reads plan with ZERO filesystem
+  *    calls and DATA-SKIP whole files against pushed-down filters;
+  *    [[commitBucketed]] additionally records a bucket layout whose
+  *    scans report their hash partitioning — key joins between
+  *    bucketed snapshots run exchange-free.
+  *  - [[merge]] is SELECTIVE copy-on-write (only files containing
+  *    touched keys rewritten, conflicts re-plan instead of losing
+  *    updates), [[compact]] is OPTIMIZE with optimistic concurrency,
+  *    and [[vacuum]] bounds storage: expire all but the last K
+  *    versions and delete every data file no retained manifest
+  *    references — ordered so a crash mid-vacuum never breaks a
+  *    retained reader (expired manifests drop first; only then
+  *    unreferenced files).
+  *  - Incremental consumers get [[readChanges]] (the change feed:
+  *    insert/delete deltas, zero-compute on append chains),
+  *    [[followChanges]] (durable-cursor exactly-once consumption), and
+  *    a full streaming source ([[SnapshotSourceProvider]] —
+  *    `spark.readStream` with version offsets and admission control);
+  *    [[history]] and [[rowCount]] answer inspection queries from
+  *    manifests alone.
   *  - At 100 TB the manifest stays tiny (one line per data file);
   *    commit cost is one staged write + a metadata link/rename,
   *    independent of table size for appends.
