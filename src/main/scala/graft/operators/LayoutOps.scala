@@ -468,6 +468,42 @@ object LayoutOps extends QueryPack {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** MERGE-ON-READ deletes end to end on
+    * [[graft.sources.SnapshotTable.deleteWhere]]: land the corpus
+    * range-clustered (step 1), delete a non-key slice as a
+    * METADATA-ONLY deletion-vector commit (step 2 — no data file
+    * rewritten; the read subtracts the vectors with one anti-join),
+    * then [[graft.sources.SnapshotTable.absorbDeletes]] rewrites only
+    * the touched files (step 3 — must read back identically to
+    * step 2). `meta_rows` is the MANIFEST-ONLY row count at each step:
+    * agreement with `n_docs` pins the vector arithmetic (each live
+    * position deleted at most once) without a scan. Steps are logical
+    * (a corpus where nothing matches publishes no delete version and
+    * steps 2/3 equal step 1 == the oracle's NOT-filter keeping all). */
+  def layoutSnapshotDeletes(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sdel_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.repartitionByRange(8, col("doc_id")), overwrite = false)
+    val v2 = graft.sources.SnapshotTable
+      .deleteWhere(s, table, col("nc") % 7 === 3).getOrElse(1)
+    val v3 = graft.sources.SnapshotTable.absorbDeletes(s, table).getOrElse(v2)
+    Seq(1 -> 1, 2 -> v2, 3 -> v3).map { case (step, v) =>
+      val snap = graft.sources.SnapshotTable.readAsOf(s, table, v)
+      val rel = if (snap.columns.isEmpty) docs.filter(lit(false)) else snap
+      val meta = graft.sources.SnapshotTable.rowCount(s, table, v).getOrElse(-1L)
+      rel.agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .select(lit(step.toLong).as("step"), col("n_docs"),
+          col("sum_chars"), col("sum_ids"), lit(meta).as("meta_rows"))
+    }.reduce(_ unionByName _)
+      .filter(col("n_docs") > 0)
+      .orderBy(col("step"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> layoutZorder,
     "layout_compaction" -> layoutCompaction,
@@ -477,6 +513,7 @@ object LayoutOps extends QueryPack {
     "layout_snapshot_prune" -> layoutSnapshotPrune,
     "layout_snapshot_changes" -> layoutSnapshotChanges,
     "layout_snapshot_bucketed" -> layoutSnapshotBucketed,
+    "layout_snapshot_deletes" -> layoutSnapshotDeletes,
   )
 
   override val oracle: Map[String, String] = Map(
@@ -547,6 +584,25 @@ object LayoutOps extends QueryPack {
         |  CAST(sum(nc) AS BIGINT) AS sum_chars
         |FROM c GROUP BY 1, 2 HAVING count(*) > 0
         |ORDER BY step, change_type""".stripMargin,
+    // step 1 = full corpus; steps 2 (merge-on-read delete) and 3
+    // (vectors absorbed) both = NOT (nc % 7 = 3) — absorb must change
+    // nothing; meta_rows restates count(*) because the manifest-only
+    // arithmetic must agree with the scan
+    "layout_snapshot_deletes" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |v AS (
+        |  SELECT CAST(1 AS BIGINT) AS step, * FROM d
+        |  UNION ALL
+        |  SELECT 2, * FROM d WHERE NOT (nc % 7 = 3)
+        |  UNION ALL
+        |  SELECT 3, * FROM d WHERE NOT (nc % 7 = 3))
+        |SELECT step, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(count(*) AS BIGINT) AS meta_rows
+        |FROM v GROUP BY step HAVING count(*) > 0
+        |ORDER BY step""".stripMargin,
     // the same three 1%-wide bands over the raw table — agreement
     // proves the zone-map skip never drops a matching row
     "layout_snapshot_prune" ->

@@ -54,12 +54,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    bucketed snapshots run exchange-free.
   *  - [[merge]] is SELECTIVE copy-on-write (only files containing
   *    touched keys rewritten, conflicts re-plan instead of losing
-  *    updates), [[compact]] is OPTIMIZE with optimistic concurrency,
-  *    and [[vacuum]] bounds storage: expire all but the last K
-  *    versions and delete every data file no retained manifest
-  *    references — ordered so a crash mid-vacuum never breaks a
-  *    retained reader (expired manifests drop first; only then
-  *    unreferenced files).
+  *    updates), [[deleteWhere]] is MERGE-ON-READ: it writes a tiny
+  *    positional DELETION-VECTOR file (`(file, row_index)` pairs) and
+  *    publishes it as a metadata-only commit — at 100 TB a 0.1%
+  *    delete costs the matched positions, not a file rewrite; reads
+  *    subtract the vectors with one broadcast-sized anti-join, and
+  *    [[absorbDeletes]] later rewrites ONLY the files that carry
+  *    deletes, restoring a vector-free table. [[compact]] is OPTIMIZE
+  *    with optimistic concurrency, and [[vacuum]] bounds storage:
+  *    expire all but the last K versions and delete every data file
+  *    no retained manifest references — ordered so a crash mid-vacuum
+  *    never breaks a retained reader (expired manifests drop first;
+  *    only then unreferenced files).
   *  - Incremental consumers get [[readChanges]] (the change feed:
   *    insert/delete deltas, zero-compute on append chains),
   *    [[followChanges]] (durable-cursor exactly-once consumption), and
@@ -158,19 +164,29 @@ object SnapshotTable {
     * legacy entries degrade gracefully (no stats → no skipping; bare
     * path → driver-side resolution). */
   private case class Manifest(txns: Set[String], schema: Option[StructType],
-      files: Seq[String], bucket: Option[(Int, String)] = None) {
+      files: Seq[String], bucket: Option[(Int, String)] = None,
+      dels: Seq[String] = Seq.empty) {
     def paths: Seq[String] = files.map(_.takeWhile(_ != '\t'))
     def entries: Option[Seq[FileEntry]] =
       if (files.exists(!_.contains('\t'))) None
-      else Some(files.map { e =>
-        val f = e.split("\t", -1)
-        FileEntry(
-          new FileStatus(f(1).toLong, false, 1, 128L * 1024 * 1024, 0L,
-            new HPath(f(0))),
-          rows = f.lift(2).filter(_.nonEmpty).map(_.toLong),
-          stats = f.lift(3).map(_.split(";").toSeq.filter(_.nonEmpty)
-            .flatMap(parseColStat).toMap).getOrElse(Map.empty))
-      })
+      else Some(files.map(parseEntry))
+    /** Deletion-vector files (`__path`,`__pos` parquet) of this
+      * snapshot — always written with full metadata, so parsing never
+      * degrades. Row counts are exact (each live position is deleted at
+      * most once — [[deleteWhere]] matches against the del-applied
+      * read), which keeps [[rowCount]] metadata-only under deletes. */
+    def delEntries: Seq[FileEntry] = dels.map(parseEntry)
+    def delRowCount: Long = delEntries.map(_.rows.getOrElse(0L)).sum
+  }
+
+  private def parseEntry(e: String): FileEntry = {
+    val f = e.split("\t", -1)
+    FileEntry(
+      new FileStatus(f(1).toLong, false, 1, 128L * 1024 * 1024, 0L,
+        new HPath(f(0))),
+      rows = f.lift(2).filter(_.nonEmpty).map(_.toLong),
+      stats = f.lift(3).map(_.split(";").toSeq.filter(_.nonEmpty)
+        .flatMap(parseColStat).toMap).getOrElse(Map.empty))
   }
 
   /** A snapshot's scan plan, served straight from manifest metadata —
@@ -319,7 +335,9 @@ object SnapshotTable {
       bucket = lines.collectFirst {
         case l if l.startsWith("#bucket:") =>
           val p = l.stripPrefix("#bucket:").split(":", 2)
-          (p(0).toInt, new String(b64d(p(1)), "UTF-8")) })
+          (p(0).toInt, new String(b64d(p(1)), "UTF-8")) },
+      dels = lines.collect {
+        case l if l.startsWith("#del:") => l.stripPrefix("#del:") })
   }
 
   /** Transaction ids already committed to this table — the replay-
@@ -434,6 +452,194 @@ object SnapshotTable {
   private def storedSchema(sc: StructType): StructType =
     StructType(sc.fields.map(_.copy(nullable = true)))
 
+  /** Deletion-vector file schema: the parquet reader's positional row
+    * identity — the scanned file's `_metadata.file_path` and the row's
+    * `_metadata.row_index` within it. */
+  private val delSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("__path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("__pos",
+      org.apache.spark.sql.types.LongType)))
+
+  /** The deletion vectors of a snapshot as a (manifest-planned)
+    * relation — empty when the snapshot has none. */
+  private def delFrame(s: SparkSession, tableDir: String,
+      m: Manifest): DataFrame =
+    relationFor(s, tableDir, delSchema, m.delEntries)
+
+  /** Subtract a snapshot's deletion vectors from its base scan: one
+    * anti-join on the reader's (file, row-position) identity. The
+    * vector side holds only the MATCHED positions of past deletes —
+    * for the selective deletes merge-on-read exists for it is
+    * broadcast-sized, so the subtraction costs a hash probe per
+    * scanned row and never re-shuffles the table (Catalyst sizes the
+    * join from the vector files' true byte size, so a pathologically
+    * large vector set falls back to a shuffled anti-join instead of
+    * OOMing the driver). */
+  private def applyDels(s: SparkSession, tableDir: String, df: DataFrame,
+      m: Manifest): DataFrame =
+    if (m.dels.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val cols = df.columns.toIndexedSeq.map(col)
+      df.select(col("_metadata.file_path").as("__path"),
+          col("_metadata.row_index").as("__pos"), col("*"))
+        .join(delFrame(s, tableDir, m), Seq("__path", "__pos"), "left_anti")
+        .select(cols: _*)
+    }
+
+  /** MERGE-ON-READ delete: mark every current row satisfying
+    * `predicate` deleted by writing its (file, row-position) pair into
+    * a deletion-vector parquet and publishing a METADATA-ONLY commit —
+    * no data file is rewritten, so a 0.1% delete over a 100 TB table
+    * costs the matched positions, not a rewrite. Reads subtract the
+    * vectors ([[applyDels]]); [[absorbDeletes]] rewrites only the
+    * files that carry them when the read-side tax should be retired.
+    *
+    * Serializable like [[merge]]: positions are computed against the
+    * latest snapshot (with PRIOR vectors applied — a dead row can
+    * never be re-deleted, keeping [[rowCount]] exact under metadata
+    * arithmetic), and the publish aborts + re-plans if ANY commit
+    * landed in between. Returns the new version, or None when no row
+    * matched (no commit published). Tables whose manifests predate
+    * schema/stats recording fall back to a copy-on-write overwrite. */
+  def deleteWhere(s: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column): Option[Int] = {
+    import org.apache.spark.sql.functions._
+    val f = fs(s, tableDir)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val prev = versions(s, tableDir)
+      require(prev.nonEmpty, s"deleteWhere: no published version in $tableDir")
+      val m0 = readManifest(s, tableDir, prev.last)
+      (m0.schema, m0.entries) match {
+        case (Some(sc0), Some(es0)) if es0.nonEmpty =>
+          val base = relationFor(s, tableDir, storedSchema(sc0), es0, m0.bucket)
+          val withMeta = base.select(
+            col("_metadata.file_path").as("__path"),
+            col("_metadata.row_index").as("__pos"), col("*"))
+          val live =
+            if (m0.dels.isEmpty) withMeta
+            else withMeta.join(delFrame(s, tableDir, m0),
+              Seq("__path", "__pos"), "left_anti")
+          val matched = live.filter(predicate)
+            .select(col("__path"), col("__pos"))
+          writeDelDir(s, tableDir, matched) match {
+            case None => return None // nothing matched: nothing to publish
+            case Some((delDir, delLines)) =>
+              beforePublishHook()
+              val res = publishNext(s, tableDir) { pm =>
+                pm.flatMap { m =>
+                  // serializability: the positions were computed against
+                  // m0's exact file + vector state
+                  if (m.files != m0.files || m.dels != m0.dels) None
+                  else Some((m.files, m.schema.getOrElse(storedSchema(sc0)),
+                    m.txns.toSeq.sorted, m.bucket, m.dels ++ delLines))
+                }
+              }
+              if (res.isEmpty) f.delete(delDir, true) // conflict: re-plan
+              else return res
+          }
+        case _ =>
+          // legacy manifest (or empty snapshot): copy-on-write fallback —
+          // keep rows where the predicate is FALSE or NULL (SQL DELETE
+          // WHERE semantics: only provably-true rows go)
+          val cur = readAsOf(s, tableDir, Int.MaxValue)
+          if (cur.columns.isEmpty) return None
+          return Some(commit(s, tableDir,
+            cur.filter(!coalesce(predicate, lit(false))), overwrite = true))
+      }
+    }
+    throw new IllegalStateException(
+      s"deleteWhere: lost $MaxCommitAttempts re-plan races in $tableDir")
+  }
+
+  /** Write the matched delete positions as a `data/del-*` parquet
+    * (staged + renamed, race-free like every data write) and return
+    * its manifest entry lines; None — and no directory left behind —
+    * when nothing matched. Positions are range-clustered and sorted by
+    * (file, position) so the vector files RLE-compress the path column
+    * and probe in file order. */
+  private def writeDelDir(s: SparkSession, tableDir: String,
+      matched: DataFrame): Option[(HPath, Seq[String])] = {
+    import org.apache.spark.sql.functions._
+    val f = fs(s, tableDir)
+    val uniq = java.util.UUID.randomUUID.toString.take(8)
+    val staging = new HPath(tableDir, s".staging-$uniq")
+    val delDir = new HPath(tableDir, s"data/del-$uniq")
+    matched
+      .repartitionByRange(4, col("__path"), col("__pos"))
+      .sortWithinPartitions(col("__path"), col("__pos"))
+      .write.mode("overwrite").parquet(staging.toString)
+    f.mkdirs(delDir.getParent)
+    require(f.rename(staging, delDir),
+      s"deletion-vector rename failed $staging -> $delDir")
+    val counts = s.read.parquet(delDir.toString)
+      .groupBy(input_file_name().as("__f")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => new HPath(r.getString(0)).toUri.getPath -> r.getLong(1)).toMap
+    val statuses = f.listStatus(delDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val lines = statuses.flatMap { st =>
+      counts.get(st.getPath.toUri.getPath) match {
+        case Some(n) => Some(s"${st.getPath.toString}\t${st.getLen}\t$n\t")
+        case None => f.delete(st.getPath, false); None // zero-row part
+      }
+    }
+    if (lines.isEmpty) { f.delete(delDir, true); None }
+    else Some((delDir, lines.sorted))
+  }
+
+  /** Retire a table's deletion vectors: rewrite ONLY the data files
+    * they touch (with the vectors applied), carry every untouched file
+    * through by reference, and publish a vector-free snapshot — the
+    * deferred half of merge-on-read, run when the read-side anti-join
+    * tax outweighs the rewrite (the Delta `REORG ... APPLY (PURGE)`
+    * shape). [[vacuum]] later reclaims the superseded files and the
+    * vectors themselves. Optimistic like [[compact]]: any concurrent
+    * commit aborts the publish (output deleted, caller may re-run).
+    * Rewriting a subset of a BUCKETED table drops the recorded bucket
+    * layout (the rewritten files carry no bucket ids — readers stay
+    * correct, they lose the free partitioning). Returns the new
+    * version; None when there is nothing to absorb or on conflict. */
+  def absorbDeletes(s: SparkSession, tableDir: String): Option[Int] = {
+    val f = fs(s, tableDir)
+    val prev = versions(s, tableDir)
+    if (prev.isEmpty) return None
+    val m0 = readManifest(s, tableDir, prev.last)
+    if (m0.dels.isEmpty) return None
+    val (sc0, es0) = (m0.schema, m0.entries) match {
+      case (Some(a), Some(b)) => (storedSchema(a), b)
+      case _ => return None // legacy manifests never carry vectors
+    }
+    // affected files come from the vectors themselves — vector-sized
+    // driver work, never table-sized
+    val affectedPaths = delFrame(s, tableDir, m0).select("__path").distinct()
+      .collect().map(r => new HPath(r.getString(0)).toUri.getPath).toSet
+    val (affected, carried) = es0.partition(e =>
+      affectedPaths.contains(e.status.getPath.toUri.getPath))
+    val uniq = java.util.UUID.randomUUID.toString.take(8)
+    val (dataDir, newFiles) = writeDataDir(s, tableDir,
+      applyDels(s, tableDir, relationFor(s, tableDir, sc0, affected), m0),
+      uniq)
+    val carriedPaths = carried.map(_.status.getPath.toString).toSet
+    beforePublishHook()
+    val res = publishNext(s, tableDir) { pm =>
+      pm.flatMap { m =>
+        if (m.files != m0.files || m.dels != m0.dels) None // conflict
+        else Some((
+          m.files.filter(e => carriedPaths.contains(e.takeWhile(_ != '\t')))
+            ++ newFiles,
+          m.schema.getOrElse(sc0), m.txns.toSeq.sorted,
+          if (affected.isEmpty) m.bucket else None,
+          Seq.empty))
+      }
+    }
+    if (res.isEmpty) f.delete(dataDir, true)
+    res
+  }
+
   /** Atomic publish of a fully-written temp manifest under the final
     * version name. Local FS: hard-link (POSIX link(2) — atomic, fails
     * if the name exists, content complete at link time). Remote FS
@@ -525,7 +731,7 @@ object SnapshotTable {
     * `prepare` returning None aborts (replayed txn, maintenance
     * conflict) and publishNext returns None. */
   private def publishNext(s: SparkSession, tableDir: String)(
-      prepare: Option[Manifest] => Option[(Seq[String], StructType, Seq[String], Option[(Int, String)])])
+      prepare: Option[Manifest] => Option[(Seq[String], StructType, Seq[String], Option[(Int, String)], Seq[String])])
       : Option[Int] = {
     val f = fs(s, tableDir)
     val uniq = java.util.UUID.randomUUID.toString.take(8)
@@ -536,7 +742,7 @@ object SnapshotTable {
       val prevManifest = prev.lastOption.map(readManifest(s, tableDir, _))
       prepare(prevManifest) match {
         case None => return None
-        case Some((entries, schema, txns, bucket)) =>
+        case Some((entries, schema, txns, bucket, dels)) =>
           val v = prev.lastOption.getOrElse(0) + 1
           val cd = commitsDir(tableDir)
           f.mkdirs(cd)
@@ -544,7 +750,8 @@ object SnapshotTable {
           val out = f.create(tmp, true)
           val meta = txns.map(id => s"#txn:$id") ++
             Seq(s"#schema:${schema.json}") ++
-            bucket.map { case (n, c) => s"#bucket:$n:${b64e(c)}" }
+            bucket.map { case (n, c) => s"#bucket:$n:${b64e(c)}" } ++
+            dels.map(d => s"#del:$d")
           try out.write((meta ++ entries).mkString("\n").getBytes("UTF-8"))
           finally out.close()
           // the commit point: atomic create-exclusive of the version name
@@ -599,7 +806,13 @@ object SnapshotTable {
           if (overwrite) bucket
           else if (bucket.isDefined) bucket
           else None
-        Some((base ++ written.get._2, schema, txns, outBucket))
+        // deletion vectors reference the carried files: appends carry
+        // them forward untouched, an overwrite retires them with the
+        // files they applied to
+        val dels =
+          if (overwrite) Seq.empty
+          else prevManifest.map(_.dels).getOrElse(Seq.empty)
+        Some((base ++ written.get._2, schema, txns, outBucket, dels))
       }
     }
     if (res.isEmpty) written.foreach(w => f.delete(w._1, true)) // orphan
@@ -658,6 +871,9 @@ object SnapshotTable {
     // bin-packing across buckets would destroy it; per-bucket
     // compaction is a re-bucketing overwrite (commitBucketed) instead
     if (m0.bucket.isDefined) return None
+    // outstanding deletion vectors: the bin-pack read would resurrect
+    // deleted rows — absorbDeletes IS the compaction of those files
+    if (m0.dels.nonEmpty) return None
     (m0.schema, m0.entries) match {
       case (Some(schema0), Some(es0)) =>
         val small = es0.filter(_.status.getLen < smallFileBytes)
@@ -673,13 +889,17 @@ object SnapshotTable {
         beforePublishHook()
         val res = publishNext(s, tableDir) { pm =>
           pm.flatMap { m =>
-            if (!compacted.subsetOf(m.paths.toSet)) None // conflict: abort
+            // conflict: a compacted file left the live set, or a
+            // deletion vector landed mid-compaction (the rewrite read
+            // the small files WITHOUT it — publishing would resurrect
+            // the deleted rows)
+            if (!compacted.subsetOf(m.paths.toSet) || m.dels.nonEmpty) None
             else Some((
               m.files.filterNot(e => compacted.contains(e.takeWhile(_ != '\t')))
                 ++ newFiles,
               m.schema.getOrElse(storedSchema(schema0)),
               m.txns.toSeq.sorted,
-              m.bucket))
+              m.bucket, Seq.empty))
           }
         }
         if (res.isEmpty) f.delete(dataDir, true)
@@ -707,8 +927,9 @@ object SnapshotTable {
         // the zero-RPC plan: file list, sizes, schema, zone maps, and
         // bucket layout all from the manifest — constant driver cost no
         // matter how many files, pushed-down filters data-skip whole
-        // files, and a bucketed layout reports its hash partitioning
-        relationFor(s, tableDir, sc, es, m.bucket)
+        // files, and a bucketed layout reports its hash partitioning;
+        // outstanding deletion vectors subtract as one anti-join
+        applyDels(s, tableDir, relationFor(s, tableDir, sc, es, m.bucket), m)
       case (Some(sc), None) => s.read.schema(sc).parquet(m.paths: _*)
       case (None, _) => s.read.parquet(m.paths: _*) // legacy manifest
     }
@@ -733,36 +954,109 @@ object SnapshotTable {
     * full-rewrite overwrite for fresh/legacy/bucketed tables or when
     * the upsert schema diverges from the table's. */
   def merge(s: SparkSession, tableDir: String, upserts: DataFrame,
-      deleteKeys: DataFrame, key: String): Int = {
+      deleteKeys: DataFrame, key: String): Int =
+    mergeInternal(s, tableDir, upserts, deleteKeys, key, None).get
+
+  /** Idempotent MERGE for replayable writers (a streaming `foreachBatch`
+    * CDC apply): if `txnId` was ever committed the call is a no-op
+    * returning None — the [[commitIdempotent]] contract for merges. The
+    * txn id is recorded ATOMICALLY with the merge commit (it rides the
+    * same manifest publish), and the replay check re-runs on every
+    * lost-race retry, so two zombie writers replaying the same batch
+    * land it exactly once. */
+  def mergeIdempotent(s: SparkSession, tableDir: String, upserts: DataFrame,
+      deleteKeys: DataFrame, key: String, txnId: String): Option[Int] =
+    mergeInternal(s, tableDir, upserts, deleteKeys, key, Some(txnId))
+
+  private def mergeInternal(s: SparkSession, tableDir: String,
+      upserts: DataFrame, deleteKeys: DataFrame, key: String,
+      txnId: Option[String]): Option[Int] = {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       attempt += 1
       val prev = versions(s, tableDir)
-      val sel = prev.lastOption.map(readManifest(s, tableDir, _)) match {
+      val m0opt = prev.lastOption.map(readManifest(s, tableDir, _))
+      // replay check each attempt: a conflict-aborted selective merge
+      // whose conflicting commit WAS this txn (zombie writer) re-reads
+      // and lands here
+      if (txnId.exists(id => m0opt.exists(_.txns.contains(id)))) return None
+      val sel = m0opt match {
         case Some(m0) =>
           (m0.schema, m0.entries) match {
-            case (Some(sc0), Some(es0)) if m0.bucket.isEmpty && es0.nonEmpty &&
+            // outstanding deletion vectors route to the full rewrite
+            // (readAsOf applies them; the overwrite retires them)
+            case (Some(sc0), Some(es0)) if m0.bucket.isEmpty && m0.dels.isEmpty &&
+                es0.nonEmpty &&
                 upserts.columns.sorted.sameElements(sc0.fieldNames.sorted) =>
               mergeSelective(s, tableDir, m0, storedSchema(sc0), es0,
-                upserts, deleteKeys, key)
-            case _ => Some(mergeFull(s, tableDir, upserts, deleteKeys, key))
+                upserts, deleteKeys, key, txnId)
+            case _ => mergeFull(s, tableDir, upserts, deleteKeys, key, txnId)
           }
-        case None => Some(mergeFull(s, tableDir, upserts, deleteKeys, key))
+        case None => mergeFull(s, tableDir, upserts, deleteKeys, key, txnId)
       }
       sel match {
-        case Some(v) => return v
+        case Some(v) => return Some(v)
         case None => // a commit landed mid-merge: re-plan against it
+          // (or the txn just landed via a twin — the next attempt's
+          // replay check returns None)
       }
     }
     throw new IllegalStateException(
       s"merge: lost $MaxCommitAttempts re-plan races in $tableDir")
   }
 
+  /** CDC apply with per-key event ordering — the streaming-upsert-sink
+    * primitive: among `upserts` the row with the greatest `orderCols`
+    * value (lexicographic struct comparison) wins per key, and it is
+    * applied only when STRICTLY newer than the key's current row — so
+    * replayed batches, out-of-order feeds, and late changes can never
+    * regress committed state (the "apply if newer" contract of a CDC
+    * consumer / compacted-topic materializer). Null-key upserts are
+    * dropped (a CDC key is non-null by definition). Cost: one keyed
+    * partial-agg over the batch + one column-pruned (key, orderCols)
+    * scan of the table for the newer-than probe + the selective merge
+    * — O(batch) compute against O(touched files) rewrite, never a
+    * table rewrite. Returns the committed version; None when the txn
+    * already landed. A no-op batch (nothing newer) still commits to
+    * record its txn id. */
+  def mergeLatest(s: SparkSession, tableDir: String, upserts: DataFrame,
+      key: String, orderCols: Seq[String],
+      txnId: Option[String] = None): Option[Int] = {
+    import org.apache.spark.sql.functions._
+    require(orderCols.nonEmpty, "mergeLatest needs at least one order column")
+    if (txnId.exists(committedTxns(s, tableDir).contains)) return None
+    val ord = struct(orderCols.map(col): _*)
+    val winners = upserts.filter(col(key).isNotNull)
+      .groupBy(col(key).as("__k"))
+      .agg(max_by(struct(upserts.columns.toIndexedSeq.map(col): _*), ord)
+        .as("__r"))
+      .select(col("__r.*"))
+    val effective =
+      if (versions(s, tableDir).isEmpty) winners
+      else {
+        val cur = readAsOf(s, tableDir, Int.MaxValue)
+        if (cur.columns.isEmpty) winners
+        else {
+          // the newer-than probe: winners are batch-sized, so the join
+          // streams the (column-pruned) table past a broadcast of them
+          val curKeyed = cur.select(col(key).as("__ck"),
+            struct(orderCols.map(col): _*).as("__cord"))
+          winners.join(curKeyed, winners(key) === col("__ck"), "left")
+            .filter(col("__cord").isNull || ord > col("__cord"))
+            .drop("__ck", "__cord")
+        }
+      }
+    mergeInternal(s, tableDir, effective,
+      upserts.select(col(key)).filter(lit(false)), key, txnId)
+  }
+
   /** The pre-selective full-rewrite path (fresh/legacy/bucketed tables,
     * diverging upsert schema): anti-join the whole current snapshot and
-    * land everything as one overwrite commit. */
+    * land everything as one overwrite commit. None only when `txnId`
+    * replayed. */
   private def mergeFull(s: SparkSession, tableDir: String, upserts: DataFrame,
-      deleteKeys: DataFrame, key: String): Int = {
+      deleteKeys: DataFrame, key: String,
+      txnId: Option[String]): Option[Int] = {
     // merging into a fresh (or empty-snapshot) table: the current state
     // is the empty relation in the upserts' schema
     val cur0 =
@@ -772,14 +1066,16 @@ object SnapshotTable {
     val kept = cur
       .join(upserts.select(key).distinct(), Seq(key), "left_anti")
       .join(deleteKeys.select(key).distinct(), Seq(key), "left_anti")
-    commit(s, tableDir, kept.unionByName(upserts), overwrite = true)
+    commitInternal(s, tableDir, kept.unionByName(upserts),
+      overwrite = true, txnId)
   }
 
   /** One selective-merge attempt against manifest `m0`. Returns None
     * when a concurrent commit invalidated the plan (caller re-plans). */
   private def mergeSelective(s: SparkSession, tableDir: String, m0: Manifest,
       sc0: StructType, es0: Seq[FileEntry], upserts: DataFrame,
-      deleteKeys: DataFrame, key: String): Option[Int] = {
+      deleteKeys: DataFrame, key: String,
+      txnId: Option[String] = None): Option[Int] = {
     import org.apache.spark.sql.functions._
     val f = fs(s, tableDir)
     val touched = upserts.select(col(key))
@@ -824,13 +1120,16 @@ object SnapshotTable {
     val res = publishNext(s, tableDir) { pm =>
       pm.flatMap { m =>
         // serializability: the merge planned against m0's EXACT file
-        // set; any concurrent commit (append included — its rows were
-        // not merged over) invalidates the plan
-        if (m.files != m0.files) None
+        // and deletion-vector state; any concurrent commit (append
+        // included — its rows were not merged over; a deleteWhere —
+        // its vectors were not applied to the rewrite) invalidates
+        // the plan
+        if (m.files != m0.files || m.dels != m0.dels) None
         else Some((
           m.files.filter(e => carriedPaths.contains(e.takeWhile(_ != '\t')))
             ++ newFiles,
-          m.schema.getOrElse(sc0), m.txns.toSeq.sorted, m.bucket))
+          m.schema.getOrElse(sc0), (m.txns ++ txnId).toSeq.sorted,
+          m.bucket, Seq.empty))
       }
     }
     if (res.isEmpty) f.delete(dataDir, true) // conflicting plan: re-plan
@@ -882,20 +1181,26 @@ object SnapshotTable {
     val paths1 = m1.map(_.paths.toSet).getOrElse(Set.empty)
     (schema2, m2.entries) match {
       case (Some(sc), Some(es2))
-          if paths1.subsetOf(es2.map(_.status.getPath.toString).toSet) =>
-        // pure append chain: the delta IS the added files
+          if paths1.subsetOf(es2.map(_.status.getPath.toString).toSet) &&
+            m1.map(_.dels).getOrElse(Seq.empty) == m2.dels =>
+        // pure append chain (same deletion-vector state — a delete
+        // commit keeps the file set and so must NOT take this path):
+        // the delta IS the added files
         val added = es2.filterNot(e => paths1.contains(e.status.getPath.toString))
         if (added.isEmpty) emptyChanges
         else tag(relationFor(s, tableDir, sc, added), "insert")
       case _ =>
-        // a rewrite happened in between: exact multiset diff, both
-        // versions read under toV's schema so evolution can't skew it
+        // a rewrite (or delete) happened in between: exact multiset
+        // diff, both versions read under toV's schema so evolution
+        // can't skew it, each under its OWN deletion vectors
         def readUnder(v: Option[Int]): DataFrame = (v, schema2) match {
           case (None, Some(sc)) => s.createDataFrame(
             s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
           case (Some(ver), Some(sc)) =>
-            readManifest(s, tableDir, ver).entries match {
-              case Some(es) => relationFor(s, tableDir, sc, es)
+            val mv = readManifest(s, tableDir, ver)
+            mv.entries match {
+              case Some(es) =>
+                applyDels(s, tableDir, relationFor(s, tableDir, sc, es), mv)
               case None => readAsOf(s, tableDir, ver)
             }
           case (Some(ver), None) => readAsOf(s, tableDir, ver)
@@ -956,6 +1261,10 @@ object SnapshotTable {
       s"legacy manifest without schema in $tableDir — read via SnapshotTable.readAsOf"))
     val es = m.entries.getOrElse(throw new IllegalArgumentException(
       s"legacy manifest without file metadata in $tableDir — read via SnapshotTable.readAsOf"))
+    require(m.dels.isEmpty,
+      s"snapshot table $tableDir has outstanding deletion vectors — the bare " +
+        "relation doorway cannot subtract them; read via SnapshotTable.readAsOf " +
+        "or run absorbDeletes first")
     HadoopFsRelation(
       new ManifestFileIndex(new HPath(tableDir), es),
       partitionSchema = StructType(Nil), dataSchema = sc,
@@ -994,12 +1303,13 @@ object SnapshotTable {
       s"snapshot stream: legacy manifest without schema in $tableDir"))
     val es2 = m2.entries.getOrElse(throw new IllegalArgumentException(
       s"snapshot stream: legacy manifest without file metadata in $tableDir"))
-    val paths1 = v1.map(v => readManifest(s, tableDir, v).paths.toSet)
-      .getOrElse(Set.empty)
-    require(paths1.subsetOf(es2.map(_.status.getPath.toString).toSet) || ignoreChanges,
-      s"snapshot stream: $tableDir was REWRITTEN (overwrite/merge/compaction) " +
-        s"between versions $fromV and $toV — append semantics broken; pass " +
-        "option ignoreChanges=true to stream new/rewritten files anyway")
+    val m1 = v1.map(readManifest(s, tableDir, _))
+    val paths1 = m1.map(_.paths.toSet).getOrElse(Set.empty)
+    require((paths1.subsetOf(es2.map(_.status.getPath.toString).toSet) &&
+        m1.map(_.dels).getOrElse(Seq.empty) == m2.dels) || ignoreChanges,
+      s"snapshot stream: $tableDir was REWRITTEN (overwrite/merge/compaction/" +
+        s"delete) between versions $fromV and $toV — append semantics broken; " +
+        "pass option ignoreChanges=true to stream new/rewritten files anyway")
     val added = es2.filterNot(e => paths1.contains(e.status.getPath.toString))
     if (added.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
@@ -1013,15 +1323,20 @@ object SnapshotTable {
   def rowCount(s: SparkSession, tableDir: String, asOf: Int): Option[Long] = {
     val vs = versions(s, tableDir).filter(_ <= asOf)
     require(vs.nonEmpty, s"no published version <= $asOf in $tableDir")
-    readManifest(s, tableDir, vs.last).entries.flatMap { es =>
+    val m = readManifest(s, tableDir, vs.last)
+    m.entries.flatMap { es =>
       val rs = es.map(_.rows)
-      if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sum)
+      // deletion vectors subtract exactly: each position is deleted at
+      // most once ([[deleteWhere]] matches the del-applied read)
+      if (rs.exists(_.isEmpty)) None
+      else Some(rs.flatten.sum - m.delRowCount)
     }
   }
 
   /** Table history as a DataFrame — one row per RETAINED version with
-    * its file count, recorded row count (null pre-stats), total bytes,
-    * cumulative txn count, and bucket layout: the `DESCRIBE HISTORY`
+    * its file count, LIVE row count (null pre-stats; deletion vectors
+    * subtracted), total bytes, cumulative txn count, bucket layout,
+    * and outstanding deleted-row count: the `DESCRIBE HISTORY`
     * inspection surface, answered from manifests alone (no data I/O). */
   def history(s: SparkSession, tableDir: String): DataFrame = {
     import s.implicits._
@@ -1029,12 +1344,13 @@ object SnapshotTable {
       val m = readManifest(s, tableDir, v)
       val rows = m.entries.flatMap { es =>
         val rs = es.map(_.rows)
-        if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sum)
+        if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sum - m.delRowCount)
       }
       val bytes = m.entries.map(_.map(_.status.getLen).sum)
       (v, m.files.size.toLong, rows, bytes, m.txns.size.toLong,
-        m.bucket.map { case (n, c) => s"$n:$c" })
-    }.toDF("version", "n_files", "n_rows", "total_bytes", "n_txns", "bucket")
+        m.bucket.map { case (n, c) => s"$n:$c" }, m.delRowCount)
+    }.toDF("version", "n_files", "n_rows", "total_bytes", "n_txns", "bucket",
+      "n_del_rows")
       .orderBy(org.apache.spark.sql.functions.col("version"))
   }
 
@@ -1064,7 +1380,11 @@ object SnapshotTable {
     val retained = vs.takeRight(keepVersions)
     val expired = vs.dropRight(keepVersions)
     val keep: Set[String] =
-      retained.flatMap(v => readManifest(s, tableDir, v).paths).toSet
+      retained.flatMap { v =>
+        val m = readManifest(s, tableDir, v)
+        // retained deletion-vector files are as load-bearing as data
+        m.paths ++ m.dels.map(_.takeWhile(_ != '\t'))
+      }.toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     // Every walk below tolerates paths VANISHING underfoot: an aborted
     // concurrent commit/merge/compaction deletes its own orphan dir,

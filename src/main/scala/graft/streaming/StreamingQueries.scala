@@ -547,7 +547,67 @@ object StreamingQueries extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** CDC-upsert lakehouse sink (the thirteenth streaming query): the
+    * events feed arrives as three append versions of a source snapshot
+    * table (sliced by event id — every user's events SPAN versions), is
+    * re-streamed from it, and each micro-batch CDC-applies into a
+    * result table via [[graft.sources.SnapshotTable.mergeLatest]] —
+    * keyed by user, ordered by (ts, event_id), batch id as transaction
+    * id. That is the materialized current-state-per-key view every CDC
+    * consumer maintains, with BOTH halves of its contract live:
+    * exactly-once (a crash-replayed batch is recognized by txn and
+    * skipped) and order-proof (only strictly-newer rows apply, so the
+    * final state is the global last event per user REGARDLESS of how
+    * the feed was sliced into batches). The oracle states that closed
+    * form over the raw events. */
+  def streamUpsertSink(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_supsq_")
+    outDirs.add(root)
+    val src = root.resolve("src").toString
+    val res = root.resolve("res").toString
+    val ckpt = Files.createTempDirectory("graft_supsq_ck_")
+    val ev = graft.Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull && col("value").isNotNull &&
+        !isnan(col("value")) &&
+        abs(col("value")) < lit(Double.PositiveInfinity))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_c"))
+    (0 until 3).foreach { k =>
+      graft.sources.SnapshotTable.commit(s, src,
+        ev.filter(pmod(col("event_id"), lit(3)) === k), overwrite = false)
+    }
+    try {
+      val q = s.readStream
+        .format("graft.sources.SnapshotSourceProvider")
+        .option("path", src).load()
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            graft.sources.SnapshotTable.mergeLatest(
+              batch.sparkSession, res, batch.toDF(), "user_id",
+              orderCols = Seq("ts", "event_id"), txnId = Some(s"batch-$id"))
+            ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    if (graft.sources.SnapshotTable.versions(s, res).isEmpty)
+      return ev.filter(lit(false))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("v_c").as("last_v_c"))
+    graft.sources.SnapshotTable.readAsOf(s, res, Int.MaxValue)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("v_c").as("last_v_c"))
+      .orderBy(col("user_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_upsert_sink" -> streamUpsertSink,
     "stream_snapshot_source" -> streamSnapshotSource,
     "stream_snapshot_sink" -> streamSnapshotSink,
     "stream_record_highs" -> streamRecordHighs,
@@ -569,6 +629,23 @@ object StreamingQueries extends QueryPack {
   // states the same semantics the engine declares — on well-formed
   // corpora every guard is a no-op.
   override val oracle: Map[String, String] = Map(
+    // the CDC-applied current state must equal the global last event
+    // per user, however the feed was batched — the mergeLatest contract
+    // in closed form (same ingress guards as the engine; (ts, event_id)
+    // is the total event order, event ids being unique)
+    "stream_upsert_sink" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND isfinite(value)),
+        |r AS (SELECT user_id, event_id, v_c,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, event_id AS last_event_id, v_c AS last_v_c
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // the source->sink round trip must conserve every event exactly once
     "stream_snapshot_source" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
