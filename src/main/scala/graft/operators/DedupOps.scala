@@ -422,6 +422,110 @@ object DedupOps extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SemDedup cosine threshold — tight enough that only true semantic
+    * copies connect (the published recipe prunes at 0.95–0.996 for
+    * web-scale corpora; the planted exact twins sit at cos 1.0 with a
+    * wide margin to natural neighbors). */
+  private val SemTau = 0.99
+
+  /** SEMANTIC deduplication, SemDedup-style (the cluster-then-prune
+    * recipe of Abbas et al. 2023, arXiv:2303.09540): quantize the
+    * embedding space with the IVF spherical-k-means coarse quantizer
+    * (√N clusters, deterministic seeding + lower-id argmin ties),
+    * generate candidate pairs ONLY WITHIN clusters, connect them at
+    * cos ≥ [[SemTau]], label connected components, and keep the min-id
+    * representative per component. The scale contract is the IVF one:
+    * pair work is Σ|cluster|² ≈ N·√N, never the N² all-pairs a naive
+    * semantic dedup would pay — the published way to semantic-dedup a
+    * pretraining corpus.
+    *
+    * Output is a ONE-ROW audit the oracle states in closed form.
+    * Ground truth comes from PLANTED exact twins (every
+    * `vec_id % 101 == 0` re-appended under +1e12, the
+    * [[embeddingDup]] device): an identical vector lands in the same
+    * cluster (same distances, deterministic tie) at cos 1.0, and the
+    * twin is never its component's minimum, so EVERY planted twin must
+    * be dropped — `n_dropped_twins` equals the SQL-counted plant size.
+    * The structural verdicts re-derive from the OUTPUT sets rather
+    * than trusting construction: every dropped vector's component
+    * survivor is kept (`dropped_covered`), no two KEPT vectors still
+    * form a ≥τ pair (`kept_no_dups`, re-checked against the pair
+    * relation), and kept + dropped conserve the corpus
+    * (`conservation_ok`). */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    graft.functions.CentroidExpressions.register(s)
+    val base0 = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) > 0)
+    // materialized ONCE: the Lloyd loop, the assignment, and the audit
+    // all re-consume it
+    val base = base0.unionByName(
+      base0.filter(col("vec_id") % 101 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000000000L))
+      .localCheckpoint(true)
+    val n = base.count()
+    val auditCols = Seq("n_vectors", "n_planted", "n_dropped_twins",
+      "dropped_covered", "kept_no_dups", "conservation_ok")
+    if (n == 0)
+      return s.range(0).select(lit(0L).as("n_vectors"),
+        lit(0L).as("n_planted"), lit(0L).as("n_dropped_twins"),
+        lit(true).as("dropped_covered"), lit(true).as("kept_no_dups"),
+        lit(true).as("conservation_ok"))
+    val cents = SimilarityOps.trainCentroids(base,
+      SimilarityOps.ivfClusterCount(n))
+    val assigned = base.select(col("vec_id"), col("embedding"),
+      SimilarityOps.nearestCluster(col("embedding"), cents).as("cl"))
+    // within-cluster pair generation: ONE equi-join on the short cluster
+    // id; each task verifies a cluster-sized block with the codegen
+    // cosine kernel. The surviving ≥τ pair set is tiny (true semantic
+    // copies only) — checkpointed because components AND the kept-pair
+    // audit both consume it
+    val l = assigned.select(col("cl"), col("vec_id").as("id_a"),
+      col("embedding").as("e_a"))
+    val r = assigned.select(col("cl"), col("vec_id").as("id_b"),
+      col("embedding").as("e_b"))
+    val pairs = l.join(r, Seq("cl"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(SimilarityOps.cosine(col("e_a"), col("e_b")) >= lit(SemTau))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val labels = componentsFromEdges(
+      assigned.select(col("vec_id").as("doc_id")),
+      pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+      .localCheckpoint(true)
+    val kept = labels.filter(col("doc_id") === col("component"))
+      .select(col("doc_id"))
+    val dropped = labels.filter(col("doc_id") =!= col("component"))
+    // one-row audit aggregates, crossed together (each side is 1 row)
+    val counts = labels.agg(
+      count(lit(1)).as("n_all"),
+      sum(when(col("doc_id") >= 1000000000000L &&
+        col("doc_id") =!= col("component"), 1L).otherwise(0L))
+        .as("n_dropped_twins"),
+      sum(when(col("doc_id") >= 1000000000000L, 1L).otherwise(0L))
+        .as("n_planted"))
+    val uncovered = dropped
+      .join(kept.select(col("doc_id").as("component")), Seq("component"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_uncovered"))
+    val keptPairs = pairs
+      .join(kept.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(kept.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_kept_pairs"))
+    counts.crossJoin(uncovered).crossJoin(keptPairs)
+      .select(lit(n).as("n_vectors"), col("n_planted"),
+        col("n_dropped_twins"),
+        (col("n_uncovered") === 0L).as("dropped_covered"),
+        (col("n_kept_pairs") === 0L).as("kept_no_dups"),
+        // the labeling must CONSERVE the corpus: no node lost or
+        // duplicated through the pair graph / component join (checked
+        // against the independently-counted input, not itself)
+        (col("n_all") === lit(n)).as("conservation_ok"))
+      .select(auditCols.map(col): _*)
+  }
+
   /** Connected components over the duplicate-pair graph — the step a real
     * dedup pipeline needs AFTER pair generation: near-dup relations are
     * transitive in effect (A~B, B~C ⇒ one cluster), so survivors must be
@@ -812,6 +916,7 @@ object DedupOps extends QueryPack {
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_embedding_pairs" -> embeddingDup,
+    "dedup_semdedup" -> semDedup,
     "dedup_components" -> connectedComponents,
     "dedup_survivors" -> dedupSurvivors,
     "dedup_source_overlap" -> sourceOverlap,
@@ -1037,6 +1142,22 @@ object DedupOps extends QueryPack {
         |SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keep_id
         |FROM docs GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY fp""".stripMargin,
+    // the closed-form half of the semdedup audit: corpus size, plant
+    // size, and the twin-drop guarantee (an exact twin is never its
+    // component's minimum); the structural verdicts are TRUE whenever
+    // the engine's kept/dropped sets satisfy the semdedup contract
+    "dedup_semdedup" ->
+      """WITH e AS (SELECT vec_id FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |    AND len(embedding) > 0),
+        |p AS (SELECT count(*) AS n_planted FROM e WHERE vec_id % 101 = 0),
+        |t AS (SELECT count(*) AS n_base FROM e)
+        |SELECT CAST(t.n_base + p.n_planted AS BIGINT) AS n_vectors,
+        |  CAST(p.n_planted AS BIGINT) AS n_planted,
+        |  CAST(p.n_planted AS BIGINT) AS n_dropped_twins,
+        |  TRUE AS dropped_covered, TRUE AS kept_no_dups,
+        |  TRUE AS conservation_ok
+        |FROM t, p WHERE t.n_base > 0""".stripMargin,
     "dedup_embedding_pairs" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings

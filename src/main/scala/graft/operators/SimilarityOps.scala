@@ -493,7 +493,7 @@ object SimilarityOps extends QueryPack {
     * made Janino compile time explode once the √N heuristic raised kC
     * (measured 3.2s → 41.8s on the sf0.1 bench). Ties pick the lower id,
     * so assignment stays deterministic. */
-  private def nearestCluster(emb: Column, cents: Seq[Seq[Float]]): Column =
+  private[operators] def nearestCluster(emb: Column, cents: Seq[Seq[Float]]): Column =
     graft.functions.CentroidExpressions.nearest_centroid(
       emb, typedlit(cents.flatten))
 
@@ -518,7 +518,7 @@ object SimilarityOps extends QueryPack {
     * corpus-size-independent on the driver side. Empty clusters keep
     * their previous centroid. Rounds stop early once the max component
     * movement drops under [[ivfEps]]. */
-  private def trainCentroids(emb: DataFrame, kC: Int): Seq[Seq[Float]] = {
+  private[operators] def trainCentroids(emb: DataFrame, kC: Int): Seq[Seq[Float]] = {
     val vecSum = udaf(graft.functions.VecSumAgg)
     var cents: Seq[Seq[Float]] = emb
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
