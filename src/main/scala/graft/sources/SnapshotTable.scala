@@ -1038,8 +1038,20 @@ object SnapshotTable {
         if (cur.columns.isEmpty) winners
         else {
           // the newer-than probe: winners are batch-sized, so the join
-          // streams the (column-pruned) table past a broadcast of them
-          val curKeyed = cur.select(col(key).as("__ck"),
+          // streams the (column-pruned) table past a broadcast of them.
+          // A SMALL winner set is inlined as a literal IN-list first, so
+          // on a key-clustered table the probe scan itself is zone-map
+          // pruned to the candidate files (the mergeSelective discipline)
+          // — a small CDC batch then probes file-sized data, not the
+          // table
+          val keys = winners.select(col(key)).limit(1025).collect()
+            .map(_.get(0))
+          val curPruned =
+            if (keys.isEmpty) cur.filter(lit(false)) // no winners at all
+            else if (keys.length <= 1024)
+              cur.filter(col(key).isin(keys.toIndexedSeq: _*))
+            else cur
+          val curKeyed = curPruned.select(col(key).as("__ck"),
             struct(orderCols.map(col): _*).as("__cord"))
           winners.join(curKeyed, winners(key) === col("__ck"), "left")
             .filter(col("__cord").isNull || ord > col("__cord"))

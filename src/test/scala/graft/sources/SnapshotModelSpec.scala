@@ -4,13 +4,16 @@ import graft.GraftSpec
 import org.apache.spark.sql.functions._
 
 /** Model-based property test: random sequences of snapshot operations
-  * (append, overwrite, merge, idempotent replay, compact, vacuum)
+  * (append, overwrite, merge, idempotent replay, compact, vacuum,
+  * merge-on-read deleteWhere, absorbDeletes, ordered mergeLatest)
   * against an in-memory reference model — after EVERY operation the
   * live table must equal the model, every RETAINED historical version
   * must still read back exactly as it did when it was current
-  * (immutability of published snapshots), the metadata row count must
-  * match, and the per-step CHANGE FEED must equal the model diff
-  * (with compaction producing an empty feed). */
+  * (immutability of published snapshots — including versions whose
+  * reads subtract deletion vectors), the metadata row count must match
+  * (vector arithmetic included), and the per-step CHANGE FEED must
+  * equal the model diff (compaction and absorb producing empty
+  * feeds, deletes producing exact delete rows). */
 class SnapshotModelSpec extends GraftSpec {
 
   test("random op sequences match the in-memory model at every version") {
@@ -39,7 +42,7 @@ class SnapshotModelSpec extends GraftSpec {
           .map(_ => rnd.nextInt(10).toLong).distinct
         val rows = ids.map(i => i -> (step * 100L + i)).toMap
         val before = model
-        rnd.nextInt(6) match {
+        rnd.nextInt(9) match {
           case 0 => // append commit (fresh ids only — see round-8 note)
             val fresh = rows.filter { case (k, _) => !model.contains(k) }
             SnapshotTable.commit(spark, t, df(fresh), overwrite = false)
@@ -83,6 +86,39 @@ class SnapshotModelSpec extends GraftSpec {
             val fresh = rows.filter { case (k, _) => !model.contains(k) }
             SnapshotTable.commit(spark, t, df(fresh), overwrite = false)
             model = model ++ fresh
+          case 6 => // merge-on-read delete; a no-match delete (or a
+            // fresh table) publishes no version — filler-append like
+            // the compact no-op
+            val m = step % 3
+            val matched = model.filter { case (_, v) => v % 3 == m }
+            val published =
+              if (SnapshotTable.versions(spark, t).nonEmpty)
+                SnapshotTable.deleteWhere(spark, t, col("v") % 3 === m)
+              else None
+            if (published.nonEmpty) model = model -- matched.keySet
+            else {
+              assert(matched.isEmpty || SnapshotTable.versions(spark, t).isEmpty,
+                s"round $round step $step: deleteWhere skipped a matching row")
+              val filler = Map((800L + step) -> step.toLong)
+              SnapshotTable.commit(spark, t, df(filler), overwrite = false)
+              model = model ++ filler
+            }
+          case 7 => // absorb outstanding vectors: content-preserving
+            // maintenance; nothing to absorb -> filler append
+            SnapshotTable.absorbDeletes(spark, t) match {
+              case Some(_) => // content unchanged
+              case None =>
+                val filler = Map((700L + step) -> step.toLong)
+                SnapshotTable.commit(spark, t, df(filler), overwrite = false)
+                model = model ++ filler
+            }
+          case 8 => // ordered CDC apply: per-key winner, strictly-newer
+            // only (ord values straddle the existing range so both the
+            // apply and the too-old reject paths fire)
+            val ups = ids.map(i => i -> rnd.nextInt(step * 100 + 200).toLong).toMap
+            SnapshotTable.mergeLatest(spark, t, df(ups), "id", Seq("v"))
+            model = model ++ ups.filter { case (k, v) =>
+              model.get(k).forall(_ < v) }
         }
         history += model
         val latest = SnapshotTable.versions(spark, t).last
