@@ -36,6 +36,14 @@ import org.apache.spark.sql.types.StructType
   *   .option("path", tableDir)           // required
   *   .option("ignoreChanges", "true")    // optional
   *   .load()
+  * // plain SQL: register a name over the directory; SELECTs resolve
+  * // through the same manifest-planned relation (zone maps, buckets,
+  * // deletion-vector refusal), REFRESH TABLE picks up later commits,
+  * // and a versionAsOf option pins a time-traveled definition
+  * spark.sql("CREATE TABLE snap USING `graft.sources.SnapshotSourceProvider` " +
+  *   "OPTIONS (path '/data/tbl')")
+  * spark.sql("CREATE TABLE snap_v3 USING `graft.sources.SnapshotSourceProvider` " +
+  *   "OPTIONS (path '/data/tbl', versionAsOf '3')")
   * }}}
   */
 class SnapshotSourceProvider extends StreamSourceProvider
