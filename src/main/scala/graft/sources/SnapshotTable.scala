@@ -66,6 +66,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    no retained manifest references — ordered so a crash mid-vacuum
   *    never breaks a retained reader (expired manifests drop first;
   *    only then unreferenced files).
+  *  - GOVERNANCE: every manifest stamps its COMMIT TIMESTAMP
+  *    ([[readAsOfTimestamp]] time-travels by wall clock; [[vacuum]]
+  *    optionally expires by age), and named CHECK CONSTRAINTS
+  *    ([[addConstraint]]) ride the manifest as table properties —
+  *    every commit/merge validates its batch with ONE O(batch)
+  *    aggregate and refuses violating writes, serializably.
   *  - Incremental consumers get [[readChanges]] (the change feed:
   *    insert/delete deltas, zero-compute on append chains),
   *    [[followChanges]] (durable-cursor exactly-once consumption), and
@@ -165,7 +171,8 @@ object SnapshotTable {
     * path → driver-side resolution). */
   private case class Manifest(txns: Set[String], schema: Option[StructType],
       files: Seq[String], bucket: Option[(Int, String)] = None,
-      dels: Seq[String] = Seq.empty) {
+      dels: Seq[String] = Seq.empty, ts: Option[Long] = None,
+      constraints: Map[String, String] = Map.empty) {
     def paths: Seq[String] = files.map(_.takeWhile(_ != '\t'))
     def entries: Option[Seq[FileEntry]] =
       if (files.exists(!_.contains('\t'))) None
@@ -337,7 +344,14 @@ object SnapshotTable {
           val p = l.stripPrefix("#bucket:").split(":", 2)
           (p(0).toInt, new String(b64d(p(1)), "UTF-8")) },
       dels = lines.collect {
-        case l if l.startsWith("#del:") => l.stripPrefix("#del:") })
+        case l if l.startsWith("#del:") => l.stripPrefix("#del:") },
+      ts = lines.collectFirst {
+        case l if l.startsWith("#ts:") => l.stripPrefix("#ts:").toLong },
+      constraints = lines.collect {
+        case l if l.startsWith("#check:") =>
+          val p = l.stripPrefix("#check:").split(":", 2)
+          new String(b64d(p(0)), "UTF-8") -> new String(b64d(p(1)), "UTF-8")
+      }.toMap)
   }
 
   /** Transaction ids already committed to this table — the replay-
@@ -535,7 +549,8 @@ object SnapshotTable {
                   // m0's exact file + vector state
                   if (m.files != m0.files || m.dels != m0.dels) None
                   else Some((m.files, m.schema.getOrElse(storedSchema(sc0)),
-                    m.txns.toSeq.sorted, m.bucket, m.dels ++ delLines))
+                    m.txns.toSeq.sorted, m.bucket, m.dels ++ delLines,
+                    m.constraints))
                 }
               }
               if (res.isEmpty) f.delete(delDir, true) // conflict: re-plan
@@ -633,7 +648,7 @@ object SnapshotTable {
             ++ newFiles,
           m.schema.getOrElse(sc0), m.txns.toSeq.sorted,
           if (affected.isEmpty) m.bucket else None,
-          Seq.empty))
+          Seq.empty, m.constraints))
       }
     }
     if (res.isEmpty) f.delete(dataDir, true)
@@ -730,8 +745,16 @@ object SnapshotTable {
     * `prepare` always sees the manifest it will be serialized after.
     * `prepare` returning None aborts (replayed txn, maintenance
     * conflict) and publishNext returns None. */
+  /** Per-snapshot content handed back by a `prepare` callback: data
+    * entries, read schema, cumulative txn ids, bucket layout, deletion
+    * vectors, and CHECK constraints. The commit timestamp is stamped by
+    * [[publishNext]] itself at publish time. */
+  private type Prepared =
+    (Seq[String], StructType, Seq[String], Option[(Int, String)], Seq[String],
+      Map[String, String])
+
   private def publishNext(s: SparkSession, tableDir: String)(
-      prepare: Option[Manifest] => Option[(Seq[String], StructType, Seq[String], Option[(Int, String)], Seq[String])])
+      prepare: Option[Manifest] => Option[Prepared])
       : Option[Int] = {
     val f = fs(s, tableDir)
     val uniq = java.util.UUID.randomUUID.toString.take(8)
@@ -742,16 +765,19 @@ object SnapshotTable {
       val prevManifest = prev.lastOption.map(readManifest(s, tableDir, _))
       prepare(prevManifest) match {
         case None => return None
-        case Some((entries, schema, txns, bucket, dels)) =>
+        case Some((entries, schema, txns, bucket, dels, checks)) =>
           val v = prev.lastOption.getOrElse(0) + 1
           val cd = commitsDir(tableDir)
           f.mkdirs(cd)
           val tmp = new HPath(cd, s".tmp-$uniq-$attempt")
           val out = f.create(tmp, true)
           val meta = txns.map(id => s"#txn:$id") ++
-            Seq(s"#schema:${schema.json}") ++
+            Seq(s"#schema:${schema.json}",
+              s"#ts:${System.currentTimeMillis()}") ++
             bucket.map { case (n, c) => s"#bucket:$n:${b64e(c)}" } ++
-            dels.map(d => s"#del:$d")
+            dels.map(d => s"#del:$d") ++
+            checks.toSeq.sortBy(_._1).map { case (n, e) =>
+              s"#check:${b64e(n)}:${b64e(e)}" }
           try out.write((meta ++ entries).mkString("\n").getBytes("UTF-8"))
           finally out.close()
           // the commit point: atomic create-exclusive of the version name
@@ -777,6 +803,10 @@ object SnapshotTable {
       // and sees the txn landed
       if (txnId.exists(id => prevManifest.exists(_.txns.contains(id)))) None
       else {
+        // CHECK gate per attempt: a lost race may have added a
+        // constraint mid-commit — the retry re-reads and re-validates
+        enforceConstraints(df,
+          prevManifest.map(_.constraints).getOrElse(Map.empty))
         // a bucketed APPEND requires the live layout to be the same
         // bucket spec (its file names must all parse bucket ids, and
         // mixed specs have no partitioning meaning)
@@ -812,7 +842,9 @@ object SnapshotTable {
         val dels =
           if (overwrite) Seq.empty
           else prevManifest.map(_.dels).getOrElse(Seq.empty)
-        Some((base ++ written.get._2, schema, txns, outBucket, dels))
+        // constraints are table properties: they survive overwrites
+        Some((base ++ written.get._2, schema, txns, outBucket, dels,
+          prevManifest.map(_.constraints).getOrElse(Map.empty)))
       }
     }
     if (res.isEmpty) written.foreach(w => f.delete(w._1, true)) // orphan
@@ -839,10 +871,28 @@ object SnapshotTable {
       Some((nBuckets, bucketCol))).get
   }
 
-  /** Test hook: runs between a maintenance operation's data write and
-    * its publish attempt — lets a spec inject a concurrent commit into
-    * the race window. */
+  /** Test hook: runs between a maintenance operation's data write (or
+    * validation) and its publish attempt — lets a spec inject a
+    * concurrent commit into the race window. */
   private[graft] var beforePublishHook: () => Unit = () => ()
+
+  /** Commit RANGE-CLUSTERED by `clusterCols`: the batch is
+    * range-partitioned into `nFiles` files and sorted within each on
+    * the cluster key — the write-side layout discipline the manifest
+    * zone maps feed on (one-dimensional Z-order). A selective read on
+    * the cluster key then plans a handful of files out of the whole
+    * table. Pure composition: everything else (atomicity, stats,
+    * evolution, txns, vectors) is [[commit]]'s. */
+  def commitClustered(s: SparkSession, tableDir: String, df: DataFrame,
+      overwrite: Boolean, nFiles: Int, clusterCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    require(clusterCols.nonEmpty, "commitClustered needs cluster columns")
+    val cols = clusterCols.map(col)
+    commit(s, tableDir,
+      df.repartitionByRange(nFiles, cols: _*).sortWithinPartitions(cols: _*),
+      overwrite)
+  }
 
   /** OPTIMIZE: bin-pack the current snapshot's small files
     * (< `smallFileBytes`) into ~`targetFileBytes` replacements,
@@ -899,13 +949,111 @@ object SnapshotTable {
                 ++ newFiles,
               m.schema.getOrElse(storedSchema(schema0)),
               m.txns.toSeq.sorted,
-              m.bucket, Seq.empty))
+              m.bucket, Seq.empty, m.constraints))
           }
         }
         if (res.isEmpty) f.delete(dataDir, true)
         res
       case _ => None // legacy manifest without schema/sizes: not compactable
     }
+  }
+
+  /** CHECK-constraint gate over a batch about to commit: SQL CHECK
+    * semantics — a row violates only when the expression evaluates to
+    * FALSE (NULL passes, as in standard SQL). ONE O(batch) aggregate
+    * for ALL constraints; throws naming the first violated one. */
+  private def enforceConstraints(df: DataFrame,
+      cs: Map[String, String]): Unit = {
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions._
+    val ordered = cs.toSeq.sortBy(_._1)
+    val aggs = ordered.map { case (n, e) =>
+      sum(when(expr(e) === false, 1L).otherwise(0L)).as(s"__c_$n") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    ordered.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0) throw new IllegalArgumentException(
+        s"CHECK constraint '$n' ($e) violated by $bad row(s) of the commit")
+    }
+  }
+
+  /** Add a named CHECK constraint (a SQL boolean expression over the
+    * table's columns — the Delta `ALTER TABLE ADD CONSTRAINT` shape).
+    * The CURRENT snapshot is validated first (one scan), then the
+    * constraint publishes as a metadata-only commit; every subsequent
+    * commit/merge validates its batch (O(batch), piggybacked as one
+    * aggregate) and refuses violating writes. Serializable: a commit
+    * landing mid-validation aborts the publish and the validation
+    * re-runs against the new state. */
+  def addConstraint(s: SparkSession, tableDir: String, name: String,
+      sqlExpr: String): Int = {
+    require(name.nonEmpty, "constraint name must be non-empty")
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val prev = versions(s, tableDir)
+      require(prev.nonEmpty, s"addConstraint: no published version in $tableDir")
+      val m0 = readManifest(s, tableDir, prev.last)
+      require(m0.schema.nonEmpty,
+        s"addConstraint: legacy manifest without schema in $tableDir")
+      require(!m0.constraints.contains(name),
+        s"constraint '$name' already exists on $tableDir")
+      enforceConstraints(readAsOf(s, tableDir, Int.MaxValue),
+        Map(name -> sqlExpr))
+      beforePublishHook()
+      val res = publishNext(s, tableDir) { pm =>
+        pm.flatMap { m =>
+          // the validation ran against m0's exact state
+          if (m.files != m0.files || m.dels != m0.dels) None
+          else Some((m.files, m.schema.getOrElse(StructType(Nil)),
+            m.txns.toSeq.sorted, m.bucket, m.dels,
+            m.constraints + (name -> sqlExpr)))
+        }
+      }
+      res match {
+        case Some(v) => return v
+        case None => // a commit landed mid-validation: re-validate
+      }
+    }
+    throw new IllegalStateException(
+      s"addConstraint: lost $MaxCommitAttempts races in $tableDir")
+  }
+
+  /** Drop a named CHECK constraint as a metadata-only commit. No-op
+    * returning None when the constraint does not exist. */
+  def dropConstraint(s: SparkSession, tableDir: String,
+      name: String): Option[Int] =
+    publishNext(s, tableDir) { pm =>
+      pm.filter(_.constraints.contains(name)).map { m =>
+        (m.files, m.schema.getOrElse(StructType(Nil)),
+          m.txns.toSeq.sorted, m.bucket, m.dels, m.constraints - name)
+      }
+    }
+
+  /** The table's CHECK constraints (name → SQL expression). */
+  def constraints(s: SparkSession, tableDir: String): Map[String, String] =
+    versions(s, tableDir).lastOption
+      .map(readManifest(s, tableDir, _).constraints).getOrElse(Map.empty)
+
+  /** Time travel by WALL-CLOCK time: the greatest version whose
+    * recorded commit timestamp is <= `tsMillis` (the Delta
+    * `TIMESTAMP AS OF` shape). Timestamps are the committing writer's
+    * clock at publish; under clock skew resolution stays deterministic
+    * — the maximum qualifying VERSION wins, so a later version with an
+    * earlier (skewed) stamp can only widen, never corrupt, the answer.
+    * Legacy manifests without a stamp sort before any stamped one.
+    * O(retained versions) manifest reads — an inspection query, like
+    * [[history]]. */
+  def readAsOfTimestamp(s: SparkSession, tableDir: String,
+      tsMillis: Long): DataFrame = {
+    val vs = versions(s, tableDir)
+    require(vs.nonEmpty, s"no published version in $tableDir")
+    val qual = vs.filter(v =>
+      readManifest(s, tableDir, v).ts.getOrElse(0L) <= tsMillis)
+    require(qual.nonEmpty,
+      s"no version of $tableDir committed at or before $tsMillis " +
+        s"(earliest retained commit is newer)")
+    readAsOf(s, tableDir, qual.max)
   }
 
   /** Snapshot read: exactly the files version `asOf`'s manifest lists
@@ -1090,6 +1238,8 @@ object SnapshotTable {
       txnId: Option[String] = None): Option[Int] = {
     import org.apache.spark.sql.functions._
     val f = fs(s, tableDir)
+    // only the upserts are NEW rows; carried/kept rows already passed
+    enforceConstraints(upserts, m0.constraints)
     val touched = upserts.select(col(key))
       .unionByName(deleteKeys.select(col(key))).distinct()
     // exact affected-file discovery: ONE column-pruned scan of the key
@@ -1141,7 +1291,7 @@ object SnapshotTable {
           m.files.filter(e => carriedPaths.contains(e.takeWhile(_ != '\t')))
             ++ newFiles,
           m.schema.getOrElse(sc0), (m.txns ++ txnId).toSeq.sorted,
-          m.bucket, Seq.empty))
+          m.bucket, Seq.empty, m.constraints))
       }
     }
     if (res.isEmpty) f.delete(dataDir, true) // conflicting plan: re-plan
@@ -1360,9 +1510,9 @@ object SnapshotTable {
       }
       val bytes = m.entries.map(_.map(_.status.getLen).sum)
       (v, m.files.size.toLong, rows, bytes, m.txns.size.toLong,
-        m.bucket.map { case (n, c) => s"$n:$c" }, m.delRowCount)
+        m.bucket.map { case (n, c) => s"$n:$c" }, m.delRowCount, m.ts)
     }.toDF("version", "n_files", "n_rows", "total_bytes", "n_txns", "bucket",
-      "n_del_rows")
+      "n_del_rows", "commit_ts")
       .orderBy(org.apache.spark.sql.functions.col("version"))
   }
 
@@ -1385,12 +1535,23 @@ object SnapshotTable {
     * vacuum with a retention window comfortably above the longest
     * commit (the Delta VACUUM convention), or 0 when no writer runs. */
   def vacuum(s: SparkSession, tableDir: String, keepVersions: Int,
-      minAgeMs: Long = 0L): VacuumStats = {
+      minAgeMs: Long = 0L,
+      maxVersionAgeMs: Option[Long] = None): VacuumStats = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val f = fs(s, tableDir)
     val vs = versions(s, tableDir)
-    val retained = vs.takeRight(keepVersions)
-    val expired = vs.dropRight(keepVersions)
+    // expiry by COUNT (all but the last K) ∪ by AGE (recorded commit
+    // timestamp older than the retention window — the Delta
+    // RETAIN-interval shape; the latest version never expires, and
+    // legacy manifests without a stamp never expire by age)
+    val byCount = vs.dropRight(keepVersions).toSet
+    val byAge = maxVersionAgeMs.map { a =>
+      val cut = System.currentTimeMillis() - a
+      vs.dropRight(1)
+        .filter(v => readManifest(s, tableDir, v).ts.exists(_ < cut)).toSet
+    }.getOrElse(Set.empty[Int])
+    val expired = vs.filter(v => byCount.contains(v) || byAge.contains(v))
+    val retained = vs.filterNot(expired.contains)
     val keep: Set[String] =
       retained.flatMap { v =>
         val m = readManifest(s, tableDir, v)

@@ -1,0 +1,170 @@
+package graft.sources
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+/** Governance surface of the snapshot table: named CHECK constraints
+  * (validated on add against current data, enforced on every
+  * commit/merge, surviving overwrites, droppable) and commit
+  * timestamps (wall-clock time travel, age-based retention). */
+class SnapshotGovernanceSpec extends GraftSpec {
+
+  private def ids(t: String): Set[Long] =
+    SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+      .select("id").collect().map(_.getLong(0)).toSet
+
+  test("addConstraint validates current data; commits then enforce it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov1-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), overwrite = false)
+    // current data violates -> refused, nothing published
+    val bad = intercept[IllegalArgumentException] {
+      SnapshotTable.addConstraint(spark, t, "v_big", "v > 15")
+    }
+    assert(bad.getMessage.contains("v_big"))
+    assert(SnapshotTable.versions(spark, t) == Seq(1))
+    // a satisfiable constraint publishes as a metadata-only commit
+    SnapshotTable.addConstraint(spark, t, "v_pos", "v > 0")
+    assert(SnapshotTable.versions(spark, t) == Seq(1, 2))
+    assert(SnapshotTable.constraints(spark, t) == Map("v_pos" -> "v > 0"))
+    // violating append refused, table unchanged; valid append lands
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, t,
+        Seq((3L, -5L)).toDF("id", "v"), overwrite = false)
+    }
+    assert(ids(t) == Set(1L, 2L))
+    SnapshotTable.commit(spark, t, Seq((3L, 5L)).toDF("id", "v"),
+      overwrite = false)
+    assert(ids(t) == Set(1L, 2L, 3L))
+  }
+
+  test("constraints survive overwrites, gate merges, and drop cleanly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov2-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, Seq((1L, 10L)).toDF("id", "v"),
+      overwrite = false)
+    SnapshotTable.addConstraint(spark, t, "v_pos", "v > 0")
+    // overwrite keeps the table property (constraints ≠ data)
+    SnapshotTable.commit(spark, t, Seq((9L, 90L)).toDF("id", "v"),
+      overwrite = true)
+    assert(SnapshotTable.constraints(spark, t).contains("v_pos"))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, t, Seq((8L, -1L)).toDF("id", "v"),
+        overwrite = true)
+    }
+    // the selective merge validates its upserts
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, t, Seq((9L, -7L)).toDF("id", "v"),
+        Seq.empty[Long].toDF("id"), "id")
+    }
+    assert(ids(t) == Set(9L))
+    // NULL passes (SQL CHECK semantics)
+    val rows: Seq[(Long, java.lang.Long)] = Seq((5L, null))
+    SnapshotTable.commit(spark, t, rows.toDF("id", "v"), overwrite = false)
+    assert(ids(t) == Set(9L, 5L))
+    // dropped -> violating writes are legal again; double-drop no-ops
+    assert(SnapshotTable.dropConstraint(spark, t, "v_pos").nonEmpty)
+    assert(SnapshotTable.dropConstraint(spark, t, "v_pos").isEmpty)
+    SnapshotTable.commit(spark, t, Seq((8L, -1L)).toDF("id", "v"),
+      overwrite = false)
+    assert(ids(t) == Set(9L, 5L, 8L))
+  }
+
+  test("a violating commit racing addConstraint defeats it — serializably") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov5-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, Seq((1L, 10L)).toDF("id", "v"),
+      overwrite = false)
+    // between addConstraint's validation and its publish, a commit
+    // lands whose rows VIOLATE the constraint being added: the publish
+    // must abort and the re-validation must refuse the constraint —
+    // never a published constraint the live data violates
+    var fired = false
+    SnapshotTable.beforePublishHook = () =>
+      if (!fired) {
+        fired = true
+        SnapshotTable.commit(spark, t, Seq((2L, -5L)).toDF("id", "v"),
+          overwrite = false)
+      }
+    try {
+      val err = intercept[IllegalArgumentException] {
+        SnapshotTable.addConstraint(spark, t, "v_pos", "v > 0")
+      }
+      assert(err.getMessage.contains("v_pos"))
+    } finally SnapshotTable.beforePublishHook = () => ()
+    assert(fired)
+    assert(SnapshotTable.constraints(spark, t).isEmpty)
+    assert(ids(t) == Set(1L, 2L), "the racing commit must survive")
+  }
+
+  test("commitClustered + zone maps: a key-band read plans a file subset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov6-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commitClustered(spark, t,
+      spark.range(0, 8000).select(col("id"), (col("id") * 2).as("v")),
+      overwrite = false, nFiles = 8, clusterCols = Seq("id"))
+    val snap = SnapshotTable.readAsOf(spark, t, 1)
+    assert(snap.inputFiles.length == 8)
+    // a 1/8th key band must scan ~1 file, and agree with the full count
+    val band = snap.filter(col("id") >= 1000 && col("id") < 2000)
+    assert(band.collect().length == 1000) // execute THIS plan: metrics fill
+    val plan = band.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val files = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .map(_.metrics("numFiles").value).sum
+    assert(files <= 2, s"expected a zone-map-pruned scan, read $files files")
+  }
+
+  test("readAsOfTimestamp resolves by recorded commit stamps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov3-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, Seq((1L, 1L)).toDF("id", "v"),
+      overwrite = false)
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    SnapshotTable.commit(spark, t, Seq((2L, 2L)).toDF("id", "v"),
+      overwrite = false)
+    assert(SnapshotTable.readAsOfTimestamp(spark, t, between)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(SnapshotTable.readAsOfTimestamp(spark, t, System.currentTimeMillis())
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // before the first commit: refuse rather than serve the wrong epoch
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readAsOfTimestamp(spark, t, between - 1000000L)
+    }
+    // history surfaces the stamps (monotone here — single writer)
+    val stamps = SnapshotTable.history(spark, t)
+      .select("commit_ts").collect().map(_.getLong(0))
+    assert(stamps.length == 2 && stamps(0) <= stamps(1))
+  }
+
+  test("vacuum expires by age while always keeping the latest version") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov4-").toString
+    val t = s"$dir/tbl"
+    (1 to 3).foreach { k =>
+      SnapshotTable.commit(spark, t, Seq((k.toLong, k.toLong)).toDF("id", "v"),
+        overwrite = false)
+    }
+    Thread.sleep(10)
+    // everything older than "now" expires — except the latest, always
+    val stats = SnapshotTable.vacuum(spark, t, keepVersions = 10,
+      maxVersionAgeMs = Some(0L))
+    assert(stats.expiredManifests == 2)
+    assert(SnapshotTable.versions(spark, t) == Seq(3))
+    assert(ids(t) == Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readAsOf(spark, t, 1).collect()
+    }
+  }
+}
