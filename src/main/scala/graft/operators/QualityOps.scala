@@ -112,13 +112,75 @@ object QualityOps extends QueryPack {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Distribution drift between two corpus epochs — the population
+    * stability index (PSI) every production data platform monitors:
+    * split the events feed at its calendar midpoint (exact integer
+    * day arithmetic, derived identically in both engines), compare
+    * each event type's share of epoch A vs epoch B, and report the
+    * type's PSI term `(p_B − p_A) · ln(p_B / p_A)`. Types absent from
+    * either epoch are excluded (the standard smoothing-free
+    * formulation); the NULL type is a first-class group.
+    *
+    * Shape: ONE scan → one partial-aggregated groupBy(type) with
+    * conditional epoch sums → a broadcast 1-row totals join — two tiny
+    * jobs regardless of corpus size, the drift monitor you can afford
+    * to run on every ingest at 100 TB. */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+    val bounds = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .head()
+    if (bounds.isNullAt(0))
+      return ev.filter(lit(false))
+        .select(col("event_type"), lit(0L).as("n_a"), lit(0L).as("n_b"),
+          lit(0.0).as("psi_6"))
+    val lo = bounds.getDate(0).toLocalDate
+    val hi = bounds.getDate(1).toLocalDate
+    val mid = lo.plusDays(java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2)
+    val isA = col("day") <= lit(java.sql.Date.valueOf(mid))
+    val perType = ev.groupBy(col("event_type")).agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!isA, 1L).otherwise(0L)).as("n_b"))
+    val totals = ev.agg(
+      sum(when(isA, 1L).otherwise(0L)).as("t_a"),
+      sum(when(!isA, 1L).otherwise(0L)).as("t_b"))
+    val pA = col("n_a").cast("double") / col("t_a")
+    val pB = col("n_b").cast("double") / col("t_b")
+    perType.crossJoin(broadcast(totals))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round((pB - pA) * log(pB / pA), 6).as("psi_6"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_contract_audit" -> contractAudit,
     "quality_ref_integrity" -> refIntegrity,
     "quality_price_reconcile" -> priceReconcile,
+    "quality_psi_drift" -> psiDrift,
   )
 
   def oracle: Map[String, String] = Map(
+    // epoch split at the calendar midpoint, PSI per surviving type —
+    // the same exact integer day arithmetic and 6 dp rounding
+    "quality_psi_drift" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type
+        |  FROM events WHERE ts IS NOT NULL),
+        |m AS (SELECT min(day) + CAST(floor(date_diff('day', min(day),
+        |         max(day)) / 2) AS INT) AS mid FROM e),
+        |t AS (SELECT event_type,
+        |    sum(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN day > mid THEN 1 ELSE 0 END) AS n_b
+        |  FROM e, m GROUP BY event_type),
+        |tot AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM t)
+        |SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
+        |  round((n_b / CAST(t_b AS DOUBLE) - n_a / CAST(t_a AS DOUBLE)) *
+        |    ln((n_b / CAST(t_b AS DOUBLE)) / (n_a / CAST(t_a AS DOUBLE))), 6)
+        |    AS psi_6
+        |FROM t, tot WHERE n_a > 0 AND n_b > 0
+        |ORDER BY event_type""".stripMargin,
     "quality_price_reconcile" ->
       """WITH l AS (SELECT l_orderkey,
         |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) *

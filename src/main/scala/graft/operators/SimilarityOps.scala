@@ -110,6 +110,30 @@ object SimilarityOps extends QueryPack {
   def annBruteForce(s: SparkSession, d: String): DataFrame =
     bruteSearch(corpus(s, d), defaultQueries, 10)
 
+  /** RADIUS (range) similarity search — the "all neighbors within τ"
+    * complement of top-k retrieval: exact brute force with a broadcast
+    * query set, ONE corpus scan for all queries (the
+    * [[annBruteForce]] shape; the 100 TB scale path is the same
+    * IVF/LSH bucketing the top-k family uses — probe candidate lists,
+    * verify exact). Exact-copy twins are planted (every
+    * `vec_id % 101 == 0` re-appended under +1e12, the established
+    * device), so query 0's twin MUST appear at cos 1.0 — a
+    * ground-truth anchor inside the radius set. Scores rounded to
+    * 4 dp BEFORE the threshold so both engines cut identically. */
+  def annRadius(s: SparkSession, d: String): DataFrame = {
+    val base0 = corpus(s, d)
+    val base = base0.unionByName(
+      base0.filter(col("vec_id") % 101 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000000000L))
+    val q = base0.filter(defaultQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    base.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   /** Int8-quantized corpus `(vec_id, qv: array<long>)` — the shared
     * "training + quantize" front of the SQ and PQ searches. Fixed-dim
     * AND finite: a NaN/Inf component would poison the learned scale
@@ -859,6 +883,7 @@ object SimilarityOps extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> annBruteForce,
+    "ann_radius" -> annRadius,
     "ann_quantized_topk" -> annQuantizedTopK,
     "ann_pq_topk" -> annPqTopK,
     "ann_knn_classify" -> annKnnClassify,
@@ -1062,6 +1087,24 @@ object SimilarityOps extends QueryPack {
         | round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
         |FROM n WHERE nrm IS NOT NULL AND NOT isnan(nrm) AND NOT isinf(nrm)
         |GROUP BY label ORDER BY label""".stripMargin,
+    // radius search: same cosine idiom, planted twins included in the
+    // corpus (query 0's twin must surface at cos 1.0), round-then-cut
+    "ann_radius" ->
+      """WITH b0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |b AS (SELECT * FROM b0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000000000, emb FROM b0 WHERE vec_id % 101 = 0),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM b0 WHERE vec_id < 5)
+        |SELECT q.q_id, b.vec_id,
+        |  round(list_dot_product(q.q_emb, b.emb) /
+        |    (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+        |     sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
+        |FROM q JOIN b ON b.vec_id <> q.q_id
+        |WHERE round(list_dot_product(q.q_emb, b.emb) /
+        |    (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+        |     sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.3
+        |ORDER BY q_id, vec_id""".stripMargin,
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
         |           FROM embeddings WHERE vec_id < 5),
