@@ -52,13 +52,31 @@ class SnapshotSourceProvider extends StreamSourceProvider
 
   /** Batch read: the manifest-planned relation (zero-RPC planning,
     * zone-map skipping, bucket partitioning), optionally time-traveled
-    * via `versionAsOf`. */
+    * via `versionAsOf` (a version number) or `timestampAsOf` (epoch
+    * millis, resolved against the recorded commit stamps — the greater
+    * doorway twin of [[SnapshotTable.readAsOfTimestamp]]). */
   override def createRelation(ctx: SQLContext,
       params: Map[String, String]): BaseRelation = {
-    val asOf = params.collectFirst {
+    val byVersion = params.collectFirst {
       case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.toInt
-    }.getOrElse(Int.MaxValue)
-    SnapshotTable.baseRelation(ctx.sparkSession, path(params), asOf)
+    }
+    val byStamp = params.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("timestampAsOf") => v.toLong
+    }
+    require(byVersion.isEmpty || byStamp.isEmpty,
+      "pass versionAsOf OR timestampAsOf, not both")
+    val t = path(params)
+    val asOf = byStamp match {
+      case Some(ts) =>
+        val vs = SnapshotTable.versions(ctx.sparkSession, t)
+        val qual = vs.filter(v => SnapshotTable.commitTimestamp(
+          ctx.sparkSession, t, v).getOrElse(0L) <= ts)
+        require(qual.nonEmpty,
+          s"no version of $t committed at or before $ts")
+        qual.max
+      case None => byVersion.getOrElse(Int.MaxValue)
+    }
+    SnapshotTable.baseRelation(ctx.sparkSession, t, asOf)
   }
 
   /** Batch write: `Append`/`Overwrite` land as one atomic snapshot

@@ -1030,6 +1030,12 @@ object SnapshotTable {
       }
     }
 
+  /** A version's recorded commit timestamp (epoch millis); None for
+    * legacy manifests committed before stamping. */
+  private[sources] def commitTimestamp(s: SparkSession, tableDir: String,
+      version: Int): Option[Long] =
+    readManifest(s, tableDir, version).ts
+
   /** The table's CHECK constraints (name → SQL expression). */
   def constraints(s: SparkSession, tableDir: String): Map[String, String] =
     versions(s, tableDir).lastOption
@@ -1210,24 +1216,48 @@ object SnapshotTable {
       upserts.select(col(key)).filter(lit(false)), key, txnId)
   }
 
-  /** The pre-selective full-rewrite path (fresh/legacy/bucketed tables,
-    * diverging upsert schema): anti-join the whole current snapshot and
-    * land everything as one overwrite commit. None only when `txnId`
-    * replayed. */
+  /** The full-rewrite merge path (fresh/legacy/bucketed tables,
+    * outstanding deletion vectors, diverging upsert schema): anti-join
+    * the whole current snapshot and land everything as one overwrite.
+    * SERIALIZABLE like the selective path: the rewrite reads an exact
+    * (file, vector) state and the publish aborts — returning None so
+    * the caller re-plans — if ANY commit (or constraint change) landed
+    * in between; a blind overwrite here would silently drop a racing
+    * append. Also None when `txnId` replayed. */
   private def mergeFull(s: SparkSession, tableDir: String, upserts: DataFrame,
       deleteKeys: DataFrame, key: String,
       txnId: Option[String]): Option[Int] = {
+    import org.apache.spark.sql.functions.lit
+    val f = fs(s, tableDir)
+    val prev = versions(s, tableDir)
+    val m0 = prev.lastOption.map(readManifest(s, tableDir, _))
     // merging into a fresh (or empty-snapshot) table: the current state
     // is the empty relation in the upserts' schema
     val cur0 =
-      if (versions(s, tableDir).isEmpty) upserts.filter(org.apache.spark.sql.functions.lit(false))
-      else readAsOf(s, tableDir, Int.MaxValue)
-    val cur = if (cur0.columns.isEmpty) upserts.filter(org.apache.spark.sql.functions.lit(false)) else cur0
+      if (prev.isEmpty) upserts.filter(lit(false))
+      else readAsOf(s, tableDir, prev.last)
+    val cur = if (cur0.columns.isEmpty) upserts.filter(lit(false)) else cur0
     val kept = cur
       .join(upserts.select(key).distinct(), Seq(key), "left_anti")
       .join(deleteKeys.select(key).distinct(), Seq(key), "left_anti")
-    commitInternal(s, tableDir, kept.unionByName(upserts),
-      overwrite = true, txnId)
+    val out = kept.unionByName(upserts)
+    enforceConstraints(out, m0.map(_.constraints).getOrElse(Map.empty))
+    val uniq = java.util.UUID.randomUUID.toString.take(8)
+    val (dataDir, newFiles) = writeDataDir(s, tableDir, out, uniq)
+    val res = publishNext(s, tableDir) { pm =>
+      // a replayed txn aborts here; the caller's loop re-reads, sees
+      // the txn, and returns the no-op
+      if (txnId.exists(id => pm.exists(_.txns.contains(id)))) None
+      else if (pm.map(_.files) != m0.map(_.files) ||
+          pm.map(_.dels) != m0.map(_.dels) ||
+          pm.map(_.constraints) != m0.map(_.constraints)) None // conflict
+      else Some((newFiles, storedSchema(out.schema),
+        (pm.map(_.txns).getOrElse(Set.empty) ++ txnId).toSeq.sorted,
+        None, Seq.empty,
+        pm.map(_.constraints).getOrElse(Map.empty)))
+    }
+    if (res.isEmpty) f.delete(dataDir, true)
+    res
   }
 
   /** One selective-merge attempt against manifest `m0`. Returns None
@@ -1284,9 +1314,11 @@ object SnapshotTable {
         // serializability: the merge planned against m0's EXACT file
         // and deletion-vector state; any concurrent commit (append
         // included — its rows were not merged over; a deleteWhere —
-        // its vectors were not applied to the rewrite) invalidates
-        // the plan
-        if (m.files != m0.files || m.dels != m0.dels) None
+        // its vectors were not applied to the rewrite; an
+        // addConstraint — the upserts were not validated against it)
+        // invalidates the plan
+        if (m.files != m0.files || m.dels != m0.dels ||
+          m.constraints != m0.constraints) None
         else Some((
           m.files.filter(e => carriedPaths.contains(e.takeWhile(_ != '\t')))
             ++ newFiles,

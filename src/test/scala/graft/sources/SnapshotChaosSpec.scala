@@ -4,14 +4,15 @@ import graft.GraftSpec
 import org.apache.spark.sql.functions._
 
 /** Concurrency chaos: three threads interleave appends, idempotent
-  * commits, serializable merges, compactions, and vacuums against ONE
-  * table (vacuum with the documented min-age guard for in-flight
-  * commits). Each thread owns a disjoint id namespace, so whatever the
-  * interleaving, the final table must equal the union of the
-  * per-thread models — merges on disjoint keys commute ONLY because
-  * the selective merge re-plans on conflict instead of losing
-  * updates. Version history must stay a contiguous range and every
-  * issued txn must land exactly once. */
+  * commits, serializable merges, merge-on-read deletes, vector
+  * absorbs, ordered mergeLatest upserts, compactions, and vacuums
+  * against ONE table (vacuum with the documented min-age guard for
+  * in-flight commits). Each thread owns a disjoint id namespace, so
+  * whatever the interleaving, the final table must equal the union of
+  * the per-thread models — merges AND deletes on disjoint keys commute
+  * ONLY because every mutating operation re-plans on conflict instead
+  * of losing updates. Version history must stay a contiguous range and
+  * every issued txn must land exactly once. */
 class SnapshotChaosSpec extends GraftSpec {
 
   test("interleaved writers + maintenance converge to the union of models") {
@@ -36,7 +37,7 @@ class SnapshotChaosSpec extends GraftSpec {
           val rnd = new scala.util.Random(1000L + k)
           try (1 to opsPerThread).foreach { step =>
             val base = (k + 1) * 1000L
-            rnd.nextInt(5) match {
+            rnd.nextInt(8) match {
               case 0 => // append fresh thread-owned ids
                 val fresh = (1 to 2).map(_ => base + rnd.nextInt(50))
                   .distinct.filterNot(models(k).contains)
@@ -67,6 +68,24 @@ class SnapshotChaosSpec extends GraftSpec {
               case 4 => // vacuum with the documented in-flight guard
                 SnapshotTable.vacuum(spark, t, keepVersions = 8,
                   minAgeMs = 120000L)
+              case 5 => // merge-on-read delete, thread-owned band only
+                val matched = models(k).filter { case (_, v) => v % 2 == 0 }
+                val published = SnapshotTable.deleteWhere(spark, t,
+                  col("id") >= base && col("id") < base + 1000L &&
+                    col("v") % 2 === 0)
+                assert(matched.isEmpty || published.nonEmpty,
+                  s"deleteWhere skipped matching rows of thread $k")
+                models(k) --= matched.keySet
+              case 6 => // absorb whatever vectors are outstanding
+                // (content-preserving; conflict-abort is acceptable)
+                SnapshotTable.absorbDeletes(spark, t)
+              case 7 => // ordered CDC apply on thread-owned keys
+                val ups = (1 to 2).map(_ => (base + rnd.nextInt(50)) ->
+                  (rnd.nextInt(2000).toLong * 2 + 1)).toMap // odd: delete-proof
+                SnapshotTable.mergeLatest(spark, t, ups.toSeq.toDF("id", "v"),
+                  "id", Seq("v"))
+                models(k) ++= ups.filter { case (i, v) =>
+                  models(k).get(i).forall(_ < v) }
             }
           } catch { case e: Throwable => errors.add(e) }
         }

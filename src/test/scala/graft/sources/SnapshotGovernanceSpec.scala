@@ -109,9 +109,10 @@ class SnapshotGovernanceSpec extends GraftSpec {
       overwrite = false, nFiles = 8, clusterCols = Seq("id"))
     val snap = SnapshotTable.readAsOf(spark, t, 1)
     assert(snap.inputFiles.length == 8)
-    // a 1/8th key band must scan ~1 file, and agree with the full count
-    val band = snap.filter(col("id") >= 1000 && col("id") < 2000)
-    assert(band.collect().length == 1000) // execute THIS plan: metrics fill
+    // a narrow key band (range bounds are SAMPLED, so a wide band can
+    // legitimately straddle a boundary — probe well inside one stripe)
+    val band = snap.filter(col("id") >= 1200 && col("id") < 1300)
+    assert(band.collect().length == 100) // execute THIS plan: metrics fill
     val plan = band.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
@@ -146,6 +147,15 @@ class SnapshotGovernanceSpec extends GraftSpec {
     val stamps = SnapshotTable.history(spark, t)
       .select("commit_ts").collect().map(_.getLong(0))
     assert(stamps.length == 2 && stamps(0) <= stamps(1))
+    // the standard reader doorway resolves timestampAsOf identically
+    assert(spark.read.format("graft.sources.SnapshotSourceProvider")
+      .option("path", t).option("timestampAsOf", between.toString).load()
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.SnapshotSourceProvider")
+        .option("path", t).option("timestampAsOf", between.toString)
+        .option("versionAsOf", "1").load()
+    }
   }
 
   test("vacuum expires by age while always keeping the latest version") {
