@@ -564,6 +564,52 @@ object AnalyticsOps extends QueryPack {
     * closed forms are driver-free scalar math on the tiny result. The
     * same plan at 100 TB moves six longs per (partition × type).
     */
+  /** Per-type LINEAR TREND over daily event counts — the capacity-
+    * planning regression: OLS slope/intercept and the next-day
+    * forecast from exact integer moments of (day index, daily count),
+    * the [[eventsCorrStats]] discipline (moments summed as exact
+    * longs, ONE micro-rounding at the very end, zero-variance groups
+    * NULL, never NaN). The regression runs over OBSERVED days — a
+    * type's silent days contribute no point — and the day index is
+    * anchored at the GLOBAL min day so both engines derive identical
+    * x values.
+    *
+    * Shape: one scan → (type, day) partial-aggregated count → a
+    * |types|-row moment aggregate → closed-form projection. The heavy
+    * stage shuffles (type, day) pairs only. */
+  def eventsTrendForecast(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    val b = ev.agg(min(col("day"))).head()
+    if (b.isNullAt(0))
+      return ev.filter(lit(false))
+        .select(col("event_type"), lit(0L).as("n_days"),
+          lit(0L).as("slope_micro"), lit(0L).as("icept_micro"),
+          lit(0L).as("forecast_micro"))
+    val lo = lit(java.sql.Date.valueOf(b.getDate(0).toLocalDate))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lo).cast("long").as("x"), col("y"))
+    val m = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+      max(col("x")).as("mx"))
+    val nD = "CAST(n AS DOUBLE)"
+    val den = s"($nD * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val num = s"($nD * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val slope = s"($num / $den)"
+    val icept = s"((CAST(sy AS DOUBLE) - $slope * CAST(sx AS DOUBLE)) / $nD)"
+    m.select(col("event_type"), col("n").as("n_days"),
+        expr(s"CASE WHEN $den > 0 THEN CAST(round($slope * 1000000.0) AS BIGINT) END")
+          .as("slope_micro"),
+        expr(s"CASE WHEN $den > 0 THEN CAST(round($icept * 1000000.0) AS BIGINT) END")
+          .as("icept_micro"),
+        expr(s"CASE WHEN $den > 0 THEN CAST(round(($icept + $slope * (CAST(mx AS DOUBLE) + 1.0)) * 1000000.0) AS BIGINT) END")
+          .as("forecast_micro"))
+      .orderBy(col("event_type"))
+  }
+
   def eventsCorrStats(s: SparkSession, d: String): DataFrame = {
     val moments = Tables.events(s, d)
       .filter(col("value").isNotNull && !isnan(col("value")) &&
@@ -1258,6 +1304,7 @@ object AnalyticsOps extends QueryPack {
     "events_approx_percentiles" -> eventsApproxPercentiles,
     "events_range_trailing" -> eventsRangeTrailing,
     "events_corr_stats"  -> eventsCorrStats,
+    "events_trend_forecast" -> eventsTrendForecast,
     "sample_stratified_topk" -> sampleStratifiedTopK,
     "graph_pagerank"     -> graphPagerank,
     "sample_weighted"    -> sampleWeighted,
@@ -1738,6 +1785,29 @@ object AnalyticsOps extends QueryPack {
         |WINDOW w AS (PARTITION BY user_id ORDER BY t_us
         |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // identical moment shape and rounding as the engine: exact integer
+    // sums, the same double expression tree, one micro-round at the end
+    "events_trend_forecast" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |lo AS (SELECT min(day) AS lo FROM e),
+        |daily AS (SELECT event_type, date_diff('day', lo, day) AS x,
+        |    count(*) AS y
+        |  FROM e, lo GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy, max(x) AS mx
+        |  FROM daily GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    THEN CAST(round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1000000.0) AS BIGINT) END
+        |    AS slope_micro,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    THEN CAST(round(((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) END
+        |    AS icept_micro,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    THEN CAST(round((((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) + ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * (CAST(mx AS DOUBLE) + 1.0)) * 1000000.0) AS BIGINT) END
+        |    AS forecast_micro
+        |FROM m ORDER BY event_type""".stripMargin,
     "events_corr_stats" ->
       """WITH m AS (SELECT event_type,
         |    CAST(count(*) AS BIGINT) AS n,
