@@ -167,6 +167,42 @@ object StreamingOps {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** LEFT OUTER watermarked stream-stream interval join — the outer
+    * half of [[streamStreamJoin]]: every purchase emits; clicks match
+    * from the preceding hour; a purchase with NO click in its window
+    * emits ONCE with NULL click columns, but only after the watermark
+    * PROVES no future click can match (Append-mode outer-join
+    * semantics) — which is why the declared backfill feeds the staged
+    * sentinel stream, unlike the inner join which emits in flight.
+    * The type filters ADMIT the sentinel (event id −1) on BOTH sides:
+    * Catalyst pushes filters below the watermark operator, so a filter
+    * that excluded the sentinel would stop it from ever advancing the
+    * watermark — and the trailing unmatched purchases would be
+    * withheld forever (measured: the last watermark-delay's worth of
+    * rows went missing). The sentinel's own rows are scrubbed by the
+    * caller on its reserved id, the standard convention. */
+  def streamStreamLeftOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = eventTimed(purchases)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("event_type").as("p_type"))
+      .filter(col("p_type") === "purchase" || col("p_id") === -1L)
+      .withWatermark("p_ts", "1 hour")
+      .drop("p_type")
+    val c = eventTimed(clicks)
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"), col("event_type").as("c_type"))
+      .filter(col("c_type") === "click" || col("c_id") === -1L)
+      .withWatermark("c_ts", "1 hour")
+      .drop("c_type")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("p_id"), col("p_user"), col("c_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** Idempotent (exactly-once) parquet sink via `foreachBatch` + dynamic
     * partition overwrite: every micro-batch writes into its own
     * `batch_id=N` partition with overwrite semantics, so a batch REPLAYED

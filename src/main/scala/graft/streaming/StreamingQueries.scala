@@ -382,6 +382,18 @@ object StreamingQueries extends QueryPack {
     runDirect(s, d) { df => StreamingOps.streamStreamJoin(df, df) }
       .orderBy(col("p_id"), col("c_id"))
 
+  /** LEFT OUTER stream-stream interval join as a declared query: every
+    * purchase, its preceding-hour clicks, and NULL click columns for
+    * purchases no click preceded — the unmatched rows are withheld
+    * until the watermark proves them final, so this backfill runs over
+    * the STAGED sentinel stream (the Append-windowed-agg discipline);
+    * the sentinel rides both sides to advance their watermarks and its
+    * own reserved id −1 is scrubbed here, null-safely. */
+  def streamLeftOuterInterval(s: SparkSession, d: String): DataFrame =
+    runBackfill(s, d) { df => StreamingOps.streamStreamLeftOuter(df, df) }
+      .filter(!(col("p_id") <=> lit(-1L)))
+      .orderBy(col("p_id"), col("c_id"))
+
   /** Streaming heavy-hitters serving path: the stream maintains
     * watermarked per-hour per-user counts ([[StreamingOps
     * .hourlyUserCounts]] — Append mode, sentinel-flushed like every
@@ -620,6 +632,7 @@ object StreamingQueries extends QueryPack {
     "stream_fmgws_session" -> streamFmgwsSession,
     "stream_dedup" -> streamDedup,
     "stream_join" -> streamStreamInterval,
+    "stream_left_outer_join" -> streamLeftOuterInterval,
   )
 
   // Every oracle mirrors the engine's event-time ingress contract
@@ -764,6 +777,21 @@ object StreamingQueries extends QueryPack {
         |SELECT p_id, p_user, c_id,
         | epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
         |FROM p JOIN c ON p_user = c_user
+        | AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
+        |ORDER BY p_id, c_id""".stripMargin,
+    // the outer half: every purchase exactly once, NULLs where no
+    // click preceded — the watermark-final unmatched emission in
+    // closed form
+    "stream_left_outer_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
+        |    CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user,
+        |    CAST(ts AS TIMESTAMP) AS c_ts
+        |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL)
+        |SELECT p_id, p_user, c_id,
+        | epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
+        |FROM p LEFT JOIN c ON p_user = c_user
         | AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
         |ORDER BY p_id, c_id""".stripMargin,
     "stream_fmgws_session" ->
