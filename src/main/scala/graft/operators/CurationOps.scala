@@ -404,7 +404,51 @@ object CurationOps extends QueryPack {
       .orderBy(col("shuf_seq"))
   }
 
+  /** DSIR-style importance weighting (the hashed-n-gram data-selection
+    * recipe of Xie et al. 2023, arXiv:2302.03169): score every RAW
+    * document by how much more likely its hashed-unigram profile is
+    * under the TARGET domain (here the English slice — any predicate
+    * works) than under the raw corpus: the per-doc log-likelihood
+    * ratio `Σ_b n_b · ln(p_t(b)/p_r(b))` over B=64 hash buckets with
+    * Laplace-smoothed probabilities. High scores read "looks like
+    * target" — the resampling weight for domain upweighting. Every
+    * count is an exact integer (the portable [[graft.functions.PolyHash]]
+    * family, DuckDB-twinned); the only float step is the final ln
+    * arithmetic, rounded at 4 dp so the engines' ulp-different libm
+    * `ln`s can never straddle a boundary.
+    *
+    * Shape: ONE token explode → (doc, bucket) partial-aggregated
+    * counts → a broadcast 64-row bucket-weight table → per-doc sum.
+    * Linear in corpus tokens; the feature table is O(64) however big
+    * the corpus — the DSIR trick that makes domain scoring affordable
+    * at 100 TB. */
+  def curationImportance(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashExpressions.register(s)
+    val toks = Tables.documents(s, d)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (graft.functions.HashExpressions.poly_hash(col("tok")) % 64).as("b"))
+    val db = toks.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+    val bt = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("n_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
+    val tot = bt.agg(sum(col("n_r")).as("t_r"), sum(col("n_t")).as("t_t"))
+    val w = bt.crossJoin(tot).select(col("b"),
+      (log((col("n_t") + 1).cast("double")) -
+        log((col("t_t") + 64).cast("double")) -
+        log((col("n_r") + 1).cast("double")) +
+        log((col("t_r") + 64).cast("double"))).as("lw"))
+    db.join(broadcast(w), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_toks"),
+        round(sum(col("n") * col("lw")), 4).as("llr_4"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_importance" -> curationImportance,
     "curation_split_leakproof" -> curationSplitLeakproof,
     "curation_shard_manifest" -> curationShardManifest,
     "curation_pipeline" -> curationPipeline,
@@ -480,6 +524,31 @@ object CurationOps extends QueryPack {
        |FROM g GROUP BY source ORDER BY source""".stripMargin
 
   override val oracle: Map[String, String] = Map(
+    // the same portable char-fold hash, the same smoothed-ln weight
+    // table, 4 dp rounding on the only float step
+    "curation_importance" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |hb AS (SELECT doc_id, lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) % 64 AS b
+        |  FROM tok),
+        |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+        |  FROM hb GROUP BY 1, 2),
+        |bt AS (SELECT b, CAST(count(*) AS BIGINT) AS n_r,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+        |  FROM hb GROUP BY b),
+        |tot AS (SELECT CAST(sum(n_r) AS BIGINT) AS t_r,
+        |    CAST(sum(n_t) AS BIGINT) AS t_t FROM bt),
+        |w AS (SELECT b,
+        |    ln(CAST(n_t + 1 AS DOUBLE)) - ln(CAST(t_t + 64 AS DOUBLE)) -
+        |    ln(CAST(n_r + 1 AS DOUBLE)) + ln(CAST(t_r + 64 AS DOUBLE)) AS lw
+        |  FROM bt, tot)
+        |SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_toks,
+        |  round(sum(db.n * w.lw), 4) AS llr_4
+        |FROM db JOIN w USING (b)
+        |GROUP BY db.doc_id ORDER BY doc_id""".stripMargin,
     // the oracle IS the naive single-window formulation over the same
     // LCG key — agreement proves the two-phase numbering is exact
     "curation_shuffle" ->

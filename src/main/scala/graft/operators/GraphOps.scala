@@ -111,11 +111,72 @@ object GraphOps extends QueryPack {
   def graphTriangles(s: SparkSession, d: String): DataFrame =
     triangleStats(foldedEdges(s, d))
 
+  /** Degree ASSORTATIVITY (Newman's r): the Pearson correlation of
+    * endpoint degrees over the edge list, each edge counted in both
+    * orientations — positive r means hubs attach to hubs (social
+    * graphs), negative means hubs attach to leaves (the web / most
+    * crawl-derived graphs). Moments are exact integer sums folded into
+    * ONE double division micro-rounded at the end (the
+    * [[triangleStats]] discipline); a regular graph (zero degree
+    * variance) yields NULL, never NaN.
+    *
+    * Shape: one degree aggregate + two keyed edge→degree joins + one
+    * moment aggregate — all keyed shuffles, nothing quadratic, no
+    * broadcast of the O(|V|) degree table. */
+  def assortativityStats(edges: DataFrame): DataFrame = {
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val m = withDeg.agg(count(lit(1)).as("m"),
+      sum(col("du") + col("dv")).as("sx"),
+      sum(expr("du * du + dv * dv")).as("sxx"),
+      sum(expr("du * dv")).as("sxy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nD = "CAST(2 * m AS DOUBLE)"
+    val num = s"($nD * CAST(2 * sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val den = s"($nD * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    m.crossJoin(nodes)
+      .select(col("n_nodes"), col("m").as("n_edges"),
+        expr(s"CASE WHEN $den > 0 THEN CAST(round($num / $den * 1000000.0) AS BIGINT) END")
+          .as("assortativity_micro"))
+      .filter(col("n_edges") > 0)
+  }
+
+  def graphAssortativity(s: SparkSession, d: String): DataFrame =
+    assortativityStats(foldedEdges(s, d))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> graphTriangles,
+    "graph_assortativity" -> graphAssortativity,
   )
 
   def oracle: Map[String, String] = Map(
+    // same folded edge list, same exact-moment expression tree
+    "graph_assortativity" ->
+      s"""WITH p AS (SELECT
+        |    (l_orderkey // 100000000) * $P + (l_orderkey % $P) AS a,
+        |    (l_orderkey // 100000000) * $P + (l_partkey % $P) AS b
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM p WHERE a <> b),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        |  GROUP BY node),
+        |wd AS (SELECT du.deg AS du, dv.deg AS dv
+        |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(du + dv) AS BIGINT) AS sx,
+        |    CAST(sum(du * du + dv * dv) AS BIGINT) AS sxx,
+        |    CAST(sum(du * dv) AS BIGINT) AS sxy
+        |  FROM wd),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT n.n_nodes, m.m AS n_edges,
+        |  CASE WHEN (CAST(2 * m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    THEN CAST(round((CAST(2 * m AS DOUBLE) * CAST(2 * sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(2 * m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0) AS BIGINT) END
+        |    AS assortativity_micro
+        |FROM m, n WHERE m.m > 0""".stripMargin,
     "graph_triangles" ->
       s"""WITH p AS (SELECT
         |    (l_orderkey // 100000000) * $P + (l_orderkey % $P) AS a,

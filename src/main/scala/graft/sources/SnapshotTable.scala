@@ -894,6 +894,27 @@ object SnapshotTable {
       overwrite)
   }
 
+  /** Commit Z-ORDERED on two dimension columns: rows are arranged along
+    * the Morton curve of (colA, colB) ([[graft.operators.LayoutOps.zvalue]])
+    * before the write, so each data file covers an axis-aligned SQUARE
+    * of the key plane instead of a slab of one dimension — the manifest
+    * zone maps then prune selective predicates on EITHER column (the
+    * Delta/Iceberg `ZORDER BY` discipline, landed as one atomic
+    * snapshot commit). The curve column is computed, used for the
+    * arrangement, and dropped — row content is untouched. */
+  def commitZordered(s: SparkSession, tableDir: String, df: DataFrame,
+      overwrite: Boolean, nFiles: Int, colA: String, colB: String): Int = {
+    import org.apache.spark.sql.functions.col
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val z = graft.operators.LayoutOps.zvalue(col(colA), col(colB))
+    commit(s, tableDir,
+      df.withColumn("__graft_z", z)
+        .repartitionByRange(nFiles, col("__graft_z"))
+        .sortWithinPartitions(col("__graft_z"))
+        .drop("__graft_z"),
+      overwrite)
+  }
+
   /** OPTIMIZE: bin-pack the current snapshot's small files
     * (< `smallFileBytes`) into ~`targetFileBytes` replacements,
     * published as ONE new version whose manifest carries every large

@@ -124,6 +124,38 @@ class SnapshotGovernanceSpec extends GraftSpec {
     assert(files <= 2, s"expected a zone-map-pruned scan, read $files files")
   }
 
+  test("commitZordered prunes selective predicates on EITHER dimension") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov7-").toString
+    val t = s"$dir/tbl"
+    // a 64×64 key grid: 16 files of 256 curve-consecutive points each
+    // = 16×16 squares of the plane
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"),
+      col("id").as("payload"))
+    SnapshotTable.commitZordered(spark, t, grid, overwrite = false,
+      nFiles = 16, colA = "x", colB = "y")
+    val snap = SnapshotTable.readAsOf(spark, t, 1)
+    assert(snap.inputFiles.length == 16)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame, rows: Long): Long = {
+      assert(df.collect().length == rows)
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .map(_.metrics("numFiles").value).sum
+    }
+    // an 8-wide band on EITHER axis crosses ~1 square column/row = ~4
+    // of 16 files (a slab layout prunes one dimension and scans ALL 16
+    // for the other); ≤6 allows range-sampling fuzz
+    val fx = scannedFiles(snap.filter(col("x") >= 8 && col("x") < 16), 512)
+    val fy = scannedFiles(snap.filter(col("y") >= 8 && col("y") < 16), 512)
+    assert(fx <= 6, s"x-band scanned $fx of 16 files")
+    assert(fy <= 6, s"y-band scanned $fy of 16 files")
+  }
+
   test("readAsOfTimestamp resolves by recorded commit stamps") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-gov3-").toString
