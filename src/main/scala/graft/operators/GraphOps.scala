@@ -147,12 +147,99 @@ object GraphOps extends QueryPack {
   def graphAssortativity(s: SparkSession, d: String): DataFrame =
     assortativityStats(foldedEdges(s, d))
 
+  /** k-CORE membership by distributed peeling: repeatedly delete every
+    * node of degree < k until none remains — the survivor IS the
+    * unique MAXIMAL subgraph of minimum degree ≥ k (peeling order
+    * cannot change the fixpoint). Each round is one symmetric degree
+    * aggregate + two keyed anti-joins over the live edge list,
+    * `localCheckpoint`ed so lineage stays flat; round count = peeling
+    * depth. Returns the surviving canonical edges. */
+  def kcoreEdges(edges: DataFrame, k: Int): DataFrame = {
+    var live = edges.localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val weak = live.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).select(col("node"))
+      if (weak.isEmpty) converged = true
+      else live = live
+        .join(weak.select(col("node").as("u")), Seq("u"), "left_anti")
+        .join(weak.select(col("node").as("v")), Seq("v"), "left_anti")
+        .localCheckpoint(true)
+    }
+    live
+  }
+
+  /** Reserved id range for the planted clique — far above every folded
+    * node id (bands are small integers; 1000·P clears them all). */
+  private val KcoreBase = 1000L * P
+
+  /** k-core decomposition audit for k = 2, 3, 4 over the folded graph
+    * PLUS a planted 6-clique on reserved ids: the clique's members have
+    * min mutual degree 5, so all six MUST survive every peel at k ≤ 5 —
+    * the SQL-closed-form anchor. The structural verdicts re-derive from
+    * the OUTPUT edge set rather than trusting the peel: `core_valid` =
+    * every surviving node still has ≥ k surviving neighbors, and
+    * `core_maximal` = NO removed node has ≥ k neighbors INSIDE the core
+    * (if one did, core ∪ {node} would be a larger min-degree-≥k
+    * subgraph — contradiction), which together characterize the k-core
+    * exactly. */
+  def graphKcore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gate = Tables.lineitem(s, d).filter(col("l_linenumber") === 1)
+    val empty = Seq.empty[(Long, Long, Boolean, Boolean)]
+      .toDF("k", "n_planted_in_core", "core_valid", "core_maximal")
+    if (gate.isEmpty) return empty
+    val clique = (for { i <- 0 until 6; j <- (i + 1) until 6 }
+      yield (KcoreBase + i, KcoreBase + j)).toDF("u", "v")
+    val edges = foldedEdges(s, d).unionByName(clique).localCheckpoint(true)
+    (2 to 4).map { k =>
+      val live = kcoreEdges(edges, k)
+      val members = live.select(explode(array(col("u"), col("v"))).as("node"))
+        .distinct().localCheckpoint(true)
+      val planted = members.filter(col("node") >= KcoreBase)
+        .agg(count(lit(1)).as("n_planted_in_core"))
+      val valid = live.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .agg(coalesce(min(col("deg")), lit(k.toLong)).as("min_deg"))
+        .select((col("min_deg") >= k).as("core_valid"))
+      // edges with exactly one endpoint in the core, grouped by the
+      // OUTSIDE endpoint: none may reach k in-core neighbors
+      val mu = members.select(col("node").as("u"))
+      val mv = members.select(col("node").as("v"))
+      val uIn = edges.join(mu, Seq("u"), "left_semi")
+        .join(mv, Seq("v"), "left_anti")
+        .select(col("v").as("outside"))
+      val vIn = edges.join(mv, Seq("v"), "left_semi")
+        .join(mu, Seq("u"), "left_anti")
+        .select(col("u").as("outside"))
+      val maximal = uIn.unionByName(vIn)
+        .groupBy(col("outside")).agg(count(lit(1)).as("n_in"))
+        .agg(sum(when(col("n_in") >= k, 1L).otherwise(0L)).as("viol"))
+        .select((coalesce(col("viol"), lit(0L)) === 0L).as("core_maximal"))
+      planted.crossJoin(valid).crossJoin(maximal)
+        .select(lit(k.toLong).as("k"), col("n_planted_in_core"),
+          col("core_valid"), col("core_maximal"))
+    }.reduce(_ unionByName _).orderBy(col("k"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> graphTriangles,
     "graph_assortativity" -> graphAssortativity,
+    "graph_kcore" -> graphKcore,
   )
 
   def oracle: Map[String, String] = Map(
+    // closed-form half of the k-core audit: the planted 6-clique
+    // survives every peel at k <= 5, and the structural verdicts must
+    // hold for the exact k-core (which they characterize)
+    "graph_kcore" ->
+      """SELECT CAST(t.k AS BIGINT) AS k,
+        |  CAST(6 AS BIGINT) AS n_planted_in_core,
+        |  TRUE AS core_valid, TRUE AS core_maximal
+        |FROM (VALUES (2), (3), (4)) t(k),
+        |  (SELECT count(*) AS n FROM lineitem WHERE l_linenumber = 1) g
+        |WHERE g.n > 0 ORDER BY k""".stripMargin,
     // same folded edge list, same exact-moment expression tree
     "graph_assortativity" ->
       s"""WITH p AS (SELECT

@@ -77,4 +77,36 @@ class GraphOpsSpec extends GraftSpec {
     assert(r.getLong(3) > 0, "folded lineitem graph should contain triangles")
     assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
   }
+
+  private def kcoreNodes(es: Seq[(Long, Long)], k: Int): Set[Long] = {
+    import org.apache.spark.sql.functions._
+    GraphOps.kcoreEdges(edgesDf(es), k)
+      .select(explode(array(col("u"), col("v"))).as("n"))
+      .distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  test("k-core peeling on closed-form graphs") {
+    // a path has no 2-core; a cycle IS its own 2-core
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(kcoreNodes(path, 2).isEmpty)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(kcoreNodes(cycle, 2) == Set(1L, 2L, 3L, 4L))
+    // K4 with a pendant chain: the 3-core is exactly the K4 (the chain
+    // peels away transitively — removing 6 lowers 5's degree)
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val withChain = k4 ++ Seq((3L, 5L), (5L, 6L))
+    assert(kcoreNodes(withChain, 3) == Set(0L, 1L, 2L, 3L))
+    assert(kcoreNodes(withChain, 5).isEmpty)
+  }
+
+  test("degree assortativity closed forms") {
+    // a star is maximally disassortative: r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val r1 = GraphOps.assortativityStats(edgesDf(star)).collect()(0)
+    assert(r1.getLong(2) == -1000000L)
+    // a regular graph (cycle) has zero degree variance: NULL, not NaN
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val r2 = GraphOps.assortativityStats(edgesDf(cycle)).collect()(0)
+    assert(r2.isNullAt(2))
+  }
 }
