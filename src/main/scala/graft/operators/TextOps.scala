@@ -133,6 +133,40 @@ object TextOps extends QueryPack {
       .orderBy(col("n").desc, col("token"))
       .limit(50)
 
+  /** ZIPF-law fit over the top-100 vocabulary: OLS of ln(frequency) on
+    * ln(rank) — natural language sits near slope −1, so the fitted
+    * slope is the corpus-statistics smoke test for degenerate or
+    * machine-generated text (boilerplate floods flatten it, random
+    * token soup steepens the tail). Counts and ranks are exact
+    * integers (count-desc, token-asc tie-break — deterministic in both
+    * engines); the ONLY float step is the final ln/OLS arithmetic over
+    * ≤100 rows, rounded at 4 dp. One token explode → keyed count →
+    * top-100 (TakeOrdered) → single 100-row projection. */
+  def textZipfFit(s: SparkSession, d: String): DataFrame = {
+    val top = Tables.documents(s, d)
+      .select(explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+    val ranked = top.select(col("n"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token"))).cast("long").as("r"))
+    val m = ranked.select(log(col("r").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+    val kD = "CAST(k AS DOUBLE)"
+    val den = s"($kD * sxx - sx * sx)"
+    val num = s"($kD * sxy - sx * sy)"
+    m.select(col("k").as("n_vocab"),
+        expr(s"CASE WHEN $den > 0 THEN round($num / $den, 4) END")
+          .as("zipf_slope_4"),
+        expr(s"CASE WHEN $den > 0 THEN round((sy - $num / $den * sx) / $kD, 4) END")
+          .as("zipf_icept_4"))
+      .filter(col("n_vocab") > 0)
+  }
+
   /** Gopher-style composite quality filter: each rule a boolean column,
     * `keep` their conjunction — the downstream pipeline filters on `keep`
     * and audits the per-rule columns. Pure int arithmetic + anchored
@@ -605,6 +639,7 @@ object TextOps extends QueryPack {
     "text_rolling_hash" -> textRollingHash,
     "text_pii_redact" -> textPiiRedact,
     "text_vocab_topk" -> textVocabTopK,
+    "text_zipf_fit" -> textZipfFit,
     "text_quality_filter" -> textQualityFilter,
   )
 
@@ -816,6 +851,29 @@ object TextOps extends QueryPack {
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |c AS (SELECT token, count(*) AS n FROM t GROUP BY token)
         |SELECT token, n FROM c ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    // identical rank/count derivation and OLS expression tree, ln only
+    // at the end, 4 dp
+    "text_zipf_fit" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t
+        |  WHERE token <> '' GROUP BY token),
+        |top AS (SELECT n, CAST(row_number() OVER (ORDER BY n DESC, token)
+        |    AS BIGINT) AS r
+        |  FROM c ORDER BY n DESC, token LIMIT 100),
+        |xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+        |  FROM top),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy FROM xy)
+        |SELECT k AS n_vocab,
+        |  CASE WHEN (CAST(k AS DOUBLE) * sxx - sx * sx) > 0
+        |    THEN round((CAST(k AS DOUBLE) * sxy - sx * sy) /
+        |      (CAST(k AS DOUBLE) * sxx - sx * sx), 4) END AS zipf_slope_4,
+        |  CASE WHEN (CAST(k AS DOUBLE) * sxx - sx * sx) > 0
+        |    THEN round((sy - (CAST(k AS DOUBLE) * sxy - sx * sy) /
+        |      (CAST(k AS DOUBLE) * sxx - sx * sx) * sx) / CAST(k AS DOUBLE), 4)
+        |    END AS zipf_icept_4
+        |FROM m WHERE k > 0""".stripMargin,
     "text_quality_filter" ->
       """WITH q AS (SELECT doc_id,
         |  len(string_split(text, ' ')) AS nt,

@@ -172,7 +172,8 @@ object SnapshotTable {
   private case class Manifest(txns: Set[String], schema: Option[StructType],
       files: Seq[String], bucket: Option[(Int, String)] = None,
       dels: Seq[String] = Seq.empty, ts: Option[Long] = None,
-      constraints: Map[String, String] = Map.empty) {
+      constraints: Map[String, String] = Map.empty,
+      dropped: Set[String] = Set.empty) {
     def paths: Seq[String] = files.map(_.takeWhile(_ != '\t'))
     def entries: Option[Seq[FileEntry]] =
       if (files.exists(!_.contains('\t'))) None
@@ -351,7 +352,10 @@ object SnapshotTable {
         case l if l.startsWith("#check:") =>
           val p = l.stripPrefix("#check:").split(":", 2)
           new String(b64d(p(0)), "UTF-8") -> new String(b64d(p(1)), "UTF-8")
-      }.toMap)
+      }.toMap,
+      dropped = lines.collect {
+        case l if l.startsWith("#dropped:") =>
+          new String(b64d(l.stripPrefix("#dropped:")), "UTF-8") }.toSet)
   }
 
   /** Transaction ids already committed to this table — the replay-
@@ -550,7 +554,7 @@ object SnapshotTable {
                   if (m.files != m0.files || m.dels != m0.dels) None
                   else Some((m.files, m.schema.getOrElse(storedSchema(sc0)),
                     m.txns.toSeq.sorted, m.bucket, m.dels ++ delLines,
-                    m.constraints))
+                    m.constraints, m.dropped))
                 }
               }
               if (res.isEmpty) f.delete(delDir, true) // conflict: re-plan
@@ -648,7 +652,7 @@ object SnapshotTable {
             ++ newFiles,
           m.schema.getOrElse(sc0), m.txns.toSeq.sorted,
           if (affected.isEmpty) m.bucket else None,
-          Seq.empty, m.constraints))
+          Seq.empty, m.constraints, m.dropped))
       }
     }
     if (res.isEmpty) f.delete(dataDir, true)
@@ -751,7 +755,7 @@ object SnapshotTable {
     * [[publishNext]] itself at publish time. */
   private type Prepared =
     (Seq[String], StructType, Seq[String], Option[(Int, String)], Seq[String],
-      Map[String, String])
+      Map[String, String], Set[String])
 
   private def publishNext(s: SparkSession, tableDir: String)(
       prepare: Option[Manifest] => Option[Prepared])
@@ -765,7 +769,7 @@ object SnapshotTable {
       val prevManifest = prev.lastOption.map(readManifest(s, tableDir, _))
       prepare(prevManifest) match {
         case None => return None
-        case Some((entries, schema, txns, bucket, dels, checks)) =>
+        case Some((entries, schema, txns, bucket, dels, checks, droppedCols)) =>
           val v = prev.lastOption.getOrElse(0) + 1
           val cd = commitsDir(tableDir)
           f.mkdirs(cd)
@@ -777,7 +781,8 @@ object SnapshotTable {
             bucket.map { case (n, c) => s"#bucket:$n:${b64e(c)}" } ++
             dels.map(d => s"#del:$d") ++
             checks.toSeq.sortBy(_._1).map { case (n, e) =>
-              s"#check:${b64e(n)}:${b64e(e)}" }
+              s"#check:${b64e(n)}:${b64e(e)}" } ++
+            droppedCols.toSeq.sorted.map(n => s"#dropped:${b64e(n)}")
           try out.write((meta ++ entries).mkString("\n").getBytes("UTF-8"))
           finally out.close()
           // the commit point: atomic create-exclusive of the version name
@@ -807,6 +812,16 @@ object SnapshotTable {
         // constraint mid-commit — the retry re-reads and re-validates
         enforceConstraints(df,
           prevManifest.map(_.constraints).getOrElse(Map.empty))
+        // a dropped column NAME may not return via append: pre-drop
+        // files still store it, and name-based projection would
+        // silently resurface their values (the haunted-column hazard)
+        if (!overwrite) {
+          val bad = prevManifest.map(_.dropped).getOrElse(Set.empty)
+            .intersect(df.columns.toSet)
+          require(bad.isEmpty,
+            s"append re-adds dropped column(s) ${bad.mkString(",")} — " +
+              "dropped names are reserved until an overwrite resets the table")
+        }
         // a bucketed APPEND requires the live layout to be the same
         // bucket spec (its file names must all parse bucket ids, and
         // mixed specs have no partitioning meaning)
@@ -844,7 +859,9 @@ object SnapshotTable {
           else prevManifest.map(_.dels).getOrElse(Seq.empty)
         // constraints are table properties: they survive overwrites
         Some((base ++ written.get._2, schema, txns, outBucket, dels,
-          prevManifest.map(_.constraints).getOrElse(Map.empty)))
+          prevManifest.map(_.constraints).getOrElse(Map.empty),
+          if (overwrite) Set.empty[String]
+          else prevManifest.map(_.dropped).getOrElse(Set.empty)))
       }
     }
     if (res.isEmpty) written.foreach(w => f.delete(w._1, true)) // orphan
@@ -970,7 +987,7 @@ object SnapshotTable {
                 ++ newFiles,
               m.schema.getOrElse(storedSchema(schema0)),
               m.txns.toSeq.sorted,
-              m.bucket, Seq.empty, m.constraints))
+              m.bucket, Seq.empty, m.constraints, m.dropped))
           }
         }
         if (res.isEmpty) f.delete(dataDir, true)
@@ -1028,7 +1045,7 @@ object SnapshotTable {
           if (m.files != m0.files || m.dels != m0.dels) None
           else Some((m.files, m.schema.getOrElse(StructType(Nil)),
             m.txns.toSeq.sorted, m.bucket, m.dels,
-            m.constraints + (name -> sqlExpr)))
+            m.constraints + (name -> sqlExpr), m.dropped))
         }
       }
       res match {
@@ -1047,7 +1064,8 @@ object SnapshotTable {
     publishNext(s, tableDir) { pm =>
       pm.filter(_.constraints.contains(name)).map { m =>
         (m.files, m.schema.getOrElse(StructType(Nil)),
-          m.txns.toSeq.sorted, m.bucket, m.dels, m.constraints - name)
+          m.txns.toSeq.sorted, m.bucket, m.dels, m.constraints - name,
+          m.dropped)
       }
     }
 
@@ -1056,6 +1074,56 @@ object SnapshotTable {
   private[sources] def commitTimestamp(s: SparkSession, tableDir: String,
       version: Int): Option[Long] =
     readManifest(s, tableDir, version).ts
+
+  /** METADATA-ONLY column drop (the Delta/Iceberg `ALTER TABLE DROP
+    * COLUMN` shape): publish a new version whose recorded schema omits
+    * the column — no data file is touched; reads simply stop
+    * projecting it (the parquet reader reads only requested columns),
+    * and time travel still serves pre-drop versions WITH the column.
+    * Refused while a CHECK constraint references the column (by name
+    * match — conservative) and for the table's bucket column (the
+    * layout is keyed on it). The dropped NAME is recorded in the
+    * manifest and appends may NOT re-add it (old files still store the
+    * column, so name-based projection would silently resurface the
+    * pre-drop values — the haunted-column hazard; Delta solves it with
+    * id-based column mapping, this format by refusing reuse) until an
+    * OVERWRITE resets the table. */
+  def dropColumn(s: SparkSession, tableDir: String, colName: String): Int = {
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val prev = versions(s, tableDir)
+      require(prev.nonEmpty, s"dropColumn: no published version in $tableDir")
+      val m0 = readManifest(s, tableDir, prev.last)
+      val sc0 = m0.schema.getOrElse(throw new IllegalArgumentException(
+        s"dropColumn: legacy manifest without schema in $tableDir"))
+      require(sc0.fieldNames.contains(colName),
+        s"dropColumn: no column '$colName' in ${sc0.fieldNames.mkString(",")}")
+      require(sc0.fields.length > 1,
+        s"dropColumn: cannot drop the only column of $tableDir")
+      require(!m0.bucket.exists(_._2 == colName),
+        s"dropColumn: '$colName' is the bucket column of $tableDir")
+      m0.constraints.foreach { case (n, e) =>
+        require(!e.contains(colName),
+          s"dropColumn: constraint '$n' ($e) references '$colName' — drop it first")
+      }
+      val next = StructType(sc0.fields.filterNot(_.name == colName))
+      val res = publishNext(s, tableDir) { pm =>
+        pm.flatMap { m =>
+          if (m.files != m0.files || m.dels != m0.dels ||
+            m.schema != m0.schema) None // racing commit: re-check
+          else Some((m.files, next, m.txns.toSeq.sorted, m.bucket,
+            m.dels, m.constraints, m.dropped + colName))
+        }
+      }
+      res match {
+        case Some(v) => return v
+        case None => // re-validate against the new state
+      }
+    }
+    throw new IllegalStateException(
+      s"dropColumn: lost $MaxCommitAttempts races in $tableDir")
+  }
 
   /** The table's CHECK constraints (name → SQL expression). */
   def constraints(s: SparkSession, tableDir: String): Map[String, String] =
@@ -1275,7 +1343,8 @@ object SnapshotTable {
       else Some((newFiles, storedSchema(out.schema),
         (pm.map(_.txns).getOrElse(Set.empty) ++ txnId).toSeq.sorted,
         None, Seq.empty,
-        pm.map(_.constraints).getOrElse(Map.empty)))
+        pm.map(_.constraints).getOrElse(Map.empty),
+        pm.map(_.dropped).getOrElse(Set.empty)))
     }
     if (res.isEmpty) f.delete(dataDir, true)
     res
@@ -1344,7 +1413,7 @@ object SnapshotTable {
           m.files.filter(e => carriedPaths.contains(e.takeWhile(_ != '\t')))
             ++ newFiles,
           m.schema.getOrElse(sc0), (m.txns ++ txnId).toSeq.sorted,
-          m.bucket, Seq.empty, m.constraints))
+          m.bucket, Seq.empty, m.constraints, m.dropped))
       }
     }
     if (res.isEmpty) f.delete(dataDir, true) // conflicting plan: re-plan

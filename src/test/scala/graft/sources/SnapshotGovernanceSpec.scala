@@ -190,6 +190,63 @@ class SnapshotGovernanceSpec extends GraftSpec {
     }
   }
 
+  test("dropColumn is metadata-only: projection gone, history intact, name reserved") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov8-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "extra"),
+      overwrite = false)
+    val filesBefore = SnapshotTable.readAsOf(spark, t, 1).inputFiles.toSet
+    val v = SnapshotTable.dropColumn(spark, t, "extra")
+    assert(v == 2)
+    val snap = SnapshotTable.readAsOf(spark, t, 2)
+    assert(snap.columns.toSeq == Seq("id", "v"))
+    assert(snap.inputFiles.toSet == filesBefore, "drop must touch no data file")
+    // time travel serves the pre-drop schema WITH values
+    val old = SnapshotTable.readAsOf(spark, t, 1)
+    assert(old.columns.contains("extra"))
+    assert(old.select("extra").collect().map(_.getLong(0)).toSet == Set(10L, 20L))
+    // the name is haunted: an append may not re-add it...
+    val err = intercept[Exception] {
+      SnapshotTable.commit(spark, t,
+        Seq((3L, "c", 99L)).toDF("id", "v", "extra"), overwrite = false)
+    }
+    assert(err.getMessage.contains("dropped"))
+    // ...but an overwrite resets the reservation
+    SnapshotTable.commit(spark, t,
+      Seq((9L, "z", 7L)).toDF("id", "v", "extra"), overwrite = true)
+    assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+      .select("extra").head().getLong(0) == 7L)
+  }
+
+  test("dropColumn refusals: constrained, bucket, last, missing columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov9-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      Seq((1L, 5L)).toDF("id", "v"), overwrite = false)
+    SnapshotTable.addConstraint(spark, t, "v_pos", "v > 0")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, t, "v") // constraint references it
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, t, "nope") // no such column
+    }
+    SnapshotTable.dropConstraint(spark, t, "v_pos")
+    SnapshotTable.dropColumn(spark, t, "v")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, t, "id") // cannot drop the last one
+    }
+    val t2 = s"$dir/tbl2"
+    SnapshotTable.commitBucketed(spark, t2,
+      Seq((1L, "x")).toDF("id", "v"), overwrite = false,
+      nBuckets = 2, bucketCol = "id")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, t2, "id") // bucket column
+    }
+  }
+
   test("vacuum expires by age while always keeping the latest version") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-gov4-").toString
