@@ -577,6 +577,40 @@ object AnalyticsOps extends QueryPack {
     * Shape: one scan → (type, day) partial-aggregated count → a
     * |types|-row moment aggregate → closed-form projection. The heavy
     * stage shuffles (type, day) pairs only. */
+  /** SCD TYPE-2 interval build — the dimension-history op every
+    * warehouse runs on a CDC feed: per user, collapse consecutive
+    * equal values (ordered by (ts, event_id), the total event order)
+    * into versions, each with its validity interval
+    * [valid_from, valid_to) in epoch micros — valid_to NULL for the
+    * OPEN current version. Change detection is null-safe (`<=>` /
+    * IS DISTINCT FROM on exact cent values), so a NULL measure forms
+    * its own version rather than poisoning the comparison.
+    *
+    * Shape: ONE user-keyed window partitioning serves both the lag
+    * (change detection) and the lead (interval close) — a single
+    * exchange on user_id; output is change-point-sized, not
+    * event-sized. */
+  def eventsScd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_c"))
+    val changes = ev
+      .withColumn("prev", lag(col("v_c"), 1).over(w))
+      .withColumn("is_first", lag(col("event_id"), 1).over(w).isNull)
+      .filter(col("is_first") || !(col("v_c") <=> col("prev")))
+    val w2 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    changes
+      .select(col("user_id"), col("v_c"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(lead(col("ts"), 1).over(w2)).as("valid_to_us"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
   def eventsTrendForecast(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).filter(col("ts").isNotNull)
       .select(col("event_type"), to_date(col("ts")).as("day"))
@@ -1305,6 +1339,7 @@ object AnalyticsOps extends QueryPack {
     "events_range_trailing" -> eventsRangeTrailing,
     "events_corr_stats"  -> eventsCorrStats,
     "events_trend_forecast" -> eventsTrendForecast,
+    "events_scd2" -> eventsScd2,
     "sample_stratified_topk" -> sampleStratifiedTopK,
     "graph_pagerank"     -> graphPagerank,
     "sample_weighted"    -> sampleWeighted,
@@ -1785,6 +1820,25 @@ object AnalyticsOps extends QueryPack {
         |WINDOW w AS (PARTITION BY user_id ORDER BY t_us
         |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // consecutive-distinct collapse + interval close, both on the same
+    // (ts, event_id) total order; null-safe change detection
+    "events_scd2" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |c AS (SELECT user_id, ts, event_id, v_c,
+        |    lag(v_c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      IS NULL AS is_first
+        |  FROM e),
+        |ch AS (SELECT user_id, ts, event_id, v_c FROM c
+        |  WHERE is_first OR v_c IS DISTINCT FROM prev)
+        |SELECT user_id, v_c,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+        |  epoch_us(CAST(lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS TIMESTAMP)) AS valid_to_us
+        |FROM ch ORDER BY user_id, valid_from_us""".stripMargin,
     // identical moment shape and rounding as the engine: exact integer
     // sums, the same double expression tree, one micro-round at the end
     "events_trend_forecast" ->
