@@ -257,7 +257,16 @@ object SnapshotTable {
         case ('d', n: java.lang.Number) =>
           val d = n.doubleValue
           if (d.isNaN || d.isInfinite) None
-          else Some(java.lang.Double.compare(bound.asInstanceOf[Double], d))
+          else {
+            val b = bound.asInstanceOf[Double]
+            // SQL comparison (and Spark's min/max) treat -0.0 == 0.0, but
+            // java.lang.Double.compare orders -0.0 < 0.0 — a stored max of
+            // -0.0 must NOT refute `x = 0.0`. Short-circuit IEEE equality
+            // first (the parquet-stats convention) so signed zeros never
+            // prune a matching file.
+            if (b == d) Some(0)
+            else Some(java.lang.Double.compare(b, d))
+          }
         case ('s', u: UTF8String) =>
           Some(bcmp(bound.asInstanceOf[Array[Byte]], u.getBytes))
         case _ => None
@@ -659,12 +668,35 @@ object SnapshotTable {
     res
   }
 
+  /** Filesystem schemes whose `rename` is atomic no-overwrite (fails,
+    * rather than clobbers, when the destination exists): local POSIX
+    * link(2) and the HDFS namenode family. Object stores (s3a, gs,
+    * abfs, oss, wasb) implement rename as copy/check-then-act — two
+    * racing writers of the same version can BOTH observe success and
+    * one commit is silently lost, so the commit point refuses them
+    * outright instead of silently weakening the guarantee. */
+  private[sources] val AtomicRenameSchemes = Set("file", "hdfs", "viewfs")
+
+  /** Fail fast when `scheme` cannot provide an atomic no-overwrite
+    * rename — the primitive every snapshot-table commit point relies
+    * on. Exposed for the spec; called on the remote branch of
+    * [[publish]]. */
+  private[sources] def requireAtomicRenameScheme(scheme: String): Unit =
+    require(AtomicRenameSchemes.contains(scheme),
+      s"snapshot-table commits need an atomic no-overwrite rename, which " +
+        s"scheme '$scheme' does not provide (object-store rename is " +
+        "check-then-act: two racing writers could both claim the same " +
+        "version). Supported schemes: " +
+        AtomicRenameSchemes.toSeq.sorted.mkString(", ") +
+        ". Front object stores with an HDFS/metadata layer to use this table.")
+
   /** Atomic publish of a fully-written temp manifest under the final
     * version name. Local FS: hard-link (POSIX link(2) — atomic, fails
     * if the name exists, content complete at link time). Remote FS
-    * (HDFS): no-overwrite rename, atomic at the namenode. Returns
-    * false when another writer owns the name; the temp file is
-    * consumed either way. */
+    * (HDFS): no-overwrite rename, atomic at the namenode. Any scheme
+    * outside [[AtomicRenameSchemes]] is refused — see
+    * [[requireAtomicRenameScheme]]. Returns false when another writer
+    * owns the name; the temp file is consumed either way. */
   private def publish(f: FileSystem, tmp: HPath, dst: HPath): Boolean =
     if ("file" == Option(dst.toUri.getScheme).getOrElse(f.getScheme)) {
       import java.nio.file.{Files, Paths, FileAlreadyExistsException}
@@ -674,6 +706,7 @@ object SnapshotTable {
       catch { case _: FileAlreadyExistsException =>
         f.delete(tmp, false); false }
     } else {
+      requireAtomicRenameScheme(Option(dst.toUri.getScheme).getOrElse(f.getScheme))
       val ok = f.rename(tmp, dst)
       if (!ok) f.delete(tmp, false)
       ok
@@ -1526,8 +1559,24 @@ object SnapshotTable {
     val tmp = new HPath(cp.getParent, s".${cp.getName}.tmp")
     val out = fsys.create(tmp, true)
     try out.write(to.toString.getBytes("UTF-8")) finally out.close()
-    fsys.delete(cp, false)
-    require(fsys.rename(tmp, cp), s"cursor advance failed: $tmp -> $cp")
+    // The advance must be a SINGLE atomic replace: a delete-then-rename
+    // pair crashed in between would reset the cursor to genesis, and the
+    // replayed txn id embeds the range ((0,to] vs (from,to]) — so the
+    // "idempotent downstream" composition would re-apply already-consumed
+    // changes under a FRESH txn id. POSIX rename(2) (local) and the HDFS
+    // namenode's overwrite rename are both atomic replaces.
+    if ("file" == Option(cp.toUri.getScheme).getOrElse(fsys.getScheme)) {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      Files.move(
+        Paths.get(fsys.makeQualified(tmp).toUri.getPath),
+        Paths.get(fsys.makeQualified(cp).toUri.getPath),
+        StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        cp.toUri, s.sparkContext.hadoopConfiguration)
+      fc.rename(fsys.makeQualified(tmp), fsys.makeQualified(cp),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
     Some((from, to))
   }
 

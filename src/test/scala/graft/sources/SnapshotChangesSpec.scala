@@ -155,6 +155,41 @@ class SnapshotChangesSpec extends GraftSpec {
       SnapshotTable.readAsOf(spark, t, 2).count())
   }
 
+  test("cursor advance survives a stale tmp file and replaces atomically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg8-").toString
+    val t = s"$dir/src"
+    val cursor = s"$dir/cursor"
+    SnapshotTable.commit(spark, t, Seq(1L).toDF("id"), overwrite = false)
+    // simulate a consumer that crashed AFTER writing the tmp cursor but
+    // BEFORE the replace: a stale .cursor.tmp must not wedge or corrupt
+    // the next advance, and the real cursor must never transit through a
+    // deleted state (the old delete-then-rename hazard)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".cursor.tmp"),
+      "999".getBytes("UTF-8"))
+    assert(SnapshotTable.followChanges(spark, t, cursor)((_, _, _) => ())
+      .contains((0, 1)))
+    def cursorValue: Int = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cursor)), "UTF-8").trim.toInt
+    assert(cursorValue == 1)
+    // second advance replaces the EXISTING cursor file in place
+    SnapshotTable.commit(spark, t, Seq(2L).toDF("id"), overwrite = false)
+    assert(SnapshotTable.followChanges(spark, t, cursor)((_, _, _) => ())
+      .contains((1, 2)))
+    assert(cursorValue == 2)
+  }
+
+  test("commit points refuse filesystems without atomic no-overwrite rename") {
+    SnapshotTable.requireAtomicRenameScheme("hdfs")
+    SnapshotTable.requireAtomicRenameScheme("viewfs")
+    SnapshotTable.requireAtomicRenameScheme("file")
+    for (scheme <- Seq("s3a", "s3", "gs", "abfs", "wasb", "oss"))
+      intercept[IllegalArgumentException] {
+        SnapshotTable.requireAtomicRenameScheme(scheme)
+      }
+  }
+
   test("evolution: a feed crossing a column-add serves the new schema") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-chg3-").toString

@@ -98,6 +98,54 @@ class SnapshotPruneSpec extends GraftSpec {
     }
   }
 
+  test("signed zeros never prune a matching file") {
+    import spark.implicits._
+    // SQL comparison treats -0.0 == 0.0 while java.lang.Double.compare
+    // orders -0.0 < 0.0: a file whose stored max is -0.0 must still be
+    // scanned for `score = 0.0` / `score >= 0.0`. Each commit is its own
+    // file, so the all-negative-zero file gets its own zone map entry.
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune0-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      Seq((1L, -0.0), (2L, -0.0)).toDF("id", "score").coalesce(1),
+      overwrite = false)
+    SnapshotTable.commit(spark, t,
+      Seq((3L, 0.0)).toDF("id", "score"), overwrite = false)
+    SnapshotTable.commit(spark, t,
+      Seq((4L, 5.5)).toDF("id", "score"), overwrite = false)
+    val snap = SnapshotTable.readAsOf(spark, t, 3)
+    val mem = spark.read.schema(snap.schema).parquet(snap.inputFiles: _*)
+    val predicates = Seq(
+      col("score") === 0.0, col("score") === -0.0,
+      col("score") >= 0.0, col("score") <= 0.0, col("score") <= -0.0,
+      col("score") > -0.0, col("score") < 0.0,
+      col("score").isin(0.0, 5.5), col("score").isin(-0.0))
+    predicates.foreach { p =>
+      val got = run(snap.filter(p))._1
+      val want = mem.filter(p).collect().map(_.toString).toSeq.sorted
+      assert(got == want, s"pruned result diverged for predicate $p")
+    }
+    // Closed-form core of the bug, with the PARQUET pushdown disabled to
+    // isolate the manifest layer: stock Spark's parquet row-group stats
+    // have the very same Double.compare defect (a -0.0-only row group is
+    // skipped for `= 0.0` even through plain spark.read.parquet — verified
+    // against vanilla 4.1.2), so with pushdown ON the engine can do no
+    // better than parquet parity, which the equivalence loop above pins.
+    // With it OFF, the only skipping left is ours — and it must keep the
+    // -0.0 file.
+    val pd = "spark.sql.parquet.filterPushdown"
+    val saved = spark.conf.get(pd)
+    spark.conf.set(pd, "false")
+    try {
+      assert(run(snap.filter(col("score") === 0.0))._1.size == 3)
+      assert(run(snap.filter(col("score") >= 0.0))._1.size == 4)
+      assert(run(snap.filter(col("score") <= -0.0))._1.size == 3)
+      // and the zone map still PRUNES where it soundly can
+      val (_, f) = run(snap.filter(col("score") === 5.5))
+      assert(f == 1, s"expected 1 file for = 5.5, scanned $f")
+    } finally spark.conf.set(pd, saved)
+  }
+
   test("columns without stats and post-evolution files stay unpruned") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-prune3-").toString
