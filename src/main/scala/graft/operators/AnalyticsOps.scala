@@ -1309,7 +1309,89 @@ object AnalyticsOps extends QueryPack {
           .as("burst_ratio_micro"))
       .orderBy(col("event_type"))
 
+  /** Lower-median of `v` per `key`: the element at row_number =
+    * ⌈n/2⌉ under (v, tie) order — a DISCRETE order statistic, chosen
+    * over interpolated percentile so the oracle comparison never rides
+    * on which engine's interpolation arithmetic rounds the last ulp.
+    * One sort-shuffle per call, partitioned on the (low-cardinality)
+    * key; the selected element is an actual stored double, bit-equal
+    * in any engine reading the same parquet. */
+  private def lowerMedian(df: DataFrame, key: String, v: String,
+      tie: String, out: String): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(v), col(tie))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(key))))
+      .filter(col("__rn") === ceil(col("__n") / 2.0))
+      .select(col(key), col(v).as(out))
+
+  /** Robust outlier screen per event type: median / MAD (median absolute
+    * deviation) / robust-z outlier count — the outlier detector that
+    * survives the outliers themselves (mean/stddev screens are dragged
+    * by the very tail they are meant to flag). Both medians are the
+    * DISCRETE lower median (see [[lowerMedian]]) so every derived double
+    * is an exact stored value and the |v − med| > 3·1.4826·mad cut
+    * evaluates identically in any engine.
+    *
+    * Shape: two per-type sort passes (median, then MAD over the
+    * re-joined deviations) and one final aggregate — all partitioned on
+    * event_type, no driver work, no interpolation. */
+  def eventsMadOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val med = lowerMedian(ev, "event_type", "value", "event_id", "med")
+    val dev = ev.join(med, "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = lowerMedian(dev, "event_type", "dev", "event_id", "mad")
+    dev.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 4).as("median"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(col("dev") > lit(3.0 * 1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** First/last-touch attribution: for every user whose log contains a
+    * purchase, the type of their FIRST event and of the LAST
+    * non-purchase event strictly before their first purchase —
+    * marketing's classic credit-assignment pair. Users whose first
+    * event IS the purchase credit as 'direct' on both touches.
+    *
+    * Shape: one per-user aggregate finds the first purchase (min_by on
+    * the (ts, event_id) order key), one keyed self-join restricts to
+    * pre-purchase history, one per-user min_by/max_by picks the
+    * touches, one count aggregate — every stage partitions on user_id
+    * or the tiny (first, last) type pair; no windows over the full log,
+    * no driver loops. */
+  def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("p"))
+      .select(col("user_id"), col("p.ts").as("p_ts"), col("p.event_id").as("p_id"))
+    val touches = ev.join(firstPurchase, "user_id")
+      .filter(col("ts") < col("p_ts") ||
+        (col("ts") === col("p_ts") && col("event_id") < col("p_id")))
+      .groupBy(col("user_id"))
+      .agg(
+        expr("min_by(event_type, struct(ts, event_id))").as("first_touch"),
+        expr("max_by(event_type, struct(ts, event_id))").as("last_touch"))
+    firstPurchase.join(touches, Seq("user_id"), "left_outer")
+      .select(coalesce(col("first_touch"), lit("direct")).as("first_touch"),
+        coalesce(col("last_touch"), lit("direct")).as("last_touch"))
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("first_touch"), col("last_touch"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_mad_outliers" -> eventsMadOutliers,
+    "events_attribution" -> eventsAttribution,
     "events_burstiness" -> eventsBurstiness,
     "events_winsorized" -> eventsWinsorized,
     "events_dow_profile" -> eventsDowProfile,
@@ -1346,6 +1428,63 @@ object AnalyticsOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // DISCRETE lower medians (rn = ceil(n/2) under (v, event_id) order)
+    // on both sides: every compared double is an exact stored value, so
+    // the robust-z cut needs no interpolation-parity caveat
+    "events_mad_outliers" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |m AS (SELECT event_type, value AS med FROM r
+        |  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),
+        |d AS (SELECT e.event_type, e.event_id, m.med,
+        |    abs(e.value - m.med) AS dev
+        |  FROM e JOIN m USING (event_type)),
+        |r2 AS (SELECT event_type, event_id, med, dev,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dev, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |mm AS (SELECT event_type, dev AS mad FROM r2
+        |  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(any_value(d.med), 4) AS median,
+        |  round(any_value(mm.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN d.dev > 3.0 * 1.4826 * mm.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mm USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    // ts truncated to micros (CAST TIMESTAMP) to mirror the engine's
+    // nanos->micros event-time normalization exactly
+    "events_attribution" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |fp AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM (
+        |    SELECT user_id, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS rn
+        |    FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+        |pre AS (SELECT e.user_id, e.event_type, e.ts, e.event_id
+        |  FROM e JOIN fp USING (user_id)
+        |  WHERE e.ts < fp.p_ts OR (e.ts = fp.p_ts AND e.event_id < fp.p_id)),
+        |tt AS (SELECT user_id,
+        |    max(CASE WHEN rn_a = 1 THEN event_type END) AS ft,
+        |    max(CASE WHEN rn_d = 1 THEN event_type END) AS lt
+        |  FROM (SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS rn_a,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn_d
+        |    FROM pre) GROUP BY user_id)
+        |SELECT coalesce(tt.ft, 'direct') AS first_touch,
+        |  coalesce(tt.lt, 'direct') AS last_touch,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM fp LEFT JOIN tt USING (user_id)
+        |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin,
     "events_burstiness" ->
       """WITH c AS (SELECT event_type, date_trunc('minute', ts) AS minute,
         |    CAST(count(*) AS BIGINT) AS n

@@ -461,8 +461,14 @@ object DedupOps extends QueryPack {
         size(col("embedding")) > 0)
     // materialized ONCE: the Lloyd loop, the assignment, and the audit
     // all re-consume it
+    // Plant only finite, nonzero-norm twins (cos(v,v) IS NOT NULL is
+    // exactly that predicate — the annIvfAppend guard): a zero-norm
+    // vector's cosine to ANYTHING is NULL, so its exact twin could never
+    // connect at >= SemTau and the n_dropped_twins == n_planted audit
+    // would mismatch on any corpus containing an all-zero embedding.
     val base = base0.unionByName(
-      base0.filter(col("vec_id") % 101 === 0)
+      base0.filter(col("vec_id") % 101 === 0 &&
+          SimilarityOps.cosine(col("embedding"), col("embedding")).isNotNull)
         .withColumn("vec_id", col("vec_id") + 1000000000000L))
       .localCheckpoint(true)
     val n = base.count()
@@ -904,6 +910,126 @@ object DedupOps extends QueryPack {
       .orderBy(col("method"))
   }
 
+  /** Prefix-filtering threshold: high enough that the prefix (the
+    * 1 − τ tail of each doc's rarest tokens) stays short. */
+  private val PrefixTau = 0.6
+
+  /** Word-token sets per doc — distinct, empties dropped — over the
+    * corpus plus planted exact twins (every 97th doc re-appended under
+    * `+1e12`, the [[chunkDedup]] device, so τ=1.0 pairs provably
+    * exist). Shared by [[prefixJaccard]] and [[containment]]. */
+  private def wordTokens(s: SparkSession, d: String,
+      plant: DataFrame => DataFrame): DataFrame = {
+    val docs0 = docsSharded(s, d).select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    val docs = docs0.unionByName(plant(docs0))
+    docs.select(col("doc_id"),
+      explode(array_distinct(filter(split(col("text"), " "),
+        t => length(t) > 0))).as("token"))
+  }
+
+  /** EXACT set-similarity self-join at Jaccard ≥ τ via PREFIX FILTERING
+    * (the AllPairs/PPJoin candidate scheme of Bayardo et al. 2007 /
+    * Xiao et al. 2008): order every doc's distinct word tokens by
+    * global rarity — (df, token) is already a total order, so no
+    * global rank (and no single-task window) is ever computed — and
+    * join only on each doc's PREFIX, its first |A| − ⌈τ·|A|⌉ + 1
+    * rarest tokens. Completeness is the prefix theorem: any pair with
+    * J ≥ τ shares at least one token inside both prefixes, so unlike
+    * the df-capped [[ngramJaccard]] relation this is exact with NO
+    * recall cliff — the df cap is replaced by the τ-derived prefix,
+    * and the candidate volume is Σ df(prefix tokens)², dominated by
+    * RARE tokens by construction. Candidates are verified by counting
+    * the true intersection with a keyed (doc, token) join — never
+    * all-pairs, never a full-set self-join. */
+  def prefixJaccard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = wordTokens(s, d,
+      base => base.filter(col("doc_id") % 97 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000000000L))
+      .localCheckpoint(true) // feeds df agg, prefix, verify joins, sizes
+    val dfs = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pos = toks.join(dfs, "token")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))))
+    // prefix length |A| − ⌈τ·|A|⌉ + 1 in EXACT integer arithmetic
+    // (τ = 3/5): float ceil at an integer boundary could shorten the
+    // prefix by one and silently break the completeness theorem
+    val prefix = pos.join(sz, "doc_id")
+      .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+      .select(col("doc_id"), col("token"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("token")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("token")),
+        Seq("doc_b", "token"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")) >= PrefixTau)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val ContainTau = 0.8
+
+  /** ASYMMETRIC near-dup — quote/subset detection: containment
+    * C(A→B) = |A∩B| / |A| ≥ τ over distinct word sets, the measure
+    * that catches a short doc quoted inside a long one (where Jaccard
+    * vanishes as |B| grows). Planted ground truth: every 97th doc's
+    * FIRST HALF re-appended under `+1e12` — its word set is a subset
+    * of the original's, so a C = 1.0 edge provably exists per plant.
+    * Candidates come from the quote side's PREFIX (its rarest
+    * |A| − ⌈τ·|A|⌉ + 1 tokens — C ≥ τ forces |A∩B| ≥ ⌈τ·|A|⌉, so a
+    * true pair must collide inside that prefix) joined against the
+    * candidate source side's FULL postings; the B side cannot be
+    * prefix-trimmed because containment does not bound |B|. Exact, no
+    * recall cliff, keyed joins only. */
+  def containment(s: SparkSession, d: String): DataFrame = {
+    val toks = wordTokens(s, d,
+      base => base.filter(col("doc_id") % 97 === 0 &&
+          size(split(col("text"), " ")) >= 6)
+        .withColumn("text", concat_ws(" ",
+          slice(split(col("text"), " "), lit(1),
+            floor(size(split(col("text"), " ")) / 2).cast("int"))))
+        .withColumn("doc_id", col("doc_id") + 1000000000000L))
+      .localCheckpoint(true)
+    val dfs = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pos = toks.join(dfs, "token")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("token"))))
+    // ⌈τ·|A|⌉ with τ = 4/5 in exact integers, as in [[prefixJaccard]]
+    val prefix = pos.join(sz, "doc_id")
+      .filter(col("pos") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+      .select(col("doc_id").as("quote_id"), col("token"))
+    val cand = prefix.join(
+        toks.select(col("doc_id").as("source_id"), col("token")), "token")
+      .filter(col("quote_id") =!= col("source_id"))
+      .select(col("quote_id"), col("source_id")).distinct()
+    val inter = cand
+      .join(toks.select(col("doc_id").as("quote_id"), col("token")), "quote_id")
+      .join(toks.select(col("doc_id").as("source_id"), col("token")),
+        Seq("source_id", "token"))
+      .groupBy(col("quote_id"), col("source_id")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("quote_id"), col("sz").as("sz_q")), "quote_id")
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("sz_q"), 4))
+      .filter(col("inter").cast("double") / col("sz_q") >= ContainTau)
+      .select(col("quote_id"), col("source_id"), col("inter"), col("containment"))
+      .orderBy(col("quote_id"), col("source_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_dedup_exact" -> ingestDedupExact,
     "dedup_sketch_recall" -> sketchRecall,
@@ -915,6 +1041,8 @@ object DedupOps extends QueryPack {
     "dedup_simhash_portable" -> simhashPortable,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_jaccard_prefix" -> prefixJaccard,
+    "dedup_containment" -> containment,
     "dedup_embedding_pairs" -> embeddingDup,
     "dedup_semdedup" -> semDedup,
     "dedup_components" -> connectedComponents,
@@ -1064,6 +1192,54 @@ object DedupOps extends QueryPack {
       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)""".stripMargin
 
   override val oracle: Map[String, String] = Map(
+    // prefix filtering is EXACT at >= tau, so the oracle is the plain
+    // all-pairs word-set Jaccard — the engine must recover the full
+    // result set with no recall allowance
+    "dedup_jaccard_prefix" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000, text FROM documents
+        |  WHERE doc_id % 97 = 0 AND doc_id IS NOT NULL AND text IS NOT NULL),
+        |t AS (SELECT DISTINCT doc_id,
+        |        unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+        |      FROM docs),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY 1),
+        |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |      FROM t a JOIN t b ON a.token = b.token AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+        |FROM i JOIN sz sa ON sa.doc_id = i.doc_a
+        |       JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // containment is likewise exact: quote-side prefix x full source
+    // postings loses nothing at >= tau, so the oracle is the all-ordered-
+    // pairs containment over the same planted-half corpus
+    "dedup_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |half AS (SELECT doc_id + 1000000000000 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      CAST(floor(len(string_split(text, ' ')) / 2.0) AS INT)), ' ') AS text
+        |  FROM base
+        |  WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 6),
+        |docs AS (SELECT * FROM base UNION ALL SELECT * FROM half),
+        |t AS (SELECT DISTINCT doc_id,
+        |        unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+        |      FROM docs),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY 1),
+        |i AS (SELECT a.doc_id AS quote_id, b.doc_id AS source_id,
+        |        count(*) AS inter
+        |      FROM t a JOIN t b ON a.token = b.token AND a.doc_id <> b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT quote_id, source_id, inter,
+        |  round(CAST(inter AS DOUBLE) / sq.sz, 4) AS containment
+        |FROM i JOIN sz sq ON sq.doc_id = i.quote_id
+        |WHERE CAST(inter AS DOUBLE) / sq.sz >= 0.8
+        |ORDER BY quote_id, source_id""".stripMargin,
     // planted-twin recall is exact by construction (see sketchRecall):
     // identical texts share every band bucket, so each method must
     // recover every eligible twin pair — the expected counts are a
@@ -1147,10 +1323,14 @@ object DedupOps extends QueryPack {
     // component's minimum); the structural verdicts are TRUE whenever
     // the engine's kept/dropped sets satisfy the semdedup contract
     "dedup_semdedup" ->
-      """WITH e AS (SELECT vec_id FROM embeddings
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
         |    AND len(embedding) > 0),
-        |p AS (SELECT count(*) AS n_planted FROM e WHERE vec_id % 101 = 0),
+        |nr AS (SELECT sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM e WHERE vec_id % 101 = 0),
+        |p AS (SELECT count(*) AS n_planted FROM nr
+        |  WHERE nrm > 0 AND NOT isnan(nrm) AND NOT isinf(nrm)),
         |t AS (SELECT count(*) AS n_base FROM e)
         |SELECT CAST(t.n_base + p.n_planted AS BIGINT) AS n_vectors,
         |  CAST(p.n_planted AS BIGINT) AS n_planted,

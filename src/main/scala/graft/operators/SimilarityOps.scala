@@ -881,7 +881,69 @@ object SimilarityOps extends QueryPack {
       .orderBy(col("label"))
   }
 
+  /** Target dimension of the random projection — small enough that the
+    * reduced corpus is a quarter of the original scan, large enough
+    * that JL distortion keeps exact twins unambiguous. */
+  private val RpDim = 16
+
+  /** Johnson–Lindenstrauss dimensionality reduction (Achlioptas-style
+    * ±1 signs, JL lemma via Achlioptas 2003's database-friendly
+    * projections): y_j = Σ_i x_i·sign(h(i·16+j)) with signs from
+    * xxhash64 parity — MATRIX-FREE (no driver-held projection matrix,
+    * no broadcast), evaluated as 16 sign-flipped sums in ONE partial
+    * aggregate over the exploded (vec_id, i, x_i) rows. Inputs are
+    * micro-unit integers (CAST(round(x·1e6))), so each projected
+    * coordinate is an EXACT integer sum — order-independent across
+    * partitions, and a planted twin's projection is bit-equal to its
+    * original's, making expected recall closed-form (the [[annRecall]]
+    * device): every planted query's nearest reduced-space neighbor is
+    * its original at cosine exactly dot/√(dot·dot).
+    *
+    * This is the scale path for similarity over fat embeddings: project
+    * once (map-side, one shuffle on vec_id), then search in k=16 — a
+    * 4× cheaper scan per query — with the raw corpus consulted only to
+    * re-rank final candidates. */
+  def annRpRecall(s: SparkSession, d: String): DataFrame = {
+    val plantOff = 1000000000000L
+    val base0 = corpus(s, d).filter(size(col("embedding")) === Dim &&
+      cosine(col("embedding"), col("embedding")).isNotNull)
+    val planted = base0.filter(col("vec_id") % 101L === 0)
+      .withColumn("vec_id", col("vec_id") + plantOff)
+    val base = base0.unionByName(planted)
+    val ex = base.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+    val aggs = (0 until RpDim).map { j =>
+      sum(expr("CAST(round(x * 1000000) AS BIGINT)") *
+        (pmod(xxhash64(col("i") * lit(RpDim) + lit(j)), lit(2)) * 2 - 1))
+        .as(s"y$j")
+    }
+    val proj = ex.groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"),
+        array((0 until RpDim).map(j => col(s"y$j").cast("double")): _*).as("y"))
+    val q = proj.filter(col("vec_id") >= plantOff)
+      .select(col("vec_id").as("q_id"), col("y").as("qy"))
+    // 16-element arrays: the HOF dot/norms stay tiny and codegen-safe
+    val dot = expr("aggregate(zip_with(qy, y, (a, b) -> a * b), 0D, (acc, v) -> acc + v)")
+    val nq = expr("aggregate(qy, 0D, (acc, v) -> acc + v * v)")
+    val ny = expr("aggregate(y, 0D, (acc, v) -> acc + v * v)")
+    val scored = proj.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        when(nq > 0 && ny > 0, dot / sqrt(nq * ny)).as("cos"))
+      .filter(col("cos").isNotNull)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val top1 = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+    planted.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(top1.agg(
+        sum(when(col("q_id") === col("vec_id") + plantOff, 1L).otherwise(0L))
+          .as("found")))
+      .select(lit("rp16").as("method"), col("n_queries"),
+        coalesce(col("found"), lit(0L)).as("n_found"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_rp_recall" -> annRpRecall,
     "ann_brute_topk" -> annBruteForce,
     "ann_radius" -> annRadius,
     "ann_quantized_topk" -> annQuantizedTopK,
@@ -1065,6 +1127,19 @@ object SimilarityOps extends QueryPack {
         |FROM p, (SELECT 'brute' AS method UNION ALL SELECT 'ivf'
         |         UNION ALL SELECT 'lsh') m
         |ORDER BY method""".stripMargin,
+    // same closed-form expectation in the REDUCED space: a twin's
+    // integer projection is bit-equal to its original's (see annRpRecall)
+    "ann_rp_recall" ->
+      """WITH nr AS (
+        |  SELECT sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |  WHERE vec_id % 101 = 0 AND embedding IS NOT NULL
+        |    AND len(embedding) = 64),
+        |p AS (SELECT count(*) AS n FROM nr
+        |      WHERE nrm > 0 AND NOT isnan(nrm) AND NOT isinf(nrm))
+        |SELECT 'rp16' AS method, p.n AS n_queries, p.n AS n_found
+        |FROM p""".stripMargin,
     // same closed-form expectation for the incremental path: an appended
     // exact-copy twin is found by construction (see annIvfAppend)
     "ann_ivf_append" ->

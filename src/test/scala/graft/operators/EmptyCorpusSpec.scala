@@ -48,7 +48,7 @@ class EmptyCorpusSpec extends GraftSpec {
     // side as quota_only rows; everything else must come back with zero
     // rows
     val summaryRows = Set("dedup_exact_stats", "dedup_sketch_recall",
-      "ann_recall", "ann_ivf_append", "text_token_budget",
+      "ann_recall", "ann_ivf_append", "ann_rp_recall", "text_token_budget",
       "q6_revenue_filter", "q40_full_outer", "layout_compaction",
       "profile_columns")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
