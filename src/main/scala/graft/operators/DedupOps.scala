@@ -57,7 +57,7 @@ object DedupOps extends QueryPack {
     * emitted by the compiled [[graft.functions.NgramRows]] generator
     * instead of the interpreted zip_with chain (same distinct 3-gram set
     * per doc, one JVM loop per row instead of per-element lambda frames). */
-  private def shingleRows(docs: DataFrame): DataFrame = {
+  private[operators] def shingleRows(docs: DataFrame): DataFrame = {
     graft.functions.GeneratorExpressions.register(docs.sparkSession)
     docs.select(col("doc_id"),
         graft.functions.GeneratorExpressions.ngram_rows(col("text"), 3)
@@ -911,40 +911,44 @@ object DedupOps extends QueryPack {
   }
 
   /** Prefix-filtering threshold: high enough that the prefix (the
-    * 1 − τ tail of each doc's rarest tokens) stays short. */
+    * 1 − τ tail of each doc's rarest shingles) stays short. */
   private val PrefixTau = 0.6
 
-  /** Word-token sets per doc — distinct, empties dropped — over the
-    * corpus plus planted exact twins (every 97th doc re-appended under
-    * `+1e12`, the [[chunkDedup]] device, so τ=1.0 pairs provably
-    * exist). Shared by [[prefixJaccard]] and [[containment]]. */
-  private def wordTokens(s: SparkSession, d: String,
+  /** Distinct word-3-gram SHINGLE sets per doc (the [[shingleRows]]
+    * generator) over the corpus plus a planted slice. Shingles, not
+    * words, are the prefix-filter token deliberately: in a Zipf
+    * vocabulary a doc made of common words puts common words in its
+    * rarest-first prefix (global df stays huge → the candidate join
+    * quadratically explodes — measured: a single coalesced task ran
+    * minutes at sf0.1 on word tokens), while 3-gram dfs are long-tail
+    * almost everywhere, keeping Σ df(prefix)² near-linear. Shared by
+    * [[prefixJaccard]] and [[containment]]. */
+  private def shingleTokens(s: SparkSession, d: String,
       plant: DataFrame => DataFrame): DataFrame = {
     val docs0 = docsSharded(s, d).select(col("doc_id"), col("text"))
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
     val docs = docs0.unionByName(plant(docs0))
-    docs.select(col("doc_id"),
-      explode(array_distinct(filter(split(col("text"), " "),
-        t => length(t) > 0))).as("token"))
+    shingleRows(docs).withColumnRenamed("shingle", "token")
   }
 
   /** EXACT set-similarity self-join at Jaccard ≥ τ via PREFIX FILTERING
     * (the AllPairs/PPJoin candidate scheme of Bayardo et al. 2007 /
-    * Xiao et al. 2008): order every doc's distinct word tokens by
-    * global rarity — (df, token) is already a total order, so no
-    * global rank (and no single-task window) is ever computed — and
-    * join only on each doc's PREFIX, its first |A| − ⌈τ·|A|⌉ + 1
-    * rarest tokens. Completeness is the prefix theorem: any pair with
-    * J ≥ τ shares at least one token inside both prefixes, so unlike
-    * the df-capped [[ngramJaccard]] relation this is exact with NO
-    * recall cliff — the df cap is replaced by the τ-derived prefix,
-    * and the candidate volume is Σ df(prefix tokens)², dominated by
-    * RARE tokens by construction. Candidates are verified by counting
-    * the true intersection with a keyed (doc, token) join — never
-    * all-pairs, never a full-set self-join. */
+    * Xiao et al. 2008): order every doc's distinct shingles by global
+    * rarity — (df, token) is already a total order, so no global rank
+    * (and no single-task window) is ever computed — and join only on
+    * each doc's PREFIX, its first |A| − ⌈τ·|A|⌉ + 1 rarest shingles,
+    * under the EXACT length filter τ·max(|A|,|B|) ≤ min(|A|,|B|).
+    * Completeness is the prefix theorem: any pair with J ≥ τ shares at
+    * least one token inside both prefixes, so unlike the df-capped
+    * [[ngramJaccard]] relation this is exact with NO recall cliff —
+    * the df cap is replaced by the τ-derived prefix, and the candidate
+    * volume is Σ df(prefix tokens)², long-tail by shingle choice.
+    * Candidates are verified by counting the true intersection with a
+    * keyed (doc, token) join — never all-pairs, never a full-set
+    * self-join. */
   def prefixJaccard(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = wordTokens(s, d,
+    val toks = shingleTokens(s, d,
       base => base.filter(col("doc_id") % 97 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000000000L))
       .localCheckpoint(true) // feeds df agg, prefix, verify joins, sizes
@@ -958,9 +962,12 @@ object DedupOps extends QueryPack {
     // prefix by one and silently break the completeness theorem
     val prefix = pos.join(sz, "doc_id")
       .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
-      .select(col("doc_id"), col("token"))
+      .select(col("doc_id"), col("sz"), col("token"))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id") &&
+        // exact length filter: J >= τ forces τ·max ≤ ∩ ≤ min (τ = 3/5)
+        col("a.sz") * 5 >= col("b.sz") * 3 &&
+        col("b.sz") * 5 >= col("a.sz") * 3)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val inter = cand
@@ -982,19 +989,21 @@ object DedupOps extends QueryPack {
   private val ContainTau = 0.8
 
   /** ASYMMETRIC near-dup — quote/subset detection: containment
-    * C(A→B) = |A∩B| / |A| ≥ τ over distinct word sets, the measure
+    * C(A→B) = |A∩B| / |A| ≥ τ over distinct shingle sets, the measure
     * that catches a short doc quoted inside a long one (where Jaccard
     * vanishes as |B| grows). Planted ground truth: every 97th doc's
-    * FIRST HALF re-appended under `+1e12` — its word set is a subset
-    * of the original's, so a C = 1.0 edge provably exists per plant.
+    * FIRST HALF re-appended under `+1e12` — the half's consecutive
+    * word triples are consecutive in the original too, so its shingle
+    * set is a subset and a C = 1.0 edge provably exists per plant.
     * Candidates come from the quote side's PREFIX (its rarest
-    * |A| − ⌈τ·|A|⌉ + 1 tokens — C ≥ τ forces |A∩B| ≥ ⌈τ·|A|⌉, so a
+    * |A| − ⌈τ·|A|⌉ + 1 shingles — C ≥ τ forces |A∩B| ≥ ⌈τ·|A|⌉, so a
     * true pair must collide inside that prefix) joined against the
     * candidate source side's FULL postings; the B side cannot be
-    * prefix-trimmed because containment does not bound |B|. Exact, no
-    * recall cliff, keyed joins only. */
+    * prefix-trimmed because containment does not bound |B| — but
+    * ∩ ≤ |B| does force |B| ≥ ⌈τ·|A|⌉, the one-sided length filter.
+    * Exact, no recall cliff, keyed joins only. */
   def containment(s: SparkSession, d: String): DataFrame = {
-    val toks = wordTokens(s, d,
+    val toks = shingleTokens(s, d,
       base => base.filter(col("doc_id") % 97 === 0 &&
           size(split(col("text"), " ")) >= 6)
         .withColumn("text", concat_ws(" ",
@@ -1011,10 +1020,14 @@ object DedupOps extends QueryPack {
     // ⌈τ·|A|⌉ with τ = 4/5 in exact integers, as in [[prefixJaccard]]
     val prefix = pos.join(sz, "doc_id")
       .filter(col("pos") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
-      .select(col("doc_id").as("quote_id"), col("token"))
+      .select(col("doc_id").as("quote_id"), col("sz").as("sz_q"), col("token"))
     val cand = prefix.join(
-        toks.select(col("doc_id").as("source_id"), col("token")), "token")
-      .filter(col("quote_id") =!= col("source_id"))
+        toks.join(sz, "doc_id")
+          .select(col("doc_id").as("source_id"), col("sz").as("sz_s"),
+            col("token")), "token")
+      .filter(col("quote_id") =!= col("source_id") &&
+        // one-sided exact length filter: ∩ ≤ |B| forces 5·|B| ≥ 4·|A|
+        col("sz_s") * 5 >= col("sz_q") * 4)
       .select(col("quote_id"), col("source_id")).distinct()
     val inter = cand
       .join(toks.select(col("doc_id").as("quote_id"), col("token")), "quote_id")
@@ -1202,9 +1215,12 @@ object DedupOps extends QueryPack {
         |  UNION ALL
         |  SELECT doc_id + 1000000000000, text FROM documents
         |  WHERE doc_id % 97 = 0 AND doc_id IS NOT NULL AND text IS NOT NULL),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs),
         |t AS (SELECT DISTINCT doc_id,
-        |        unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
-        |      FROM docs),
+        |        unnest(list_transform(range(1, len(toks) - 1),
+        |          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+        |            || ' ' || toks[CAST(i AS INT) + 2])) AS token
+        |      FROM tk WHERE len(toks) >= 3),
         |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY 1),
         |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         |      FROM t a JOIN t b ON a.token = b.token AND a.doc_id < b.doc_id
@@ -1227,9 +1243,12 @@ object DedupOps extends QueryPack {
         |  FROM base
         |  WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 6),
         |docs AS (SELECT * FROM base UNION ALL SELECT * FROM half),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs),
         |t AS (SELECT DISTINCT doc_id,
-        |        unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
-        |      FROM docs),
+        |        unnest(list_transform(range(1, len(toks) - 1),
+        |          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+        |            || ' ' || toks[CAST(i AS INT) + 2])) AS token
+        |      FROM tk WHERE len(toks) >= 3),
         |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY 1),
         |i AS (SELECT a.doc_id AS quote_id, b.doc_id AS source_id,
         |        count(*) AS inter

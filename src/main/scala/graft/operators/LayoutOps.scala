@@ -504,7 +504,51 @@ object LayoutOps extends QueryPack {
       .orderBy(col("step"))
   }
 
+  /** SHALLOW CLONE then independent divergence
+    * ([[graft.sources.SnapshotTable.cloneTable]]): load two commits into
+    * a source table, clone it by manifest reference (zero bytes
+    * copied), then append DIFFERENT third slices to each side — the
+    * clone gets the raw `%3==2` slice, the source gets it char-bumped
+    * by 7. The four rollups (src@2, src@3, cln@1, cln@2) pin, in one
+    * oracle-checkable result: the clone equals the cloned-from version
+    * (cln@1 == src@2 rows), and post-clone writes are isolated in BOTH
+    * directions (src@3 ≠ cln@2 by the +7 bump). The clone-branch
+    * workflow every experiment pipeline wants — test a risky transform
+    * on a branch of a 100 TB table for the cost of one manifest. */
+  def layoutClone(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_clone_")
+    tmpDirs.add(root)
+    val src = root.resolve("src").toString
+    val cln = root.resolve("cln").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+    graft.sources.SnapshotTable.commit(s, src,
+      docs.filter(col("doc_id") % 3 === 0), overwrite = false)
+    graft.sources.SnapshotTable.commit(s, src,
+      docs.filter(col("doc_id") % 3 === 1), overwrite = false)
+    graft.sources.SnapshotTable.cloneTable(s, src, cln)
+    graft.sources.SnapshotTable.commit(s, cln,
+      docs.filter(col("doc_id") % 3 === 2), overwrite = false)
+    graft.sources.SnapshotTable.commit(s, src,
+      docs.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), (col("nc") + 7L).as("nc")),
+      overwrite = false)
+    def roll(side: String, dir: String, v: Int) = {
+      val snap = graft.sources.SnapshotTable.readAsOf(s, dir, v)
+      val rel = if (snap.columns.isEmpty) docs.filter(lit(false)) else snap
+      rel.agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .select(lit(side).as("side"), lit(v.toLong).as("version"),
+          col("n_docs"), col("sum_chars"), col("sum_ids"))
+    }
+    roll("src", src, 2).unionByName(roll("src", src, 3))
+      .unionByName(roll("cln", cln, 1)).unionByName(roll("cln", cln, 2))
+      .filter(col("n_docs") > 0)
+      .orderBy(col("side"), col("version"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_clone" -> layoutClone,
     "layout_zorder" -> layoutZorder,
     "layout_compaction" -> layoutCompaction,
     "layout_global_index" -> layoutGlobalIndex,
@@ -517,6 +561,27 @@ object LayoutOps extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    // the clone-branch semantics restated in SQL: cln@1 mirrors src@2,
+    // then each side's third slice diverges (+7 char bump on src only)
+    "layout_clone" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |r AS (
+        |  SELECT 'src' AS side, CAST(2 AS BIGINT) AS version, doc_id, nc
+        |  FROM d WHERE doc_id % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'src', 3, doc_id,
+        |    CASE WHEN doc_id % 3 = 2 THEN nc + 7 ELSE nc END FROM d
+        |  UNION ALL
+        |  SELECT 'cln', 1, doc_id, nc FROM d WHERE doc_id % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'cln', 2, doc_id, nc FROM d)
+        |SELECT side, version, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM r GROUP BY side, version
+        |HAVING count(*) > 0
+        |ORDER BY side, version""".stripMargin,
     // versions: v1 = ids%3==0, v2 = v1 + ids%3==1, v3 = overwrite
     // with ids%3==2 only — the snapshot semantics restated in SQL
     "layout_snapshots" ->

@@ -1158,6 +1158,40 @@ object SnapshotTable {
       s"dropColumn: lost $MaxCommitAttempts races in $tableDir")
   }
 
+  /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` shape):
+    * publish version 1 of `dstDir` whose manifest REFERENCES the
+    * source snapshot's data files by their recorded absolute paths —
+    * zero bytes copied, O(manifest) driver work, any table size. The
+    * clone then evolves independently: appends, merges, deletes,
+    * constraints, and maintenance all land under `dstDir` and never
+    * touch the source (every destructive op here — [[vacuum]],
+    * compaction swaps — only deletes under its OWN `tableDir/data`).
+    * Deletion vectors, CHECK constraints, bucket layout, and dropped-
+    * name reservations carry over with the snapshot.
+    *
+    * Caveat (identical to Delta's shallow clone): the clone borrows
+    * the source's files, so a vacuum on the SOURCE that expires the
+    * cloned-from version strands the clone — retain that version, or
+    * run a full-rewrite op on the clone (compaction/overwrite) to
+    * migrate the borrowed bytes into its own data dirs first. */
+  def cloneTable(s: SparkSession, srcDir: String, dstDir: String,
+      asOf: Int = Int.MaxValue): Int = {
+    val vs = versions(s, srcDir).filter(_ <= asOf)
+    require(vs.nonEmpty, s"cloneTable: no published version <= $asOf in $srcDir")
+    val m = readManifest(s, srcDir, vs.last)
+    val sc = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"cloneTable: legacy manifest without schema in $srcDir — " +
+        "cannot clone what readers cannot plan"))
+    val res = publishNext(s, dstDir) { pm =>
+      require(pm.isEmpty,
+        s"cloneTable: destination $dstDir already has published versions")
+      Some((m.files, sc, Seq.empty, m.bucket, m.dels, m.constraints,
+        m.dropped))
+    }
+    res.getOrElse(throw new IllegalStateException(
+      s"cloneTable: publish into $dstDir failed"))
+  }
+
   /** The table's CHECK constraints (name → SQL expression). */
   def constraints(s: SparkSession, tableDir: String): Map[String, String] =
     versions(s, tableDir).lastOption

@@ -17,11 +17,10 @@ class PrefixJoinSpec extends GraftSpec {
   private val sf = "/root/testdata/sf0.001"
   private val plantOff = 1000000000000L
 
-  /** Unpruned reference: all pairs over distinct word-token sets. */
+  /** Unpruned reference: all pairs over the SAME distinct 3-gram
+    * shingle sets the operator uses. */
   private def tokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(array_distinct(filter(split(col("text"), " "),
-        t => length(t) > 0))).as("token"))
+    DedupOps.shingleRows(docs).withColumnRenamed("shingle", "token")
 
   test("prefix filtering loses no pair above tau (exactness vs all-pairs)") {
     val docs0 = Tables.documents(spark, sf)
@@ -50,7 +49,9 @@ class PrefixJoinSpec extends GraftSpec {
     // every planted twin surfaces at jaccard exactly 1.0
     val planted = DedupOps.prefixJaccard(spark, sf)
       .filter(col("doc_b") === col("doc_a") + plantOff)
-    val nPlant = docs0.filter(col("doc_id") % 97 === 0).count()
+    // a doc with < 3 tokens has no shingles, hence no twin pair
+    val nPlant = docs0.filter(col("doc_id") % 97 === 0 &&
+      size(split(col("text"), " ")) >= 3).count()
     assert(planted.count() == nPlant)
     assert(planted.filter(col("jaccard") =!= 1.0).count() == 0)
   }
