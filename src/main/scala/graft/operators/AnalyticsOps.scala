@@ -1389,7 +1389,30 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("first_touch"), col("last_touch"))
   }
 
+  /** Behavioral path mining: the 20 most common 3-step event-type
+    * paths over per-user time-ordered logs — the "what do users
+    * actually do next" query behind funnel design. One window pass
+    * (two leads over the same (user, ts, event_id) sort — Catalyst
+    * evaluates both in a single Window operator), one count aggregate
+    * over the ≤ |types|³ path universe, and a TakeOrderedAndProject
+    * top-20 with a full deterministic tiebreak. */
+  def eventsTrigrams(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_trigrams" -> eventsTrigrams,
     "events_mad_outliers" -> eventsMadOutliers,
     "events_attribution" -> eventsAttribution,
     "events_burstiness" -> eventsBurstiness,
@@ -1428,6 +1451,23 @@ object AnalyticsOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // per-user lead pairs restated; the LIMIT boundary is safe because
+    // the tiebreak is total (n DESC, then the full path)
+    "events_trigrams" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |p AS (SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t3
+        |  FROM e),
+        |c AS (SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n FROM p
+        |  WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT t1, t2, t3, n FROM c
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
     // DISCRETE lower medians (rn = ceil(n/2) under (v, event_id) order)
     // on both sides: every compared double is an exact stored value, so
     // the robust-z cut needs no interpolation-parity caveat

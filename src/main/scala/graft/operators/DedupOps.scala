@@ -986,6 +986,57 @@ object DedupOps extends QueryPack {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** INGEST-SHAPE exact near-dup probe: each batch doc's EXACT Jaccard
+    * ≥ τ matches in the standing corpus, via the one-sided prefix
+    * filter — only the BATCH side is prefixed (completeness needs just
+    * the pigeonhole: J ≥ τ forces ∩ ≥ ⌈τ·|A|⌉, so ANY
+    * |A| − ⌈τ·|A|⌉ + 1 shingles of A must hit A∩B), ordered by the
+    * CORPUS postings' df statistic (the index's own metadata; a batch
+    * shingle absent from the corpus gets df 0 = rarest, which is both
+    * correct and optimal — it can only hit nothing). Work is O(batch
+    * prefix postings ⨝ index), never a corpus self-join: the
+    * [[ingestDedupMinhash]] probe shape, but EXACT — the arriving-data
+    * dedup gate with no sketch recall caveat. Same corpus/batch split
+    * and planted slices as the other ingest queries. */
+  def ingestJaccardPrefix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusT = shingleRows(Tables.sharded(ingestCorpus(s, d), "doc_id"))
+      .withColumnRenamed("shingle", "token").localCheckpoint(true)
+    val batchT = shingleRows(Tables.sharded(ingestBatch(s, d), "doc_id"))
+      .withColumnRenamed("shingle", "token").localCheckpoint(true)
+    val dfs = corpusT.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val szC = corpusT.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val szB = batchT.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pos = batchT.join(dfs, Seq("token"), "left_outer")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))))
+    val prefix = pos.join(szB, "doc_id")
+      .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+      .select(col("doc_id").as("batch_id"), col("sz").as("sz_b"), col("token"))
+    val cand = prefix.join(
+        corpusT.join(szC, "doc_id")
+          .select(col("doc_id").as("corpus_id"), col("sz").as("sz_c"),
+            col("token")), "token")
+      .filter(col("sz_b") * 5 >= col("sz_c") * 3 &&
+        col("sz_c") * 5 >= col("sz_b") * 3)
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val inter = cand
+      .join(batchT.select(col("doc_id").as("batch_id"), col("token")), "batch_id")
+      .join(corpusT.select(col("doc_id").as("corpus_id"), col("token")),
+        Seq("corpus_id", "token"))
+      .groupBy(col("batch_id"), col("corpus_id")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(szB.select(col("doc_id").as("batch_id"), col("sz").as("sz_b")), "batch_id")
+      .join(szC.select(col("doc_id").as("corpus_id"), col("sz").as("sz_c")), "corpus_id")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_b") + col("sz_c") - col("inter")), 4))
+      .filter(col("inter").cast("double") /
+        (col("sz_b") + col("sz_c") - col("inter")) >= PrefixTau)
+      .select(col("batch_id"), col("corpus_id"), col("inter"), col("jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   private val ContainTau = 0.8
 
   /** ASYMMETRIC near-dup — quote/subset detection: containment
@@ -1056,6 +1107,7 @@ object DedupOps extends QueryPack {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_jaccard_prefix" -> prefixJaccard,
     "dedup_containment" -> containment,
+    "ingest_jaccard_prefix" -> ingestJaccardPrefix,
     "dedup_embedding_pairs" -> embeddingDup,
     "dedup_semdedup" -> semDedup,
     "dedup_components" -> connectedComponents,
@@ -1231,6 +1283,34 @@ object DedupOps extends QueryPack {
         |       JOIN sz sb ON sb.doc_id = i.doc_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the ingest probe is exact too: batch-side prefix x corpus postings
+    // loses nothing at >= tau (pigeonhole), so the oracle is the plain
+    // batch x corpus shingle Jaccard over the shared ingest CTEs
+    "ingest_jaccard_prefix" ->
+      s"""WITH $ingestCtes,
+         |tkb AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
+         |tb AS (SELECT DISTINCT doc_id,
+         |        unnest(list_transform(range(1, len(toks) - 1),
+         |          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+         |            || ' ' || toks[CAST(i AS INT) + 2])) AS token
+         |      FROM tkb WHERE len(toks) >= 3),
+         |tkc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+         |tc AS (SELECT DISTINCT doc_id,
+         |        unnest(list_transform(range(1, len(toks) - 1),
+         |          i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+         |            || ' ' || toks[CAST(i AS INT) + 2])) AS token
+         |      FROM tkc WHERE len(toks) >= 3),
+         |szb AS (SELECT doc_id, count(*) AS sz FROM tb GROUP BY 1),
+         |szc AS (SELECT doc_id, count(*) AS sz FROM tc GROUP BY 1),
+         |i AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |        count(*) AS inter
+         |      FROM tb b JOIN tc c ON b.token = c.token GROUP BY 1, 2)
+         |SELECT batch_id, corpus_id, inter,
+         |  round(CAST(inter AS DOUBLE) / (sb.sz + sc.sz - inter), 4) AS jaccard
+         |FROM i JOIN szb sb ON sb.doc_id = i.batch_id
+         |       JOIN szc sc ON sc.doc_id = i.corpus_id
+         |WHERE CAST(inter AS DOUBLE) / (sb.sz + sc.sz - inter) >= 0.6
+         |ORDER BY batch_id, corpus_id""".stripMargin,
     // containment is likewise exact: quote-side prefix x full source
     // postings loses nothing at >= tau, so the oracle is the all-ordered-
     // pairs containment over the same planted-half corpus

