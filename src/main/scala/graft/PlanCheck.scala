@@ -629,6 +629,43 @@ object PlanCheck {
       mustNot = Seq("Join", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Exchange" -> 3, "Scan parquet" -> 1)),
+    // exact prefix join: every join is keyed (shingle / doc id) — a
+    // regression to any nested-loop/cartesian candidate generation, or
+    // to force-broadcasting the O(corpus) postings, breaks this
+    Check("dedup_jaccard_prefix",
+      mustContain = Seq("Window", "HashAggregate"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      noAutoBroadcast = true,
+      build = Some((s, d) => graft.operators.DedupOps.prefixJaccardPlan(s, d))),
+    // ingest probe: same contract — the corpus postings index is joined
+    // keyed, never broadcast, never self-joined
+    Check("ingest_jaccard_prefix",
+      mustContain = Seq("Window", "HashAggregate"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      noAutoBroadcast = true,
+      build = Some((s, d) => graft.operators.DedupOps.ingestJaccardPrefixPlan(s, d))),
+    // JL recall: the reduced-space search must stay a keyed equi-join on
+    // the sign bucket — the pre-fix shape (broadcast q + <> predicate)
+    // was a BroadcastNestedLoopJoin, quadratic in the corpus. (The
+    // 1-row×1-row audit assembly at the top IS a cartesian by design,
+    // so only BNLJ — the data-sized failure mode — is banned.)
+    Check("ann_rp_recall",
+      mustContain = Seq("Window", "HashAggregate"),
+      mustNot = Seq("BroadcastNestedLoopJoin"),
+      noAutoBroadcast = true),
+    // robust stats: two per-type sort windows + keyed joins, nothing
+    // cartesian, the corpus never broadcast
+    Check("events_mad_outliers",
+      mustContain = Seq("Window"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      noAutoBroadcast = true),
+    // trigram paths: one window pass, tiny path-universe agg, top-20 via
+    // TakeOrdered — never a join, never a global sort of the corpus
+    Check("events_trigrams",
+      mustContain = Seq("Window", "TakeOrderedAndProject"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 3, "Scan parquet" -> 1)),
   )
 
   def main(args: Array[String]): Unit = {

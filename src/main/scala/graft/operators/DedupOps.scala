@@ -946,12 +946,23 @@ object DedupOps extends QueryPack {
     * Candidates are verified by counting the true intersection with a
     * keyed (doc, token) join — never all-pairs, never a full-set
     * self-join. */
-  def prefixJaccard(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = shingleTokens(s, d,
+  def prefixJaccard(s: SparkSession, d: String): DataFrame =
+    // eager checkpoint: toks feeds the df agg, prefix, verify joins and
+    // sizes — five consumers over one expensive generate
+    prefixJaccardFrom(prefixJaccardToks(s, d).localCheckpoint(true))
+
+  /** The un-checkpointed dataflow, for plan assertions
+    * ([[graft.PlanCheck]]) — identical shape, no materialization. */
+  private[graft] def prefixJaccardPlan(s: SparkSession, d: String): DataFrame =
+    prefixJaccardFrom(prefixJaccardToks(s, d))
+
+  private def prefixJaccardToks(s: SparkSession, d: String): DataFrame =
+    shingleTokens(s, d,
       base => base.filter(col("doc_id") % 97 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000000000L))
-      .localCheckpoint(true) // feeds df agg, prefix, verify joins, sizes
+
+  private def prefixJaccardFrom(toks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfs = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pos = toks.join(dfs, "token")
@@ -998,12 +1009,24 @@ object DedupOps extends QueryPack {
     * [[ingestDedupMinhash]] probe shape, but EXACT — the arriving-data
     * dedup gate with no sketch recall caveat. Same corpus/batch split
     * and planted slices as the other ingest queries. */
-  def ingestJaccardPrefix(s: SparkSession, d: String): DataFrame = {
+  def ingestJaccardPrefix(s: SparkSession, d: String): DataFrame =
+    ingestJaccardPrefixFrom(
+      shingleRows(Tables.sharded(ingestCorpus(s, d), "doc_id"))
+        .withColumnRenamed("shingle", "token").localCheckpoint(true),
+      shingleRows(Tables.sharded(ingestBatch(s, d), "doc_id"))
+        .withColumnRenamed("shingle", "token").localCheckpoint(true))
+
+  /** Un-checkpointed dataflow for plan assertions. */
+  private[graft] def ingestJaccardPrefixPlan(s: SparkSession, d: String): DataFrame =
+    ingestJaccardPrefixFrom(
+      shingleRows(Tables.sharded(ingestCorpus(s, d), "doc_id"))
+        .withColumnRenamed("shingle", "token"),
+      shingleRows(Tables.sharded(ingestBatch(s, d), "doc_id"))
+        .withColumnRenamed("shingle", "token"))
+
+  private def ingestJaccardPrefixFrom(corpusT: DataFrame,
+      batchT: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpusT = shingleRows(Tables.sharded(ingestCorpus(s, d), "doc_id"))
-      .withColumnRenamed("shingle", "token").localCheckpoint(true)
-    val batchT = shingleRows(Tables.sharded(ingestBatch(s, d), "doc_id"))
-      .withColumnRenamed("shingle", "token").localCheckpoint(true)
     val dfs = corpusT.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val szC = corpusT.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val szB = batchT.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))

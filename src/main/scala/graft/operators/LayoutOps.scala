@@ -547,7 +547,38 @@ object LayoutOps extends QueryPack {
       .orderBy(col("side"), col("version"))
   }
 
+  /** Metadata-only ROLLBACK ([[graft.sources.SnapshotTable.restore]]):
+    * append, append, overwrite (the "bad deploy"), then restore to the
+    * pre-overwrite version — v4 must read exactly like v2 while v3
+    * stays time-travelable, and the restore itself costs one manifest
+    * publish regardless of table size. */
+  def layoutRestore(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_restore_")
+    tmpDirs.add(root)
+    val t = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+    graft.sources.SnapshotTable.commit(s, t,
+      docs.filter(col("doc_id") % 3 === 0), overwrite = false)
+    graft.sources.SnapshotTable.commit(s, t,
+      docs.filter(col("doc_id") % 3 === 1), overwrite = false)
+    graft.sources.SnapshotTable.commit(s, t,
+      docs.filter(col("doc_id") % 3 === 2), overwrite = true)
+    graft.sources.SnapshotTable.restore(s, t, 2)
+    (2 to 4).map { v =>
+      val snap = graft.sources.SnapshotTable.readAsOf(s, t, v)
+      val rel = if (snap.columns.isEmpty) docs.filter(lit(false)) else snap
+      rel.agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .select(lit(v.toLong).as("version"), col("n_docs"),
+          col("sum_chars"), col("sum_ids"))
+    }.reduce(_ unionByName _)
+      .filter(col("n_docs") > 0)
+      .orderBy(col("version"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_restore" -> layoutRestore,
     "layout_clone" -> layoutClone,
     "layout_zorder" -> layoutZorder,
     "layout_compaction" -> layoutCompaction,
@@ -561,6 +592,24 @@ object LayoutOps extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    // restore semantics in SQL: v2 = first two slices, v3 = the
+    // overwrite, v4 = the rollback replaying v2
+    "layout_restore" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |v AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, doc_id, nc FROM d
+        |  WHERE doc_id % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 3, doc_id, nc FROM d WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT 4, doc_id, nc FROM d WHERE doc_id % 3 IN (0, 1))
+        |SELECT version, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM v GROUP BY version
+        |HAVING count(*) > 0
+        |ORDER BY version""".stripMargin,
     // the clone-branch semantics restated in SQL: cln@1 mirrors src@2,
     // then each side's third slice diverges (+7 char bump on src only)
     "layout_clone" ->

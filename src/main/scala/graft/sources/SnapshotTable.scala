@@ -1158,6 +1158,32 @@ object SnapshotTable {
       s"dropColumn: lost $MaxCommitAttempts races in $tableDir")
   }
 
+  /** RESTORE to an earlier version (the Delta `RESTORE TABLE ... TO
+    * VERSION AS OF` shape): publish a NEW latest version whose manifest
+    * replays version `version`'s state — file list, schema, deletion
+    * vectors, bucket layout, CHECK constraints, and dropped-name
+    * reservations. METADATA-ONLY (two manifest reads + one publish),
+    * O(manifest) at any table size; nothing is rewritten and history
+    * is preserved — the rolled-back versions stay time-travelable
+    * until [[vacuum]] expires them, and because restore moves FORWARD
+    * a crashed restore leaves the table untouched. The CURRENT
+    * idempotent-txn set is carried (not the restored version's): a
+    * replayed producer txn after a rollback must still deduplicate. */
+  def restore(s: SparkSession, tableDir: String, version: Int): Int = {
+    val vs = versions(s, tableDir)
+    require(vs.contains(version),
+      s"restore: version $version is not published in $tableDir " +
+        s"(published: ${vs.mkString(",")})")
+    val m = readManifest(s, tableDir, version)
+    val sc = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"restore: legacy manifest without schema at v$version in $tableDir"))
+    publishNext(s, tableDir) { pm =>
+      Some((m.files, sc, pm.map(_.txns.toSeq.sorted).getOrElse(Seq.empty),
+        m.bucket, m.dels, m.constraints, m.dropped))
+    }.getOrElse(throw new IllegalStateException(
+      s"restore: publish failed in $tableDir"))
+  }
+
   /** SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` shape):
     * publish version 1 of `dstDir` whose manifest REFERENCES the
     * source snapshot's data files by their recorded absolute paths —

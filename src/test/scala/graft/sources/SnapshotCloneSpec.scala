@@ -66,6 +66,37 @@ class SnapshotCloneSpec extends GraftSpec {
     }
   }
 
+  test("restore replays an old version forward; txn set and history survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-restore1-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commitIdempotent(spark, t, Seq(1L, 2L).toDF("id"),
+      overwrite = false, txnId = "load-1")
+    SnapshotTable.commit(spark, t, Seq(3L).toDF("id"), overwrite = false)
+    SnapshotTable.commit(spark, t, Seq(99L).toDF("id"), overwrite = true)
+    assert(SnapshotTable.restore(spark, t, 2) == 4)
+    assert(ids(SnapshotTable.readAsOf(spark, t, 4)) == Set(1L, 2L, 3L))
+    // the bad version is still time-travelable until vacuum
+    assert(ids(SnapshotTable.readAsOf(spark, t, 3)) == Set(99L))
+    // the CURRENT txn set carried through: the replayed producer txn is
+    // still a no-op after the rollback
+    SnapshotTable.commitIdempotent(spark, t, Seq(1L, 2L).toDF("id"),
+      overwrite = false, txnId = "load-1")
+    assert(ids(SnapshotTable.readAsOf(spark, t, Int.MaxValue)) ==
+      Set(1L, 2L, 3L), "replayed txn after restore must deduplicate")
+    // restoring a version with deletion vectors replays the subtraction
+    val t2 = s"$dir/tbl2"
+    SnapshotTable.commit(spark, t2,
+      spark.range(0, 6).select(col("id")), overwrite = false)
+    SnapshotTable.deleteWhere(spark, t2, col("id") >= 4)
+    SnapshotTable.commit(spark, t2, Seq(100L).toDF("id"), overwrite = true)
+    SnapshotTable.restore(spark, t2, 2)
+    assert(ids(SnapshotTable.readAsOf(spark, t2, 4)) == (0L to 3L).toSet)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.restore(spark, t2, 9)
+    }
+  }
+
   test("vacuum on the clone never deletes the source's borrowed files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-clone4-").toString
