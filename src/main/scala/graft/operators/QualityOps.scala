@@ -154,7 +154,62 @@ object QualityOps extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov test between the click and
+    * view value distributions: D = sup|F₁ − F₂| over the empirical
+    * CDFs, plus the asymptotic statistic λ = D·√(n₁n₂/(n₁+n₂)) — the
+    * distribution-drift test with an actual significance scale, next
+    * to the binned PSI monitor.
+    *
+    * The sup needs GLOBAL cumulative counts in value order — the naive
+    * unpartitioned window is a single-task sort. Scale shape instead
+    * (the `layout_global_index` pattern): collapse to the distinct-
+    * value relation FIRST (one keyed agg), range-partition it, local
+    * cumsums per partition, then add broadcast per-partition offsets —
+    * every stage is distributed and the offset table is one row per
+    * partition. All counts are exact integers; the only floats are the
+    * two final divisions, identical in any engine reading the same
+    * rows. */
+  def qualityKsTest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).filter(col("value").isNotNull &&
+      col("event_type").isin("click", "view"))
+    val pts = ev.groupBy(col("value")).agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+    val parted = pts.repartitionByRange(16, col("value"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offs = parted.groupBy(col("pid"))
+      .agg(sum(col("c1")).as("s1"), sum(col("c2")).as("s2"))
+      .withColumn("o1", coalesce(sum(col("s1")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("o2", coalesce(sum(col("s2")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("o1"), col("o2"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("value"))
+    val cum = parted
+      .withColumn("l1", sum(col("c1")).over(w))
+      .withColumn("l2", sum(col("c2")).over(w))
+      .join(broadcast(offs), "pid")
+      .select((col("l1") + col("o1")).as("cum1"),
+        (col("l2") + col("o2")).as("cum2"))
+    val totals = pts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val dmax = cum.crossJoin(broadcast(totals))
+      .select(abs(col("cum1").cast("double") / col("n1") -
+        col("cum2").cast("double") / col("n2")).as("dd"))
+      .agg(max(col("dd")).as("dm"))
+    dmax.crossJoin(broadcast(totals))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("n1"), col("n2"),
+        round(col("dm"), 6).as("d_stat"),
+        round(col("dm") * sqrt(col("n1").cast("double") * col("n2") /
+          (col("n1") + col("n2"))), 4).as("ks_lambda"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_ks_test" -> qualityKsTest,
     "quality_contract_audit" -> contractAudit,
     "quality_ref_integrity" -> refIntegrity,
     "quality_price_reconcile" -> priceReconcile,
@@ -162,6 +217,29 @@ object QualityOps extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // exact integer cumulative counts; the two divisions and the max are
+    // deterministic IEEE over identical inputs in both engines
+    "quality_ks_test" ->
+      """WITH e AS (SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        |p AS (SELECT value,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+        |  FROM e GROUP BY value),
+        |c AS (SELECT
+        |    sum(c1) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+        |    sum(c2) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |  FROM p),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM p),
+        |dm AS (SELECT max(abs(CAST(cum1 AS DOUBLE) / t.n1 -
+        |    CAST(cum2 AS DOUBLE) / t.n2)) AS dm FROM c, t)
+        |SELECT t.n1, t.n2, round(dm.dm, 6) AS d_stat,
+        |  round(dm.dm * sqrt(CAST(t.n1 AS DOUBLE) * t.n2 / (t.n1 + t.n2)), 4)
+        |    AS ks_lambda
+        |FROM dm, t WHERE t.n1 > 0 AND t.n2 > 0""".stripMargin,
     // epoch split at the calendar midpoint, PSI per surviving type —
     // the same exact integer day arithmetic and 6 dp rounding
     "quality_psi_drift" ->

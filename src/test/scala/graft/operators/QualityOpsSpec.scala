@@ -67,4 +67,29 @@ class QualityOpsSpec extends GraftSpec {
       ("lineitem.l_suppkey->supplier", 0L, 1L),
       ("orders.o_custkey->customer", 1L, 2L)))
   }
+
+  test("KS statistic equals a scalar recount over the sorted samples") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = QualityOps.qualityKsTest(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val ev = graft.Tables.events(spark, sf)
+      .filter(col("value").isNotNull &&
+        col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val a = ev.filter(_._1 == "click").map(_._2).sorted
+    val b = ev.filter(_._1 == "view").map(_._2).sorted
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+    // classic merge-walk sup over the union of sample points
+    val pts = (a ++ b).distinct.sorted
+    val d = pts.map { x =>
+      math.abs(a.count(_ <= x).toDouble / a.length -
+        b.count(_ <= x).toDouble / b.length)
+    }.max
+    assert(math.abs(r.getDouble(2) - d) < 1e-6, s"D mismatch: ${r.getDouble(2)} vs $d")
+    val lambda = d * math.sqrt(a.length.toDouble * b.length / (a.length + b.length))
+    assert(math.abs(r.getDouble(3) - lambda) < 1e-4)
+  }
 }
