@@ -93,5 +93,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the custom whole-operator surface: a conf-loaded session plans
     // AsofJoinPlan nodes without any library-side register() call
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // SQL-level lakehouse administration: GRAFT RESTORE / CLONE / VACUUM
+    // parse to LeafRunnableCommands; everything else falls through to
+    // Spark's parser untouched
+    e.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
   }
 }

@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+
+/** SQL-level administration of the snapshot-table format — the
+  * maintenance verbs a pure-SQL user (or a scheduled SQL job runner)
+  * needs, injected as a DELEGATING parser via
+  * [[graft.functions.GraftExtensions]] (`spark.sql.extensions=...`):
+  *
+  *   GRAFT RESTORE '/path/tbl' VERSION AS OF 3
+  *   GRAFT CLONE '/path/src' TO '/path/dst' [VERSION AS OF 2]
+  *   GRAFT VACUUM '/path/tbl' KEEP 5
+  *
+  * Anything else falls through to Spark's own parser untouched. Each
+  * verb plans as a `LeafRunnableCommand` — driver-side metadata work
+  * (these ops are O(manifest) by design), executed at `sql()` call
+  * time like every Spark DDL command, returning its result as a row. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val RestoreRe =
+    """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val CloneRe =
+    """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case RestoreRe(dir, v) => GraftRestoreCommand(dir, v.toInt)
+    case CloneRe(src, dst, v) =>
+      GraftCloneCommand(src, dst,
+        Option(v).map(_.toInt).getOrElse(Int.MaxValue))
+    case VacuumRe(dir, k) => GraftVacuumCommand(dir, k.toInt)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+/** `GRAFT RESTORE '<dir>' VERSION AS OF <v>` → the new latest version. */
+case class GraftRestoreCommand(tableDir: String, version: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.restore(s, tableDir, version)))
+}
+
+/** `GRAFT CLONE '<src>' TO '<dst>' [VERSION AS OF <v>]` → dst's v1. */
+case class GraftCloneCommand(srcDir: String, dstDir: String, asOf: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.cloneTable(s, srcDir, dstDir, asOf)))
+}
+
+/** `GRAFT VACUUM '<dir>' KEEP <k>` → (expired versions, deleted files). */
+case class GraftVacuumCommand(tableDir: String, keepVersions: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("expired_versions", LongType, nullable = false)(),
+    AttributeReference("deleted_files", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val st = SnapshotTable.vacuum(s, tableDir, keepVersions)
+    Seq(Row(st.expiredManifests.toLong, st.deletedDataFiles.toLong))
+  }
+}

@@ -63,4 +63,44 @@ class ExtensionsSpec extends GraftSpec {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("injected parser serves GRAFT RESTORE / CLONE / VACUUM in pure SQL") {
+    import graft.sources.SnapshotTable
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-sql")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlcmd-").toString
+      val t = s"$dir/tbl"
+      val c = s"$dir/cln"
+      SnapshotTable.commit(s2, t, Seq(1L, 2L).toDF("id"), overwrite = false)
+      SnapshotTable.commit(s2, t, Seq(9L).toDF("id"), overwrite = true)
+      // pure-SQL rollback
+      assert(s2.sql(s"GRAFT RESTORE '$t' VERSION AS OF 1").head().getInt(0) == 3)
+      assert(SnapshotTable.readAsOf(s2, t, 3).select("id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L))
+      // pure-SQL shallow clone at an explicit version
+      assert(s2.sql(s"GRAFT CLONE '$t' TO '$c' VERSION AS OF 2")
+        .head().getInt(0) == 1)
+      assert(SnapshotTable.readAsOf(s2, c, 1).select("id").collect()
+        .map(_.getLong(0)).toSet == Set(9L))
+      // pure-SQL vacuum reports (expired manifests, deleted files)
+      val vac = s2.sql(s"GRAFT VACUUM '$t' KEEP 1").head()
+      assert(vac.getLong(0) == 2L, s"expected 2 expired versions, got $vac")
+      // ordinary SQL still parses through the delegate untouched
+      assert(s2.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
+      assert(s2.sql("SELECT graft_poly_hash('abc') IS NOT NULL AS ok")
+        .head().getBoolean(0))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
