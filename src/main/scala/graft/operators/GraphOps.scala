@@ -223,13 +223,88 @@ object GraphOps extends QueryPack {
     }.reduce(_ unionByName _).orderBy(col("k"))
   }
 
+  /** Synchronous rounds of label propagation — enough for the audit's
+    * exact-replay oracle to stay a fixed CTE chain; convergence on this
+    * graph family is 3–4 rounds, and production runs pick rounds the
+    * same way PageRank picks iterations. */
+  private val LpaRounds = 4
+
+  /** LABEL PROPAGATION community detection (Raghavan et al. 2007, made
+    * DETERMINISTIC): every node starts as its own label; each
+    * SYNCHRONOUS round re-labels every node with its neighbors'
+    * most frequent label, ties to the SMALLEST label — integer counts
+    * and a total tie order make each round a pure function of the last,
+    * so the oracle replays the exact rounds as a fixed SQL CTE chain
+    * (no "random visit order" folklore). Output: the 50 largest
+    * communities after [[LpaRounds]] rounds.
+    *
+    * Shape per round: ONE keyed join (labels onto the
+    * neighbor-partitioned edge list — the edge exchange is built once
+    * and reused across every round, the `graph_khop` discipline) + one
+    * (node,label) count + a per-node WindowGroupLimit argmax. Work is
+    * O(|E|) per round with a fixed round count; labels checkpoint per
+    * round so the plan never deepens. */
+  def graphLabelProp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ed0 = foldedEdges(s, d)
+    val ed = ed0.select(col("u").as("node"), col("v").as("nbr"))
+      .unionByName(ed0.select(col("v").as("node"), col("u").as("nbr")))
+      .repartition(col("nbr"))
+      .localCheckpoint(true)
+    var labels = ed.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to LpaRounds) {
+      val votes = ed
+        .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("node")).orderBy(col("n").desc, col("lbl"))
+      labels = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
+      .select(col("lbl").as("community"), col("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(50)
+  }
+
+  /** The oracle replays the SAME deterministic rounds as a fixed CTE
+    * chain — generated from [[LpaRounds]] so round count cannot
+    * drift between the engines. */
+  private def lpaOracleSql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""v$i AS (SELECT ed.node, l.lbl, count(*) AS n
+         |  FROM ed JOIN l${i - 1} l ON l.node = ed.nbr GROUP BY 1, 2),
+         |l$i AS (SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (
+         |      PARTITION BY node ORDER BY n DESC, lbl) AS rn FROM v$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT
+       |    (l_orderkey // 100000000) * $P + (l_orderkey % $P) AS a,
+       |    (l_orderkey // 100000000) * $P + (l_partkey % $P) AS b
+       |  FROM lineitem WHERE l_linenumber = 1),
+       |e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |  FROM p WHERE a <> b),
+       |ed AS (SELECT u AS node, v AS nbr FROM e0
+       |  UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT DISTINCT node, node AS lbl FROM ed),
+       |$rounds
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM l$LpaRounds GROUP BY lbl
+       |ORDER BY n_nodes DESC, community LIMIT 50""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> graphTriangles,
     "graph_assortativity" -> graphAssortativity,
     "graph_kcore" -> graphKcore,
+    "graph_labelprop" -> graphLabelProp,
   )
 
   def oracle: Map[String, String] = Map(
+    "graph_labelprop" -> lpaOracleSql,
     // closed-form half of the k-core audit: the planted 6-clique
     // survives every peel at k <= 5, and the structural verdicts must
     // hold for the exact k-core (which they characterize)

@@ -109,4 +109,34 @@ class GraphOpsSpec extends GraftSpec {
     val r2 = GraphOps.assortativityStats(edgesDf(cycle)).collect()(0)
     assert(r2.isNullAt(2))
   }
+
+  test("label propagation equals a scalar replay of the same rounds") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = GraphOps.graphLabelProp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty)
+    // scalar replay on the driver: same folded edges, same sync rounds,
+    // same most-frequent-then-smallest tie rule
+    val p = 997L
+    val edges = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_linenumber") === 1)
+      .select(expr(s"(l_orderkey div 100000000) * $p + (l_orderkey % $p)").as("a"),
+        expr(s"(l_orderkey div 100000000) * $p + (l_partkey % $p)").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges.map(e => (e._1, e._2)) ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, xs) => (n, xs.map(_._2)) }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lbl = adj.map { case (n, nbrs) =>
+        val votes = nbrs.groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val want = lbl.values.groupBy(identity).map { case (l, xs) => (l, xs.size.toLong) }
+      .toSeq.sortBy { case (l, c) => (-c, l) }.take(50)
+    assert(got == want, s"LPA diverged from the scalar replay")
+  }
 }
