@@ -29,6 +29,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case RestoreRe(dir, v) => GraftRestoreCommand(dir, v.toInt)
@@ -36,6 +38,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftCloneCommand(src, dst,
         Option(v).map(_.toInt).getOrElse(Int.MaxValue))
     case VacuumRe(dir, k) => GraftVacuumCommand(dir, k.toInt)
+    case HistoryRe(dir) => GraftHistoryCommand(dir)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -73,6 +76,24 @@ case class GraftCloneCommand(srcDir: String, dstDir: String, asOf: Int)
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(SnapshotTable.cloneTable(s, srcDir, dstDir, asOf)))
+}
+
+/** `GRAFT HISTORY '<dir>'` → one row per published version (the
+  * [[SnapshotTable.history]] inspection, O(retained versions) manifest
+  * reads, zero data-file access). */
+case class GraftHistoryCommand(tableDir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = true)(),
+    AttributeReference("total_bytes", LongType, nullable = true)(),
+    AttributeReference("n_txns", LongType, nullable = false)(),
+    AttributeReference("bucket", org.apache.spark.sql.types.StringType,
+      nullable = true)(),
+    AttributeReference("n_del_rows", LongType, nullable = false)(),
+    AttributeReference("commit_ts", LongType, nullable = true)())
+  override def run(s: SparkSession): Seq[Row] =
+    SnapshotTable.history(s, tableDir).collect().toSeq
 }
 
 /** `GRAFT VACUUM '<dir>' KEEP <k>` → (expired versions, deleted files). */

@@ -94,6 +94,11 @@ class ExtensionsSpec extends GraftSpec {
       // pure-SQL vacuum reports (expired manifests, deleted files)
       val vac = s2.sql(s"GRAFT VACUUM '$t' KEEP 1").head()
       assert(vac.getLong(0) == 2L, s"expected 2 expired versions, got $vac")
+      // pure-SQL history inspection: one row per surviving version
+      val hist = s2.sql(s"GRAFT HISTORY '$t'").collect()
+      assert(hist.map(_.getInt(0)).toSeq == Seq(3),
+        s"after KEEP 1 only the restored version remains: ${hist.mkString}")
+      assert(hist.head.getLong(2) == 2L) // n_rows of the restored state
       // ordinary SQL still parses through the delegate untouched
       assert(s2.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
       assert(s2.sql("SELECT graft_poly_hash('abc') IS NOT NULL AS ok")
