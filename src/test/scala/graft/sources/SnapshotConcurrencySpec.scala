@@ -90,4 +90,43 @@ class SnapshotConcurrencySpec extends GraftSpec {
       assert(SnapshotTable.versions(spark, t).size == 1)
     }
   }
+
+  test("restore racing an append: both land, versions dense, history total") {
+    import spark.implicits._
+    // RESTORE semantics under contention (Delta's): restore publishes a
+    // whole-state version like any other writer, so a racing append is
+    // never corrupted — it owns its own version — but whichever
+    // publishes LAST defines the latest state. The spec pins the
+    // invariants that must hold either way: dense versions, one winner
+    // per number, both outcomes present in history, and the final state
+    // equal to a replay of the version order that actually won.
+    for (round <- 1 to 3) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-rrace$round-").toString
+      val t = s"$dir/tbl"
+      SnapshotTable.commit(spark, t, Seq(1L).toDF("id"), overwrite = false)
+      SnapshotTable.commit(spark, t, Seq(2L).toDF("id"), overwrite = false)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val Seq(vRestore, vAppend) = inParallel(Seq(
+        () => { gate.countDown(); gate.await()
+          SnapshotTable.restore(spark, t, 1) },
+        () => { gate.countDown(); gate.await()
+          SnapshotTable.commit(spark, t, Seq(3L).toDF("id"), overwrite = false) }))
+      assert(Set(vRestore, vAppend) == Set(3, 4),
+        s"expected dense versions 3,4; got restore=$vRestore append=$vAppend")
+      assert(SnapshotTable.versions(spark, t) == Seq(1, 2, 3, 4))
+      // whichever version is LATEST defines the state; both are readable
+      val latest = ids(SnapshotTable.readAsOf(spark, t, 4))
+      if (vRestore == 4) assert(latest == Set(1L))
+      else {
+        // the append published after the restore: its base was whatever
+        // it re-read inside the retry loop, so id 3 must be present and
+        // the state must equal one of the two legal linearizations
+        assert(latest == Set(1L, 3L) || latest == Set(1L, 2L, 3L),
+          s"append-after-restore state unexpected: $latest")
+      }
+      // the restored target itself is intact regardless of the race
+      assert(ids(SnapshotTable.readAsOf(spark, t, 1)) == Set(1L))
+      assert(ids(SnapshotTable.readAsOf(spark, t, 2)) == Set(1L, 2L))
+    }
+  }
 }
