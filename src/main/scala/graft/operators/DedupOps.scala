@@ -1059,10 +1059,18 @@ object DedupOps extends QueryPack {
         .withColumnRenamed("shingle", "token"))
 
   private def ingestJaccardPrefixFrom(corpusT: DataFrame,
-      batchT: DataFrame): DataFrame = {
+      batchT: DataFrame): DataFrame =
+    ingestProbe(corpusT,
+      corpusT.groupBy(col("token")).agg(count(lit(1)).as("df")),
+      corpusT.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")),
+      batchT)
+
+  /** The probe dataflow with the corpus-wide statistics passed IN —
+    * derived inline by the declared query, prebuilt and checkpointed by
+    * the streaming gate's [[PrefixIndex]]. */
+  private def ingestProbe(corpusT: DataFrame, dfs: DataFrame,
+      szC: DataFrame, batchT: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dfs = corpusT.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val szC = corpusT.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val szB = batchT.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pos = batchT.join(dfs, Seq("token"), "left_outer")
       .withColumn("df", coalesce(col("df"), lit(0L)))
@@ -1093,6 +1101,37 @@ object DedupOps extends QueryPack {
       .select(col("batch_id"), col("corpus_id"), col("inter"), col("jaccard"))
       .orderBy(col("batch_id"), col("corpus_id"))
   }
+
+  /** The standing corpus's prefix-probe index — postings PLUS the df
+    * and per-doc size statistics, each materialized once: the stats are
+    * what rank a batch's prefix tokens and length-filter candidates, so
+    * recomputing them per micro-batch would re-aggregate the whole
+    * corpus every trigger. A production gate persists all three tables
+    * (the [[graft.sources.SnapshotTable]] save shape). */
+  final case class PrefixIndex(tokens: DataFrame, dfs: DataFrame,
+      sizes: DataFrame)
+
+  /** Build the standing index ONCE over (doc_id, text) corpus docs. */
+  def buildPrefixIndex(corpusDocs: DataFrame): PrefixIndex = {
+    val toks = shingleRows(corpusDocs.select(col("doc_id"), col("text")))
+      .withColumnRenamed("shingle", "token").localCheckpoint(true)
+    PrefixIndex(toks,
+      toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .localCheckpoint(true),
+      toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        .localCheckpoint(true))
+  }
+
+  /** Batch doc ids with an EXACT Jaccard ≥ τ near-dup in the standing
+    * corpus — the [[ingestJaccardPrefix]] probe as a public gate API:
+    * O(batch prefix postings ⨝ index) per call, batch-side prefix only,
+    * every corpus-wide statistic served from the prebuilt index. The
+    * batch frame needs (doc_id, text). */
+  def nearDupMatches(index: PrefixIndex, batchDocs: DataFrame): DataFrame =
+    ingestProbe(index.tokens, index.dfs, index.sizes,
+      shingleRows(batchDocs.select(col("doc_id"), col("text")))
+        .withColumnRenamed("shingle", "token"))
+      .select(col("batch_id")).distinct()
 
   private val ContainTau = 0.8
 
