@@ -945,7 +945,14 @@ object SimilarityOps extends QueryPack {
       .select(col("q_id"), col("vec_id"),
         when(nq > 0 && ny > 0, dot / sqrt(nq * ny)).as("cos"))
       .filter(col("cos").isNotNull)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    // Tie-break toward the planted original FIRST: a corpus holding
+    // duplicate embeddings (or two vectors equal after micro-unit
+    // rounding) puts a second cos-1.0 neighbor in the tie set, and
+    // ordering by vec_id alone would let a smaller id steal rank-1 and
+    // hard-fail the closed-form n_found==n_queries oracle. The audit's
+    // claim is "the original is IN the max-cos tie set", so prefer it.
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc,
+      (col("vec_id") === col("q_id") - plantOff).desc, col("vec_id"))
     val top1 = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") === 1)
     planted.agg(count(lit(1)).as("n_queries"))

@@ -31,6 +31,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  // Catch-all for malformed GRAFT statements (missing quotes, absent
+  // KEEP/VERSION clause, unknown verb): without it they would fall
+  // through to Spark's ANTLR parser and surface as a generic
+  // "syntax error at GRAFT" instead of the supported grammars.
+  private val GraftAnyRe = """(?is)\s*GRAFT\b.*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case RestoreRe(dir, v) => GraftRestoreCommand(dir, v.toInt)
@@ -39,6 +44,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(v).map(_.toInt).getOrElse(Int.MaxValue))
     case VacuumRe(dir, k) => GraftVacuumCommand(dir, k.toInt)
     case HistoryRe(dir) => GraftHistoryCommand(dir)
+    case GraftAnyRe() =>
+      throw new org.apache.spark.sql.catalyst.parser.ParseException(
+        Option(sqlText),
+        org.apache.spark.sql.catalyst.trees.Origin(),
+        "PARSE_SYNTAX_ERROR",
+        Map("error" -> "'GRAFT'",
+          "hint" -> (": malformed GRAFT statement; supported grammars: " +
+            "GRAFT RESTORE '<dir>' VERSION AS OF <n> | " +
+            "GRAFT CLONE '<src>' TO '<dst>' [VERSION AS OF <n>] | " +
+            "GRAFT VACUUM '<dir>' KEEP <n> | " +
+            "GRAFT HISTORY '<dir>'")))
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -1202,7 +1202,15 @@ object SnapshotTable {
     * migrate the borrowed bytes into its own data dirs first. */
   def cloneTable(s: SparkSession, srcDir: String, dstDir: String,
       asOf: Int = Int.MaxValue): Int = {
-    val vs = versions(s, srcDir).filter(_ <= asOf)
+    val all = versions(s, srcDir)
+    // An EXPLICIT `VERSION AS OF n` must name a retained version — a
+    // floor here would silently clone an older snapshot when n was
+    // vacuumed or never published (restore() and Delta both error).
+    // The floor survives only for the Int.MaxValue "latest" sentinel.
+    if (asOf != Int.MaxValue) require(all.contains(asOf),
+      s"cloneTable: version $asOf of $srcDir is not a retained " +
+        s"published version (retained: ${all.mkString(",")})")
+    val vs = all.filter(_ <= asOf)
     require(vs.nonEmpty, s"cloneTable: no published version <= $asOf in $srcDir")
     val m = readManifest(s, srcDir, vs.last)
     val sc = m.schema.getOrElse(throw new IllegalArgumentException(
@@ -1632,6 +1640,14 @@ object SnapshotTable {
         Paths.get(fsys.makeQualified(cp).toUri.getPath),
         StandardCopyOption.ATOMIC_MOVE)
     } else {
+      // Same gate as the publish path: an object-store AbstractFileSystem
+      // implements Rename.OVERWRITE as copy/delete, reintroducing the
+      // exact non-atomic window (cursor transiently missing → range
+      // reset to genesis) this branch exists to close. The cursor file
+      // can live on a DIFFERENT filesystem than the table, so the
+      // publish-time check does not cover it — gate here too.
+      requireAtomicRenameScheme(
+        Option(cp.toUri.getScheme).getOrElse(fsys.getScheme))
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         cp.toUri, s.sparkContext.hadoopConfiguration)
       fc.rename(fsys.makeQualified(tmp), fsys.makeQualified(cp),

@@ -99,6 +99,17 @@ class ExtensionsSpec extends GraftSpec {
       assert(hist.map(_.getInt(0)).toSeq == Seq(3),
         s"after KEEP 1 only the restored version remains: ${hist.mkString}")
       assert(hist.head.getLong(2) == 2L) // n_rows of the restored state
+      // a MALFORMED GRAFT statement gets a targeted usage message, not
+      // the delegate ANTLR parser's generic "syntax error at GRAFT"
+      val mal = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s2.sql(s"GRAFT VACUUM '$t'") // missing KEEP clause
+      }
+      assert(mal.getMessage.contains("GRAFT VACUUM '<dir>' KEEP <n>"),
+        s"expected the GRAFT usage hint, got: ${mal.getMessage}")
+      val unk = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s2.sql("GRAFT FROBNICATE 'x'")
+      }
+      assert(unk.getMessage.contains("supported grammars"))
       // ordinary SQL still parses through the delegate untouched
       assert(s2.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
       assert(s2.sql("SELECT graft_poly_hash('abc') IS NOT NULL AS ok")

@@ -47,6 +47,21 @@ class SnapshotCloneSpec extends GraftSpec {
     intercept[IllegalArgumentException] {
       SnapshotTable.cloneTable(spark, src, cln)
     }
+    // an EXPLICIT version must be a retained published version — no
+    // silent floor to an older snapshot (Delta VERSION AS OF errors too)
+    val cln2 = s"$dir/cln2"
+    intercept[IllegalArgumentException] {
+      SnapshotTable.cloneTable(spark, src, cln2, asOf = 99)
+    }
+    // vacuumed-away explicit version: also an error, not a floor
+    SnapshotTable.commit(spark, src, Seq(3L).toDF("id"), overwrite = false)
+    SnapshotTable.vacuum(spark, src, keepVersions = 1)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.cloneTable(spark, src, cln2, asOf = 1)
+    }
+    // the "latest" sentinel keeps its floor semantics
+    assert(SnapshotTable.cloneTable(spark, src, cln2) == 1)
+    assert(ids(SnapshotTable.readAsOf(spark, cln2, 1)) == Set(1L, 2L, 3L))
   }
 
   test("deletion vectors and constraints travel with the clone") {
