@@ -845,6 +845,92 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** Mergeable set-operation sketches (KMV / bottom-k, the theta-sketch
+    * family): per activity-type PAIR, the estimated distinct-element
+    * UNION and INTERSECTION of the two types' user-day sets — the
+    * audience-overlap question HLL cannot answer (HLL unions merge;
+    * intersections need inclusion–exclusion with exploding error, while
+    * a bottom-k sketch intersects directly). Elements are user-days
+    * (user × day-of-year), the standard "on how many user-days do both
+    * activities occur" overlap unit.
+    *
+    * KMV mechanics: hash every element uniformly into [0, 2^60) (md5 —
+    * a hash family both engines implement identically, so the oracle
+    * replays the EXACT sketch, not a tolerance band); a set's sketch is
+    * its K smallest distinct hashes. Union sketch = K smallest of the
+    * two sketches' union; with U_(K) the Kth smallest, n̂ = (K−1)·2^60 /
+    * U_(K) (unbiased), exact when the union holds < K elements. The
+    * intersection estimate is ρ·n̂ where ρ is the fraction of
+    * union-sketch members present in BOTH sketches — membership in the
+    * per-set sketches suffices, because a union-sketch member in set A
+    * is necessarily among A's K smallest.
+    *
+    * Scale: ONE corpus-sized distinct (type, element) shuffle + one
+    * hash-join on h for the exact audit; everything downstream operates
+    * on T·K sketch rows (tiny, broadcast). At 100 TB the per-set
+    * sketches would be computed once per partition and merged — the
+    * same min-K merge this plan's window performs. K=256 ⇒ union RSE
+    * ~1/√255 ≈ 6.3%; `union_ok` audits the estimate within 20%. */
+  def sketchKmvSetops(s: SparkSession, d: String): DataFrame = {
+    val K = 256
+    // the one corpus-sized stage: distinct (type, user-day), hashed
+    val h = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_type").as("t"),
+        (col("user_id") * 1000L + dayofyear(col("ts")).cast("long")).as("u"))
+      .select(col("t"),
+        expr("CAST(conv(substring(md5(CAST(u AS STRING)), 1, 15), 16, 10) " +
+          "AS BIGINT)").as("h"))
+      .distinct()
+    val sk = h.withColumn("r",
+        row_number().over(Window.partitionBy(col("t")).orderBy(col("h"))))
+      .filter(col("r") <= K).select(col("t"), col("h"))
+    // exact ground truth (the audit): per-set sizes and pairwise
+    // intersections over the hashed elements
+    val ex = h.groupBy(col("t")).agg(count(lit(1)).as("exact_n"))
+    val xi = h.as("x")
+      .join(h.as("y"), col("x.h") === col("y.h") && col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("ta"), col("y.t").as("tb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    // sketch-only pairwise stage: T²/2 pairs × ≤2K rows — broadcast-sized
+    val types = sk.select(col("t")).distinct()
+    val prs = types.as("a").join(types.as("b"), col("a.t") < col("b.t"))
+      .select(col("a.t").as("ta"), col("b.t").as("tb"))
+    val contrib = prs
+      .join(sk, col("t") === col("ta") || col("t") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("h"))
+      .agg(max(when(col("t") === col("ta"), 1).otherwise(0)).as("ina"),
+        max(when(col("t") === col("tb"), 1).otherwise(0)).as("inb"))
+    val usk = contrib.withColumn("r", row_number().over(
+        Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))))
+      .filter(col("r") <= K)
+    val st = usk.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("hk"),
+        sum(col("ina") * col("inb")).cast("long").as("n_both"))
+    // the estimator, written once as SQL text so the oracle evaluates
+    // the byte-identical expression tree (same IEEE rounding)
+    val estU = s"CASE WHEN n_sk < $K THEN CAST(n_sk AS DOUBLE) " +
+      s"ELSE ${K - 1}.0 * ${1L << 60}.0 / CAST(hk AS DOUBLE) END"
+    st.join(ex.select(col("t").as("ta"), col("exact_n").as("exact_a")), "ta")
+      .join(ex.select(col("t").as("tb"), col("exact_n").as("exact_b")), "tb")
+      .join(xi, Seq("ta", "tb"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("exact_a"), col("exact_b"),
+        (col("exact_a") + col("exact_b") - col("exact_inter"))
+          .as("exact_union"),
+        col("exact_inter"),
+        expr(s"round($estU, 4)").as("est_union"),
+        expr(s"round((CAST(n_both AS DOUBLE) / CAST(n_sk AS DOUBLE)) * " +
+          s"($estU), 4)").as("est_inter"),
+        (abs(expr(s"round($estU, 4)") -
+          (col("exact_a") + col("exact_b") - col("exact_inter"))) * lit(100L)
+          <= (col("exact_a") + col("exact_b") - col("exact_inter")) * lit(20L))
+          .as("union_ok"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** New-user accounting: per day, the count of users whose FIRST-EVER
     * event falls on that day, plus the running cumulative user count —
     * the growth dashboard's top line, and the classic "cumulative
@@ -1431,6 +1517,7 @@ object AnalyticsOps extends QueryPack {
     "events_new_users" -> eventsNewUsers,
     "mv_incremental_refresh" -> mvIncrementalRefresh,
     "sketch_hll_distinct" -> sketchHllDistinct,
+    "sketch_kmv_setops" -> sketchKmvSetops,
     "pareto_frontier"    -> paretoFrontier,
     "events_histogram"   -> eventsHistogram,
     "profile_columns"    -> profileColumns,
@@ -1821,6 +1908,61 @@ object AnalyticsOps extends QueryPack {
         |  true AS direct_ok, true AS merged_ok
         |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the oracle replays the ENTIRE KMV derivation (md5 is computed
+    // identically by both engines), so estimates hash-match exactly —
+    // no tolerance band needed
+    "sketch_kmv_setops" ->
+      """WITH e AS (SELECT DISTINCT event_type AS t,
+        |    user_id * 1000 + CAST(date_part('doy', CAST(ts AS TIMESTAMP))
+        |      AS BIGINT) AS u
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |h AS (SELECT DISTINCT t,
+        |    CAST(('0x' || substring(md5(CAST(u AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h FROM e),
+        |sk AS (SELECT t, h FROM (SELECT t, h,
+        |    row_number() OVER (PARTITION BY t ORDER BY h) AS r FROM h)
+        |  WHERE r <= 256),
+        |ex AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_n FROM h
+        |  GROUP BY t),
+        |xi AS (SELECT x.t AS ta, y.t AS tb,
+        |    CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM h x JOIN h y ON x.h = y.h AND x.t < y.t GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT t FROM sk),
+        |prs AS (SELECT a.t AS ta, b.t AS tb FROM types a
+        |  JOIN types b ON a.t < b.t),
+        |contrib AS (SELECT p.ta, p.tb, s.h,
+        |    max(CASE WHEN s.t = p.ta THEN 1 ELSE 0 END) AS ina,
+        |    max(CASE WHEN s.t = p.tb THEN 1 ELSE 0 END) AS inb
+        |  FROM prs p JOIN sk s ON s.t = p.ta OR s.t = p.tb
+        |  GROUP BY 1, 2, 3),
+        |usk AS (SELECT * FROM (SELECT ta, tb, h, ina, inb,
+        |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS r
+        |  FROM contrib) WHERE r <= 256),
+        |st AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_sk,
+        |    max(h) AS hk, CAST(sum(ina * inb) AS BIGINT) AS n_both
+        |  FROM usk GROUP BY 1, 2)
+        |SELECT st.ta AS type_a, st.tb AS type_b,
+        |  ea.exact_n AS exact_a, eb.exact_n AS exact_b,
+        |  ea.exact_n + eb.exact_n - coalesce(xi.exact_inter, 0)
+        |    AS exact_union,
+        |  coalesce(xi.exact_inter, 0) AS exact_inter,
+        |  round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE)
+        |    ELSE 255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END, 4)
+        |    AS est_union,
+        |  round((CAST(n_both AS DOUBLE) / CAST(n_sk AS DOUBLE)) *
+        |    (CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE)
+        |     ELSE 255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END), 4)
+        |    AS est_inter,
+        |  (abs(round(CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE)
+        |     ELSE 255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END, 4)
+        |    - (ea.exact_n + eb.exact_n - coalesce(xi.exact_inter, 0)))
+        |    * 100 <= (ea.exact_n + eb.exact_n - coalesce(xi.exact_inter, 0))
+        |    * 20) AS union_ok
+        |FROM st JOIN ex ea ON ea.t = st.ta JOIN ex eb ON eb.t = st.tb
+        |LEFT JOIN xi ON xi.ta = st.ta AND xi.tb = st.tb
+        |ORDER BY type_a, type_b""".stripMargin,
     // the oracle runs the GLOBAL single-window formulation — agreement
     // proves the banded prefix-max decomposition is exact
     "pareto_frontier" ->

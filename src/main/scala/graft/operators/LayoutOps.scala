@@ -577,6 +577,44 @@ object LayoutOps extends QueryPack {
       .orderBy(col("version"))
   }
 
+  /** Metadata-served aggregates end to end: land orders (price nulled
+    * on every 7th key, exercising the null accounting) in a snapshot
+    * table across three append commits, then answer COUNT(*),
+    * COUNT(col), MIN/MAX of a long, a double, and a string column from
+    * [[graft.sources.SnapshotTable.metaAgg]] — the manifest's zone maps
+    * alone, zero data-file reads (the spec proves it by garbaging the
+    * data files first). At 100 TB this is the difference between a
+    * full-table scan and one manifest read for the `SELECT count(*),
+    * min(ts), max(ts)` class of query. The oracle recomputes the same
+    * aggregates by actually scanning. */
+  def layoutMetaAgg(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_magg_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val o = Tables.orders(s, d).filter(col("o_orderkey").isNotNull)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("price"),
+        col("o_orderstatus"))
+    (0 to 2).foreach { k =>
+      graft.sources.SnapshotTable.commit(s, table,
+        o.filter(col("o_orderkey") % 3 === k), overwrite = false)
+    }
+    val ma = graft.sources.SnapshotTable.metaAgg(s, table)
+    def pick(c: String, v: String) = max(when(col("column") === c, col(v)))
+    ma.agg(
+        pick("o_orderkey", "n_rows").as("n_rows"),
+        pick("price", "n_nonnull").as("n_nonnull_price"),
+        pick("o_orderkey", "min_long").as("min_key"),
+        pick("o_orderkey", "max_long").as("max_key"),
+        pick("price", "min_double").as("min_price"),
+        pick("price", "max_double").as("max_price"),
+        pick("o_orderstatus", "min_string").as("min_status"),
+        pick("o_orderstatus", "max_string").as("max_status"),
+        min(col("bounds_exact")).as("bounds_exact"))
+      .filter(col("n_rows") > 0)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_restore" -> layoutRestore,
     "layout_clone" -> layoutClone,
@@ -589,6 +627,7 @@ object LayoutOps extends QueryPack {
     "layout_snapshot_changes" -> layoutSnapshotChanges,
     "layout_snapshot_bucketed" -> layoutSnapshotBucketed,
     "layout_snapshot_deletes" -> layoutSnapshotDeletes,
+    "layout_meta_agg" -> layoutMetaAgg,
   )
 
   override val oracle: Map[String, String] = Map(
@@ -758,5 +797,22 @@ object LayoutOps extends QueryPack {
         |  CAST(sum((l_orderkey * 1000003 + l_linenumber * 7919 +
         |    l_partkey * 31 + l_suppkey) % 1000000007) AS BIGINT) AS poly_sum
         |FROM lineitem""".stripMargin,
+    // the oracle actually scans — agreement proves the manifest-served
+    // aggregates (zero data reads on the engine side) are exact
+    "layout_meta_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE o_totalprice END AS price,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(price) AS BIGINT) AS n_nonnull_price,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  min(price) AS min_price, max(price) AS max_price,
+        |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+        |  TRUE AS bounds_exact
+        |FROM o HAVING count(*) > 0""".stripMargin,
   )
 }

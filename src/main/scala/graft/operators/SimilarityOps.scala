@@ -963,8 +963,56 @@ object SimilarityOps extends QueryPack {
         coalesce(col("found"), lit(0L)).as("n_found"))
   }
 
+  /** Matryoshka (truncated-embedding) retrieval audit: top-10 cosine
+    * neighbors computed with the FULL 64-dim embedding vs with only its
+    * FIRST 16 dimensions, and the per-query recall of the truncated
+    * search against the full one. This is the measurement behind
+    * MRL-style adaptive retrieval (use a prefix of the embedding for
+    * the cheap first pass, the full vector to re-rank): at 100 TB a
+    * 16-dim first pass reads 4× less vector data — the audit tells you
+    * what recall that buys. Truncation here is a plain `slice`; the
+    * scale path (IVF over the truncated prefix) is
+    * [[annIvf]]/[[saveIvfIndex]] unchanged, since the index never sees
+    * the tail dims.
+    *
+    * Determinism: both scores are rounded to 6 dp before ranking with a
+    * vec_id tiebreak (the [[annBruteForce]] discipline), and each
+    * pipeline filters NULL similarities BEFORE its window so
+    * cross-engine null-ordering never matters. */
+  def embedTruncationRecall(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val truncDim = 16
+    val base = corpus(s, d)
+    val q = base.filter(defaultQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val joined = base.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    def topk(score: Column) = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      joined.select(col("q_id"), col("vec_id"), round(score, 6).as("cos"))
+        .filter(col("cos").isNotNull)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("vec_id"))
+    }
+    val full = topk(cosine(col("q_emb"), col("embedding")))
+    val trunc = topk(cosine(slice(col("q_emb"), 1, truncDim),
+      slice(col("embedding"), 1, truncDim)))
+    val nf = full.groupBy(col("q_id")).agg(count(lit(1)).as("n_full"))
+    val ov = full.as("f").join(trunc.as("t"),
+        col("f.q_id") === col("t.q_id") && col("f.vec_id") === col("t.vec_id"))
+      .groupBy(col("f.q_id").as("q_id")).agg(count(lit(1)).as("n_overlap"))
+    nf.join(ov, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_full"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_full").cast("double"), 4).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_rp_recall" -> annRpRecall,
+    "embed_truncation_recall" -> embedTruncationRecall,
     "ann_brute_topk" -> annBruteForce,
     "ann_radius" -> annRadius,
     "ann_quantized_topk" -> annQuantizedTopK,
@@ -1216,5 +1264,42 @@ object SimilarityOps extends QueryPack {
         |  FROM scored)
         |SELECT q_id, vec_id, cos, rank FROM ranked
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // the same double-typed cosine tree over the full vector and its
+    // 16-dim prefix ([1:16] = Spark slice(e,1,16)); rounding-then-rank
+    // and the vec_id tiebreak make both top-10 sets engine-identical
+    "embed_truncation_recall" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+        |           FROM embeddings WHERE vec_id < 5),
+        |j AS (SELECT q_id, q_emb, e.vec_id AS vec_id,
+        |        e.embedding::DOUBLE[] AS emb
+        |      FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+        |f AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, cos, row_number() OVER
+        |      (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM (SELECT q_id, vec_id,
+        |      round(list_dot_product(q_emb, emb) /
+        |        (sqrt(list_dot_product(q_emb, q_emb)) *
+        |         sqrt(list_dot_product(emb, emb))), 6) AS cos FROM j)
+        |  WHERE cos IS NOT NULL) WHERE rank <= 10),
+        |t AS (SELECT q_id, vec_id FROM (
+        |  SELECT q_id, vec_id, cos, row_number() OVER
+        |      (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM (SELECT q_id, vec_id,
+        |      round(list_dot_product(q_emb[1:16], emb[1:16]) /
+        |        (sqrt(list_dot_product(q_emb[1:16], q_emb[1:16])) *
+        |         sqrt(list_dot_product(emb[1:16], emb[1:16]))), 6) AS cos
+        |    FROM j)
+        |  WHERE cos IS NOT NULL) WHERE rank <= 10),
+        |nf AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_full FROM f
+        |  GROUP BY q_id),
+        |ov AS (SELECT f.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM f JOIN t ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+        |  GROUP BY f.q_id)
+        |SELECT nf.q_id, nf.n_full,
+        |  coalesce(ov.n_overlap, 0) AS n_overlap,
+        |  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) /
+        |    CAST(nf.n_full AS DOUBLE), 4) AS recall
+        |FROM nf LEFT JOIN ov ON ov.q_id = nf.q_id
+        |ORDER BY nf.q_id""".stripMargin,
   )
 }

@@ -1763,6 +1763,99 @@ object SnapshotTable {
       .orderBy(org.apache.spark.sql.functions.col("version"))
   }
 
+  /** Metadata-only column aggregates of a snapshot: COUNT(*),
+    * COUNT(col), MIN(col), MAX(col) for every stat-eligible column
+    * (long/double/string families), answered from the manifest's
+    * per-file row counts and zone maps alone — ZERO data-file reads,
+    * zero Spark jobs. At 100 TB this turns `SELECT count(*), min(ts),
+    * max(ts)` from a full-table scan into one manifest read (the
+    * Delta/Iceberg stats-served-aggregate discipline).
+    *
+    * Soundness boundaries, enforced rather than fudged:
+    *  - REFUSED on a snapshot carrying deletion vectors: merge-on-read
+    *    deletes can remove the extremal row, so min/max/null counts are
+    *    not derivable from metadata (count(*) alone stays exact under
+    *    dels — use [[rowCount]]). [[absorbDeletes]] restores
+    *    eligibility.
+    *  - REFUSED on legacy manifests without per-file row counts.
+    *  - A file entry with no recorded stat for a column reads NULL for
+    *    it (schema evolution: the file predates the column, or its
+    *    append omitted it) — it contributes rows but no non-nulls.
+    *  - `bounds_exact=false` (with null min/max) when any contributing
+    *    file's bound is unknown — e.g. a non-finite float bound the
+    *    writer refused to store.
+    *
+    * One output row per eligible column: `column, kind, n_rows,
+    * n_nonnull, min_long, max_long, min_double, max_double, min_string,
+    * max_string, bounds_exact` — the min/max pair of the column's kind
+    * is populated, the others null. */
+  def metaAgg(s: SparkSession, tableDir: String,
+      asOf: Int = Int.MaxValue): DataFrame = {
+    import s.implicits._
+    val vs = versions(s, tableDir).filter(_ <= asOf)
+    require(vs.nonEmpty, s"metaAgg: no published version <= $asOf in $tableDir")
+    val m = readManifest(s, tableDir, vs.last)
+    require(m.dels.isEmpty,
+      s"metaAgg: snapshot v${vs.last} of $tableDir carries deletion " +
+        "vectors; min/max/null accounting is not metadata-derivable under " +
+        "merge-on-read deletes — run absorbDeletes first (rowCount alone " +
+        "stays exact under deletes)")
+    val es = m.entries.getOrElse(throw new IllegalArgumentException(
+      s"metaAgg: legacy manifest without file metadata in $tableDir"))
+    require(es.forall(_.rows.isDefined),
+      s"metaAgg: a file entry predates row-count collection in $tableDir")
+    val nRows = es.flatMap(_.rows).sum
+    val sc = m.schema.getOrElse(StructType(Nil))
+    // UTF-8 byte order — the binary collation Spark's string min/max and
+    // the stored bounds both use (UTF-16 String ordering differs above
+    // the BMP, so decode-then-compare would be wrong)
+    def bcmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val x = (a(i) & 0xff) - (b(i) & 0xff)
+        if (x != 0) return x
+        i += 1
+      }
+      a.length - b.length
+    }
+    val rows = sc.fields.toSeq.flatMap(f => statKind(f.dataType).map { k =>
+      val withStat = es.flatMap(e => e.stats.get(f.name).map(st =>
+        (e.rows.get, st)))
+      val nonNull = withStat.map { case (r, st) => r - st.nulls }.sum
+      // files that hold at least one non-null value must contribute a
+      // known bound for the global extreme to be exact
+      val contributing = withStat.filter { case (r, st) => r - st.nulls > 0 }
+      val exact = contributing.forall { case (_, st) =>
+        st.min.isDefined && st.max.isDefined }
+      def extreme(pick: (Any, Any) => Boolean, side: ColStat => Option[Any])
+          : Option[Any] =
+        if (!exact || contributing.isEmpty) None
+        else Some(contributing.flatMap { case (_, st) => side(st) }
+          .reduce((a, b) => if (pick(a, b)) a else b))
+      def lt(a: Any, b: Any): Boolean = k match {
+        case 'l' => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+        case 'd' => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+        case _ => bcmp(a.asInstanceOf[Array[Byte]],
+          b.asInstanceOf[Array[Byte]]) < 0
+      }
+      val mn = extreme(lt, _.min)
+      val mx = extreme((a, b) => lt(b, a), _.max)
+      def str(v: Option[Any]): Option[String] =
+        v.map(x => new String(x.asInstanceOf[Array[Byte]], "UTF-8"))
+      (f.name, k.toString, nRows, nonNull,
+        if (k == 'l') mn.map(_.asInstanceOf[Long]) else None,
+        if (k == 'l') mx.map(_.asInstanceOf[Long]) else None,
+        if (k == 'd') mn.map(_.asInstanceOf[Double]) else None,
+        if (k == 'd') mx.map(_.asInstanceOf[Double]) else None,
+        if (k == 's') str(mn) else None,
+        if (k == 's') str(mx) else None,
+        exact)
+    })
+    rows.toDF("column", "kind", "n_rows", "n_nonnull", "min_long",
+      "max_long", "min_double", "max_double", "min_string", "max_string",
+      "bounds_exact")
+  }
+
   /** Retention sweep result: manifests expired, data files deleted. */
   final case class VacuumStats(expiredManifests: Int, deletedDataFiles: Int)
 
