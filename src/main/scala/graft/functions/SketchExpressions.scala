@@ -263,3 +263,69 @@ object SketchExpressions {
     call_function("graft_portable_minhash_sig", c,
       org.apache.spark.sql.functions.lit(kp), org.apache.spark.sql.functions.lit(p))
 }
+
+/** Bounded, mergeable bottom-K (KMV) distinct-count sketch over a
+  * pre-hashed BIGINT column, as a typed
+  * [[org.apache.spark.sql.expressions.Aggregator]] — the streaming twin
+  * of [[graft.operators.AnalyticsOps.sketchKmvSetops]]'s batch sketch.
+  * State per group is AT MOST K=64 longs regardless of how many rows the
+  * group sees, which is the whole point on an unbounded stream: a
+  * watermarked windowed `countDistinct` would hold every distinct key in
+  * state; this holds 64. Buffer is kept sorted ascending and duplicate
+  * hashes are ignored (KMV counts DISTINCT hashes); merge folds one
+  * sorted buffer into the other — commutative/associative/idempotent, so
+  * partial aggregation and state-store merges are exact.
+  *
+  * `finish` returns the estimate itself: exact `n` while the sketch is
+  * unsaturated (< K distinct hashes seen), else (K−1)·2^60 / U_(K) with
+  * U_(K) the buffer max — the SAME double-typed expression the DuckDB
+  * oracle evaluates, so the streamed estimate hash-matches a batch
+  * recomputation. Hashes must be uniform on [0, 2^60) (md5-derived
+  * upstream). */
+object KmvDistinctAgg
+    extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Double] {
+  val K = 64
+  private val M = 1152921504606846976.0 // 2^60, the hash range
+
+  private def insert(b: Array[Long], h: Long): Array[Long] = {
+    val i = java.util.Arrays.binarySearch(b, h)
+    if (i >= 0) return b // duplicate hash: distinct count unchanged
+    val pos = -i - 1
+    if (b.length < K) {
+      val out = new Array[Long](b.length + 1)
+      System.arraycopy(b, 0, out, 0, pos)
+      out(pos) = h
+      System.arraycopy(b, pos, out, pos + 1, b.length - pos)
+      out
+    } else if (pos < K) {
+      // displaces the current Kth-smallest
+      val out = new Array[Long](K)
+      System.arraycopy(b, 0, out, 0, pos)
+      out(pos) = h
+      System.arraycopy(b, pos, out, pos + 1, K - pos - 1)
+      out
+    } else b
+  }
+
+  /** Reserved skip marker: a row mapped to this value contributes
+    * nothing (real hashes live in [0, 2^60)). This is how non-domain
+    * rows (NULL keys, a backfill's flush sentinel) ride through the
+    * aggregation WITHOUT a pre-aggregation filter — a filter below the
+    * watermarked agg gets pushed under the EventTimeWatermark node and
+    * would stop the very rows that advance the clock from being seen. */
+  val Skip: Long = Long.MinValue
+
+  override def zero: Array[Long] = Array.empty[Long]
+  override def reduce(b: Array[Long], h: Long): Array[Long] =
+    if (h == Skip) b else insert(b, h)
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+    if (x.length >= y.length) y.foldLeft(x)(insert)
+    else x.foldLeft(y)(insert)
+  override def finish(b: Array[Long]): Double =
+    if (b.length < K) b.length.toDouble
+    else (K - 1).toDouble * M / b.last.toDouble
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
+}

@@ -615,6 +615,42 @@ object LayoutOps extends QueryPack {
       .filter(col("n_rows") > 0)
   }
 
+  /** Physical file-provenance audit: land documents in a
+    * directory-PARTITIONED parquet sink (`partitionBy(bucket)`,
+    * bucket = doc_id % 4, one writer task per bucket), read it back
+    * with the scanner's `_metadata` columns, and verify per bucket that
+    * (a) exactly ONE file serves it, (b) `_metadata.row_index` is a
+    * contiguous 0..n−1 sequence within that file, and (c) the content
+    * rolls up to the source truth. This is the lineage primitive a
+    * 100 TB pipeline leans on — "which file did this row come from, at
+    * which position" is how deletion vectors, incremental audits, and
+    * bad-file quarantines address rows — exercised here end to end
+    * through a real write/scan cycle rather than assumed. */
+  def layoutFileLineage(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_lin_")
+    tmpDirs.add(root)
+    val out = root.resolve("part").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"),
+        (col("doc_id") % 4).cast("long").as("bucket"))
+    // one shuffle keyed on the partition column → each bucket's rows
+    // land in exactly one task → exactly one file per bucket directory
+    docs.repartition(4, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    s.read.schema(docs.schema).parquet(out)
+      .select(col("bucket"), col("doc_id"), col("nc"),
+        col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("ri"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"),
+        sum(col("nc")).as("sum_chars"),
+        countDistinct(col("fp")).as("n_files"),
+        (max(col("ri")) === count(lit(1)) - 1 && min(col("ri")) === 0 &&
+          sum(col("ri")) === count(lit(1)) * (count(lit(1)) - 1) / 2)
+          .as("rowidx_ok"))
+      .orderBy(col("bucket"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_restore" -> layoutRestore,
     "layout_clone" -> layoutClone,
@@ -628,6 +664,7 @@ object LayoutOps extends QueryPack {
     "layout_snapshot_bucketed" -> layoutSnapshotBucketed,
     "layout_snapshot_deletes" -> layoutSnapshotDeletes,
     "layout_meta_agg" -> layoutMetaAgg,
+    "layout_file_lineage" -> layoutFileLineage,
   )
 
   override val oracle: Map[String, String] = Map(
@@ -814,5 +851,17 @@ object LayoutOps extends QueryPack {
         |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
         |  TRUE AS bounds_exact
         |FROM o HAVING count(*) > 0""".stripMargin,
+    // per bucket the oracle recomputes the content rollup and pins the
+    // physical invariants the engine measured via _metadata: one file
+    // per bucket, contiguous 0..n-1 row positions within it
+    "layout_file_lineage" ->
+      """SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  TRUE AS rowidx_ok
+        |FROM documents WHERE doc_id IS NOT NULL
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

@@ -31,6 +31,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+SMALL\s+(\d+)\s+TARGET\s+(\d+))?\s*;?\s*""".r
+  private val StatsRe =
+    """(?is)\s*GRAFT\s+STATS\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   // Catch-all for malformed GRAFT statements (missing quotes, absent
   // KEEP/VERSION clause, unknown verb): without it they would fall
   // through to Spark's ANTLR parser and surface as a generic
@@ -44,6 +48,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(v).map(_.toInt).getOrElse(Int.MaxValue))
     case VacuumRe(dir, k) => GraftVacuumCommand(dir, k.toInt)
     case HistoryRe(dir) => GraftHistoryCommand(dir)
+    case OptimizeRe(dir, small, target) =>
+      GraftOptimizeCommand(dir,
+        Option(small).map(_.toLong).getOrElse(32L * 1024 * 1024),
+        Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024))
+    case StatsRe(dir, v) =>
+      GraftStatsCommand(dir, Option(v).map(_.toInt).getOrElse(Int.MaxValue))
     case GraftAnyRe() =>
       throw new org.apache.spark.sql.catalyst.parser.ParseException(
         Option(sqlText),
@@ -54,7 +64,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             "GRAFT RESTORE '<dir>' VERSION AS OF <n> | " +
             "GRAFT CLONE '<src>' TO '<dst>' [VERSION AS OF <n>] | " +
             "GRAFT VACUUM '<dir>' KEEP <n> | " +
-            "GRAFT HISTORY '<dir>'")))
+            "GRAFT HISTORY '<dir>' | " +
+            "GRAFT OPTIMIZE '<dir>' [SMALL <bytes> TARGET <bytes>] | " +
+            "GRAFT STATS '<dir>' [VERSION AS OF <n>]")))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -110,6 +122,48 @@ case class GraftHistoryCommand(tableDir: String) extends LeafRunnableCommand {
     AttributeReference("commit_ts", LongType, nullable = true)())
   override def run(s: SparkSession): Seq[Row] =
     SnapshotTable.history(s, tableDir).collect().toSeq
+}
+
+/** `GRAFT OPTIMIZE '<dir>' [SMALL <bytes> TARGET <bytes>]` — bin-pack
+  * files under the small threshold into ~target-size files
+  * ([[SnapshotTable.compact]], optimistic-concurrency OPTIMIZE).
+  * Returns the published version, or NULL when there was nothing to do
+  * (≤1 small file, a bucketed layout, or outstanding deletion vectors —
+  * each a documented compact no-op, not an error). */
+case class GraftOptimizeCommand(tableDir: String, smallFileBytes: Long,
+    targetFileBytes: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = true)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.compact(s, tableDir, smallFileBytes,
+      targetFileBytes).map(Integer.valueOf).orNull))
+}
+
+/** `GRAFT STATS '<dir>' [VERSION AS OF <v>]` — the metadata-served
+  * column statistics of a snapshot ([[SnapshotTable.metaAgg]]): one row
+  * per stat-eligible column with exact row/non-null counts and min/max,
+  * answered from the manifest alone (zero data-file reads). */
+case class GraftStatsCommand(tableDir: String, asOf: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = {
+    val st = org.apache.spark.sql.types.StringType
+    val dt = org.apache.spark.sql.types.DoubleType
+    val bt = org.apache.spark.sql.types.BooleanType
+    Seq(
+      AttributeReference("column", st, nullable = true)(),
+      AttributeReference("kind", st, nullable = true)(),
+      AttributeReference("n_rows", LongType, nullable = false)(),
+      AttributeReference("n_nonnull", LongType, nullable = false)(),
+      AttributeReference("min_long", LongType, nullable = true)(),
+      AttributeReference("max_long", LongType, nullable = true)(),
+      AttributeReference("min_double", dt, nullable = true)(),
+      AttributeReference("max_double", dt, nullable = true)(),
+      AttributeReference("min_string", st, nullable = true)(),
+      AttributeReference("max_string", st, nullable = true)(),
+      AttributeReference("bounds_exact", bt, nullable = false)())
+  }
+  override def run(s: SparkSession): Seq[Row] =
+    SnapshotTable.metaAgg(s, tableDir, asOf).collect().toSeq
 }
 
 /** `GRAFT VACUUM '<dir>' KEEP <k>` → (expired versions, deleted files). */

@@ -46,6 +46,45 @@ object StreamingOps {
         round(sum(finiteOrNull(col("value"))), 2).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming KMV distinct-user estimate per 1-hour window: the
+    * md5-derived 60-bit user hash feeds the bounded
+    * [[graft.functions.KmvDistinctAgg]] bottom-K sketch — AT MOST 64
+    * longs of state per open window, where a watermarked
+    * `approx_count_distinct`-free exact count would hold every distinct
+    * user. This is how an unbounded feed serves "distinct users per
+    * hour" at 100 TB: per-partition sketches partial-aggregate
+    * map-side, the state store merges K-long buffers, and the emitted
+    * estimate is DETERMINISTIC (order-insensitive min-K), so the oracle
+    * recomputes it exactly from the batch table.
+    *
+    * Non-domain rows (NULL users, the backfill's flush sentinel matched
+    * by `domain=false`) are NOT filtered out — a filter here gets
+    * pushed BELOW the EventTimeWatermark node, so the sentinel would
+    * never be seen by the watermark and the final windows would never
+    * drain (observed: the last 3 hours missing). Instead they map to
+    * the sketch's reserved [[graft.functions.KmvDistinctAgg.Skip]]
+    * marker and to a zero `n_events` contribution; windows with no
+    * domain rows are dropped after the aggregate. */
+  def kmvDistinctAgg(events: DataFrame, domain: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val kmv = udaf(graft.functions.KmvDistinctAgg)
+    val keep = domain && col("user_id").isNotNull
+    eventTimed(events)
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"),
+        when(keep, expr(
+          "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), " +
+            "16, 10) AS BIGINT)"))
+          .otherwise(lit(graft.functions.KmvDistinctAgg.Skip)).as("h"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(when(col("h") =!= graft.functions.KmvDistinctAgg.Skip, 1))
+          .as("n_events"),
+        round(kmv(col("h")), 4).as("est_distinct"))
+      .select(col("window.start").as("hour"), col("n_events"),
+        col("est_distinct"))
+      .filter(col("n_events") > 0)
+  }
+
   /** TWO chained stateful operators in ONE streaming query — bounded
     * dedup feeding a watermarked windowed aggregation
     * (`dropDuplicatesWithinWatermark` → window/groupBy). This is the

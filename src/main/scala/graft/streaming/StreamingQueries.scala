@@ -280,6 +280,23 @@ object StreamingQueries extends QueryPack {
       .filter(!(col("event_type") <=> lit(FlushType)))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Streaming bounded-state distinct estimation: per 1-hour window the
+    * KMV bottom-64 sketch's distinct-user estimate
+    * ([[StreamingOps.kmvDistinctAgg]] / [[graft.functions.KmvDistinctAgg]]
+    * — ≤64 longs of state per open window on ANY feed volume). The
+    * sketch is deterministic (order-insensitive min-K over md5 hashes),
+    * so the oracle recomputes the exact same estimate from the batch
+    * table — a streaming approximate aggregate with a hash-exact gate.
+    * The sentinel rides INTO the aggregation as the sketch's skip
+    * marker rather than being filtered (a pre-agg filter is pushed
+    * below the watermark node and would stop the clock that drains the
+    * final windows); its own far-future window holds nothing and never
+    * drains. */
+  def streamKmvDistinct(s: SparkSession, d: String): DataFrame =
+    runBackfill(s, d)(StreamingOps.kmvDistinctAgg(_,
+      !(col("event_type") <=> lit(FlushType))))
+      .orderBy(col("hour"))
+
   /** Streaming sliding windows: 1-hour windows every 15 minutes, so each
     * event lands in exactly 4 windows. Spark aligns window starts to the
     * epoch, as does the oracle's `time_bucket` — each event's 4 windows
@@ -710,6 +727,7 @@ object StreamingQueries extends QueryPack {
     "stream_dedup_windows" -> streamDedupWindows,
     "stream_topk_users" -> streamTopkUsers,
     "stream_tumbling" -> streamTumbling,
+    "stream_kmv_distinct" -> streamKmvDistinct,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
     "stream_fmgws_session" -> streamFmgwsSession,
@@ -824,6 +842,30 @@ object StreamingQueries extends QueryPack {
         |  FROM c)
         |SELECT hour, user_id, n, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY hour, rank""".stripMargin,
+    // the oracle replays the KMV sketch itself (md5 bottom-64 per hour
+    // window) — the streamed ESTIMATE is deterministic and hash-exact
+    "stream_kmv_distinct" ->
+      """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    user_id
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS DISTINCT FROM '__flush__'),
+        |n AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_events FROM e
+        |  GROUP BY hour),
+        |h AS (SELECT DISTINCT hour,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h FROM e),
+        |sk AS (SELECT hour, h FROM (SELECT hour, h,
+        |    row_number() OVER (PARTITION BY hour ORDER BY h) AS r FROM h)
+        |  WHERE r <= 64),
+        |st AS (SELECT hour, count(*) AS n_sk, max(h) AS hk FROM sk
+        |  GROUP BY hour)
+        |SELECT n.hour, n.n_events,
+        |  round(CASE WHEN st.n_sk < 64 THEN CAST(st.n_sk AS DOUBLE)
+        |    ELSE 63.0 * 1152921504606846976.0 / CAST(st.hk AS DOUBLE) END, 4)
+        |    AS est_distinct
+        |FROM n JOIN st ON st.hour = n.hour
+        |ORDER BY n.hour""".stripMargin,
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         | count(*) AS n,

@@ -99,6 +99,21 @@ class ExtensionsSpec extends GraftSpec {
       assert(hist.map(_.getInt(0)).toSeq == Seq(3),
         s"after KEEP 1 only the restored version remains: ${hist.mkString}")
       assert(hist.head.getLong(2) == 2L) // n_rows of the restored state
+      // pure-SQL OPTIMIZE: two tiny commits bin-pack into one file
+      val t2 = s"$dir/tbl2"
+      SnapshotTable.commit(s2, t2, Seq(1L, 2L).toDF("id"), overwrite = false)
+      SnapshotTable.commit(s2, t2, Seq(3L).toDF("id"), overwrite = false)
+      assert(s2.sql(s"GRAFT OPTIMIZE '$t2'").head().getInt(0) == 3)
+      assert(SnapshotTable.readAsOf(s2, t2, 3).select("id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+      // re-OPTIMIZE is a no-op: NULL version, nothing republished
+      assert(s2.sql(s"GRAFT OPTIMIZE '$t2'").head().isNullAt(0))
+      // pure-SQL STATS: metadata-served exact column statistics
+      val st = s2.sql(s"GRAFT STATS '$t2'").collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(st("id").getLong(2) == 3L && st("id").getLong(3) == 3L)
+      assert(st("id").getLong(4) == 1L && st("id").getLong(5) == 3L)
+      assert(st("id").getBoolean(10))
       // a MALFORMED GRAFT statement gets a targeted usage message, not
       // the delegate ANTLR parser's generic "syntax error at GRAFT"
       val mal = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {

@@ -56,6 +56,35 @@ class KmvSketchSpec extends GraftSpec {
       bc.getAs[Double]("est_union") == 60.0)
   }
 
+  test("bounded KMV aggregator: K-cap, dedup, skip marker, merge ≡ bulk") {
+    import graft.functions.KmvDistinctAgg
+    val K = KmvDistinctAgg.K
+    // deterministic pseudo-hashes in the real range [0, 2^60)
+    val hs = (1 to 1000).map(i =>
+      (i.toLong * 2654435761L) % (1L << 60)).distinct
+    val bulk = hs.foldLeft(KmvDistinctAgg.zero)(KmvDistinctAgg.reduce)
+    assert(bulk.length == K)
+    assert(bulk.sorted.sameElements(bulk), "buffer stays sorted")
+    assert(bulk.toSet == hs.sorted.take(K).toSet, "exactly the K smallest")
+    // duplicates never inflate the sketch
+    val dup = (hs ++ hs).foldLeft(KmvDistinctAgg.zero)(KmvDistinctAgg.reduce)
+    assert(dup.toSeq == bulk.toSeq)
+    // skip marker contributes nothing
+    val skp = KmvDistinctAgg.reduce(bulk, KmvDistinctAgg.Skip)
+    assert(skp.toSeq == bulk.toSeq)
+    // split + merge lands bit-identically on the bulk result
+    val (a, b) = hs.splitAt(317)
+    val merged = KmvDistinctAgg.merge(
+      a.foldLeft(KmvDistinctAgg.zero)(KmvDistinctAgg.reduce),
+      b.foldLeft(KmvDistinctAgg.zero)(KmvDistinctAgg.reduce))
+    assert(merged.toSeq == bulk.toSeq)
+    // estimator: exact below K, (K-1)*2^60/U_K at K
+    val few = hs.take(K - 1).foldLeft(KmvDistinctAgg.zero)(KmvDistinctAgg.reduce)
+    assert(KmvDistinctAgg.finish(few) == (K - 1).toDouble)
+    assert(KmvDistinctAgg.finish(bulk) ==
+      (K - 1).toDouble * 1152921504606846976.0 / bulk.last.toDouble)
+  }
+
   test("multi-day elements: a user active on two days is two elements") {
     val rows = Seq(
       Row(1L, ts("2024-01-05 10:00:00"), 7L, "a", 1.0, ""),
