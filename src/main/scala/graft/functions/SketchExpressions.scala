@@ -285,9 +285,17 @@ object SketchExpressions {
 object KmvDistinctAgg
     extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Double] {
   val K = 64
-  private val M = 1152921504606846976.0 // 2^60, the hash range
+  /** 2^60 — the hash range; exposed for estimate recomputation from a
+    * stored sketch ([[graft.sources.SnapshotTable.metaAgg]]). */
+  val M = 1152921504606846976.0
 
-  private def insert(b: Array[Long], h: Long): Array[Long] = {
+  /** Estimate from a stored sketch: exact below K, (K−1)·2^60/U_(K)
+    * at saturation. */
+  def estimate(sk: Seq[Long]): Double =
+    if (sk.length < K) sk.length.toDouble
+    else (K - 1).toDouble * M / sk.max.toDouble
+
+  private[functions] def insert(b: Array[Long], h: Long): Array[Long] = {
     val i = java.util.Arrays.binarySearch(b, h)
     if (i >= 0) return b // duplicate hash: distinct count unchanged
     val pos = -i - 1
@@ -328,4 +336,22 @@ object KmvDistinctAgg
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
     org.apache.spark.sql.Encoders.scalaDouble
+}
+
+/** [[KmvDistinctAgg]]'s sketch-returning twin: same bottom-K fold, but
+  * `finish` hands back the SKETCH (sorted ascending) instead of the
+  * estimate — for callers that persist the sketch to merge with later
+  * data (the snapshot manifest's cumulative `#ndv:` lines). */
+object KmvSketchAgg
+    extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Seq[Long]] {
+  override def zero: Array[Long] = KmvDistinctAgg.zero
+  override def reduce(b: Array[Long], h: Long): Array[Long] =
+    KmvDistinctAgg.reduce(b, h)
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+    KmvDistinctAgg.merge(x, y)
+  override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }

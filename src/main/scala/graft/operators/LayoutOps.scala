@@ -611,7 +611,12 @@ object LayoutOps extends QueryPack {
         pick("price", "max_double").as("max_price"),
         pick("o_orderstatus", "min_string").as("min_status"),
         pick("o_orderstatus", "max_string").as("max_status"),
-        min(col("bounds_exact")).as("bounds_exact"))
+        min(col("bounds_exact")).as("bounds_exact"),
+        // metadata-served NDV: the manifest's cumulative bottom-64 KMV
+        // sketch, min-K-merged across the three append commits — the
+        // oracle replays the same sketch over the raw table
+        round(pick("o_orderkey", "est_ndv"), 4).as("est_ndv_key"),
+        round(pick("o_orderstatus", "est_ndv"), 4).as("est_ndv_status"))
       .filter(col("n_rows") > 0)
   }
 
@@ -849,7 +854,18 @@ object LayoutOps extends QueryPack {
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
         |  min(price) AS min_price, max(price) AS max_price,
         |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
-        |  TRUE AS bounds_exact
+        |  TRUE AS bounds_exact,
+        |  (SELECT round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |     ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END, 4)
+        |   FROM (SELECT DISTINCT CAST(('0x' ||
+        |       substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        |       AS h FROM o ORDER BY h LIMIT 64)) AS est_ndv_key,
+        |  (SELECT round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |     ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END, 4)
+        |   FROM (SELECT DISTINCT CAST(('0x' ||
+        |       substring(md5(o_orderstatus), 1, 15)) AS BIGINT)
+        |       AS h FROM o WHERE o_orderstatus IS NOT NULL
+        |     ORDER BY h LIMIT 64)) AS est_ndv_status
         |FROM o HAVING count(*) > 0""".stripMargin,
     // per bucket the oracle recomputes the content rollup and pins the
     // physical invariants the engine measured via _metadata: one file

@@ -33,6 +33,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+SMALL\s+(\d+)\s+TARGET\s+(\d+))?\s*;?\s*""".r
+  private val OptimizeZorderRe =
+    ("""(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""" +
+      """(?:\s+FILES\s+(\d+))?\s*;?\s*""").r
   private val StatsRe =
     """(?is)\s*GRAFT\s+STATS\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   // Catch-all for malformed GRAFT statements (missing quotes, absent
@@ -48,6 +52,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(v).map(_.toInt).getOrElse(Int.MaxValue))
     case VacuumRe(dir, k) => GraftVacuumCommand(dir, k.toInt)
     case HistoryRe(dir) => GraftHistoryCommand(dir)
+    case OptimizeZorderRe(dir, ca, cb, n) =>
+      GraftOptimizeZorderCommand(dir, ca, cb,
+        Option(n).map(_.toInt).getOrElse(0))
     case OptimizeRe(dir, small, target) =>
       GraftOptimizeCommand(dir,
         Option(small).map(_.toLong).getOrElse(32L * 1024 * 1024),
@@ -66,6 +73,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             "GRAFT VACUUM '<dir>' KEEP <n> | " +
             "GRAFT HISTORY '<dir>' | " +
             "GRAFT OPTIMIZE '<dir>' [SMALL <bytes> TARGET <bytes>] | " +
+            "GRAFT OPTIMIZE '<dir>' ZORDER BY (<colA>, <colB>) [FILES <n>] | " +
             "GRAFT STATS '<dir>' [VERSION AS OF <n>]")))
     case _ => delegate.parsePlan(sqlText)
   }
@@ -139,6 +147,20 @@ case class GraftOptimizeCommand(tableDir: String, smallFileBytes: Long,
       targetFileBytes).map(Integer.valueOf).orNull))
 }
 
+/** `GRAFT OPTIMIZE '<dir>' ZORDER BY (<colA>, <colB>) [FILES <n>]` —
+  * rewrite the whole live snapshot along the Morton curve of the two
+  * columns ([[SnapshotTable.rewriteZordered]], Delta's
+  * `OPTIMIZE ... ZORDER BY`); zone maps then prune predicates on either
+  * column. NULL version on a refused/conflicted rewrite. */
+case class GraftOptimizeZorderCommand(tableDir: String, colA: String,
+    colB: String, nFiles: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = true)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.rewriteZordered(s, tableDir, colA, colB, nFiles)
+      .map(Integer.valueOf).orNull))
+}
+
 /** `GRAFT STATS '<dir>' [VERSION AS OF <v>]` — the metadata-served
   * column statistics of a snapshot ([[SnapshotTable.metaAgg]]): one row
   * per stat-eligible column with exact row/non-null counts and min/max,
@@ -160,7 +182,8 @@ case class GraftStatsCommand(tableDir: String, asOf: Int)
       AttributeReference("max_double", dt, nullable = true)(),
       AttributeReference("min_string", st, nullable = true)(),
       AttributeReference("max_string", st, nullable = true)(),
-      AttributeReference("bounds_exact", bt, nullable = false)())
+      AttributeReference("bounds_exact", bt, nullable = false)(),
+      AttributeReference("est_ndv", dt, nullable = true)())
   }
   override def run(s: SparkSession): Seq[Row] =
     SnapshotTable.metaAgg(s, tableDir, asOf).collect().toSeq

@@ -173,7 +173,8 @@ object SnapshotTable {
       files: Seq[String], bucket: Option[(Int, String)] = None,
       dels: Seq[String] = Seq.empty, ts: Option[Long] = None,
       constraints: Map[String, String] = Map.empty,
-      dropped: Set[String] = Set.empty) {
+      dropped: Set[String] = Set.empty,
+      ndv: Map[String, Seq[Long]] = Map.empty) {
     def paths: Seq[String] = files.map(_.takeWhile(_ != '\t'))
     def entries: Option[Seq[FileEntry]] =
       if (files.exists(!_.contains('\t'))) None
@@ -364,7 +365,14 @@ object SnapshotTable {
       }.toMap,
       dropped = lines.collect {
         case l if l.startsWith("#dropped:") =>
-          new String(b64d(l.stripPrefix("#dropped:")), "UTF-8") }.toSet)
+          new String(b64d(l.stripPrefix("#dropped:")), "UTF-8") }.toSet,
+      ndv = lines.collect {
+        case l if l.startsWith("#ndv:") =>
+          val p = l.stripPrefix("#ndv:").split(":", 2)
+          new String(b64d(p(0)), "UTF-8") ->
+            (if (p(1).isEmpty) Seq.empty[Long]
+             else p(1).split(",").toSeq.map(_.toLong))
+      }.toMap)
   }
 
   /** Transaction ids already committed to this table — the replay-
@@ -432,30 +440,47 @@ object SnapshotTable {
     * range); float bounds are widened to double BEFORE encoding so the
     * stored decimal round-trips exactly. */
   private def collectFileStats(s: SparkSession, dataDir: String,
-      schema: StructType): Option[Map[String, (Long, String)]] = {
+      schema: StructType)
+      : Option[(Map[String, (Long, String)], Map[String, Seq[Long]])] = {
     import org.apache.spark.sql.functions._
     val cols = schema.fields.toSeq
       .flatMap(fl => statKind(fl.dataType).map(fl.name -> _))
     if (cols.isEmpty) return None // no eligible columns: pass skipped
+    // per-column NDV sketch rides the SAME pass: the bottom-64 KMV of
+    // md5 value hashes (nulls skip — NDV counts non-null distincts),
+    // collected per file and min-K-merged driver-side to ONE table-level
+    // sketch per column (mergeable, so appends later fold into it)
+    val kmv = udaf(graft.functions.KmvSketchAgg)
     val aggs = cols.flatMap { case (n, _) => Seq(min(col(n)), max(col(n)),
-      sum(when(col(n).isNull, 1L).otherwise(0L))) }
+      sum(when(col(n).isNull, 1L).otherwise(0L)),
+      kmv(when(col(n).isNull, lit(graft.functions.KmvDistinctAgg.Skip))
+        .otherwise(expr(s"CAST(conv(substring(md5(CAST(`$n` AS STRING)), " +
+          "1, 15), 16, 10) AS BIGINT)")))) }
     def enc(v: Any): String = v match {
       case null => ""
       case d: java.lang.Double if d.isNaN || d.isInfinite => ""
       case fl: java.lang.Float => enc(Double.box(fl.doubleValue))
       case other => b64e(other.toString)
     }
-    s.read.parquet(dataDir)
+    val rows = s.read.parquet(dataDir)
       .groupBy(input_file_name().as("__f"))
       .agg(count(lit(1)).as("__rows"), aggs: _*)
       .collect()
-      .map { r =>
-        val fields = cols.zipWithIndex.map { case ((name, kind), i) =>
-          s"${b64e(name)}:$kind:${enc(r.get(2 + i * 3))}:${enc(r.get(3 + i * 3))}:${r.getLong(4 + i * 3)}"
-        }
-        new HPath(r.getString(0)).toUri.getPath ->
-          (r.getLong(1), fields.mkString(";"))
-      }.toMap match { case m => Some(m) }
+    val fileMap = rows.map { r =>
+      val fields = cols.zipWithIndex.map { case ((name, kind), i) =>
+        s"${b64e(name)}:$kind:${enc(r.get(2 + i * 4))}:${enc(r.get(3 + i * 4))}:${r.getLong(4 + i * 4)}"
+      }
+      new HPath(r.getString(0)).toUri.getPath ->
+        (r.getLong(1), fields.mkString(";"))
+    }.toMap
+    val ndv = cols.zipWithIndex.map { case ((name, _), i) =>
+      name -> rows.map(r =>
+          if (r.isNullAt(5 + i * 4)) Array.empty[Long]
+          else r.getSeq[Long](5 + i * 4).toArray)
+        .foldLeft(Array.empty[Long])(graft.functions.KmvDistinctAgg.merge)
+        .toSeq
+    }.toMap
+    Some((fileMap, ndv))
   }
 
   /** The manifest-planned relation over an explicit entry subset —
@@ -561,9 +586,11 @@ object SnapshotTable {
                   // serializability: the positions were computed against
                   // m0's exact file + vector state
                   if (m.files != m0.files || m.dels != m0.dels) None
+                  // rows removed: a bottom-k sketch cannot subtract —
+                  // NDV becomes unknown until a full rewrite recollects
                   else Some((m.files, m.schema.getOrElse(storedSchema(sc0)),
                     m.txns.toSeq.sorted, m.bucket, m.dels ++ delLines,
-                    m.constraints, m.dropped))
+                    m.constraints, m.dropped, Map.empty[String, Seq[Long]]))
                 }
               }
               if (res.isEmpty) f.delete(delDir, true) // conflict: re-plan
@@ -648,7 +675,7 @@ object SnapshotTable {
     val (affected, carried) = es0.partition(e =>
       affectedPaths.contains(e.status.getPath.toUri.getPath))
     val uniq = java.util.UUID.randomUUID.toString.take(8)
-    val (dataDir, newFiles) = writeDataDir(s, tableDir,
+    val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
       applyDels(s, tableDir, relationFor(s, tableDir, sc0, affected), m0),
       uniq)
     val carriedPaths = carried.map(_.status.getPath.toString).toSet
@@ -661,7 +688,7 @@ object SnapshotTable {
             ++ newFiles,
           m.schema.getOrElse(sc0), m.txns.toSeq.sorted,
           if (affected.isEmpty) m.bucket else None,
-          Seq.empty, m.constraints, m.dropped))
+          Seq.empty, m.constraints, m.dropped, m.ndv))
       }
     }
     if (res.isEmpty) f.delete(dataDir, true)
@@ -721,7 +748,8 @@ object SnapshotTable {
     * each output file is renamed to carry its bucket id in Spark's
     * `_%05d` bucket-file convention so the scan can group by bucket. */
   private def writeDataDir(s: SparkSession, tableDir: String, df0: DataFrame,
-      uniq: String, bucket: Option[(Int, String)] = None): (HPath, Seq[String]) = {
+      uniq: String, bucket: Option[(Int, String)] = None)
+      : (HPath, Seq[String], Map[String, Seq[Long]]) = {
     import org.apache.spark.sql.functions.col
     val f = fs(s, tableDir)
     val staging = new HPath(tableDir, s".staging-$uniq")
@@ -761,7 +789,7 @@ object SnapshotTable {
       else collectFileStats(s, dataDir.toString, df.schema)
     (dataDir, statuses.map { st =>
       stats match {
-        case Some(m) => m.get(st.getPath.toUri.getPath) match {
+        case Some((m, _)) => m.get(st.getPath.toUri.getPath) match {
           case Some((rows, cols)) =>
             s"${st.getPath.toString}\t${st.getLen}\t$rows\t$cols"
           // the stats pass covered the whole dir, so a file it never
@@ -771,7 +799,8 @@ object SnapshotTable {
         }
         case None => s"${st.getPath.toString}\t${st.getLen}\t\t"
       }
-    }.sorted)
+    }.sorted,
+      stats.map(_._2).getOrElse(Map.empty))
   }
 
   /** The optimistic-commit loop shared by [[commitInternal]] and
@@ -786,9 +815,14 @@ object SnapshotTable {
     * entries, read schema, cumulative txn ids, bucket layout, deletion
     * vectors, and CHECK constraints. The commit timestamp is stamped by
     * [[publishNext]] itself at publish time. */
+  /** 8th element: cumulative per-column NDV sketches (the bottom-64 KMV
+    * of md5 value hashes — see [[metaAgg]]'s `est_ndv`). Carried/merged
+    * by ops that preserve or append rows, DROPPED (unknown) by ops that
+    * remove or rewrite row values (merge, deleteWhere) — a bottom-k
+    * sketch cannot subtract. */
   private type Prepared =
     (Seq[String], StructType, Seq[String], Option[(Int, String)], Seq[String],
-      Map[String, String], Set[String])
+      Map[String, String], Set[String], Map[String, Seq[Long]])
 
   private def publishNext(s: SparkSession, tableDir: String)(
       prepare: Option[Manifest] => Option[Prepared])
@@ -802,7 +836,8 @@ object SnapshotTable {
       val prevManifest = prev.lastOption.map(readManifest(s, tableDir, _))
       prepare(prevManifest) match {
         case None => return None
-        case Some((entries, schema, txns, bucket, dels, checks, droppedCols)) =>
+        case Some((entries, schema, txns, bucket, dels, checks, droppedCols,
+            ndv)) =>
           val v = prev.lastOption.getOrElse(0) + 1
           val cd = commitsDir(tableDir)
           f.mkdirs(cd)
@@ -815,7 +850,9 @@ object SnapshotTable {
             dels.map(d => s"#del:$d") ++
             checks.toSeq.sortBy(_._1).map { case (n, e) =>
               s"#check:${b64e(n)}:${b64e(e)}" } ++
-            droppedCols.toSeq.sorted.map(n => s"#dropped:${b64e(n)}")
+            droppedCols.toSeq.sorted.map(n => s"#dropped:${b64e(n)}") ++
+            ndv.toSeq.sortBy(_._1).map { case (c, sk) =>
+              s"#ndv:${b64e(c)}:${sk.mkString(",")}" }
           try out.write((meta ++ entries).mkString("\n").getBytes("UTF-8"))
           finally out.close()
           // the commit point: atomic create-exclusive of the version name
@@ -834,7 +871,7 @@ object SnapshotTable {
     // the data write happens ONCE; version races retry only the (tiny)
     // manifest publish
     val uniq = java.util.UUID.randomUUID.toString.take(8)
-    var written: Option[(HPath, Seq[String])] = None
+    var written: Option[(HPath, Seq[String], Map[String, Seq[Long]])] = None
     val res = publishNext(s, tableDir) { prevManifest =>
       // replay check INSIDE the retry loop: a zombie writer racing the
       // live one with the same txn id loses the version race, re-reads,
@@ -890,11 +927,34 @@ object SnapshotTable {
         val dels =
           if (overwrite) Seq.empty
           else prevManifest.map(_.dels).getOrElse(Seq.empty)
+        // NDV sketches: an overwrite (or first commit) takes the batch's;
+        // an append min-K-MERGES per column. A column the batch lacks
+        // keeps the previous sketch (its appended rows read NULL — NDV
+        // counts non-null distincts); a column the previous TABLE never
+        // had (schema evolution) takes the batch's alone (old rows are
+        // all-null for it); a column whose previous sketch is UNKNOWN
+        // (legacy manifest, or dropped by a row-removing op) stays
+        // unknown — merging against an incomplete history would
+        // undercount silently.
+        val batchNdv = written.get._3
+        val ndv =
+          if (overwrite || prevManifest.forall(_.files.isEmpty)) batchNdv
+          else {
+            val pm = prevManifest.get
+            val prevCols = pm.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+            val carried = pm.ndv.map { case (c, sk) =>
+              c -> batchNdv.get(c).map(b => graft.functions.KmvDistinctAgg
+                .merge(sk.toArray, b.toArray).toSeq).getOrElse(sk)
+            }
+            carried ++ batchNdv.filter { case (c, _) =>
+              !carried.contains(c) && !prevCols.contains(c) }
+          }
         // constraints are table properties: they survive overwrites
         Some((base ++ written.get._2, schema, txns, outBucket, dels,
           prevManifest.map(_.constraints).getOrElse(Map.empty),
           if (overwrite) Set.empty[String]
-          else prevManifest.map(_.dropped).getOrElse(Set.empty)))
+          else prevManifest.map(_.dropped).getOrElse(Set.empty),
+          ndv))
       }
     }
     if (res.isEmpty) written.foreach(w => f.delete(w._1, true)) // orphan
@@ -1003,7 +1063,7 @@ object SnapshotTable {
           small.map(_.status.getLen).sum.toDouble / targetFileBytes).toInt)
         val f = fs(s, tableDir)
         val uniq = java.util.UUID.randomUUID.toString.take(8)
-        val (dataDir, newFiles) = writeDataDir(s, tableDir,
+        val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
           relationFor(s, tableDir, storedSchema(schema0), small)
             .repartition(nOut), uniq)
         val compacted = small.map(_.status.getPath.toString).toSet
@@ -1020,12 +1080,72 @@ object SnapshotTable {
                 ++ newFiles,
               m.schema.getOrElse(storedSchema(schema0)),
               m.txns.toSeq.sorted,
-              m.bucket, Seq.empty, m.constraints, m.dropped))
+              m.bucket, Seq.empty, m.constraints, m.dropped, m.ndv))
           }
         }
         if (res.isEmpty) f.delete(dataDir, true)
         res
       case _ => None // legacy manifest without schema/sizes: not compactable
+    }
+  }
+
+  /** OPTIMIZE ZORDER: rewrite the current snapshot's ENTIRE live file
+    * set arranged along the Morton curve of (colA, colB) — Delta's
+    * `OPTIMIZE ... ZORDER BY` — published as ONE new version. Files
+    * then cover axis-aligned squares of the two-key space, so the
+    * manifest zone maps prune selective predicates on EITHER column
+    * (see [[graft.operators.LayoutOps.zvalue]]); history still serves
+    * the old layout until [[vacuum]]. `nFiles <= 0` auto-sizes to
+    * ~128 MB output files from the manifest's recorded sizes (zero
+    * filesystem calls).
+    *
+    * Optimistic concurrency, the [[compact]] discipline: the publish
+    * re-reads the LATEST manifest — a rewritten file that left the live
+    * set (concurrent overwrite/merge/vacuum) or a deletion vector
+    * landing mid-rewrite aborts (returns None, deleting the staged
+    * output); files APPENDED mid-rewrite commute — they carry through
+    * unclustered and the next OPTIMIZE picks them up. Refused (None,
+    * not an error) on bucketed layouts (the bucket mapping IS the
+    * layout), snapshots with outstanding deletion vectors
+    * ([[absorbDeletes]] first), and legacy manifests. */
+  def rewriteZordered(s: SparkSession, tableDir: String,
+      colA: String, colB: String, nFiles: Int = 0): Option[Int] = {
+    import org.apache.spark.sql.functions.col
+    val prev = versions(s, tableDir)
+    if (prev.isEmpty) return None
+    val m0 = readManifest(s, tableDir, prev.last)
+    if (m0.bucket.isDefined || m0.dels.nonEmpty) return None
+    (m0.schema, m0.entries) match {
+      case (Some(schema0), Some(es0)) if es0.nonEmpty =>
+        val n =
+          if (nFiles > 0) nFiles
+          else math.max(1, math.ceil(es0.map(_.status.getLen).sum.toDouble /
+            (128L * 1024 * 1024)).toInt)
+        val all = es0.map(_.status.getPath.toString).toSet
+        val z = graft.operators.LayoutOps.zvalue(col(colA), col(colB))
+        val f = fs(s, tableDir)
+        val uniq = java.util.UUID.randomUUID.toString.take(8)
+        val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
+          relationFor(s, tableDir, storedSchema(schema0), es0)
+            .withColumn("__graft_z", z)
+            .repartitionByRange(n, col("__graft_z"))
+            .sortWithinPartitions(col("__graft_z"))
+            .drop("__graft_z"), uniq)
+        beforePublishHook()
+        val res = publishNext(s, tableDir) { pm =>
+          pm.flatMap { m =>
+            if (!all.subsetOf(m.paths.toSet) || m.dels.nonEmpty) None
+            else Some((
+              m.files.filterNot(e => all.contains(e.takeWhile(_ != '\t')))
+                ++ newFiles,
+              m.schema.getOrElse(storedSchema(schema0)),
+              m.txns.toSeq.sorted,
+              m.bucket, Seq.empty, m.constraints, m.dropped, m.ndv))
+          }
+        }
+        if (res.isEmpty) f.delete(dataDir, true)
+        res
+      case _ => None
     }
   }
 
@@ -1078,7 +1198,7 @@ object SnapshotTable {
           if (m.files != m0.files || m.dels != m0.dels) None
           else Some((m.files, m.schema.getOrElse(StructType(Nil)),
             m.txns.toSeq.sorted, m.bucket, m.dels,
-            m.constraints + (name -> sqlExpr), m.dropped))
+            m.constraints + (name -> sqlExpr), m.dropped, m.ndv))
         }
       }
       res match {
@@ -1098,7 +1218,7 @@ object SnapshotTable {
       pm.filter(_.constraints.contains(name)).map { m =>
         (m.files, m.schema.getOrElse(StructType(Nil)),
           m.txns.toSeq.sorted, m.bucket, m.dels, m.constraints - name,
-          m.dropped)
+          m.dropped, m.ndv)
       }
     }
 
@@ -1146,7 +1266,7 @@ object SnapshotTable {
           if (m.files != m0.files || m.dels != m0.dels ||
             m.schema != m0.schema) None // racing commit: re-check
           else Some((m.files, next, m.txns.toSeq.sorted, m.bucket,
-            m.dels, m.constraints, m.dropped + colName))
+            m.dels, m.constraints, m.dropped + colName, m.ndv - colName))
         }
       }
       res match {
@@ -1179,7 +1299,7 @@ object SnapshotTable {
       s"restore: legacy manifest without schema at v$version in $tableDir"))
     publishNext(s, tableDir) { pm =>
       Some((m.files, sc, pm.map(_.txns.toSeq.sorted).getOrElse(Seq.empty),
-        m.bucket, m.dels, m.constraints, m.dropped))
+        m.bucket, m.dels, m.constraints, m.dropped, m.ndv))
     }.getOrElse(throw new IllegalStateException(
       s"restore: publish failed in $tableDir"))
   }
@@ -1220,7 +1340,7 @@ object SnapshotTable {
       require(pm.isEmpty,
         s"cloneTable: destination $dstDir already has published versions")
       Some((m.files, sc, Seq.empty, m.bucket, m.dels, m.constraints,
-        m.dropped))
+        m.dropped, m.ndv))
     }
     res.getOrElse(throw new IllegalStateException(
       s"cloneTable: publish into $dstDir failed"))
@@ -1433,7 +1553,7 @@ object SnapshotTable {
     val out = kept.unionByName(upserts)
     enforceConstraints(out, m0.map(_.constraints).getOrElse(Map.empty))
     val uniq = java.util.UUID.randomUUID.toString.take(8)
-    val (dataDir, newFiles) = writeDataDir(s, tableDir, out, uniq)
+    val (dataDir, newFiles, _) = writeDataDir(s, tableDir, out, uniq)
     val res = publishNext(s, tableDir) { pm =>
       // a replayed txn aborts here; the caller's loop re-reads, sees
       // the txn, and returns the no-op
@@ -1441,11 +1561,13 @@ object SnapshotTable {
       else if (pm.map(_.files) != m0.map(_.files) ||
           pm.map(_.dels) != m0.map(_.dels) ||
           pm.map(_.constraints) != m0.map(_.constraints)) None // conflict
+      // rows updated/deleted: the cumulative NDV sketch cannot subtract
       else Some((newFiles, storedSchema(out.schema),
         (pm.map(_.txns).getOrElse(Set.empty) ++ txnId).toSeq.sorted,
         None, Seq.empty,
         pm.map(_.constraints).getOrElse(Map.empty),
-        pm.map(_.dropped).getOrElse(Set.empty)))
+        pm.map(_.dropped).getOrElse(Set.empty),
+        Map.empty[String, Seq[Long]]))
     }
     if (res.isEmpty) f.delete(dataDir, true)
     res
@@ -1495,7 +1617,7 @@ object SnapshotTable {
       .join(upserts.select(col(key)).distinct(), Seq(key), "left_anti")
       .join(deleteKeys.select(col(key)).distinct(), Seq(key), "left_anti")
     val uniq = java.util.UUID.randomUUID.toString.take(8)
-    val (dataDir, newFiles) = writeDataDir(s, tableDir,
+    val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
       kept.unionByName(upserts, allowMissingColumns = true)
         .select(sc0.fieldNames.map(col).toSeq: _*), uniq)
     val carriedPaths = carried.map(_.status.getPath.toString).toSet
@@ -1514,7 +1636,9 @@ object SnapshotTable {
           m.files.filter(e => carriedPaths.contains(e.takeWhile(_ != '\t')))
             ++ newFiles,
           m.schema.getOrElse(sc0), (m.txns ++ txnId).toSeq.sorted,
-          m.bucket, Seq.empty, m.constraints, m.dropped))
+          // rows updated/deleted: NDV unknown (no sketch subtraction)
+          m.bucket, Seq.empty, m.constraints, m.dropped,
+          Map.empty[String, Seq[Long]]))
       }
     }
     if (res.isEmpty) f.delete(dataDir, true) // conflicting plan: re-plan
@@ -1849,11 +1973,16 @@ object SnapshotTable {
         if (k == 'd') mx.map(_.asInstanceOf[Double]) else None,
         if (k == 's') str(mn) else None,
         if (k == 's') str(mx) else None,
-        exact)
+        exact,
+        // NDV from the manifest's cumulative bottom-K sketch: exact
+        // below K distinct values, the KMV estimator above; NULL when
+        // the sketch is unknown (legacy chain, or a row-removing op —
+        // merge/deleteWhere — dropped it)
+        m.ndv.get(f.name).map(graft.functions.KmvDistinctAgg.estimate))
     })
     rows.toDF("column", "kind", "n_rows", "n_nonnull", "min_long",
       "max_long", "min_double", "max_double", "min_string", "max_string",
-      "bounds_exact")
+      "bounds_exact", "est_ndv")
   }
 
   /** Retention sweep result: manifests expired, data files deleted. */

@@ -108,12 +108,23 @@ class ExtensionsSpec extends GraftSpec {
         .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
       // re-OPTIMIZE is a no-op: NULL version, nothing republished
       assert(s2.sql(s"GRAFT OPTIMIZE '$t2'").head().isNullAt(0))
+      // pure-SQL OPTIMIZE ZORDER BY: whole-snapshot Morton rewrite
+      val t3 = s"$dir/tbl3"
+      SnapshotTable.commit(s2,
+        t3, s2.range(0, 64).selectExpr("id % 8 AS x", "id / 8 AS y", "id"),
+        overwrite = false)
+      assert(s2.sql(s"GRAFT OPTIMIZE '$t3' ZORDER BY (x, y) FILES 2")
+        .head().getInt(0) == 2)
+      assert(SnapshotTable.readAsOf(s2, t3, 2).count() == 64)
+      assert(SnapshotTable.readAsOf(s2, t3, 2).inputFiles.length == 2)
       // pure-SQL STATS: metadata-served exact column statistics
       val st = s2.sql(s"GRAFT STATS '$t2'").collect()
         .map(r => r.getString(0) -> r).toMap
       assert(st("id").getLong(2) == 3L && st("id").getLong(3) == 3L)
       assert(st("id").getLong(4) == 1L && st("id").getLong(5) == 3L)
       assert(st("id").getBoolean(10))
+      // metadata-served NDV: 3 distinct ids, exact below the sketch K
+      assert(st("id").getDouble(11) == 3.0)
       // a MALFORMED GRAFT statement gets a targeted usage message, not
       // the delegate ANTLR parser's generic "syntax error at GRAFT"
       val mal = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {

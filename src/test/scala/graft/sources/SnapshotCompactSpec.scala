@@ -106,4 +106,51 @@ class SnapshotCompactSpec extends GraftSpec {
     assert(ids(SnapshotTable.readAsOf(spark, t, Int.MaxValue)) ==
       (0L until 100L).toSet + 777L)
   }
+
+  test("zorder rewrite: rows identical, files z-clustered, both-dim pruning") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zopt-").toString
+    val t = s"$dir/tbl"
+    // keys laid out ANTI-clustered for (x, y): a straight row-major grid
+    SnapshotTable.commit(spark, t,
+      spark.range(0, 4096).select((col("id") / 64).cast("long").as("x"),
+        pmod(col("id"), lit(64)).cast("long").as("y"), col("id")),
+      overwrite = false)
+    val v = SnapshotTable.rewriteZordered(spark, t, "x", "y", nFiles = 8)
+    assert(v.contains(2))
+    val after = SnapshotTable.readAsOf(spark, t, 2)
+    assert(after.count() == 4096 &&
+      ids(after) == (0L until 4096L).toSet)
+    assert(after.inputFiles.length == 8)
+    // zone-map pruning now works on BOTH dimensions: a narrow band on x
+    // and a narrow band on y must each scan a strict subset of files
+    def filesScanned(p: org.apache.spark.sql.Column): Long = {
+      val df = SnapshotTable.readAsOf(spark, t, 2).filter(p)
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case pl => pl
+      }
+      plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    }
+    assert(filesScanned(col("x") === 7L) < 8,
+      "x-band must prune under the z layout")
+    assert(filesScanned(col("y") === 7L) < 8,
+      "y-band must prune under the z layout")
+    // history: v1 still serves the unclustered layout
+    assert(ids(SnapshotTable.readAsOf(spark, t, 1)) == (0L until 4096L).toSet)
+    // a concurrent overwrite in the race window aborts the rewrite
+    SnapshotTable.beforePublishHook = () => {
+      SnapshotTable.beforePublishHook = () => ()
+      SnapshotTable.commit(spark, t,
+        Seq((1L, 1L, 9999L)).toDF("x", "y", "id"), overwrite = true)
+    }
+    try assert(SnapshotTable.rewriteZordered(spark, t, "x", "y").isEmpty)
+    finally SnapshotTable.beforePublishHook = () => ()
+    assert(ids(SnapshotTable.readAsOf(spark, t, Int.MaxValue)) == Set(9999L),
+      "the conflicting overwrite wins; the aborted rewrite leaves no trace")
+  }
 }

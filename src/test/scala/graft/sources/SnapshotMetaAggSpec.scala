@@ -101,4 +101,55 @@ class SnapshotMetaAggSpec extends GraftSpec {
     val v1 = row(SnapshotTable.metaAgg(spark, t, asOf = 1), "k")
     assert(v1.getAs[Long]("n_rows") == 2L && v1.getAs[Long]("max_long") == 2L)
   }
+
+  test("NDV sketch: exact below K, merged across appends, dropped by row removal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-magg4-").toString
+    val t = s"$dir/tbl"
+    // 3 appends with OVERLAPPING values: cumulative distinct = 40 < K=64,
+    // so the manifest sketch is exact — and a per-commit (non-merged)
+    // sketch would see only ≤20 each
+    SnapshotTable.commit(spark, t, (1L to 20L).toDF("k"), overwrite = false)
+    SnapshotTable.commit(spark, t, (11L to 30L).toDF("k"), overwrite = false)
+    SnapshotTable.commit(spark, t, (21L to 40L).toDF("k"), overwrite = false)
+    def ndv(asOf: Int = Int.MaxValue): Option[Double] = {
+      val r = row(SnapshotTable.metaAgg(spark, t, asOf), "k")
+      if (r.isNullAt(r.fieldIndex("est_ndv"))) None
+      else Some(r.getAs[Double]("est_ndv"))
+    }
+    assert(ndv().contains(40.0))
+    assert(ndv(asOf = 2).contains(30.0), "time travel serves v2's sketch")
+    // appends of already-seen values never inflate it
+    SnapshotTable.commit(spark, t, (1L to 40L).toDF("k"), overwrite = false)
+    assert(ndv().contains(40.0))
+    // saturated regime: the estimator lands within 30% of truth (K=64
+    // ⇒ ~12.6% RSE; deterministic for this fixed corpus)
+    SnapshotTable.commit(spark, t, (1L to 5000L).toDF("k"), overwrite = true)
+    val est = ndv().get
+    assert(math.abs(est - 5000.0) <= 1500.0, s"est_ndv $est vs 5000")
+    // a row-removing op drops the sketch (bottom-k cannot subtract)...
+    SnapshotTable.deleteWhere(spark, t, col("k") === 1L)
+    SnapshotTable.absorbDeletes(spark, t)
+    assert(ndv().isEmpty, "NDV must be unknown after deleteWhere")
+    // ...and an overwrite recollects from scratch
+    SnapshotTable.commit(spark, t, (1L to 7L).toDF("k"), overwrite = true)
+    assert(ndv().contains(7.0))
+    // compaction carries the sketch (rows unchanged)
+    SnapshotTable.commit(spark, t, Seq(8L).toDF("k"), overwrite = false)
+    if (SnapshotTable.compact(spark, t, 1L << 20, 1L << 30).nonEmpty)
+      assert(ndv().contains(8.0))
+  }
+
+  test("NDV under schema evolution: a new column's sketch starts at its first batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-magg5-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, Seq(1L, 2L).toDF("k"), overwrite = false)
+    SnapshotTable.commit(spark, t,
+      Seq((3L, "x"), (4L, "y")).toDF("k", "s"), overwrite = false)
+    val ma = SnapshotTable.metaAgg(spark, t)
+    assert(row(ma, "k").getAs[Double]("est_ndv") == 4.0)
+    // old rows are all-null for s — 2 non-null distincts is the truth
+    assert(row(ma, "s").getAs[Double]("est_ndv") == 2.0)
+  }
 }
