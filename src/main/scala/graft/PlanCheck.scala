@@ -666,6 +666,24 @@ object PlanCheck {
       mustNot = Seq("Join", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Exchange" -> 3, "Scan parquet" -> 1)),
+    // KMV set-op sketches: exactly ONE corpus-sized stage (the distinct
+    // (type, hash) shuffle feeding the per-type window) plus the exact
+    // audit's hash join; everything pairwise runs on T·K sketch rows —
+    // never a cartesian over DATA (the type-pair crosses are over the
+    // ≤|types| frame). Scan budget: events read once per leg
+    Check("sketch_kmv_setops",
+      mustContain = Seq("Window", "HashAggregate"),
+      mustNot = Seq("CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 7, "Scan parquet" -> 2)),
+    // truncation-recall audit: two broadcast-query corpus passes (full
+    // + 16-dim prefix), each one window — no corpus-side broadcast, no
+    // cartesian; the only nested-loop join is the 5-row query set
+    Check("embed_truncation_recall",
+      mustContain = Seq("Window"),
+      mustNot = Seq("CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 3, "Exchange" -> 6)),
   )
 
   def main(args: Array[String]): Unit = {

@@ -656,6 +656,65 @@ object LayoutOps extends QueryPack {
       .orderBy(col("bucket"))
   }
 
+  /** Materialized-view maintenance from the snapshot table's CHANGE
+    * FEED — the lakehouse MV story end to end: the MV (orders per
+    * priority: count + exact cents) is built ONCE from version 1, then
+    * NEVER rescans the base — each subsequent version's
+    * [[graft.sources.SnapshotTable.readChanges]] delta (insert/delete
+    * rows) folds into the self-maintainable aggregates through one
+    * keyed full-outer merge, O(changed keys) per refresh. The table
+    * history exercised: v2 a pure APPEND (the CDF's zero-compute
+    * added-files fast path), v3 a MERGE carrying an update (+500 on
+    * every 6th key), an insert slice, and a delete slice — so the feed
+    * crosses both CDF regimes (append fast path; exact multiset diff
+    * over a rewrite). The oracle recomputes the FINAL state from the
+    * raw table in closed form; agreement proves no change was lost,
+    * duplicated, or mis-signed across either regime. */
+  def mvCdfRefresh(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_mvcdf_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val o = Tables.orders(s, d).filter(col("o_orderkey").isNotNull)
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    graft.sources.SnapshotTable.commit(s, table,
+      o.filter(col("o_orderkey") % 3 === 0), overwrite = false) // v1
+    graft.sources.SnapshotTable.commit(s, table,
+      o.filter(col("o_orderkey") % 3 === 1), overwrite = false) // v2
+    val upserts = o.filter(col("o_orderkey") % 3 === 2) // inserts
+      .unionByName(o.filter(col("o_orderkey") % 6 === 0) // updates
+        .select(col("o_orderkey"), col("prio"),
+          (col("cents") + 500L).as("cents")))
+    val deletes = o.filter(col("o_orderkey") % 18 === 3) // disjoint slice
+      .select(col("o_orderkey"))
+    graft.sources.SnapshotTable.merge(s, table, upserts, deletes,
+      "o_orderkey") // v3
+    // MV0: the one base scan, at MV creation
+    val snap1 = graft.sources.SnapshotTable.readAsOf(s, table, 1)
+    val base = if (snap1.columns.isEmpty) o.filter(lit(false)) else snap1
+    var mv = base.groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+    // each refresh folds ONLY the version's delta — never the base
+    val latest = graft.sources.SnapshotTable
+      .versions(s, table).lastOption.getOrElse(1)
+    (2 to latest).foreach { v =>
+      val delta = graft.sources.SnapshotTable.readChanges(s, table, v - 1, v)
+        .select(col("prio"),
+          when(col("change_type") === "insert", 1L).otherwise(-1L).as("w"),
+          when(col("change_type") === "insert", col("cents"))
+            .otherwise(-col("cents")).as("wc"))
+        .groupBy(col("prio"))
+        .agg(sum(col("w")).as("dn"), sum(col("wc")).as("dc"))
+      mv = mv.join(delta, Seq("prio"), "full_outer")
+        .select(col("prio"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("sc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("sc"))
+        .filter(col("n") > 0)
+    }
+    mv.select(col("prio"), col("n"), col("sc").as("sum_cents"))
+      .orderBy(col("prio"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_restore" -> layoutRestore,
     "layout_clone" -> layoutClone,
@@ -670,6 +729,7 @@ object LayoutOps extends QueryPack {
     "layout_snapshot_deletes" -> layoutSnapshotDeletes,
     "layout_meta_agg" -> layoutMetaAgg,
     "layout_file_lineage" -> layoutFileLineage,
+    "mv_cdf_refresh" -> mvCdfRefresh,
   )
 
   override val oracle: Map[String, String] = Map(
@@ -879,5 +939,19 @@ object LayoutOps extends QueryPack {
         |  TRUE AS rowidx_ok
         |FROM documents WHERE doc_id IS NOT NULL
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the final state in closed form: ALL keys (v1 %3=0 + v2 %3=1 +
+    // merged-in %3=2), minus the deleted %18=3 slice, every 6th key's
+    // cents bumped by the merge's update — the MV folded ONLY deltas,
+    // so agreement proves the CDF lost/duplicated/mis-signed nothing
+    "mv_cdf_refresh" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL)
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents + CASE WHEN k % 6 = 0 THEN 500 ELSE 0 END)
+        |    AS BIGINT) AS sum_cents
+        |FROM o WHERE k % 18 <> 3
+        |GROUP BY prio HAVING count(*) > 0
+        |ORDER BY prio""".stripMargin,
   )
 }
