@@ -684,6 +684,13 @@ object PlanCheck {
       mustNot = Seq("CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Scan parquet" -> 3, "Exchange" -> 6)),
+    // runtime bloom-filter join pruning: the injected semi-join filter
+    // must show on the application (lineitem) side as a might_contain
+    // over the scan — the 100 TB fact-shuffle reducer. The builder
+    // forces its plan inside the threshold-override window
+    Check("q49_runtime_bloom",
+      mustContain = Seq("might_contain", "SortMergeJoin"),
+      mustNot = Seq("CartesianProduct")),
   )
 
   def main(args: Array[String]): Unit = {

@@ -241,8 +241,52 @@ object AdvancedOps extends QueryPack {
         col("gid"), col("n_orders"), col("sum_cents"))
       .orderBy(col("y"), col("m"), col("dd"), col("gid"))
 
+  /** Runtime bloom-filter join pruning (Spark's InjectRuntimeFilter —
+    * the semi-join reduction every 100 TB star join wants): the
+    * selective filter on the orders side builds a bloom filter at run
+    * time, and lineitem rows whose key cannot match are dropped AT THE
+    * SCAN-SIDE FILTER before the join shuffle — the application side
+    * ships only plausibly-matching rows. On a 100 TB fact table with a
+    * 0.1%-selective dimension predicate this is the difference between
+    * shuffling the table and shuffling 0.1% of it. The feature is
+    * threshold-gated (application side must look ≥10 GB by default), so
+    * this builder lowers the gates, forces the physical plan INSIDE the
+    * conf window (QueryExecution memoizes its phases), and restores the
+    * session confs — PlanCheck asserts `might_contain` on the planned
+    * frame; the result is plan-independent, which the oracle checks. */
+  def q49RuntimeBloom(s: SparkSession, d: String): DataFrame = {
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // broadcast joins bypass the shuffle the filter exists to shrink
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
+    overrides.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val sel = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val frame = Tables.lineitem(s, d)
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("sum_price_c"))
+        .orderBy(col("o_orderpriority"))
+      // force optimization + physical planning NOW, while the runtime-
+      // filter gates are open; later actions reuse the memoized phases
+      frame.queryExecution.executedPlan
+      frame
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_time_rollup" -> q48TimeRollup,
+    "q49_runtime_bloom" -> q49RuntimeBloom,
     "q47_weighted_median" -> q47WeightedMedian,
     "q46_filter_aggs" -> q46FilterAggs,
     "q44_lateral_topk" -> q44LateralTopK,
@@ -256,6 +300,17 @@ object AdvancedOps extends QueryPack {
   )
 
   override val oracle: Map[String, String] = Map(
+    // the runtime bloom filter is pure pruning — the result must equal
+    // the plain join, which is exactly what the oracle computes
+    "q49_runtime_bloom" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
     "q48_time_rollup" ->
       """WITH b AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
         |    CAST(month(o_orderdate) AS BIGINT) AS m,

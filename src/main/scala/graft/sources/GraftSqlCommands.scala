@@ -39,6 +39,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+FILES\s+(\d+))?\s*;?\s*""").r
   private val StatsRe =
     """(?is)\s*GRAFT\s+STATS\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  // wall-clock time travel (Delta's TIMESTAMP AS OF) for the verbs that
+  // take a version — resolved against the manifests' commit stamps
+  private val RestoreTsRe =
+    """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val CloneTsRe =
+    """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val StatsTsRe =
+    """(?is)\s*GRAFT\s+STATS\s+'([^']+)'\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   // Catch-all for malformed GRAFT statements (missing quotes, absent
   // KEEP/VERSION clause, unknown verb): without it they would fall
   // through to Spark's ANTLR parser and surface as a generic
@@ -61,6 +69,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024))
     case StatsRe(dir, v) =>
       GraftStatsCommand(dir, Option(v).map(_.toInt).getOrElse(Int.MaxValue))
+    case RestoreTsRe(dir, ts) =>
+      GraftRestoreTimestampCommand(dir, GraftSqlParser.parseTsMillis(ts))
+    case CloneTsRe(src, dst, ts) =>
+      GraftCloneTimestampCommand(src, dst, GraftSqlParser.parseTsMillis(ts))
+    case StatsTsRe(dir, ts) =>
+      GraftStatsTimestampCommand(dir, GraftSqlParser.parseTsMillis(ts))
     case GraftAnyRe() =>
       throw new org.apache.spark.sql.catalyst.parser.ParseException(
         Option(sqlText),
@@ -74,7 +88,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             "GRAFT HISTORY '<dir>' | " +
             "GRAFT OPTIMIZE '<dir>' [SMALL <bytes> TARGET <bytes>] | " +
             "GRAFT OPTIMIZE '<dir>' ZORDER BY (<colA>, <colB>) [FILES <n>] | " +
-            "GRAFT STATS '<dir>' [VERSION AS OF <n>]")))
+            "GRAFT STATS '<dir>' [VERSION AS OF <n>] | " +
+            "GRAFT RESTORE/CLONE/STATS ... TIMESTAMP AS OF '<ts>'")))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -94,6 +109,67 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseDataType(sqlText)
   override def parseTableSchema(sqlText: String): StructType =
     delegate.parseTableSchema(sqlText)
+}
+
+object GraftSqlParser {
+  /** Parse a `TIMESTAMP AS OF` literal to epoch millis. Accepted forms
+    * (interpreted in UTC, the engine's pinned session zone — commit
+    * stamps are `System.currentTimeMillis`): `yyyy-MM-dd HH:mm:ss.SSS`,
+    * `yyyy-MM-dd HH:mm:ss`, `yyyy-MM-dd`, or a bare epoch-millis
+    * integer. Raises a targeted ParseException otherwise. */
+  private[sources] def parseTsMillis(t: String): Long = {
+    val s = t.trim
+    if (s.matches("\\d{10,}")) return s.toLong
+    val date = """(\d{4}-\d{2}-\d{2})""".r
+    val dateTime = """(\d{4}-\d{2}-\d{2})[ T](\d{2}:\d{2}:\d{2})(\.\d{1,3})?""".r
+    val parsed: Option[java.time.LocalDateTime] = s match {
+      case dateTime(d, tm, frac) =>
+        val base = java.time.LocalDateTime.parse(s"${d}T$tm")
+        val millis = Option(frac)
+          .map(f => (f.stripPrefix(".").padTo(3, '0')).toLong).getOrElse(0L)
+        Some(base.plusNanos(millis * 1000000L))
+      case date(d) => Some(java.time.LocalDate.parse(d).atStartOfDay)
+      case _ => None
+    }
+    parsed.map(_.toInstant(java.time.ZoneOffset.UTC).toEpochMilli).getOrElse(
+      throw new org.apache.spark.sql.catalyst.parser.ParseException(
+        Option(s), org.apache.spark.sql.catalyst.trees.Origin(),
+        "PARSE_SYNTAX_ERROR",
+        Map("error" -> s"'$s'",
+          "hint" -> (": TIMESTAMP AS OF accepts 'yyyy-MM-dd[ HH:mm:ss" +
+            "[.SSS]]' (UTC) or epoch millis"))))
+  }
+}
+
+/** `GRAFT RESTORE '<dir>' TIMESTAMP AS OF '<ts>'` — wall-clock rollback:
+  * restore to the greatest version committed at or before the stamp. */
+case class GraftRestoreTimestampCommand(tableDir: String, tsMillis: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.restore(s, tableDir,
+      SnapshotTable.versionAtTimestamp(s, tableDir, tsMillis))))
+}
+
+/** `GRAFT CLONE '<src>' TO '<dst>' TIMESTAMP AS OF '<ts>'`. */
+case class GraftCloneTimestampCommand(srcDir: String, dstDir: String,
+    tsMillis: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.cloneTable(s, srcDir, dstDir,
+      SnapshotTable.versionAtTimestamp(s, srcDir, tsMillis))))
+}
+
+/** `GRAFT STATS '<dir>' TIMESTAMP AS OF '<ts>'`. */
+case class GraftStatsTimestampCommand(tableDir: String, tsMillis: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftStatsCommand(tableDir, 0).output
+  override def run(s: SparkSession): Seq[Row] =
+    SnapshotTable.metaAgg(s, tableDir,
+      SnapshotTable.versionAtTimestamp(s, tableDir, tsMillis))
+      .collect().toSeq
 }
 
 /** `GRAFT RESTORE '<dir>' VERSION AS OF <v>` → the new latest version. */

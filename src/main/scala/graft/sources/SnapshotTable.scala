@@ -1361,7 +1361,17 @@ object SnapshotTable {
     * O(retained versions) manifest reads — an inspection query, like
     * [[history]]. */
   def readAsOfTimestamp(s: SparkSession, tableDir: String,
-      tsMillis: Long): DataFrame = {
+      tsMillis: Long): DataFrame =
+    readAsOf(s, tableDir, versionAtTimestamp(s, tableDir, tsMillis))
+
+  /** The greatest version committed at or before `tsMillis` — the
+    * wall-clock → version resolution every `TIMESTAMP AS OF` verb
+    * shares. Refuses (rather than flooring to garbage) when every
+    * retained commit is newer — the earliest state the table can serve
+    * is its earliest RETAINED version, and silently serving it for an
+    * older timestamp would misrepresent history after a vacuum. */
+  def versionAtTimestamp(s: SparkSession, tableDir: String,
+      tsMillis: Long): Int = {
     val vs = versions(s, tableDir)
     require(vs.nonEmpty, s"no published version in $tableDir")
     val qual = vs.filter(v =>
@@ -1369,7 +1379,7 @@ object SnapshotTable {
     require(qual.nonEmpty,
       s"no version of $tableDir committed at or before $tsMillis " +
         s"(earliest retained commit is newer)")
-    readAsOf(s, tableDir, qual.max)
+    qual.max
   }
 
   /** Snapshot read: exactly the files version `asOf`'s manifest lists

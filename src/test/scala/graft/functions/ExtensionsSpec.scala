@@ -125,6 +125,41 @@ class ExtensionsSpec extends GraftSpec {
       assert(st("id").getBoolean(10))
       // metadata-served NDV: 3 distinct ids, exact below the sketch K
       assert(st("id").getDouble(11) == 3.0)
+      // wall-clock time travel: TIMESTAMP AS OF resolves against the
+      // manifests' commit stamps (UTC)
+      val t4 = s"$dir/tbl4"
+      SnapshotTable.commit(s2, t4, Seq(1L).toDF("id"), overwrite = false)
+      Thread.sleep(15) // commit stamps are millis; separate them
+      SnapshotTable.commit(s2, t4, Seq(2L).toDF("id"), overwrite = false)
+      val ts1 = s2.sql(s"GRAFT HISTORY '$t4'").collect()
+        .find(_.getInt(0) == 1).get.getLong(7)
+      val tsStr = java.time.Instant.ofEpochMilli(ts1)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      val st4 = s2.sql(s"GRAFT STATS '$t4' TIMESTAMP AS OF '$tsStr'")
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(st4("id").getLong(2) == 1L, "v1 had one row")
+      // epoch-millis literal works too, and CLONE pins the same version
+      val c4 = s"$dir/cln4"
+      assert(s2.sql(s"GRAFT CLONE '$t4' TO '$c4' TIMESTAMP AS OF '$ts1'")
+        .head().getInt(0) == 1)
+      assert(SnapshotTable.readAsOf(s2, c4, 1).collect()
+        .map(_.getLong(0)).toSet == Set(1L))
+      // RESTORE by timestamp rolls the table back to v1's state
+      assert(s2.sql(s"GRAFT RESTORE '$t4' TIMESTAMP AS OF '$tsStr'")
+        .head().getInt(0) == 3)
+      assert(SnapshotTable.readAsOf(s2, t4, Int.MaxValue).collect()
+        .map(_.getLong(0)).toSet == Set(1L))
+      // a pre-genesis timestamp refuses rather than flooring
+      intercept[IllegalArgumentException] {
+        s2.sql(s"GRAFT STATS '$t4' TIMESTAMP AS OF '2000-01-01'").collect()
+      }
+      // a malformed timestamp gets the targeted hint
+      val badTs = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s2.sql(s"GRAFT STATS '$t4' TIMESTAMP AS OF 'yesterday'")
+      }
+      assert(badTs.getMessage.contains("epoch millis"))
       // a MALFORMED GRAFT statement gets a targeted usage message, not
       // the delegate ANTLR parser's generic "syntax error at GRAFT"
       val mal = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
