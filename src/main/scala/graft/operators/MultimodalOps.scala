@@ -145,6 +145,58 @@ object MultimodalOps extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  case class SceneCuts(doc_id: Long, n_frames: Long, n_cuts: Long,
+      first_cut: Long, max_jump: Long)
+
+  /** Scene-cut detection over the frame stream — the shot-boundary pass
+    * every video curation pipeline runs before sampling/captioning: the
+    * payload's pixel bytes are split into the header's `n_frames`
+    * contiguous frames (balanced integer split, byte i → frame
+    * i·nf/len), each frame reduced to its byte-energy sum, and a CUT is
+    * declared where consecutive energies jump by more than 25% of their
+    * sum (8·|Δ| > e_f + e_{f−1} — exact integer arithmetic end to end).
+    * The fixture makes cuts REAL: the media content is
+    * `text ‖ upper(text)` — two visually distinct "scenes" whose
+    * boundary frame drops ~32 per alphabetic byte — so the detector has
+    * a genuine transition to find, not an all-zero row. Per-partition
+    * single-pass decode (one frame-energy array per doc, O(bytes)), the
+    * [[mediaPixels]] execution shape; the oracle re-derives energies by
+    * hex-slicing the same bytes. */
+  def sceneCuts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val two = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), concat(col("text"), upper(col("text"))).as("text"))
+    val bin = payloadsOf(two).as[(Long, Array[Byte])]
+    val cuts = bin.mapPartitions { rows =>
+      rows.map { case (id, payload) =>
+        val buf = java.nio.ByteBuffer.wrap(payload)
+        require(buf.getInt(0) == 0x47524654, s"bad magic in doc $id")
+        val nf = buf.getShort(12).toInt
+        val plen = buf.getInt(14)
+        require(payload.length == 18 + plen, s"truncated payload in doc $id")
+        val e = new Array[Long](nf)
+        var i = 0
+        while (i < plen) {
+          e((i.toLong * nf / plen).toInt) += (payload(18 + i) & 0xff).toLong
+          i += 1
+        }
+        var nCuts = 0L; var first = -1L; var maxJump = 0L
+        var f = 1
+        while (f < nf) {
+          val jump = math.abs(e(f) - e(f - 1))
+          if (jump > maxJump) maxJump = jump
+          if (8L * jump > e(f) + e(f - 1)) {
+            nCuts += 1
+            if (first < 0) first = f.toLong
+          }
+          f += 1
+        }
+        SceneCuts(id, nf.toLong, nCuts, first, maxJump)
+      }
+    }
+    cuts.toDF().orderBy(col("doc_id"))
+  }
+
   /** Frame sampling over the parsed frame count: every 10th frame index —
     * the explode shape a video pipeline produces (doc × frame rows). */
   def frameSample(s: SparkSession, d: String): DataFrame =
@@ -227,12 +279,46 @@ object MultimodalOps extends QueryPack {
     "multimodal_bytes" -> mediaBytes,
     "multimodal_pixels" -> mediaPixels,
     "multimodal_phash_pairs" -> phashPairs,
+    "multimodal_scene_cuts" -> sceneCuts,
   )
 
   // The oracle recomputes the header fields arithmetically (it has no blob
   // parser); a hash match therefore proves the Spark side round-tripped
   // them through real bytes correctly.
   override val oracle: Map[String, String] = Map(
+    // scene cuts: the oracle re-derives per-frame byte energies from
+    // the SAME two-scene payload (text || upper(text)) by hex-slicing,
+    // maps byte i to frame (i-1)*nf/len with the same integer split,
+    // and applies the same exact 8|Δ| > e_f + e_{f-1} cut rule
+    "multimodal_scene_cuts" ->
+      """WITH t2 AS (SELECT doc_id, text || upper(text) AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |hx AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    CAST(strlen(text) AS BIGINT) AS blen,
+        |    CAST(1 + doc_id % 60 AS BIGINT) AS nf FROM t2),
+        |b AS (SELECT doc_id, ((i - 1) * nf) // blen AS f,
+        |    CAST(('0x' || substring(h, CAST(2*i-1 AS INT), 2)) AS BIGINT)
+        |      AS v
+        |  FROM hx, unnest(range(1, blen + 1)) AS u(i)),
+        |frames AS (SELECT doc_id, nf, unnest(range(0, nf)) AS f FROM hx),
+        |eg AS (SELECT doc_id, f, CAST(sum(v) AS BIGINT) AS e FROM b
+        |  GROUP BY 1, 2),
+        |fr AS (SELECT frames.doc_id, frames.nf, frames.f,
+        |    coalesce(eg.e, 0) AS e
+        |  FROM frames LEFT JOIN eg
+        |    ON eg.doc_id = frames.doc_id AND eg.f = frames.f),
+        |dl AS (SELECT doc_id, nf, f, e,
+        |    lag(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe FROM fr)
+        |SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+        |  CAST(coalesce(sum(CASE WHEN f >= 1
+        |    AND 8 * abs(e - pe) > e + pe THEN 1 END), 0) AS BIGINT)
+        |    AS n_cuts,
+        |  CAST(coalesce(min(CASE WHEN f >= 1
+        |    AND 8 * abs(e - pe) > e + pe THEN f END), -1) AS BIGINT)
+        |    AS first_cut,
+        |  CAST(coalesce(max(CASE WHEN f >= 1 THEN abs(e - pe) END), 0)
+        |    AS BIGINT) AS max_jump
+        |FROM dl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         | 18 + CAST(strlen(text) AS BIGINT) AS n_bytes,
