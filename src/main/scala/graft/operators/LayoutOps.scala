@@ -59,12 +59,24 @@ object LayoutOps extends QueryPack {
     * run of grid cells), which is what turns per-file min/max stats into
     * a 2-D pruning index. The helper z-column is dropped before write —
     * the layout, not the schema, carries the clustering. */
+  /** The Morton-clustering transform itself — range-partition + sort by
+    * the z-code, helper column dropped. ONE definition shared by
+    * [[zorderWrite]], [[graft.sources.SnapshotTable.commitZordered]],
+    * and [[graft.sources.SnapshotTable.rewriteZordered]], so the write
+    * discipline cannot drift between the plain-parquet and
+    * snapshot-table paths. */
+  def zCluster(df: DataFrame, xCol: String, yCol: String,
+      nFiles: Int): DataFrame = {
+    require(nFiles > 0, s"zCluster: nFiles must be positive, got $nFiles")
+    df.withColumn("__graft_z", zvalue(col(xCol), col(yCol)))
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+  }
+
   def zorderWrite(df: DataFrame, xCol: String, yCol: String,
       outDir: String, nFiles: Int): Unit =
-    df.withColumn("__z", zvalue(col(xCol), col(yCol)))
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    zCluster(df, xCol, yCol, nFiles)
       .write.mode("overwrite").parquet(outDir)
 
   /** Declared query: the Morton grid aggregated to 256-cell resolution

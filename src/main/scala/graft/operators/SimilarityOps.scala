@@ -89,13 +89,18 @@ object SimilarityOps extends QueryPack {
   private val defaultQueries: Column = col("vec_id") < 5
 
   /** Exact top-k search body: broadcast the (small) query set, scan the
-    * corpus once, windowed rank per query. */
-  private def bruteSearch(base: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    * corpus once, windowed rank per query. `score` defaults to the full
+    * cosine; variants (e.g. the truncated-prefix audit) swap the score
+    * while inheriting the SAME determinism discipline — round to 6 dp
+    * before ranking, vec_id tiebreak, NULL similarities filtered before
+    * the window. */
+  private def bruteSearch(base: DataFrame, queryPred: Column, k: Int,
+      score: (Column, Column) => Column = cosine): DataFrame = {
     val q = base.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scored = base.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+        round(score(col("q_emb"), col("embedding")), 6).as("cos"))
       // a candidate with UNDEFINED similarity (zero-norm / non-finite
       // vector → NULL cosine) is not a neighbor — without this it would
       // still fill trailing top-k ranks (NULL sorts last, not out)
@@ -975,29 +980,19 @@ object SimilarityOps extends QueryPack {
     * [[annIvf]]/[[saveIvfIndex]] unchanged, since the index never sees
     * the tail dims.
     *
-    * Determinism: both scores are rounded to 6 dp before ranking with a
-    * vec_id tiebreak (the [[annBruteForce]] discipline), and each
-    * pipeline filters NULL similarities BEFORE its window so
-    * cross-engine null-ordering never matters. */
+    * Determinism: both legs run through [[bruteSearch]] — round to 6 dp
+    * before ranking with a vec_id tiebreak, NULL similarities filtered
+    * BEFORE the window so cross-engine null-ordering never matters (the
+    * oracle additionally drops NaN: DuckDB renders a zero-norm prefix
+    * as 0/0 = NaN where Spark's cosine returns NULL). */
   def embedTruncationRecall(s: SparkSession, d: String): DataFrame = {
     val k = 10
     val truncDim = 16
     val base = corpus(s, d)
-    val q = base.filter(defaultQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val joined = base.join(broadcast(q), col("vec_id") =!= col("q_id"))
-    def topk(score: Column) = {
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      joined.select(col("q_id"), col("vec_id"), round(score, 6).as("cos"))
-        .filter(col("cos").isNotNull)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("q_id"), col("vec_id"))
-    }
-    val full = topk(cosine(col("q_emb"), col("embedding")))
-    val trunc = topk(cosine(slice(col("q_emb"), 1, truncDim),
-      slice(col("embedding"), 1, truncDim)))
+    def ids(df: DataFrame) = df.select(col("q_id"), col("vec_id"))
+    val full = ids(bruteSearch(base, defaultQueries, k))
+    val trunc = ids(bruteSearch(base, defaultQueries, k,
+      (a, b) => cosine(slice(a, 1, truncDim), slice(b, 1, truncDim))))
     val nf = full.groupBy(col("q_id")).agg(count(lit(1)).as("n_full"))
     val ov = full.as("f").join(trunc.as("t"),
         col("f.q_id") === col("t.q_id") && col("f.vec_id") === col("t.vec_id"))
@@ -1280,7 +1275,7 @@ object SimilarityOps extends QueryPack {
         |      round(list_dot_product(q_emb, emb) /
         |        (sqrt(list_dot_product(q_emb, q_emb)) *
         |         sqrt(list_dot_product(emb, emb))), 6) AS cos FROM j)
-        |  WHERE cos IS NOT NULL) WHERE rank <= 10),
+        |  WHERE cos IS NOT NULL AND NOT isnan(cos)) WHERE rank <= 10),
         |t AS (SELECT q_id, vec_id FROM (
         |  SELECT q_id, vec_id, cos, row_number() OVER
         |      (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
@@ -1289,7 +1284,7 @@ object SimilarityOps extends QueryPack {
         |        (sqrt(list_dot_product(q_emb[1:16], q_emb[1:16])) *
         |         sqrt(list_dot_product(emb[1:16], emb[1:16]))), 6) AS cos
         |    FROM j)
-        |  WHERE cos IS NOT NULL) WHERE rank <= 10),
+        |  WHERE cos IS NOT NULL AND NOT isnan(cos)) WHERE rank <= 10),
         |nf AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_full FROM f
         |  GROUP BY q_id),
         |ov AS (SELECT f.q_id, CAST(count(*) AS BIGINT) AS n_overlap

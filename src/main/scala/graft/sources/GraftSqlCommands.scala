@@ -28,7 +28,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CloneRe =
     """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)(?:\s+MIN\s+AGE\s+(\d+))?\s*;?\s*""".r
+  private val AbsorbRe =
+    """(?is)\s*GRAFT\s+ABSORB\s+DELETES\s+'([^']+)'\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
   private val OptimizeRe =
@@ -58,7 +60,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CloneRe(src, dst, v) =>
       GraftCloneCommand(src, dst,
         Option(v).map(_.toInt).getOrElse(Int.MaxValue))
-    case VacuumRe(dir, k) => GraftVacuumCommand(dir, k.toInt)
+    case VacuumRe(dir, k, age) =>
+      GraftVacuumCommand(dir, k.toInt,
+        Option(age).map(_.toLong).getOrElse(0L))
+    case AbsorbRe(dir) => GraftAbsorbDeletesCommand(dir)
     case HistoryRe(dir) => GraftHistoryCommand(dir)
     case OptimizeZorderRe(dir, ca, cb, n) =>
       GraftOptimizeZorderCommand(dir, ca, cb,
@@ -84,7 +89,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           "hint" -> (": malformed GRAFT statement; supported grammars: " +
             "GRAFT RESTORE '<dir>' VERSION AS OF <n> | " +
             "GRAFT CLONE '<src>' TO '<dst>' [VERSION AS OF <n>] | " +
-            "GRAFT VACUUM '<dir>' KEEP <n> | " +
+            "GRAFT VACUUM '<dir>' KEEP <n> [MIN AGE <ms>] | " +
+            "GRAFT ABSORB DELETES '<dir>' | " +
             "GRAFT HISTORY '<dir>' | " +
             "GRAFT OPTIMIZE '<dir>' [SMALL <bytes> TARGET <bytes>] | " +
             "GRAFT OPTIMIZE '<dir>' ZORDER BY (<colA>, <colB>) [FILES <n>] | " +
@@ -122,15 +128,20 @@ object GraftSqlParser {
     if (s.matches("\\d{10,}")) return s.toLong
     val date = """(\d{4}-\d{2}-\d{2})""".r
     val dateTime = """(\d{4}-\d{2}-\d{2})[ T](\d{2}:\d{2}:\d{2})(\.\d{1,3})?""".r
-    val parsed: Option[java.time.LocalDateTime] = s match {
-      case dateTime(d, tm, frac) =>
-        val base = java.time.LocalDateTime.parse(s"${d}T$tm")
-        val millis = Option(frac)
-          .map(f => (f.stripPrefix(".").padTo(3, '0')).toLong).getOrElse(0L)
-        Some(base.plusNanos(millis * 1000000L))
-      case date(d) => Some(java.time.LocalDate.parse(d).atStartOfDay)
-      case _ => None
-    }
+    // calendar-invalid fields ('2026-02-31', hour 99) match the shape
+    // regexes but fail java.time parsing — route them to the SAME
+    // targeted error as a malformed shape, not a raw
+    // DateTimeParseException out of Spark's parser
+    val parsed: Option[java.time.LocalDateTime] =
+      try s match {
+        case dateTime(d, tm, frac) =>
+          val base = java.time.LocalDateTime.parse(s"${d}T$tm")
+          val millis = Option(frac)
+            .map(f => (f.stripPrefix(".").padTo(3, '0')).toLong).getOrElse(0L)
+          Some(base.plusNanos(millis * 1000000L))
+        case date(d) => Some(java.time.LocalDate.parse(d).atStartOfDay)
+        case _ => None
+      } catch { case _: java.time.format.DateTimeParseException => None }
     parsed.map(_.toInstant(java.time.ZoneOffset.UTC).toEpochMilli).getOrElse(
       throw new org.apache.spark.sql.catalyst.parser.ParseException(
         Option(s), org.apache.spark.sql.catalyst.trees.Origin(),
@@ -165,7 +176,7 @@ case class GraftCloneTimestampCommand(srcDir: String, dstDir: String,
 /** `GRAFT STATS '<dir>' TIMESTAMP AS OF '<ts>'`. */
 case class GraftStatsTimestampCommand(tableDir: String, tsMillis: Long)
     extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = GraftStatsCommand(tableDir, 0).output
+  override val output: Seq[Attribute] = GraftStatsCommand.schema
   override def run(s: SparkSession): Seq[Row] =
     SnapshotTable.metaAgg(s, tableDir,
       SnapshotTable.versionAtTimestamp(s, tableDir, tsMillis))
@@ -243,7 +254,15 @@ case class GraftOptimizeZorderCommand(tableDir: String, colA: String,
   * answered from the manifest alone (zero data-file reads). */
 case class GraftStatsCommand(tableDir: String, asOf: Int)
     extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = {
+  override val output: Seq[Attribute] = GraftStatsCommand.schema
+  override def run(s: SparkSession): Seq[Row] =
+    SnapshotTable.metaAgg(s, tableDir, asOf).collect().toSeq
+}
+
+object GraftStatsCommand {
+  /** The metaAgg result schema, shared by the VERSION- and TIMESTAMP-
+    * addressed stats commands (fresh attribute ids per call). */
+  private[sources] def schema: Seq[Attribute] = {
     val st = org.apache.spark.sql.types.StringType
     val dt = org.apache.spark.sql.types.DoubleType
     val bt = org.apache.spark.sql.types.BooleanType
@@ -261,18 +280,33 @@ case class GraftStatsCommand(tableDir: String, asOf: Int)
       AttributeReference("bounds_exact", bt, nullable = false)(),
       AttributeReference("est_ndv", dt, nullable = true)())
   }
-  override def run(s: SparkSession): Seq[Row] =
-    SnapshotTable.metaAgg(s, tableDir, asOf).collect().toSeq
 }
 
-/** `GRAFT VACUUM '<dir>' KEEP <k>` → (expired versions, deleted files). */
-case class GraftVacuumCommand(tableDir: String, keepVersions: Int)
-    extends LeafRunnableCommand {
+/** `GRAFT VACUUM '<dir>' KEEP <k> [MIN AGE <ms>]` → (expired versions,
+  * deleted files). MIN AGE guards in-flight commits: only litter older
+  * than the window is swept — run with it comfortably above the longest
+  * commit when writers are live (the Delta VACUUM retention shape). */
+case class GraftVacuumCommand(tableDir: String, keepVersions: Int,
+    minAgeMs: Long = 0L) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("expired_versions", LongType, nullable = false)(),
     AttributeReference("deleted_files", LongType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] = {
-    val st = SnapshotTable.vacuum(s, tableDir, keepVersions)
+    val st = SnapshotTable.vacuum(s, tableDir, keepVersions, minAgeMs)
     Seq(Row(st.expiredManifests.toLong, st.deletedDataFiles.toLong))
   }
+}
+
+/** `GRAFT ABSORB DELETES '<dir>'` — materialize outstanding deletion
+  * vectors by rewriting ONLY the files that carry deletes
+  * ([[SnapshotTable.absorbDeletes]], Delta's REORG ... APPLY (PURGE)):
+  * restores a vector-free table (and metaAgg/OPTIMIZE eligibility).
+  * NULL version when there was nothing to absorb. */
+case class GraftAbsorbDeletesCommand(tableDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = true)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.absorbDeletes(s, tableDir)
+      .map(Integer.valueOf).orNull))
 }

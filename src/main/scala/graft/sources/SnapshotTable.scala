@@ -451,11 +451,19 @@ object SnapshotTable {
     // collected per file and min-K-merged driver-side to ONE table-level
     // sketch per column (mergeable, so appends later fold into it)
     val kmv = udaf(graft.functions.KmvSketchAgg)
-    val aggs = cols.flatMap { case (n, _) => Seq(min(col(n)), max(col(n)),
-      sum(when(col(n).isNull, 1L).otherwise(0L)),
-      kmv(when(col(n).isNull, lit(graft.functions.KmvDistinctAgg.Skip))
-        .otherwise(expr(s"CAST(conv(substring(md5(CAST(`$n` AS STRING)), " +
-          "1, 15), 16, 10) AS BIGINT)")))) }
+    val aggs = cols.flatMap { case (n, k) =>
+      // canonical value rendering for the NDV hash; float-family values
+      // are normalized with +0.0 first so -0.0 and 0.0 — SQL-equal, and
+      // counted once by count(DISTINCT) — hash identically (NaN + 0.0
+      // stays NaN: one rendering, one hash)
+      val canon =
+        if (k == 'd') s"CAST((`$n` + CAST(0.0 AS DOUBLE)) AS STRING)"
+        else s"CAST(`$n` AS STRING)"
+      Seq(min(col(n)), max(col(n)),
+        sum(when(col(n).isNull, 1L).otherwise(0L)),
+        kmv(when(col(n).isNull, lit(graft.functions.KmvDistinctAgg.Skip))
+          .otherwise(expr(s"CAST(conv(substring(md5($canon), " +
+            "1, 15), 16, 10) AS BIGINT)")))) }
     def enc(v: Any): String = v match {
       case null => ""
       case d: java.lang.Double if d.isNaN || d.isInfinite => ""
@@ -1013,17 +1021,9 @@ object SnapshotTable {
     * snapshot commit). The curve column is computed, used for the
     * arrangement, and dropped — row content is untouched. */
   def commitZordered(s: SparkSession, tableDir: String, df: DataFrame,
-      overwrite: Boolean, nFiles: Int, colA: String, colB: String): Int = {
-    import org.apache.spark.sql.functions.col
-    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
-    val z = graft.operators.LayoutOps.zvalue(col(colA), col(colB))
+      overwrite: Boolean, nFiles: Int, colA: String, colB: String): Int =
     commit(s, tableDir,
-      df.withColumn("__graft_z", z)
-        .repartitionByRange(nFiles, col("__graft_z"))
-        .sortWithinPartitions(col("__graft_z"))
-        .drop("__graft_z"),
-      overwrite)
-  }
+      graft.operators.LayoutOps.zCluster(df, colA, colB, nFiles), overwrite)
 
   /** OPTIMIZE: bin-pack the current snapshot's small files
     * (< `smallFileBytes`) into ~`targetFileBytes` replacements,
@@ -1122,15 +1122,12 @@ object SnapshotTable {
           else math.max(1, math.ceil(es0.map(_.status.getLen).sum.toDouble /
             (128L * 1024 * 1024)).toInt)
         val all = es0.map(_.status.getPath.toString).toSet
-        val z = graft.operators.LayoutOps.zvalue(col(colA), col(colB))
         val f = fs(s, tableDir)
         val uniq = java.util.UUID.randomUUID.toString.take(8)
         val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
-          relationFor(s, tableDir, storedSchema(schema0), es0)
-            .withColumn("__graft_z", z)
-            .repartitionByRange(n, col("__graft_z"))
-            .sortWithinPartitions(col("__graft_z"))
-            .drop("__graft_z"), uniq)
+          graft.operators.LayoutOps.zCluster(
+            relationFor(s, tableDir, storedSchema(schema0), es0),
+            colA, colB, n), uniq)
         beforePublishHook()
         val res = publishNext(s, tableDir) { pm =>
           pm.flatMap { m =>
@@ -1757,6 +1754,13 @@ object SnapshotTable {
       }
     val to = versions(s, tableDir).lastOption.getOrElse(0)
     if (to <= from) return None
+    // Gate the cursor's filesystem BEFORE consuming: on a scheme whose
+    // overwrite-rename is copy/delete the advance below would refuse
+    // anyway — refusing only AFTER f() ran would burn the delta read and
+    // the caller's side effects on every retry and leak a .tmp cursor
+    // file on a filesystem vacuum() never sweeps.
+    val scheme = Option(cp.toUri.getScheme).getOrElse(fsys.getScheme)
+    if ("file" != scheme) requireAtomicRenameScheme(scheme)
     f(readChanges(s, tableDir, from, to), from, to)
     val tmp = new HPath(cp.getParent, s".${cp.getName}.tmp")
     val out = fsys.create(tmp, true)
@@ -1774,14 +1778,12 @@ object SnapshotTable {
         Paths.get(fsys.makeQualified(cp).toUri.getPath),
         StandardCopyOption.ATOMIC_MOVE)
     } else {
-      // Same gate as the publish path: an object-store AbstractFileSystem
-      // implements Rename.OVERWRITE as copy/delete, reintroducing the
-      // exact non-atomic window (cursor transiently missing → range
-      // reset to genesis) this branch exists to close. The cursor file
-      // can live on a DIFFERENT filesystem than the table, so the
-      // publish-time check does not cover it — gate here too.
-      requireAtomicRenameScheme(
-        Option(cp.toUri.getScheme).getOrElse(fsys.getScheme))
+      // Scheme already gated before the consume (same check as the
+      // publish path — an object-store AbstractFileSystem implements
+      // Rename.OVERWRITE as copy/delete, reintroducing the exact
+      // non-atomic window this branch exists to close; the cursor can
+      // live on a DIFFERENT filesystem than the table, so the
+      // publish-time check does not cover it).
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         cp.toUri, s.sparkContext.hadoopConfiguration)
       fc.rename(fsys.makeQualified(tmp), fsys.makeQualified(cp),
@@ -1926,7 +1928,15 @@ object SnapshotTable {
   def metaAgg(s: SparkSession, tableDir: String,
       asOf: Int = Int.MaxValue): DataFrame = {
     import s.implicits._
-    val vs = versions(s, tableDir).filter(_ <= asOf)
+    val all = versions(s, tableDir)
+    // an EXPLICIT version must be retained — flooring would serve an
+    // older snapshot's statistics labeled as the requested one (the
+    // cloneTable rule; the Int.MaxValue "latest" sentinel keeps its
+    // floor)
+    if (asOf != Int.MaxValue) require(all.contains(asOf),
+      s"metaAgg: version $asOf of $tableDir is not a retained published " +
+        s"version (retained: ${all.mkString(",")})")
+    val vs = all.filter(_ <= asOf)
     require(vs.nonEmpty, s"metaAgg: no published version <= $asOf in $tableDir")
     val m = readManifest(s, tableDir, vs.last)
     require(m.dels.isEmpty,

@@ -125,6 +125,20 @@ class ExtensionsSpec extends GraftSpec {
       assert(st("id").getBoolean(10))
       // metadata-served NDV: 3 distinct ids, exact below the sketch K
       assert(st("id").getDouble(11) == 3.0)
+      // pure-SQL ABSORB DELETES: materializes outstanding vectors,
+      // NULL when there is nothing to absorb
+      val t5 = s"$dir/tbl5"
+      SnapshotTable.commit(s2, t5, (1L to 6L).toDF("id"), overwrite = false)
+      SnapshotTable.deleteWhere(s2, t5, $"id" === 4L)
+      assert(s2.sql(s"GRAFT ABSORB DELETES '$t5'").head().getInt(0) == 3)
+      assert(SnapshotTable.readAsOf(s2, t5, 3).collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 5L, 6L))
+      assert(s2.sql(s"GRAFT ABSORB DELETES '$t5'").head().isNullAt(0))
+      // VACUUM MIN AGE: expired manifests drop, but young files survive
+      // the in-flight-commit guard
+      val vac5 = s2.sql(s"GRAFT VACUUM '$t5' KEEP 1 MIN AGE 3600000").head()
+      assert(vac5.getLong(0) == 2L && vac5.getLong(1) == 0L,
+        s"expected 2 expired manifests and 0 young files deleted: $vac5")
       // wall-clock time travel: TIMESTAMP AS OF resolves against the
       // manifests' commit stamps (UTC)
       val t4 = s"$dir/tbl4"
@@ -160,6 +174,12 @@ class ExtensionsSpec extends GraftSpec {
         s2.sql(s"GRAFT STATS '$t4' TIMESTAMP AS OF 'yesterday'")
       }
       assert(badTs.getMessage.contains("epoch millis"))
+      // calendar-invalid fields match the shape regex but must get the
+      // SAME targeted hint, not a raw DateTimeParseException
+      val badCal = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s2.sql(s"GRAFT STATS '$t4' TIMESTAMP AS OF '2026-02-31'")
+      }
+      assert(badCal.getMessage.contains("epoch millis"))
       // a MALFORMED GRAFT statement gets a targeted usage message, not
       // the delegate ANTLR parser's generic "syntax error at GRAFT"
       val mal = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
