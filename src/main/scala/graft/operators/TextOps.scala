@@ -122,6 +122,43 @@ object TextOps extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** HTML boilerplate stripping — the main-content extraction pass web
+    * corpora run before anything else (the trafilatura/jusText job, in
+    * its regex-pipeline shape): drop <script>/<style> WITH their
+    * contents, drop every remaining tag, collapse whitespace. The
+    * corpus is plain text, so a deterministic page wrapper (title/nav/
+    * footer chrome around the document body) is PLANTED per doc —
+    * identically in the oracle — and the md5 of the cleaned text proves
+    * byte-exact extraction, while the boilerplate ratio is the
+    * chrome-share diagnostic a crawl-quality dashboard tracks.
+    * Shuffle-free projection; scales linearly with input splits. */
+  def textHtmlStrip(s: SparkSession, d: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><title>doc "), col("doc_id").cast("string"),
+      lit("</title><script>var nav = 1;</script><style>p{color:red}" +
+        "</style></head><body><div class=\"nav\">Home | About | Login" +
+        "</div><p>"),
+      col("text"),
+      lit("</p><footer>(c) 2024 example.org</footer></body></html>"))
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), page.as("page"))
+      .select(col("doc_id"),
+        octet_length(col("page")).cast("long").as("n_bytes_raw"),
+        trim(regexp_replace(regexp_replace(regexp_replace(col("page"),
+          "<(script|style)[^>]*>.*?</(script|style)>", " "),
+          "<[^>]+>", " "),
+          "\\s+", " ")).as("clean"))
+      .select(col("doc_id"), col("n_bytes_raw"),
+        octet_length(col("clean")).cast("long").as("n_bytes_clean"),
+        md5(col("clean")).as("clean_md5"),
+        // exact integer basis points — a double ratio can land exactly
+        // on a .00005 rounding tie (observed: 1 - 166/320) where the
+        // engines' round() disagree by one ulp
+        ((col("n_bytes_raw") - col("n_bytes_clean")) * 10000L /
+          col("n_bytes_raw")).cast("long").as("boiler_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary heavy hitters: global top-50 tokens by frequency
     * (count desc, token asc tiebreak). explode → map-side partial count →
     * one keyed shuffle → TakeOrdered: the canonical heavy-hitters shape
@@ -638,6 +675,7 @@ object TextOps extends QueryPack {
     "text_fingerprint" -> textFingerprint,
     "text_rolling_hash" -> textRollingHash,
     "text_pii_redact" -> textPiiRedact,
+    "text_html_strip" -> textHtmlStrip,
     "text_vocab_topk" -> textVocabTopK,
     "text_zipf_fit" -> textZipfFit,
     "text_quality_filter" -> textQualityFilter,
@@ -832,6 +870,31 @@ object TextOps extends QueryPack {
         |  FROM t)
         |SELECT source, count(*) AS n_docs, max(cum) AS tokens_used
         |FROM c WHERE cum <= 400 GROUP BY source ORDER BY source""".stripMargin,
+    // the SAME planted page wrapper, the SAME three-stage regex pipe
+    // (script/style with contents, remaining tags, whitespace collapse),
+    // g-flagged since DuckDB's regexp_replace is first-match by default;
+    // the clean md5 proves byte-exact extraction
+    "text_html_strip" ->
+      """WITH p AS (SELECT doc_id,
+        |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><script>var nav = 1;</script><style>p{color:red}' ||
+        |    '</style></head><body><div class="nav">Home | About | Login' ||
+        |    '</div><p>' || text ||
+        |    '</p><footer>(c) 2024 example.org</footer></body></html>'
+        |      AS page
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, CAST(strlen(page) AS BIGINT) AS n_bytes_raw,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(page,
+        |      '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM p)
+        |SELECT doc_id, n_bytes_raw,
+        |  CAST(strlen(clean) AS BIGINT) AS n_bytes_clean,
+        |  md5(clean) AS clean_md5,
+        |  CAST((n_bytes_raw - strlen(clean)) * 10000 // n_bytes_raw
+        |    AS BIGINT) AS boiler_bp
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_pii_redact" ->
       s"""WITH aug AS (SELECT doc_id, text ||
          |  (CASE WHEN doc_id % 3 = 0
