@@ -27,6 +27,13 @@ class SnapshotModelSpec extends GraftSpec {
       val history = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
       var earliestRetained = 1
       var replayed = 0
+      // NDV model for column "v": the manifest sketch is CUMULATIVE
+      // (values ever committed since the last overwrite), exact below
+      // K=64, and UNKNOWN after any row-removing op (merge, deleteWhere
+      // — a bottom-k sketch cannot subtract) until an overwrite resets
+      var ndvSeen = Set.empty[Long]
+      var ndvKnown = true
+      var delsOutstanding = false
 
       def df(m: Map[Long, Long]) =
         if (m.isEmpty) Seq.empty[(Long, Long)].toDF("id", "v")
@@ -47,14 +54,18 @@ class SnapshotModelSpec extends GraftSpec {
             val fresh = rows.filter { case (k, _) => !model.contains(k) }
             SnapshotTable.commit(spark, t, df(fresh), overwrite = false)
             model = model ++ fresh
+            ndvSeen = ndvSeen ++ fresh.values
           case 1 => // overwrite commit
             SnapshotTable.commit(spark, t, df(rows), overwrite = true)
             model = rows
+            ndvSeen = rows.values.toSet; ndvKnown = true
+            delsOutstanding = false
           case 2 => // merge: upsert `rows`, delete one random id
             val del = Seq(rnd.nextInt(10).toLong)
             SnapshotTable.merge(spark, t, df(rows),
               del.toDF("id"), "id")
             model = (model -- del) ++ rows
+            ndvKnown = false; delsOutstanding = false
           case 3 => // idempotent commit + an immediate replay (no-op)
             val txn = s"t$step"
             val fresh = rows.filter { case (k, _) => !model.contains(k) }
@@ -64,6 +75,7 @@ class SnapshotModelSpec extends GraftSpec {
               overwrite = false, txnId = txn).isEmpty)
             replayed += 1
             model = model ++ fresh
+            ndvSeen = ndvSeen ++ fresh.values
           case 4 => // compact: row-preserving maintenance; a no-op when
             // there is <=1 small file publishes NO version — normalize
             // by appending a fresh filler row so every step publishes
@@ -74,6 +86,7 @@ class SnapshotModelSpec extends GraftSpec {
                 val filler = Map((900L + step) -> step.toLong)
                 SnapshotTable.commit(spark, t, df(filler), overwrite = false)
                 model = model ++ filler
+                ndvSeen = ndvSeen ++ filler.values
             }
           case 5 => // vacuum THEN a normal append (vacuum publishes no
             // version; history before the cutoff becomes unreadable)
@@ -86,6 +99,7 @@ class SnapshotModelSpec extends GraftSpec {
             val fresh = rows.filter { case (k, _) => !model.contains(k) }
             SnapshotTable.commit(spark, t, df(fresh), overwrite = false)
             model = model ++ fresh
+            ndvSeen = ndvSeen ++ fresh.values
           case 6 => // merge-on-read delete; a no-match delete (or a
             // fresh table) publishes no version — filler-append like
             // the compact no-op
@@ -95,22 +109,26 @@ class SnapshotModelSpec extends GraftSpec {
               if (SnapshotTable.versions(spark, t).nonEmpty)
                 SnapshotTable.deleteWhere(spark, t, col("v") % 3 === m)
               else None
-            if (published.nonEmpty) model = model -- matched.keySet
-            else {
+            if (published.nonEmpty) {
+              model = model -- matched.keySet
+              ndvKnown = false; delsOutstanding = true
+            } else {
               assert(matched.isEmpty || SnapshotTable.versions(spark, t).isEmpty,
                 s"round $round step $step: deleteWhere skipped a matching row")
               val filler = Map((800L + step) -> step.toLong)
               SnapshotTable.commit(spark, t, df(filler), overwrite = false)
               model = model ++ filler
+              ndvSeen = ndvSeen ++ filler.values
             }
           case 7 => // absorb outstanding vectors: content-preserving
             // maintenance; nothing to absorb -> filler append
             SnapshotTable.absorbDeletes(spark, t) match {
-              case Some(_) => // content unchanged
+              case Some(_) => delsOutstanding = false // content unchanged
               case None =>
                 val filler = Map((700L + step) -> step.toLong)
                 SnapshotTable.commit(spark, t, df(filler), overwrite = false)
                 model = model ++ filler
+                ndvSeen = ndvSeen ++ filler.values
             }
           case 8 => // ordered CDC apply: per-key winner, strictly-newer
             // only (ord values straddle the existing range so both the
@@ -119,6 +137,7 @@ class SnapshotModelSpec extends GraftSpec {
             SnapshotTable.mergeLatest(spark, t, df(ups), "id", Seq("v"))
             model = model ++ ups.filter { case (k, v) =>
               model.get(k).forall(_ < v) }
+            ndvKnown = false; delsOutstanding = false
         }
         history += model
         val latest = SnapshotTable.versions(spark, t).last
@@ -130,6 +149,21 @@ class SnapshotModelSpec extends GraftSpec {
         assert(SnapshotTable.rowCount(spark, t, Int.MaxValue)
           .contains(model.size.toLong),
           s"round $round step $step: rowCount != model size")
+        // metadata-served NDV of column v: cumulative-exact on pure
+        // append/overwrite chains (sub-K), UNKNOWN after a row remover
+        if (!delsOutstanding) {
+          val r = SnapshotTable.metaAgg(spark, t, Int.MaxValue)
+            .filter(col("column") === "v").head()
+          val est =
+            if (r.isNullAt(r.fieldIndex("est_ndv"))) None
+            else Some(r.getAs[Double]("est_ndv"))
+          if (ndvKnown && ndvSeen.size < 64)
+            assert(est.contains(ndvSeen.size.toDouble),
+              s"round $round step $step: est_ndv $est != ${ndvSeen.size}")
+          else if (!ndvKnown)
+            assert(est.isEmpty,
+              s"round $round step $step: est_ndv must be unknown, got $est")
+        }
         // the per-step change feed equals the model diff (empty when the
         // step was a row-preserving compaction)
         if (latest >= 2 && latest - 1 >= earliestRetained) {
