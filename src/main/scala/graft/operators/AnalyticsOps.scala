@@ -931,6 +931,77 @@ object AnalyticsOps extends QueryPack {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Exact global rank of every row by `ord` WITHOUT a single-task
+    * window: range-repartition on the order keys, number locally, add
+    * broadcast per-partition offsets — the [[graft.operators.LayoutOps
+    * .layoutGlobalIndex]] discipline, bit-identical to the naive
+    * `row_number() OVER (ORDER BY …)` at any scale. The partitioned
+    * frame is localCheckpoint'ed so the offset and numbering jobs see
+    * the same sampled range boundaries. `ord` must be a TOTAL order
+    * (include a unique tiebreak). */
+  private def globalRank(in: DataFrame, ord: Seq[Column],
+      out: String): DataFrame = {
+    val parted = in.repartitionByRange(16, ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    parted
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(ord: _*)).cast("long"))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__off") + col("__rn"))
+      .drop("__pid", "__rn", "__off")
+  }
+
+  /** RFM segmentation — the recency/frequency/monetary customer grid
+    * every growth team cuts: per user the days since their last event,
+    * their event count, and their finite-value spend in exact cents;
+    * each metric quintiled (1 = best: most recent / most frequent /
+    * highest spend) and the corpus rolled up per (r,f,m) cell. The
+    * quintile is `((rank−1)·5) div n + 1` over an EXACT global rank
+    * with a user_id tiebreak — computed by [[globalRank]]'s
+    * range-partition + offset scheme, so no single-task global window
+    * touches the per-user table (at 100 TB that table is billions of
+    * rows; the naive `ntile() OVER (ORDER BY …)` serializes it through
+    * one task). The oracle recomputes the same closed-form quintile
+    * from `row_number()`. */
+  def eventsRfm(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val maxDay = e.agg(max(to_date(col("ts"))).as("md"))
+    val per = e.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        coalesce(sum(expr("CASE WHEN value IS NOT NULL AND " +
+          "abs(CAST(value AS DOUBLE)) < CAST('Infinity' AS DOUBLE) " +
+          "THEN CAST(round(value * 100) AS BIGINT) END")), lit(0L))
+          .as("mon_c"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        datediff(col("md"), col("last_day")).cast("long").as("recency"),
+        col("freq"), col("mon_c"))
+    val n = per.agg(count(lit(1)).as("cnt"))
+    val ranked =
+      globalRank(
+        globalRank(
+          globalRank(per, Seq(col("recency"), col("user_id")), "r_rank"),
+          Seq(col("freq").desc, col("user_id")), "f_rank"),
+        Seq(col("mon_c").desc, col("user_id")), "m_rank")
+    ranked.crossJoin(broadcast(n))
+      .select(col("user_id"), col("mon_c"),
+        expr("((r_rank - 1) * 5) div cnt + 1").as("r_q"),
+        expr("((f_rank - 1) * 5) div cnt + 1").as("f_q"),
+        expr("((m_rank - 1) * 5) div cnt + 1").as("m_q"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"), sum(col("mon_c")).as("sum_mon_c"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
   /** New-user accounting: per day, the count of users whose FIRST-EVER
     * event falls on that day, plus the running cumulative user count —
     * the growth dashboard's top line, and the classic "cumulative
@@ -1518,6 +1589,7 @@ object AnalyticsOps extends QueryPack {
     "mv_incremental_refresh" -> mvIncrementalRefresh,
     "sketch_hll_distinct" -> sketchHllDistinct,
     "sketch_kmv_setops" -> sketchKmvSetops,
+    "events_rfm" -> eventsRfm,
     "pareto_frontier"    -> paretoFrontier,
     "events_histogram"   -> eventsHistogram,
     "profile_columns"    -> profileColumns,
@@ -1908,6 +1980,38 @@ object AnalyticsOps extends QueryPack {
         |  true AS direct_ok, true AS merged_ok
         |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the oracle's quintile is the same closed form over row_number —
+    // agreement proves the range-partition + offset global rank exact
+    "events_rfm" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM e),
+        |per AS (SELECT user_id,
+        |    CAST(date_diff('day', max(CAST(ts AS DATE)),
+        |      (SELECT md FROM mx)) AS BIGINT) AS recency,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(coalesce(sum(CASE WHEN value IS NOT NULL
+        |      AND isfinite(value)
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+        |      AS mon_c
+        |  FROM e GROUP BY user_id),
+        |n AS (SELECT count(*) AS cnt FROM per),
+        |rk AS (SELECT user_id, mon_c,
+        |    row_number() OVER (ORDER BY recency, user_id) AS r_rank,
+        |    row_number() OVER (ORDER BY freq DESC, user_id) AS f_rank,
+        |    row_number() OVER (ORDER BY mon_c DESC, user_id) AS m_rank
+        |  FROM per),
+        |q AS (SELECT user_id, mon_c,
+        |    ((r_rank - 1) * 5) // cnt + 1 AS r_q,
+        |    ((f_rank - 1) * 5) // cnt + 1 AS f_q,
+        |    ((m_rank - 1) * 5) // cnt + 1 AS m_q
+        |  FROM rk, n)
+        |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        |  CAST(m_q AS BIGINT) AS m_q,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(mon_c) AS BIGINT) AS sum_mon_c
+        |FROM q GROUP BY 1, 2, 3
+        |ORDER BY r_q, f_q, m_q""".stripMargin,
     // the oracle replays the ENTIRE KMV derivation (md5 is computed
     // identically by both engines), so estimates hash-match exactly —
     // no tolerance band needed
