@@ -96,6 +96,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL-level lakehouse administration: GRAFT RESTORE / CLONE / VACUUM
     // parse to LeafRunnableCommands; everything else falls through to
     // Spark's parser untouched
-    e.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
+    e.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(delegate, Option(session)))
   }
 }

@@ -250,38 +250,36 @@ object AdvancedOps extends QueryPack {
     * 0.1%-selective dimension predicate this is the difference between
     * shuffling the table and shuffling 0.1% of it. The feature is
     * threshold-gated (application side must look ≥10 GB by default), so
-    * this builder lowers the gates, forces the physical plan INSIDE the
-    * conf window (QueryExecution memoizes its phases), and restores the
-    * session confs — PlanCheck asserts `might_contain` on the planned
-    * frame; the result is plan-independent, which the oracle checks. */
+    * this builder opens the gates on a FORKED session
+    * ([[org.apache.spark.sql.GraftSqlShim.forkSession]] — cloned
+    * session state over the shared SparkContext) and plans there: the
+    * overrides never touch the caller's session, so a query planned
+    * concurrently cannot inherit them, and because the fork's confs
+    * stay open for the frame's whole lifetime, an AQE re-plan at
+    * execution time re-derives the SAME gated shape instead of
+    * silently dropping the bloom filter once a restore closes the
+    * window. PlanCheck asserts `might_contain` on the planned frame;
+    * the result is plan-independent, which the oracle checks. */
   def q49RuntimeBloom(s: SparkSession, d: String): DataFrame = {
-    val overrides = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
-      // broadcast joins bypass the shuffle the filter exists to shrink
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = overrides.map { case (k, _) => k -> s.conf.getOption(k) }
-    overrides.foreach { case (k, v) => s.conf.set(k, v) }
-    try {
-      val sel = Tables.orders(s, d)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"), col("o_orderpriority"))
-      val frame = Tables.lineitem(s, d)
-        .join(sel, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_lines"),
-          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
-            .as("sum_price_c"))
-        .orderBy(col("o_orderpriority"))
-      // force optimization + physical planning NOW, while the runtime-
-      // filter gates are open; later actions reuse the memoized phases
-      frame.queryExecution.executedPlan
-      frame
-    } finally saved.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None) => s.conf.unset(k)
-    }
+    val fork = org.apache.spark.sql.GraftSqlShim.forkSession(s)
+    fork.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    fork.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    fork.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // broadcast joins bypass the shuffle the filter exists to shrink
+    fork.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val sel = Tables.orders(fork, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Tables.lineitem(fork, d)
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("sum_price_c"))
+      .orderBy(col("o_orderpriority"))
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -153,8 +153,9 @@ object MultimodalOps extends QueryPack {
     * payload's pixel bytes are split into the header's `n_frames`
     * contiguous frames (balanced integer split, byte i → frame
     * i·nf/len), each frame reduced to its byte-energy sum, and a CUT is
-    * declared where consecutive energies jump by more than 25% of their
-    * sum (8·|Δ| > e_f + e_{f−1} — exact integer arithmetic end to end).
+    * declared where consecutive energies jump by more than 12.5% of
+    * their sum — |Δ| > (e_f + e_{f−1})/8, evaluated as
+    * 8·|Δ| > e_f + e_{f−1} in exact integer arithmetic end to end.
     * The fixture makes cuts REAL: the media content is
     * `text ‖ upper(text)` — two visually distinct "scenes" whose
     * boundary frame drops ~32 per alphabetic byte — so the detector has

@@ -21,7 +21,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * verb plans as a `LeafRunnableCommand` — driver-side metadata work
   * (these ops are O(manifest) by design), executed at `sql()` call
   * time like every Spark DDL command, returning its result as a row. */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(delegate: ParserInterface,
+    session: Option[SparkSession] = None) extends ParserInterface {
+
+  /** The zone wall-clock `TIMESTAMP AS OF` literals resolve in: the
+    * embedding session's `spark.sql.session.timeZone` (Delta's
+    * session-zone resolution), read at PARSE time so a `SET` in the
+    * same session takes effect immediately; UTC when the parser runs
+    * without a session (direct construction in tests). */
+  private def sessionZone: java.time.ZoneId =
+    session
+      .map(s => org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .getZoneId(s.conf.get("spark.sql.session.timeZone")))
+      .getOrElse(java.time.ZoneOffset.UTC)
 
   private val RestoreRe =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
@@ -75,11 +87,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case StatsRe(dir, v) =>
       GraftStatsCommand(dir, Option(v).map(_.toInt).getOrElse(Int.MaxValue))
     case RestoreTsRe(dir, ts) =>
-      GraftRestoreTimestampCommand(dir, GraftSqlParser.parseTsMillis(ts))
+      GraftRestoreTimestampCommand(dir,
+        GraftSqlParser.parseTsMillis(ts, sessionZone))
     case CloneTsRe(src, dst, ts) =>
-      GraftCloneTimestampCommand(src, dst, GraftSqlParser.parseTsMillis(ts))
+      GraftCloneTimestampCommand(src, dst,
+        GraftSqlParser.parseTsMillis(ts, sessionZone))
     case StatsTsRe(dir, ts) =>
-      GraftStatsTimestampCommand(dir, GraftSqlParser.parseTsMillis(ts))
+      GraftStatsTimestampCommand(dir,
+        GraftSqlParser.parseTsMillis(ts, sessionZone))
     case GraftAnyRe() =>
       throw new org.apache.spark.sql.catalyst.parser.ParseException(
         Option(sqlText),
@@ -118,12 +133,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
-  /** Parse a `TIMESTAMP AS OF` literal to epoch millis. Accepted forms
-    * (interpreted in UTC, the engine's pinned session zone — commit
-    * stamps are `System.currentTimeMillis`): `yyyy-MM-dd HH:mm:ss.SSS`,
-    * `yyyy-MM-dd HH:mm:ss`, `yyyy-MM-dd`, or a bare epoch-millis
-    * integer. Raises a targeted ParseException otherwise. */
-  private[sources] def parseTsMillis(t: String): Long = {
+  /** Parse a `TIMESTAMP AS OF` literal to epoch millis. Accepted forms:
+    * `yyyy-MM-dd HH:mm:ss.SSS`, `yyyy-MM-dd HH:mm:ss`, `yyyy-MM-dd`
+    * (each a wall-clock reading in `zone` — the session's
+    * `spark.sql.session.timeZone`, the Delta resolution rule), or a
+    * bare epoch-millis integer (zone-independent; commit stamps are
+    * `System.currentTimeMillis`). Raises a targeted ParseException
+    * otherwise. */
+  private[sources] def parseTsMillis(t: String,
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Long = {
     val s = t.trim
     if (s.matches("\\d{10,}")) return s.toLong
     val date = """(\d{4}-\d{2}-\d{2})""".r
@@ -142,13 +160,14 @@ object GraftSqlParser {
         case date(d) => Some(java.time.LocalDate.parse(d).atStartOfDay)
         case _ => None
       } catch { case _: java.time.format.DateTimeParseException => None }
-    parsed.map(_.toInstant(java.time.ZoneOffset.UTC).toEpochMilli).getOrElse(
+    parsed.map(_.atZone(zone).toInstant.toEpochMilli).getOrElse(
       throw new org.apache.spark.sql.catalyst.parser.ParseException(
         Option(s), org.apache.spark.sql.catalyst.trees.Origin(),
         "PARSE_SYNTAX_ERROR",
         Map("error" -> s"'$s'",
           "hint" -> (": TIMESTAMP AS OF accepts 'yyyy-MM-dd[ HH:mm:ss" +
-            "[.SSS]]' (UTC) or epoch millis"))))
+            "[.SSS]]' (read in spark.sql.session.timeZone) or epoch " +
+            "millis"))))
   }
 }
 

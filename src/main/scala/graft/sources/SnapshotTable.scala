@@ -1363,19 +1363,35 @@ object SnapshotTable {
 
   /** The greatest version committed at or before `tsMillis` — the
     * wall-clock → version resolution every `TIMESTAMP AS OF` verb
-    * shares. Refuses (rather than flooring to garbage) when every
-    * retained commit is newer — the earliest state the table can serve
-    * is its earliest RETAINED version, and silently serving it for an
-    * older timestamp would misrepresent history after a vacuum. */
+    * shares. Refuses at BOTH temporal edges rather than flooring to
+    * garbage (the Delta rule):
+    *  - every retained commit is NEWER → the earliest state the table
+    *    can serve is its earliest retained version, and silently
+    *    serving it for an older timestamp would misrepresent history
+    *    after a vacuum;
+    *  - the timestamp is AFTER the newest retained commit →
+    *    temporally unstable: "latest as of that future stamp" is
+    *    whatever happens to be latest at call time, and the same
+    *    query re-run after one more commit would silently resolve to
+    *    a different version. Address the head explicitly (omit the
+    *    clause, or `VERSION AS OF` the latest) instead. */
   def versionAtTimestamp(s: SparkSession, tableDir: String,
       tsMillis: Long): Int = {
     val vs = versions(s, tableDir)
     require(vs.nonEmpty, s"no published version in $tableDir")
-    val qual = vs.filter(v =>
-      readManifest(s, tableDir, v).ts.getOrElse(0L) <= tsMillis)
+    val stamped = vs.map(v => v -> readManifest(s, tableDir, v).ts)
+    val qual = stamped.collect { case (v, ts) if ts.getOrElse(0L) <= tsMillis => v }
     require(qual.nonEmpty,
       s"no version of $tableDir committed at or before $tsMillis " +
         s"(earliest retained commit is newer)")
+    // legacy manifests without a stamp cannot prove instability — only
+    // a RECORDED newest stamp strictly below the request refuses
+    stamped.last._2.foreach(newest => require(tsMillis <= newest,
+      s"timestamp $tsMillis is after the newest retained commit of " +
+        s"$tableDir (stamped $newest) — temporally unstable: the " +
+        "resolution would change as soon as another commit lands; " +
+        "read the head without TIMESTAMP AS OF (or pin VERSION AS OF " +
+        s"${stamped.last._1})"))
     qual.max
   }
 

@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A forked session sharing the SparkContext and a COPY of the
+    * parent's session state (confs, temp views, extensions) — conf
+    * writes on the fork never touch the parent. The isolation doorway
+    * for builders that must plan under temporary conf overrides
+    * (runtime-filter gates, broadcast thresholds) without leaking them
+    * to queries planned concurrently on the shared session. */
+  def forkSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }

@@ -195,6 +195,36 @@ class ExtensionsSpec extends GraftSpec {
       assert(s2.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
       assert(s2.sql("SELECT graft_poly_hash('abc') IS NOT NULL AS ok")
         .head().getBoolean(0))
+      // TIMESTAMP AS OF wall-clock literals resolve in the SESSION's
+      // spark.sql.session.timeZone (the Delta rule), not pinned UTC: the
+      // same literal names a point 9 hours EARLIER under a UTC+9 zone,
+      // so a stamp that lands between two commits under UTC falls before
+      // genesis under +09:00 — and a SET in the same session takes
+      // effect at the next parse
+      val t6 = s"$dir/tbl6"
+      SnapshotTable.commit(s2, t6, Seq(1L).toDF("id"), overwrite = false)
+      Thread.sleep(15)
+      SnapshotTable.commit(s2, t6, Seq(2L).toDF("id"), overwrite = false)
+      val stamp1 = s2.sql(s"GRAFT HISTORY '$t6'").collect()
+        .find(_.getInt(0) == 1).get.getLong(7)
+      val litUtc = java.time.Instant.ofEpochMilli(stamp1)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      val stUtc = s2.sql(s"GRAFT STATS '$t6' TIMESTAMP AS OF '$litUtc'")
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(stUtc("id").getLong(2) == 1L, "UTC session: literal pins v1")
+      s2.conf.set("spark.sql.session.timeZone", "UTC+09:00")
+      try {
+        // same literal, +09:00 session: it now denotes stamp1 − 9h,
+        // which precedes genesis — the resolver must refuse, proving
+        // the zone was honored rather than silently re-pinned to UTC
+        val shifted = intercept[IllegalArgumentException] {
+          s2.sql(s"GRAFT STATS '$t6' TIMESTAMP AS OF '$litUtc'").collect()
+        }
+        assert(shifted.getMessage.contains("earliest retained commit"),
+          s"expected a pre-genesis refusal, got: ${shifted.getMessage}")
+      } finally s2.conf.set("spark.sql.session.timeZone", "UTC")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -169,11 +169,20 @@ class SnapshotGovernanceSpec extends GraftSpec {
       overwrite = false)
     assert(SnapshotTable.readAsOfTimestamp(spark, t, between)
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
-    assert(SnapshotTable.readAsOfTimestamp(spark, t, System.currentTimeMillis())
+    // the newest commit's own stamp resolves to it (inclusive bound)
+    val lastStamp = SnapshotTable.history(spark, t)
+      .select("commit_ts").collect().map(_.getLong(0)).max
+    assert(SnapshotTable.readAsOfTimestamp(spark, t, lastStamp)
       .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
     // before the first commit: refuse rather than serve the wrong epoch
     intercept[IllegalArgumentException] {
       SnapshotTable.readAsOfTimestamp(spark, t, between - 1000000L)
+    }
+    // after the newest commit: refuse rather than float with the head
+    // (the Delta temporally-unstable rule — "latest as of a future
+    // stamp" would re-resolve differently after the next commit)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readAsOfTimestamp(spark, t, lastStamp + 3600000L)
     }
     // history surfaces the stamps (monotone here — single writer)
     val stamps = SnapshotTable.history(spark, t)
