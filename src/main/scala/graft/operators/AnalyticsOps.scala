@@ -941,7 +941,9 @@ object AnalyticsOps extends QueryPack {
     * (include a unique tiebreak). */
   private def globalRank(in: DataFrame, ord: Seq[Column],
       out: String): DataFrame = {
-    val parted = in.repartitionByRange(16, ord: _*)
+    // width = max(16, defaultParallelism) — scales with the cluster
+    val parted = in
+      .repartitionByRange(SkewUtils.rankWidth(in.sparkSession), ord: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val offsets = parted.groupBy(col("__pid"))

@@ -385,7 +385,9 @@ object CurationOps extends QueryPack {
     val docs = Tables.documents(s, d)
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), shuffleKey(col("doc_id"), seed).as("shuf_key"))
-    val parted = docs.repartitionByRange(16, col("shuf_key"), col("doc_id"))
+    // width = max(16, defaultParallelism) — scales with the cluster
+    val parted = docs.repartitionByRange(SkewUtils.rankWidth(s),
+      col("shuf_key"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
     val offsets = parted.groupBy(col("pid"))

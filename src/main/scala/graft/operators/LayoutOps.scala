@@ -282,7 +282,9 @@ object LayoutOps extends QueryPack {
     val docs = Tables.documents(s, d)
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
-    val parted = docs.repartitionByRange(16, col("doc_id"))
+    // width = max(16, defaultParallelism) — scales with the cluster
+    val parted = docs
+      .repartitionByRange(SkewUtils.rankWidth(s), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
     val offsets = parted.groupBy(col("pid"))

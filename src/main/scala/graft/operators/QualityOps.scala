@@ -176,7 +176,8 @@ object QualityOps extends QueryPack {
     val pts = ev.groupBy(col("value")).agg(
       sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
       sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
-    val parted = pts.repartitionByRange(16, col("value"))
+    // width = max(16, defaultParallelism) — scales with the cluster
+    val parted = pts.repartitionByRange(SkewUtils.rankWidth(s), col("value"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
     val offs = parted.groupBy(col("pid"))

@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object SkewUtils {
 
+  /** Range-partition width for the two-phase global numbering
+    * (`layout_global_index` / `globalRank` / KS cumsums): the
+    * cluster's `defaultParallelism` with a floor of 16. The floor
+    * keeps the per-partition offset table non-trivial (and the oracle
+    * comparison meaningful) on tiny local runs; on a real cluster the
+    * width scales with the executors — a 1000-core deployment numbers
+    * through 1000-way ranges, not a hard-coded 16 (the offset table
+    * stays one row per partition, broadcast-sized at any width). */
+  def rankWidth(s: org.apache.spark.sql.SparkSession): Int =
+    math.max(16, s.sparkContext.defaultParallelism)
+
   /** Inner-join `skewed` with `small` on `key`, spreading each key over
     * `salts` shuffle partitions. `small` is replicated `salts` times. */
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
