@@ -32,12 +32,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    `readAsOf(v)` reads exactly the files the v-manifest lists, so
   *    concurrent appends/overwrites never disturb a running read —
   *    snapshot isolation by construction.
-  *  - Every manifest carries the CUMULATIVE set of committed
-  *    transaction ids (`#txn:` metadata lines, carried forward commit
-  *    over commit), so [[commitIdempotent]]'s replay check is ONE read
-  *    of the latest manifest — constant per commit, not O(versions):
-  *    a streaming sink committing one version per micro-batch pays the
-  *    same driver cost at batch 10000 as at batch 1.
+  *  - Every manifest carries the cumulative PER-WRITER transaction
+  *    watermarks (`#txnv:` metadata lines — writer id → highest
+  *    committed version, the Delta txnAppId/txnVersion convention,
+  *    carried forward commit over commit), so [[commitIdempotent]]'s
+  *    replay check is ONE read of the latest manifest — constant per
+  *    commit, not O(versions) — AND the manifest's replay metadata is
+  *    ONE line per writer, not one per micro-batch ever committed: a
+  *    streaming sink at batch 10000 pays the same driver cost and the
+  *    same manifest bytes as at batch 1. (Legacy `#txn:` id lines
+  *    still parse, as single-shot writers at version 0.)
   *  - Every manifest records its snapshot's read SCHEMA (`#schema:`
   *    line, Spark JSON). Appends may ADD columns (the snapshot schema
   *    is the ordered union; old files read NULL for new columns) and
@@ -169,7 +173,7 @@ object SnapshotTable {
     * (and data-skip) with ZERO per-file filesystem calls. Shorter
     * legacy entries degrade gracefully (no stats → no skipping; bare
     * path → driver-side resolution). */
-  private case class Manifest(txns: Set[String], schema: Option[StructType],
+  private case class Manifest(txns: Map[String, Long], schema: Option[StructType],
       files: Seq[String], bucket: Option[(Int, String)] = None,
       dels: Seq[String] = Seq.empty, ts: Option[Long] = None,
       constraints: Map[String, String] = Map.empty,
@@ -344,8 +348,23 @@ object SnapshotTable {
       version: Int): Manifest = {
     val lines = manifestLines(s, tableDir, version)
     Manifest(
-      txns = lines.collect {
-        case l if l.startsWith("#txn:") => l.stripPrefix("#txn:") }.toSet,
+      // two generations of replay-detection lines:
+      //  - `#txnv:<b64 writer>:<version>` — ONE line per writer,
+      //    carrying that writer's highest committed version (the Delta
+      //    txnAppId/txnVersion convention; bounds the manifest at
+      //    O(writers) no matter how many micro-batches ever committed)
+      //  - legacy `#txn:<id>` — one line per opaque txn id, decoded as
+      //    writer=<id> at version 0 (identical replay semantics: the
+      //    id either landed or it didn't)
+      txns = {
+        val pairs = lines.collect {
+          case l if l.startsWith("#txnv:") =>
+            val p = l.stripPrefix("#txnv:").split(":", 2)
+            (new String(b64d(p(0)), "UTF-8"), p(1).toLong)
+          case l if l.startsWith("#txn:") => (l.stripPrefix("#txn:"), 0L)
+        }
+        pairs.groupMapReduce(_._1)(_._2)(math.max)
+      },
       schema = lines.collectFirst {
         case l if l.startsWith("#schema:") =>
           DataType.fromJson(l.stripPrefix("#schema:")).asInstanceOf[StructType] },
@@ -375,14 +394,40 @@ object SnapshotTable {
       }.toMap)
   }
 
-  /** Transaction ids already committed to this table — the replay-
-    * detection set of [[commitIdempotent]]. ONE manifest read: every
-    * manifest carries the cumulative set forward. */
+  /** Writer ids with at least one committed transaction on this table —
+    * the replay-detection surface of [[commitIdempotent]] (an opaque
+    * txn id IS its writer id at version 0). ONE manifest read: every
+    * manifest carries the per-writer watermark map forward. */
   def committedTxns(s: SparkSession, tableDir: String): Set[String] =
+    committedTxnVersions(s, tableDir).keySet
+
+  /** Per-writer transaction watermarks: writer id → the highest
+    * `txnVersion` that writer ever committed (0 for opaque single-shot
+    * ids). A replayed `(writer, version)` is a no-op iff
+    * `version <= watermark(writer)` — the Delta txnAppId/txnVersion
+    * contract, which keeps the manifest's replay metadata at ONE line
+    * per writer instead of one per micro-batch ever committed. */
+  def committedTxnVersions(s: SparkSession,
+      tableDir: String): Map[String, Long] =
     versions(s, tableDir).lastOption match {
-      case None => Set.empty
+      case None => Map.empty
       case Some(v) => readManifest(s, tableDir, v).txns
     }
+
+  /** Has `txn` (writer id, version) already landed per `m`'s per-writer
+    * watermarks? Monotone: any version at or below the stored watermark
+    * is a replay — a structured-streaming sink only ever replays its
+    * LATEST uncommitted batch, so versions at or below the watermark
+    * are by construction re-deliveries, never new work. */
+  private def txnLanded(m: Option[Manifest],
+      txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (w, v) => m.exists(_.txns.get(w).exists(_ >= v)) }
+
+  /** Fold `txn` into the carried watermark map (max per writer). */
+  private def txnMerge(prev: Map[String, Long],
+      txn: Option[(String, Long)]): Map[String, Long] =
+    txn.fold(prev) { case (w, v) =>
+      prev + (w -> prev.get(w).map(math.max(_, v)).getOrElse(v)) }
 
   /** Commit `df` as the next version. `overwrite = false` appends to the
     * previous snapshot's file list; `overwrite = true` replaces it.
@@ -393,17 +438,28 @@ object SnapshotTable {
     commitInternal(s, tableDir, df, overwrite, None).get
 
   /** Idempotent commit for replayable writers (a streaming `foreachBatch`
-    * sink): if `txnId` was ever committed, the call is a no-op returning
-    * None — a micro-batch replayed after a crash-restart cannot land
-    * twice. The txn id travels IN the manifest (cumulative `#txn:`
-    * metadata), so it is published by the same atomic create-exclusive
-    * as the data — there is no window where data is visible but its txn
-    * is not, and the replay check is re-evaluated on every retry of a
-    * lost version race, so even two ZOMBIE writers replaying the same
-    * txn id concurrently land it exactly once. */
+    * sink): if `(txnId, txnVersion)` ever committed — same writer id at
+    * this version OR NEWER — the call is a no-op returning None, so a
+    * micro-batch replayed after a crash-restart cannot land twice. The
+    * watermark travels IN the manifest (`#txnv:` metadata, one line per
+    * WRITER carrying its highest version — the Delta txnAppId
+    * convention, O(writers) manifest bytes no matter how many batches
+    * ever committed), so it is published by the same atomic
+    * create-exclusive as the data — there is no window where data is
+    * visible but its txn is not, and the replay check is re-evaluated
+    * on every retry of a lost version race, so even two ZOMBIE writers
+    * replaying the same batch concurrently land it exactly once.
+    *
+    * A long-lived sink passes a STABLE `txnId` (its writer identity,
+    * e.g. the checkpoint location) and the micro-batch id as
+    * `txnVersion` — batch versions from one writer must be monotone,
+    * which structured streaming's batch ids are. The `txnVersion`
+    * default (0) keeps the legacy one-shot form: a UNIQUE opaque
+    * `txnId` per logical write, replay-detected by pure membership. */
   def commitIdempotent(s: SparkSession, tableDir: String, df: DataFrame,
-      overwrite: Boolean, txnId: String): Option[Int] =
-    commitInternal(s, tableDir, df, overwrite, Some(txnId))
+      overwrite: Boolean, txnId: String,
+      txnVersion: Long = 0L): Option[Int] =
+    commitInternal(s, tableDir, df, overwrite, Some((txnId, txnVersion)))
 
   /** Additive schema evolution: same-name columns must keep their type;
     * columns new in `next` append after the previous schema's. */
@@ -597,7 +653,7 @@ object SnapshotTable {
                   // rows removed: a bottom-k sketch cannot subtract —
                   // NDV becomes unknown until a full rewrite recollects
                   else Some((m.files, m.schema.getOrElse(storedSchema(sc0)),
-                    m.txns.toSeq.sorted, m.bucket, m.dels ++ delLines,
+                    m.txns, m.bucket, m.dels ++ delLines,
                     m.constraints, m.dropped, Map.empty[String, Seq[Long]]))
                 }
               }
@@ -694,7 +750,7 @@ object SnapshotTable {
         else Some((
           m.files.filter(e => carriedPaths.contains(e.takeWhile(_ != '\t')))
             ++ newFiles,
-          m.schema.getOrElse(sc0), m.txns.toSeq.sorted,
+          m.schema.getOrElse(sc0), m.txns,
           if (affected.isEmpty) m.bucket else None,
           Seq.empty, m.constraints, m.dropped, m.ndv))
       }
@@ -823,14 +879,15 @@ object SnapshotTable {
     * entries, read schema, cumulative txn ids, bucket layout, deletion
     * vectors, and CHECK constraints. The commit timestamp is stamped by
     * [[publishNext]] itself at publish time. */
-  /** 8th element: cumulative per-column NDV sketches (the bottom-64 KMV
+  /** 3rd element: per-writer txn watermarks (see [[committedTxnVersions]]).
+    * 8th element: cumulative per-column NDV sketches (the bottom-64 KMV
     * of md5 value hashes — see [[metaAgg]]'s `est_ndv`). Carried/merged
     * by ops that preserve or append rows, DROPPED (unknown) by ops that
     * remove or rewrite row values (merge, deleteWhere) — a bottom-k
     * sketch cannot subtract. */
   private type Prepared =
-    (Seq[String], StructType, Seq[String], Option[(Int, String)], Seq[String],
-      Map[String, String], Set[String], Map[String, Seq[Long]])
+    (Seq[String], StructType, Map[String, Long], Option[(Int, String)],
+      Seq[String], Map[String, String], Set[String], Map[String, Seq[Long]])
 
   private def publishNext(s: SparkSession, tableDir: String)(
       prepare: Option[Manifest] => Option[Prepared])
@@ -851,7 +908,8 @@ object SnapshotTable {
           f.mkdirs(cd)
           val tmp = new HPath(cd, s".tmp-$uniq-$attempt")
           val out = f.create(tmp, true)
-          val meta = txns.map(id => s"#txn:$id") ++
+          val meta = txns.toSeq.sortBy(_._1).map { case (w, ver) =>
+            s"#txnv:${b64e(w)}:$ver" } ++
             Seq(s"#schema:${schema.json}",
               s"#ts:${System.currentTimeMillis()}") ++
             bucket.map { case (n, c) => s"#bucket:$n:${b64e(c)}" } ++
@@ -873,7 +931,7 @@ object SnapshotTable {
   }
 
   private def commitInternal(s: SparkSession, tableDir: String, df: DataFrame,
-      overwrite: Boolean, txnId: Option[String],
+      overwrite: Boolean, txn: Option[(String, Long)],
       bucket: Option[(Int, String)] = None): Option[Int] = {
     val f = fs(s, tableDir)
     // the data write happens ONCE; version races retry only the (tiny)
@@ -882,9 +940,9 @@ object SnapshotTable {
     var written: Option[(HPath, Seq[String], Map[String, Seq[Long]])] = None
     val res = publishNext(s, tableDir) { prevManifest =>
       // replay check INSIDE the retry loop: a zombie writer racing the
-      // live one with the same txn id loses the version race, re-reads,
+      // live one with the same txn loses the version race, re-reads,
       // and sees the txn landed
-      if (txnId.exists(id => prevManifest.exists(_.txns.contains(id)))) None
+      if (txnLanded(prevManifest, txn)) None
       else {
         // CHECK gate per attempt: a lost race may have added a
         // constraint mid-commit — the retry re-reads and re-validates
@@ -918,9 +976,10 @@ object SnapshotTable {
           if (overwrite) df.schema
           else prevManifest.flatMap(_.schema)
             .map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
-        // txn ids accumulate across commits — including overwrites:
-        // replay detection must survive a table rewrite
-        val txns = (prevManifest.map(_.txns).getOrElse(Set.empty) ++ txnId).toSeq.sorted
+        // txn watermarks accumulate across commits — including
+        // overwrites: replay detection must survive a table rewrite
+        val txns = txnMerge(
+          prevManifest.map(_.txns).getOrElse(Map.empty), txn)
         // the resulting layout property: a bucketed commit asserts it, a
         // PLAIN append onto a bucketed table DEGRADES it (the new files
         // carry no bucket ids — readers fall back to unbucketed scans
@@ -1079,7 +1138,7 @@ object SnapshotTable {
               m.files.filterNot(e => compacted.contains(e.takeWhile(_ != '\t')))
                 ++ newFiles,
               m.schema.getOrElse(storedSchema(schema0)),
-              m.txns.toSeq.sorted,
+              m.txns,
               m.bucket, Seq.empty, m.constraints, m.dropped, m.ndv))
           }
         }
@@ -1136,7 +1195,7 @@ object SnapshotTable {
               m.files.filterNot(e => all.contains(e.takeWhile(_ != '\t')))
                 ++ newFiles,
               m.schema.getOrElse(storedSchema(schema0)),
-              m.txns.toSeq.sorted,
+              m.txns,
               m.bucket, Seq.empty, m.constraints, m.dropped, m.ndv))
           }
         }
@@ -1194,7 +1253,7 @@ object SnapshotTable {
           // the validation ran against m0's exact state
           if (m.files != m0.files || m.dels != m0.dels) None
           else Some((m.files, m.schema.getOrElse(StructType(Nil)),
-            m.txns.toSeq.sorted, m.bucket, m.dels,
+            m.txns, m.bucket, m.dels,
             m.constraints + (name -> sqlExpr), m.dropped, m.ndv))
         }
       }
@@ -1214,7 +1273,7 @@ object SnapshotTable {
     publishNext(s, tableDir) { pm =>
       pm.filter(_.constraints.contains(name)).map { m =>
         (m.files, m.schema.getOrElse(StructType(Nil)),
-          m.txns.toSeq.sorted, m.bucket, m.dels, m.constraints - name,
+          m.txns, m.bucket, m.dels, m.constraints - name,
           m.dropped, m.ndv)
       }
     }
@@ -1262,7 +1321,7 @@ object SnapshotTable {
         pm.flatMap { m =>
           if (m.files != m0.files || m.dels != m0.dels ||
             m.schema != m0.schema) None // racing commit: re-check
-          else Some((m.files, next, m.txns.toSeq.sorted, m.bucket,
+          else Some((m.files, next, m.txns, m.bucket,
             m.dels, m.constraints, m.dropped + colName, m.ndv - colName))
         }
       }
@@ -1295,7 +1354,7 @@ object SnapshotTable {
     val sc = m.schema.getOrElse(throw new IllegalArgumentException(
       s"restore: legacy manifest without schema at v$version in $tableDir"))
     publishNext(s, tableDir) { pm =>
-      Some((m.files, sc, pm.map(_.txns.toSeq.sorted).getOrElse(Seq.empty),
+      Some((m.files, sc, pm.map(_.txns).getOrElse(Map.empty[String, Long]),
         m.bucket, m.dels, m.constraints, m.dropped, m.ndv))
     }.getOrElse(throw new IllegalStateException(
       s"restore: publish failed in $tableDir"))
@@ -1336,8 +1395,8 @@ object SnapshotTable {
     val res = publishNext(s, dstDir) { pm =>
       require(pm.isEmpty,
         s"cloneTable: destination $dstDir already has published versions")
-      Some((m.files, sc, Seq.empty, m.bucket, m.dels, m.constraints,
-        m.dropped, m.ndv))
+      Some((m.files, sc, Map.empty[String, Long], m.bucket, m.dels,
+        m.constraints, m.dropped, m.ndv))
     }
     res.getOrElse(throw new IllegalStateException(
       s"cloneTable: publish into $dstDir failed"))
@@ -1445,19 +1504,24 @@ object SnapshotTable {
     mergeInternal(s, tableDir, upserts, deleteKeys, key, None).get
 
   /** Idempotent MERGE for replayable writers (a streaming `foreachBatch`
-    * CDC apply): if `txnId` was ever committed the call is a no-op
-    * returning None — the [[commitIdempotent]] contract for merges. The
-    * txn id is recorded ATOMICALLY with the merge commit (it rides the
-    * same manifest publish), and the replay check re-runs on every
+    * CDC apply): if `(txnId, txnVersion)` ever committed — same writer
+    * at this version or newer — the call is a no-op returning None,
+    * the [[commitIdempotent]] contract for merges (stable writer id +
+    * monotone batch version for long-lived sinks; unique opaque id at
+    * the default version 0 for one-shot writers). The watermark is
+    * recorded ATOMICALLY with the merge commit (it rides the same
+    * manifest publish), and the replay check re-runs on every
     * lost-race retry, so two zombie writers replaying the same batch
     * land it exactly once. */
   def mergeIdempotent(s: SparkSession, tableDir: String, upserts: DataFrame,
-      deleteKeys: DataFrame, key: String, txnId: String): Option[Int] =
-    mergeInternal(s, tableDir, upserts, deleteKeys, key, Some(txnId))
+      deleteKeys: DataFrame, key: String, txnId: String,
+      txnVersion: Long = 0L): Option[Int] =
+    mergeInternal(s, tableDir, upserts, deleteKeys, key,
+      Some((txnId, txnVersion)))
 
   private def mergeInternal(s: SparkSession, tableDir: String,
       upserts: DataFrame, deleteKeys: DataFrame, key: String,
-      txnId: Option[String]): Option[Int] = {
+      txn: Option[(String, Long)]): Option[Int] = {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       attempt += 1
@@ -1466,7 +1530,7 @@ object SnapshotTable {
       // replay check each attempt: a conflict-aborted selective merge
       // whose conflicting commit WAS this txn (zombie writer) re-reads
       // and lands here
-      if (txnId.exists(id => m0opt.exists(_.txns.contains(id)))) return None
+      if (txnLanded(m0opt, txn)) return None
       val sel = m0opt match {
         case Some(m0) =>
           (m0.schema, m0.entries) match {
@@ -1476,10 +1540,10 @@ object SnapshotTable {
                 es0.nonEmpty &&
                 upserts.columns.sorted.sameElements(sc0.fieldNames.sorted) =>
               mergeSelective(s, tableDir, m0, storedSchema(sc0), es0,
-                upserts, deleteKeys, key, txnId)
-            case _ => mergeFull(s, tableDir, upserts, deleteKeys, key, txnId)
+                upserts, deleteKeys, key, txn)
+            case _ => mergeFull(s, tableDir, upserts, deleteKeys, key, txn)
           }
-        case None => mergeFull(s, tableDir, upserts, deleteKeys, key, txnId)
+        case None => mergeFull(s, tableDir, upserts, deleteKeys, key, txn)
       }
       sel match {
         case Some(v) => return Some(v)
@@ -1508,10 +1572,12 @@ object SnapshotTable {
     * record its txn id. */
   def mergeLatest(s: SparkSession, tableDir: String, upserts: DataFrame,
       key: String, orderCols: Seq[String],
-      txnId: Option[String] = None): Option[Int] = {
+      txnId: Option[String] = None, txnVersion: Long = 0L): Option[Int] = {
     import org.apache.spark.sql.functions._
     require(orderCols.nonEmpty, "mergeLatest needs at least one order column")
-    if (txnId.exists(committedTxns(s, tableDir).contains)) return None
+    val txn = txnId.map(_ -> txnVersion)
+    if (txn.exists { case (w, v) =>
+        committedTxnVersions(s, tableDir).get(w).exists(_ >= v) }) return None
     val ord = struct(orderCols.map(col): _*)
     val winners = upserts.filter(col(key).isNotNull)
       .groupBy(col(key).as("__k"))
@@ -1546,7 +1612,7 @@ object SnapshotTable {
         }
       }
     mergeInternal(s, tableDir, effective,
-      upserts.select(col(key)).filter(lit(false)), key, txnId)
+      upserts.select(col(key)).filter(lit(false)), key, txn)
   }
 
   /** The full-rewrite merge path (fresh/legacy/bucketed tables,
@@ -1559,7 +1625,7 @@ object SnapshotTable {
     * append. Also None when `txnId` replayed. */
   private def mergeFull(s: SparkSession, tableDir: String, upserts: DataFrame,
       deleteKeys: DataFrame, key: String,
-      txnId: Option[String]): Option[Int] = {
+      txn: Option[(String, Long)]): Option[Int] = {
     import org.apache.spark.sql.functions.lit
     val f = fs(s, tableDir)
     val prev = versions(s, tableDir)
@@ -1580,13 +1646,13 @@ object SnapshotTable {
     val res = publishNext(s, tableDir) { pm =>
       // a replayed txn aborts here; the caller's loop re-reads, sees
       // the txn, and returns the no-op
-      if (txnId.exists(id => pm.exists(_.txns.contains(id)))) None
+      if (txnLanded(pm, txn)) None
       else if (pm.map(_.files) != m0.map(_.files) ||
           pm.map(_.dels) != m0.map(_.dels) ||
           pm.map(_.constraints) != m0.map(_.constraints)) None // conflict
       // rows updated/deleted: the cumulative NDV sketch cannot subtract
       else Some((newFiles, storedSchema(out.schema),
-        (pm.map(_.txns).getOrElse(Set.empty) ++ txnId).toSeq.sorted,
+        txnMerge(pm.map(_.txns).getOrElse(Map.empty), txn),
         None, Seq.empty,
         pm.map(_.constraints).getOrElse(Map.empty),
         pm.map(_.dropped).getOrElse(Set.empty),
@@ -1601,7 +1667,7 @@ object SnapshotTable {
   private def mergeSelective(s: SparkSession, tableDir: String, m0: Manifest,
       sc0: StructType, es0: Seq[FileEntry], upserts: DataFrame,
       deleteKeys: DataFrame, key: String,
-      txnId: Option[String] = None): Option[Int] = {
+      txn: Option[(String, Long)] = None): Option[Int] = {
     import org.apache.spark.sql.functions._
     val f = fs(s, tableDir)
     // only the upserts are NEW rows; carried/kept rows already passed
@@ -1658,7 +1724,7 @@ object SnapshotTable {
         else Some((
           m.files.filter(e => carriedPaths.contains(e.takeWhile(_ != '\t')))
             ++ newFiles,
-          m.schema.getOrElse(sc0), (m.txns ++ txnId).toSeq.sorted,
+          m.schema.getOrElse(sc0), txnMerge(m.txns, txn),
           // rows updated/deleted: NDV unknown (no sketch subtraction)
           m.bucket, Seq.empty, m.constraints, m.dropped,
           Map.empty[String, Seq[Long]]))

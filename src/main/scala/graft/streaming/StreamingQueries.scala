@@ -466,10 +466,13 @@ object StreamingQueries extends QueryPack {
   /** Streaming → versioned-table sink (the eleventh streaming query):
     * the tumbling aggregation lands in a [[graft.sources.SnapshotTable]]
     * via `foreachBatch` + [[graft.sources.SnapshotTable.commitIdempotent]]
-    * with the micro-batch id as the transaction id — each closed window
-    * batch becomes ONE atomic append commit, and a batch replayed after
-    * a crash-restart is recognized by its txn id and skipped, so the
-    * table holds every window exactly once. The declared result is the
+    * with a stable writer id and the micro-batch id as the transaction
+    * version (Delta's txnAppId/txnVersion shape) — each closed window
+    * batch becomes ONE atomic append commit, a batch replayed after a
+    * crash-restart is recognized against the writer's watermark and
+    * skipped, and the manifest carries ONE replay-metadata line for
+    * this sink at any stream age, so the table holds every window
+    * exactly once with O(writers) manifest bytes. The declared result is the
     * latest snapshot read back (sentinel group scrubbed), checked
     * against the same SQL oracle as `stream_tumbling` — the lakehouse
     * sink must land the very relation the file sink lands. */
@@ -533,9 +536,11 @@ object StreamingQueries extends QueryPack {
             val survivors = b.join(matched,
               b("doc_id") === matched("batch_id"), "left_anti")
               .select(col("doc_id"), col("n_chars_v"))
+            // stable writer id + monotone batch version: the manifest
+            // carries ONE watermark line for this sink at any stream age
             graft.sources.SnapshotTable.commitIdempotent(
               batch.sparkSession, table, survivors,
-              overwrite = false, txnId = s"gate-$id")
+              overwrite = false, txnId = "gate", txnVersion = id)
             ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -570,17 +575,21 @@ object StreamingQueries extends QueryPack {
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
               id: Long) =>
+            // stable writer id + monotone batch version (Delta's
+            // txnAppId convention): replay metadata stays ONE manifest
+            // line however many micro-batches this sink ever commits
             graft.sources.SnapshotTable.commitIdempotent(
               batch.sparkSession, table, batch.toDF(),
-              overwrite = false, txnId = s"batch-$id")
+              overwrite = false, txnId = "sink", txnVersion = id)
             // lakehouse hygiene INSIDE the stream: every 8th batch
             // bin-packs the accumulated micro-batch files (compact) and
             // expires superseded versions (vacuum) — file count and
             // version history stay O(recent) over an UNBOUNDED stream,
-            // while the cumulative txn set keeps exactly-once intact
-            // across maintenance (it rides every manifest, vacuum
-            // included). Best-effort by design: a crash between commit
-            // and maintenance just defers the sweep to batch id+8.
+            // while the per-writer txn watermark keeps exactly-once
+            // intact across maintenance (it rides every manifest,
+            // vacuum included). Best-effort by design: a crash between
+            // commit and maintenance just defers the sweep to batch
+            // id+8.
             if (id % 8 == 7) {
               graft.sources.SnapshotTable.compact(batch.sparkSession,
                 table, smallFileBytes = 8L << 20, targetFileBytes = 128L << 20)
@@ -643,7 +652,7 @@ object StreamingQueries extends QueryPack {
             graft.sources.SnapshotTable.commitIdempotent(
               batch.sparkSession, res,
               batch.groupBy(col("event_type")).agg(count(lit(1)).as("n")),
-              overwrite = false, txnId = s"batch-$id")
+              overwrite = false, txnId = "sink", txnVersion = id)
             ()
         }
         .start()
@@ -701,7 +710,8 @@ object StreamingQueries extends QueryPack {
               id: Long) =>
             graft.sources.SnapshotTable.mergeLatest(
               batch.sparkSession, res, batch.toDF(), "user_id",
-              orderCols = Seq("ts", "event_id"), txnId = Some(s"batch-$id"))
+              orderCols = Seq("ts", "event_id"), txnId = Some("upsert-sink"),
+              txnVersion = id)
             ()
         }
         .start()

@@ -69,7 +69,8 @@ class GateRestartSpec extends GraftSpec {
               b("doc_id") === matched("batch_id"), "left_anti")
               .select(col("doc_id"))
             SnapshotTable.commitIdempotent(batch.sparkSession, table,
-              survivors, overwrite = false, txnId = s"gate-$id")
+              survivors, overwrite = false, txnId = "gate",
+              txnVersion = id)
             // crash AFTER the sink commit, BEFORE the checkpoint commit
             if (crashAfter.contains(id) && !crashed.getAndSet(true))
               throw new RuntimeException("injected crash after sink write")
@@ -88,8 +89,10 @@ class GateRestartSpec extends GraftSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
     assert(accepted == Seq(3L, 7L),
       s"replay duplicated or lost rows: $accepted")
-    // the replayed batch's txn landed exactly once
-    assert(SnapshotTable.committedTxns(spark, table) ==
-      Set("gate-0", "gate-1", "gate-2"))
+    // the replayed batch's txn landed exactly once, and the manifest
+    // carries ONE watermark line for the sink (writer "gate" at its
+    // highest batch), not one line per micro-batch
+    assert(SnapshotTable.committedTxnVersions(spark, table) ==
+      Map("gate" -> 2L))
   }
 }
