@@ -260,16 +260,34 @@ object AdvancedOps extends QueryPack {
     * silently dropping the bloom filter once a restore closes the
     * window. PlanCheck asserts `might_contain` on the planned frame;
     * the result is plan-independent, which the oracle checks. */
+  /** ONE fork per parent session, not per call: `cloneSession` eagerly
+    * copies SessionState and registers a listener on the shared
+    * LiveListenerBus, so per-call cloning would accumulate both across
+    * repeated bench/oracle invocations. Weak keys let a stopped parent
+    * (per-suite test sessions) release its fork. */
+  private val bloomForks = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  private def bloomFork(s: SparkSession): SparkSession =
+    bloomForks.synchronized {
+      Option(bloomForks.get(s)).getOrElse {
+        val fork = org.apache.spark.sql.GraftSqlShim.forkSession(s)
+        fork.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        fork.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+          "0")
+        fork.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+          "100MB")
+        // broadcast joins bypass the shuffle the filter exists to shrink
+        fork.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bloomForks.put(s, fork)
+        fork
+      }
+    }
+
   def q49RuntimeBloom(s: SparkSession, d: String): DataFrame = {
-    val fork = org.apache.spark.sql.GraftSqlShim.forkSession(s)
-    fork.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    fork.conf.set(
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "0")
-    fork.conf.set(
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-    // broadcast joins bypass the shuffle the filter exists to shrink
-    fork.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fork = bloomFork(s)
     val sel = Tables.orders(fork, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderpriority"))

@@ -140,8 +140,11 @@ object GraftSqlParser {
     * bare epoch-millis integer (zone-independent; commit stamps are
     * `System.currentTimeMillis`). Raises a targeted ParseException
     * otherwise. */
+  // no defaulted zone: the session-zone resolution rule is part of the
+  // contract, so every caller must say which zone its wall-clock
+  // literals read in (tests pass ZoneOffset.UTC explicitly)
   private[sources] def parseTsMillis(t: String,
-      zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Long = {
+      zone: java.time.ZoneId): Long = {
     val s = t.trim
     if (s.matches("\\d{10,}")) return s.toLong
     val date = """(\d{4}-\d{2}-\d{2})""".r

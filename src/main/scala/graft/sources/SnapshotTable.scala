@@ -1438,19 +1438,35 @@ object SnapshotTable {
       tsMillis: Long): Int = {
     val vs = versions(s, tableDir)
     require(vs.nonEmpty, s"no published version in $tableDir")
+    // MONOTONIZED stamps (the Delta rule): raw stamps are each writer's
+    // own System.currentTimeMillis, so under multi-writer clock skew a
+    // newer version can carry an OLDER stamp than a retained
+    // predecessor. Resolution reads each version's effective stamp as
+    // the running max of recorded stamps up to it — version order stays
+    // the source of truth, and a request at or after an earlier
+    // retained stamp can never be refused by a skewed later one. A
+    // legacy unstamped version inherits its predecessor's effective
+    // stamp (it cannot prove it committed later).
     val stamped = vs.map(v => v -> readManifest(s, tableDir, v).ts)
-    val qual = stamped.collect { case (v, ts) if ts.getOrElse(0L) <= tsMillis => v }
+    var run = Option.empty[Long]
+    val mono = stamped.map { case (v, ts) =>
+      run = (run.toSeq ++ ts.toSeq).reduceOption((a: Long, b: Long) =>
+        math.max(a, b))
+      (v, run)
+    }
+    val qual = mono.collect { case (v, eff) if eff.getOrElse(0L) <= tsMillis => v }
     require(qual.nonEmpty,
       s"no version of $tableDir committed at or before $tsMillis " +
         s"(earliest retained commit is newer)")
-    // legacy manifests without a stamp cannot prove instability — only
-    // a RECORDED newest stamp strictly below the request refuses
-    stamped.last._2.foreach(newest => require(tsMillis <= newest,
+    // legacy manifests without any stamp cannot prove instability — only
+    // a RECORDED (monotonized) newest stamp strictly below the request
+    // refuses
+    mono.last._2.foreach(newest => require(tsMillis <= newest,
       s"timestamp $tsMillis is after the newest retained commit of " +
         s"$tableDir (stamped $newest) — temporally unstable: the " +
         "resolution would change as soon as another commit lands; " +
         "read the head without TIMESTAMP AS OF (or pin VERSION AS OF " +
-        s"${stamped.last._1})"))
+        s"${mono.last._1})"))
     qual.max
   }
 

@@ -275,4 +275,39 @@ class SnapshotGovernanceSpec extends GraftSpec {
       SnapshotTable.readAsOf(spark, t, 1).collect()
     }
   }
+
+  test("timestamp resolution monotonizes skewed commit stamps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov9-").toString
+    val t = s"$dir/tbl"
+    (1 to 3).foreach { k =>
+      SnapshotTable.commit(spark, t, Seq((k.toLong, k.toLong)).toDF("id", "v"),
+        overwrite = false)
+      Thread.sleep(20)
+    }
+    val raw = SnapshotTable.history(spark, t)
+      .orderBy("version").select("commit_ts").collect().map(_.getLong(0))
+    // simulate multi-writer clock skew: v3's publishing driver had a
+    // clock BEHIND v1's, so the newest version carries the oldest stamp
+    val mPath = java.nio.file.Paths.get(dir, "tbl", "_commits", "v00003.txt")
+    val skewed = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+      .replaceAll("(?m)^#ts:\\d+$", s"#ts:${raw(0) - 10000}")
+    java.nio.file.Files.write(mPath, skewed.getBytes("UTF-8"))
+    // a request at v2's stamp must not be refused as "after the newest
+    // retained commit" (v3's RAW stamp is older, but its monotonized
+    // effective stamp is v2's) — it resolves to the newest version at
+    // that effective instant
+    assert(SnapshotTable.readAsOfTimestamp(spark, t, raw(1))
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // a request between v1 and v2 still serves v1: the skewed stamp is
+    // floored to its predecessor's, never allowed to rewind history
+    assert(SnapshotTable.readAsOfTimestamp(spark, t, raw(1) - 10)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // the future-stamp refusal compares against the monotonized newest,
+    // not the skewed raw stamp
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.readAsOfTimestamp(spark, t, raw(1) + 3600000L)
+    }
+    assert(err.getMessage.contains(s"stamped ${raw(1)}"))
+  }
 }
