@@ -273,7 +273,10 @@ case class GraftOptimizeZorderCommand(tableDir: String, colA: String,
 /** `GRAFT STATS '<dir>' [VERSION AS OF <v>]` — the metadata-served
   * column statistics of a snapshot ([[SnapshotTable.metaAgg]]): one row
   * per stat-eligible column with exact row/non-null counts and min/max,
-  * answered from the manifest alone (zero data-file reads). */
+  * answered from the manifest alone (zero data-file reads). On a
+  * snapshot with outstanding merge-on-read deletes only `n_rows` stays
+  * exact; non-null counts and bounds read NULL with
+  * `bounds_exact=false` (absorbDeletes restores them). */
 case class GraftStatsCommand(tableDir: String, asOf: Int)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftStatsCommand.schema
@@ -292,7 +295,9 @@ object GraftStatsCommand {
       AttributeReference("column", st, nullable = true)(),
       AttributeReference("kind", st, nullable = true)(),
       AttributeReference("n_rows", LongType, nullable = false)(),
-      AttributeReference("n_nonnull", LongType, nullable = false)(),
+      // unknown (NULL) under outstanding deletion vectors — deleted
+      // rows' nullness is not metadata-derivable; n_rows stays exact
+      AttributeReference("n_nonnull", LongType, nullable = true)(),
       AttributeReference("min_long", LongType, nullable = true)(),
       AttributeReference("max_long", LongType, nullable = true)(),
       AttributeReference("min_double", dt, nullable = true)(),

@@ -418,10 +418,42 @@ object SnapshotTable {
     * watermarks? Monotone: any version at or below the stored watermark
     * is a replay — a structured-streaming sink only ever replays its
     * LATEST uncommitted batch, so versions at or below the watermark
-    * are by construction re-deliveries, never new work. */
+    * are by construction re-deliveries, never new work.
+    *
+    * Upgrade seam: sinks that predate per-writer watermarks stamped
+    * each micro-batch as the opaque one-shot id `"$writer-$batch"`
+    * (legacy `#txn:` manifest lines, parsed as that composite id at
+    * version 0). A stream restarted from its old checkpoint across the
+    * format change replays its last uncommitted batch under the NEW
+    * `(writer, version)` identity — recognizing the legacy composite
+    * here is what keeps that replay a no-op instead of a double
+    * commit. Version 0 only: a genuine WATERMARK under a writer
+    * literally named `"$w-$v"` (version > 0) is that writer's own
+    * state, never a legacy batch marker. */
   private def txnLanded(m: Option[Manifest],
       txn: Option[(String, Long)]): Boolean =
-    txn.exists { case (w, v) => m.exists(_.txns.get(w).exists(_ >= v)) }
+    txn.exists { case (w, v) =>
+      m.exists(mm => mm.txns.get(w).exists(_ >= v) ||
+        mm.txns.get(s"$w-$v").contains(0L))
+    }
+
+  /** A sink's stable writer identity, derived from its checkpoint
+    * location — the `txnId` a long-lived streaming writer passes to
+    * [[commitIdempotent]]. The CHECKPOINT is the right identity root:
+    * it is what makes two runs "the same stream" (same offsets, same
+    * batch-id sequence), so replays collapse exactly when they should,
+    * while two DISTINCT streams feeding one table hash to distinct
+    * writers and can never mistake each other's batch versions for
+    * replays (a fixed constant like "sink" would collide them and
+    * silently skip real batches). Hashed, not the raw path: the
+    * manifest line stays short for arbitrarily deep checkpoint URIs,
+    * and trailing-slash spelling differences collapse. */
+  def writerIdFor(checkpointLocation: String): String = {
+    val norm = checkpointLocation.trim.stripSuffix("/")
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(norm.getBytes("UTF-8"))
+    "ckpt-" + d.take(8).map(b => f"$b%02x").mkString
+  }
 
   /** Fold `txn` into the carried watermark map (max per writer). */
   private def txnMerge(prev: Map[String, Long],
@@ -450,12 +482,14 @@ object SnapshotTable {
     * on every retry of a lost version race, so even two ZOMBIE writers
     * replaying the same batch concurrently land it exactly once.
     *
-    * A long-lived sink passes a STABLE `txnId` (its writer identity,
-    * e.g. the checkpoint location) and the micro-batch id as
-    * `txnVersion` — batch versions from one writer must be monotone,
-    * which structured streaming's batch ids are. The `txnVersion`
-    * default (0) keeps the legacy one-shot form: a UNIQUE opaque
-    * `txnId` per logical write, replay-detected by pure membership. */
+    * A long-lived sink passes a STABLE `txnId` (its writer identity —
+    * [[writerIdFor]] derives one from the checkpoint location, which
+    * also keeps two distinct streams feeding one table from colliding)
+    * and the micro-batch id as `txnVersion` — batch versions from one
+    * writer must be monotone, which structured streaming's batch ids
+    * are. The `txnVersion` default (0) keeps the legacy one-shot form:
+    * a UNIQUE opaque `txnId` per logical write, replay-detected by
+    * pure membership. */
   def commitIdempotent(s: SparkSession, tableDir: String, df: DataFrame,
       overwrite: Boolean, txnId: String,
       txnVersion: Long = 0L): Option[Int] =
@@ -2006,11 +2040,14 @@ object SnapshotTable {
     * Delta/Iceberg stats-served-aggregate discipline).
     *
     * Soundness boundaries, enforced rather than fudged:
-    *  - REFUSED on a snapshot carrying deletion vectors: merge-on-read
-    *    deletes can remove the extremal row, so min/max/null counts are
-    *    not derivable from metadata (count(*) alone stays exact under
-    *    dels — use [[rowCount]]). [[absorbDeletes]] restores
-    *    eligibility.
+    *  - Under outstanding DELETION VECTORS, only `n_rows` stays
+    *    metadata-exact (each live position is deleted at most once, so
+    *    live rows = Σ file rows − Σ vector rows — the [[rowCount]]
+    *    arithmetic): merge-on-read deletes can remove the extremal or
+    *    the null row, so per-column non-null counts and bounds are NOT
+    *    derivable — served as NULL with `bounds_exact=false` rather
+    *    than refused (a `SELECT count(*)` still costs zero reads on a
+    *    MOR table). [[absorbDeletes]] restores full eligibility.
     *  - REFUSED on legacy manifests without per-file row counts.
     *  - A file entry with no recorded stat for a column reads NULL for
     *    it (schema evolution: the file predates the column, or its
@@ -2037,16 +2074,15 @@ object SnapshotTable {
     val vs = all.filter(_ <= asOf)
     require(vs.nonEmpty, s"metaAgg: no published version <= $asOf in $tableDir")
     val m = readManifest(s, tableDir, vs.last)
-    require(m.dels.isEmpty,
-      s"metaAgg: snapshot v${vs.last} of $tableDir carries deletion " +
-        "vectors; min/max/null accounting is not metadata-derivable under " +
-        "merge-on-read deletes — run absorbDeletes first (rowCount alone " +
-        "stays exact under deletes)")
     val es = m.entries.getOrElse(throw new IllegalArgumentException(
       s"metaAgg: legacy manifest without file metadata in $tableDir"))
     require(es.forall(_.rows.isDefined),
       s"metaAgg: a file entry predates row-count collection in $tableDir")
-    val nRows = es.flatMap(_.rows).sum
+    // outstanding merge-on-read deletes: a deleted row may have been the
+    // extremal or the null one, so everything EXCEPT the live row count
+    // degrades to unknown (count stays exact — the rowCount arithmetic)
+    val hasDels = m.dels.nonEmpty
+    val nRows = es.flatMap(_.rows).sum - m.delRowCount
     val sc = m.schema.getOrElse(StructType(Nil))
     // UTF-8 byte order — the binary collation Spark's string min/max and
     // the stored bounds both use (UTF-16 String ordering differs above
@@ -2067,7 +2103,7 @@ object SnapshotTable {
       // files that hold at least one non-null value must contribute a
       // known bound for the global extreme to be exact
       val contributing = withStat.filter { case (r, st) => r - st.nulls > 0 }
-      val exact = contributing.forall { case (_, st) =>
+      val exact = !hasDels && contributing.forall { case (_, st) =>
         st.min.isDefined && st.max.isDefined }
       def extreme(pick: (Any, Any) => Boolean, side: ColStat => Option[Any])
           : Option[Any] =
@@ -2084,7 +2120,10 @@ object SnapshotTable {
       val mx = extreme((a, b) => lt(b, a), _.max)
       def str(v: Option[Any]): Option[String] =
         v.map(x => new String(x.asInstanceOf[Array[Byte]], "UTF-8"))
-      (f.name, k.toString, nRows, nonNull,
+      (f.name, k.toString, nRows,
+        // non-null accounting is per INSERTED row — deleted rows'
+        // nullness is unknown, so it degrades with the bounds
+        if (hasDels) None else Some(nonNull),
         if (k == 'l') mn.map(_.asInstanceOf[Long]) else None,
         if (k == 'l') mx.map(_.asInstanceOf[Long]) else None,
         if (k == 'd') mn.map(_.asInstanceOf[Double]) else None,

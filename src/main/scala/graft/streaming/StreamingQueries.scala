@@ -536,11 +536,14 @@ object StreamingQueries extends QueryPack {
             val survivors = b.join(matched,
               b("doc_id") === matched("batch_id"), "left_anti")
               .select(col("doc_id"), col("n_chars_v"))
-            // stable writer id + monotone batch version: the manifest
-            // carries ONE watermark line for this sink at any stream age
+            // checkpoint-derived writer id + monotone batch version: the
+            // manifest carries ONE watermark line for this sink at any
+            // stream age, and a second stream (own checkpoint) feeding
+            // the same table can never collide with this writer's ids
             graft.sources.SnapshotTable.commitIdempotent(
-              batch.sparkSession, table, survivors,
-              overwrite = false, txnId = "gate", txnVersion = id)
+              batch.sparkSession, table, survivors, overwrite = false,
+              txnId = graft.sources.SnapshotTable.writerIdFor(ckpt.toString),
+              txnVersion = id)
             ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -575,12 +578,14 @@ object StreamingQueries extends QueryPack {
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
               id: Long) =>
-            // stable writer id + monotone batch version (Delta's
-            // txnAppId convention): replay metadata stays ONE manifest
-            // line however many micro-batches this sink ever commits
+            // checkpoint-derived writer id + monotone batch version
+            // (Delta's txnAppId convention): replay metadata stays ONE
+            // manifest line however many micro-batches this sink ever
+            // commits, and the identity is unique to THIS stream
             graft.sources.SnapshotTable.commitIdempotent(
-              batch.sparkSession, table, batch.toDF(),
-              overwrite = false, txnId = "sink", txnVersion = id)
+              batch.sparkSession, table, batch.toDF(), overwrite = false,
+              txnId = graft.sources.SnapshotTable.writerIdFor(ckpt.toString),
+              txnVersion = id)
             // lakehouse hygiene INSIDE the stream: every 8th batch
             // bin-packs the accumulated micro-batch files (compact) and
             // expires superseded versions (vacuum) — file count and
@@ -652,7 +657,9 @@ object StreamingQueries extends QueryPack {
             graft.sources.SnapshotTable.commitIdempotent(
               batch.sparkSession, res,
               batch.groupBy(col("event_type")).agg(count(lit(1)).as("n")),
-              overwrite = false, txnId = "sink", txnVersion = id)
+              overwrite = false,
+              txnId = graft.sources.SnapshotTable.writerIdFor(ckpt.toString),
+              txnVersion = id)
             ()
         }
         .start()
@@ -710,7 +717,9 @@ object StreamingQueries extends QueryPack {
               id: Long) =>
             graft.sources.SnapshotTable.mergeLatest(
               batch.sparkSession, res, batch.toDF(), "user_id",
-              orderCols = Seq("ts", "event_id"), txnId = Some("upsert-sink"),
+              orderCols = Seq("ts", "event_id"),
+              txnId = Some(
+                graft.sources.SnapshotTable.writerIdFor(ckpt.toString)),
               txnVersion = id)
             ()
         }

@@ -52,23 +52,30 @@ class SnapshotMetaAggSpec extends GraftSpec {
       s0.getAs[String]("max_string") == "zest")
   }
 
-  test("refused under deletion vectors; eligible again after absorbDeletes") {
+  test("under deletion vectors: exact n_rows, unknown bounds; full after absorbDeletes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-magg2-").toString
     val t = s"$dir/tbl"
     SnapshotTable.commit(spark, t,
       (1L to 10L).map(i => (i, i * 10L)).toDF("k", "v"), overwrite = false)
     SnapshotTable.deleteWhere(spark, t, col("k") === 10L)
-    val e = intercept[IllegalArgumentException] {
-      SnapshotTable.metaAgg(spark, t)
-    }
-    assert(e.getMessage.contains("deletion"), e.getMessage)
-    // count(*) alone stays exact under deletes, via rowCount
+    // NOT refused: the live row count is still manifest-exact (each
+    // position deletes at most once), but the deleted row may have been
+    // the extremal or the null one — bounds and non-null counts degrade
+    // to unknown rather than serving the pre-delete values
+    val kd = row(SnapshotTable.metaAgg(spark, t), "k")
+    assert(kd.getAs[Long]("n_rows") == 9L)
+    assert(kd.isNullAt(kd.fieldIndex("n_nonnull")))
+    assert(kd.isNullAt(kd.fieldIndex("min_long")) &&
+      kd.isNullAt(kd.fieldIndex("max_long")))
+    assert(!kd.getAs[Boolean]("bounds_exact"))
+    // agrees with the dedicated count doorway
     assert(SnapshotTable.rowCount(spark, t, Int.MaxValue).contains(9L))
     SnapshotTable.absorbDeletes(spark, t)
     val k = row(SnapshotTable.metaAgg(spark, t), "k")
     // the absorbed rewrite re-collected stats: the deleted max is gone
     assert(k.getAs[Long]("n_rows") == 9L && k.getAs[Long]("max_long") == 9L)
+    assert(k.getAs[Long]("n_nonnull") == 9L && k.getAs[Boolean]("bounds_exact"))
   }
 
   test("schema evolution: pre-column files count as all-null; all-null bounds stay null") {
