@@ -17,6 +17,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // let leaf relations serve catalog statistics (exact row counts +
+      // NDV from snapshot manifests) to join planning
+      .config("spark.sql.cbo.planStats.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -699,6 +699,9 @@ object PlanCheck {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // parity with Bench/Verify: plan assertions must hold under the
+      // same stats-aware planning the measured runs use
+      .config("spark.sql.cbo.planStats.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -494,6 +494,35 @@ object LayoutOps extends QueryPack {
     * position deleted at most once) without a scan. Steps are logical
     * (a corpus where nothing matches publishes no delete version and
     * steps 2/3 equal step 1 == the oracle's NOT-filter keeping all). */
+  /** Hive-partitioned snapshot layout end to end
+    * ([[graft.sources.SnapshotTable.commitPartitioned]]): orders land
+    * under `o_orderpriority=<v>/` directories across TWO appends (the
+    * layout must hold as partitions accrete files), the partition
+    * column is stored ONLY in directory names + manifest (zero bytes in
+    * data files), and the read reconstructs it per file — the group-by
+    * below agreeing with the raw-parquet oracle proves no row changed
+    * partitions and no value was lost in the round trip. Partition
+    * PRUNING (directory-level `listFiles` elimination) is asserted
+    * plan-side in `SnapshotPartitionSpec`. */
+  def layoutSnapshotPartitioned(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_spart_")
+    tmpDirs.add(root)
+    val table = root.resolve("orders").toString
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderkey").isNotNull && col("o_orderpriority").isNotNull)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    graft.sources.SnapshotTable.commitPartitioned(s, table,
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0), "o_orderpriority")
+    graft.sources.SnapshotTable.commitPartitioned(s, table,
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1), "o_orderpriority")
+    graft.sources.SnapshotTable.readAsOf(s, table, Int.MaxValue)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("sum_price_c"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def layoutSnapshotDeletes(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_sdel_")
     tmpDirs.add(root)
@@ -740,6 +769,7 @@ object LayoutOps extends QueryPack {
     "layout_snapshot_prune" -> layoutSnapshotPrune,
     "layout_snapshot_changes" -> layoutSnapshotChanges,
     "layout_snapshot_bucketed" -> layoutSnapshotBucketed,
+    "layout_snapshot_partitioned" -> layoutSnapshotPartitioned,
     "layout_snapshot_deletes" -> layoutSnapshotDeletes,
     "layout_meta_agg" -> layoutMetaAgg,
     "layout_file_lineage" -> layoutFileLineage,
@@ -834,6 +864,17 @@ object LayoutOps extends QueryPack {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    // the hive-partitioned round trip must equal the plain group-by —
+    // a file filed under the wrong directory (or a value lost in the
+    // directory-string round trip) would skew exactly one group
+    "layout_snapshot_partitioned" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c
+        |FROM orders
+        |WHERE o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // step 1->2: append of the %3==1 slice (inserts only); step 2->3:
     // overwrite with the %3==2 slice (everything prior deleted, the new
     // slice inserted) — the change-feed contract in closed form

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** A minimal versioned parquet table with atomic commits and time-travel
   * reads — the lakehouse contract (Delta/Iceberg shape) on nothing but a
@@ -136,21 +136,33 @@ object SnapshotTable {
     * float bound that cannot be stored soundly) — pruning treats it as
     * ∓∞. */
   private final case class ColStat(kind: Char, min: Option[Any],
-      max: Option[Any], nulls: Long)
+      max: Option[Any], nulls: Long,
+      // total UTF-8 payload bytes of the column in the file (string
+      // kind only): Σbytes/Σnon-null is the avg width Catalyst's
+      // size-from-row-count estimate needs — without it every string
+      // column reads as the 20-byte default and a wide text table can
+      // be under-sized into a broadcast
+      bytes: Option[Long] = None)
 
-  /** One manifest data entry: the file plus its planning metadata. */
+  /** One manifest data entry: the file plus its planning metadata.
+    * `part` is the file's hive-partition value on a partitioned layout
+    * — `Some(Some(v))` a value, `Some(None)` the null partition,
+    * `None` an unpartitioned entry. */
   private final case class FileEntry(status: FileStatus, rows: Option[Long],
-      stats: Map[String, ColStat])
+      stats: Map[String, ColStat],
+      part: Option[Option[String]] = None)
 
   private def b64e(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
   private def b64d(s: String): Array[Byte] =
     java.util.Base64.getDecoder.decode(s)
 
-  /** Decode one `b64(name):kind:b64(min):b64(max):nulls` column stat. */
+  /** Decode one `b64(name):kind:b64(min):b64(max):nulls[:bytes]` column
+    * stat (the trailing total-byte field is newer; 5-field legacy
+    * entries parse with it unknown). */
   private def parseColStat(field: String): Option[(String, ColStat)] = {
     val p = field.split(":", -1)
-    if (p.length != 5) return None
+    if (p.length != 5 && p.length != 6) return None
     val kind = if (p(1).length == 1) p(1).charAt(0) else return None
     def v(b64: String): Option[Any] =
       if (b64.isEmpty) None
@@ -161,7 +173,8 @@ object SnapshotTable {
         case _ => None
       }
     try Some((new String(b64d(p(0)), "UTF-8"),
-      ColStat(kind, v(p(2)), v(p(3)), p(4).toLong)))
+      ColStat(kind, v(p(2)), v(p(3)), p(4).toLong,
+        p.lift(5).filter(_.nonEmpty).map(_.toLong))))
     catch { case _: RuntimeException => None }
   }
 
@@ -178,7 +191,11 @@ object SnapshotTable {
       dels: Seq[String] = Seq.empty, ts: Option[Long] = None,
       constraints: Map[String, String] = Map.empty,
       dropped: Set[String] = Set.empty,
-      ndv: Map[String, Seq[Long]] = Map.empty) {
+      ndv: Map[String, Seq[Long]] = Map.empty,
+      // hive-style partition column of the layout, if any: data files
+      // live under `<col>=<value>/` directories and do NOT store the
+      // column — reads reconstruct it from each entry's recorded value
+      partBy: Option[String] = None) {
     def paths: Seq[String] = files.map(_.takeWhile(_ != '\t'))
     def entries: Option[Seq[FileEntry]] =
       if (files.exists(!_.contains('\t'))) None
@@ -199,7 +216,14 @@ object SnapshotTable {
         new HPath(f(0))),
       rows = f.lift(2).filter(_.nonEmpty).map(_.toLong),
       stats = f.lift(3).map(_.split(";").toSeq.filter(_.nonEmpty)
-        .flatMap(parseColStat).toMap).getOrElse(Map.empty))
+        .flatMap(parseColStat).toMap).getOrElse(Map.empty),
+      // 5th field (partitioned layouts only): `P<b64 value>`, or `PN`
+      // for the null partition
+      part = f.lift(4).collect {
+        case "PN" => None
+        case p if p.startsWith("P") =>
+          Some(new String(b64d(p.stripPrefix("P")), "UTF-8"))
+      })
   }
 
   /** A snapshot's scan plan, served straight from manifest metadata —
@@ -231,6 +255,73 @@ object SnapshotTable {
     override def refresh(): Unit = ()
     override def sizeInBytes: Long = entries.map(_.status.getLen).sum
     override def partitionSchema: StructType = StructType(Nil)
+  }
+
+  /** Partition value types the hive layout supports (directory-string
+    * round-trippable without locale/zone ambiguity). */
+  private def supportedPartType(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
+
+  /** Directory-string partition value → Catalyst internal value. */
+  private def internalPartValue(dt: DataType, v: String): Any = dt match {
+    case org.apache.spark.sql.types.StringType =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    case org.apache.spark.sql.types.IntegerType => v.toInt
+    case org.apache.spark.sql.types.LongType => v.toLong
+    case org.apache.spark.sql.types.DateType =>
+      java.time.LocalDate.parse(v).toEpochDay.toInt
+    case other => throw new IllegalStateException(
+      s"unsupported partition type ${other.catalogString}")
+  }
+
+  /** The hive-partitioned twin of [[ManifestFileIndex]]: entries carry
+    * their partition VALUE in the manifest, so `listFiles` serves one
+    * `PartitionDirectory` per value and evaluates Catalyst's
+    * partitionFilters against it DRIVER-SIDE — a pruned partition's
+    * files never reach the scan (directory-level pruning, composed
+    * with the same zone-map data-skipping on `dataFilters`). On a
+    * date-partitioned 100 TB table, `WHERE day = X` plans exactly one
+    * directory's files from one manifest read. */
+  private final class PartitionedManifestFileIndex(tableRoot: HPath,
+      entries: Seq[FileEntry], partField: StructField) extends FileIndex {
+    import org.apache.spark.sql.catalyst.expressions._
+    override def rootPaths: Seq[HPath] = Seq(tableRoot)
+    override val partitionSchema: StructType = StructType(Seq(partField))
+    private def rowFor(v: Option[String]): InternalRow =
+      InternalRow(v.map(internalPartValue(partField.dataType, _)).orNull)
+    override def listFiles(partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val pred = if (partitionFilters.isEmpty) None
+        else Some(Predicate.createInterpreted(
+          partitionFilters.reduce(And).transform {
+            case a: AttributeReference if a.name == partField.name =>
+              BoundReference(0, partField.dataType, partField.nullable)
+          }))
+      entries.groupBy(_.part).toSeq
+        .sortBy(_._1.map(_.getOrElse("")).getOrElse(""))
+        .flatMap { case (pv, es) =>
+          // an entry without a recorded value cannot be partition-pruned
+          // soundly — serve it under the null partition only if nothing
+          // filters (never true when a value is genuinely absent on a
+          // partitioned layout; commits always record one)
+          val row = rowFor(pv.flatten)
+          if (!pred.forall(_.eval(row))) None
+          else Some(PartitionDirectory(row,
+            es.filter(e => dataFilters.forall(p =>
+                StatsPruning.mayMatch(p, e)))
+              .map(_.status).toArray))
+        }
+        .filter(_.files.nonEmpty)
+    }
+    override def inputFiles: Array[String] =
+      entries.map(_.status.getPath.toString).toArray
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = entries.map(_.status.getLen).sum
   }
 
   /** Zone-map pruning: can a file possibly hold a row matching `e`?
@@ -391,7 +482,10 @@ object SnapshotTable {
           new String(b64d(p(0)), "UTF-8") ->
             (if (p(1).isEmpty) Seq.empty[Long]
              else p(1).split(",").toSeq.map(_.toLong))
-      }.toMap)
+      }.toMap,
+      partBy = lines.collectFirst {
+        case l if l.startsWith("#partby:") =>
+          new String(b64d(l.stripPrefix("#partby:")), "UTF-8") })
   }
 
   /** Writer ids with at least one committed transaction on this table —
@@ -461,6 +555,18 @@ object SnapshotTable {
     txn.fold(prev) { case (w, v) =>
       prev + (w -> prev.get(w).map(math.max(_, v)).getOrElse(v)) }
 
+  /** Row-level rewrite ops refuse the hive-partition layout: their
+    * rewrites emit flat files, which would shear the directory scheme
+    * (and the manifest's recorded partition values) out from under
+    * readers. See [[commitPartitioned]]. */
+  private def requireUnpartitioned(m: Manifest, tableDir: String,
+      op: String): Unit =
+    require(m.partBy.isEmpty,
+      s"$op: $tableDir uses the hive partition layout " +
+        s"(by '${m.partBy.getOrElse("")}') — row-level rewrites are not " +
+        "supported on it; overwrite to re-layout, or keep rewrite-heavy " +
+        "tables on the zone-map-clustered flat layout")
+
   /** Commit `df` as the next version. `overwrite = false` appends to the
     * previous snapshot's file list; `overwrite = true` replaces it.
     * Safe under concurrent committers: the loser of a version race
@@ -494,6 +600,28 @@ object SnapshotTable {
       overwrite: Boolean, txnId: String,
       txnVersion: Long = 0L): Option[Int] =
     commitInternal(s, tableDir, df, overwrite, Some((txnId, txnVersion)))
+
+  /** Commit `df` hive-partitioned by `partitionBy`: data files land
+    * under `<col>=<value>/` directories (the layout every migrating
+    * lakehouse user expects), each file's partition value is recorded
+    * IN the manifest, and reads prune whole directories from Catalyst's
+    * partition filters before zone maps even look — `WHERE col = v` on
+    * a 100 TB table plans one directory's files from one manifest read.
+    * The partition column stays a regular column of the table schema
+    * (reads reconstruct it; the data files do not store it, so its
+    * storage cost is zero). Appends must keep the layout; an overwrite
+    * may change it. Partition values must be
+    * string/int/long/date — directory-string round-trippable.
+    *
+    * Row-level rewrite ops (deleteWhere/merge/compact/Z-order) refuse
+    * the hive layout for now: their rewrites would emit files without
+    * partition directories. Zone-map-clustered layouts remain the
+    * right home for rewrite-heavy tables; hive partitioning targets
+    * append-mostly fact/event feeds. */
+  def commitPartitioned(s: SparkSession, tableDir: String, df: DataFrame,
+      partitionBy: String, overwrite: Boolean = false): Int =
+    commitInternal(s, tableDir, df, overwrite, None,
+      partitionBy = Some(partitionBy)).get
 
   /** Additive schema evolution: same-name columns must keep their type;
     * columns new in `next` append after the previous schema's. */
@@ -530,7 +658,7 @@ object SnapshotTable {
     * range); float bounds are widened to double BEFORE encoding so the
     * stored decimal round-trips exactly. */
   private def collectFileStats(s: SparkSession, dataDir: String,
-      schema: StructType)
+      schema: StructType, partitioned: Boolean = false)
       : Option[(Map[String, (Long, String)], Map[String, Seq[Long]])] = {
     import org.apache.spark.sql.functions._
     val cols = schema.fields.toSeq
@@ -551,6 +679,10 @@ object SnapshotTable {
         else s"CAST(`$n` AS STRING)"
       Seq(min(col(n)), max(col(n)),
         sum(when(col(n).isNull, 1L).otherwise(0L)),
+        // total payload bytes (string kind only): feeds the avg-width
+        // column statistic Catalyst's row-count-based sizing uses
+        if (k == 's') sum(octet_length(col(n)).cast("bigint"))
+        else sum(lit(null).cast("bigint")),
         kmv(when(col(n).isNull, lit(graft.functions.KmvDistinctAgg.Skip))
           .otherwise(expr(s"CAST(conv(substring(md5($canon), " +
             "1, 15), 16, 10) AS BIGINT)")))) }
@@ -560,21 +692,28 @@ object SnapshotTable {
       case fl: java.lang.Float => enc(Double.box(fl.doubleValue))
       case other => b64e(other.toString)
     }
-    val rows = s.read.parquet(dataDir)
+    // partitioned layouts reconstruct the partition column via hive
+    // directory discovery — the EXPLICIT schema pins its type (string
+    // values that look numeric must not be re-inferred as ints, or the
+    // recorded stat kind would contradict the table schema)
+    val reader = if (partitioned) s.read.schema(storedSchema(schema))
+      else s.read
+    val rows = reader.parquet(dataDir)
       .groupBy(input_file_name().as("__f"))
       .agg(count(lit(1)).as("__rows"), aggs: _*)
       .collect()
     val fileMap = rows.map { r =>
       val fields = cols.zipWithIndex.map { case ((name, kind), i) =>
-        s"${b64e(name)}:$kind:${enc(r.get(2 + i * 4))}:${enc(r.get(3 + i * 4))}:${r.getLong(4 + i * 4)}"
+        val bytes = if (r.isNullAt(5 + i * 5)) "" else r.getLong(5 + i * 5).toString
+        s"${b64e(name)}:$kind:${enc(r.get(2 + i * 5))}:${enc(r.get(3 + i * 5))}:${r.getLong(4 + i * 5)}:$bytes"
       }
       new HPath(r.getString(0)).toUri.getPath ->
         (r.getLong(1), fields.mkString(";"))
     }.toMap
     val ndv = cols.zipWithIndex.map { case ((name, _), i) =>
       name -> rows.map(r =>
-          if (r.isNullAt(5 + i * 4)) Array.empty[Long]
-          else r.getSeq[Long](5 + i * 4).toArray)
+          if (r.isNullAt(6 + i * 5)) Array.empty[Long]
+          else r.getSeq[Long](6 + i * 5).toArray)
         .foldLeft(Array.empty[Long])(graft.functions.KmvDistinctAgg.merge)
         .toSeq
     }.toMap
@@ -583,17 +722,117 @@ object SnapshotTable {
 
   /** The manifest-planned relation over an explicit entry subset —
     * shared by [[readAsOf]] and [[compact]] (which must read 10k small
-    * files without 10k driver-side path resolutions). */
+    * files without 10k driver-side path resolutions).
+    *
+    * With `withStats` (full-snapshot reads), the manifest's EXACT row
+    * counts, per-column null/byte accounting, and cumulative NDV
+    * sketches are attached as `CatalogStatistics` — under
+    * `spark.sql.cbo.planStats.enabled` Catalyst then sizes the scan as
+    * rowCount × true row width instead of compressed file bytes, so a
+    * join between snapshot tables picks broadcast-vs-shuffle from real
+    * cardinalities. At 100 TB, stats-blind planning is the difference
+    * between broadcasting a 10k-row dimension and shuffling the fact
+    * table against it. Subset reads (compact, merge deltas, deletion
+    * vectors) attach nothing: the table-cumulative NDV would oversell
+    * a partial file list. */
   private def relationFor(s: SparkSession, tableDir: String, sc: StructType,
       es: Seq[FileEntry],
-      bucket: Option[(Int, String)] = None): DataFrame =
-    s.baseRelationToDataFrame(HadoopFsRelation(
-      new ManifestFileIndex(new HPath(tableDir), es),
-      partitionSchema = StructType(Nil), dataSchema = sc,
-      bucketSpec = bucket.map { case (n, c) =>
-        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c), Nil) },
-      fileFormat = new ParquetFileFormat,
-      options = Map.empty)(s))
+      bucket: Option[(Int, String)] = None,
+      withStats: Option[Manifest] = None,
+      partBy: Option[String] = None): DataFrame = {
+    val rel = fsRelation(s, tableDir, sc, es, bucket, partBy)
+    val df = catalogStats(s, tableDir, sc, es, withStats) match {
+      case Some(table) =>
+        org.apache.spark.sql.GraftSqlShim.ofRowsWithStats(s, rel, table)
+      case None => s.baseRelationToDataFrame(rel)
+    }
+    // the hive layout appends the reconstructed partition column after
+    // the data columns — restore the recorded schema order
+    if (partBy.isDefined && df.columns.toSeq != sc.fieldNames.toSeq)
+      df.select(sc.fieldNames.toIndexedSeq.map(
+        org.apache.spark.sql.functions.col): _*)
+    else df
+  }
+
+  /** The shared `HadoopFsRelation` constructor: flat, bucketed, or
+    * hive-partitioned per the manifest's recorded layout. */
+  private def fsRelation(s: SparkSession, tableDir: String, sc: StructType,
+      es: Seq[FileEntry], bucket: Option[(Int, String)],
+      partBy: Option[String]): HadoopFsRelation =
+    partBy match {
+      case Some(c) =>
+        val partField = sc.fields.find(_.name == c).getOrElse(
+          throw new IllegalStateException(
+            s"partition column '$c' missing from recorded schema of $tableDir"))
+        HadoopFsRelation(
+          new PartitionedManifestFileIndex(new HPath(tableDir), es, partField),
+          partitionSchema = StructType(Seq(partField)),
+          dataSchema = StructType(sc.fields.filterNot(_.name == c)),
+          bucketSpec = None,
+          fileFormat = new ParquetFileFormat,
+          options = Map.empty)(s)
+      case None =>
+        HadoopFsRelation(
+          new ManifestFileIndex(new HPath(tableDir), es),
+          partitionSchema = StructType(Nil), dataSchema = sc,
+          bucketSpec = bucket.map { case (n, cc) =>
+            org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(cc), Nil) },
+          fileFormat = new ParquetFileFormat,
+          options = Map.empty)(s)
+    }
+
+  /** Manifest metadata → `CatalogTable` carrying `CatalogStatistics`:
+    * exact `rowCount` (Σ per-file rows), per-column `nullCount` (a file
+    * without a recorded stat predates the column — its rows are
+    * all-null for it), avg string width (Σ payload bytes / Σ non-null),
+    * and `distinctCount` from the cumulative bottom-K NDV sketch. None
+    * when any entry predates row-count collection. */
+  private def catalogStats(s: SparkSession, tableDir: String,
+      sc: StructType, es: Seq[FileEntry],
+      withStats: Option[Manifest]): Option[
+      org.apache.spark.sql.catalyst.catalog.CatalogTable] =
+    withStats.flatMap { m =>
+      if (es.exists(_.rows.isEmpty)) None
+      else {
+        import org.apache.spark.sql.catalyst.catalog._
+        val nRows = es.flatMap(_.rows).sum
+        val colStats = sc.fields.toSeq.flatMap { f =>
+          statKind(f.dataType).map { _ =>
+            val sts = es.map(e => (e.rows.get, e.stats.get(f.name)))
+            val nulls = sts.map { case (r, st) => st.fold(r)(_.nulls) }.sum
+            val nonNull = nRows - nulls
+            val byteSums = sts.flatMap(_._2).flatMap(_.bytes)
+            // avg width only when EVERY value-bearing file recorded its
+            // byte total (legacy entries would skew the mean)
+            val avgLen =
+              if (nonNull > 0 && f.dataType ==
+                    org.apache.spark.sql.types.StringType &&
+                  sts.forall { case (r, st) =>
+                    st.forall(c => c.bytes.isDefined || r - c.nulls == 0) })
+                Some(math.max(1L, byteSums.sum / nonNull))
+              else None
+            f.name -> CatalogColumnStat(
+              distinctCount = m.ndv.get(f.name)
+                .map(sk => BigInt(math.round(
+                  graft.functions.KmvDistinctAgg.estimate(sk)))),
+              nullCount = Some(BigInt(nulls)),
+              avgLen = avgLen)
+          }
+        }.toMap
+        Some(CatalogTable(
+          identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+            "graft_snapshot_" + math.abs(tableDir.hashCode).toString),
+          tableType = CatalogTableType.EXTERNAL,
+          storage = CatalogStorageFormat.empty.copy(
+            locationUri = Some(new HPath(tableDir).toUri)),
+          schema = sc,
+          provider = Some("parquet"),
+          stats = Some(CatalogStatistics(
+            sizeInBytes = BigInt(es.map(_.status.getLen).sum),
+            rowCount = Some(BigInt(nRows)),
+            colStats = colStats))))
+      }
+    }
 
   /** The stored snapshot schema is always nullable at the top level:
     * under evolution any column may be absent from some epoch's files
@@ -663,6 +902,7 @@ object SnapshotTable {
       val prev = versions(s, tableDir)
       require(prev.nonEmpty, s"deleteWhere: no published version in $tableDir")
       val m0 = readManifest(s, tableDir, prev.last)
+      requireUnpartitioned(m0, tableDir, "deleteWhere")
       (m0.schema, m0.entries) match {
         case (Some(sc0), Some(es0)) if es0.nonEmpty =>
           val base = relationFor(s, tableDir, storedSchema(sc0), es0, m0.bucket)
@@ -846,18 +1086,25 @@ object SnapshotTable {
     * each output file is renamed to carry its bucket id in Spark's
     * `_%05d` bucket-file convention so the scan can group by bucket. */
   private def writeDataDir(s: SparkSession, tableDir: String, df0: DataFrame,
-      uniq: String, bucket: Option[(Int, String)] = None)
+      uniq: String, bucket: Option[(Int, String)] = None,
+      partitionBy: Option[String] = None)
       : (HPath, Seq[String], Map[String, Seq[Long]]) = {
     import org.apache.spark.sql.functions.col
     val f = fs(s, tableDir)
     val staging = new HPath(tableDir, s".staging-$uniq")
     val dataDir = new HPath(tableDir, s"data/c-$uniq")
-    val df = bucket match {
-      case Some((n, c)) =>
+    val df = (bucket, partitionBy) match {
+      case (Some((n, c)), _) =>
         df0.repartition(n, col(c)).sortWithinPartitions(col(c))
-      case None => df0
+      // cluster each partition value into one task first: the hive
+      // writer otherwise emits one file per (task × value) — file-count
+      // explosion at scale
+      case (None, Some(c)) => df0.repartition(col(c))
+      case _ => df0
     }
-    df.write.mode("overwrite").parquet(staging.toString)
+    val writer = df.write.mode("overwrite")
+    partitionBy.fold(writer)(c => writer.partitionBy(c))
+      .parquet(staging.toString)
     f.mkdirs(dataDir.getParent)
     require(f.rename(staging, dataDir),
       s"snapshot commit: data rename failed $staging -> $dataDir")
@@ -880,22 +1127,51 @@ object SnapshotTable {
             s"bucketed commit: rename failed for $name")
         }
     }
-    val statuses = f.listStatus(dataDir).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // flat layout lists files directly; hive layout walks the one
+    // `<col>=<value>` directory level, decoding each file's partition
+    // value from its directory name (the writer's own hive escaping)
+    val listed: Seq[(FileStatus, Option[Option[String]])] =
+      partitionBy match {
+        case None =>
+          f.listStatus(dataDir).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(_ -> None)
+        case Some(c) =>
+          import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          f.listStatus(dataDir).toSeq
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith(s"$c="))
+            .flatMap { d =>
+              val raw = d.getPath.getName.stripPrefix(s"$c=")
+              val v: Option[String] =
+                if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+                else Some(ExternalCatalogUtils.unescapePathName(raw))
+              f.listStatus(d.getPath).toSeq
+                .filter(st => st.isFile &&
+                  st.getPath.getName.endsWith(".parquet"))
+                .map(_ -> Some(v))
+            }
+      }
+    val statuses = listed.map(_._1)
     val stats =
       if (statuses.isEmpty) None
-      else collectFileStats(s, dataDir.toString, df.schema)
-    (dataDir, statuses.map { st =>
+      else collectFileStats(s, dataDir.toString, df.schema,
+        partitioned = partitionBy.isDefined)
+    (dataDir, listed.map { case (st, part) =>
+      val partField = part.fold("") {
+        case Some(v) => s"\tP${b64e(v)}"
+        case None => "\tPN"
+      }
       stats match {
         case Some((m, _)) => m.get(st.getPath.toUri.getPath) match {
           case Some((rows, cols)) =>
-            s"${st.getPath.toString}\t${st.getLen}\t$rows\t$cols"
+            s"${st.getPath.toString}\t${st.getLen}\t$rows\t$cols$partField"
           // the stats pass covered the whole dir, so a file it never
           // grouped is a ZERO-ROW file (a writer task with an empty
           // partition) — record that, don't leave the count unknown
-          case None => s"${st.getPath.toString}\t${st.getLen}\t0\t"
+          case None => s"${st.getPath.toString}\t${st.getLen}\t0\t$partField"
         }
-        case None => s"${st.getPath.toString}\t${st.getLen}\t\t"
+        case None => s"${st.getPath.toString}\t${st.getLen}\t\t$partField"
       }
     }.sorted,
       stats.map(_._2).getOrElse(Map.empty))
@@ -923,7 +1199,12 @@ object SnapshotTable {
     (Seq[String], StructType, Map[String, Long], Option[(Int, String)],
       Seq[String], Map[String, String], Set[String], Map[String, Seq[Long]])
 
-  private def publishNext(s: SparkSession, tableDir: String)(
+  /** `partByOverride`: None carries the previous manifest's partition
+    * column forward unchanged (every metadata/maintenance op);
+    * Some(x) SETS it — only data-commit paths that (re)define the
+    * layout pass this. */
+  private def publishNext(s: SparkSession, tableDir: String,
+      partByOverride: Option[Option[String]] = None)(
       prepare: Option[Manifest] => Option[Prepared])
       : Option[Int] = {
     val f = fs(s, tableDir)
@@ -942,10 +1223,13 @@ object SnapshotTable {
           f.mkdirs(cd)
           val tmp = new HPath(cd, s".tmp-$uniq-$attempt")
           val out = f.create(tmp, true)
+          val partBy = partByOverride.getOrElse(
+            prevManifest.flatMap(_.partBy))
           val meta = txns.toSeq.sortBy(_._1).map { case (w, ver) =>
             s"#txnv:${b64e(w)}:$ver" } ++
             Seq(s"#schema:${schema.json}",
               s"#ts:${System.currentTimeMillis()}") ++
+            partBy.map(c => s"#partby:${b64e(c)}") ++
             bucket.map { case (n, c) => s"#bucket:$n:${b64e(c)}" } ++
             dels.map(d => s"#del:$d") ++
             checks.toSeq.sortBy(_._1).map { case (n, e) =>
@@ -966,13 +1250,25 @@ object SnapshotTable {
 
   private def commitInternal(s: SparkSession, tableDir: String, df: DataFrame,
       overwrite: Boolean, txn: Option[(String, Long)],
-      bucket: Option[(Int, String)] = None): Option[Int] = {
+      bucket: Option[(Int, String)] = None,
+      partitionBy: Option[String] = None): Option[Int] = {
     val f = fs(s, tableDir)
+    require(bucket.isEmpty || partitionBy.isEmpty,
+      "a commit is bucketed OR hive-partitioned, not both")
+    partitionBy.foreach { c =>
+      val fl = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"commitPartitioned: column '$c' not in ${df.columns.mkString(",")}"))
+      require(supportedPartType(fl.dataType),
+        s"commitPartitioned: unsupported partition type " +
+          s"${fl.dataType.catalogString} for '$c' (string/int/long/date)")
+    }
     // the data write happens ONCE; version races retry only the (tiny)
     // manifest publish
     val uniq = java.util.UUID.randomUUID.toString.take(8)
     var written: Option[(HPath, Seq[String], Map[String, Seq[Long]])] = None
-    val res = publishNext(s, tableDir) { prevManifest =>
+    val res = publishNext(s, tableDir,
+        partByOverride = Some(partitionBy)) { prevManifest =>
       // replay check INSIDE the retry loop: a zombie writer racing the
       // live one with the same txn loses the version race, re-reads,
       // and sees the txn landed
@@ -1002,8 +1298,19 @@ object SnapshotTable {
                 s"${m.bucket.map(_.toString).getOrElse("unbucketed")} — " +
                 "overwrite to re-bucket")
           }
+        // hive layout is a whole-table property: an append must match it
+        // exactly — a plain append's files would lack partition values,
+        // a differently-partitioned one would shear the directory scheme
+        if (!overwrite)
+          prevManifest.filter(_.files.nonEmpty).foreach { m =>
+            require(m.partBy == partitionBy,
+              s"append partitioned by ${partitionBy.getOrElse("(none)")} " +
+                s"onto a table laid out by " +
+                s"${m.partBy.getOrElse("(none)")} — overwrite to re-layout")
+          }
         if (written.isEmpty)
-          written = Some(writeDataDir(s, tableDir, df, uniq, bucket))
+          written = Some(writeDataDir(s, tableDir, df, uniq, bucket,
+            partitionBy))
         val base = if (overwrite) Seq.empty
           else prevManifest.map(_.files).getOrElse(Seq.empty)
         val schema = storedSchema(
@@ -1148,6 +1455,10 @@ object SnapshotTable {
     // outstanding deletion vectors: the bin-pack read would resurrect
     // deleted rows — absorbDeletes IS the compaction of those files
     if (m0.dels.nonEmpty) return None
+    // hive layout: a bin-packed rewrite would emit flat files outside
+    // the partition directories (per-partition compaction is a future
+    // refinement; refusal, not corruption)
+    if (m0.partBy.isDefined) return None
     (m0.schema, m0.entries) match {
       case (Some(schema0), Some(es0)) =>
         val small = es0.filter(_.status.getLen < smallFileBytes)
@@ -1207,7 +1518,8 @@ object SnapshotTable {
     val prev = versions(s, tableDir)
     if (prev.isEmpty) return None
     val m0 = readManifest(s, tableDir, prev.last)
-    if (m0.bucket.isDefined || m0.dels.nonEmpty) return None
+    if (m0.bucket.isDefined || m0.dels.nonEmpty || m0.partBy.isDefined)
+      return None
     (m0.schema, m0.entries) match {
       case (Some(schema0), Some(es0)) if es0.nonEmpty =>
         val n =
@@ -1346,6 +1658,8 @@ object SnapshotTable {
         s"dropColumn: cannot drop the only column of $tableDir")
       require(!m0.bucket.exists(_._2 == colName),
         s"dropColumn: '$colName' is the bucket column of $tableDir")
+      require(!m0.partBy.contains(colName),
+        s"dropColumn: '$colName' is the hive partition column of $tableDir")
       m0.constraints.foreach { case (n, e) =>
         require(!e.contains(colName),
           s"dropColumn: constraint '$n' ($e) references '$colName' — drop it first")
@@ -1387,7 +1701,7 @@ object SnapshotTable {
     val m = readManifest(s, tableDir, version)
     val sc = m.schema.getOrElse(throw new IllegalArgumentException(
       s"restore: legacy manifest without schema at v$version in $tableDir"))
-    publishNext(s, tableDir) { pm =>
+    publishNext(s, tableDir, partByOverride = Some(m.partBy)) { pm =>
       Some((m.files, sc, pm.map(_.txns).getOrElse(Map.empty[String, Long]),
         m.bucket, m.dels, m.constraints, m.dropped, m.ndv))
     }.getOrElse(throw new IllegalStateException(
@@ -1426,7 +1740,8 @@ object SnapshotTable {
     val sc = m.schema.getOrElse(throw new IllegalArgumentException(
       s"cloneTable: legacy manifest without schema in $srcDir — " +
         "cannot clone what readers cannot plan"))
-    val res = publishNext(s, dstDir) { pm =>
+    val res = publishNext(s, dstDir,
+        partByOverride = Some(m.partBy)) { pm =>
       require(pm.isEmpty,
         s"cloneTable: destination $dstDir already has published versions")
       Some((m.files, sc, Map.empty[String, Long], m.bucket, m.dels,
@@ -1520,12 +1835,16 @@ object SnapshotTable {
         .getOrElse(s.emptyDataFrame)
     else (m.schema, m.entries) match {
       case (Some(sc), Some(es)) =>
-        // the zero-RPC plan: file list, sizes, schema, zone maps, and
-        // bucket layout all from the manifest — constant driver cost no
-        // matter how many files, pushed-down filters data-skip whole
-        // files, and a bucketed layout reports its hash partitioning;
-        // outstanding deletion vectors subtract as one anti-join
-        applyDels(s, tableDir, relationFor(s, tableDir, sc, es, m.bucket), m)
+        // the zero-RPC plan: file list, sizes, schema, zone maps, row
+        // counts/NDV (as catalog statistics), and bucket layout all
+        // from the manifest — constant driver cost no matter how many
+        // files, pushed-down filters data-skip whole files, a bucketed
+        // layout reports its hash partitioning, and join planning sees
+        // exact cardinalities; outstanding deletion vectors subtract
+        // as one anti-join
+        applyDels(s, tableDir,
+          relationFor(s, tableDir, sc, es, m.bucket, withStats = Some(m),
+            partBy = m.partBy), m)
       case (Some(sc), None) => s.read.schema(sc).parquet(m.paths: _*)
       case (None, _) => s.read.parquet(m.paths: _*) // legacy manifest
     }
@@ -1581,6 +1900,7 @@ object SnapshotTable {
       // whose conflicting commit WAS this txn (zombie writer) re-reads
       // and lands here
       if (txnLanded(m0opt, txn)) return None
+      m0opt.foreach(requireUnpartitioned(_, tableDir, "merge"))
       val sel = m0opt match {
         case Some(m0) =>
           (m0.schema, m0.entries) match {
@@ -1836,7 +2156,8 @@ object SnapshotTable {
         // the delta IS the added files
         val added = es2.filterNot(e => paths1.contains(e.status.getPath.toString))
         if (added.isEmpty) emptyChanges
-        else tag(relationFor(s, tableDir, sc, added), "insert")
+        else tag(relationFor(s, tableDir, sc, added, partBy = m2.partBy),
+          "insert")
       case _ =>
         // a rewrite (or delete) happened in between: exact multiset
         // diff, both versions read under toV's schema so evolution
@@ -1848,7 +2169,8 @@ object SnapshotTable {
             val mv = readManifest(s, tableDir, ver)
             mv.entries match {
               case Some(es) =>
-                applyDels(s, tableDir, relationFor(s, tableDir, sc, es), mv)
+                applyDels(s, tableDir,
+                  relationFor(s, tableDir, sc, es, partBy = mv.partBy), mv)
               case None => readAsOf(s, tableDir, ver)
             }
           case (Some(ver), None) => readAsOf(s, tableDir, ver)
@@ -1942,12 +2264,7 @@ object SnapshotTable {
       s"snapshot table $tableDir has outstanding deletion vectors — the bare " +
         "relation doorway cannot subtract them; read via SnapshotTable.readAsOf " +
         "or run absorbDeletes first")
-    HadoopFsRelation(
-      new ManifestFileIndex(new HPath(tableDir), es),
-      partitionSchema = StructType(Nil), dataSchema = sc,
-      bucketSpec = m.bucket.map { case (n, c) =>
-        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c), Nil) },
-      fileFormat = new ParquetFileFormat, options = Map.empty)(s)
+    fsRelation(s, tableDir, sc, es, m.bucket, m.partBy)
   }
 
   /** The latest snapshot's recorded schema, if any — what a streaming
@@ -1990,7 +2307,7 @@ object SnapshotTable {
     val added = es2.filterNot(e => paths1.contains(e.status.getPath.toString))
     if (added.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
-    else relationFor(s, tableDir, sc, added)
+    else relationFor(s, tableDir, sc, added, partBy = m2.partBy)
   }
 
   /** Metadata-only row count of a snapshot: the per-file row counts the

@@ -11,6 +11,21 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** A file-source relation WITH catalog statistics attached: the
+    * `LogicalRelation(relation, catalogTable)` constructor Spark's own
+    * catalog readers use — `computeStats` then serves
+    * `Statistics(rowCount, attributeStats)` from `table.stats` (when
+    * `spark.sql.cbo.planStats.enabled` or CBO is on) instead of the
+    * stats-blind size-only estimate. The doorway a manifest-backed
+    * table format needs to make its exact row counts and NDV sketches
+    * visible to join planning. */
+  def ofRowsWithStats(spark: SparkSession,
+      relation: org.apache.spark.sql.sources.BaseRelation,
+      table: org.apache.spark.sql.catalyst.catalog.CatalogTable): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        relation, table))
+
   /** A forked session sharing the SparkContext and a COPY of the
     * parent's session state (confs, temp views, extensions) — conf
     * writes on the fork never touch the parent. The isolation doorway

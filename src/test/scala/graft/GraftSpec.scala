@@ -34,6 +34,8 @@ object GraftSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // as in Bench/Verify: manifest-backed catalog stats reach planning
+      .config("spark.sql.cbo.planStats.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,160 @@
+package graft.sources
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+/** Hive-style partition layout ([[SnapshotTable.commitPartitioned]]):
+  * `<col>=<value>/` directories, manifest-recorded partition values,
+  * directory-level pruning from Catalyst's partition filters (composed
+  * with zone-map data skipping), append layout discipline, and the
+  * row-level-rewrite refusals. */
+class SnapshotPartitionSpec extends GraftSpec {
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  test("round trip: hive directories, reconstructed column, schema order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part1-").toString
+    val t = s"$dir/tbl"
+    val df = Seq((1L, "us", 10L), (2L, "eu", 20L), (3L, "us", 30L),
+      (4L, "ap", 40L)).toDF("id", "region", "v")
+    SnapshotTable.commitPartitioned(spark, t, df, "region")
+    // the data landed under hive directories, and the files do NOT
+    // store the partition column
+    val dataDirs = new java.io.File(s"$t/data").listFiles().head.listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dataDirs.toSeq == Seq("region=ap", "region=eu", "region=us"))
+    val back = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(back.columns.toSeq == Seq("id", "region", "v"))
+    assert(back.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "us", 10L), (2L, "eu", 20L), (3L, "us", 30L), (4L, "ap", 40L)))
+    // rowCount/metaAgg stay metadata-served on the hive layout
+    assert(SnapshotTable.rowCount(spark, t, Int.MaxValue).contains(4L))
+  }
+
+  test("partition filter prunes whole directories at plan time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part2-").toString
+    val t = s"$dir/tbl"
+    // 4 partitions × 2 commits = up to 8 files; each partition's rows
+    // carry ids spanning the whole range so ZONE maps alone could not
+    // prune (the id ranges overlap across partitions)
+    val df = (1L to 400L).map(i => (i, s"p${i % 4}", i * 2L))
+      .toDF("id", "part", "v")
+    SnapshotTable.commitPartitioned(spark, t,
+      df.filter(col("id") <= 200L), "part")
+    SnapshotTable.commitPartitioned(spark, t,
+      df.filter(col("id") > 200L), "part")
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    val total = SnapshotTable.readAsOf(spark, t, Int.MaxValue).inputFiles.length
+    assert(total >= 8, s"expected >=8 files, got $total")
+    val one = snap.filter(col("part") === "p1")
+    assert(one.count() == 100L)
+    // shuffle-free probe: under AQE a scan inside a query stage is not
+    // reachable from the final plan's collect
+    val scanned = scannedFiles(one)
+    assert(scanned == total / 4,
+      s"partition-pruned scan read $scanned of $total files")
+    // IN-list over two partitions: half the directories
+    val two = scannedFiles(snap.filter(col("part").isin("p0", "p3")))
+    assert(two == total / 2, s"two-partition scan read $two of $total")
+  }
+
+  test("null partition, hive escaping, int and date partition types") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part3-").toString
+    // string with nulls + path-hostile characters
+    val ts = s"$dir/s"
+    SnapshotTable.commitPartitioned(spark, ts,
+      Seq((1L, "a/b c=d:e"), (2L, null), (3L, "plain"))
+        .toDF("id", "k"), "k")
+    val backS = SnapshotTable.readAsOf(spark, ts, Int.MaxValue)
+    assert(backS.orderBy("id").collect().map(r =>
+        (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, Some("a/b c=d:e")), (2L, None), (3L, Some("plain"))))
+    assert(backS.filter(col("k").isNull).count() == 1L)
+    assert(backS.filter(col("k") === "a/b c=d:e").count() == 1L)
+    // int partition: typed pruning predicate evaluates on the cast value
+    val ti = s"$dir/i"
+    SnapshotTable.commitPartitioned(spark, ti,
+      (1L to 60L).map(i => (i, (i % 3).toInt)).toDF("id", "b"), "b")
+    val backI = SnapshotTable.readAsOf(spark, ti, Int.MaxValue)
+    assert(backI.filter(col("b") >= 1).count() == 40L)
+    val totI = backI.inputFiles.length
+    assert(scannedFiles(backI.filter(col("b") === 2)) == totI / 3)
+    // date partition round-trips through the directory string
+    val td = s"$dir/d"
+    SnapshotTable.commitPartitioned(spark, td,
+      Seq((1L, java.sql.Date.valueOf("2024-03-01")),
+        (2L, java.sql.Date.valueOf("2024-03-02"))).toDF("id", "day"), "day")
+    val backD = SnapshotTable.readAsOf(spark, td, Int.MaxValue)
+    assert(backD.filter(col("day") === lit("2024-03-02").cast("date"))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("appends keep the layout; mismatches and rewrites are refused") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part4-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commitPartitioned(spark, t,
+      Seq((1L, "x", 1L)).toDF("id", "k", "v"), "k")
+    // plain append onto the hive layout: refused (its files would carry
+    // no partition values)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, t, Seq((2L, "y", 2L)).toDF("id", "k", "v"),
+        overwrite = false)
+    }
+    // differently-partitioned append: refused
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitPartitioned(spark, t,
+        Seq((2L, "y", 2L)).toDF("id", "k", "v"), "id")
+    }
+    // row-level rewrites: loud refusal (deleteWhere/merge), quiet None
+    // (compact/zorder — maintenance no-ops)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.deleteWhere(spark, t, col("id") === 1L)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, t,
+        Seq((1L, "x", 9L)).toDF("id", "k", "v"),
+        Seq.empty[Long].toDF("id"), "id")
+    }
+    assert(SnapshotTable.compact(spark, t, 8L << 20, 128L << 20).isEmpty)
+    assert(SnapshotTable.rewriteZordered(spark, t, "id", "v").isEmpty)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, t, "k")
+    }
+    // an overwrite may re-layout (hive -> flat), after which rewrites
+    // work again
+    SnapshotTable.commit(spark, t,
+      Seq((5L, "z", 5L)).toDF("id", "k", "v"), overwrite = true)
+    assert(SnapshotTable.deleteWhere(spark, t, col("id") === 5L).isDefined)
+  }
+
+  test("time travel and change feed see partition values per version") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part5-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commitPartitioned(spark, t,
+      Seq((1L, "a")).toDF("id", "k"), "k")
+    SnapshotTable.commitPartitioned(spark, t,
+      Seq((2L, "b")).toDF("id", "k"), "k")
+    assert(SnapshotTable.readAsOf(spark, t, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a")))
+    val feed = SnapshotTable.readChanges(spark, t, 1, 2).collect()
+    assert(feed.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq == Seq(("insert", 2L, "b")))
+  }
+}
