@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.GraftSpec
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Maintenance-path contracts of [[SnapshotTable]]: constant driver cost
   * per idempotent commit (the long-running streaming sink bound), VACUUM
@@ -166,6 +167,49 @@ class SnapshotMaintenanceSpec extends GraftSpec {
       overwrite = false, txnId = "batch-3").isEmpty)
     assert(ids(SnapshotTable.readAsOf(spark, t, Int.MaxValue)) ==
       (0L until 25L).toSet)
+  }
+
+  test("500 micro-batches: manifest stays O(live files + writers) LINES") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint8-").toString
+    val t = s"$dir/tbl"
+    val n = 500
+    // one stable writer + monotone batch versions — the production sink
+    // shape (stream_snapshot_sink), at a stream age two orders past the
+    // spec'd sweeps: the regression this pins against is replay
+    // metadata growing one line per micro-batch EVER committed
+    // (quadratic manifest BYTES over the stream's life)
+    (0 until n).foreach { id =>
+      assert(SnapshotTable.commitIdempotent(spark, t,
+        Seq(id.toLong).toDF("id").coalesce(1),
+        overwrite = false, txnId = "sink", txnVersion = id).nonEmpty)
+      if (id % 8 == 7) {
+        SnapshotTable.compact(spark, t, smallFileBytes = 8L << 20,
+          targetFileBytes = 128L << 20)
+        SnapshotTable.vacuum(spark, t, keepVersions = 8)
+      }
+    }
+    val res = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(res.count() == n.toLong, "maintenance lost or duplicated rows")
+    val live = res.inputFiles.length
+    // the NEWEST manifest, as raw lines: one per live file, ONE per
+    // writer (#txnv), plus constant metadata (#schema, #ts, #ndv per
+    // column) — NEVER one per batch ever committed
+    val newest = SnapshotTable.versions(spark, t).last
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "tbl", "_commits", f"v$newest%05d.txt"))
+    val txnLines = lines.asScala.count(l =>
+      l.startsWith("#txnv:") || l.startsWith("#txn:"))
+    assert(txnLines == 1, s"$txnLines replay-metadata lines for 1 writer")
+    assert(lines.size <= live + 8,
+      s"${lines.size} manifest lines for $live live files — " +
+        "replay metadata is growing with stream age again")
+    // the watermark is the highest batch; replaying any batch is a no-op
+    assert(SnapshotTable.committedTxnVersions(spark, t) ==
+      Map("sink" -> (n - 1).toLong))
+    assert(SnapshotTable.commitIdempotent(spark, t, Seq(-1L).toDF("id"),
+      overwrite = false, txnId = "sink", txnVersion = 123L).isEmpty)
+    assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue).count() == n.toLong)
   }
 
   test("history answers from manifests alone: versions, files, rows, txns") {
