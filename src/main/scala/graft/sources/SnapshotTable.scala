@@ -613,11 +613,13 @@ object SnapshotTable {
     * may change it. Partition values must be
     * string/int/long/date — directory-string round-trippable.
     *
-    * Row-level rewrite ops (deleteWhere/merge/compact/Z-order) refuse
-    * the hive layout for now: their rewrites would emit files without
-    * partition directories. Zone-map-clustered layouts remain the
-    * right home for rewrite-heavy tables; hive partitioning targets
-    * append-mostly fact/event feeds. */
+    * [[compact]] packs PER PARTITION (the partitioned writer keeps the
+    * directory scheme), and [[vacuum]] sweeps nested partition dirs.
+    * Row-level rewrite ops (deleteWhere/merge/Z-order) refuse the hive
+    * layout: their rewrites would emit files without partition
+    * directories. Zone-map-clustered layouts remain the right home for
+    * rewrite-heavy tables; hive partitioning targets append-mostly
+    * fact/event feeds. */
   def commitPartitioned(s: SparkSession, tableDir: String, df: DataFrame,
       partitionBy: String, overwrite: Boolean = false): Int =
     commitInternal(s, tableDir, df, overwrite, None,
@@ -1455,10 +1457,6 @@ object SnapshotTable {
     // outstanding deletion vectors: the bin-pack read would resurrect
     // deleted rows — absorbDeletes IS the compaction of those files
     if (m0.dels.nonEmpty) return None
-    // hive layout: a bin-packed rewrite would emit flat files outside
-    // the partition directories (per-partition compaction is a future
-    // refinement; refusal, not corruption)
-    if (m0.partBy.isDefined) return None
     (m0.schema, m0.entries) match {
       case (Some(schema0), Some(es0)) =>
         val small = es0.filter(_.status.getLen < smallFileBytes)
@@ -1467,9 +1465,20 @@ object SnapshotTable {
           small.map(_.status.getLen).sum.toDouble / targetFileBytes).toInt)
         val f = fs(s, tableDir)
         val uniq = java.util.UUID.randomUUID.toString.take(8)
-        val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
-          relationFor(s, tableDir, storedSchema(schema0), small)
-            .repartition(nOut), uniq)
+        // hive layout packs PER PARTITION: the partitioned writer
+        // re-clusters by value and emits packed files inside fresh
+        // `<col>=<value>/` dirs — the maintenance a partitioned
+        // streaming sink's small-file tail needs (one packed file per
+        // partition per sweep; only files under `smallFileBytes` are
+        // selected, so output stays near the small-file mass per value)
+        val (dataDir, newFiles, _) = m0.partBy match {
+          case Some(_) => writeDataDir(s, tableDir,
+            relationFor(s, tableDir, storedSchema(schema0), small,
+              partBy = m0.partBy), uniq, partitionBy = m0.partBy)
+          case None => writeDataDir(s, tableDir,
+            relationFor(s, tableDir, storedSchema(schema0), small)
+              .repartition(nOut), uniq)
+        }
         val compacted = small.map(_.status.getPath.toString).toSet
         beforePublishHook()
         val res = publishNext(s, tableDir) { pm =>
@@ -2538,9 +2547,13 @@ object SnapshotTable {
             (try f.delete(st.getPath, false) catch { case _: Exception => false }))
           deleted += 1
       }
-      // phase 3: now-empty data subdirectories
+      // phase 3: now-empty data subdirectories — a subtree holding zero
+      // FILES deletes recursively, so a fully-vacuumed hive layout
+      // (nested `<col>=<value>/` dirs) leaves no directory litter; a
+      // concurrent commit's staged dir renames in atomically WITH its
+      // files, so a file-bearing subtree can never be swept
       safeList(dataRoot).filter(_.isDirectory).foreach { d =>
-        try { if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, false) }
+        try { if (safeWalk(d.getPath).isEmpty) f.delete(d.getPath, true) }
         catch { case _: java.io.FileNotFoundException | _: RuntimeException => }
       }
     }

@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.GraftSpec
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Hive-style partition layout ([[SnapshotTable.commitPartitioned]]):
   * `<col>=<value>/` directories, manifest-recorded partition values,
@@ -121,7 +122,7 @@ class SnapshotPartitionSpec extends GraftSpec {
         Seq((2L, "y", 2L)).toDF("id", "k", "v"), "id")
     }
     // row-level rewrites: loud refusal (deleteWhere/merge), quiet None
-    // (compact/zorder — maintenance no-ops)
+    // (zorder — a maintenance no-op)
     intercept[IllegalArgumentException] {
       SnapshotTable.deleteWhere(spark, t, col("id") === 1L)
     }
@@ -130,7 +131,6 @@ class SnapshotPartitionSpec extends GraftSpec {
         Seq((1L, "x", 9L)).toDF("id", "k", "v"),
         Seq.empty[Long].toDF("id"), "id")
     }
-    assert(SnapshotTable.compact(spark, t, 8L << 20, 128L << 20).isEmpty)
     assert(SnapshotTable.rewriteZordered(spark, t, "id", "v").isEmpty)
     intercept[IllegalArgumentException] {
       SnapshotTable.dropColumn(spark, t, "k")
@@ -140,6 +140,44 @@ class SnapshotPartitionSpec extends GraftSpec {
     SnapshotTable.commit(spark, t,
       Seq((5L, "z", 5L)).toDF("id", "k", "v"), overwrite = true)
     assert(SnapshotTable.deleteWhere(spark, t, col("id") === 5L).isDefined)
+  }
+
+  test("compact packs per partition; vacuum sweeps nested partition dirs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part6-").toString
+    val t = s"$dir/tbl"
+    // a streaming-sink-shaped tail: 6 tiny appends × 2 partitions
+    (0 until 6).foreach { i =>
+      SnapshotTable.commitPartitioned(spark, t,
+        Seq((i.toLong, s"p${i % 2}", i * 10L)).toDF("id", "k", "v"), "k")
+    }
+    val before = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(before.inputFiles.length == 6)
+    assert(SnapshotTable.compact(spark, t, 8L << 20, 128L << 20).isDefined)
+    val after = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    // one packed file per partition value, still under hive directories
+    assert(after.inputFiles.length == 2,
+      s"expected 2 packed files, got ${after.inputFiles.length}")
+    assert(after.inputFiles.forall(p => p.contains("/k=p0/") ||
+      p.contains("/k=p1/")), after.inputFiles.mkString(","))
+    assert(after.orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      (0 until 6).map(i => (i.toLong, s"p${i % 2}", i * 10L)))
+    // pruning still holds on the packed layout
+    assert(scannedFiles(after.filter(col("k") === "p1")) == 1)
+    // vacuum: superseded micro-batch files AND their now-empty nested
+    // partition dirs are gone
+    SnapshotTable.vacuum(spark, t, keepVersions = 1)
+    val dataDirs = new java.io.File(s"$t/data").listFiles()
+    val fileCount = dataDirs.flatMap(d =>
+      java.nio.file.Files.walk(d.toPath).iterator().asScala
+        .filter(p => p.toFile.isFile &&
+          !p.getFileName.toString.startsWith("."))).length
+    assert(fileCount == 2, s"vacuum left $fileCount files")
+    // no empty partition-dir litter from the swept commits
+    assert(dataDirs.forall(d => d.listFiles().nonEmpty),
+      "vacuum left empty commit dirs behind")
+    assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue).count() == 6L)
   }
 
   test("time travel and change feed see partition values per version") {
