@@ -625,6 +625,15 @@ object SnapshotTable {
     commitInternal(s, tableDir, df, overwrite, None,
       partitionBy = Some(partitionBy)).get
 
+  /** [[commitPartitioned]] × [[commitIdempotent]]: the partitioned
+    * streaming-sink commit — hive layout per batch, exactly-once by
+    * per-writer watermark. See both for the contracts. */
+  def commitPartitionedIdempotent(s: SparkSession, tableDir: String,
+      df: DataFrame, partitionBy: String, txnId: String,
+      txnVersion: Long): Option[Int] =
+    commitInternal(s, tableDir, df, overwrite = false,
+      Some((txnId, txnVersion)), partitionBy = Some(partitionBy))
+
   /** Additive schema evolution: same-name columns must keep their type;
     * columns new in `next` append after the previous schema's. */
   private def mergeSchemas(prev: StructType, next: StructType): StructType = {

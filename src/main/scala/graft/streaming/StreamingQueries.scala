@@ -674,6 +674,67 @@ object StreamingQueries extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** Hive-PARTITIONED lakehouse sink: the events feed (three source
+    * versions, re-streamed from a snapshot table) lands each
+    * micro-batch in a result table partitioned by `event_type`
+    * ([[graft.sources.SnapshotTable.commitPartitionedIdempotent]] —
+    * hive directories per batch, exactly-once by checkpoint-derived
+    * writer + batch-id watermark), with in-stream maintenance every
+    * 2nd batch (per-partition compaction + vacuum) so the per-type
+    * small-file tail stays packed over an unbounded stream. The
+    * declared result re-counts per type from the FINAL table — a file
+    * filed under the wrong partition directory, a batch landed twice
+    * across the compact/vacuum cycles, or a row lost to the per-
+    * partition repack would each skew exactly one group vs the raw
+    * oracle. The production shape for event feeds: consumers prune by
+    * `event_type = v` at the directory level. */
+  def streamPartitionedSink(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_spsk_")
+    outDirs.add(root)
+    val src = root.resolve("src").toString
+    val res = root.resolve("res").toString
+    val ckpt = Files.createTempDirectory("graft_spsk_ck_")
+    val ev = graft.Tables.events(s, d).select(col("event_type"), col("user_id"))
+    (0 until 3).foreach { k =>
+      graft.sources.SnapshotTable.commit(s, src,
+        ev.filter(coalesce(pmod(col("user_id"), lit(3)), lit(0)) === k),
+        overwrite = false)
+    }
+    try {
+      val q = s.readStream
+        .format("graft.sources.SnapshotSourceProvider")
+        .option("path", src).load()
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            graft.sources.SnapshotTable.commitPartitionedIdempotent(
+              batch.sparkSession, res, batch.toDF(), "event_type",
+              txnId = graft.sources.SnapshotTable.writerIdFor(ckpt.toString),
+              txnVersion = id)
+            if (id % 2 == 1) {
+              graft.sources.SnapshotTable.compact(batch.sparkSession, res,
+                smallFileBytes = 8L << 20, targetFileBytes = 128L << 20)
+              graft.sources.SnapshotTable.vacuum(batch.sparkSession, res,
+                keepVersions = 4)
+            }
+            ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    if (graft.sources.SnapshotTable.versions(s, res).isEmpty)
+      return ev.filter(lit(false)).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+    graft.sources.SnapshotTable.readAsOf(s, res, Int.MaxValue)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** CDC-upsert lakehouse sink (the thirteenth streaming query): the
     * events feed arrives as three append versions of a source snapshot
     * table (sliced by event id — every user's events SPAN versions), is
@@ -738,6 +799,7 @@ object StreamingQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_upsert_sink" -> streamUpsertSink,
+    "stream_partitioned_sink" -> streamPartitionedSink,
     "stream_snapshot_source" -> streamSnapshotSource,
     "stream_snapshot_sink" -> streamSnapshotSink,
     "stream_dedup_gate" -> streamDedupGate,
@@ -818,6 +880,12 @@ object StreamingQueries extends QueryPack {
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // the source->sink round trip must conserve every event exactly once
     "stream_snapshot_source" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // identical closed form: the partitioned sink conserves every event
+    // exactly once through slicing, hive-partitioned landing, and the
+    // in-stream compact/vacuum cycles
+    "stream_partitioned_sink" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // identical relation to stream_tumbling — the lakehouse sink must

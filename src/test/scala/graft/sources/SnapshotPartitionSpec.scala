@@ -180,6 +180,23 @@ class SnapshotPartitionSpec extends GraftSpec {
     assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue).count() == 6L)
   }
 
+  test("the standard reader doorway serves the hive layout (partition col last)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part7-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commitPartitioned(spark, t,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v"), "k")
+    val df = spark.read.format("graft.sources.SnapshotSourceProvider")
+      .option("path", t).load()
+    // the relation doorway reports hive order: data columns, then the
+    // reconstructed partition column (Spark's own partitioned-table
+    // convention)
+    assert(df.columns.toSet == Set("id", "k", "v"))
+    assert(df.columns.last == "k")
+    assert(df.filter(col("k") === "b").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 20L)))
+  }
+
   test("time travel and change feed see partition values per version") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-part5-").toString
