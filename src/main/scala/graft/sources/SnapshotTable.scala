@@ -145,12 +145,13 @@ object SnapshotTable {
       bytes: Option[Long] = None)
 
   /** One manifest data entry: the file plus its planning metadata.
-    * `part` is the file's hive-partition value on a partitioned layout
-    * — `Some(Some(v))` a value, `Some(None)` the null partition,
-    * `None` an unpartitioned entry. */
+    * `part` is the file's hive-partition value TUPLE on a partitioned
+    * layout (one element per partition level, directory-nesting order;
+    * None elements are the null partition) — `None` overall means an
+    * unpartitioned entry. */
   private final case class FileEntry(status: FileStatus, rows: Option[Long],
       stats: Map[String, ColStat],
-      part: Option[Option[String]] = None)
+      part: Option[Seq[Option[String]]] = None)
 
   private def b64e(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
@@ -192,10 +193,11 @@ object SnapshotTable {
       constraints: Map[String, String] = Map.empty,
       dropped: Set[String] = Set.empty,
       ndv: Map[String, Seq[Long]] = Map.empty,
-      // hive-style partition column of the layout, if any: data files
-      // live under `<col>=<value>/` directories and do NOT store the
-      // column — reads reconstruct it from each entry's recorded value
-      partBy: Option[String] = None) {
+      // hive-style partition columns of the layout (directory-nesting
+      // order; empty = unpartitioned): data files live under nested
+      // `<col>=<value>/` directories and do NOT store these columns —
+      // reads reconstruct them from each entry's recorded value tuple
+      partBy: Seq[String] = Nil) {
     def paths: Seq[String] = files.map(_.takeWhile(_ != '\t'))
     def entries: Option[Seq[FileEntry]] =
       if (files.exists(!_.contains('\t'))) None
@@ -217,12 +219,16 @@ object SnapshotTable {
       rows = f.lift(2).filter(_.nonEmpty).map(_.toLong),
       stats = f.lift(3).map(_.split(";").toSeq.filter(_.nonEmpty)
         .flatMap(parseColStat).toMap).getOrElse(Map.empty),
-      // 5th field (partitioned layouts only): `P<b64 value>`, or `PN`
-      // for the null partition
+      // 5th field (partitioned layouts only): `P` + one segment per
+      // partition level joined by ',' — `N` the null partition, else
+      // the b64 value (a single-level entry is byte-identical to the
+      // original one-column format)
       part = f.lift(4).collect {
-        case "PN" => None
         case p if p.startsWith("P") =>
-          Some(new String(b64d(p.stripPrefix("P")), "UTF-8"))
+          p.stripPrefix("P").split(",", -1).toSeq.map {
+            case "N" => None
+            case b => Some(new String(b64d(b), "UTF-8"))
+          }
       })
   }
 
@@ -280,36 +286,38 @@ object SnapshotTable {
   }
 
   /** The hive-partitioned twin of [[ManifestFileIndex]]: entries carry
-    * their partition VALUE in the manifest, so `listFiles` serves one
-    * `PartitionDirectory` per value and evaluates Catalyst's
+    * their partition value TUPLE in the manifest, so `listFiles` serves
+    * one `PartitionDirectory` per tuple and evaluates Catalyst's
     * partitionFilters against it DRIVER-SIDE — a pruned partition's
     * files never reach the scan (directory-level pruning, composed
     * with the same zone-map data-skipping on `dataFilters`). On a
-    * date-partitioned 100 TB table, `WHERE day = X` plans exactly one
-    * directory's files from one manifest read. */
+    * `year=/month=/`-partitioned 100 TB table, `WHERE year = Y AND
+    * month = M` plans exactly one directory's files from one manifest
+    * read; a filter on ANY prefix or subset of the levels prunes what
+    * it can. */
   private final class PartitionedManifestFileIndex(tableRoot: HPath,
-      entries: Seq[FileEntry], partField: StructField) extends FileIndex {
+      entries: Seq[FileEntry],
+      partFields: Seq[StructField]) extends FileIndex {
     import org.apache.spark.sql.catalyst.expressions._
     override def rootPaths: Seq[HPath] = Seq(tableRoot)
-    override val partitionSchema: StructType = StructType(Seq(partField))
-    private def rowFor(v: Option[String]): InternalRow =
-      InternalRow(v.map(internalPartValue(partField.dataType, _)).orNull)
+    override val partitionSchema: StructType = StructType(partFields)
+    private def rowFor(vs: Seq[Option[String]]): InternalRow =
+      InternalRow.fromSeq(partFields.zipWithIndex.map { case (fl, i) =>
+        vs.lift(i).flatten.map(internalPartValue(fl.dataType, _)).orNull })
     override def listFiles(partitionFilters: Seq[Expression],
         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
       val pred = if (partitionFilters.isEmpty) None
         else Some(Predicate.createInterpreted(
           partitionFilters.reduce(And).transform {
-            case a: AttributeReference if a.name == partField.name =>
-              BoundReference(0, partField.dataType, partField.nullable)
+            case a: AttributeReference =>
+              val i = partFields.indexWhere(_.name == a.name)
+              BoundReference(i, partFields(i).dataType,
+                partFields(i).nullable)
           }))
-      entries.groupBy(_.part).toSeq
-        .sortBy(_._1.map(_.getOrElse("")).getOrElse(""))
+      entries.groupBy(_.part.getOrElse(Nil)).toSeq
+        .sortBy(_._1.map(_.getOrElse("")).mkString(" "))
         .flatMap { case (pv, es) =>
-          // an entry without a recorded value cannot be partition-pruned
-          // soundly — serve it under the null partition only if nothing
-          // filters (never true when a value is genuinely absent on a
-          // partitioned layout; commits always record one)
-          val row = rowFor(pv.flatten)
+          val row = rowFor(pv)
           if (!pred.forall(_.eval(row))) None
           else Some(PartitionDirectory(row,
             es.filter(e => dataFilters.forall(p =>
@@ -485,7 +493,8 @@ object SnapshotTable {
       }.toMap,
       partBy = lines.collectFirst {
         case l if l.startsWith("#partby:") =>
-          new String(b64d(l.stripPrefix("#partby:")), "UTF-8") })
+          l.stripPrefix("#partby:").split(":", -1).toSeq
+            .map(b => new String(b64d(b), "UTF-8")) }.getOrElse(Nil))
   }
 
   /** Writer ids with at least one committed transaction on this table —
@@ -563,7 +572,7 @@ object SnapshotTable {
       op: String): Unit =
     require(m.partBy.isEmpty,
       s"$op: $tableDir uses the hive partition layout " +
-        s"(by '${m.partBy.getOrElse("")}') — row-level rewrites are not " +
+        s"(by '${m.partBy.mkString(", ")}') — row-level rewrites are not " +
         "supported on it; overwrite to re-layout, or keep rewrite-heavy " +
         "tables on the zone-map-clustered flat layout")
 
@@ -622,8 +631,18 @@ object SnapshotTable {
     * fact/event feeds. */
   def commitPartitioned(s: SparkSession, tableDir: String, df: DataFrame,
       partitionBy: String, overwrite: Boolean = false): Int =
+    commitPartitionedBy(s, tableDir, df, Seq(partitionBy), overwrite)
+
+  /** Multi-level variant: `partitionBy` columns nest as
+    * `<a>=<v>/<b>=<w>/…` in the given order (the `year/month/day`
+    * feed layout); partition filters on ANY subset of the levels
+    * prune directories. */
+  def commitPartitionedBy(s: SparkSession, tableDir: String, df: DataFrame,
+      partitionBy: Seq[String], overwrite: Boolean = false): Int = {
+    require(partitionBy.nonEmpty, "commitPartitionedBy: no partition columns")
     commitInternal(s, tableDir, df, overwrite, None,
-      partitionBy = Some(partitionBy)).get
+      partitionBy = partitionBy).get
+  }
 
   /** [[commitPartitioned]] × [[commitIdempotent]]: the partitioned
     * streaming-sink commit — hive layout per batch, exactly-once by
@@ -632,7 +651,7 @@ object SnapshotTable {
       df: DataFrame, partitionBy: String, txnId: String,
       txnVersion: Long): Option[Int] =
     commitInternal(s, tableDir, df, overwrite = false,
-      Some((txnId, txnVersion)), partitionBy = Some(partitionBy))
+      Some((txnId, txnVersion)), partitionBy = Seq(partitionBy))
 
   /** Additive schema evolution: same-name columns must keep their type;
     * columns new in `next` append after the previous schema's. */
@@ -750,16 +769,16 @@ object SnapshotTable {
       es: Seq[FileEntry],
       bucket: Option[(Int, String)] = None,
       withStats: Option[Manifest] = None,
-      partBy: Option[String] = None): DataFrame = {
+      partBy: Seq[String] = Nil): DataFrame = {
     val rel = fsRelation(s, tableDir, sc, es, bucket, partBy)
     val df = catalogStats(s, tableDir, sc, es, withStats) match {
       case Some(table) =>
         org.apache.spark.sql.GraftSqlShim.ofRowsWithStats(s, rel, table)
       case None => s.baseRelationToDataFrame(rel)
     }
-    // the hive layout appends the reconstructed partition column after
+    // the hive layout appends the reconstructed partition columns after
     // the data columns — restore the recorded schema order
-    if (partBy.isDefined && df.columns.toSeq != sc.fieldNames.toSeq)
+    if (partBy.nonEmpty && df.columns.toSeq != sc.fieldNames.toSeq)
       df.select(sc.fieldNames.toIndexedSeq.map(
         org.apache.spark.sql.functions.col): _*)
     else df
@@ -769,27 +788,27 @@ object SnapshotTable {
     * hive-partitioned per the manifest's recorded layout. */
   private def fsRelation(s: SparkSession, tableDir: String, sc: StructType,
       es: Seq[FileEntry], bucket: Option[(Int, String)],
-      partBy: Option[String]): HadoopFsRelation =
-    partBy match {
-      case Some(c) =>
-        val partField = sc.fields.find(_.name == c).getOrElse(
-          throw new IllegalStateException(
-            s"partition column '$c' missing from recorded schema of $tableDir"))
-        HadoopFsRelation(
-          new PartitionedManifestFileIndex(new HPath(tableDir), es, partField),
-          partitionSchema = StructType(Seq(partField)),
-          dataSchema = StructType(sc.fields.filterNot(_.name == c)),
-          bucketSpec = None,
-          fileFormat = new ParquetFileFormat,
-          options = Map.empty)(s)
-      case None =>
-        HadoopFsRelation(
-          new ManifestFileIndex(new HPath(tableDir), es),
-          partitionSchema = StructType(Nil), dataSchema = sc,
-          bucketSpec = bucket.map { case (n, cc) =>
-            org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(cc), Nil) },
-          fileFormat = new ParquetFileFormat,
-          options = Map.empty)(s)
+      partBy: Seq[String]): HadoopFsRelation =
+    if (partBy.nonEmpty) {
+      val partFields = partBy.map(c => sc.fields.find(_.name == c).getOrElse(
+        throw new IllegalStateException(
+          s"partition column '$c' missing from recorded schema of $tableDir")))
+      HadoopFsRelation(
+        new PartitionedManifestFileIndex(new HPath(tableDir), es, partFields),
+        partitionSchema = StructType(partFields),
+        dataSchema = StructType(sc.fields.filterNot(f =>
+          partBy.contains(f.name))),
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty)(s)
+    } else {
+      HadoopFsRelation(
+        new ManifestFileIndex(new HPath(tableDir), es),
+        partitionSchema = StructType(Nil), dataSchema = sc,
+        bucketSpec = bucket.map { case (n, cc) =>
+          org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(cc), Nil) },
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty)(s)
     }
 
   /** Manifest metadata → `CatalogTable` carrying `CatalogStatistics`:
@@ -1098,7 +1117,7 @@ object SnapshotTable {
     * `_%05d` bucket-file convention so the scan can group by bucket. */
   private def writeDataDir(s: SparkSession, tableDir: String, df0: DataFrame,
       uniq: String, bucket: Option[(Int, String)] = None,
-      partitionBy: Option[String] = None)
+      partitionBy: Seq[String] = Nil)
       : (HPath, Seq[String], Map[String, Seq[Long]]) = {
     import org.apache.spark.sql.functions.col
     val f = fs(s, tableDir)
@@ -1107,14 +1126,16 @@ object SnapshotTable {
     val df = (bucket, partitionBy) match {
       case (Some((n, c)), _) =>
         df0.repartition(n, col(c)).sortWithinPartitions(col(c))
-      // cluster each partition value into one task first: the hive
-      // writer otherwise emits one file per (task × value) — file-count
+      // cluster each partition tuple into one task first: the hive
+      // writer otherwise emits one file per (task × tuple) — file-count
       // explosion at scale
-      case (None, Some(c)) => df0.repartition(col(c))
+      case (None, cols) if cols.nonEmpty =>
+        df0.repartition(cols.map(col): _*)
       case _ => df0
     }
     val writer = df.write.mode("overwrite")
-    partitionBy.fold(writer)(c => writer.partitionBy(c))
+    (if (partitionBy.isEmpty) writer
+     else writer.partitionBy(partitionBy: _*))
       .parquet(staging.toString)
     f.mkdirs(dataDir.getParent)
     require(f.rename(staging, dataDir),
@@ -1138,41 +1159,41 @@ object SnapshotTable {
             s"bucketed commit: rename failed for $name")
         }
     }
-    // flat layout lists files directly; hive layout walks the one
-    // `<col>=<value>` directory level, decoding each file's partition
-    // value from its directory name (the writer's own hive escaping)
-    val listed: Seq[(FileStatus, Option[Option[String]])] =
-      partitionBy match {
-        case None =>
-          f.listStatus(dataDir).toSeq
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-            .map(_ -> None)
-        case Some(c) =>
-          import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          f.listStatus(dataDir).toSeq
-            .filter(st => st.isDirectory &&
-              st.getPath.getName.startsWith(s"$c="))
-            .flatMap { d =>
-              val raw = d.getPath.getName.stripPrefix(s"$c=")
-              val v: Option[String] =
-                if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
-                else Some(ExternalCatalogUtils.unescapePathName(raw))
-              f.listStatus(d.getPath).toSeq
-                .filter(st => st.isFile &&
-                  st.getPath.getName.endsWith(".parquet"))
-                .map(_ -> Some(v))
-            }
-      }
+    // flat layout lists files directly; hive layout walks one
+    // `<col>=<value>` directory level PER partition column, decoding
+    // each file's partition value tuple from its directory path (the
+    // writer's own hive escaping)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def walkParts(dir: HPath, level: Int,
+        acc: List[Option[String]]): Seq[(FileStatus, Seq[Option[String]])] =
+      if (level == partitionBy.length)
+        f.listStatus(dir).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_ -> acc.reverse.toSeq)
+      else f.listStatus(dir).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"${partitionBy(level)}="))
+        .flatMap { d =>
+          val raw = d.getPath.getName.stripPrefix(s"${partitionBy(level)}=")
+          val v: Option[String] =
+            if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+            else Some(ExternalCatalogUtils.unescapePathName(raw))
+          walkParts(d.getPath, level + 1, v :: acc)
+        }
+    val listed: Seq[(FileStatus, Option[Seq[Option[String]]])] =
+      if (partitionBy.isEmpty)
+        f.listStatus(dataDir).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_ -> None)
+      else walkParts(dataDir, 0, Nil).map { case (st, vs) => st -> Some(vs) }
     val statuses = listed.map(_._1)
     val stats =
       if (statuses.isEmpty) None
       else collectFileStats(s, dataDir.toString, df.schema,
-        partitioned = partitionBy.isDefined)
+        partitioned = partitionBy.nonEmpty)
     (dataDir, listed.map { case (st, part) =>
-      val partField = part.fold("") {
-        case Some(v) => s"\tP${b64e(v)}"
-        case None => "\tPN"
-      }
+      val partField = part.fold("")(vs =>
+        "\tP" + vs.map(_.fold("N")(b64e)).mkString(","))
       stats match {
         case Some((m, _)) => m.get(st.getPath.toUri.getPath) match {
           case Some((rows, cols)) =>
@@ -1211,11 +1232,11 @@ object SnapshotTable {
       Seq[String], Map[String, String], Set[String], Map[String, Seq[Long]])
 
   /** `partByOverride`: None carries the previous manifest's partition
-    * column forward unchanged (every metadata/maintenance op);
-    * Some(x) SETS it — only data-commit paths that (re)define the
+    * columns forward unchanged (every metadata/maintenance op);
+    * Some(cols) SETS them — only data-commit paths that (re)define the
     * layout pass this. */
   private def publishNext(s: SparkSession, tableDir: String,
-      partByOverride: Option[Option[String]] = None)(
+      partByOverride: Option[Seq[String]] = None)(
       prepare: Option[Manifest] => Option[Prepared])
       : Option[Int] = {
     val f = fs(s, tableDir)
@@ -1235,12 +1256,13 @@ object SnapshotTable {
           val tmp = new HPath(cd, s".tmp-$uniq-$attempt")
           val out = f.create(tmp, true)
           val partBy = partByOverride.getOrElse(
-            prevManifest.flatMap(_.partBy))
+            prevManifest.map(_.partBy).getOrElse(Nil))
           val meta = txns.toSeq.sortBy(_._1).map { case (w, ver) =>
             s"#txnv:${b64e(w)}:$ver" } ++
             Seq(s"#schema:${schema.json}",
               s"#ts:${System.currentTimeMillis()}") ++
-            partBy.map(c => s"#partby:${b64e(c)}") ++
+            (if (partBy.isEmpty) Nil
+             else Seq(s"#partby:${partBy.map(b64e).mkString(":")}")) ++
             bucket.map { case (n, c) => s"#bucket:$n:${b64e(c)}" } ++
             dels.map(d => s"#del:$d") ++
             checks.toSeq.sortBy(_._1).map { case (n, e) =>
@@ -1262,10 +1284,14 @@ object SnapshotTable {
   private def commitInternal(s: SparkSession, tableDir: String, df: DataFrame,
       overwrite: Boolean, txn: Option[(String, Long)],
       bucket: Option[(Int, String)] = None,
-      partitionBy: Option[String] = None): Option[Int] = {
+      partitionBy: Seq[String] = Nil): Option[Int] = {
     val f = fs(s, tableDir)
     require(bucket.isEmpty || partitionBy.isEmpty,
       "a commit is bucketed OR hive-partitioned, not both")
+    require(partitionBy.distinct == partitionBy,
+      s"duplicate partition columns: ${partitionBy.mkString(",")}")
+    require(partitionBy.size < df.schema.size || partitionBy.isEmpty,
+      "at least one non-partition column is required")
     partitionBy.foreach { c =>
       val fl = df.schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -1315,9 +1341,11 @@ object SnapshotTable {
         if (!overwrite)
           prevManifest.filter(_.files.nonEmpty).foreach { m =>
             require(m.partBy == partitionBy,
-              s"append partitioned by ${partitionBy.getOrElse("(none)")} " +
+              s"append partitioned by " +
+                s"${if (partitionBy.isEmpty) "(none)" else partitionBy.mkString(",")} " +
                 s"onto a table laid out by " +
-                s"${m.partBy.getOrElse("(none)")} — overwrite to re-layout")
+                s"${if (m.partBy.isEmpty) "(none)" else m.partBy.mkString(",")} " +
+                "— overwrite to re-layout")
           }
         if (written.isEmpty)
           written = Some(writeDataDir(s, tableDir, df, uniq, bucket,
@@ -1480,14 +1508,13 @@ object SnapshotTable {
         // streaming sink's small-file tail needs (one packed file per
         // partition per sweep; only files under `smallFileBytes` are
         // selected, so output stays near the small-file mass per value)
-        val (dataDir, newFiles, _) = m0.partBy match {
-          case Some(_) => writeDataDir(s, tableDir,
+        val (dataDir, newFiles, _) =
+          if (m0.partBy.nonEmpty) writeDataDir(s, tableDir,
             relationFor(s, tableDir, storedSchema(schema0), small,
               partBy = m0.partBy), uniq, partitionBy = m0.partBy)
-          case None => writeDataDir(s, tableDir,
+          else writeDataDir(s, tableDir,
             relationFor(s, tableDir, storedSchema(schema0), small)
               .repartition(nOut), uniq)
-        }
         val compacted = small.map(_.status.getPath.toString).toSet
         beforePublishHook()
         val res = publishNext(s, tableDir) { pm =>
@@ -1536,7 +1563,7 @@ object SnapshotTable {
     val prev = versions(s, tableDir)
     if (prev.isEmpty) return None
     val m0 = readManifest(s, tableDir, prev.last)
-    if (m0.bucket.isDefined || m0.dels.nonEmpty || m0.partBy.isDefined)
+    if (m0.bucket.isDefined || m0.dels.nonEmpty || m0.partBy.nonEmpty)
       return None
     (m0.schema, m0.entries) match {
       case (Some(schema0), Some(es0)) if es0.nonEmpty =>

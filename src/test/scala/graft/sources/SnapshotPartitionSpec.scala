@@ -180,6 +180,57 @@ class SnapshotPartitionSpec extends GraftSpec {
     assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue).count() == 6L)
   }
 
+  test("multi-level partitioning: nested dirs, subset pruning, layout discipline") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part8-").toString
+    val t = s"$dir/tbl"
+    // the year/month feed layout: 2 years × 3 months × 10 rows
+    val df = (0 until 60).map { i =>
+      (i.toLong, 2023 + i % 2, (i % 3 + 1), s"v$i") }
+      .toDF("id", "year", "month", "payload")
+    SnapshotTable.commitPartitionedBy(spark, t, df, Seq("year", "month"))
+    // nested hive directories in partition order
+    val lvl1 = new java.io.File(s"$t/data").listFiles().head.listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(lvl1.toSeq == Seq("year=2023", "year=2024"))
+    val lvl2 = new java.io.File(s"$t/data").listFiles().head.listFiles()
+      .filter(_.isDirectory).head.listFiles().map(_.getName).sorted
+    assert(lvl2.toSeq == Seq("month=1", "month=2", "month=3"))
+    val back = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(back.columns.toSeq == Seq("id", "year", "month", "payload"))
+    assert(back.count() == 60L)
+    val total = back.inputFiles.length
+    assert(total == 6, s"expected 6 files (one per year×month), got $total")
+    // both-level point filter: exactly one directory's files
+    assert(scannedFiles(back.filter(col("year") === 2024 &&
+      col("month") === 2)) == 1)
+    // prefix filter (year only): half the directories
+    assert(scannedFiles(back.filter(col("year") === 2023)) == 3)
+    // NON-prefix filter (month only): still prunes to a third — value
+    // tuples are recorded per file, not resolved by directory walking
+    assert(scannedFiles(back.filter(col("month") === 3)) == 2)
+    // round trip of both reconstructed columns
+    assert(back.filter(col("id") === 7L).select("year", "month").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((2024, 2)))
+    // appends must keep the SAME multi-level layout (order included)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitPartitionedBy(spark, t,
+        Seq((99L, 2025, 1, "x")).toDF("id", "year", "month", "payload"),
+        Seq("month", "year"))
+    }
+    SnapshotTable.commitPartitionedBy(spark, t,
+      Seq((99L, 2025, 1, "x")).toDF("id", "year", "month", "payload"),
+      Seq("year", "month"))
+    assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue).count() == 61L)
+    // per-partition compaction keeps the nested scheme
+    assert(SnapshotTable.compact(spark, t, 8L << 20, 128L << 20).isDefined)
+    val packed = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(packed.count() == 61L)
+    assert(packed.inputFiles.forall(_.matches(".*/year=\\d+/month=\\d+/.*")),
+      packed.inputFiles.mkString(","))
+    assert(scannedFiles(packed.filter(col("year") === 2025)) == 1)
+  }
+
   test("the standard reader doorway serves the hive layout (partition col last)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-part7-").toString
