@@ -129,4 +129,61 @@ class SnapshotConcurrencySpec extends GraftSpec {
       assert(ids(SnapshotTable.readAsOf(spark, t, 2)) == Set(1L, 2L))
     }
   }
+
+  test("racing PARTITIONED appenders: all land, layout and values intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-race4-").toString
+    val t = s"$dir/tbl"
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = inParallel((0 until 4).map { w => () =>
+      gate.countDown(); gate.await()
+      SnapshotTable.commitPartitioned(spark, t,
+        Seq((w * 10L, s"p${w % 2}")).toDF("id", "k"), "k")
+    })
+    assert(results.sorted == List(1, 2, 3, 4))
+    val back = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((0L, "p0"), (10L, "p1"), (20L, "p0"), (30L, "p1")))
+    // every racing writer kept the hive scheme
+    assert(back.inputFiles.forall(_.matches(".*/k=p[01]/.*")))
+  }
+
+  test("a partitioned append racing a flat overwrite never corrupts layout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-race5-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commitPartitioned(spark, t,
+      Seq((1L, "a")).toDF("id", "k"), "k")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = inParallel(Seq[() => Either[Throwable, Int]](
+      () => { gate.countDown(); gate.await()
+        try Right(SnapshotTable.commitPartitioned(spark, t,
+          Seq((2L, "b")).toDF("id", "k"), "k"))
+        catch { case e: IllegalArgumentException => Left(e) } },
+      () => { gate.countDown(); gate.await()
+        Right(SnapshotTable.commit(spark, t,
+          Seq((9L, "z")).toDF("id", "k"), overwrite = true)) }
+    ))
+    // the overwrite always lands; the partitioned append either ordered
+    // BEFORE it (fine — the overwrite replaced it) or re-read the
+    // flat layout in its retry and REFUSED (fine — loud, not silent
+    // corruption). Either way the final manifest is self-consistent:
+    // its recorded layout matches its files.
+    val latest = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    val rows = latest.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    results.head match {
+      case Left(e) =>
+        assert(e.getMessage.contains("laid out"), e.getMessage)
+        assert(rows == Set((9L, "z")))
+      case Right(_) =>
+        // the append can only succeed by ordering BEFORE the overwrite
+        // (an attempt after it re-reads the flat layout and refuses), so
+        // the overwrite's state is final
+        assert(rows == Set((9L, "z")), s"unexpected state: $rows")
+    }
+    // whatever happened, a fresh read plans without error and COUNTS
+    // agree with metadata
+    assert(SnapshotTable.rowCount(spark, t, Int.MaxValue)
+      .contains(latest.count()))
+  }
 }
