@@ -93,6 +93,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the custom whole-operator surface: a conf-loaded session plans
     // AsofJoinPlan nodes without any library-side register() call
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // manifest catalog statistics for SQL-doorway snapshot reads
+    e.injectOptimizerRule(_ =>
+      org.apache.spark.sql.graft.GraftManifestStatsRule)
     // SQL-level lakehouse administration: GRAFT RESTORE / CLONE / VACUUM
     // parse to LeafRunnableCommands; everything else falls through to
     // Spark's parser untouched

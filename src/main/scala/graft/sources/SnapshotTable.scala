@@ -246,7 +246,10 @@ object SnapshotTable {
     * strictly conservative: any unknown bound, unhandled predicate
     * shape, or type mismatch keeps the file. */
   private final class ManifestFileIndex(tableRoot: HPath,
-      entries: Seq[FileEntry]) extends FileIndex {
+      entries: Seq[FileEntry],
+      override val graftCatalog: Option[
+        org.apache.spark.sql.catalyst.catalog.CatalogTable] = None)
+      extends FileIndex with ManifestCatalogCarrier {
     override def rootPaths: Seq[HPath] = Seq(tableRoot)
     override def listFiles(
         partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
@@ -261,6 +264,17 @@ object SnapshotTable {
     override def refresh(): Unit = ()
     override def sizeInBytes: Long = entries.map(_.status.getLen).sum
     override def partitionSchema: StructType = StructType(Nil)
+  }
+
+  /** Marker a manifest-backed `FileIndex` wears so the optimizer rule
+    * ([[org.apache.spark.sql.graft.GraftManifestStatsRule]]) can attach
+    * the manifest's catalog statistics to relations that reached the
+    * plan through doorways the library does not construct itself — the
+    * `CREATE TABLE ... USING` / `spark.read.format` paths, where Spark
+    * builds the `LogicalRelation` and would otherwise plan stats-blind. */
+  trait ManifestCatalogCarrier {
+    def graftCatalog: Option[
+      org.apache.spark.sql.catalyst.catalog.CatalogTable]
   }
 
   /** Partition value types the hive layout supports (directory-string
@@ -297,7 +311,10 @@ object SnapshotTable {
     * it can. */
   private final class PartitionedManifestFileIndex(tableRoot: HPath,
       entries: Seq[FileEntry],
-      partFields: Seq[StructField]) extends FileIndex {
+      partFields: Seq[StructField],
+      override val graftCatalog: Option[
+        org.apache.spark.sql.catalyst.catalog.CatalogTable] = None)
+      extends FileIndex with ManifestCatalogCarrier {
     import org.apache.spark.sql.catalyst.expressions._
     override def rootPaths: Seq[HPath] = Seq(tableRoot)
     override val partitionSchema: StructType = StructType(partFields)
@@ -770,8 +787,9 @@ object SnapshotTable {
       bucket: Option[(Int, String)] = None,
       withStats: Option[Manifest] = None,
       partBy: Seq[String] = Nil): DataFrame = {
-    val rel = fsRelation(s, tableDir, sc, es, bucket, partBy)
-    val df = catalogStats(s, tableDir, sc, es, withStats) match {
+    val cat = catalogStats(s, tableDir, sc, es, withStats)
+    val rel = fsRelation(s, tableDir, sc, es, bucket, partBy, cat)
+    val df = cat match {
       case Some(table) =>
         org.apache.spark.sql.GraftSqlShim.ofRowsWithStats(s, rel, table)
       case None => s.baseRelationToDataFrame(rel)
@@ -788,13 +806,16 @@ object SnapshotTable {
     * hive-partitioned per the manifest's recorded layout. */
   private def fsRelation(s: SparkSession, tableDir: String, sc: StructType,
       es: Seq[FileEntry], bucket: Option[(Int, String)],
-      partBy: Seq[String]): HadoopFsRelation =
+      partBy: Seq[String],
+      catalog: Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
+        None): HadoopFsRelation =
     if (partBy.nonEmpty) {
       val partFields = partBy.map(c => sc.fields.find(_.name == c).getOrElse(
         throw new IllegalStateException(
           s"partition column '$c' missing from recorded schema of $tableDir")))
       HadoopFsRelation(
-        new PartitionedManifestFileIndex(new HPath(tableDir), es, partFields),
+        new PartitionedManifestFileIndex(new HPath(tableDir), es, partFields,
+          catalog),
         partitionSchema = StructType(partFields),
         dataSchema = StructType(sc.fields.filterNot(f =>
           partBy.contains(f.name))),
@@ -803,7 +824,7 @@ object SnapshotTable {
         options = Map.empty)(s)
     } else {
       HadoopFsRelation(
-        new ManifestFileIndex(new HPath(tableDir), es),
+        new ManifestFileIndex(new HPath(tableDir), es, catalog),
         partitionSchema = StructType(Nil), dataSchema = sc,
         bucketSpec = bucket.map { case (n, cc) =>
           org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(cc), Nil) },
@@ -2309,7 +2330,12 @@ object SnapshotTable {
       s"snapshot table $tableDir has outstanding deletion vectors — the bare " +
         "relation doorway cannot subtract them; read via SnapshotTable.readAsOf " +
         "or run absorbDeletes first")
-    fsRelation(s, tableDir, sc, es, m.bucket, m.partBy)
+    // Spark builds the LogicalRelation on this path, so the manifest's
+    // catalog statistics ride the FileIndex and the injected optimizer
+    // rule attaches them; install the rule on the session idempotently
+    org.apache.spark.sql.graft.GraftManifestStatsRule.install(s)
+    fsRelation(s, tableDir, sc, es, m.bucket, m.partBy,
+      catalogStats(s, tableDir, sc, es, Some(m)))
   }
 
   /** The latest snapshot's recorded schema, if any — what a streaming

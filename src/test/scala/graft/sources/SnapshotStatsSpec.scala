@@ -97,6 +97,27 @@ class SnapshotStatsSpec extends GraftSpec {
         "proves the broadcast above came from manifest stats")
   }
 
+  test("SQL doorway (CREATE TABLE) relations carry manifest stats too") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats4-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      (1L to 80L).map(i => (i, s"u${i % 5}")).toDF("id", "tag"),
+      overwrite = false)
+    spark.sql("CREATE TABLE snap_stats_sql USING " +
+      s"`graft.sources.SnapshotSourceProvider` OPTIONS (path '$t')")
+    try {
+      val stats = spark.sql("SELECT * FROM snap_stats_sql")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(80)),
+        s"SQL-doorway rowCount ${stats.rowCount} != 80 — the optimizer " +
+          "rule did not attach manifest stats")
+      val tag = stats.attributeStats.toSeq
+        .collectFirst { case (a, st) if a.name == "tag" => st }.get
+      assert(tag.distinctCount.contains(BigInt(5)))
+    } finally spark.sql("DROP TABLE snap_stats_sql")
+  }
+
   test("subset reads (compact/dels) stay size-only: no oversold NDV") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stats3-").toString
