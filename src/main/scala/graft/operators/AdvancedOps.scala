@@ -263,14 +263,19 @@ object AdvancedOps extends QueryPack {
   /** ONE fork per parent session, not per call: `cloneSession` eagerly
     * copies SessionState and registers a listener on the shared
     * LiveListenerBus, so per-call cloning would accumulate both across
-    * repeated bench/oracle invocations. Weak keys let a stopped parent
-    * (per-suite test sessions) release its fork. */
+    * repeated bench/oracle invocations. The map holds the fork through
+    * a WeakReference — a fork strongly referencing its parent (cloned
+    * session state keeps a parent link) would otherwise pin the
+    * WeakHashMap KEY forever, defeating the weak keys. A cleared ref
+    * just rebuilds the fork (memoization is an optimization, not
+    * state). */
   private val bloomForks = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, SparkSession]())
+    new java.util.WeakHashMap[SparkSession,
+      java.lang.ref.WeakReference[SparkSession]]())
 
   private def bloomFork(s: SparkSession): SparkSession =
     bloomForks.synchronized {
-      Option(bloomForks.get(s)).getOrElse {
+      Option(bloomForks.get(s)).flatMap(r => Option(r.get)).getOrElse {
         val fork = org.apache.spark.sql.GraftSqlShim.forkSession(s)
         fork.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         fork.conf.set(
@@ -281,7 +286,7 @@ object AdvancedOps extends QueryPack {
           "100MB")
         // broadcast joins bypass the shuffle the filter exists to shrink
         fork.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        bloomForks.put(s, fork)
+        bloomForks.put(s, new java.lang.ref.WeakReference(fork))
         fork
       }
     }

@@ -187,7 +187,9 @@ object SnapshotTable {
     * (and data-skip) with ZERO per-file filesystem calls. Shorter
     * legacy entries degrade gracefully (no stats → no skipping; bare
     * path → driver-side resolution). */
-  private case class Manifest(txns: Map[String, Long], schema: Option[StructType],
+  private case class Manifest(txns: Map[String, Long],
+      legacyTxns: Set[String],
+      schema: Option[StructType],
       files: Seq[String], bucket: Option[(Int, String)] = None,
       dels: Seq[String] = Seq.empty, ts: Option[Long] = None,
       constraints: Map[String, String] = Map.empty,
@@ -471,7 +473,11 @@ object SnapshotTable {
       //    O(writers) no matter how many micro-batches ever committed)
       //  - legacy `#txn:<id>` — one line per opaque txn id, decoded as
       //    writer=<id> at version 0 (identical replay semantics: the
-      //    id either landed or it didn't)
+      //    id either landed or it didn't). Tracked SEPARATELY in
+      //    `legacyTxns` too: only genuinely-legacy ids may satisfy the
+      //    upgrade-seam composite check in [[txnLanded]] — a NEW
+      //    one-shot id that happens to spell "<writer>-<batch>" must
+      //    never mark another writer's batch as a replay.
       txns = {
         val pairs = lines.collect {
           case l if l.startsWith("#txnv:") =>
@@ -481,6 +487,8 @@ object SnapshotTable {
         }
         pairs.groupMapReduce(_._1)(_._2)(math.max)
       },
+      legacyTxns = lines.collect {
+        case l if l.startsWith("#txn:") => l.stripPrefix("#txn:") }.toSet,
       schema = lines.collectFirst {
         case l if l.startsWith("#schema:") =>
           DataType.fromJson(l.stripPrefix("#schema:")).asInstanceOf[StructType] },
@@ -547,14 +555,16 @@ object SnapshotTable {
     * format change replays its last uncommitted batch under the NEW
     * `(writer, version)` identity — recognizing the legacy composite
     * here is what keeps that replay a no-op instead of a double
-    * commit. Version 0 only: a genuine WATERMARK under a writer
-    * literally named `"$w-$v"` (version > 0) is that writer's own
-    * state, never a legacy batch marker. */
+    * commit. The check consults ONLY ids that arrived as `#txn:` lines
+    * (`legacyTxns` — manifests carry them in that form forever, see
+    * publishNext): a NEW one-shot id that merely spells
+    * `"<writer>-<batch>"` lives in the `#txnv:` namespace and can
+    * never mark another writer's batch as a replay. */
   private def txnLanded(m: Option[Manifest],
       txn: Option[(String, Long)]): Boolean =
     txn.exists { case (w, v) =>
       m.exists(mm => mm.txns.get(w).exists(_ >= v) ||
-        mm.txns.get(s"$w-$v").contains(0L))
+        mm.legacyTxns.contains(s"$w-$v"))
     }
 
   /** A sink's stable writer identity, derived from its checkpoint
@@ -567,7 +577,18 @@ object SnapshotTable {
     * replays (a fixed constant like "sink" would collide them and
     * silently skip real batches). Hashed, not the raw path: the
     * manifest line stays short for arbitrarily deep checkpoint URIs,
-    * and trailing-slash spelling differences collapse. */
+    * and trailing-slash spelling differences collapse.
+    *
+    * CONTRACT: a writer's identity must stay STABLE for the life of
+    * its checkpoint. Changing it mid-stream — renaming the checkpoint
+    * directory, or upgrading a sink that previously passed a different
+    * `txnId` (e.g. a hand-rolled constant) — orphans the old watermark:
+    * the first post-change batch would not be recognized as a replay
+    * if it had already landed under the old identity. Start such a
+    * stream from a FRESH checkpoint (and table, or an idempotent
+    * downstream) instead. The one seam handled automatically is the
+    * legacy per-batch `#txn:<writer>-<batch>` form — see
+    * [[commitIdempotent]]. */
   def writerIdFor(checkpointLocation: String): String = {
     val norm = checkpointLocation.trim.stripSuffix("/")
     val d = java.security.MessageDigest.getInstance("SHA-256")
@@ -1140,18 +1161,40 @@ object SnapshotTable {
       uniq: String, bucket: Option[(Int, String)] = None,
       partitionBy: Seq[String] = Nil)
       : (HPath, Seq[String], Map[String, Seq[Long]]) = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod, raise_error, when}
     val f = fs(s, tableDir)
     val staging = new HPath(tableDir, s".staging-$uniq")
     val dataDir = new HPath(tableDir, s"data/c-$uniq")
     val df = (bucket, partitionBy) match {
       case (Some((n, c)), _) =>
         df0.repartition(n, col(c)).sortWithinPartitions(col(c))
-      // cluster each partition tuple into one task first: the hive
-      // writer otherwise emits one file per (task × tuple) — file-count
-      // explosion at scale
       case (None, cols) if cols.nonEmpty =>
-        df0.repartition(cols.map(col): _*)
+        // the hive writer files an EMPTY STRING under the null-partition
+        // directory (the hive convention), which would read back as
+        // NULL — refuse IN the write pass (zero extra jobs) rather than
+        // silently corrupt the value
+        val guarded = cols.foldLeft(df0) { (d, c) =>
+          if (d.schema(c).dataType == org.apache.spark.sql.types.StringType)
+            d.withColumn(c, when(col(c) === lit(""), raise_error(lit(
+              s"commitPartitioned: empty-string value in partition " +
+                s"column '$c' — the hive directory form cannot represent " +
+                "it (it would read back as NULL); use NULL or a sentinel")))
+              .otherwise(col(c)))
+          else d
+        }
+        // cluster each partition tuple into one task first: the hive
+        // writer otherwise emits one file per (task × tuple) — a
+        // file-count explosion at scale. One task per tuple serializes
+        // a SKEWED value's write, so `spark.graft.partitioned
+        // .writeSpread` > 1 salts each tuple across that many tasks
+        // (file-size capping composes via Spark's own
+        // spark.sql.files.maxRecordsPerFile)
+        val spread = s.conf.get("spark.graft.partitioned.writeSpread", "1")
+          .toInt
+        val keys = cols.map(col) ++ (if (spread > 1)
+          Seq(pmod(hash(df0.columns.toIndexedSeq.map(col): _*), lit(spread)))
+        else Nil)
+        guarded.repartition(keys: _*)
       case _ => df0
     }
     val writer = df.write.mode("overwrite")
@@ -1278,7 +1321,14 @@ object SnapshotTable {
           val out = f.create(tmp, true)
           val partBy = partByOverride.getOrElse(
             prevManifest.map(_.partBy).getOrElse(Nil))
-          val meta = txns.toSeq.sortBy(_._1).map { case (w, ver) =>
+          // genuinely-legacy one-shot ids keep their own `#txn:` line
+          // form forever: re-encoding them as `#txnv:` would erase the
+          // provenance the upgrade-seam composite check keys on
+          val legacy = prevManifest.map(_.legacyTxns).getOrElse(Set.empty)
+          val meta = legacy.toSeq.sorted.map(id => s"#txn:$id") ++
+            txns.toSeq.filterNot { case (w, v) =>
+              v == 0L && legacy.contains(w) }
+            .sortBy(_._1).map { case (w, ver) =>
             s"#txnv:${b64e(w)}:$ver" } ++
             Seq(s"#schema:${schema.json}",
               s"#ts:${System.currentTimeMillis()}") ++

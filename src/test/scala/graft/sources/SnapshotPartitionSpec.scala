@@ -94,6 +94,17 @@ class SnapshotPartitionSpec extends GraftSpec {
     assert(backI.filter(col("b") >= 1).count() == 40L)
     val totI = backI.inputFiles.length
     assert(scannedFiles(backI.filter(col("b") === 2)) == totI / 3)
+    // EMPTY-STRING partition value: the hive directory form cannot
+    // represent it (it files as the null partition and would read back
+    // as NULL) — refused loudly in the write pass, nothing published
+    val te = s"$dir/e"
+    val err = intercept[Exception] {
+      SnapshotTable.commitPartitioned(spark, te,
+        Seq((1L, "")).toDF("id", "k"), "k")
+    }
+    assert(err.getMessage != null)
+    assert(SnapshotTable.versions(spark, te).isEmpty,
+      "a refused empty-string commit must publish nothing")
     // date partition round-trips through the directory string
     val td = s"$dir/d"
     SnapshotTable.commitPartitioned(spark, td,

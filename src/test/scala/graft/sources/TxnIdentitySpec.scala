@@ -80,5 +80,20 @@ class TxnIdentitySpec extends GraftSpec {
     assert(SnapshotTable.commitIdempotent(spark, t,
       Seq(5L).toDF("id"), overwrite = false, "y", 3L).isDefined)
     assert(rows(t) == Seq(1L, 3L, 4L, 5L))
+    // namespace separation: a NEW one-shot id spelling "<writer>-<batch>"
+    // lives in the #txnv: namespace — it can never mark writer "etl"'s
+    // batch 7 as a replay (only ids that arrived as legacy #txn: lines
+    // may satisfy the upgrade-seam composite)
+    assert(SnapshotTable.commitIdempotent(spark, t,
+      Seq(6L).toDF("id"), overwrite = false, "etl-7", 0L).isDefined)
+    assert(SnapshotTable.commitIdempotent(spark, t,
+      Seq(7L).toDF("id"), overwrite = false, "etl", 7L).isDefined)
+    assert(rows(t) == Seq(1L, 3L, 4L, 5L, 6L, 7L))
+    // ...while the GENUINE legacy id still protects across all the
+    // intervening commits: manifests carry #txn: lines forward in their
+    // own form, so the composite for ("gate", 2) still reads as landed
+    assert(SnapshotTable.commitIdempotent(spark, t,
+      Seq(99L).toDF("id"), overwrite = false, "gate", 2L).isEmpty)
+    assert(SnapshotTable.committedTxns(spark, t).contains("gate-2"))
   }
 }
