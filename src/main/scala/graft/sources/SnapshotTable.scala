@@ -334,7 +334,7 @@ object SnapshotTable {
                 partFields(i).nullable)
           }))
       entries.groupBy(_.part.getOrElse(Nil)).toSeq
-        .sortBy(_._1.map(_.getOrElse("")).mkString(" "))
+        .sortBy(_._1.map(_.getOrElse("")).mkString("/"))
         .flatMap { case (pv, es) =>
           val row = rowFor(pv)
           if (!pred.forall(_.eval(row))) None
@@ -1161,7 +1161,7 @@ object SnapshotTable {
       uniq: String, bucket: Option[(Int, String)] = None,
       partitionBy: Seq[String] = Nil)
       : (HPath, Seq[String], Map[String, Seq[Long]]) = {
-    import org.apache.spark.sql.functions.{col, hash, lit, pmod, raise_error, when}
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
     val f = fs(s, tableDir)
     val staging = new HPath(tableDir, s".staging-$uniq")
     val dataDir = new HPath(tableDir, s"data/c-$uniq")
@@ -1186,15 +1186,15 @@ object SnapshotTable {
         // writer otherwise emits one file per (task × tuple) — a
         // file-count explosion at scale. One task per tuple serializes
         // a SKEWED value's write, so `spark.graft.partitioned
-        // .writeSpread` > 1 salts each tuple across that many tasks
-        // (file-size capping composes via Spark's own
-        // spark.sql.files.maxRecordsPerFile)
+        // .writeSpread` = N > 1 round-robins the batch across exactly N
+        // tasks instead: every value writes with N-way parallelism at
+        // the cost of ≤ N files per value (deterministic, no
+        // hash-collision regress; file-size capping composes via
+        // Spark's own spark.sql.files.maxRecordsPerFile)
         val spread = s.conf.get("spark.graft.partitioned.writeSpread", "1")
           .toInt
-        val keys = cols.map(col) ++ (if (spread > 1)
-          Seq(pmod(hash(df0.columns.toIndexedSeq.map(col): _*), lit(spread)))
-        else Nil)
-        guarded.repartition(keys: _*)
+        if (spread > 1) guarded.repartition(spread)
+        else guarded.repartition(cols.map(col): _*)
       case _ => df0
     }
     val writer = df.write.mode("overwrite")

@@ -242,6 +242,27 @@ class SnapshotPartitionSpec extends GraftSpec {
     assert(scannedFiles(packed.filter(col("year") === 2025)) == 1)
   }
 
+  test("writeSpread salts a skewed partition across multiple files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part9-").toString
+    val t = s"$dir/tbl"
+    spark.conf.set("spark.graft.partitioned.writeSpread", "4")
+    try {
+      // one dominant partition value: without the spread this would
+      // serialize into a single task/file
+      SnapshotTable.commitPartitioned(spark, t,
+        (1L to 800L).map(i => (i, "hot")).toDF("id", "k"), "k")
+    } finally spark.conf.unset("spark.graft.partitioned.writeSpread")
+    val back = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(back.count() == 800L)
+    assert(back.inputFiles.length >= 2,
+      s"spread produced ${back.inputFiles.length} file(s)")
+    assert(back.inputFiles.forall(_.contains("/k=hot/")))
+    // pruning and values unharmed by the salt
+    assert(back.filter(col("k") === "hot").count() == 800L)
+    assert(SnapshotTable.rowCount(spark, t, Int.MaxValue).contains(800L))
+  }
+
   test("the standard reader doorway serves the hive layout (partition col last)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-part7-").toString
