@@ -263,19 +263,22 @@ object AdvancedOps extends QueryPack {
   /** ONE fork per parent session, not per call: `cloneSession` eagerly
     * copies SessionState and registers a listener on the shared
     * LiveListenerBus, so per-call cloning would accumulate both across
-    * repeated bench/oracle invocations. The map holds the fork through
-    * a WeakReference — a fork strongly referencing its parent (cloned
-    * session state keeps a parent link) would otherwise pin the
-    * WeakHashMap KEY forever, defeating the weak keys. A cleared ref
-    * just rebuilds the fork (memoization is an optimization, not
-    * state). */
-  private val bloomForks = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.lang.ref.WeakReference[SparkSession]]())
+    * repeated bench/oracle invocations. A size-capped LRU (not weak
+    * references) is the honest structure here: a weak VALUE could be
+    * collected between calls — degrading right back to per-call
+    * cloning — while a weak KEY is defeated by the fork's own parent
+    * link. The cap bounds retention to a handful of (parent, fork)
+    * pairs however many sessions a long test JVM churns through. */
+  private val bloomForks =
+    new java.util.LinkedHashMap[SparkSession, SparkSession](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, SparkSession]): Boolean =
+        size() > 4
+    }
 
   private def bloomFork(s: SparkSession): SparkSession =
     bloomForks.synchronized {
-      Option(bloomForks.get(s)).flatMap(r => Option(r.get)).getOrElse {
+      Option(bloomForks.get(s)).getOrElse {
         val fork = org.apache.spark.sql.GraftSqlShim.forkSession(s)
         fork.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         fork.conf.set(
@@ -286,7 +289,7 @@ object AdvancedOps extends QueryPack {
           "100MB")
         // broadcast joins bypass the shuffle the filter exists to shrink
         fork.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        bloomForks.put(s, new java.lang.ref.WeakReference(fork))
+        bloomForks.put(s, fork)
         fork
       }
     }

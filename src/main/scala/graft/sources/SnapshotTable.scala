@@ -279,6 +279,22 @@ object SnapshotTable {
       org.apache.spark.sql.catalyst.catalog.CatalogTable]
   }
 
+  /** Skew knob for partitioned DATA commits
+    * (`spark.graft.partitioned.writeSpread`, default 1): N > 1 salts
+    * each partition tuple across up to N write tasks. Validated here so
+    * a malformed setting fails with the conf key named, before any job
+    * runs. Compaction never reads it — a sweep must PACK. */
+  private def partitionedWriteSpread(s: SparkSession): Int = {
+    val key = "spark.graft.partitioned.writeSpread"
+    val raw = s.conf.get(key, "1").trim
+    val n = try raw.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$key must be a positive integer, got '$raw'")
+    }
+    require(n >= 1, s"$key must be >= 1, got $n")
+    n
+  }
+
   /** Partition value types the hive layout supports (directory-string
     * round-trippable without locale/zone ambiguity). */
   private def supportedPartType(dt: DataType): Boolean = dt match {
@@ -333,8 +349,11 @@ object SnapshotTable {
               BoundReference(i, partFields(i).dataType,
                 partFields(i).nullable)
           }))
+      // lexicographic on the value SEQUENCE (not a joined string, whose
+      // separator a value could contain) — deterministic directory order
       entries.groupBy(_.part.getOrElse(Nil)).toSeq
-        .sortBy(_._1.map(_.getOrElse("")).mkString("/"))
+        .sortBy(_._1.map(_.getOrElse("")))(
+          scala.math.Ordering.Implicits.seqOrdering[Seq, String])
         .flatMap { case (pv, es) =>
           val row = rowFor(pv)
           if (!pred.forall(_.eval(row))) None
@@ -559,7 +578,15 @@ object SnapshotTable {
     * (`legacyTxns` — manifests carry them in that form forever, see
     * publishNext): a NEW one-shot id that merely spells
     * `"<writer>-<batch>"` lives in the `#txnv:` namespace and can
-    * never mark another writer's batch as a replay. */
+    * never mark another writer's batch as a replay — the composite
+    * match would otherwise silently DROP that writer's batch, which is
+    * strictly worse than the duplicate it prevents. Known boundary: a
+    * table whose legacy lines were already re-encoded as
+    * `#txnv:<id>:0` by an INTERMEDIATE format (before provenance was
+    * preserved) gets no composite protection — its one exposed replay
+    * (the single last-uncommitted batch of a stream restarted across
+    * BOTH upgrades) needs a fresh checkpoint, per the [[writerIdFor]]
+    * stable-identity contract. */
   private def txnLanded(m: Option[Manifest],
       txn: Option[(String, Long)]): Boolean =
     txn.exists { case (w, v) =>
@@ -1159,9 +1186,10 @@ object SnapshotTable {
     * `_%05d` bucket-file convention so the scan can group by bucket. */
   private def writeDataDir(s: SparkSession, tableDir: String, df0: DataFrame,
       uniq: String, bucket: Option[(Int, String)] = None,
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      partSpread: Int = 1)
       : (HPath, Seq[String], Map[String, Seq[Long]]) = {
-    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod, raise_error, when}
     val f = fs(s, tableDir)
     val staging = new HPath(tableDir, s".staging-$uniq")
     val dataDir = new HPath(tableDir, s"data/c-$uniq")
@@ -1185,16 +1213,19 @@ object SnapshotTable {
         // cluster each partition tuple into one task first: the hive
         // writer otherwise emits one file per (task × tuple) — a
         // file-count explosion at scale. One task per tuple serializes
-        // a SKEWED value's write, so `spark.graft.partitioned
-        // .writeSpread` = N > 1 round-robins the batch across exactly N
-        // tasks instead: every value writes with N-way parallelism at
-        // the cost of ≤ N files per value (deterministic, no
-        // hash-collision regress; file-size capping composes via
-        // Spark's own spark.sql.files.maxRecordsPerFile)
-        val spread = s.conf.get("spark.graft.partitioned.writeSpread", "1")
-          .toInt
-        if (spread > 1) guarded.repartition(spread)
-        else guarded.repartition(cols.map(col): _*)
+        // a SKEWED value's write, so partSpread = N > 1 (data commits
+        // only — compaction always packs at spread 1) SALTS each tuple
+        // across UP TO N tasks (AQE may coalesce a small batch back —
+        // the cap matters on big ones): per-value parallelism scales to ~N
+        // while total parallelism stays values × N (never capped at N
+        // for the whole batch), at the cost of ≤ N files per value.
+        // File-size capping composes via Spark's own
+        // spark.sql.files.maxRecordsPerFile.
+        val keys = cols.map(col) ++ (if (partSpread > 1)
+          Seq(pmod(hash(df0.columns.toIndexedSeq.map(col): _*),
+            lit(partSpread)))
+        else Nil)
+        guarded.repartition(keys: _*)
       case _ => df0
     }
     val writer = df.write.mode("overwrite")
@@ -1420,7 +1451,7 @@ object SnapshotTable {
           }
         if (written.isEmpty)
           written = Some(writeDataDir(s, tableDir, df, uniq, bucket,
-            partitionBy))
+            partitionBy, partSpread = partitionedWriteSpread(s)))
         val base = if (overwrite) Seq.empty
           else prevManifest.map(_.files).getOrElse(Seq.empty)
         val schema = storedSchema(

@@ -246,13 +246,24 @@ class SnapshotPartitionSpec extends GraftSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-part9-").toString
     val t = s"$dir/tbl"
-    spark.conf.set("spark.graft.partitioned.writeSpread", "4")
+    spark.conf.set("spark.graft.partitioned.writeSpread", "8")
+    // wide shuffle so the 8 (value, salt) tuples spread over many
+    // tasks; AQE off for the assertion — on a production-sized batch
+    // it keeps the width, but it (correctly) coalesces this tiny
+    // fixture back to one partition, which is exactly the "UP TO N"
+    // semantics the knob promises
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // one dominant partition value: without the spread this would
       // serialize into a single task/file
       SnapshotTable.commitPartitioned(spark, t,
         (1L to 800L).map(i => (i, "hot")).toDF("id", "k"), "k")
-    } finally spark.conf.unset("spark.graft.partitioned.writeSpread")
+    } finally {
+      spark.conf.unset("spark.graft.partitioned.writeSpread")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
     val back = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
     assert(back.count() == 800L)
     assert(back.inputFiles.length >= 2,
@@ -261,6 +272,20 @@ class SnapshotPartitionSpec extends GraftSpec {
     // pruning and values unharmed by the salt
     assert(back.filter(col("k") === "hot").count() == 800L)
     assert(SnapshotTable.rowCount(spark, t, Int.MaxValue).contains(800L))
+    // a malformed knob fails EARLY with the conf key named
+    spark.conf.set("spark.graft.partitioned.writeSpread", "four")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        SnapshotTable.commitPartitioned(spark, t,
+          Seq((9L, "hot")).toDF("id", "k"), "k")
+      }
+      assert(err.getMessage.contains("writeSpread"), err.getMessage)
+    } finally spark.conf.unset("spark.graft.partitioned.writeSpread")
+    // compaction PACKS regardless of any session spread: one file per
+    // partition value, always
+    assert(SnapshotTable.compact(spark, t, 8L << 20, 128L << 20).isDefined)
+    assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+      .inputFiles.length == 1)
   }
 
   test("the standard reader doorway serves the hive layout (partition col last)") {
