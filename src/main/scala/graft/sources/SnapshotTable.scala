@@ -688,12 +688,15 @@ object SnapshotTable {
     * string/int/long/date — directory-string round-trippable.
     *
     * [[compact]] packs PER PARTITION (the partitioned writer keeps the
-    * directory scheme), and [[vacuum]] sweeps nested partition dirs.
-    * Row-level rewrite ops (deleteWhere/merge/Z-order) refuse the hive
-    * layout: their rewrites would emit files without partition
-    * directories. Zone-map-clustered layouts remain the right home for
-    * rewrite-heavy tables; hive partitioning targets append-mostly
-    * fact/event feeds. */
+    * directory scheme), [[vacuum]] sweeps nested partition dirs, and
+    * [[deleteWhere]]/[[absorbDeletes]] work unchanged — deletion
+    * vectors key on (file, position), layout-agnostic, and the absorb
+    * rewrite re-lands affected files under their hive directories.
+    * Key-rewrite ops (merge/Z-order) still refuse the hive layout;
+    * zone-map-clustered layouts remain the right home for merge-heavy
+    * tables, while hive partitioning targets append-mostly fact/event
+    * feeds (with row-level deletes available for retention/PII
+    * erasure). */
   def commitPartitioned(s: SparkSession, tableDir: String, df: DataFrame,
       partitionBy: String, overwrite: Boolean = false): Int =
     commitPartitionedBy(s, tableDir, df, Seq(partitionBy), overwrite)
@@ -1001,10 +1004,14 @@ object SnapshotTable {
       val prev = versions(s, tableDir)
       require(prev.nonEmpty, s"deleteWhere: no published version in $tableDir")
       val m0 = readManifest(s, tableDir, prev.last)
-      requireUnpartitioned(m0, tableDir, "deleteWhere")
       (m0.schema, m0.entries) match {
         case (Some(sc0), Some(es0)) if es0.nonEmpty =>
-          val base = relationFor(s, tableDir, storedSchema(sc0), es0, m0.bucket)
+          // layout-agnostic: deletion vectors key on (file, position),
+          // so merge-on-read deletes work unchanged on hive-partitioned
+          // tables (the GDPR-delete-on-an-event-feed case) — no data
+          // file is touched, and the layout survives by construction
+          val base = relationFor(s, tableDir, storedSchema(sc0), es0,
+            m0.bucket, partBy = m0.partBy)
           val withMeta = base.select(
             col("_metadata.file_path").as("__path"),
             col("_metadata.row_index").as("__pos"), col("*"))
@@ -1034,6 +1041,9 @@ object SnapshotTable {
               else return res
           }
         case _ =>
+          // an EMPTY partitioned snapshot has nothing to delete — and
+          // the flat copy-on-write below would silently drop its layout
+          if (m0.partBy.nonEmpty) return None
           // legacy manifest (or empty snapshot): copy-on-write fallback —
           // keep rows where the predicate is FALSE or NULL (SQL DELETE
           // WHERE semantics: only provably-true rows go)
@@ -1112,9 +1122,13 @@ object SnapshotTable {
     val (affected, carried) = es0.partition(e =>
       affectedPaths.contains(e.status.getPath.toUri.getPath))
     val uniq = java.util.UUID.randomUUID.toString.take(8)
+    // the rewrite keeps the table's layout: a partitioned table's
+    // affected files re-land under their hive directories (the new
+    // entries carry fresh partition values)
     val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
-      applyDels(s, tableDir, relationFor(s, tableDir, sc0, affected), m0),
-      uniq)
+      applyDels(s, tableDir,
+        relationFor(s, tableDir, sc0, affected, partBy = m0.partBy), m0),
+      uniq, partitionBy = m0.partBy)
     val carriedPaths = carried.map(_.status.getPath.toString).toSet
     beforePublishHook()
     val res = publishNext(s, tableDir) { pm =>

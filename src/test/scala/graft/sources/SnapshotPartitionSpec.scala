@@ -132,11 +132,8 @@ class SnapshotPartitionSpec extends GraftSpec {
       SnapshotTable.commitPartitioned(spark, t,
         Seq((2L, "y", 2L)).toDF("id", "k", "v"), "id")
     }
-    // row-level rewrites: loud refusal (deleteWhere/merge), quiet None
-    // (zorder — a maintenance no-op)
-    intercept[IllegalArgumentException] {
-      SnapshotTable.deleteWhere(spark, t, col("id") === 1L)
-    }
+    // KEY-rewrite ops: loud refusal (merge), quiet None (zorder — a
+    // maintenance no-op); deletes are layout-agnostic and allowed
     intercept[IllegalArgumentException] {
       SnapshotTable.merge(spark, t,
         Seq((1L, "x", 9L)).toDF("id", "k", "v"),
@@ -146,11 +143,48 @@ class SnapshotPartitionSpec extends GraftSpec {
     intercept[IllegalArgumentException] {
       SnapshotTable.dropColumn(spark, t, "k")
     }
-    // an overwrite may re-layout (hive -> flat), after which rewrites
-    // work again
+    // an overwrite may re-layout (hive -> flat), after which key
+    // rewrites work again
     SnapshotTable.commit(spark, t,
       Seq((5L, "z", 5L)).toDF("id", "k", "v"), overwrite = true)
-    assert(SnapshotTable.deleteWhere(spark, t, col("id") === 5L).isDefined)
+    assert(SnapshotTable.merge(spark, t,
+      Seq((5L, "z", 6L)).toDF("id", "k", "v"),
+      Seq.empty[Long].toDF("id"), "id") > 0)
+  }
+
+  test("merge-on-read deletes and absorb keep the hive layout intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-partA-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commitPartitioned(spark, t,
+      (1L to 40L).map(i => (i, s"p${i % 2}", i * 2L)).toDF("id", "k", "v"),
+      "k")
+    // PII-style delete across BOTH partitions: metadata-only vectors,
+    // no data file rewritten, layout untouched
+    assert(SnapshotTable.deleteWhere(spark, t,
+      col("id") % 10 === 0L).isDefined)
+    val live = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(live.count() == 36L)
+    assert(live.filter(col("id") % 10 === 0L).count() == 0L)
+    // count stays metadata-exact under vectors; bounds degrade
+    assert(SnapshotTable.rowCount(spark, t, Int.MaxValue).contains(36L))
+    // partition pruning still applies to the del-subtracted read (all
+    // deleted ids are even = partition p0; p1 is untouched)
+    assert(live.filter(col("k") === "p0").count() == 16L)
+    assert(live.filter(col("k") === "p1").count() == 20L)
+    // absorb rewrites only the affected files, back under hive dirs
+    assert(SnapshotTable.absorbDeletes(spark, t).isDefined)
+    val absorbed = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(absorbed.count() == 36L)
+    assert(absorbed.inputFiles.forall(_.matches(".*/k=p[01]/.*")),
+      absorbed.inputFiles.mkString(","))
+    assert(absorbed.filter(col("k") === "p0").collect()
+      .map(_.getLong(0)).toSet == (1L to 40L)
+        .filter(i => i % 2 == 0 && i % 10 != 0).toSet)
+    // post-absorb: metaAgg fully eligible again on the hive layout
+    val ma = SnapshotTable.metaAgg(spark, t)
+      .filter(col("column") === "id").head()
+    assert(ma.getAs[Long]("n_rows") == 36L && ma.getAs[Boolean]("bounds_exact"))
   }
 
   test("compact packs per partition; vacuum sweeps nested partition dirs") {
