@@ -2061,7 +2061,24 @@ object SnapshotTable {
       // whose conflicting commit WAS this txn (zombie writer) re-reads
       // and lands here
       if (txnLanded(m0opt, txn)) return None
-      m0opt.foreach(requireUnpartitioned(_, tableDir, "merge"))
+      // a hive-partitioned table merges ONLY through the selective path
+      // (it rewrites per-file and re-lands under the hive dirs); the
+      // full-rewrite fallback would flatten the layout, so the
+      // conditions that route there refuse loudly instead
+      m0opt.filter(_.partBy.nonEmpty).foreach { m0 =>
+        val selectiveEligible = (m0.schema, m0.entries) match {
+          case (Some(sc0), Some(es0)) =>
+            m0.bucket.isEmpty && m0.dels.isEmpty && es0.nonEmpty &&
+              upserts.columns.sorted.sameElements(sc0.fieldNames.sorted)
+          case _ => false
+        }
+        require(selectiveEligible,
+          s"merge: $tableDir uses the hive partition layout — merging " +
+            "needs the selective path (upserts covering the full schema, " +
+            "no outstanding deletion vectors, a non-empty snapshot); " +
+            "absorbDeletes / align the upsert columns, or overwrite to " +
+            "re-layout")
+      }
       val sel = m0opt match {
         case Some(m0) =>
           (m0.schema, m0.entries) match {
@@ -2161,6 +2178,10 @@ object SnapshotTable {
     val f = fs(s, tableDir)
     val prev = versions(s, tableDir)
     val m0 = prev.lastOption.map(readManifest(s, tableDir, _))
+    // belt and braces: mergeInternal routes partitioned tables to the
+    // selective path or refuses — a flat full rewrite would shear the
+    // hive layout
+    m0.foreach(requireUnpartitioned(_, tableDir, "merge (full rewrite)"))
     // merging into a fresh (or empty-snapshot) table: the current state
     // is the empty relation in the upserts' schema
     val cur0 =
@@ -2213,7 +2234,7 @@ object SnapshotTable {
     // only the candidate files, making a small merge metadata-bound end
     // to end. Larger sets fall back to the keyed semi-join (identical
     // EqualTo semantics either way, nulls never match in both forms).
-    val keyScan = relationFor(s, tableDir, sc0, es0)
+    val keyScan = relationFor(s, tableDir, sc0, es0, partBy = m0.partBy)
       .select(input_file_name().as("__f"), col(key))
     val smallSet = touched.limit(1025).collect().map(_.get(0))
     val matched =
@@ -2232,14 +2253,18 @@ object SnapshotTable {
     val base =
       if (affected.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc0)
-      else relationFor(s, tableDir, sc0, affected)
+      else relationFor(s, tableDir, sc0, affected, partBy = m0.partBy)
     val kept = base
       .join(upserts.select(col(key)).distinct(), Seq(key), "left_anti")
       .join(deleteKeys.select(col(key)).distinct(), Seq(key), "left_anti")
     val uniq = java.util.UUID.randomUUID.toString.take(8)
+    // a hive-partitioned table's rewrite re-lands under its directories
+    // (an upsert that CHANGES a row's partition value migrates it to
+    // the new value's dir naturally — the writer re-clusters by value)
     val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
       kept.unionByName(upserts, allowMissingColumns = true)
-        .select(sc0.fieldNames.map(col).toSeq: _*), uniq)
+        .select(sc0.fieldNames.map(col).toSeq: _*), uniq,
+      partitionBy = m0.partBy)
     val carriedPaths = carried.map(_.status.getPath.toString).toSet
     beforePublishHook()
     val res = publishNext(s, tableDir) { pm =>

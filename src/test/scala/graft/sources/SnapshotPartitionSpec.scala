@@ -132,11 +132,12 @@ class SnapshotPartitionSpec extends GraftSpec {
       SnapshotTable.commitPartitioned(spark, t,
         Seq((2L, "y", 2L)).toDF("id", "k", "v"), "id")
     }
-    // KEY-rewrite ops: loud refusal (merge), quiet None (zorder — a
-    // maintenance no-op); deletes are layout-agnostic and allowed
+    // merge routes through the selective path on the hive layout; the
+    // full-rewrite fallback (here: upserts missing a column) refuses
+    // loudly instead of flattening the directories
     intercept[IllegalArgumentException] {
       SnapshotTable.merge(spark, t,
-        Seq((1L, "x", 9L)).toDF("id", "k", "v"),
+        Seq((1L, 9L)).toDF("id", "v"),
         Seq.empty[Long].toDF("id"), "id")
     }
     assert(SnapshotTable.rewriteZordered(spark, t, "id", "v").isEmpty)
@@ -150,6 +151,40 @@ class SnapshotPartitionSpec extends GraftSpec {
     assert(SnapshotTable.merge(spark, t,
       Seq((5L, "z", 6L)).toDF("id", "k", "v"),
       Seq.empty[Long].toDF("id"), "id") > 0)
+  }
+
+  test("selective merge keeps the hive layout; rows migrate partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-partB-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commitPartitioned(spark, t,
+      (1L to 20L).map(i => (i, s"p${i % 2}", i * 2L)).toDF("id", "k", "v"),
+      "k")
+    // upsert: update id=4 in place, MOVE id=5 from p1 to p0, insert
+    // id=21 into p1; delete id=6
+    val v = SnapshotTable.merge(spark, t,
+      Seq((4L, "p0", 999L), (5L, "p0", 555L), (21L, "p1", 42L))
+        .toDF("id", "k", "v"),
+      Seq(6L).toDF("id"), "id")
+    assert(v == 2)
+    val m = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(m.count() == 20L) // 20 - 1 delete + 1 insert
+    assert(m.filter(col("id") === 4L).select("v").head().getLong(0) == 999L)
+    assert(m.filter(col("id") === 5L).select("k").head().getString(0) == "p0")
+    assert(m.filter(col("id") === 6L).count() == 0L)
+    assert(m.filter(col("id") === 21L).select("k").head().getString(0) == "p1")
+    // every file still lives under a hive directory, and directory
+    // pruning still matches the merged truth
+    assert(m.inputFiles.forall(_.matches(".*/k=p[01]/.*")),
+      m.inputFiles.mkString(","))
+    assert(m.filter(col("k") === "p0").count() ==
+      m.collect().count(_.getString(1) == "p0"))
+    // CDC composition: mergeLatest (order-proof upsert) also works
+    assert(SnapshotTable.mergeLatest(spark, t,
+      Seq((4L, "p0", 1000L)).toDF("id", "k", "v"), "id",
+      orderCols = Seq("v")).isDefined)
+    assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+      .filter(col("id") === 4L).select("v").head().getLong(0) == 1000L)
   }
 
   test("merge-on-read deletes and absorb keep the hive layout intact") {
