@@ -629,10 +629,11 @@ object SnapshotTable {
     txn.fold(prev) { case (w, v) =>
       prev + (w -> prev.get(w).map(math.max(_, v)).getOrElse(v)) }
 
-  /** Row-level rewrite ops refuse the hive-partition layout: their
-    * rewrites emit flat files, which would shear the directory scheme
-    * (and the manifest's recorded partition values) out from under
-    * readers. See [[commitPartitioned]]. */
+  /** FLAT-rewrite paths refuse the hive-partition layout: they emit
+    * files outside the directory scheme (and without recorded
+    * partition values), shearing it out from under readers. Deletes,
+    * selective merges, and per-partition compaction have
+    * layout-preserving routes instead — see [[commitPartitioned]]. */
   private def requireUnpartitioned(m: Manifest, tableDir: String,
       op: String): Unit =
     require(m.partBy.isEmpty,
@@ -688,15 +689,18 @@ object SnapshotTable {
     * string/int/long/date — directory-string round-trippable.
     *
     * [[compact]] packs PER PARTITION (the partitioned writer keeps the
-    * directory scheme), [[vacuum]] sweeps nested partition dirs, and
-    * [[deleteWhere]]/[[absorbDeletes]] work unchanged — deletion
-    * vectors key on (file, position), layout-agnostic, and the absorb
-    * rewrite re-lands affected files under their hive directories.
-    * Key-rewrite ops (merge/Z-order) still refuse the hive layout;
-    * zone-map-clustered layouts remain the right home for merge-heavy
-    * tables, while hive partitioning targets append-mostly fact/event
-    * feeds (with row-level deletes available for retention/PII
-    * erasure). */
+    * directory scheme), [[vacuum]] sweeps nested partition dirs,
+    * [[deleteWhere]]/[[absorbDeletes]] work unchanged (deletion
+    * vectors key on (file, position), layout-agnostic; the absorb
+    * rewrite re-lands affected files under their hive directories),
+    * and [[merge]]/[[mergeLatest]] run through the SELECTIVE path —
+    * affected files rewritten in place, an upsert that changes a row's
+    * partition value migrates it naturally. Interactions to know:
+    * a merge with OUTSTANDING deletion vectors refuses (run
+    * absorbDeletes first — the flat table's full-rewrite tolerance
+    * would flatten this layout), as does a merge whose upserts do not
+    * cover the full schema; [[rewriteZordered]] declines with None
+    * (a maintenance no-op, like compact on a bucketed table). */
   def commitPartitioned(s: SparkSession, tableDir: String, df: DataFrame,
       partitionBy: String, overwrite: Boolean = false): Int =
     commitPartitionedBy(s, tableDir, df, Seq(partitionBy), overwrite)
@@ -1046,9 +1050,12 @@ object SnapshotTable {
           if (m0.partBy.nonEmpty) return None
           // legacy manifest (or empty snapshot): copy-on-write fallback —
           // keep rows where the predicate is FALSE or NULL (SQL DELETE
-          // WHERE semantics: only provably-true rows go)
+          // WHERE semantics: only provably-true rows go). The contract
+          // holds here too: nothing matched → None, NO version published
+          // (and no pointless full-table rewrite)
           val cur = readAsOf(s, tableDir, Int.MaxValue)
           if (cur.columns.isEmpty) return None
+          if (cur.filter(coalesce(predicate, lit(false))).isEmpty) return None
           return Some(commit(s, tableDir,
             cur.filter(!coalesce(predicate, lit(false))), overwrite = true))
       }
@@ -2061,35 +2068,31 @@ object SnapshotTable {
       // whose conflicting commit WAS this txn (zombie writer) re-reads
       // and lands here
       if (txnLanded(m0opt, txn)) return None
-      // a hive-partitioned table merges ONLY through the selective path
-      // (it rewrites per-file and re-lands under the hive dirs); the
-      // full-rewrite fallback would flatten the layout, so the
-      // conditions that route there refuse loudly instead
-      m0opt.filter(_.partBy.nonEmpty).foreach { m0 =>
-        val selectiveEligible = (m0.schema, m0.entries) match {
-          case (Some(sc0), Some(es0)) =>
-            m0.bucket.isEmpty && m0.dels.isEmpty && es0.nonEmpty &&
-              upserts.columns.sorted.sameElements(sc0.fieldNames.sorted)
-          case _ => false
-        }
-        require(selectiveEligible,
-          s"merge: $tableDir uses the hive partition layout — merging " +
-            "needs the selective path (upserts covering the full schema, " +
-            "no outstanding deletion vectors, a non-empty snapshot); " +
-            "absorbDeletes / align the upsert columns, or overwrite to " +
-            "re-layout")
-      }
       val sel = m0opt match {
         case Some(m0) =>
           (m0.schema, m0.entries) match {
             // outstanding deletion vectors route to the full rewrite
-            // (readAsOf applies them; the overwrite retires them)
+            // (readAsOf applies them; the overwrite retires them). A
+            // hive-partitioned table takes the selective path even when
+            // EMPTY (merge can bootstrap it — the rewrite re-lands
+            // under hive dirs either way); a flat empty table keeps the
+            // cheaper full path.
             case (Some(sc0), Some(es0)) if m0.bucket.isEmpty && m0.dels.isEmpty &&
-                es0.nonEmpty &&
+                (es0.nonEmpty || m0.partBy.nonEmpty) &&
                 upserts.columns.sorted.sameElements(sc0.fieldNames.sorted) =>
               mergeSelective(s, tableDir, m0, storedSchema(sc0), es0,
                 upserts, deleteKeys, key, txn)
-            case _ => mergeFull(s, tableDir, upserts, deleteKeys, key, txn)
+            case _ =>
+              // the full-rewrite fallback would FLATTEN a hive layout —
+              // refuse loudly (one site: exactly the conditions that did
+              // not route selective above)
+              require(m0.partBy.isEmpty,
+                s"merge: $tableDir uses the hive partition layout — " +
+                  "merging needs the selective path (upserts covering " +
+                  "the full schema, no outstanding deletion vectors); " +
+                  "run absorbDeletes / align the upsert columns, or " +
+                  "overwrite to re-layout")
+              mergeFull(s, tableDir, upserts, deleteKeys, key, txn)
           }
         case None => mergeFull(s, tableDir, upserts, deleteKeys, key, txn)
       }

@@ -185,6 +185,35 @@ class SnapshotPartitionSpec extends GraftSpec {
       orderCols = Seq("v")).isDefined)
     assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue)
       .filter(col("id") === 4L).select("v").head().getLong(0) == 1000L)
+    // deleting EVERY row must not wedge the table: a later merge
+    // bootstraps the empty partitioned snapshot through the same
+    // selective path
+    assert(SnapshotTable.merge(spark, t,
+      spark.emptyDataset[(Long, String, Long)].toDF("id", "k", "v"),
+      SnapshotTable.readAsOf(spark, t, Int.MaxValue).select("id"),
+      "id") > 0)
+    assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue).count() == 0L)
+    assert(SnapshotTable.merge(spark, t,
+      Seq((1L, "p0", 7L)).toDF("id", "k", "v"),
+      Seq.empty[Long].toDF("id"), "id") > 0)
+    val reborn = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(reborn.count() == 1L)
+    assert(reborn.inputFiles.forall(_.contains("/k=p0/")))
+    // a merge with OUTSTANDING deletion vectors refuses loudly (the
+    // flat table's full-rewrite tolerance would flatten this layout)
+    SnapshotTable.commitPartitioned(spark, t,
+      Seq((2L, "p1", 8L)).toDF("id", "k", "v"), "k")
+    assert(SnapshotTable.deleteWhere(spark, t, col("id") === 1L).isDefined)
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, t,
+        Seq((3L, "p0", 9L)).toDF("id", "k", "v"),
+        Seq.empty[Long].toDF("id"), "id")
+    }
+    assert(err.getMessage.contains("absorbDeletes"), err.getMessage)
+    SnapshotTable.absorbDeletes(spark, t)
+    assert(SnapshotTable.merge(spark, t,
+      Seq((3L, "p0", 9L)).toDF("id", "k", "v"),
+      Seq.empty[Long].toDF("id"), "id") > 0)
   }
 
   test("merge-on-read deletes and absorb keep the hive layout intact") {
