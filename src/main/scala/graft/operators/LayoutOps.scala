@@ -79,6 +79,21 @@ object LayoutOps extends QueryPack {
     zCluster(df, xCol, yCol, nFiles)
       .write.mode("overwrite").parquet(outDir)
 
+  /** Morton clustering WITHIN hive partitions: range-partition by
+    * (partition columns, z) so every output stripe is one partition
+    * value's contiguous z-run — the time-partitioned + z-clustered
+    * production layout (prune the day by directory, then the key box
+    * by zone maps inside it). */
+  def zClusterWithin(df: DataFrame, partCols: Seq[String],
+      xCol: String, yCol: String, nFiles: Int): DataFrame = {
+    require(nFiles > 0, s"zClusterWithin: nFiles must be positive, got $nFiles")
+    val keys = partCols.map(col) :+ col("__graft_z")
+    df.withColumn("__graft_z", zvalue(col(xCol), col(yCol)))
+      .repartitionByRange(nFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop("__graft_z")
+  }
+
   /** Declared query: the Morton grid aggregated to 256-cell resolution
     * (drop the low 4 interleaved bit-pairs) over lineitem's
     * (l_partkey, l_suppkey) — per cell: row count and the bounding box of

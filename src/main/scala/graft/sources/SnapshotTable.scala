@@ -699,8 +699,10 @@ object SnapshotTable {
     * a merge with OUTSTANDING deletion vectors refuses (run
     * absorbDeletes first — the flat table's full-rewrite tolerance
     * would flatten this layout), as does a merge whose upserts do not
-    * cover the full schema; [[rewriteZordered]] declines with None
-    * (a maintenance no-op, like compact on a bucketed table). */
+    * cover the full schema. [[rewriteZordered]] clusters WITHIN
+    * partitions (prune the directory first, then the key box by zone
+    * maps inside it); it declines with None only when a Z dimension IS
+    * the partition column (constant within any directory). */
   def commitPartitioned(s: SparkSession, tableDir: String, df: DataFrame,
       partitionBy: String, overwrite: Boolean = false): Int =
     commitPartitionedBy(s, tableDir, df, Seq(partitionBy), overwrite)
@@ -1205,10 +1207,14 @@ object SnapshotTable {
     * both are `pmod(murmur3(key), n)`), sorted within each bucket, and
     * each output file is renamed to carry its bucket id in Spark's
     * `_%05d` bucket-file convention so the scan can group by bucket. */
+  /** `preShaped`: the caller already laid the rows out (a per-partition
+    * Z-order rewrite range-partitions by (partition cols, z)) — skip
+    * the hive-writer clustering repartition that would destroy it. */
   private def writeDataDir(s: SparkSession, tableDir: String, df0: DataFrame,
       uniq: String, bucket: Option[(Int, String)] = None,
       partitionBy: Seq[String] = Nil,
-      partSpread: Int = 1)
+      partSpread: Int = 1,
+      preShaped: Boolean = false)
       : (HPath, Seq[String], Map[String, Seq[Long]]) = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod, raise_error, when}
     val f = fs(s, tableDir)
@@ -1242,11 +1248,14 @@ object SnapshotTable {
         // for the whole batch), at the cost of ≤ N files per value.
         // File-size capping composes via Spark's own
         // spark.sql.files.maxRecordsPerFile.
-        val keys = cols.map(col) ++ (if (partSpread > 1)
-          Seq(pmod(hash(df0.columns.toIndexedSeq.map(col): _*),
-            lit(partSpread)))
-        else Nil)
-        guarded.repartition(keys: _*)
+        if (preShaped) guarded
+        else {
+          val keys = cols.map(col) ++ (if (partSpread > 1)
+            Seq(pmod(hash(df0.columns.toIndexedSeq.map(col): _*),
+              lit(partSpread)))
+          else Nil)
+          guarded.repartition(keys: _*)
+        }
       case _ => df0
     }
     val writer = df.write.mode("overwrite")
@@ -1686,8 +1695,11 @@ object SnapshotTable {
     val prev = versions(s, tableDir)
     if (prev.isEmpty) return None
     val m0 = readManifest(s, tableDir, prev.last)
-    if (m0.bucket.isDefined || m0.dels.nonEmpty || m0.partBy.nonEmpty)
-      return None
+    if (m0.bucket.isDefined || m0.dels.nonEmpty) return None
+    // a partition column cannot also be a Z-order dimension: within any
+    // one directory it is constant, so the curve would degenerate to a
+    // plain sort on the other column
+    if (m0.partBy.contains(colA) || m0.partBy.contains(colB)) return None
     (m0.schema, m0.entries) match {
       case (Some(schema0), Some(es0)) if es0.nonEmpty =>
         val n =
@@ -1697,10 +1709,19 @@ object SnapshotTable {
         val all = es0.map(_.status.getPath.toString).toSet
         val f = fs(s, tableDir)
         val uniq = java.util.UUID.randomUUID.toString.take(8)
-        val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
-          graft.operators.LayoutOps.zCluster(
+        // hive layout: cluster WITHIN partitions (range by
+        // (partition cols, z) — each output stripe is one value's
+        // contiguous z-run) and hand the pre-shaped frame to the
+        // partitioned writer untouched
+        val clustered =
+          if (m0.partBy.nonEmpty) graft.operators.LayoutOps.zClusterWithin(
+            relationFor(s, tableDir, storedSchema(schema0), es0,
+              partBy = m0.partBy), m0.partBy, colA, colB, n)
+          else graft.operators.LayoutOps.zCluster(
             relationFor(s, tableDir, storedSchema(schema0), es0),
-            colA, colB, n), uniq)
+            colA, colB, n)
+        val (dataDir, newFiles, _) = writeDataDir(s, tableDir, clustered,
+          uniq, partitionBy = m0.partBy, preShaped = true)
         beforePublishHook()
         val res = publishNext(s, tableDir) { pm =>
           pm.flatMap { m =>

@@ -140,7 +140,12 @@ class SnapshotPartitionSpec extends GraftSpec {
         Seq((1L, 9L)).toDF("id", "v"),
         Seq.empty[Long].toDF("id"), "id")
     }
-    assert(SnapshotTable.rewriteZordered(spark, t, "id", "v").isEmpty)
+    // Z-order works WITHIN partitions; it declines only when a Z
+    // dimension is the partition column itself (constant per directory)
+    assert(SnapshotTable.rewriteZordered(spark, t, "id", "v").isDefined)
+    assert(SnapshotTable.rewriteZordered(spark, t, "k", "v").isEmpty)
+    assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+      .inputFiles.forall(_.contains("/k=")))
     intercept[IllegalArgumentException] {
       SnapshotTable.dropColumn(spark, t, "k")
     }
@@ -214,6 +219,36 @@ class SnapshotPartitionSpec extends GraftSpec {
     assert(SnapshotTable.merge(spark, t,
       Seq((3L, "p0", 9L)).toDF("id", "k", "v"),
       Seq.empty[Long].toDF("id"), "id") > 0)
+  }
+
+  test("Z-order within partitions: directory pruning then zone-map boxes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-partC-").toString
+    val t = s"$dir/tbl"
+    // 2 partitions × a 32×32 (x, y) grid each, committed range-ordered
+    // by x so pre-Z zone maps are blind to y
+    val rows = for (p <- 0 until 2; x <- 0L until 32L; y <- 0L until 32L)
+      yield (s"p$p", x, y)
+    SnapshotTable.commitPartitioned(spark, t,
+      rows.toDF("part", "x", "y"), "part")
+    assert(SnapshotTable.rewriteZordered(spark, t, "x", "y",
+      nFiles = 16).isDefined)
+    val z = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(z.count() == 2048L)
+    // the rewrite stayed inside the hive directories, several files per
+    // partition (z-stripes)
+    assert(z.inputFiles.forall(_.matches(".*/part=p[01]/.*")),
+      z.inputFiles.mkString(","))
+    val perPart = z.inputFiles.count(_.contains("/part=p0/"))
+    assert(perPart >= 4, s"expected z-stripes, got $perPart files in p0")
+    // a 2-D box INSIDE one partition: directory pruning drops the other
+    // partition, zone maps drop most z-stripes within this one
+    val box = z.filter(col("part") === "p0" &&
+      col("x") >= 4L && col("x") < 8L && col("y") >= 4L && col("y") < 8L)
+    assert(box.count() == 16L)
+    val scanned = scannedFiles(box)
+    assert(scanned <= perPart / 2,
+      s"z-within-partition scan read $scanned of $perPart p0 files")
   }
 
   test("merge-on-read deletes and absorb keep the hive layout intact") {
