@@ -66,13 +66,8 @@ object LayoutOps extends QueryPack {
     * discipline cannot drift between the plain-parquet and
     * snapshot-table paths. */
   def zCluster(df: DataFrame, xCol: String, yCol: String,
-      nFiles: Int): DataFrame = {
-    require(nFiles > 0, s"zCluster: nFiles must be positive, got $nFiles")
-    df.withColumn("__graft_z", zvalue(col(xCol), col(yCol)))
-      .repartitionByRange(nFiles, col("__graft_z"))
-      .sortWithinPartitions(col("__graft_z"))
-      .drop("__graft_z")
-  }
+      nFiles: Int): DataFrame =
+    zClusterWithin(df, Nil, xCol, yCol, nFiles)
 
   def zorderWrite(df: DataFrame, xCol: String, yCol: String,
       outDir: String, nFiles: Int): Unit =
@@ -83,7 +78,9 @@ object LayoutOps extends QueryPack {
     * (partition columns, z) so every output stripe is one partition
     * value's contiguous z-run — the time-partitioned + z-clustered
     * production layout (prune the day by directory, then the key box
-    * by zone maps inside it). */
+    * by zone maps inside it). [[zCluster]] is the empty-partCols case
+    * — ONE pipeline definition, so the flat and partitioned write
+    * disciplines cannot drift. */
   def zClusterWithin(df: DataFrame, partCols: Seq[String],
       xCol: String, yCol: String, nFiles: Int): DataFrame = {
     require(nFiles > 0, s"zClusterWithin: nFiles must be positive, got $nFiles")

@@ -701,8 +701,11 @@ object SnapshotTable {
     * would flatten this layout), as does a merge whose upserts do not
     * cover the full schema. [[rewriteZordered]] clusters WITHIN
     * partitions (prune the directory first, then the key box by zone
-    * maps inside it); it declines with None only when a Z dimension IS
-    * the partition column (constant within any directory). */
+    * maps inside it); it declines with None when a Z dimension is the
+    * partition column (constant within any directory) — and, exactly
+    * as on flat tables, on outstanding deletion vectors
+    * (absorbDeletes first), bucketed layouts, and legacy/empty
+    * snapshots. */
   def commitPartitioned(s: SparkSession, tableDir: String, df: DataFrame,
       partitionBy: String, overwrite: Boolean = false): Int =
     commitPartitionedBy(s, tableDir, df, Seq(partitionBy), overwrite)
@@ -1227,16 +1230,23 @@ object SnapshotTable {
         // the hive writer files an EMPTY STRING under the null-partition
         // directory (the hive convention), which would read back as
         // NULL — refuse IN the write pass (zero extra jobs) rather than
-        // silently corrupt the value
-        val guarded = cols.foldLeft(df0) { (d, c) =>
-          if (d.schema(c).dataType == org.apache.spark.sql.types.StringType)
-            d.withColumn(c, when(col(c) === lit(""), raise_error(lit(
-              s"commitPartitioned: empty-string value in partition " +
-                s"column '$c' — the hive directory form cannot represent " +
-                "it (it would read back as NULL); use NULL or a sentinel")))
-              .otherwise(col(c)))
-          else d
-        }
+        // silently corrupt the value. SKIPPED for pre-shaped rewrites:
+        // their rows come from the table itself (whose commits already
+        // enforced this), and the projection would alias the partition
+        // column, erasing the caller's output ordering so the writer
+        // re-sorts — and a spilling re-sort could scramble z-order
+        // within equal partition keys
+        val guarded =
+          if (preShaped) df0
+          else cols.foldLeft(df0) { (d, c) =>
+            if (d.schema(c).dataType == org.apache.spark.sql.types.StringType)
+              d.withColumn(c, when(col(c) === lit(""), raise_error(lit(
+                s"commitPartitioned: empty-string value in partition " +
+                  s"column '$c' — the hive directory form cannot represent " +
+                  "it (it would read back as NULL); use NULL or a sentinel")))
+                .otherwise(col(c)))
+            else d
+          }
         // cluster each partition tuple into one task first: the hive
         // writer otherwise emits one file per (task × tuple) — a
         // file-count explosion at scale. One task per tuple serializes
@@ -1698,8 +1708,11 @@ object SnapshotTable {
     if (m0.bucket.isDefined || m0.dels.nonEmpty) return None
     // a partition column cannot also be a Z-order dimension: within any
     // one directory it is constant, so the curve would degenerate to a
-    // plain sort on the other column
-    if (m0.partBy.contains(colA) || m0.partBy.contains(colB)) return None
+    // plain sort on the other column. Case-INSENSITIVE like Spark's
+    // default column resolution — `ZORDER BY (K, v)` on a table
+    // partitioned by `k` must decline, not silently burn a rewrite
+    if (m0.partBy.exists(p =>
+        p.equalsIgnoreCase(colA) || p.equalsIgnoreCase(colB))) return None
     (m0.schema, m0.entries) match {
       case (Some(schema0), Some(es0)) if es0.nonEmpty =>
         val n =
@@ -1712,14 +1725,11 @@ object SnapshotTable {
         // hive layout: cluster WITHIN partitions (range by
         // (partition cols, z) — each output stripe is one value's
         // contiguous z-run) and hand the pre-shaped frame to the
-        // partitioned writer untouched
-        val clustered =
-          if (m0.partBy.nonEmpty) graft.operators.LayoutOps.zClusterWithin(
-            relationFor(s, tableDir, storedSchema(schema0), es0,
-              partBy = m0.partBy), m0.partBy, colA, colB, n)
-          else graft.operators.LayoutOps.zCluster(
-            relationFor(s, tableDir, storedSchema(schema0), es0),
-            colA, colB, n)
+        // partitioned writer untouched; flat tables are the
+        // empty-partCols case of the same pipeline
+        val clustered = graft.operators.LayoutOps.zClusterWithin(
+          relationFor(s, tableDir, storedSchema(schema0), es0,
+            partBy = m0.partBy), m0.partBy, colA, colB, n)
         val (dataDir, newFiles, _) = writeDataDir(s, tableDir, clustered,
           uniq, partitionBy = m0.partBy, preShaped = true)
         beforePublishHook()
