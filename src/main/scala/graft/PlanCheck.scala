@@ -622,6 +622,28 @@ object PlanCheck {
       mustNot = Seq("CartesianProduct", "BroadcastExchange"),
       noAutoBroadcast = true, noAdaptive = true,
       maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 2)),
+    // bucket-WITHIN-partition: the orders scan prunes directories from
+    // the partition IN-filter AND reports the bucket hash partitioning;
+    // the join runs exchange-free on both bucketed sides — the only two
+    // exchanges are the aggregation and the presentation sort. A bucket
+    // regression re-shuffles the join (budget breaks at 4); a partition
+    // regression loses the PartitionFilters entry.
+    Check("layout_partitioned_bucketed",
+      mustContain = Seq("SortMergeJoin", "HashAggregate",
+        "IN (1-URGENT,2-HIGH)"),
+      mustNot = Seq("CartesianProduct", "BroadcastExchange"),
+      noAutoBroadcast = true, noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 2)),
+    // timestamp zone maps: the window predicate reaches the scan pushed
+    // down (the manifest FileIndex data-skips on it — the file-count
+    // metric is pinned in SnapshotTimeStatsSpec); one scan, no join,
+    // agg + presentation sort only
+    Check("layout_snapshot_timefilter",
+      mustContain = Seq("PushedFilters: [IsNotNull(ts), " +
+        "GreaterThanOrEqual(ts,", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
     // burstiness: two chained aggs (minute grid, per-type reduction) —
     // one corpus scan, no join
     Check("events_burstiness",

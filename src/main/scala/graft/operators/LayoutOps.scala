@@ -535,6 +535,102 @@ object LayoutOps extends QueryPack {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Bucket-WITHIN-partition layout end to end
+    * ([[graft.sources.SnapshotTable.commitPartitionedBucketed]] —
+    * Iceberg's partition + bucket-transform shape): orders land under
+    * `o_orderpriority=<v>/` directories, hash-bucketed by customer key
+    * INSIDE each directory; customer lands flat-bucketed on the same
+    * key and bucket count. The query below is the canonical event-store
+    * shape — restrict to two partitions (directory pruning), join on
+    * the bucket key (the scan reports the hash partitioning, so the
+    * join plans exchange-free on the orders side; asserted in
+    * `SnapshotPartBucketSpec`) — and its oracle pins that neither the
+    * directory filing nor the bucket stamping lost or duplicated a
+    * single row (a mis-stamped bucket id silently DROPS join matches,
+    * the worst failure mode of this layout). */
+  def layoutPartitionedBucketed(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_pbkt_")
+    tmpDirs.add(root)
+    val to = root.resolve("orders").toString
+    val tc = root.resolve("cust").toString
+    graft.sources.SnapshotTable.commitPartitionedBucketed(s, to,
+      Tables.orders(s, d)
+        .filter(col("o_custkey").isNotNull && col("o_orderpriority").isNotNull)
+        .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice")),
+      partitionBy = Seq("o_orderpriority"), nBuckets = 8,
+      bucketCol = "o_custkey")
+    graft.sources.SnapshotTable.commitBucketed(s, tc,
+      Tables.customer(s, d).filter(col("c_custkey").isNotNull)
+        .select(col("c_custkey"), col("c_mktsegment")),
+      overwrite = false, nBuckets = 8, bucketCol = "c_custkey")
+    val o = graft.sources.SnapshotTable.readAsOf(s, to, 1)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    val c = graft.sources.SnapshotTable.readAsOf(s, tc, 1)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderpriority"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("sum_price_c"))
+      .orderBy(col("o_orderpriority"), col("c_mktsegment"))
+  }
+
+  /** Partition EVOLUTION ([[graft.sources.SnapshotTable.relayout]]):
+    * documents land FLAT (v1), then one atomic relayout commit rewrites
+    * the live rows into `bucket=<doc_id % 4>/` hive directories (v2).
+    * Both versions are rolled up: agreement pins that the rewrite
+    * preserved every row and that time travel still serves the
+    * pre-evolution layout — the migrating user's "repartition my 100 TB
+    * table by day" without losing history. */
+  def layoutRelayout(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_rely_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"),
+        (col("doc_id") % 4).cast("long").as("bucket"))
+    graft.sources.SnapshotTable.commit(s, table, docs, overwrite = false)
+    graft.sources.SnapshotTable.relayout(s, table,
+      partitionBy = Seq("bucket"))
+    (1 to 2).map { v =>
+      graft.sources.SnapshotTable.readAsOf(s, table, v)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .select(lit(v.toLong).as("version"), col("bucket"), col("n_docs"),
+          col("sum_chars"), col("sum_ids"))
+    }.reduce(_ unionByName _)
+      .filter(col("n_docs") > 0)
+      .orderBy(col("version"), col("bucket"))
+  }
+
+  /** Timestamp zone-map pruning end to end: land events TIME-CLUSTERED
+    * (`commitClustered` on `ts` — the layout a time-ordered append
+    * stream converges to anyway), then answer a 3-day-window query.
+    * The manifest's per-file epoch-micros bounds refute most files at
+    * plan time — `SnapshotTimeStatsSpec` pins the scan metric (a
+    * strict subset of files read); this oracle pins that the pruned
+    * read returns EXACTLY the unpruned answer. On a time-ordered
+    * 100 TB event table this is the predicate class that decides
+    * whether a dashboard query reads gigabytes or the whole table. */
+  def layoutSnapshotTimefilter(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stime_")
+    tmpDirs.add(root)
+    val table = root.resolve("events").toString
+    val ev = Tables.events(s, d)
+      .filter(col("event_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    graft.sources.SnapshotTable.commitClustered(s, table, ev,
+      overwrite = false, nFiles = 8, clusterCols = Seq("ts"))
+    graft.sources.SnapshotTable.readAsOf(s, table, 1)
+      .filter(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-01-13 00:00:00")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_value_c"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
   def layoutSnapshotDeletes(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_sdel_")
     tmpDirs.add(root)
@@ -782,6 +878,9 @@ object LayoutOps extends QueryPack {
     "layout_snapshot_changes" -> layoutSnapshotChanges,
     "layout_snapshot_bucketed" -> layoutSnapshotBucketed,
     "layout_snapshot_partitioned" -> layoutSnapshotPartitioned,
+    "layout_snapshot_timefilter" -> layoutSnapshotTimefilter,
+    "layout_partitioned_bucketed" -> layoutPartitionedBucketed,
+    "layout_relayout" -> layoutRelayout,
     "layout_snapshot_deletes" -> layoutSnapshotDeletes,
     "layout_meta_agg" -> layoutMetaAgg,
     "layout_file_lineage" -> layoutFileLineage,
@@ -887,6 +986,50 @@ object LayoutOps extends QueryPack {
         |FROM orders
         |WHERE o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the partition-pruned bucket join must equal the plain join — a
+    // mis-stamped bucket id drops matches, a mis-filed directory skews
+    // a group
+    "layout_partitioned_bucketed" ->
+      """SELECT o.o_orderpriority, c.c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_custkey IS NOT NULL AND o.o_orderpriority IS NOT NULL
+        |  AND c.c_custkey IS NOT NULL
+        |  AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o.o_orderpriority, c.c_mktsegment
+        |ORDER BY o.o_orderpriority, c.c_mktsegment""".stripMargin,
+    // v1 = every row (flat), v2 = the SAME rows after the relayout
+    // rewrite — history preserved, nothing lost in the re-filing
+    "layout_relayout" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc,
+        |    doc_id % 4 AS bucket
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |v AS (
+        |  SELECT CAST(1 AS BIGINT) AS version, * FROM d
+        |  UNION ALL
+        |  SELECT 2, * FROM d)
+        |SELECT version, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM v GROUP BY version, bucket HAVING count(*) > 0
+        |ORDER BY version, bucket""".stripMargin,
+    // the zone-map-pruned window read must equal the plain filter —
+    // an over-eager epoch-micros bound would silently drop rows at
+    // the window edges
+    "layout_snapshot_timefilter" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_c,
+        |  CAST(min(event_id) AS BIGINT) AS min_id,
+        |  CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // step 1->2: append of the %3==1 slice (inserts only); step 2->3:
     // overwrite with the %3==2 slice (everything prior deleted, the new
     // slice inserted) — the change-feed contract in closed form

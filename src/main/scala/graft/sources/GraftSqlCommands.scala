@@ -53,6 +53,8 @@ class GraftSqlParser(delegate: ParserInterface,
       """(?:\s+FILES\s+(\d+))?\s*;?\s*""").r
   private val StatsRe =
     """(?is)\s*GRAFT\s+STATS\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val DescribeStatsRe =
+    """(?is)\s*GRAFT\s+DESCRIBE\s+STATS\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   // wall-clock time travel (Delta's TIMESTAMP AS OF) for the verbs that
   // take a version — resolved against the manifests' commit stamps
   private val RestoreTsRe =
@@ -84,6 +86,9 @@ class GraftSqlParser(delegate: ParserInterface,
       GraftOptimizeCommand(dir,
         Option(small).map(_.toLong).getOrElse(32L * 1024 * 1024),
         Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024))
+    case DescribeStatsRe(dir, v) =>
+      GraftDescribeStatsCommand(dir,
+        Option(v).map(_.toInt).getOrElse(Int.MaxValue))
     case StatsRe(dir, v) =>
       GraftStatsCommand(dir, Option(v).map(_.toInt).getOrElse(Int.MaxValue))
     case RestoreTsRe(dir, ts) =>
@@ -110,6 +115,7 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT OPTIMIZE '<dir>' [SMALL <bytes> TARGET <bytes>] | " +
             "GRAFT OPTIMIZE '<dir>' ZORDER BY (<colA>, <colB>) [FILES <n>] | " +
             "GRAFT STATS '<dir>' [VERSION AS OF <n>] | " +
+            "GRAFT DESCRIBE STATS '<dir>' [VERSION AS OF <n>] | " +
             "GRAFT RESTORE/CLONE/STATS ... TIMESTAMP AS OF '<ts>'")))
     case _ => delegate.parsePlan(sqlText)
   }
@@ -307,6 +313,32 @@ object GraftStatsCommand {
       AttributeReference("bounds_exact", bt, nullable = false)(),
       AttributeReference("est_ndv", dt, nullable = true)())
   }
+}
+
+/** `GRAFT DESCRIBE STATS '<dir>' [VERSION AS OF <v>]` — the
+  * PLANNER-visible catalog statistics ([[SnapshotTable.plannerStats]]):
+  * per stat-eligible column the NDV estimate, null count, avg byte
+  * width, and min/max exactly as join/filter planning sees them under
+  * CBO — the verification doorway for "what does the optimizer think
+  * this table looks like", one manifest read, zero data I/O.
+  * (`GRAFT STATS` serves the metaAgg view — exact metadata-only
+  * aggregates; this serves the CATALOG view the planner consumes.) */
+case class GraftDescribeStatsCommand(tableDir: String, asOf: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = {
+    val st = org.apache.spark.sql.types.StringType
+    Seq(
+      AttributeReference("column", st, nullable = true)(),
+      AttributeReference("data_type", st, nullable = true)(),
+      AttributeReference("row_count", LongType, nullable = true)(),
+      AttributeReference("distinct_count", LongType, nullable = true)(),
+      AttributeReference("null_count", LongType, nullable = true)(),
+      AttributeReference("avg_len", LongType, nullable = true)(),
+      AttributeReference("min", st, nullable = true)(),
+      AttributeReference("max", st, nullable = true)())
+  }
+  override def run(s: SparkSession): Seq[Row] =
+    SnapshotTable.plannerStats(s, tableDir, asOf).collect().toSeq
 }
 
 /** `GRAFT VACUUM '<dir>' KEEP <k> [MIN AGE <ms>]` → (expired versions,

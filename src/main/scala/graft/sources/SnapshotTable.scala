@@ -135,7 +135,7 @@ object SnapshotTable {
     * means that bound is UNKNOWN (all-null column, or a non-finite
     * float bound that cannot be stored soundly) — pruning treats it as
     * ∓∞. */
-  private final case class ColStat(kind: Char, min: Option[Any],
+  private[sources] final case class ColStat(kind: Char, min: Option[Any],
       max: Option[Any], nulls: Long,
       // total UTF-8 payload bytes of the column in the file (string
       // kind only): Σbytes/Σnon-null is the avg width Catalyst's
@@ -149,7 +149,8 @@ object SnapshotTable {
     * layout (one element per partition level, directory-nesting order;
     * None elements are the null partition) — `None` overall means an
     * unpartitioned entry. */
-  private final case class FileEntry(status: FileStatus, rows: Option[Long],
+  private[sources] final case class FileEntry(status: FileStatus,
+      rows: Option[Long],
       stats: Map[String, ColStat],
       part: Option[Seq[Option[String]]] = None)
 
@@ -327,7 +328,7 @@ object SnapshotTable {
     * month = M` plans exactly one directory's files from one manifest
     * read; a filter on ANY prefix or subset of the levels prunes what
     * it can. */
-  private final class PartitionedManifestFileIndex(tableRoot: HPath,
+  private[sources] final class PartitionedManifestFileIndex(tableRoot: HPath,
       entries: Seq[FileEntry],
       partFields: Seq[StructField],
       override val graftCatalog: Option[
@@ -339,16 +340,33 @@ object SnapshotTable {
     private def rowFor(vs: Seq[Option[String]]): InternalRow =
       InternalRow.fromSeq(partFields.zipWithIndex.map { case (fl, i) =>
         vs.lift(i).flatten.map(internalPartValue(fl.dataType, _)).orNull })
+    /** Bind a partition filter's attributes to tuple positions; None
+      * when any attribute is not a partition column (exact name first,
+      * case-insensitive fallback) — the caller DROPS that filter, so an
+      * unexpected expression shape keeps every directory instead of
+      * throwing `partFields(-1)` at plan time. By construction Spark
+      * only hands filters over `partitionSchema` attributes here, so
+      * the fallback is unreachable today — but pruning is contractually
+      * conservative (`:245-249`), never a crash. */
+    private def bind(e: Expression): Option[Expression] = {
+      var ok = true
+      val bound = e.transform {
+        case a: AttributeReference =>
+          val i = partFields.indexWhere(_.name == a.name) match {
+            case -1 => partFields.indexWhere(_.name.equalsIgnoreCase(a.name))
+            case exact => exact
+          }
+          if (i < 0) { ok = false; a }
+          else BoundReference(i, partFields(i).dataType,
+            partFields(i).nullable)
+      }
+      if (ok) Some(bound) else None
+    }
     override def listFiles(partitionFilters: Seq[Expression],
         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-      val pred = if (partitionFilters.isEmpty) None
-        else Some(Predicate.createInterpreted(
-          partitionFilters.reduce(And).transform {
-            case a: AttributeReference =>
-              val i = partFields.indexWhere(_.name == a.name)
-              BoundReference(i, partFields(i).dataType,
-                partFields(i).nullable)
-          }))
+      val bound = partitionFilters.flatMap(bind)
+      val pred = if (bound.isEmpty) None
+        else Some(Predicate.createInterpreted(bound.reduce(And)))
       // lexicographic on the value SEQUENCE (not a joined string, whose
       // separator a value could contain) — deterministic directory order
       entries.groupBy(_.part.getOrElse(Nil)).toSeq
@@ -721,6 +739,62 @@ object SnapshotTable {
       partitionBy = partitionBy).get
   }
 
+  /** [[commitPartitioned]] × [[commitBucketed]] — Iceberg's
+    * "partition by day, bucket by user within the day" shape: hive
+    * directories per `partitionBy` value OUTSIDE, `nBuckets` hash
+    * buckets on `bucketCol` INSIDE each directory. Reads prune
+    * directories from partition filters AND report the bucket hash
+    * partitioning, so the canonical event-store query — restrict to a
+    * date range, join on the entity key — plans directory-pruned and
+    * exchange-free in the same scan. One hash shuffle at write time
+    * (task index = bucket id); appends must keep BOTH layout halves;
+    * a plain partitioned append degrades the bucket half only
+    * (readers stay correct, they lose the free partitioning); merge
+    * refuses (rewrite the layout via [[relayout]] instead); compact /
+    * Z-order decline as on flat bucketed tables. */
+  def commitPartitionedBucketed(s: SparkSession, tableDir: String,
+      df: DataFrame, partitionBy: Seq[String], nBuckets: Int,
+      bucketCol: String, overwrite: Boolean = false): Int = {
+    require(partitionBy.nonEmpty,
+      "commitPartitionedBucketed: no partition columns")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(df.columns.contains(bucketCol),
+      s"bucket column '$bucketCol' not in ${df.columns.mkString(",")}")
+    commitInternal(s, tableDir, df, overwrite, None,
+      bucket = Some((nBuckets, bucketCol)), partitionBy = partitionBy).get
+  }
+
+  /** PARTITION EVOLUTION as one atomic commit: rewrite the current
+    * snapshot's rows into a new layout — hive-partitioned by
+    * `partitionBy` (empty = flat), optionally bucketed by `bucketBy` —
+    * published as a single overwrite version. History is preserved:
+    * every prior version keeps its own recorded layout (the manifest
+    * stores `#partby:`/`#bucket:` per version), so time travel still
+    * reads the old scheme while new reads prune the new directories.
+    * Outstanding merge-on-read deletes are absorbed by the rewrite
+    * (the read applies them; the overwrite retires them). Txn
+    * watermarks, constraints — table properties — survive; NDV
+    * recollects from the rewrite pass. This is the documented escape
+    * hatch from the append-must-keep-layout rule: the migrating user's
+    * "repartition my table by day" is `relayout(s, dir, Seq("day"))`,
+    * costing one full rewrite — never a manifest surgery. */
+  def relayout(s: SparkSession, tableDir: String,
+      partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, String)] = None): Int = {
+    val cur = readAsOf(s, tableDir, Int.MaxValue)
+    require(cur.columns.nonEmpty,
+      s"relayout: $tableDir has no published schema to re-lay")
+    bucketBy.foreach { case (n, c) =>
+      require(n > 0, s"nBuckets must be positive, got $n")
+      require(cur.columns.contains(c),
+        s"bucket column '$c' not in ${cur.columns.mkString(",")}")
+    }
+    partitionBy.foreach(c => require(cur.columns.contains(c),
+      s"partition column '$c' not in ${cur.columns.mkString(",")}"))
+    commitInternal(s, tableDir, cur, overwrite = true, None,
+      bucket = bucketBy, partitionBy = partitionBy).get
+  }
+
   /** [[commitPartitioned]] × [[commitIdempotent]]: the partitioned
     * streaming-sink commit — hive layout per batch, exactly-once by
     * per-writer watermark. See both for the contracts. */
@@ -744,16 +818,38 @@ object SnapshotTable {
   }
 
   /** Zone-map eligibility: Long-family ('l'), Double-family ('d'),
-    * String ('s'). Other types carry no stats and are never pruned on. */
+    * String ('s'). Date and timestamp columns ride the LONG kind — a
+    * date is its epoch-day, a timestamp its epoch-micros, which is
+    * exactly Catalyst's own internal representation for their
+    * literals, so the pruner's long comparison needs no
+    * per-type conversion: `WHERE event_ts >= TIMESTAMP'...'` arrives
+    * as `GreaterThanOrEqual(attr, Literal(micros))` and compares
+    * directly against the stored micros bound. On a time-ordered
+    * 100 TB event table that makes the single most common predicate —
+    * a timestamp range — a file-skipping one instead of a full scan.
+    * Other types carry no stats and are never pruned on. */
   private def statKind(dt: DataType): Option[Char] = dt match {
     case org.apache.spark.sql.types.ByteType |
          org.apache.spark.sql.types.ShortType |
          org.apache.spark.sql.types.IntegerType |
-         org.apache.spark.sql.types.LongType => Some('l')
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType => Some('l')
     case org.apache.spark.sql.types.FloatType |
          org.apache.spark.sql.types.DoubleType => Some('d')
     case org.apache.spark.sql.types.StringType => Some('s')
     case _ => None
+  }
+
+  /** SQL fragment rendering a column in its STORED stat representation:
+    * dates as epoch-days (`unix_date`), timestamps as epoch-micros
+    * (`unix_micros`) — Catalyst's internal forms, which is what makes
+    * the pruning comparison conversion-free — everything else as
+    * itself. Null-preserving, order-preserving. */
+  private def statSql(n: String, dt: DataType): String = dt match {
+    case org.apache.spark.sql.types.DateType => s"unix_date(`$n`)"
+    case org.apache.spark.sql.types.TimestampType => s"unix_micros(`$n`)"
+    case _ => s"`$n`"
   }
 
   /** Per-file zone maps for the just-written commit: ONE distributed
@@ -769,28 +865,31 @@ object SnapshotTable {
       : Option[(Map[String, (Long, String)], Map[String, Seq[Long]])] = {
     import org.apache.spark.sql.functions._
     val cols = schema.fields.toSeq
-      .flatMap(fl => statKind(fl.dataType).map(fl.name -> _))
+      .flatMap(fl => statKind(fl.dataType).map(k =>
+        (fl.name, k, statSql(fl.name, fl.dataType))))
     if (cols.isEmpty) return None // no eligible columns: pass skipped
     // per-column NDV sketch rides the SAME pass: the bottom-64 KMV of
     // md5 value hashes (nulls skip — NDV counts non-null distincts),
     // collected per file and min-K-merged driver-side to ONE table-level
     // sketch per column (mergeable, so appends later fold into it)
     val kmv = udaf(graft.functions.KmvSketchAgg)
-    val aggs = cols.flatMap { case (n, k) =>
+    val aggs = cols.flatMap { case (n, k, sql) =>
       // canonical value rendering for the NDV hash; float-family values
       // are normalized with +0.0 first so -0.0 and 0.0 — SQL-equal, and
       // counted once by count(DISTINCT) — hash identically (NaN + 0.0
-      // stays NaN: one rendering, one hash)
+      // stays NaN: one rendering, one hash). Date/timestamp render
+      // through their stored long form — timezone-independent, so the
+      // hash of an instant never varies with the session zone.
       val canon =
-        if (k == 'd') s"CAST((`$n` + CAST(0.0 AS DOUBLE)) AS STRING)"
-        else s"CAST(`$n` AS STRING)"
-      Seq(min(col(n)), max(col(n)),
-        sum(when(col(n).isNull, 1L).otherwise(0L)),
+        if (k == 'd') s"CAST(($sql + CAST(0.0 AS DOUBLE)) AS STRING)"
+        else s"CAST($sql AS STRING)"
+      Seq(min(expr(sql)), max(expr(sql)),
+        sum(when(expr(sql).isNull, 1L).otherwise(0L)),
         // total payload bytes (string kind only): feeds the avg-width
         // column statistic Catalyst's row-count-based sizing uses
         if (k == 's') sum(octet_length(col(n)).cast("bigint"))
         else sum(lit(null).cast("bigint")),
-        kmv(when(col(n).isNull, lit(graft.functions.KmvDistinctAgg.Skip))
+        kmv(when(expr(sql).isNull, lit(graft.functions.KmvDistinctAgg.Skip))
           .otherwise(expr(s"CAST(conv(substring(md5($canon), " +
             "1, 15), 16, 10) AS BIGINT)")))) }
     def enc(v: Any): String = v match {
@@ -810,14 +909,14 @@ object SnapshotTable {
       .agg(count(lit(1)).as("__rows"), aggs: _*)
       .collect()
     val fileMap = rows.map { r =>
-      val fields = cols.zipWithIndex.map { case ((name, kind), i) =>
+      val fields = cols.zipWithIndex.map { case ((name, kind, _), i) =>
         val bytes = if (r.isNullAt(5 + i * 5)) "" else r.getLong(5 + i * 5).toString
         s"${b64e(name)}:$kind:${enc(r.get(2 + i * 5))}:${enc(r.get(3 + i * 5))}:${r.getLong(4 + i * 5)}:$bytes"
       }
       new HPath(r.getString(0)).toUri.getPath ->
         (r.getLong(1), fields.mkString(";"))
     }.toMap
-    val ndv = cols.zipWithIndex.map { case ((name, _), i) =>
+    val ndv = cols.zipWithIndex.map { case ((name, _, _), i) =>
       name -> rows.map(r =>
           if (r.isNullAt(6 + i * 5)) Array.empty[Long]
           else r.getSeq[Long](6 + i * 5).toArray)
@@ -879,7 +978,12 @@ object SnapshotTable {
         partitionSchema = StructType(partFields),
         dataSchema = StructType(sc.fields.filterNot(f =>
           partBy.contains(f.name))),
-        bucketSpec = None,
+        // bucket-within-partition: directory pruning outside, bucket-id
+        // file grouping inside — the scan reports HashPartitioning on
+        // the bucket column, so a join on it within (or across) pruned
+        // partitions plans exchange-free
+        bucketSpec = bucket.map { case (n, cc) =>
+          org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(cc), Nil) },
         fileFormat = new ParquetFileFormat,
         options = Map.empty)(s)
     } else {
@@ -908,7 +1012,7 @@ object SnapshotTable {
         import org.apache.spark.sql.catalyst.catalog._
         val nRows = es.flatMap(_.rows).sum
         val colStats = sc.fields.toSeq.flatMap { f =>
-          statKind(f.dataType).map { _ =>
+          statKind(f.dataType).map { kind =>
             val sts = es.map(e => (e.rows.get, e.stats.get(f.name)))
             val nulls = sts.map { case (r, st) => st.fold(r)(_.nulls) }.sum
             val nonNull = nRows - nulls
@@ -922,10 +1026,47 @@ object SnapshotTable {
                     st.forall(c => c.bytes.isDefined || r - c.nulls == 0) })
                 Some(math.max(1L, byteSums.sum / nonNull))
               else None
+            // table-level min/max (the manifest already holds the
+            // per-file bounds — fold them): exact only when EVERY
+            // value-bearing file recorded both bounds (a file with no
+            // stat predates the column: its rows are all-null for it,
+            // so it bears no values). Catalyst's FilterEstimation sizes
+            // range predicates from these — without them a selective
+            // `WHERE x < v` estimates at selectivity 1.0 and join
+            // planning never sees the reduction. Strings are skipped:
+            // plan-stat min/max is numeric/date/timestamp only. The
+            // stored bounds are Catalyst's internal forms (epoch-day /
+            // epoch-micros / long / double); Spark's own
+            // `toExternalString` renders them in the encoding
+            // `toPlanStat` will parse back (ISO strings for
+            // date/timestamp, digits for the rest).
+            val bearing = sts.collect {
+              case (r, Some(st)) if r - st.nulls > 0 => st }
+            val bounded = kind != 's' && bearing.nonEmpty &&
+              bearing.forall(st => st.min.isDefined && st.max.isDefined)
+            def fold(pick: (Any, Any) => Boolean,
+                side: ColStat => Option[Any]): Option[String] =
+              if (!bounded) None
+              else {
+                val v = bearing.flatMap(side(_))
+                  .reduce((a, b) => if (pick(a, b)) a else b)
+                val internal = f.dataType match {
+                  case org.apache.spark.sql.types.DateType =>
+                    v.asInstanceOf[Long].toInt
+                  case _ => v
+                }
+                Some(CatalogColumnStat.toExternalString(
+                  internal, f.name, f.dataType))
+              }
+            def lt(a: Any, b: Any): Boolean =
+              if (kind == 'l') a.asInstanceOf[Long] < b.asInstanceOf[Long]
+              else a.asInstanceOf[Double] < b.asInstanceOf[Double]
             f.name -> CatalogColumnStat(
               distinctCount = m.ndv.get(f.name)
                 .map(sk => BigInt(math.round(
                   graft.functions.KmvDistinctAgg.estimate(sk)))),
+              min = fold(lt, _.min),
+              max = fold((a, b) => lt(b, a), _.max),
               nullCount = Some(BigInt(nulls)),
               avgLen = avgLen)
           }
@@ -1223,30 +1364,39 @@ object SnapshotTable {
     val f = fs(s, tableDir)
     val staging = new HPath(tableDir, s".staging-$uniq")
     val dataDir = new HPath(tableDir, s"data/c-$uniq")
+    // the hive writer files an EMPTY STRING under the null-partition
+    // directory (the hive convention), which would read back as
+    // NULL — refuse IN the write pass (zero extra jobs) rather than
+    // silently corrupt the value. SKIPPED for pre-shaped rewrites:
+    // their rows come from the table itself (whose commits already
+    // enforced this), and the projection would alias the partition
+    // column, erasing the caller's output ordering so the writer
+    // re-sorts — and a spilling re-sort could scramble z-order
+    // within equal partition keys
+    def emptyStringGuarded: DataFrame =
+      if (preShaped) df0
+      else partitionBy.foldLeft(df0) { (d, c) =>
+        if (d.schema(c).dataType == org.apache.spark.sql.types.StringType)
+          d.withColumn(c, when(col(c) === lit(""), raise_error(lit(
+            s"commitPartitioned: empty-string value in partition " +
+              s"column '$c' — the hive directory form cannot represent " +
+              "it (it would read back as NULL); use NULL or a sentinel")))
+            .otherwise(col(c)))
+        else d
+      }
     val df = (bucket, partitionBy) match {
+      // bucketed INSIDE hive partitions: ONE hash shuffle on the bucket
+      // column — task index i IS the bucket id (both are
+      // pmod(murmur3(key), n)), and each task emits at most one file
+      // per partition directory it owns, every row of it bucket-i.
+      // Pre-sorted by (partition cols, bucket col) so the hive writer
+      // groups directories without its own spilling sort.
+      case (Some((n, c)), cols) if cols.nonEmpty =>
+        emptyStringGuarded.repartition(n, col(c))
+          .sortWithinPartitions((cols :+ c).map(col): _*)
       case (Some((n, c)), _) =>
         df0.repartition(n, col(c)).sortWithinPartitions(col(c))
       case (None, cols) if cols.nonEmpty =>
-        // the hive writer files an EMPTY STRING under the null-partition
-        // directory (the hive convention), which would read back as
-        // NULL — refuse IN the write pass (zero extra jobs) rather than
-        // silently corrupt the value. SKIPPED for pre-shaped rewrites:
-        // their rows come from the table itself (whose commits already
-        // enforced this), and the projection would alias the partition
-        // column, erasing the caller's output ordering so the writer
-        // re-sorts — and a spilling re-sort could scramble z-order
-        // within equal partition keys
-        val guarded =
-          if (preShaped) df0
-          else cols.foldLeft(df0) { (d, c) =>
-            if (d.schema(c).dataType == org.apache.spark.sql.types.StringType)
-              d.withColumn(c, when(col(c) === lit(""), raise_error(lit(
-                s"commitPartitioned: empty-string value in partition " +
-                  s"column '$c' — the hive directory form cannot represent " +
-                  "it (it would read back as NULL); use NULL or a sentinel")))
-                .otherwise(col(c)))
-            else d
-          }
         // cluster each partition tuple into one task first: the hive
         // writer otherwise emits one file per (task × tuple) — a
         // file-count explosion at scale. One task per tuple serializes
@@ -1258,13 +1408,13 @@ object SnapshotTable {
         // for the whole batch), at the cost of ≤ N files per value.
         // File-size capping composes via Spark's own
         // spark.sql.files.maxRecordsPerFile.
-        if (preShaped) guarded
+        if (preShaped) emptyStringGuarded
         else {
           val keys = cols.map(col) ++ (if (partSpread > 1)
             Seq(pmod(hash(df0.columns.toIndexedSeq.map(col): _*),
               lit(partSpread)))
           else Nil)
-          guarded.repartition(keys: _*)
+          emptyStringGuarded.repartition(keys: _*)
         }
       case _ => df0
     }
@@ -1277,22 +1427,30 @@ object SnapshotTable {
       s"snapshot commit: data rename failed $staging -> $dataDir")
     if (bucket.isDefined) {
       // task index == bucket id (hash-repartitioned write); stamp it
-      // into the name where BucketingUtils.getBucketId finds it
+      // into the name where BucketingUtils.getBucketId finds it. With a
+      // hive layout the part files live one directory level per
+      // partition column down — walk them all; renames stay in place
+      // (same parent directory), so partition values are untouched.
       val partRe = """part-(\d+)-.*""".r
-      f.listStatus(dataDir).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .foreach { st =>
-          val name = st.getPath.getName
-          val bid = name match {
-            case partRe(idx) => idx.toInt
-            case _ => throw new IllegalStateException(
-              s"bucketed commit: unrecognized part file name $name")
-          }
-          val dot = name.indexOf('.')
-          val renamed = name.substring(0, dot) + f"_$bid%05d" + name.substring(dot)
-          require(f.rename(st.getPath, new HPath(dataDir, renamed)),
-            s"bucketed commit: rename failed for $name")
+      def parquetFiles(dir: HPath): Seq[FileStatus] =
+        f.listStatus(dir).toSeq.flatMap { st =>
+          if (st.isDirectory) parquetFiles(st.getPath)
+          else if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            Seq(st)
+          else Nil
         }
+      parquetFiles(dataDir).foreach { st =>
+        val name = st.getPath.getName
+        val bid = name match {
+          case partRe(idx) => idx.toInt
+          case _ => throw new IllegalStateException(
+            s"bucketed commit: unrecognized part file name $name")
+        }
+        val dot = name.indexOf('.')
+        val renamed = name.substring(0, dot) + f"_$bid%05d" + name.substring(dot)
+        require(f.rename(st.getPath, new HPath(st.getPath.getParent, renamed)),
+          s"bucketed commit: rename failed for $name")
+      }
     }
     // flat layout lists files directly; hive layout walks one
     // `<col>=<value>` directory level PER partition column, decoding
@@ -1428,8 +1586,16 @@ object SnapshotTable {
       bucket: Option[(Int, String)] = None,
       partitionBy: Seq[String] = Nil): Option[Int] = {
     val f = fs(s, tableDir)
-    require(bucket.isEmpty || partitionBy.isEmpty,
-      "a commit is bucketed OR hive-partitioned, not both")
+    // bucketed AND hive-partitioned compose (Iceberg's
+    // partition + bucket-transform shape): partition directories
+    // outside, bucket-id files inside each directory — but the bucket
+    // column must be a DATA column (a partition column is constant
+    // within any directory; bucketing on it would put every row of a
+    // directory in one bucket)
+    bucket.foreach { case (_, c) =>
+      require(!partitionBy.contains(c),
+        s"bucket column '$c' cannot also be a partition column")
+    }
     require(partitionBy.distinct == partitionBy,
       s"duplicate partition columns: ${partitionBy.mkString(",")}")
     require(partitionBy.size < df.schema.size || partitionBy.isEmpty,
@@ -2120,9 +2286,9 @@ object SnapshotTable {
               require(m0.partBy.isEmpty,
                 s"merge: $tableDir uses the hive partition layout — " +
                   "merging needs the selective path (upserts covering " +
-                  "the full schema, no outstanding deletion vectors); " +
-                  "run absorbDeletes / align the upsert columns, or " +
-                  "overwrite to re-layout")
+                  "the full schema, no outstanding deletion vectors, no " +
+                  "bucket layout); run absorbDeletes / align the upsert " +
+                  "columns, or relayout() to re-lay")
               mergeFull(s, tableDir, upserts, deleteKeys, key, txn)
           }
         case None => mergeFull(s, tableDir, upserts, deleteKeys, key, txn)
@@ -2571,6 +2737,49 @@ object SnapshotTable {
     }.toDF("version", "n_files", "n_rows", "total_bytes", "n_txns", "bucket",
       "n_del_rows", "commit_ts")
       .orderBy(org.apache.spark.sql.functions.col("version"))
+  }
+
+  /** The PLANNER-visible catalog statistics of a snapshot — exactly
+    * what [[readAsOf]]'s relation serves Catalyst under
+    * CBO/planStats: exact table row count, and per stat-eligible
+    * column the KMV NDV estimate, null count, avg string byte width,
+    * and the table-level min/max in Spark's catalog external-string
+    * form (ISO strings for date/timestamp, digits for the rest). The
+    * SQL doorway (`GRAFT DESCRIBE STATS`) for verifying what join and
+    * filter planning actually sees without reading manifests by hand.
+    * One manifest read, zero data I/O. Columns with an unknowable
+    * field (legacy files, sketch dropped by a row-removing op,
+    * unstorable bounds) read NULL there — the same degradation the
+    * planner sees. Refused on legacy manifests without row counts
+    * (there are no planner stats to describe). */
+  def plannerStats(s: SparkSession, tableDir: String,
+      asOf: Int = Int.MaxValue): DataFrame = {
+    import s.implicits._
+    val all = versions(s, tableDir)
+    if (asOf != Int.MaxValue) require(all.contains(asOf),
+      s"plannerStats: version $asOf of $tableDir is not a retained " +
+        s"published version (retained: ${all.mkString(",")})")
+    val vs = all.filter(_ <= asOf)
+    require(vs.nonEmpty,
+      s"plannerStats: no published version <= $asOf in $tableDir")
+    val m = readManifest(s, tableDir, vs.last)
+    val sc = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"plannerStats: legacy manifest without schema in $tableDir"))
+    val es = m.entries.getOrElse(throw new IllegalArgumentException(
+      s"plannerStats: legacy manifest without file metadata in $tableDir"))
+    val cat = catalogStats(s, tableDir, sc, es, Some(m)).getOrElse(
+      throw new IllegalArgumentException(
+        s"plannerStats: a file entry predates row-count collection in " +
+          s"$tableDir — the planner sees size-only stats here"))
+    val st = cat.stats.get
+    val rows = sc.fields.toSeq.flatMap(f => st.colStats.get(f.name).map { c =>
+      (f.name, f.dataType.catalogString,
+        st.rowCount.map(_.toLong),
+        c.distinctCount.map(_.toLong), c.nullCount.map(_.toLong),
+        c.avgLen, c.min, c.max)
+    })
+    rows.toDF("column", "data_type", "row_count", "distinct_count",
+      "null_count", "avg_len", "min", "max")
   }
 
   /** Metadata-only column aggregates of a snapshot: COUNT(*),

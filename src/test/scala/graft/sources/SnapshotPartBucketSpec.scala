@@ -1,0 +1,170 @@
+package graft.sources
+
+import graft.GraftSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Bucket-WITHIN-partition layout
+  * ([[SnapshotTable.commitPartitionedBucketed]] — Iceberg's
+  * partition + bucket-transform shape) and partition EVOLUTION
+  * ([[SnapshotTable.relayout]]). The production event-store query this
+  * exists for: restrict to one partition (directory pruning), join on
+  * the bucket key (exchange-free) — both must hold in the SAME scan,
+  * and results must equal the plain evaluation exactly (a mis-stamped
+  * bucket id silently drops join rows; a mis-filed partition value
+  * skews one group). */
+class SnapshotPartBucketSpec extends GraftSpec {
+
+  private def noAqe[T](f: => T): T = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
+  }
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Executes `df` and returns (rows, files actually scanned). */
+  private def filesScanned(df: DataFrame): (Long, Long) = {
+    val n = df.collect().length.toLong
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    (n, plan.collect { case f: FileSourceScanExec => f }
+      .map(_.metrics("numFiles").value).sum)
+  }
+
+  private def src(n: Long): DataFrame =
+    spark.range(0, n).select(col("id"),
+      concat(lit("g"), (col("id") % 4).cast("string")).as("grp"),
+      (col("id") * 3).as("v"))
+
+  test("partitioned+bucketed: directory pruning and exchange-free join compose") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pb1-").toString
+    val ta = s"$dir/a"
+    val tb = s"$dir/b"
+    SnapshotTable.commitPartitionedBucketed(spark, ta, src(1000),
+      partitionBy = Seq("grp"), nBuckets = 8, bucketCol = "id")
+    SnapshotTable.commitPartitionedBucketed(spark, tb,
+      src(1600).withColumnRenamed("v", "w"),
+      partitionBy = Seq("grp"), nBuckets = 8, bucketCol = "id")
+    val ra = SnapshotTable.readAsOf(spark, ta, 1)
+    val rb = SnapshotTable.readAsOf(spark, tb, 1)
+    // full read round-trips: partition values reconstructed, no row lost
+    assert(ra.count() == 1000)
+    assert(ra.agg(sum(col("v"))).head().getLong(0) ==
+      (0L until 1000L).map(_ * 3).sum)
+    // directory pruning: one of four partitions == 1/4 of the rows, and
+    // at most 8 (bucket) files scanned out of ~32
+    val (n1, f1) = filesScanned(ra.filter(col("grp") === "g1"))
+    assert(n1 == 250 && f1 <= 8, s"one partition scanned $f1 files")
+    noAqe {
+      // the flagship plan: prune to one partition on BOTH sides, join
+      // on the bucket key — no Exchange anywhere. (Join on the bucket
+      // key ALONE: under requireAllClusterKeysForCoPartition, extra
+      // join keys beyond the bucket column re-shuffle by design.)
+      val j = ra.filter(col("grp") === "g2")
+        .join(rb.filter(col("grp") === "g2").drop("grp"), Seq("id"))
+      val plan = planOf(j)
+      assert(!plan.contains("Exchange"),
+        s"pruned bucketed join still shuffles:\n${plan.take(1500)}")
+      // exact results vs the recomputed truth: ids ≡ 2 (mod 4) in both
+      assert(j.count() == 250)
+      // whole-table join on the bucket key: also exchange-free
+      val jAll = ra.join(rb, Seq("id"))
+      assert(!planOf(jAll).contains("Exchange"))
+      assert(jAll.count() == 1000)
+      assert(jAll.agg(sum(col("w"))).head().getLong(0) ==
+        (0L until 1000L).map(_ * 3).sum)
+    }
+  }
+
+  test("appends must keep both layout halves; plain append degrades bucket only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pb2-").toString
+    val t = s"$dir/t"
+    SnapshotTable.commitPartitionedBucketed(spark, t,
+      src(400).filter(col("id") % 2 === 0),
+      partitionBy = Seq("grp"), nBuckets = 4, bucketCol = "id")
+    // matching append composes
+    SnapshotTable.commitPartitionedBucketed(spark, t,
+      src(400).filter(col("id") % 2 === 1),
+      partitionBy = Seq("grp"), nBuckets = 4, bucketCol = "id")
+    val r = SnapshotTable.readAsOf(spark, t, 2)
+    assert(r.count() == 400)
+    noAqe {
+      assert(!planOf(r.groupBy(col("id")).count()).contains("Exchange"))
+    }
+    // a different bucket spec is refused
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitPartitionedBucketed(spark, t, src(10),
+        partitionBy = Seq("grp"), nBuckets = 8, bucketCol = "id")
+    }
+    // a different partition layout is refused
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitBucketed(spark, t, src(10),
+        overwrite = false, nBuckets = 4, bucketCol = "id")
+    }
+    // a PLAIN partitioned append keeps the directories, degrades bucket
+    SnapshotTable.commitPartitioned(spark, t, src(500)
+      .filter(col("id") >= 400), "grp")
+    val r3 = SnapshotTable.readAsOf(spark, t, 3)
+    assert(r3.count() == 500)
+    noAqe {
+      assert(planOf(r3.groupBy(col("id")).count()).contains("Exchange"),
+        "degraded table must not claim bucket partitioning")
+    }
+    // ...and the pre-degrade version still serves buckets (time travel
+    // keeps per-version layout)
+    noAqe {
+      assert(!planOf(SnapshotTable.readAsOf(spark, t, 2)
+        .groupBy(col("id")).count()).contains("Exchange"))
+    }
+    // bucketing on a partition column is refused outright
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitPartitionedBucketed(spark, s"$dir/t2", src(10),
+        partitionBy = Seq("grp"), nBuckets = 4, bucketCol = "grp")
+    }
+  }
+
+  test("relayout: flat -> partitioned preserves rows and history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pb3-").toString
+    val t = s"$dir/t"
+    SnapshotTable.commit(spark, t, src(800), overwrite = false) // v1 flat
+    // a MOR delete rides along and must be absorbed by the rewrite
+    SnapshotTable.deleteWhere(spark, t, col("id") < 40)        // v2
+    val v3 = SnapshotTable.relayout(spark, t, partitionBy = Seq("grp"))
+    assert(v3 == 3)
+    val now = SnapshotTable.readAsOf(spark, t, v3)
+    assert(now.count() == 760)
+    assert(now.agg(sum(col("v"))).head().getLong(0) ==
+      (40L until 800L).map(_ * 3).sum)
+    // the new layout prunes directories
+    val (n1, f1) = filesScanned(now.filter(col("grp") === "g3"))
+    assert(n1 == 190 && f1 > 0)
+    val allFiles = filesScanned(now)._2
+    assert(f1 < allFiles, s"pruned $f1 vs total $allFiles")
+    // time travel: v1 still reads the FLAT layout with all 800 rows
+    assert(SnapshotTable.readAsOf(spark, t, 1).count() == 800)
+    // and v2 the flat-with-dels state
+    assert(SnapshotTable.readAsOf(spark, t, 2).count() == 760)
+    // relayout again: partitioned -> partitioned+bucketed
+    val v4 = SnapshotTable.relayout(spark, t, partitionBy = Seq("grp"),
+      bucketBy = Some((4, "id")))
+    val r4 = SnapshotTable.readAsOf(spark, t, v4)
+    assert(r4.count() == 760)
+    noAqe {
+      assert(!planOf(r4.groupBy(col("id")).count()).contains("Exchange"))
+    }
+    // and back to flat
+    val v5 = SnapshotTable.relayout(spark, t)
+    assert(SnapshotTable.readAsOf(spark, t, v5).count() == 760)
+  }
+}
