@@ -55,6 +55,10 @@ class GraftSqlParser(delegate: ParserInterface,
     """(?is)\s*GRAFT\s+STATS\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val DescribeStatsRe =
     """(?is)\s*GRAFT\s+DESCRIBE\s+STATS\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val RelayoutRe =
+    ("""(?is)\s*GRAFT\s+RELAYOUT\s+'([^']+)'""" +
+      """(?:\s+PARTITION\s+BY\s*\(\s*([A-Za-z0-9_]+(?:\s*,\s*[A-Za-z0-9_]+)*)\s*\))?""" +
+      """(?:\s+BUCKET\s+BY\s*\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\))?\s*;?\s*""").r
   // wall-clock time travel (Delta's TIMESTAMP AS OF) for the verbs that
   // take a version — resolved against the manifests' commit stamps
   private val RestoreTsRe =
@@ -63,6 +67,8 @@ class GraftSqlParser(delegate: ParserInterface,
     """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val StatsTsRe =
     """(?is)\s*GRAFT\s+STATS\s+'([^']+)'\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val DescribeStatsTsRe =
+    """(?is)\s*GRAFT\s+DESCRIBE\s+STATS\s+'([^']+)'\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   // Catch-all for malformed GRAFT statements (missing quotes, absent
   // KEEP/VERSION clause, unknown verb): without it they would fall
   // through to Spark's ANTLR parser and surface as a generic
@@ -86,6 +92,13 @@ class GraftSqlParser(delegate: ParserInterface,
       GraftOptimizeCommand(dir,
         Option(small).map(_.toLong).getOrElse(32L * 1024 * 1024),
         Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024))
+    case RelayoutRe(dir, parts, n, bcol) =>
+      GraftRelayoutCommand(dir,
+        Option(parts).map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil),
+        Option(n).map(nn => (nn.toInt, bcol)))
+    case DescribeStatsTsRe(dir, ts) =>
+      GraftDescribeStatsTimestampCommand(dir,
+        GraftSqlParser.parseTsMillis(ts, sessionZone))
     case DescribeStatsRe(dir, v) =>
       GraftDescribeStatsCommand(dir,
         Option(v).map(_.toInt).getOrElse(Int.MaxValue))
@@ -116,7 +129,10 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT OPTIMIZE '<dir>' ZORDER BY (<colA>, <colB>) [FILES <n>] | " +
             "GRAFT STATS '<dir>' [VERSION AS OF <n>] | " +
             "GRAFT DESCRIBE STATS '<dir>' [VERSION AS OF <n>] | " +
-            "GRAFT RESTORE/CLONE/STATS ... TIMESTAMP AS OF '<ts>'")))
+            "GRAFT RELAYOUT '<dir>' [PARTITION BY (a, b)] " +
+            "[BUCKET BY (n, col)] | " +
+            "GRAFT RESTORE/CLONE/STATS/DESCRIBE STATS ... " +
+            "TIMESTAMP AS OF '<ts>'")))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -325,7 +341,15 @@ object GraftStatsCommand {
   * aggregates; this serves the CATALOG view the planner consumes.) */
 case class GraftDescribeStatsCommand(tableDir: String, asOf: Int)
     extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = {
+  override val output: Seq[Attribute] = GraftDescribeStatsCommand.schema
+  override def run(s: SparkSession): Seq[Row] =
+    SnapshotTable.plannerStats(s, tableDir, asOf).collect().toSeq
+}
+
+object GraftDescribeStatsCommand {
+  /** The plannerStats result schema, shared by the VERSION- and
+    * TIMESTAMP-addressed forms (fresh attribute ids per call). */
+  private[sources] def schema: Seq[Attribute] = {
     val st = org.apache.spark.sql.types.StringType
     Seq(
       AttributeReference("column", st, nullable = true)(),
@@ -337,8 +361,29 @@ case class GraftDescribeStatsCommand(tableDir: String, asOf: Int)
       AttributeReference("min", st, nullable = true)(),
       AttributeReference("max", st, nullable = true)())
   }
+}
+
+/** `GRAFT RELAYOUT '<dir>' [PARTITION BY (a, b)] [BUCKET BY (n, col)]`
+  * — partition evolution in pure SQL ([[SnapshotTable.relayout]]): ONE
+  * atomic overwrite of the live rows into the new hive/bucket/flat
+  * scheme; history keeps each version's own layout. No clause = rewrite
+  * back to the flat zone-map layout. Returns the published version. */
+case class GraftRelayoutCommand(tableDir: String, partitionBy: Seq[String],
+    bucketBy: Option[(Int, String)]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] =
-    SnapshotTable.plannerStats(s, tableDir, asOf).collect().toSeq
+    Seq(Row(SnapshotTable.relayout(s, tableDir, partitionBy, bucketBy)))
+}
+
+/** `GRAFT DESCRIBE STATS '<dir>' TIMESTAMP AS OF '<ts>'` — the
+  * planner-visible catalog statistics at a wall-clock instant. */
+case class GraftDescribeStatsTimestampCommand(tableDir: String,
+    tsMillis: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDescribeStatsCommand.schema
+  override def run(s: SparkSession): Seq[Row] =
+    SnapshotTable.plannerStats(s, tableDir,
+      SnapshotTable.versionAtTimestamp(s, tableDir, tsMillis)).collect().toSeq
 }
 
 /** `GRAFT VACUUM '<dir>' KEEP <k> [MIN AGE <ms>]` → (expired versions,

@@ -981,17 +981,30 @@ object SnapshotTable {
         // bucket-within-partition: directory pruning outside, bucket-id
         // file grouping inside — the scan reports HashPartitioning on
         // the bucket column, so a join on it within (or across) pruned
-        // partitions plans exchange-free
+        // partitions plans exchange-free. sortColumnNames: every
+        // bucketed write sorts each task by (partition cols, bucket
+        // col), and partition cols are constant within a hive output
+        // file — so each bucket FILE is sorted by the bucket column,
+        // and Spark drops the join-side SortExec too when a bucket has
+        // at most one file (it falls back to sorting otherwise).
         bucketSpec = bucket.map { case (n, cc) =>
-          org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(cc), Nil) },
+          org.apache.spark.sql.catalyst.catalog.BucketSpec(
+            n, Seq(cc), Seq(cc)) },
         fileFormat = new ParquetFileFormat,
         options = Map.empty)(s)
     } else {
       HadoopFsRelation(
         new ManifestFileIndex(new HPath(tableDir), es, catalog),
         partitionSchema = StructType(Nil), dataSchema = sc,
+        // sortColumnNames: the bucketed writer sorts every bucket by
+        // its bucket column (`repartition(n, c).sortWithinPartitions(c)`
+        // — one file per bucket per commit), so a fresh bucketed table
+        // serves SORTED bucket scans and a key join skips SortExec as
+        // well as Exchange; appended multi-file buckets make Spark fall
+        // back to sorting automatically (file-count check at planning)
         bucketSpec = bucket.map { case (n, cc) =>
-          org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(cc), Nil) },
+          org.apache.spark.sql.catalyst.catalog.BucketSpec(
+            n, Seq(cc), Seq(cc)) },
         fileFormat = new ParquetFileFormat,
         options = Map.empty)(s)
     }

@@ -54,6 +54,7 @@ class SnapshotDescribeStatsSpec extends GraftSpec {
       SnapshotTable.commit(s2, t,
         s2.range(0, 50).select(col("id"), (col("id") % 3).as("k")),
         overwrite = false)
+      Thread.sleep(5) // distinct commit stamps for the wall-clock probe
       SnapshotTable.commit(s2, t,
         s2.range(50, 200).select(col("id"), (col("id") % 3).as("k")),
         overwrite = false)
@@ -66,6 +67,27 @@ class SnapshotDescribeStatsSpec extends GraftSpec {
         .collect().map(r => r.getString(0) -> r).toMap
       assert(v1("id").getLong(2) == 50L && v1("id").getString(7) == "49",
         "VERSION AS OF must serve that version's stats")
+      // wall-clock addressing: v1's own commit stamp resolves to v1
+      val ts1 = s2.sql(s"GRAFT HISTORY '$t'").collect()
+        .find(_.getInt(0) == 1).get.getLong(7)
+      val byTs = s2.sql(s"GRAFT DESCRIBE STATS '$t' TIMESTAMP AS OF '$ts1'")
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(byTs("id").getLong(2) == 50L,
+        "TIMESTAMP AS OF must resolve to the version at that stamp")
+      // partition evolution in pure SQL: one verb, layout changed,
+      // rows preserved, old version still flat under time travel
+      val v3 = s2.sql(s"GRAFT RELAYOUT '$t' PARTITION BY (k) " +
+        "BUCKET BY (4, id)").head().getInt(0)
+      assert(v3 == 3)
+      val after = SnapshotTable.readAsOf(s2, t, v3)
+      assert(after.count() == 200L)
+      assert(after.inputFiles.exists(_.contains("/k=")),
+        "relayout verb must have produced hive directories")
+      assert(!SnapshotTable.readAsOf(s2, t, 2).inputFiles
+        .exists(_.contains("/k=")), "old version must stay flat")
+      // back to flat, no clauses
+      val v4 = s2.sql(s"GRAFT RELAYOUT '$t'").head().getInt(0)
+      assert(SnapshotTable.readAsOf(s2, t, v4).count() == 200L)
     } finally {
       // the fresh session shares the JVM-wide SparkContext — restore
       // the shared session, never stop()

@@ -134,6 +134,121 @@ class SnapshotPartBucketSpec extends GraftSpec {
     }
   }
 
+  test("bucket pruning: an equality on the bucket column reads one bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pb4-").toString
+    val t = s"$dir/t"
+    SnapshotTable.commitPartitionedBucketed(spark, t, src(1000),
+      partitionBy = Seq("grp"), nBuckets = 8, bucketCol = "id")
+    val r = SnapshotTable.readAsOf(spark, t, 1)
+    noAqe {
+      // Spark's bucket pruning composes with the declared BucketSpec:
+      // the scan keeps 1 of 8 buckets for an equality probe (directory
+      // pruning on grp already cut 3/4 of the files before that). The
+      // aggregate forces a bucketed scan (plain filters alone let the
+      // planner disable bucketing as "unnecessary").
+      val probe = r.filter(col("id") === 417 && col("grp") === "g1")
+        .groupBy(col("id")).count()
+      val plan = planOf(probe)
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning missing:\n${plan.take(1200)}")
+      assert(probe.collect().map(_.getLong(1)).toSeq == Seq(1L))
+    }
+  }
+
+  test("sorted bucket scans: a fresh bucketed join skips Sort as well as Exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pb5-").toString
+    val ta = s"$dir/a"
+    val tb = s"$dir/b"
+    SnapshotTable.commitBucketed(spark, ta,
+      spark.range(0, 500).select(col("id"), (col("id") * 2).as("va")),
+      overwrite = false, nBuckets = 4, bucketCol = "id")
+    SnapshotTable.commitBucketed(spark, tb,
+      spark.range(250, 750).select(col("id"), (col("id") % 5).as("vb")),
+      overwrite = false, nBuckets = 4, bucketCol = "id")
+    // Spark gates bucketed-scan output ordering behind this conf
+    // (planning must count files per bucket); the manifest-declared
+    // sortColumnNames are what make enabling it pay off
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try noAqe {
+      // one file per bucket (fresh commit, writer sorts each bucket by
+      // the bucket column): the scan reports its ordering, so SMJ needs
+      // neither Exchange NOR Sort
+      val j = SnapshotTable.readAsOf(spark, ta, 1)
+        .join(SnapshotTable.readAsOf(spark, tb, 1), "id")
+      val plan = planOf(j)
+      assert(!plan.contains("Exchange"), s"shuffled:\n${plan.take(1200)}")
+      assert(!plan.contains(" Sort ["),
+        s"sorted bucket scan not used:\n${plan.take(1200)}")
+      assert(j.count() == 250)
+      // an append makes 2 files per bucket: Spark falls back to sorting
+      // (correctness over the stale ordering claim) but keeps buckets
+      SnapshotTable.commitBucketed(spark, ta,
+        spark.range(500, 600).select(col("id"), (col("id") * 2).as("va")),
+        overwrite = false, nBuckets = 4, bucketCol = "id")
+      val j2 = SnapshotTable.readAsOf(spark, ta, 2)
+        .join(SnapshotTable.readAsOf(spark, tb, 1), "id")
+      val plan2 = planOf(j2)
+      assert(!plan2.contains("Exchange"))
+      assert(plan2.contains(" Sort ["),
+        "multi-file buckets must re-sort — the ordering claim would be stale")
+      assert(j2.count() == 350)
+      // and within ONE pruned partition of a partitioned+bucketed
+      // table, each bucket is one file — ordering serves there too
+      val tp = s"$dir/p"
+      SnapshotTable.commitPartitionedBucketed(spark, tp, src(800),
+        partitionBy = Seq("grp"), nBuckets = 4, bucketCol = "id")
+      val rp = SnapshotTable.readAsOf(spark, tp, 1)
+      val j3 = rp.filter(col("grp") === "g1")
+        .join(SnapshotTable.readAsOf(spark, tb, 1), "id")
+      val plan3 = planOf(j3)
+      assert(!plan3.contains("Exchange"))
+      assert(!plan3.contains(" Sort ["),
+        s"pruned partition should serve sorted buckets:\n${plan3.take(1200)}")
+      assert(j3.count() == 125) // ids 250..749 with id%4==1: 125
+    } finally spark.conf.set(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+  }
+
+  test("dynamic partition pruning composes with the partitioned FileIndex") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pb6-").toString
+    val t = s"$dir/fact"
+    SnapshotTable.commitPartitioned(spark, t, src(1000), "grp")
+    val fact = SnapshotTable.readAsOf(spark, t, 1)
+    val totalFiles = filesScanned(fact)._2
+    assert(totalFiles >= 4)
+    // a selective dim: only one partition's key survives its filter —
+    // Spark's DPP feeds the broadcast result back into the fact scan's
+    // partition filters AT EXECUTION; the manifest FileIndex must
+    // evaluate that runtime filter (or, if it ever can't, keep all
+    // directories — correctness either way, pruning asserted here)
+    // the dim must be a real scan (a literal local Seq constant-folds
+    // into a LocalRelation, and DPP looks for a selective filter over
+    // a scan)
+    val dimT = s"$dir/dim"
+    SnapshotTable.commit(spark, dimT,
+      Seq(("g1", 1), ("g2", 2), ("g3", 3)).toDF("grp", "rank"),
+      overwrite = false)
+    val dim = SnapshotTable.readAsOf(spark, dimT, 1)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val j = fact.join(dim.filter(col("rank") === 1), Seq("grp"))
+      val n = j.collect().length
+      assert(n == 250, s"join rows $n")
+      val plan = j.queryExecution.executedPlan
+      assert(plan.toString.toLowerCase.contains("dynamicpruning"),
+        s"no DPP filter planted:\n${plan.toString.take(1200)}")
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.toString.contains("PartitionedManifestFileIndex") => f }
+      assert(scans.nonEmpty, "fact scan not found")
+      val scanned = scans.map(_.metrics("numFiles").value).sum
+      assert(scanned < totalFiles,
+        s"DPP did not prune: scanned $scanned of $totalFiles files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("relayout: flat -> partitioned preserves rows and history") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pb3-").toString
     val t = s"$dir/t"
