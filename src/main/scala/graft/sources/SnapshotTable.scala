@@ -777,22 +777,66 @@ object SnapshotTable {
     * recollects from the rewrite pass. This is the documented escape
     * hatch from the append-must-keep-layout rule: the migrating user's
     * "repartition my table by day" is `relayout(s, dir, Seq("day"))`,
-    * costing one full rewrite — never a manifest surgery. */
+    * costing one full rewrite — never a manifest surgery.
+    *
+    * Serializable like every other whole-file rewrite (compact,
+    * absorbDeletes, rewriteZordered): the publish re-reads the LATEST
+    * manifest and aborts + re-plans if ANY commit landed since the
+    * rewrite's read — "preserves rows" is the op's contract, and a
+    * plain overwrite would silently erase a concurrent append. */
   def relayout(s: SparkSession, tableDir: String,
       partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, String)] = None): Int = {
-    val cur = readAsOf(s, tableDir, Int.MaxValue)
-    require(cur.columns.nonEmpty,
-      s"relayout: $tableDir has no published schema to re-lay")
-    bucketBy.foreach { case (n, c) =>
-      require(n > 0, s"nBuckets must be positive, got $n")
-      require(cur.columns.contains(c),
-        s"bucket column '$c' not in ${cur.columns.mkString(",")}")
+    val f = fs(s, tableDir)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val prev = versions(s, tableDir)
+      require(prev.nonEmpty, s"relayout: no published version in $tableDir")
+      val m0 = readManifest(s, tableDir, prev.last)
+      val cur = readAsOf(s, tableDir, prev.last)
+      require(cur.columns.nonEmpty,
+        s"relayout: $tableDir has no published schema to re-lay")
+      bucketBy.foreach { case (n, c) =>
+        require(n > 0, s"nBuckets must be positive, got $n")
+        require(cur.columns.contains(c),
+          s"bucket column '$c' not in ${cur.columns.mkString(",")}")
+        require(!partitionBy.contains(c),
+          s"bucket column '$c' cannot also be a partition column")
+      }
+      partitionBy.foreach { c =>
+        require(cur.columns.contains(c),
+          s"partition column '$c' not in ${cur.columns.mkString(",")}")
+        require(supportedPartType(cur.schema(c).dataType),
+          s"relayout: unsupported partition type " +
+            s"${cur.schema(c).dataType.catalogString} for '$c' " +
+            "(string/int/long/date)")
+      }
+      val uniq = java.util.UUID.randomUUID.toString.take(8)
+      val written = writeDataDir(s, tableDir, cur, uniq, bucketBy,
+        partitionBy, partSpread = partitionedWriteSpread(s))
+      beforePublishHook()
+      val res = publishNext(s, tableDir,
+          partByOverride = Some(partitionBy)) { pm =>
+        pm.flatMap { m =>
+          // serializability: the rewrite read exactly m0's file +
+          // vector state — publishing over a mid-flight commit would
+          // erase its rows while claiming to preserve them
+          if (m.files != m0.files || m.dels != m0.dels) None
+          else Some((written._2, storedSchema(cur.schema), m.txns,
+            bucketBy, Seq.empty, m.constraints,
+            // all pre-drop files are rewritten away: dropped names are
+            // safely re-usable, exactly as after any overwrite
+            Set.empty[String], written._3))
+        }
+      }
+      res match {
+        case Some(v) => return v
+        case None => f.delete(written._1, true) // conflict: re-plan
+      }
     }
-    partitionBy.foreach(c => require(cur.columns.contains(c),
-      s"partition column '$c' not in ${cur.columns.mkString(",")}"))
-    commitInternal(s, tableDir, cur, overwrite = true, None,
-      bucket = bucketBy, partitionBy = partitionBy).get
+    throw new IllegalStateException(
+      s"relayout: lost $MaxCommitAttempts re-plan races in $tableDir")
   }
 
   /** [[commitPartitioned]] × [[commitIdempotent]]: the partitioned
@@ -2797,7 +2841,10 @@ object SnapshotTable {
 
   /** Metadata-only column aggregates of a snapshot: COUNT(*),
     * COUNT(col), MIN(col), MAX(col) for every stat-eligible column
-    * (long/double/string families), answered from the manifest's
+    * (long/double/string families; date and timestamp columns ride
+    * the long kind — extremes surface as epoch-day / epoch-micros in
+    * `min_long`/`max_long`, while [[plannerStats]] renders them as ISO
+    * strings), answered from the manifest's
     * per-file row counts and zone maps alone — ZERO data-file reads,
     * zero Spark jobs. At 100 TB this turns `SELECT count(*), min(ts),
     * max(ts)` from a full-table scan into one manifest read (the

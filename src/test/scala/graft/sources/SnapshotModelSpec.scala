@@ -49,7 +49,7 @@ class SnapshotModelSpec extends GraftSpec {
           .map(_ => rnd.nextInt(10).toLong).distinct
         val rows = ids.map(i => i -> (step * 100L + i)).toMap
         val before = model
-        rnd.nextInt(9) match {
+        rnd.nextInt(10) match {
           case 0 => // append commit (fresh ids only — see round-8 note)
             val fresh = rows.filter { case (k, _) => !model.contains(k) }
             SnapshotTable.commit(spark, t, df(fresh), overwrite = false)
@@ -138,6 +138,26 @@ class SnapshotModelSpec extends GraftSpec {
             model = model ++ ups.filter { case (k, v) =>
               model.get(k).forall(_ < v) }
             ndvKnown = false; delsOutstanding = false
+          case 9 => // partition evolution: row-preserving relayout to
+            // flat or bucketed (a relayout to HIVE dirs would make the
+            // model's plain appends refuse by design — that layout's op
+            // matrix has its own specs); NDV recollects from the live
+            // rows, outstanding vectors are absorbed by the rewrite
+            if (SnapshotTable.versions(spark, t).isEmpty) {
+              val filler = Map((600L + step) -> step.toLong)
+              SnapshotTable.commit(spark, t, df(filler), overwrite = false)
+              model = model ++ filler
+              ndvSeen = ndvSeen ++ filler.values
+            } else {
+              if (rnd.nextBoolean())
+                SnapshotTable.relayout(spark, t)
+              else SnapshotTable.relayout(spark, t, Nil, Some((3, "id")))
+              delsOutstanding = false
+              // the rewrite recollects the sketch from live rows — on a
+              // zero-row table there is no sketch line (unknown)
+              ndvSeen = model.values.toSet
+              ndvKnown = model.nonEmpty
+            }
         }
         history += model
         val latest = SnapshotTable.versions(spark, t).last

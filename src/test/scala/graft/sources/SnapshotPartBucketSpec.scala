@@ -249,6 +249,31 @@ class SnapshotPartBucketSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("relayout re-plans over a concurrent append instead of erasing it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pb7-").toString
+    val t = s"$dir/t"
+    SnapshotTable.commit(spark, t, src(200), overwrite = false)
+    // ONE-SHOT injected append in relayout's race window (between its
+    // rewrite and its publish): the first publish attempt must abort,
+    // the re-plan must pick the new rows up
+    var fired = false
+    SnapshotTable.beforePublishHook = () => if (!fired) {
+      fired = true
+      SnapshotTable.commit(spark, t,
+        src(201).filter(col("id") === 200), overwrite = false)
+    }
+    try {
+      val v = SnapshotTable.relayout(spark, t, partitionBy = Seq("grp"))
+      assert(fired)
+      assert(v == 3, s"append (v2) then relayout (v3), got v$v")
+    } finally SnapshotTable.beforePublishHook = () => ()
+    val after = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(after.count() == 201,
+      "the concurrently appended row must survive the relayout")
+    assert(after.filter(col("id") === 200).count() == 1)
+  }
+
   test("relayout: flat -> partitioned preserves rows and history") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pb3-").toString
     val t = s"$dir/t"
