@@ -47,6 +47,8 @@ class GraftSqlParser(delegate: ParserInterface,
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+SMALL\s+(\d+)\s+TARGET\s+(\d+))?\s*;?\s*""".r
+  private val OptimizeBucketsRe =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+BUCKETS\s*;?\s*""".r
   private val OptimizeZorderRe =
     ("""(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""" +
@@ -88,6 +90,7 @@ class GraftSqlParser(delegate: ParserInterface,
     case OptimizeZorderRe(dir, ca, cb, n) =>
       GraftOptimizeZorderCommand(dir, ca, cb,
         Option(n).map(_.toInt).getOrElse(0))
+    case OptimizeBucketsRe(dir) => GraftOptimizeBucketsCommand(dir)
     case OptimizeRe(dir, small, target) =>
       GraftOptimizeCommand(dir,
         Option(small).map(_.toLong).getOrElse(32L * 1024 * 1024),
@@ -127,6 +130,7 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT HISTORY '<dir>' | " +
             "GRAFT OPTIMIZE '<dir>' [SMALL <bytes> TARGET <bytes>] | " +
             "GRAFT OPTIMIZE '<dir>' ZORDER BY (<colA>, <colB>) [FILES <n>] | " +
+            "GRAFT OPTIMIZE '<dir>' BUCKETS | " +
             "GRAFT STATS '<dir>' [VERSION AS OF <n>] | " +
             "GRAFT DESCRIBE STATS '<dir>' [VERSION AS OF <n>] | " +
             "GRAFT RELAYOUT '<dir>' [PARTITION BY (a, b)] " +
@@ -361,6 +365,21 @@ object GraftDescribeStatsCommand {
       AttributeReference("min", st, nullable = true)(),
       AttributeReference("max", st, nullable = true)())
   }
+}
+
+/** `GRAFT OPTIMIZE '<dir>' BUCKETS` — pack every multi-file bucket
+  * (per hive partition) back to one sorted file
+  * ([[SnapshotTable.compactBuckets]]): restores the exchange-free /
+  * sort-free join shape appends fragment. NULL version when every
+  * bucket is already single-file, on outstanding deletion vectors, or
+  * on an unbucketed table (each a documented no-op). */
+case class GraftOptimizeBucketsCommand(tableDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = true)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.compactBuckets(s, tableDir)
+      .map(Integer.valueOf).orNull))
 }
 
 /** `GRAFT RELAYOUT '<dir>' [PARTITION BY (a, b)] [BUCKET BY (n, col)]`

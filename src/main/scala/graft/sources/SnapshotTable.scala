@@ -1903,6 +1903,73 @@ object SnapshotTable {
     }
   }
 
+  /** Per-BUCKET compaction — the maintenance op of the bucketed
+    * layout: every bucket (per hive partition, on the combined layout)
+    * holding MORE than one file is rewritten to exactly one, restoring
+    * the fresh-commit shape — one file per bucket, sorted by the
+    * bucket column — that makes bucketed joins exchange-free AND
+    * (under `spark.sql.legacy.bucketedTableScan.outputOrdering`)
+    * sort-free again after appends fragmented it. Single-file buckets
+    * are carried through untouched, so the rewrite cost is the
+    * fragmented buckets' bytes, never the table. Correctness rests on
+    * the writer's identity: re-hashing a bucket's rows assigns them
+    * the SAME bucket id (both sides are pmod(murmur3(key), n)), so
+    * rows can never migrate buckets during the pack.
+    *
+    * Same optimistic concurrency as [[compact]]: the publish re-reads
+    * the latest manifest and aborts (returns None, output deleted) if
+    * any packed file left the live set or a deletion vector landed
+    * mid-pack; concurrent appends commute. None when every bucket is
+    * already single-file, on outstanding vectors (absorbDeletes
+    * first), on unbucketed tables, or on legacy manifests. */
+  def compactBuckets(s: SparkSession, tableDir: String): Option[Int] = {
+    val prev = versions(s, tableDir)
+    if (prev.isEmpty) return None
+    val m0 = readManifest(s, tableDir, prev.last)
+    val (nBuckets, bucketCol) = m0.bucket.getOrElse(return None)
+    if (m0.dels.nonEmpty) return None
+    (m0.schema, m0.entries) match {
+      case (Some(schema0), Some(es0)) =>
+        // bucket id from the writer's `_%05d` file-name stamp; every
+        // file of a bucketed manifest carries one by construction
+        val idRe = """.*_(\d{5})\.[^/]*$""".r
+        def bucketId(e: FileEntry): Int = e.status.getPath.getName match {
+          case idRe(id) => id.toInt
+          case other => throw new IllegalStateException(
+            s"compactBuckets: no bucket id in file name $other")
+        }
+        val affected = es0.groupBy(e => (e.part, bucketId(e)))
+          .filter(_._2.size > 1).values.flatten.toSeq
+        if (affected.isEmpty) return None
+        val f = fs(s, tableDir)
+        val uniq = java.util.UUID.randomUUID.toString.take(8)
+        // the subset read reconstructs partition values (partBy) but
+        // claims NO bucket partitioning (it is a plain row source for
+        // the re-bucketing writer, which re-derives the ids)
+        val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
+          relationFor(s, tableDir, storedSchema(schema0), affected,
+            partBy = m0.partBy),
+          uniq, bucket = Some((nBuckets, bucketCol)),
+          partitionBy = m0.partBy)
+        val packed = affected.map(_.status.getPath.toString).toSet
+        beforePublishHook()
+        val res = publishNext(s, tableDir) { pm =>
+          pm.flatMap { m =>
+            if (!packed.subsetOf(m.paths.toSet) || m.dels.nonEmpty) None
+            else Some((
+              m.files.filterNot(e => packed.contains(e.takeWhile(_ != '\t')))
+                ++ newFiles,
+              m.schema.getOrElse(storedSchema(schema0)),
+              m.txns,
+              m.bucket, Seq.empty, m.constraints, m.dropped, m.ndv))
+          }
+        }
+        if (res.isEmpty) f.delete(dataDir, true)
+        res
+      case _ => None // legacy manifest: not packable
+    }
+  }
+
   /** OPTIMIZE ZORDER: rewrite the current snapshot's ENTIRE live file
     * set arranged along the Morton curve of (colA, colB) — Delta's
     * `OPTIMIZE ... ZORDER BY` — published as ONE new version. Files

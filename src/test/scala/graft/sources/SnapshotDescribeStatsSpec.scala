@@ -85,9 +85,19 @@ class SnapshotDescribeStatsSpec extends GraftSpec {
         "relayout verb must have produced hive directories")
       assert(!SnapshotTable.readAsOf(s2, t, 2).inputFiles
         .exists(_.contains("/k=")), "old version must stay flat")
+      // pure-SQL per-bucket OPTIMIZE: the fresh relayout is already one
+      // file per bucket -> documented NULL no-op; fragment a bucket
+      // with an append and the verb packs it
+      assert(s2.sql(s"GRAFT OPTIMIZE '$t' BUCKETS").head().isNullAt(0))
+      SnapshotTable.commitPartitionedBucketed(s2, t,
+        s2.range(200, 260).select(col("id"), (col("id") % 3).as("k")),
+        partitionBy = Seq("k"), nBuckets = 4, bucketCol = "id")
+      val vPacked = s2.sql(s"GRAFT OPTIMIZE '$t' BUCKETS").head()
+      assert(!vPacked.isNullAt(0), "fragmented buckets must pack")
+      assert(SnapshotTable.readAsOf(s2, t, vPacked.getInt(0)).count() == 260L)
       // back to flat, no clauses
       val v4 = s2.sql(s"GRAFT RELAYOUT '$t'").head().getInt(0)
-      assert(SnapshotTable.readAsOf(s2, t, v4).count() == 200L)
+      assert(SnapshotTable.readAsOf(s2, t, v4).count() == 260L)
     } finally {
       // the fresh session shares the JVM-wide SparkContext — restore
       // the shared session, never stop()

@@ -249,6 +249,76 @@ class SnapshotPartBucketSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("compactBuckets packs multi-file buckets back to one sorted file each") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pb8-").toString
+    val t = s"$dir/t"
+    // three appends: every bucket accumulates 3 files
+    (0 until 3).foreach { k =>
+      SnapshotTable.commitBucketed(spark, t,
+        spark.range(k * 200, (k + 1) * 200)
+          .select(col("id"), (col("id") * 7).as("v")),
+        overwrite = false, nBuckets = 4, bucketCol = "id")
+    }
+    assert(SnapshotTable.readAsOf(spark, t, 3).inputFiles.length == 12)
+    val v4 = SnapshotTable.compactBuckets(spark, t)
+    assert(v4.contains(4))
+    val packed = SnapshotTable.readAsOf(spark, t, 4)
+    assert(packed.inputFiles.length == 4, "one file per bucket")
+    // rows identical; bucket routing intact (exchange-free join result
+    // parity is the crux — a row in the wrong bucket silently drops)
+    assert(packed.count() == 600)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try noAqe {
+      val j = packed.join(
+        SnapshotTable.readAsOf(spark, t, 4).withColumnRenamed("v", "w"), "id")
+      val plan = planOf(j)
+      assert(!plan.contains("Exchange"))
+      assert(!plan.contains(" Sort ["),
+        "packing must restore sorted single-file buckets")
+      assert(j.count() == 600)
+      assert(j.agg(sum(col("w"))).head().getLong(0) ==
+        (0L until 600L).map(_ * 7).sum)
+    } finally spark.conf.set(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    // idempotent: nothing left to pack
+    assert(SnapshotTable.compactBuckets(spark, t).isEmpty)
+    // history intact; superseded files reclaimed by vacuum
+    assert(SnapshotTable.readAsOf(spark, t, 3).count() == 600)
+    val st = SnapshotTable.vacuum(spark, t, keepVersions = 1)
+    assert(st.deletedDataFiles >= 12,
+      s"vacuum should reclaim the packed-away files, got $st")
+    assert(SnapshotTable.readAsOf(spark, t, 4).count() == 600)
+    // per-partition × per-bucket on the combined layout
+    val tp = s"$dir/p"
+    (0 until 2).foreach { k =>
+      SnapshotTable.commitPartitionedBucketed(spark, tp,
+        src(800).filter(col("id") >= k * 400 && col("id") < (k + 1) * 400),
+        partitionBy = Seq("grp"), nBuckets = 4, bucketCol = "id")
+    }
+    val before = SnapshotTable.readAsOf(spark, tp, 2).inputFiles.length
+    val vp = SnapshotTable.compactBuckets(spark, tp)
+    assert(vp.contains(3))
+    val packedP = SnapshotTable.readAsOf(spark, tp, 3)
+    assert(packedP.inputFiles.length < before)
+    assert(packedP.inputFiles.forall(_.contains("/grp=")),
+      "packed files must stay inside their hive directories")
+    assert(packedP.count() == 800)
+    val (n1, f1) = filesScanned(packedP.filter(col("grp") === "g1"))
+    assert(n1 == 200 && f1 <= 4, s"pruned partition scanned $f1 files")
+    // a concurrent overwrite in the race window aborts the pack
+    SnapshotTable.commitBucketed(spark, t,
+      spark.range(0, 50).select(col("id"), (col("id") * 7).as("v")),
+      overwrite = false, nBuckets = 4, bucketCol = "id") // fragment again
+    SnapshotTable.beforePublishHook = () =>
+      SnapshotTable.commit(spark, t, Seq((1L, 2L)).toDF("id", "v"),
+        overwrite = true)
+    try assert(SnapshotTable.compactBuckets(spark, t).isEmpty,
+      "pack must abort when its inputs were rewritten")
+    finally SnapshotTable.beforePublishHook = () => ()
+    assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue).count() == 1)
+  }
+
   test("relayout re-plans over a concurrent append instead of erasing it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pb7-").toString
