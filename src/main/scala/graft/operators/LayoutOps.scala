@@ -603,6 +603,73 @@ object LayoutOps extends QueryPack {
       .orderBy(col("version"), col("bucket"))
   }
 
+  /** Per-bucket compaction end to end
+    * ([[graft.sources.SnapshotTable.compactBuckets]]): three bucketed
+    * appends fragment every bucket to three files; the pack rewrites
+    * them back to ONE sorted file per bucket as one commit. The result
+    * pins the physical invariant (exactly 8 files — one per bucket —
+    * and version 4 published) alongside the content rollup: agreement
+    * with the raw-orders oracle proves the re-hash routed every row
+    * back to its own bucket (a migrated row would double in one bucket
+    * file and vanish from another, skewing nothing visible to a scan
+    * that ignores bucket ids — the rollup alone would NOT catch it,
+    * which is why `SnapshotPartBucketSpec` additionally pins join
+    * parity; here the file count pins the pack happened at all). */
+  def layoutBucketPack(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_bpack_")
+    tmpDirs.add(root)
+    val table = root.resolve("orders").toString
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderkey").isNotNull && col("o_custkey").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    (0 to 2).foreach { k =>
+      graft.sources.SnapshotTable.commitBucketed(s, table,
+        o.filter(pmod(col("o_orderkey"), lit(3)) === k),
+        overwrite = false, nBuckets = 8, bucketCol = "o_custkey")
+    }
+    val packed = graft.sources.SnapshotTable.compactBuckets(s, table)
+    val v = packed.getOrElse(-1)
+    val snap = graft.sources.SnapshotTable.readAsOf(s, table,
+      math.max(v, 1))
+    val nFiles = snap.inputFiles.length.toLong
+    snap.agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("sum_price_c"),
+        countDistinct(col("o_custkey")).as("n_custkeys"))
+      .select(col("n_orders"), col("sum_price_c"), col("n_custkeys"),
+        lit(nFiles).as("n_files"), lit(v.toLong).as("version"))
+      .filter(col("n_orders") > 0)
+  }
+
+  /** The PLANNER-visible catalog statistics, oracle-checked
+    * ([[graft.sources.SnapshotTable.plannerStats]] — what CBO actually
+    * consumes): orders land across TWO appends (so the NDV sketch and
+    * min/max exercise the manifest MERGE path, not just one commit),
+    * and the oracle recomputes every field in closed form — exact row
+    * and null counts, the string column's byte-exact avg width, long
+    * AND timestamp_ntz min/max in catalog external-string form
+    * (strftime/epoch_us parity), and the KMV NDV estimate replayed
+    * hash-for-hash (bottom-64 of md5 prefixes). */
+  def layoutPlannerStats(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_pstats_")
+    tmpDirs.add(root)
+    val table = root.resolve("orders").toString
+    val o = Tables.orders(s, d).filter(col("o_orderkey").isNotNull)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+    (0 to 1).foreach { k =>
+      graft.sources.SnapshotTable.commit(s, table,
+        o.filter(pmod(col("o_orderkey"), lit(2)) === k), overwrite = false)
+    }
+    graft.sources.SnapshotTable.plannerStats(s, table)
+      // a zero-row corpus still has catalog stats rows (all-zero) —
+      // the declared result carries DATA rows only
+      .filter(col("row_count") > 0)
+      .select(col("column"), col("data_type"), col("row_count"),
+        col("distinct_count"), col("null_count"), col("avg_len"),
+        col("min"), col("max"))
+      .orderBy(col("column"))
+  }
+
   /** Timestamp zone-map pruning end to end: land events TIME-CLUSTERED
     * (`commitClustered` on `ts` — the layout a time-ordered append
     * stream converges to anyway), then answer a 3-day-window query.
@@ -881,6 +948,8 @@ object LayoutOps extends QueryPack {
     "layout_snapshot_timefilter" -> layoutSnapshotTimefilter,
     "layout_partitioned_bucketed" -> layoutPartitionedBucketed,
     "layout_relayout" -> layoutRelayout,
+    "layout_bucket_pack" -> layoutBucketPack,
+    "layout_planner_stats" -> layoutPlannerStats,
     "layout_snapshot_deletes" -> layoutSnapshotDeletes,
     "layout_meta_agg" -> layoutMetaAgg,
     "layout_file_lineage" -> layoutFileLineage,
@@ -1015,6 +1084,79 @@ object LayoutOps extends QueryPack {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM v GROUP BY version, bucket HAVING count(*) > 0
         |ORDER BY version, bucket""".stripMargin,
+    // the pack's content rollup must equal raw orders (the three %3
+    // slices union to the full key set), the file count must be one
+    // per bucket, and version 4 pins that exactly one pack published
+    "layout_bucket_pack" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+        |  CAST(8 AS BIGINT) AS n_files,
+        |  CAST(4 AS BIGINT) AS version
+        |FROM orders
+        |WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+        |HAVING count(*) > 0""".stripMargin,
+    // every planner-visible statistic recomputed in closed form: exact
+    // counts/nulls, byte-exact avg width, external-string min/max, and
+    // the KMV NDV estimate replayed hash-for-hash
+    "layout_planner_stats" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderdate
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        |dndv AS (
+        |  SELECT CAST(round(CASE WHEN count(*) < 64
+        |      THEN CAST(count(*) AS DOUBLE)
+        |      ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+        |    END, 0) AS BIGINT) AS ndv
+        |  FROM (SELECT DISTINCT CAST(('0x' ||
+        |      substring(md5(CAST(epoch_us(o_orderdate) AS VARCHAR)),
+        |        1, 15)) AS BIGINT)
+        |      AS h FROM o WHERE o_orderdate IS NOT NULL
+        |    ORDER BY h LIMIT 64)),
+        |kndv AS (
+        |  SELECT CAST(round(CASE WHEN count(*) < 64
+        |      THEN CAST(count(*) AS DOUBLE)
+        |      ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+        |    END, 0) AS BIGINT) AS ndv
+        |  FROM (SELECT DISTINCT CAST(('0x' ||
+        |      substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      AS h FROM o ORDER BY h LIMIT 64)),
+        |sndv AS (
+        |  SELECT CAST(round(CASE WHEN count(*) < 64
+        |      THEN CAST(count(*) AS DOUBLE)
+        |      ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+        |    END, 0) AS BIGINT) AS ndv
+        |  FROM (SELECT DISTINCT CAST(('0x' ||
+        |      substring(md5(o_orderstatus), 1, 15)) AS BIGINT)
+        |      AS h FROM o WHERE o_orderstatus IS NOT NULL
+        |    ORDER BY h LIMIT 64))
+        |SELECT 'o_orderdate' AS "column", 'timestamp_ntz' AS data_type,
+        |  CAST(count(*) AS BIGINT) AS row_count,
+        |  (SELECT ndv FROM dndv) AS distinct_count,
+        |  CAST(count(*) - count(o_orderdate) AS BIGINT) AS null_count,
+        |  CAST(NULL AS BIGINT) AS avg_len,
+        |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS "min",
+        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS "max"
+        |FROM o HAVING count(*) > 0
+        |UNION ALL
+        |SELECT 'o_orderkey' AS "column", 'bigint' AS data_type,
+        |  CAST(count(*) AS BIGINT) AS row_count,
+        |  (SELECT ndv FROM kndv) AS distinct_count,
+        |  CAST(0 AS BIGINT) AS null_count,
+        |  CAST(NULL AS BIGINT) AS avg_len,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS "min",
+        |  CAST(max(o_orderkey) AS VARCHAR) AS "max"
+        |FROM o HAVING count(*) > 0
+        |UNION ALL
+        |SELECT 'o_orderstatus', 'string',
+        |  CAST(count(*) AS BIGINT),
+        |  (SELECT ndv FROM sndv),
+        |  CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |  CAST(GREATEST(1, sum(strlen(o_orderstatus))
+        |    // count(o_orderstatus)) AS BIGINT),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |FROM o HAVING count(*) > 0
+        |ORDER BY "column"""".stripMargin,
     // the zone-map-pruned window read must equal the plain filter —
     // an over-eager epoch-micros bound would silently drop rows at
     // the window edges

@@ -878,7 +878,8 @@ object SnapshotTable {
          org.apache.spark.sql.types.IntegerType |
          org.apache.spark.sql.types.LongType |
          org.apache.spark.sql.types.DateType |
-         org.apache.spark.sql.types.TimestampType => Some('l')
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => Some('l')
     case org.apache.spark.sql.types.FloatType |
          org.apache.spark.sql.types.DoubleType => Some('d')
     case org.apache.spark.sql.types.StringType => Some('s')
@@ -889,12 +890,30 @@ object SnapshotTable {
     * dates as epoch-days (`unix_date`), timestamps as epoch-micros
     * (`unix_micros`) — Catalyst's internal forms, which is what makes
     * the pruning comparison conversion-free — everything else as
-    * itself. Null-preserving, order-preserving. */
+    * itself. TIMESTAMP_NTZ's internal form is the wall-clock reading's
+    * micros AS IF UTC (zone-independent); `CAST(ntz AS TIMESTAMP)`
+    * reads the wall clock in the SESSION zone, so `unix_micros` of it
+    * equals the internal form exactly when that zone is UTC — which is
+    * why [[collectFileStats]] gates NTZ stat collection on a UTC
+    * session (a bound stored under any other zone would be shifted
+    * against readers' literals, i.e. unsound). Readers need no gate:
+    * a stored-under-UTC bound compares against the zone-independent
+    * NTZ literal correctly from ANY session.
+    * Null-preserving, order-preserving. */
   private def statSql(n: String, dt: DataType): String = dt match {
     case org.apache.spark.sql.types.DateType => s"unix_date(`$n`)"
     case org.apache.spark.sql.types.TimestampType => s"unix_micros(`$n`)"
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      s"unix_micros(CAST(`$n` AS TIMESTAMP))"
     case _ => s"`$n`"
   }
+
+  /** Is the session's SQL timezone UTC (any spelling)? The gate for
+    * TIMESTAMP_NTZ stat collection — see [[statSql]]. */
+  private def sessionZoneIsUtc(s: SparkSession): Boolean =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .getZoneId(s.conf.get("spark.sql.session.timeZone"))
+      .normalized() == java.time.ZoneOffset.UTC
 
   /** Per-file zone maps for the just-written commit: ONE distributed
     * aggregation over the batch keyed by `input_file_name()` — no
@@ -908,7 +927,13 @@ object SnapshotTable {
       schema: StructType, partitioned: Boolean = false)
       : Option[(Map[String, (Long, String)], Map[String, Seq[Long]])] = {
     import org.apache.spark.sql.functions._
+    val utc = sessionZoneIsUtc(s)
     val cols = schema.fields.toSeq
+      // NTZ bounds are collectible only under a UTC session (see
+      // statSql); under any other zone the column simply gets no stats
+      // for this commit's files — conservative, never wrong
+      .filter(fl => utc ||
+        fl.dataType != org.apache.spark.sql.types.TimestampNTZType)
       .flatMap(fl => statKind(fl.dataType).map(k =>
         (fl.name, k, statSql(fl.name, fl.dataType))))
     if (cols.isEmpty) return None // no eligible columns: pass skipped
@@ -1069,8 +1094,17 @@ object SnapshotTable {
         import org.apache.spark.sql.catalyst.catalog._
         val nRows = es.flatMap(_.rows).sum
         val colStats = sc.fields.toSeq.flatMap { f =>
-          statKind(f.dataType).map { kind =>
+          statKind(f.dataType).flatMap { kind =>
             val sts = es.map(e => (e.rows.get, e.stats.get(f.name)))
+            // no file records a stat for an ELIGIBLE column: either the
+            // files predate the column (its rows are all-null) or they
+            // predate the column TYPE's stat eligibility (values
+            // unknown — e.g. date/timestamp columns written before
+            // those kinds were collected, NTZ committed under a
+            // non-UTC session). Indistinguishable from the manifest, so
+            // claim nothing rather than report rows as nulls to CBO.
+            if (sts.forall(_._2.isEmpty) && nRows > 0) None
+            else Some {
             val nulls = sts.map { case (r, st) => st.fold(r)(_.nulls) }.sum
             val nonNull = nRows - nulls
             val byteSums = sts.flatMap(_._2).flatMap(_.bytes)
@@ -1126,6 +1160,7 @@ object SnapshotTable {
               max = fold((a, b) => lt(b, a), _.max),
               nullCount = Some(BigInt(nulls)),
               avgLen = avgLen)
+            }
           }
         }.toMap
         Some(CatalogTable(
@@ -2978,11 +3013,19 @@ object SnapshotTable {
       val withStat = es.flatMap(e => e.stats.get(f.name).map(st =>
         (e.rows.get, st)))
       val nonNull = withStat.map { case (r, st) => r - st.nulls }.sum
+      // NO file records a stat for an eligible column: the files either
+      // predate the column (all-null for it) or predate its TYPE's stat
+      // eligibility (values unknown — pre-round-14 date/timestamp
+      // commits, NTZ under a non-UTC session). Indistinguishable here,
+      // so the non-null accounting and bounds degrade to unknown rather
+      // than claim an all-null column.
+      val statless = withStat.isEmpty && nRows > 0
       // files that hold at least one non-null value must contribute a
       // known bound for the global extreme to be exact
       val contributing = withStat.filter { case (r, st) => r - st.nulls > 0 }
-      val exact = !hasDels && contributing.forall { case (_, st) =>
-        st.min.isDefined && st.max.isDefined }
+      val exact = !hasDels && !statless &&
+        contributing.forall { case (_, st) =>
+          st.min.isDefined && st.max.isDefined }
       def extreme(pick: (Any, Any) => Boolean, side: ColStat => Option[Any])
           : Option[Any] =
         if (!exact || contributing.isEmpty) None
@@ -3001,7 +3044,7 @@ object SnapshotTable {
       (f.name, k.toString, nRows,
         // non-null accounting is per INSERTED row — deleted rows'
         // nullness is unknown, so it degrades with the bounds
-        if (hasDels) None else Some(nonNull),
+        if (hasDels || statless) None else Some(nonNull),
         if (k == 'l') mn.map(_.asInstanceOf[Long]) else None,
         if (k == 'l') mx.map(_.asInstanceOf[Long]) else None,
         if (k == 'd') mn.map(_.asInstanceOf[Double]) else None,

@@ -192,6 +192,45 @@ class SnapshotTimeStatsSpec extends GraftSpec {
     assert(mixed.map(_.files.length).sum == 1)
   }
 
+  test("timestamp_ntz prunes too — and only when committed under UTC") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts5-").toString
+    val t = s"$dir/tbl"
+    // the parquet-default reading of a tz-less timestamp column is NTZ
+    // (the orders.o_orderdate shape) — it must prune like the others
+    val src = spark.range(0, 800)
+      .select(col("id"),
+        expr("to_timestamp_ntz('2024-01-01 00:00:00') + " +
+          "make_interval(0, 0, 0, 0, 0, id, 0)").as("nts"))
+      .repartitionByRange(8, col("nts"))
+    SnapshotTable.commit(spark, t, src, overwrite = false)
+    val snap = SnapshotTable.readAsOf(spark, t, 1)
+    val (tail, tailFiles) = run(snap.filter(
+      col("nts") >= expr("to_timestamp_ntz('2024-01-01 12:00:00')")))
+    assert(tail == 80 && tailFiles <= 2,
+      s"ntz range scanned $tailFiles of 8 files")
+    // pruned == unpruned on an exact minute probe
+    val probe = expr("to_timestamp_ntz('2024-01-01 03:27:00')")
+    assert(snap.filter(col("nts") === probe).count() == 1)
+    // a NON-UTC session must not store NTZ bounds (they would be
+    // shifted against readers' zone-independent literals): the commit
+    // succeeds, the column simply carries no stats — scan-all, correct
+    val fork = org.apache.spark.sql.GraftSqlShim.forkSession(spark)
+    fork.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val t2 = s"$dir/tbl2"
+    SnapshotTable.commit(fork, t2, src, overwrite = false)
+    val snap2 = SnapshotTable.readAsOf(spark, t2, 1) // read back under UTC
+    val (all2, files2) = run(snap2.filter(
+      col("nts") >= expr("to_timestamp_ntz('2024-01-01 12:00:00')")))
+    assert(all2 == 80, "results must stay correct without stats")
+    assert(files2 == 8, "non-UTC-committed NTZ must not claim bounds")
+    // and the catalog claims nothing for it either (not an all-null lie)
+    val ntsStat = snap2.queryExecution.optimizedPlan.stats
+      .attributeStats.toSeq.collectFirst {
+        case (a, st) if a.name == "nts" => st }
+    assert(ntsStat.forall(st => st.nullCount.isEmpty && st.min.isEmpty),
+      s"statless NTZ column must not carry catalog claims: $ntsStat")
+  }
+
   test("metaAgg serves date/timestamp extremes through the long kind") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ts4-").toString
     val t = s"$dir/tbl"
