@@ -76,11 +76,14 @@ class SnapshotModelSpec extends GraftSpec {
             replayed += 1
             model = model ++ fresh
             ndvSeen = ndvSeen ++ fresh.values
-          case 4 => // compact: row-preserving maintenance; a no-op when
-            // there is <=1 small file publishes NO version — normalize
-            // by appending a fresh filler row so every step publishes
-            // exactly one version (keeps history bookkeeping simple)
-            SnapshotTable.compact(spark, t, 1L << 20, 1L << 30) match {
+          case 4 => // compact: row-preserving maintenance; on a BUCKETED
+            // layout (a case-9 relayout) plain compact declines and the
+            // per-bucket pack takes over — also row-preserving. A no-op
+            // (nothing publishable) normalizes to a filler append so
+            // every step publishes exactly one version (keeps history
+            // bookkeeping simple)
+            SnapshotTable.compact(spark, t, 1L << 20, 1L << 30)
+              .orElse(SnapshotTable.compactBuckets(spark, t)) match {
               case Some(_) => // content unchanged
               case None =>
                 val filler = Map((900L + step) -> step.toLong)
