@@ -634,6 +634,15 @@ object PlanCheck {
       mustNot = Seq("CartesianProduct", "BroadcastExchange"),
       noAutoBroadcast = true, noAdaptive = true,
       maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 2)),
+    // decimal zone maps: the money band reaches the scan pushed down
+    // (scan-metric pruning pinned in SnapshotTimeStatsSpec); one scan,
+    // no join, agg + presentation sort only
+    Check("layout_snapshot_moneyband",
+      mustContain = Seq("PushedFilters: [IsNotNull(amount), " +
+        "GreaterThanOrEqual(amount,", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Exchange" -> 2, "Scan parquet" -> 1)),
     // timestamp zone maps: the window predicate reaches the scan pushed
     // down (the manifest FileIndex data-skips on it — the file-count
     // metric is pinned in SnapshotTimeStatsSpec); one scan, no join,

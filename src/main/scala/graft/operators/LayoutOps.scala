@@ -670,6 +670,40 @@ object LayoutOps extends QueryPack {
       .orderBy(col("column"))
   }
 
+  /** Decimal zone-map pruning end to end: orders land with an exact
+    * DECIMAL(13,2) money column (built from the rounded-cents integer
+    * through a string cast — portable, no float-rounding ambiguity),
+    * price-clustered into 8 files, then a money-band query filters on
+    * decimal literals. The manifest stores the bounds as UNSCALED
+    * longs; the band predicate prunes to the matching files
+    * (`SnapshotTimeStatsSpec` pins the scan metric), and this oracle
+    * pins that the unscaled-long comparison never drops a boundary
+    * row — the money type is the one a warehouse prunes on most after
+    * time. */
+  def layoutSnapshotMoneyband(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_money_")
+    tmpDirs.add(root)
+    val table = root.resolve("orders").toString
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderkey").isNotNull && col("o_totalprice").isNotNull)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        expr("CAST(concat(CAST(cents DIV 100 AS STRING), '.', " +
+          "lpad(CAST(cents % 100 AS STRING), 2, '0')) AS DECIMAL(13,2))")
+          .as("amount"))
+    graft.sources.SnapshotTable.commitClustered(s, table, o,
+      overwrite = false, nFiles = 8, clusterCols = Seq("amount"))
+    graft.sources.SnapshotTable.readAsOf(s, table, 1)
+      .filter(col("amount") >= expr("CAST(50000.00 AS DECIMAL(13,2))") &&
+        col("amount") < expr("CAST(150000.00 AS DECIMAL(13,2))"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"),
+        min(col("amount")).cast("string").as("min_amount"),
+        max(col("amount")).cast("string").as("max_amount"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Timestamp zone-map pruning end to end: land events TIME-CLUSTERED
     * (`commitClustered` on `ts` — the layout a time-ordered append
     * stream converges to anyway), then answer a 3-day-window query.
@@ -950,6 +984,7 @@ object LayoutOps extends QueryPack {
     "layout_relayout" -> layoutRelayout,
     "layout_bucket_pack" -> layoutBucketPack,
     "layout_planner_stats" -> layoutPlannerStats,
+    "layout_snapshot_moneyband" -> layoutSnapshotMoneyband,
     "layout_snapshot_deletes" -> layoutSnapshotDeletes,
     "layout_meta_agg" -> layoutMetaAgg,
     "layout_file_lineage" -> layoutFileLineage,
@@ -1084,6 +1119,26 @@ object LayoutOps extends QueryPack {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM v GROUP BY version, bucket HAVING count(*) > 0
         |ORDER BY version, bucket""".stripMargin,
+    // the decimal-pruned band must equal the plain band — an unscaled
+    // bound off by one cent would clip exactly the boundary rows
+    "layout_snapshot_moneyband" ->
+      """WITH o AS (SELECT o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(concat(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |        // 100 AS VARCHAR), '.',
+        |      lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |        % 100 AS VARCHAR), 2, '0')) AS DECIMAL(13,2)) AS amount
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL)
+        |SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(amount) AS VARCHAR) AS min_amount,
+        |  CAST(max(amount) AS VARCHAR) AS max_amount
+        |FROM o
+        |WHERE amount >= CAST(50000.00 AS DECIMAL(13,2))
+        |  AND amount < CAST(150000.00 AS DECIMAL(13,2))
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the pack's content rollup must equal raw orders (the three %3
     // slices union to the full key set), the file count must be one
     // per bucket, and version 4 pins that exactly one pack published

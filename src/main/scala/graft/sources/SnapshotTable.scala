@@ -414,6 +414,13 @@ object SnapshotTable {
         case (_, null) => None
         case ('l', n: java.lang.Number) =>
           Some(java.lang.Long.compare(bound.asInstanceOf[Long], n.longValue))
+        // a decimal literal compared against a bare attribute was
+        // coerced to the COLUMN's decimal type (same scale as the
+        // stored unscaled bound) — see statKind; precision ≤ 18 or the
+        // column carries no stats at all
+        case ('l', d: org.apache.spark.sql.types.Decimal) =>
+          Some(java.lang.Long.compare(
+            bound.asInstanceOf[Long], d.toUnscaledLong))
         case ('d', n: java.lang.Number) =>
           val d = n.doubleValue
           if (d.isNaN || d.isInfinite) None
@@ -880,6 +887,16 @@ object SnapshotTable {
          org.apache.spark.sql.types.DateType |
          org.apache.spark.sql.types.TimestampType |
          org.apache.spark.sql.types.TimestampNTZType => Some('l')
+    // the warehouse money type rides the long kind as its UNSCALED
+    // value (5.25 @ scale 2 → 525) — exact, and scale-safe at the
+    // pruner: the bare-attribute patterns only ever match when
+    // Catalyst coerced the literal to the COLUMN's own decimal type
+    // (a different-scale literal widens the comparison and wraps the
+    // attribute in a Cast, which conservatively keeps the file), so
+    // the literal's unscaled long is always in the stored bound's
+    // scale. Precision ≤ 18 so the unscaled value fits a long.
+    case dt: org.apache.spark.sql.types.DecimalType
+        if dt.precision <= 18 && dt.scale >= 0 => Some('l')
     case org.apache.spark.sql.types.FloatType |
          org.apache.spark.sql.types.DoubleType => Some('d')
     case org.apache.spark.sql.types.StringType => Some('s')
@@ -905,6 +922,12 @@ object SnapshotTable {
     case org.apache.spark.sql.types.TimestampType => s"unix_micros(`$n`)"
     case org.apache.spark.sql.types.TimestampNTZType =>
       s"unix_micros(CAST(`$n` AS TIMESTAMP))"
+    // unscaled long via an exact integer-literal multiply (decimal ×
+    // integer is exact decimal arithmetic; precision ≤ 18 guarantees
+    // the long cast cannot overflow)
+    case dt: org.apache.spark.sql.types.DecimalType =>
+      if (dt.scale == 0) s"CAST(`$n` AS BIGINT)"
+      else s"CAST(`$n` * ${"1" + "0" * dt.scale} AS BIGINT)"
     case _ => s"`$n`"
   }
 
@@ -1144,6 +1167,11 @@ object SnapshotTable {
                 val internal = f.dataType match {
                   case org.apache.spark.sql.types.DateType =>
                     v.asInstanceOf[Long].toInt
+                  case dt: org.apache.spark.sql.types.DecimalType =>
+                    // re-scale the stored unscaled long exactly
+                    org.apache.spark.sql.types.Decimal(
+                      java.math.BigDecimal.valueOf(
+                        v.asInstanceOf[Long], dt.scale))
                   case _ => v
                 }
                 Some(CatalogColumnStat.toExternalString(

@@ -231,6 +231,49 @@ class SnapshotTimeStatsSpec extends GraftSpec {
       s"statless NTZ column must not carry catalog claims: $ntsStat")
   }
 
+  test("decimal zone maps: unscaled-long bounds prune; unwrapped casts stay sound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts6-").toString
+    val t = s"$dir/tbl"
+    // money amounts 0.00 .. 99.99, price-ordered into 8 files
+    val src = spark.range(0, 10000)
+      .select(col("id"),
+        expr("CAST(concat(CAST(id DIV 100 AS STRING), '.', " +
+          "lpad(CAST(id % 100 AS STRING), 2, '0')) AS DECIMAL(12,2))")
+          .as("amount"))
+      .repartitionByRange(8, col("amount"))
+    SnapshotTable.commit(spark, t, src, overwrite = false)
+    val snap = SnapshotTable.readAsOf(spark, t, 1)
+    // a same-scale literal prunes (coerced to DECIMAL(12,2) in place)
+    val (tail, tailFiles) = run(
+      snap.filter(col("amount") >= expr("CAST(90.00 AS DECIMAL(12,2))")))
+    assert(tail == 1000 && tailFiles <= 2,
+      s"decimal range scanned $tailFiles of 8 files")
+    val (one, oneFiles) = run(
+      snap.filter(col("amount") === expr("CAST(41.70 AS DECIMAL(12,2))")))
+    assert(one == 1 && oneFiles == 1)
+    // a FINER-scale literal (99.985): Catalyst's
+    // UnwrapCastInBinaryComparison rewrites the widened comparison
+    // back to the column's scale, so the pushed filter still prunes —
+    // and the boundary row (99.99 > 99.985) must survive it
+    val (fine, fineFiles) = run(
+      snap.filter(col("amount") > expr("CAST(99.985 AS DECIMAL(13,3))")))
+    assert(fine == 1 && fineFiles <= 2,
+      s"finer-scale literal: got $fine rows from $fineFiles files")
+    // catalog bounds render in decimal external form and reach CBO
+    val aStat = snap.queryExecution.optimizedPlan.stats.attributeStats
+      .toSeq.collectFirst { case (a, st) if a.name == "amount" => st }.get
+    assert(aStat.min.contains(org.apache.spark.sql.types.Decimal("0.00")) ||
+      aStat.min.map(_.toString).contains("0.00"),
+      s"amount min ${aStat.min}")
+    assert(aStat.max.map(_.toString).contains("99.99"),
+      s"amount max ${aStat.max}")
+    // pruned == unpruned parity on a mid band
+    val base = spark.read.schema(snap.schema).parquet(snap.inputFiles: _*)
+    val band = col("amount") >= expr("CAST(25.50 AS DECIMAL(12,2))") &&
+      col("amount") < expr("CAST(30.00 AS DECIMAL(12,2))")
+    assert(snap.filter(band).count() == base.filter(band).count())
+  }
+
   test("metaAgg serves date/timestamp extremes through the long kind") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ts4-").toString
     val t = s"$dir/tbl"
