@@ -670,6 +670,38 @@ object LayoutOps extends QueryPack {
       .orderBy(col("column"))
   }
 
+  /** `GRAFT ANALYZE` end to end: load documents, run a selective MERGE
+    * (which HONESTLY drops the cumulative NDV sketch — a bottom-k
+    * cannot subtract), then [[graft.sources.SnapshotTable.analyze]]
+    * recollects per-file zone maps + table NDV from the live files as
+    * ONE stats-only commit. Output is the metadata-served column
+    * statistics AFTER the repair — row/non-null counts, exact bounds,
+    * and the KMV NDV estimate, which the oracle recomputes from the
+    * post-merge table with the same md5-based estimator; agreement is
+    * only possible because ANALYZE restored what the merge dropped.
+    * At 100 TB this is the op that keeps broadcast-vs-shuffle planning
+    * alive on tables that see DML. */
+  def layoutAnalyze(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_anlz_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"),
+        (col("doc_id") % 40).cast("long").as("bucket"))
+    graft.sources.SnapshotTable.commit(s, table, docs, overwrite = false)
+    val upserts = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), (col("nc") + 500L).as("nc"), col("bucket"))
+    val deletes = docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+    graft.sources.SnapshotTable.merge(s, table, upserts, deletes, "doc_id")
+    graft.sources.SnapshotTable.analyze(s, table)
+    graft.sources.SnapshotTable.metaAgg(s, table)
+      .filter(col("n_rows") > 0)
+      .select(col("column"), col("n_rows"), col("n_nonnull"),
+        col("min_long"), col("max_long"),
+        round(col("est_ndv"), 0).cast("long").as("ndv"))
+      .orderBy(col("column"))
+  }
+
   /** Decimal zone-map pruning end to end: orders land with an exact
     * DECIMAL(13,2) money column (built from the rounded-cents integer
     * through a string cast — portable, no float-rounding ambiguity),
@@ -984,6 +1016,7 @@ object LayoutOps extends QueryPack {
     "layout_relayout" -> layoutRelayout,
     "layout_bucket_pack" -> layoutBucketPack,
     "layout_planner_stats" -> layoutPlannerStats,
+    "layout_analyze" -> layoutAnalyze,
     "layout_snapshot_moneyband" -> layoutSnapshotMoneyband,
     "layout_snapshot_deletes" -> layoutSnapshotDeletes,
     "layout_meta_agg" -> layoutMetaAgg,
@@ -1155,6 +1188,62 @@ object LayoutOps extends QueryPack {
     // every planner-visible statistic recomputed in closed form: exact
     // counts/nulls, byte-exact avg width, external-string min/max, and
     // the KMV NDV estimate replayed hash-for-hash
+    // the post-merge table restated in SQL (upserts win over deletes),
+    // stats recomputed the way GRAFT ANALYZE does: exact counts/bounds
+    // plus the SAME md5-based KMV NDV estimator over each column's
+    // canonical long rendering — agreement requires the analyze commit
+    // (the merge dropped the sketch; without ANALYZE est_ndv is NULL)
+    "layout_analyze" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, nc + 500 AS nc FROM d WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, nc FROM d
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0),
+        |b AS (SELECT doc_id, nc, doc_id % 40 AS bucket FROM m),
+        |indv AS (
+        |  SELECT CAST(round(CASE WHEN count(*) < 64
+        |      THEN CAST(count(*) AS DOUBLE)
+        |      ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+        |    END, 0) AS BIGINT) AS ndv
+        |  FROM (SELECT DISTINCT CAST(('0x' ||
+        |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      AS h FROM b ORDER BY h LIMIT 64)),
+        |nndv AS (
+        |  SELECT CAST(round(CASE WHEN count(*) < 64
+        |      THEN CAST(count(*) AS DOUBLE)
+        |      ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+        |    END, 0) AS BIGINT) AS ndv
+        |  FROM (SELECT DISTINCT CAST(('0x' ||
+        |      substring(md5(CAST(nc AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      AS h FROM b ORDER BY h LIMIT 64)),
+        |bndv AS (
+        |  SELECT CAST(round(CASE WHEN count(*) < 64
+        |      THEN CAST(count(*) AS DOUBLE)
+        |      ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+        |    END, 0) AS BIGINT) AS ndv
+        |  FROM (SELECT DISTINCT CAST(('0x' ||
+        |      substring(md5(CAST(bucket AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      AS h FROM b ORDER BY h LIMIT 64))
+        |SELECT * FROM (
+        |  SELECT 'bucket' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(bucket) AS BIGINT) AS n_nonnull,
+        |    CAST(min(bucket) AS BIGINT) AS min_long,
+        |    CAST(max(bucket) AS BIGINT) AS max_long,
+        |    (SELECT ndv FROM bndv) AS ndv
+        |  FROM b HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT 'doc_id', CAST(count(*) AS BIGINT),
+        |    CAST(count(doc_id) AS BIGINT), CAST(min(doc_id) AS BIGINT),
+        |    CAST(max(doc_id) AS BIGINT), (SELECT ndv FROM indv)
+        |  FROM b HAVING count(*) > 0
+        |  UNION ALL
+        |  SELECT 'nc', CAST(count(*) AS BIGINT), CAST(count(nc) AS BIGINT),
+        |    CAST(min(nc) AS BIGINT), CAST(max(nc) AS BIGINT),
+        |    (SELECT ndv FROM nndv)
+        |  FROM b HAVING count(*) > 0)
+        |ORDER BY "column"""".stripMargin,
     "layout_planner_stats" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderdate
         |  FROM orders WHERE o_orderkey IS NOT NULL),

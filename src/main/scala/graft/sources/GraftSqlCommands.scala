@@ -57,6 +57,8 @@ class GraftSqlParser(delegate: ParserInterface,
     """(?is)\s*GRAFT\s+STATS\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val DescribeStatsRe =
     """(?is)\s*GRAFT\s+DESCRIBE\s+STATS\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val AnalyzeRe =
+    """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*;?\s*""".r
   private val RelayoutRe =
     ("""(?is)\s*GRAFT\s+RELAYOUT\s+'([^']+)'""" +
       """(?:\s+PARTITION\s+BY\s*\(\s*([A-Za-z0-9_]+(?:\s*,\s*[A-Za-z0-9_]+)*)\s*\))?""" +
@@ -95,6 +97,7 @@ class GraftSqlParser(delegate: ParserInterface,
       GraftOptimizeCommand(dir,
         Option(small).map(_.toLong).getOrElse(32L * 1024 * 1024),
         Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024))
+    case AnalyzeRe(dir) => GraftAnalyzeCommand(dir)
     case RelayoutRe(dir, parts, n, bcol) =>
       GraftRelayoutCommand(dir,
         Option(parts).map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil),
@@ -133,6 +136,7 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT OPTIMIZE '<dir>' BUCKETS | " +
             "GRAFT STATS '<dir>' [VERSION AS OF <n>] | " +
             "GRAFT DESCRIBE STATS '<dir>' [VERSION AS OF <n>] | " +
+            "GRAFT ANALYZE '<dir>' | " +
             "GRAFT RELAYOUT '<dir>' [PARTITION BY (a, b)] " +
             "[BUCKET BY (n, col)] | " +
             "GRAFT RESTORE/CLONE/STATS/DESCRIBE STATS ... " +
@@ -379,6 +383,23 @@ case class GraftOptimizeBucketsCommand(tableDir: String)
     Seq(AttributeReference("version", IntegerType, nullable = true)())
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(SnapshotTable.compactBuckets(s, tableDir)
+      .map(Integer.valueOf).orNull))
+}
+
+/** `GRAFT ANALYZE '<dir>'` — recollect per-file zone maps + table NDV
+  * from the live data and publish them as a stats-only commit
+  * ([[SnapshotTable.analyze]]): the repair op for planner statistics
+  * after DML (merge/delete drop the NDV sketch — a bottom-k sketch
+  * cannot subtract) and for files written before their column types
+  * became stat-eligible. NULL version when refused (outstanding
+  * deletion vectors — absorb first; legacy/empty snapshots; concurrent
+  * commit conflict). */
+case class GraftAnalyzeCommand(tableDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = true)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.analyze(s, tableDir)
       .map(Integer.valueOf).orNull))
 }
 

@@ -148,11 +148,40 @@ object SnapshotTable {
     * `part` is the file's hive-partition value TUPLE on a partitioned
     * layout (one element per partition level, directory-nesting order;
     * None elements are the null partition) — `None` overall means an
-    * unpartitioned entry. */
+    * unpartitioned entry. `statsVer` is the entry's stats-COVERAGE
+    * marker (the `*:N` field): Some(v) asserts "this entry's stats
+    * cover every column whose type was stat-eligible at format v and
+    * present in the batch — an eligible column with NO stat here was
+    * ABSENT from the batch, i.e. all its rows read NULL". Without the
+    * marker (pre-v15 writers) that absence is ambiguous — the file may
+    * instead predate the column TYPE's eligibility (values unknown) —
+    * so metadata consumers must degrade, not claim. */
   private[sources] final case class FileEntry(status: FileStatus,
       rows: Option[Long],
       stats: Map[String, ColStat],
-      part: Option[Seq[Option[String]]] = None)
+      part: Option[Seq[Option[String]]] = None,
+      statsVer: Option[Int] = None)
+
+  /** Current stats-format version stamped into the coverage marker.
+    * v2 = the round-15 kind set (long family incl. date/timestamp/NTZ/
+    * decimal≤18, double family, string). Adding a NEW eligible kind
+    * later must bump this AND register the kind's introduction version
+    * in [[kindSinceVersion]], so v2-marked files are not misread as
+    * all-null for columns of the new kind. */
+  private[sources] val StatsFormatVersion = 2
+
+  /** The stats-format version at which `dt`'s kind became eligible —
+    * every currently-eligible kind dates from v2. */
+  private def kindSinceVersion(dt: DataType): Int = 2
+
+  /** Does entry `e` POSITIVELY account for column `f` — either a
+    * recorded stat, or a coverage marker proving the column was absent
+    * from the entry's batch (⇒ all its rows read NULL for it)? False
+    * means the column's values in this file are UNKNOWN. Zero-row
+    * entries account vacuously. */
+  private def accountsFor(e: FileEntry, f: StructField): Boolean =
+    e.rows.contains(0L) || e.stats.contains(f.name) ||
+      e.statsVer.exists(_ >= kindSinceVersion(f.dataType))
 
   private def b64e(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
@@ -222,6 +251,9 @@ object SnapshotTable {
       rows = f.lift(2).filter(_.nonEmpty).map(_.toLong),
       stats = f.lift(3).map(_.split(";").toSeq.filter(_.nonEmpty)
         .flatMap(parseColStat).toMap).getOrElse(Map.empty),
+      statsVer = f.lift(3).toSeq.flatMap(_.split(";"))
+        .collectFirst { case m if m.startsWith("*:") &&
+          m.drop(2).forall(_.isDigit) && m.length > 2 => m.drop(2).toInt },
       // 5th field (partitioned layouts only): `P` + one segment per
       // partition level joined by ',' — `N` the null partition, else
       // the b64 value (a single-level entry is byte-identical to the
@@ -811,6 +843,13 @@ object SnapshotTable {
         require(!partitionBy.contains(c),
           s"bucket column '$c' cannot also be a partition column")
       }
+      // the same layout validations commitInternal gives its callers —
+      // without them a malformed spec surfaces as Spark's generic
+      // write-time error MID-rewrite instead of a targeted require
+      require(partitionBy.distinct == partitionBy,
+        s"relayout: duplicate partition columns: ${partitionBy.mkString(",")}")
+      require(partitionBy.size < cur.schema.size || partitionBy.isEmpty,
+        "relayout: at least one non-partition column is required")
       partitionBy.foreach { c =>
         require(cur.columns.contains(c),
           s"partition column '$c' not in ${cur.columns.mkString(",")}")
@@ -908,20 +947,23 @@ object SnapshotTable {
     * (`unix_micros`) — Catalyst's internal forms, which is what makes
     * the pruning comparison conversion-free — everything else as
     * itself. TIMESTAMP_NTZ's internal form is the wall-clock reading's
-    * micros AS IF UTC (zone-independent); `CAST(ntz AS TIMESTAMP)`
-    * reads the wall clock in the SESSION zone, so `unix_micros` of it
-    * equals the internal form exactly when that zone is UTC — which is
-    * why [[collectFileStats]] gates NTZ stat collection on a UTC
-    * session (a bound stored under any other zone would be shifted
-    * against readers' literals, i.e. unsound). Readers need no gate:
-    * a stored-under-UTC bound compares against the zone-independent
-    * NTZ literal correctly from ANY session.
+    * micros AS IF UTC (zone-independent), so it is assembled from the
+    * wall-clock FIELDS themselves: `CAST(ntz AS DATE)`, `hour`,
+    * `minute`, and `extract(SECOND ...)` (micros-exact: DECIMAL(8,6))
+    * all read an NTZ value's fields with NO zone conversion, and
+    * epoch-day × 86400e6 + intra-day micros is exactly Catalyst's
+    * internal long (the `LocalDateTime.toEpochSecond` identity, valid
+    * on both sides of the epoch) — so collection is sound under ANY
+    * session zone, and readers compare stored bounds against the
+    * zone-independent NTZ literal correctly from any session too.
     * Null-preserving, order-preserving. */
   private def statSql(n: String, dt: DataType): String = dt match {
     case org.apache.spark.sql.types.DateType => s"unix_date(`$n`)"
     case org.apache.spark.sql.types.TimestampType => s"unix_micros(`$n`)"
     case org.apache.spark.sql.types.TimestampNTZType =>
-      s"unix_micros(CAST(`$n` AS TIMESTAMP))"
+      s"(unix_date(CAST(`$n` AS DATE)) * 86400000000L + " +
+        s"hour(`$n`) * 3600000000L + minute(`$n`) * 60000000L + " +
+        s"CAST(extract(SECOND FROM `$n`) * 1000000 AS BIGINT))"
     // unscaled long via an exact integer-literal multiply (decimal ×
     // integer is exact decimal arithmetic; precision ≤ 18 guarantees
     // the long cast cannot overflow)
@@ -930,13 +972,6 @@ object SnapshotTable {
       else s"CAST(`$n` * ${"1" + "0" * dt.scale} AS BIGINT)"
     case _ => s"`$n`"
   }
-
-  /** Is the session's SQL timezone UTC (any spelling)? The gate for
-    * TIMESTAMP_NTZ stat collection — see [[statSql]]. */
-  private def sessionZoneIsUtc(s: SparkSession): Boolean =
-    org.apache.spark.sql.catalyst.util.DateTimeUtils
-      .getZoneId(s.conf.get("spark.sql.session.timeZone"))
-      .normalized() == java.time.ZoneOffset.UTC
 
   /** Per-file zone maps for the just-written commit: ONE distributed
     * aggregation over the batch keyed by `input_file_name()` — no
@@ -949,14 +984,25 @@ object SnapshotTable {
   private def collectFileStats(s: SparkSession, dataDir: String,
       schema: StructType, partitioned: Boolean = false)
       : Option[(Map[String, (Long, String)], Map[String, Seq[Long]])] = {
+    // partitioned layouts reconstruct the partition column via hive
+    // directory discovery — the EXPLICIT schema pins its type (string
+    // values that look numeric must not be re-inferred as ints, or the
+    // recorded stat kind would contradict the table schema)
+    val reader = if (partitioned) s.read.schema(storedSchema(schema))
+      else s.read
+    statsAggregate(s, reader.parquet(dataDir), schema)
+  }
+
+  /** The one-pass per-file stats aggregation behind [[collectFileStats]]
+    * (fresh commits) and [[analyze]] (recollection over a live
+    * snapshot's files): rows, zone maps, string byte totals, and KMV
+    * NDV sketches per `input_file_name()`, keyed by normalized fs
+    * path. None when no column of `schema` is stat-eligible. */
+  private def statsAggregate(s: SparkSession, data: DataFrame,
+      schema: StructType)
+      : Option[(Map[String, (Long, String)], Map[String, Seq[Long]])] = {
     import org.apache.spark.sql.functions._
-    val utc = sessionZoneIsUtc(s)
     val cols = schema.fields.toSeq
-      // NTZ bounds are collectible only under a UTC session (see
-      // statSql); under any other zone the column simply gets no stats
-      // for this commit's files — conservative, never wrong
-      .filter(fl => utc ||
-        fl.dataType != org.apache.spark.sql.types.TimestampNTZType)
       .flatMap(fl => statKind(fl.dataType).map(k =>
         (fl.name, k, statSql(fl.name, fl.dataType))))
     if (cols.isEmpty) return None // no eligible columns: pass skipped
@@ -990,13 +1036,7 @@ object SnapshotTable {
       case fl: java.lang.Float => enc(Double.box(fl.doubleValue))
       case other => b64e(other.toString)
     }
-    // partitioned layouts reconstruct the partition column via hive
-    // directory discovery — the EXPLICIT schema pins its type (string
-    // values that look numeric must not be re-inferred as ints, or the
-    // recorded stat kind would contradict the table schema)
-    val reader = if (partitioned) s.read.schema(storedSchema(schema))
-      else s.read
-    val rows = reader.parquet(dataDir)
+    val rows = data
       .groupBy(input_file_name().as("__f"))
       .agg(count(lit(1)).as("__rows"), aggs: _*)
       .collect()
@@ -1123,10 +1163,22 @@ object SnapshotTable {
             // files predate the column (its rows are all-null) or they
             // predate the column TYPE's stat eligibility (values
             // unknown — e.g. date/timestamp columns written before
-            // those kinds were collected, NTZ committed under a
-            // non-UTC session). Indistinguishable from the manifest, so
-            // claim nothing rather than report rows as nulls to CBO.
+            // those kinds were collected). Indistinguishable from the
+            // manifest, so claim nothing rather than report rows as
+            // nulls to CBO.
             if (sts.forall(_._2.isEmpty) && nRows > 0) None
+            // a MIXED manifest: some value-bearing file lacks the stat
+            // and carries no coverage marker vouching "column absent
+            // from its batch" — its rows may hold unknown values
+            // (pre-v15 writer, pre-eligibility kind), so nullCount and
+            // bounds folded from the stat-bearing files only would be
+            // confidently WRONG. Serve CBO the NDV sketch alone.
+            else if (es.exists(e =>
+                e.rows.exists(_ > 0) && !accountsFor(e, f)))
+              Some(f.name -> CatalogColumnStat(
+                distinctCount = m.ndv.get(f.name)
+                  .map(sk => BigInt(math.round(
+                    graft.functions.KmvDistinctAgg.estimate(sk))))))
             else Some {
             val nulls = sts.map { case (r, st) => st.fold(r)(_.nulls) }.sum
             val nonNull = nRows - nulls
@@ -1609,8 +1661,11 @@ object SnapshotTable {
         "\tP" + vs.map(_.fold("N")(b64e)).mkString(","))
       stats match {
         case Some((m, _)) => m.get(st.getPath.toUri.getPath) match {
+          // the trailing `*:N` coverage marker asserts these stats are
+          // COMPLETE for the batch schema at format N — see FileEntry
           case Some((rows, cols)) =>
-            s"${st.getPath.toString}\t${st.getLen}\t$rows\t$cols$partField"
+            s"${st.getPath.toString}\t${st.getLen}\t$rows\t" +
+              s"$cols;*:$StatsFormatVersion$partField"
           // the stats pass covered the whole dir, so a file it never
           // grouped is a ZERO-ROW file (a writer task with an empty
           // partition) — record that, don't leave the count unknown
@@ -1817,9 +1872,25 @@ object SnapshotTable {
           else {
             val pm = prevManifest.get
             val prevCols = pm.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
-            val carried = pm.ndv.map { case (c, sk) =>
-              c -> batchNdv.get(c).map(b => graft.functions.KmvDistinctAgg
-                .merge(sk.toArray, b.toArray).toSeq).getOrElse(sk)
+            val carried = pm.ndv.flatMap { case (c, sk) =>
+              batchNdv.get(c) match {
+                case Some(b) => Some(c -> graft.functions.KmvDistinctAgg
+                  .merge(sk.toArray, b.toArray).toSeq)
+                // "batch lacks the sketch" must mean "batch lacks the
+                // COLUMN" (its appended rows read NULL — carry is then
+                // exact). If the column IS in the batch schema and
+                // eligible, its values went unsketched (a gated/failed
+                // collection pass): carrying forward would undercount
+                // distinct_count silently forever — drop to unknown,
+                // the claim-nothing-rather-than-wrong rule.
+                case None =>
+                  val inBatch = df.schema.fields.exists(fl =>
+                    fl.name == c && statKind(fl.dataType).isDefined)
+                  // a batch that wrote NO files appended no values —
+                  // the carried sketch stays exact regardless
+                  if (inBatch && written.get._2.nonEmpty) None
+                  else Some(c -> sk)
+              }
             }
             carried ++ batchNdv.filter { case (c, _) =>
               !carried.contains(c) && !prevCols.contains(c) }
@@ -2969,6 +3040,131 @@ object SnapshotTable {
       "null_count", "avg_len", "min", "max")
   }
 
+  /** Driver-side twin of the stats pass's KMV value hash —
+    * `CAST(conv(substring(md5(canon), 1, 15), 16, 10) AS BIGINT)` —
+    * so [[analyze]] can sketch partition-column NDV from the manifest's
+    * recorded values without reading a byte (partition columns are not
+    * stored in the data files). */
+  private def kmvValueHash(canon: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** ANALYZE — recollect a snapshot's per-file zone maps and table NDV
+    * sketches from the LIVE data and publish them as a STATS-ONLY
+    * commit (same files, same schema, same layout; only the planning
+    * metadata changes). The repair op for every honest degradation the
+    * format accumulates:
+    *  - [[merge]]/[[deleteWhere]]-rewrites drop the NDV sketch ("a
+    *    bottom-k sketch cannot subtract") — without ANALYZE a table
+    *    that ever saw DML loses catalog NDV, and its
+    *    broadcast-vs-shuffle decisions, FOREVER;
+    *  - files written before a column type became stat-eligible (or
+    *    under a gated collection) carry no bounds — ANALYZE reads them
+    *    and makes the manifest uniformly stat-bearing (coverage-marked,
+    *    so [[metaAgg]]/CBO regain `bounds_exact`).
+    * Cost: ONE distributed aggregation over the live files (the same
+    * O(batch) pass every commit runs, here O(table) because the table
+    * is the batch) plus O(manifest) driver work — partition-column
+    * stats and NDV are synthesized from the manifest's recorded
+    * directory values, zero extra reads. Declared [[setBloomColumns]]
+    * columns are (re)collected too — ANALYZE is also the Bloom
+    * backfill for files that predate the declaration.
+    *
+    * Refused (None, not an error) on: outstanding deletion vectors
+    * (per-file stats would describe dead rows — run [[absorbDeletes]]
+    * first), legacy manifests without schema/entry metadata, empty
+    * snapshots, and on conflict with ANY concurrent commit (the
+    * [[compact]] optimistic discipline — re-run to analyze the new
+    * state). */
+  def analyze(s: SparkSession, tableDir: String): Option[Int] = {
+    import org.apache.spark.sql.functions._
+    val prev = versions(s, tableDir)
+    if (prev.isEmpty) return None
+    val m0 = readManifest(s, tableDir, prev.last)
+    if (m0.dels.nonEmpty) return None // absorbDeletes first
+    val sc0 = m0.schema.map(storedSchema).getOrElse(return None)
+    val es0 = m0.entries.getOrElse(return None)
+    if (es0.isEmpty) return None
+    val partFields = m0.partBy.flatMap(c => sc0.fields.find(_.name == c))
+    val dataSchema = StructType(
+      sc0.fields.filterNot(f => m0.partBy.contains(f.name)))
+    val paths = es0.map(_.status.getPath.toString)
+    // ONE distributed pass over the live files: rows + zone maps + NDV
+    // for every eligible DATA column (partition columns are not stored
+    // in the files — synthesized below from the manifest). Explicit
+    // file paths, so hive directory discovery never kicks in.
+    val data = s.read.schema(dataSchema).parquet(paths: _*)
+    val (fileMap, dataNdv) = statsAggregate(s, data, dataSchema)
+      .getOrElse {
+        // no eligible data column: a count-only pass still refreshes
+        // the per-file row counts the other metadata ops rely on
+        val counts = data.groupBy(input_file_name().as("__f"))
+          .agg(count(lit(1)).as("__rows")).collect()
+          .map(r => new HPath(r.getString(0)).toUri.getPath ->
+            (r.getLong(1), "")).toMap
+        (counts, Map.empty[String, Seq[Long]])
+      }
+    // partition-column stats, synthesized per entry from its recorded
+    // value tuple: min = max = the value (constant within a file),
+    // nulls = rows for the null partition — exact, zero data reads
+    def partLong(dt: DataType, v: String): Long = dt match {
+      case org.apache.spark.sql.types.DateType =>
+        java.time.LocalDate.parse(v).toEpochDay
+      case _ => v.toLong
+    }
+    def partStatField(f: StructField, level: Int, e: FileEntry,
+        rows: Long): String = {
+      val kind = statKind(f.dataType).get // part types are all eligible
+      val v = e.part.flatMap(_.lift(level)).flatten
+      v match {
+        case Some(value) =>
+          val stored =
+            if (kind == 'l') partLong(f.dataType, value).toString else value
+          val bytes = if (kind == 's')
+            (value.getBytes("UTF-8").length * rows).toString else ""
+          s"${b64e(f.name)}:$kind:${b64e(stored)}:${b64e(stored)}:0:$bytes"
+        case None => s"${b64e(f.name)}:$kind:::$rows:"
+      }
+    }
+    val partNdv = partFields.zipWithIndex.map { case (f, i) =>
+      val hashes = es0.flatMap(_.part.flatMap(_.lift(i)).flatten).distinct
+        .map { v =>
+          val canon = if (statKind(f.dataType).contains('l'))
+            partLong(f.dataType, v).toString else v
+          kmvValueHash(canon)
+        }
+      f.name -> hashes.distinct.sorted
+        .take(graft.functions.KmvDistinctAgg.K).toSeq
+    }.toMap
+    val entries = es0.map { e =>
+      val st = e.status
+      val key = st.getPath.toUri.getPath
+      val partField = e.part.fold("")(vs =>
+        "\tP" + vs.map(_.fold("N")(b64e)).mkString(","))
+      fileMap.get(key) match {
+        case Some((rows, cols)) =>
+          val partCols = partFields.zipWithIndex.map { case (f, i) =>
+            partStatField(f, i, e, rows) }
+          val all = (Seq(cols).filter(_.nonEmpty) ++ partCols ++
+            Seq(s"*:$StatsFormatVersion")).mkString(";")
+          s"${st.getPath.toString}\t${st.getLen}\t$rows\t$all$partField"
+        // a file the pass never grouped holds zero rows
+        case None => s"${st.getPath.toString}\t${st.getLen}\t0\t$partField"
+      }
+    }.sorted
+    publishNext(s, tableDir) { pm =>
+      pm.flatMap { m =>
+        // the pass read exactly m0's file set; any concurrent commit
+        // (or a racing delete) invalidates what was measured
+        if (m.files != m0.files || m.dels.nonEmpty) None
+        else Some((entries, m.schema.getOrElse(sc0), m.txns, m.bucket,
+          Seq.empty, m.constraints, m.dropped, dataNdv ++ partNdv))
+      }
+    }
+  }
+
   /** Metadata-only column aggregates of a snapshot: COUNT(*),
     * COUNT(col), MIN(col), MAX(col) for every stat-eligible column
     * (long/double/string families; date and timestamp columns ride
@@ -3041,13 +3237,18 @@ object SnapshotTable {
       val withStat = es.flatMap(e => e.stats.get(f.name).map(st =>
         (e.rows.get, st)))
       val nonNull = withStat.map { case (r, st) => r - st.nulls }.sum
-      // NO file records a stat for an eligible column: the files either
-      // predate the column (all-null for it) or predate its TYPE's stat
-      // eligibility (values unknown — pre-round-14 date/timestamp
-      // commits, NTZ under a non-UTC session). Indistinguishable here,
-      // so the non-null accounting and bounds degrade to unknown rather
-      // than claim an all-null column.
-      val statless = withStat.isEmpty && nRows > 0
+      // A value-bearing file that records no stat for an eligible
+      // column is AMBIGUOUS unless its coverage marker vouches for it:
+      // marked ⇒ the column was absent from that file's batch (all its
+      // rows read NULL — the schema-evolution case, exact accounting
+      // stands); unmarked (pre-v15 writer) ⇒ the file may instead
+      // predate the column TYPE's stat eligibility (values unknown —
+      // e.g. pre-round-14 date/timestamp commits), so non-null
+      // accounting and bounds degrade to unknown rather than silently
+      // fold a partial view and call it exact. `GRAFT ANALYZE`
+      // recollects and restores exactness.
+      val statless = es.exists(e =>
+        e.rows.exists(_ > 0) && !accountsFor(e, f))
       // files that hold at least one non-null value must contribute a
       // known bound for the global extreme to be exact
       val contributing = withStat.filter { case (r, st) => r - st.nulls > 0 }

@@ -125,6 +125,18 @@ class ExtensionsSpec extends GraftSpec {
       assert(st("id").getBoolean(10))
       // metadata-served NDV: 3 distinct ids, exact below the sketch K
       assert(st("id").getDouble(11) == 3.0)
+      // pure-SQL ANALYZE: a merge drops the NDV sketch (bottom-k cannot
+      // subtract); the verb recollects and publishes a stats-only commit
+      SnapshotTable.merge(s2, t2, Seq(4L).toDF("id"),
+        s2.emptyDataset[Long].toDF("id"), "id")
+      assert(s2.sql(s"GRAFT STATS '$t2'").collect()
+        .find(_.getString(0) == "id").get.isNullAt(11),
+        "post-merge NDV must be unknown")
+      assert(!s2.sql(s"GRAFT ANALYZE '$t2'").head().isNullAt(0))
+      val stA = s2.sql(s"GRAFT STATS '$t2'").collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(stA("id").getDouble(11) == 4.0 && stA("id").getLong(5) == 4L,
+        s"ANALYZE must restore NDV and bounds: ${stA("id")}")
       // pure-SQL ABSORB DELETES: materializes outstanding vectors,
       // NULL when there is nothing to absorb
       val t5 = s"$dir/tbl5"

@@ -109,6 +109,56 @@ class SnapshotMetaAggSpec extends GraftSpec {
     assert(v1.getAs[Long]("n_rows") == 2L && v1.getAs[Long]("max_long") == 2L)
   }
 
+  test("coverage marker: unmarked statless files degrade, marked stay exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-magg6-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      overwrite = false)
+    // evolution adds v: the v1 files lack its stat but carry the `*:2`
+    // coverage marker — so their rows are PROVABLY all-null for v and
+    // the accounting stays exact
+    SnapshotTable.commit(spark, t,
+      Seq((3L, "c", 5.0), (4L, "d", 6.0)).toDF("k", "s", "v"),
+      overwrite = false)
+    val exactV = row(SnapshotTable.metaAgg(spark, t), "v")
+    assert(exactV.getAs[Long]("n_nonnull") == 2L &&
+      exactV.getAs[Boolean]("bounds_exact"))
+    // simulate a PRE-v15 writer: strip the coverage markers from the
+    // latest manifest. A statless file is then ambiguous (it may
+    // predate the column's stat ELIGIBILITY, not the column), so
+    // claiming "its rows are null for v" would be a silent lie —
+    // metaAgg must degrade v to unknown, and the catalog must stop
+    // serving nullCount/min/max for it.
+    val cd = new org.apache.hadoop.fs.Path(t, "_commits")
+    val fs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = fs.listStatus(cd).map(_.getPath)
+      .filter(_.getName.matches("v\\d+\\.txt")).maxBy(_.getName)
+    val text = {
+      val in = fs.open(latest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val out = fs.create(latest, true)
+    out.write(text.replace(";*:2", "").getBytes("UTF-8")); out.close()
+    val ma = SnapshotTable.metaAgg(spark, t)
+    val v = row(ma, "v")
+    assert(v.isNullAt(v.fieldIndex("n_nonnull")) &&
+      !v.getAs[Boolean]("bounds_exact") &&
+      v.isNullAt(v.fieldIndex("min_double")),
+      s"unmarked statless file must degrade v: $v")
+    // k has a stat in EVERY file — no ambiguity, stays exact unmarked
+    val k = row(ma, "k")
+    assert(k.getAs[Long]("n_nonnull") == 4L && k.getAs[Boolean]("bounds_exact"))
+    // the planner-visible catalog view degrades the same way (NDV-only)
+    val ps = SnapshotTable.plannerStats(spark, t)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ps("v").isNullAt(4) && ps("v").isNullAt(6) && ps("v").isNullAt(7),
+      s"catalog must not claim nullCount/bounds for v: ${ps("v")}")
+    assert(!ps("v").isNullAt(3), "the NDV sketch itself is still served")
+    assert(ps("k").getString(6) == "1" && ps("k").getString(7) == "4")
+  }
+
   test("NDV sketch: exact below K, merged across appends, dropped by row removal") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-magg4-").toString

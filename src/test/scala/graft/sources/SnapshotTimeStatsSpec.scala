@@ -192,7 +192,7 @@ class SnapshotTimeStatsSpec extends GraftSpec {
     assert(mixed.map(_.files.length).sum == 1)
   }
 
-  test("timestamp_ntz prunes too — and only when committed under UTC") {
+  test("timestamp_ntz prunes — under ANY session zone at write time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ts5-").toString
     val t = s"$dir/tbl"
     // the parquet-default reading of a tz-less timestamp column is NTZ
@@ -211,9 +211,10 @@ class SnapshotTimeStatsSpec extends GraftSpec {
     // pruned == unpruned on an exact minute probe
     val probe = expr("to_timestamp_ntz('2024-01-01 03:27:00')")
     assert(snap.filter(col("nts") === probe).count() == 1)
-    // a NON-UTC session must not store NTZ bounds (they would be
-    // shifted against readers' zone-independent literals): the commit
-    // succeeds, the column simply carries no stats — scan-all, correct
+    // NTZ bounds are assembled from the wall-clock FIELDS (zone-
+    // independent), so a NON-UTC writer session stores the SAME sound
+    // bounds — a DST-crossing zone is the adversarial case: any
+    // instant-based shortcut would shift bounds by the offset
     val fork = org.apache.spark.sql.GraftSqlShim.forkSession(spark)
     fork.conf.set("spark.sql.session.timeZone", "America/New_York")
     val t2 = s"$dir/tbl2"
@@ -221,14 +222,23 @@ class SnapshotTimeStatsSpec extends GraftSpec {
     val snap2 = SnapshotTable.readAsOf(spark, t2, 1) // read back under UTC
     val (all2, files2) = run(snap2.filter(
       col("nts") >= expr("to_timestamp_ntz('2024-01-01 12:00:00')")))
-    assert(all2 == 80, "results must stay correct without stats")
-    assert(files2 == 8, "non-UTC-committed NTZ must not claim bounds")
-    // and the catalog claims nothing for it either (not an all-null lie)
-    val ntsStat = snap2.queryExecution.optimizedPlan.stats
+    assert(all2 == 80, "results must stay correct")
+    assert(files2 <= 2,
+      s"non-UTC-committed NTZ must prune too, scanned $files2 of 8")
+    // the stored bounds equal the UTC-committed ones exactly — same
+    // internal-micros representation from either session zone
+    val (one2, oneFiles2) = run(snap2.filter(col("nts") === probe))
+    assert(one2 == 1 && oneFiles2 == 1)
+    // and a refuted range scans nothing even cross-zone
+    val (none2, noneFiles2) = run(snap2.filter(
+      col("nts") >= expr("to_timestamp_ntz('2024-01-02 00:00:00')")))
+    assert(none2 == 0 && noneFiles2 == 0)
+    // catalog bounds present and identical to the UTC table's
+    def bounds(df: DataFrame) = df.queryExecution.optimizedPlan.stats
       .attributeStats.toSeq.collectFirst {
-        case (a, st) if a.name == "nts" => st }
-    assert(ntsStat.forall(st => st.nullCount.isEmpty && st.min.isEmpty),
-      s"statless NTZ column must not carry catalog claims: $ntsStat")
+        case (a, st) if a.name == "nts" => (st.min, st.max) }.get
+    assert(bounds(snap2) == bounds(snap) && bounds(snap)._1.isDefined,
+      s"cross-zone NTZ catalog bounds diverge: ${bounds(snap2)} vs ${bounds(snap)}")
   }
 
   test("decimal zone maps: unscaled-long bounds prune; unwrapped casts stay sound") {
