@@ -68,7 +68,10 @@ object Bench {
     }
     // Compact values (ms resolution) keep the one-line artifact short
     // enough to survive a bounded tail capture; the line is ALSO persisted
-    // to a file (SPARK_GRAFT_BENCH_OUT, default bench/latest.json) and
+    // to a file (SPARK_GRAFT_BENCH_OUT, default OUTSIDE the repo under
+    // java.io.tmpdir — driver/iteration runs must never dirty the
+    // committed bench/ artifacts; a checked-in bench/latest.json is a
+    // deliberate builder commit via an explicit SPARK_GRAFT_BENCH_OUT) and
     // echoed on stderr so the artifact parses even if a log harness
     // truncates one of the channels.
     // Locale.ROOT: the f-interpolator uses the default locale, and a
@@ -81,7 +84,9 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_bench_latest.json").getPath)
     try {
       val p = java.nio.file.Paths.get(out)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -670,6 +670,46 @@ object LayoutOps extends QueryPack {
       .orderBy(col("column"))
   }
 
+  /** Execute one GRAFT SQL statement through the injected parser — the
+    * same code path a `spark.sql.extensions`-configured session takes,
+    * constructed explicitly so the declared query exercises the SQL
+    * doorway even under a plain session (the driver's Verify). */
+  private def graftSql(s: SparkSession, sql: String): DataFrame =
+    org.apache.spark.sql.GraftSqlShim.ofRows(s,
+      new graft.sources.GraftSqlParser(s.sessionState.sqlParser, Some(s))
+        .parsePlan(sql))
+
+  /** The SQL DML doorway end to end: `GRAFT MERGE INTO ... USING
+    * (<select>) ON key DELETE (<select>)` upserts/removes by key with
+    * the selective-rewrite cost model, then `GRAFT DELETE FROM ...
+    * WHERE` lands a merge-on-read deletion-vector delete — both driven
+    * PURELY through SQL text (the scheduled-SQL-job-runner shape; no
+    * Scala API calls touch the rows). The oracle restates the
+    * upsert-then-delete pipeline relationally. */
+  def layoutSqlMerge(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqldml_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"),
+        (col("doc_id") % 40).cast("long").as("bucket"))
+    graft.sources.SnapshotTable.commit(s, table, docs, overwrite = false)
+    docs.createOrReplaceTempView("graft_sqldml_docs")
+    graftSql(s,
+      s"""GRAFT MERGE INTO '$table' USING (
+         |  SELECT doc_id, nc + 100L AS nc, bucket
+         |  FROM graft_sqldml_docs
+         |  WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+         |) ON doc_id DELETE (
+         |  SELECT doc_id FROM graft_sqldml_docs WHERE doc_id % 7 = 0
+         |)""".stripMargin).collect()
+    graftSql(s, s"GRAFT DELETE FROM '$table' WHERE nc > 20000").collect()
+    graft.sources.SnapshotTable.readAsOf(s, table, Int.MaxValue)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_nc"))
+      .orderBy(col("bucket"))
+  }
+
   /** `GRAFT ANALYZE` end to end: load documents, run a selective MERGE
     * (which HONESTLY drops the cumulative NDV sketch — a bottom-k
     * cannot subtract), then [[graft.sources.SnapshotTable.analyze]]
@@ -1017,6 +1057,7 @@ object LayoutOps extends QueryPack {
     "layout_bucket_pack" -> layoutBucketPack,
     "layout_planner_stats" -> layoutPlannerStats,
     "layout_analyze" -> layoutAnalyze,
+    "layout_sql_merge" -> layoutSqlMerge,
     "layout_snapshot_moneyband" -> layoutSnapshotMoneyband,
     "layout_snapshot_deletes" -> layoutSnapshotDeletes,
     "layout_meta_agg" -> layoutMetaAgg,
@@ -1244,6 +1285,23 @@ object LayoutOps extends QueryPack {
         |    (SELECT ndv FROM nndv)
         |  FROM b HAVING count(*) > 0)
         |ORDER BY "column"""".stripMargin,
+    // the SQL-driven upsert/delete pipeline restated relationally:
+    // upserts (5k keys not deleted) replace, delete-keys (7k) go, the
+    // predicate delete removes provably-true rows only
+    "layout_sql_merge" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc,
+        |    doc_id % 40 AS bucket
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, nc + 100 AS nc, bucket FROM d
+        |  WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, nc, bucket FROM d
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0),
+        |f AS (SELECT * FROM m WHERE NOT (nc > 20000))
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_nc
+        |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
     "layout_planner_stats" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderdate
         |  FROM orders WHERE o_orderkey IS NOT NULL),

@@ -59,6 +59,20 @@ class GraftSqlParser(delegate: ParserInterface,
     """(?is)\s*GRAFT\s+DESCRIBE\s+STATS\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val AnalyzeRe =
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*;?\s*""".r
+  // DML doorway: the two row-changing verbs, delegating to the same
+  // serializable merge/deleteWhere the Scala API uses. The USING /
+  // DELETE payloads are full subqueries parsed BY THE DELEGATE at
+  // execution (any SELECT Spark accepts); the greedy captures resolve
+  // nested `ON`/parens by anchoring on the LAST `) ON <ident>` — a
+  // single-statement grammar, like every GRAFT verb.
+  private val MergeDelRe =
+    ("""(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'\s+USING\s*\((.+)\)\s+""" +
+      """ON\s+([A-Za-z_][A-Za-z0-9_]*)\s+DELETE\s*\((.+)\)\s*;?\s*""").r
+  private val MergeRe =
+    ("""(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'\s+USING\s*\((.+)\)\s+""" +
+      """ON\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+  private val DeleteRe =
+    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val RelayoutRe =
     ("""(?is)\s*GRAFT\s+RELAYOUT\s+'([^']+)'""" +
       """(?:\s+PARTITION\s+BY\s*\(\s*([A-Za-z0-9_]+(?:\s*,\s*[A-Za-z0-9_]+)*)\s*\))?""" +
@@ -98,6 +112,17 @@ class GraftSqlParser(delegate: ParserInterface,
         Option(small).map(_.toLong).getOrElse(32L * 1024 * 1024),
         Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024))
     case AnalyzeRe(dir) => GraftAnalyzeCommand(dir)
+    case MergeDelRe(dir, using, key, del) =>
+      // parse-time validation: a malformed subquery fails at sql()
+      // parse like native SQL, not mid-merge
+      delegate.parsePlan(using); delegate.parsePlan(del)
+      GraftMergeCommand(dir, using, key, Some(del))
+    case MergeRe(dir, using, key) =>
+      delegate.parsePlan(using)
+      GraftMergeCommand(dir, using, key, None)
+    case DeleteRe(dir, pred) =>
+      delegate.parseExpression(pred)
+      GraftDeleteCommand(dir, pred)
     case RelayoutRe(dir, parts, n, bcol) =>
       GraftRelayoutCommand(dir,
         Option(parts).map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil),
@@ -137,6 +162,9 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT STATS '<dir>' [VERSION AS OF <n>] | " +
             "GRAFT DESCRIBE STATS '<dir>' [VERSION AS OF <n>] | " +
             "GRAFT ANALYZE '<dir>' | " +
+            "GRAFT MERGE INTO '<dir>' USING (<select>) ON <key> " +
+            "[DELETE (<select>)] | " +
+            "GRAFT DELETE FROM '<dir>' WHERE <predicate> | " +
             "GRAFT RELAYOUT '<dir>' [PARTITION BY (a, b)] " +
             "[BUCKET BY (n, col)] | " +
             "GRAFT RESTORE/CLONE/STATS/DESCRIBE STATS ... " +
@@ -439,6 +467,45 @@ case class GraftVacuumCommand(tableDir: String, keepVersions: Int,
     val st = SnapshotTable.vacuum(s, tableDir, keepVersions, minAgeMs)
     Seq(Row(st.expiredManifests.toLong, st.deletedDataFiles.toLong))
   }
+}
+
+/** `GRAFT MERGE INTO '<dir>' USING (<select>) ON <key>
+  * [DELETE (<select>)]` — the SQL doorway to [[SnapshotTable.merge]]:
+  * the USING subquery's rows upsert by `key` (replace matching keys,
+  * insert new ones), the optional DELETE subquery's rows name keys to
+  * remove, all published as ONE serializable commit with the Scala
+  * API's selective-rewrite cost model (only files containing touched
+  * keys are rewritten — at 100 TB a 0.1%-of-keys merge rewrites ~0.1%
+  * of files). Subqueries are executed by the session at run time, so
+  * they may read any registered view/table — including another
+  * snapshot table via the `graft` source. Returns the new version. */
+case class GraftMergeCommand(tableDir: String, usingSql: String,
+    key: String, deleteSql: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val upserts = s.sql(usingSql)
+    require(upserts.columns.contains(key),
+      s"GRAFT MERGE: key '$key' not in USING columns " +
+        upserts.columns.mkString(","))
+    val deletes = deleteSql.map(s.sql).getOrElse(
+      upserts.select(key).where(org.apache.spark.sql.functions.lit(false)))
+    Seq(Row(SnapshotTable.merge(s, tableDir, upserts, deletes, key)))
+  }
+}
+
+/** `GRAFT DELETE FROM '<dir>' WHERE <predicate>` — the SQL doorway to
+  * [[SnapshotTable.deleteWhere]]: merge-on-read deletion-vector delete
+  * (metadata-only commit, no data rewrite) with SQL DELETE semantics —
+  * only provably-TRUE rows go. NULL version when no row matched. */
+case class GraftDeleteCommand(tableDir: String, predicateSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = true)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.deleteWhere(s, tableDir,
+      org.apache.spark.sql.functions.expr(predicateSql))
+      .map(Integer.valueOf).orNull))
 }
 
 /** `GRAFT ABSORB DELETES '<dir>'` — materialize outstanding deletion

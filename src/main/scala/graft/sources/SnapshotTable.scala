@@ -894,17 +894,61 @@ object SnapshotTable {
     commitInternal(s, tableDir, df, overwrite = false,
       Some((txnId, txnVersion)), partitionBy = Seq(partitionBy))
 
-  /** Additive schema evolution: same-name columns must keep their type;
-    * columns new in `next` append after the previous schema's. */
-  private def mergeSchemas(prev: StructType, next: StructType): StructType = {
+  /** The lossless widening chains appends may evolve a column along.
+    * Exactly the pairs whose STAT KIND coincides (`byte/short/int/long`
+    * all ride 'l', `float/double` ride 'd' — [[statKind]]), so every
+    * zone-map bound, NDV hash rendering, and catalog statistic recorded
+    * from narrower files stays sound under the wider read; Spark 4's
+    * vectorized parquet reader promotes int32/float pages to
+    * long/double natively, so old files need no rewrite. */
+  private val widenChains: Seq[Seq[DataType]] = Seq(
+    Seq(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType),
+    Seq(org.apache.spark.sql.types.FloatType,
+      org.apache.spark.sql.types.DoubleType))
+
+  /** The wider of two types when both sit on one widening chain. */
+  private def widened(a: DataType, b: DataType): Option[DataType] =
+    widenChains.find(c => c.contains(a) && c.contains(b))
+      .map(c => if (c.indexOf(a) >= c.indexOf(b)) a else b)
+
+  /** Additive schema evolution: same-name columns keep their type or
+    * WIDEN losslessly ([[widenChains]]) — the table schema takes the
+    * WIDER side either way, so an int batch appended to a long column
+    * stays long (its int32 pages read as longs) and a long batch
+    * widens an int column to long for every epoch's files at once.
+    * Any other change (narrowing, cross-family, string↔numeric) is
+    * refused. `frozen` names may not change type at all: layout keys —
+    * the bucket column's file placement is a TYPED hash (int 5 and
+    * long 5 hash differently, so a widened bucket key would silently
+    * mis-group the exchange-free join), and partition values bind
+    * through the recorded directory tuples; [[relayout]] is the
+    * escape hatch that re-keys. Columns new in `next` append after
+    * the previous schema's. */
+  private def mergeSchemas(prev: StructType, next: StructType,
+      frozen: Set[String] = Set.empty): StructType = {
     val prevNames = prev.fieldNames.toSet
-    next.fields.filter(f => prevNames.contains(f.name)).foreach { f =>
-      val pf = prev(f.name)
-      require(pf.dataType.catalogString == f.dataType.catalogString,
-        s"snapshot schema evolution: column '${f.name}' cannot change type " +
-          s"${pf.dataType.catalogString} -> ${f.dataType.catalogString}")
+    val evolved = prev.fields.map { pf =>
+      next.fields.find(_.name == pf.name) match {
+        case Some(f) if f.dataType.catalogString == pf.dataType.catalogString =>
+          pf
+        case Some(f) =>
+          val w = widened(pf.dataType, f.dataType)
+          require(w.isDefined,
+            s"snapshot schema evolution: column '${pf.name}' cannot change " +
+              s"type ${pf.dataType.catalogString} -> " +
+              s"${f.dataType.catalogString} (only lossless widening: " +
+              "byte->short->int->long, float->double)")
+          require(!frozen.contains(pf.name),
+            s"snapshot schema evolution: cannot widen layout key " +
+              s"'${pf.name}' (bucket/partition column) — relayout() to re-key")
+          pf.copy(dataType = w.get)
+        case None => pf
+      }
     }
-    StructType(prev.fields ++ next.fields.filterNot(f => prevNames.contains(f.name)))
+    StructType(evolved ++ next.fields.filterNot(f => prevNames.contains(f.name)))
   }
 
   /** Zone-map eligibility: Long-family ('l'), Double-family ('d'),
@@ -1838,7 +1882,11 @@ object SnapshotTable {
         val schema = storedSchema(
           if (overwrite) df.schema
           else prevManifest.flatMap(_.schema)
-            .map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
+            .map(mergeSchemas(_, df.schema,
+              frozen = prevManifest.toSet.flatMap((m: Manifest) =>
+                m.bucket.map(_._2).toSet ++ m.partBy) ++
+                bucket.map(_._2) ++ partitionBy))
+            .getOrElse(df.schema))
         // txn watermarks accumulate across commits — including
         // overwrites: replay detection must survive a table rewrite
         val txns = txnMerge(

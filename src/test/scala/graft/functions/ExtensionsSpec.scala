@@ -242,4 +242,71 @@ class ExtensionsSpec extends GraftSpec {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("GRAFT MERGE INTO / DELETE FROM: the SQL DML doorway") {
+    import graft.sources.SnapshotTable
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-dml")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqldml-").toString
+      val t = s"$dir/tbl"
+      SnapshotTable.commit(s2, t,
+        (1L to 8L).map(i => (i, i * 10)).toDF("k", "v"), overwrite = false)
+      // upsert k∈{2,3} with new v, insert k=9, delete k∈{5,6} — one
+      // serializable commit, driven purely by SQL text
+      Seq((2L, 200L), (3L, 300L), (9L, 900L)).toDF("k", "v")
+        .createOrReplaceTempView("dml_ups")
+      Seq(5L, 6L).toDF("k").createOrReplaceTempView("dml_del")
+      val v = s2.sql(
+        s"GRAFT MERGE INTO '$t' USING (SELECT k, v FROM dml_ups) ON k " +
+          "DELETE (SELECT k FROM dml_del)").head().getInt(0)
+      assert(v == 2)
+      val after = SnapshotTable.readAsOf(s2, t, Int.MaxValue).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(after == Map(1L -> 10L, 2L -> 200L, 3L -> 300L, 4L -> 40L,
+        7L -> 70L, 8L -> 80L, 9L -> 900L))
+      // the USING subquery may contain joins with their own ON — the
+      // grammar anchors on the LAST `) ON <ident>`
+      val v2 = s2.sql(
+        s"GRAFT MERGE INTO '$t' USING (SELECT a.k, a.v * 2 AS v " +
+          "FROM dml_ups a JOIN dml_ups b ON a.k = b.k WHERE a.k = 9) ON k")
+        .head().getInt(0)
+      assert(v2 == 3)
+      assert(SnapshotTable.readAsOf(s2, t, Int.MaxValue)
+        .filter($"k" === 9L).head().getLong(1) == 1800L)
+      // DELETE FROM: merge-on-read vector delete; SQL semantics — only
+      // provably-TRUE rows go (the k=100 null-v row survives v >= 200)
+      SnapshotTable.commit(s2, t,
+        Seq((100L, Option.empty[Long])).toDF("k", "v"), overwrite = false)
+      val dv = s2.sql(s"GRAFT DELETE FROM '$t' WHERE v >= 200").head()
+      assert(!dv.isNullAt(0))
+      val kept = SnapshotTable.readAsOf(s2, t, Int.MaxValue).collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 4L, 7L, 8L, 100L),
+        s"null-v and sub-200 rows survive: $kept")
+      // nothing matched → NULL version, nothing published
+      assert(s2.sql(s"GRAFT DELETE FROM '$t' WHERE v >= 200").head()
+        .isNullAt(0))
+      // a missing key column in USING is refused with the key named
+      val bad = intercept[IllegalArgumentException] {
+        s2.sql(s"GRAFT MERGE INTO '$t' USING (SELECT 1 AS x) ON k").collect()
+      }
+      assert(bad.getMessage.contains("key 'k'"))
+      // a malformed USING subquery fails at PARSE time like native SQL
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s2.sql(s"GRAFT MERGE INTO '$t' USING (SELEC nope) ON k")
+      }
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }

@@ -310,4 +310,86 @@ class SnapshotGovernanceSpec extends GraftSpec {
     }
     assert(err.getMessage.contains(s"stamped ${raw(1)}"))
   }
+
+  test("append widens int->long / float->double; old files read and prune soundly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov8-").toString
+    val t = s"$dir/tbl"
+    // epoch 1: int32 / float pages, range-clustered so zone maps bite
+    SnapshotTable.commitClustered(spark, t,
+      spark.range(0, 4000).select(col("id").cast("int").as("k"),
+        (col("id") * 2).cast("float").as("w")),
+      overwrite = false, nFiles = 4, clusterCols = Seq("k"))
+    // epoch 2: a WIDER batch — the table schema takes long/double; the
+    // int32/float files of epoch 1 need no rewrite (Spark's vectorized
+    // reader promotes the pages)
+    SnapshotTable.commitClustered(spark, t,
+      spark.range(4000, 8000).select(col("id").as("k"),
+        (col("id") * 2.0).as("w")),
+      overwrite = false, nFiles = 4, clusterCols = Seq("k"))
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(snap.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(snap.schema("w").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(snap.count() == 8000)
+    // both epochs' values serve under the widened read
+    assert(snap.agg(sum(col("k"))).head().getLong(0) ==
+      (0L until 8000L).sum)
+    // zone maps recorded from the NARROW files still prune a selective
+    // long-literal predicate (int bounds were stored as 'l' longs)
+    val band = snap.filter(col("k") >= 500L && col("k") < 600L)
+    assert(band.collect().length == 100)
+    val plan = band.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val files = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .map(_.metrics("numFiles").value).sum
+    assert(files <= 2, s"widened column must still zone-map-prune: $files")
+    // a NARROWER batch after the widen is fine too — the table stays
+    // long/double and the new int32 pages read widened like epoch 1's
+    SnapshotTable.commit(spark, t,
+      spark.range(8000, 8100).select(col("id").cast("int").as("k"),
+        (col("id") * 2).cast("float").as("w")), overwrite = false)
+    val snap2 = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(snap2.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(snap2.count() == 8100)
+    // time travel: v1 keeps its own (narrow) recorded schema
+    assert(SnapshotTable.readAsOf(spark, t, 1).schema("k").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // cross-family evolution stays refused, with the chains named
+    val bad = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, t,
+        spark.range(0, 1).selectExpr("CAST(id AS STRING) AS k",
+          "CAST(id AS DOUBLE) AS w"), overwrite = false)
+    }
+    assert(bad.getMessage.contains("lossless widening"))
+  }
+
+  test("widening a layout key (bucket column) is refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov9-").toString
+    val t = s"$dir/tbl"
+    // bucket placement is a TYPED hash: int 5 and long 5 land in
+    // different buckets, so a widened bucket key would silently break
+    // the exchange-free join grouping — refused, relayout() re-keys
+    SnapshotTable.commitBucketed(spark, t,
+      spark.range(0, 100).select(col("id").cast("int").as("k"),
+        col("id").as("v")), overwrite = false, nBuckets = 4,
+      bucketCol = "k")
+    val bad = intercept[IllegalArgumentException] {
+      SnapshotTable.commitBucketed(spark, t,
+        spark.range(100, 200).select(col("id").as("k"), col("id").as("v")),
+        overwrite = false, nBuckets = 4, bucketCol = "k")
+    }
+    assert(bad.getMessage.contains("relayout"))
+    // same-type bucketed appends still land
+    SnapshotTable.commitBucketed(spark, t,
+      spark.range(100, 200).select(col("id").cast("int").as("k"),
+        col("id").as("v")), overwrite = false, nBuckets = 4,
+      bucketCol = "k")
+    assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue).count() == 200)
+  }
 }
