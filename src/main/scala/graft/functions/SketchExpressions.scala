@@ -355,3 +355,78 @@ object KmvSketchAgg
   override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
+
+/** Fixed-size per-file membership Bloom for the snapshot manifest's
+  * zone maps (`SnapshotTable` declared-column file skipping): 8192 bits
+  * (1 KiB) per (file, declared column), k = 4 probes. The four bit
+  * positions are four disjoint 13-bit SLICES of one xxhash64 — so the
+  * aggregation input is simply the hash's low 52 bits (one hash per
+  * row, no rehash per probe), and the read side recomputes the same
+  * slices from the literal's hash. State is a fixed 1 KiB bitmap no
+  * matter how many rows a file holds; a high-distinct file saturates
+  * the filter, which degrades to "cannot refute" — never unsound.
+  * Input contract: `hash & Mask52` for a non-null value, [[Skip]] for
+  * a null row (nulls must not set bits — `x = v` never matches null). */
+object BloomBitsAgg
+    extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Byte], Array[Byte]] {
+  val Bits = 8192
+  val SliceBits = 13
+  val K = 4
+  /** (1 << 52) − 1: the packed-positions mask the write side applies. */
+  val Mask52: Long = (1L << (SliceBits * K)) - 1
+  /** Reserved skip marker for null rows (real packed values are ≥ 0). */
+  val Skip: Long = -1L
+
+  private def positions(packed: Long): Array[Int] = {
+    val p = new Array[Int](K)
+    var i = 0
+    while (i < K) {
+      p(i) = ((packed >>> (i * SliceBits)) & (Bits - 1)).toInt
+      i += 1
+    }
+    p
+  }
+
+  /** Read-side probe: can a file whose bloom is `b` contain a value
+    * hashing to `h`? (Only `h`'s low 52 bits are read.) */
+  def mightContain(b: Array[Byte], h: Long): Boolean = {
+    val ps = positions(h & Mask52)
+    var i = 0
+    while (i < K) {
+      val p = ps(i)
+      if ((b(p >>> 3) & (1 << (p & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  override def zero: Array[Byte] = Array.empty
+  override def reduce(b: Array[Byte], packed: Long): Array[Byte] =
+    if (packed == Skip) b
+    else {
+      val buf = if (b.length == Bits / 8) b else new Array[Byte](Bits / 8)
+      val ps = positions(packed)
+      var i = 0
+      while (i < K) {
+        val p = ps(i)
+        buf(p >>> 3) = (buf(p >>> 3) | (1 << (p & 7))).toByte
+        i += 1
+      }
+      buf
+    }
+  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+    if (x.isEmpty) y
+    else if (y.isEmpty) x
+    else {
+      var i = 0
+      while (i < x.length) { x(i) = (x(i) | y(i)).toByte; i += 1 }
+      x
+    }
+  /** null (no bloom recorded) for a file with no non-null values. */
+  override def finish(b: Array[Byte]): Array[Byte] =
+    if (b.isEmpty) null else b
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+}

@@ -710,6 +710,67 @@ object LayoutOps extends QueryPack {
       .orderBy(col("bucket"))
   }
 
+  /** Metadata-only RENAME COLUMN end to end: half the orders land, the
+    * key column renames (ONE manifest publish, zero files touched),
+    * the other half appends under the NEW name — then one aggregate
+    * reads BOTH epochs through one scan (pre-rename files store the
+    * old physical name; the alias projection unifies them). The oracle
+    * restates the union with the final name. */
+  def layoutRename(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_ren_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderkey").isNotNull && col("o_custkey").isNotNull)
+      .select(col("o_orderkey").as("okey"), col("o_custkey").as("cust"))
+    graft.sources.SnapshotTable.commit(s, table,
+      o.filter(pmod(col("okey"), lit(2)) === 0), overwrite = false)
+    graft.sources.SnapshotTable.renameColumn(s, table, "cust", "customer")
+    graft.sources.SnapshotTable.commit(s, table,
+      o.filter(pmod(col("okey"), lit(2)) === 1)
+        .select(col("okey"), col("cust").as("customer")),
+      overwrite = false)
+    graft.sources.SnapshotTable.readAsOf(s, table, Int.MaxValue)
+      .groupBy(pmod(col("customer"), lit(50)).as("cband"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("okey")).as("sum_okey"))
+      .orderBy(col("cband"))
+  }
+
+  /** Declared-column per-file Bloom end to end: orders land as FOUR
+    * interleaved (unclustered) slices — every file's o_orderkey range
+    * spans the whole domain, so zone maps cannot prune a point probe —
+    * then [[graft.sources.SnapshotTable.setBloomColumns]] declares the
+    * key and ANALYZE backfills the pre-declaration file. The probe
+    * (the max orderkey, one row) then plans a strict subset of files
+    * from Bloom refutation alone; `SnapshotBloomSpec` pins the scan
+    * metrics, this declared query pins the ANSWER against the oracle. */
+  def layoutBloomProbe(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_blm_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderkey").isNotNull && col("o_custkey").isNotNull)
+      .select(col("o_orderkey").as("okey"), col("o_custkey").as("cust"))
+    graft.sources.SnapshotTable.commit(s, table,
+      o.filter(pmod(col("okey"), lit(4)) === 0).repartition(1),
+      overwrite = false)
+    graft.sources.SnapshotTable.setBloomColumns(s, table, Seq("okey"))
+    (1 to 3).foreach(i =>
+      graft.sources.SnapshotTable.commit(s, table,
+        o.filter(pmod(col("okey"), lit(4)) === i).repartition(1),
+        overwrite = false))
+    graft.sources.SnapshotTable.analyze(s, table)
+    // zero-row corpus: no max key to probe — the empty relation, not an
+    // NPE (the EmptyCorpusSpec sweep contract)
+    val kRow = o.agg(max(col("okey"))).head()
+    if (kRow.isNullAt(0))
+      return o.select(col("okey"), col("cust")).filter(lit(false))
+    val k = kRow.getLong(0)
+    graft.sources.SnapshotTable.readAsOf(s, table, Int.MaxValue)
+      .filter(col("okey") === k)
+      .select(col("okey"), col("cust"))
+  }
+
   /** `GRAFT ANALYZE` end to end: load documents, run a selective MERGE
     * (which HONESTLY drops the cumulative NDV sketch — a bottom-k
     * cannot subtract), then [[graft.sources.SnapshotTable.analyze]]
@@ -1058,6 +1119,8 @@ object LayoutOps extends QueryPack {
     "layout_planner_stats" -> layoutPlannerStats,
     "layout_analyze" -> layoutAnalyze,
     "layout_sql_merge" -> layoutSqlMerge,
+    "layout_rename" -> layoutRename,
+    "layout_bloom_probe" -> layoutBloomProbe,
     "layout_snapshot_moneyband" -> layoutSnapshotMoneyband,
     "layout_snapshot_deletes" -> layoutSnapshotDeletes,
     "layout_meta_agg" -> layoutMetaAgg,
@@ -1302,6 +1365,21 @@ object LayoutOps extends QueryPack {
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(nc) AS BIGINT) AS sum_nc
         |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the Bloom-pruned point probe's ANSWER: the max-orderkey row
+    "layout_bloom_probe" ->
+      """SELECT o_orderkey AS okey, o_custkey AS cust FROM orders
+        |WHERE o_custkey IS NOT NULL
+        |  AND o_orderkey = (SELECT max(o_orderkey) FROM orders
+        |                    WHERE o_custkey IS NOT NULL)""".stripMargin,
+    // both halves (pre- and post-rename epochs) restated as one
+    // relation under the FINAL column name
+    "layout_rename" ->
+      """WITH o AS (SELECT o_orderkey AS okey, o_custkey AS customer
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL)
+        |SELECT customer % 50 AS cband, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(okey) AS BIGINT) AS sum_okey
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "layout_planner_stats" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderdate
         |  FROM orders WHERE o_orderkey IS NOT NULL),

@@ -73,6 +73,9 @@ class GraftSqlParser(delegate: ParserInterface,
       """ON\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
   private val DeleteRe =
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val RenameRe =
+    ("""(?is)\s*GRAFT\s+RENAME\s+COLUMN\s+'([^']+)'\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
   private val RelayoutRe =
     ("""(?is)\s*GRAFT\s+RELAYOUT\s+'([^']+)'""" +
       """(?:\s+PARTITION\s+BY\s*\(\s*([A-Za-z0-9_]+(?:\s*,\s*[A-Za-z0-9_]+)*)\s*\))?""" +
@@ -123,6 +126,7 @@ class GraftSqlParser(delegate: ParserInterface,
     case DeleteRe(dir, pred) =>
       delegate.parseExpression(pred)
       GraftDeleteCommand(dir, pred)
+    case RenameRe(dir, from, to) => GraftRenameColumnCommand(dir, from, to)
     case RelayoutRe(dir, parts, n, bcol) =>
       GraftRelayoutCommand(dir,
         Option(parts).map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil),
@@ -165,6 +169,7 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT MERGE INTO '<dir>' USING (<select>) ON <key> " +
             "[DELETE (<select>)] | " +
             "GRAFT DELETE FROM '<dir>' WHERE <predicate> | " +
+            "GRAFT RENAME COLUMN '<dir>' <from> TO <to> | " +
             "GRAFT RELAYOUT '<dir>' [PARTITION BY (a, b)] " +
             "[BUCKET BY (n, col)] | " +
             "GRAFT RESTORE/CLONE/STATS/DESCRIBE STATS ... " +
@@ -492,6 +497,17 @@ case class GraftMergeCommand(tableDir: String, usingSql: String,
       upserts.select(key).where(org.apache.spark.sql.functions.lit(false)))
     Seq(Row(SnapshotTable.merge(s, tableDir, upserts, deletes, key)))
   }
+}
+
+/** `GRAFT RENAME COLUMN '<dir>' <from> TO <to>` — metadata-only column
+  * rename ([[SnapshotTable.renameColumn]]): one manifest publish, zero
+  * data files touched at any table size. Returns the new version. */
+case class GraftRenameColumnCommand(tableDir: String, from: String,
+    to: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.renameColumn(s, tableDir, from, to)))
 }
 
 /** `GRAFT DELETE FROM '<dir>' WHERE <predicate>` — the SQL doorway to

@@ -142,7 +142,12 @@ object SnapshotTable {
       // size-from-row-count estimate needs — without it every string
       // column reads as the 20-byte default and a wide text table can
       // be under-sized into a broadcast
-      bytes: Option[Long] = None)
+      bytes: Option[Long] = None,
+      // optional per-file membership Bloom (declared columns only —
+      // [[SnapshotTable.setBloomColumns]]): refutes `col = v` probes
+      // min/max cannot (the unclustered point lookup, where every
+      // file's range straddles every key)
+      bloom: Option[Array[Byte]] = None)
 
   /** One manifest data entry: the file plus its planning metadata.
     * `part` is the file's hive-partition value TUPLE on a partitioned
@@ -180,7 +185,7 @@ object SnapshotTable {
     * means the column's values in this file are UNKNOWN. Zero-row
     * entries account vacuously. */
   private def accountsFor(e: FileEntry, f: StructField): Boolean =
-    e.rows.contains(0L) || e.stats.contains(f.name) ||
+    e.rows.contains(0L) || e.stats.contains(physName(f)) ||
       e.statsVer.exists(_ >= kindSinceVersion(f.dataType))
 
   private def b64e(s: String): String =
@@ -188,12 +193,12 @@ object SnapshotTable {
   private def b64d(s: String): Array[Byte] =
     java.util.Base64.getDecoder.decode(s)
 
-  /** Decode one `b64(name):kind:b64(min):b64(max):nulls[:bytes]` column
-    * stat (the trailing total-byte field is newer; 5-field legacy
-    * entries parse with it unknown). */
+  /** Decode one `b64(name):kind:b64(min):b64(max):nulls[:bytes[:bloom]]`
+    * column stat (the trailing total-byte and Bloom fields are newer;
+    * shorter legacy entries parse with them unknown). */
   private def parseColStat(field: String): Option[(String, ColStat)] = {
     val p = field.split(":", -1)
-    if (p.length != 5 && p.length != 6) return None
+    if (p.length < 5 || p.length > 7) return None
     val kind = if (p(1).length == 1) p(1).charAt(0) else return None
     def v(b64: String): Option[Any] =
       if (b64.isEmpty) None
@@ -205,7 +210,8 @@ object SnapshotTable {
       }
     try Some((new String(b64d(p(0)), "UTF-8"),
       ColStat(kind, v(p(2)), v(p(3)), p(4).toLong,
-        p.lift(5).filter(_.nonEmpty).map(_.toLong))))
+        p.lift(5).filter(_.nonEmpty).map(_.toLong),
+        p.lift(6).filter(_.nonEmpty).map(b64d))))
     catch { case _: RuntimeException => None }
   }
 
@@ -489,11 +495,37 @@ object SnapshotTable {
           else check(st)
       }
 
+    /** Can `v` pass the file's membership Bloom? true = maybe (no
+      * bloom recorded, unhashable literal, or all probe bits set);
+      * false = PROVABLY absent. The hash must replay the write side
+      * exactly: long kinds hashed xxhash64-of-BIGINT (dates as
+      * epoch-days, timestamps as micros, decimals as the unscaled
+      * long — all already the literal's internal form), strings
+      * xxhash64 of the UTF-8 bytes; seed 42 (Spark's default) both
+      * sides via the same XxHash64 kernel. */
+    private def mayBloom(st: ColStat, v: Any): Boolean =
+      st.bloom.forall { bl =>
+        import org.apache.spark.sql.types.{LongType, StringType}
+        val h: Option[Long] = (st.kind, v) match {
+          case ('l', d: org.apache.spark.sql.types.Decimal) =>
+            Some(XxHash64Function.hash(d.toUnscaledLong, LongType, 42L))
+          case ('l', n: java.lang.Number) =>
+            Some(XxHash64Function.hash(n.longValue, LongType, 42L))
+          case ('s', u: UTF8String) =>
+            Some(XxHash64Function.hash(u, StringType, 42L))
+          case _ => None
+        }
+        h.forall(graft.functions.BloomBitsAgg.mightContain(bl, _))
+      }
+
     private def mayEq(e: FileEntry, a: Attribute, v: Any): Boolean =
       cmpPred(e, a, v) { st =>
         // v inside [min, max]; unknown bound = unbounded
         st.min.flatMap(m => cmp(st.kind, m, v)).forall(_ <= 0) &&
-        st.max.flatMap(m => cmp(st.kind, m, v)).forall(_ >= 0)
+        st.max.flatMap(m => cmp(st.kind, m, v)).forall(_ >= 0) &&
+        // the membership Bloom refutes point probes range checks
+        // cannot (unclustered tables, where every file straddles v)
+        mayBloom(st, v)
       }
 
     def mayMatch(expr: Expression, e: FileEntry): Boolean = expr match {
@@ -948,7 +980,10 @@ object SnapshotTable {
         case None => pf
       }
     }
-    StructType(evolved ++ next.fields.filterNot(f => prevNames.contains(f.name)))
+    // new fields enter PHYSICAL-marker-free (a marker riding a foreign
+    // read must not alias a fresh column to some other table's storage)
+    StructType(evolved ++ stripPhys(StructType(
+      next.fields.filterNot(f => prevNames.contains(f.name)))).fields)
   }
 
   /** Zone-map eligibility: Long-family ('l'), Double-family ('d'),
@@ -1026,7 +1061,8 @@ object SnapshotTable {
     * range); float bounds are widened to double BEFORE encoding so the
     * stored decimal round-trips exactly. */
   private def collectFileStats(s: SparkSession, dataDir: String,
-      schema: StructType, partitioned: Boolean = false)
+      schema: StructType, partitioned: Boolean = false,
+      bloomCols: Set[String] = Set.empty)
       : Option[(Map[String, (Long, String)], Map[String, Seq[Long]])] = {
     // partitioned layouts reconstruct the partition column via hive
     // directory discovery — the EXPLICIT schema pins its type (string
@@ -1034,7 +1070,7 @@ object SnapshotTable {
     // recorded stat kind would contradict the table schema)
     val reader = if (partitioned) s.read.schema(storedSchema(schema))
       else s.read
-    statsAggregate(s, reader.parquet(dataDir), schema)
+    statsAggregate(s, reader.parquet(dataDir), schema, bloomCols)
   }
 
   /** The one-pass per-file stats aggregation behind [[collectFileStats]]
@@ -1043,7 +1079,7 @@ object SnapshotTable {
     * NDV sketches per `input_file_name()`, keyed by normalized fs
     * path. None when no column of `schema` is stat-eligible. */
   private def statsAggregate(s: SparkSession, data: DataFrame,
-      schema: StructType)
+      schema: StructType, bloomCols: Set[String] = Set.empty)
       : Option[(Map[String, (Long, String)], Map[String, Seq[Long]])] = {
     import org.apache.spark.sql.functions._
     val cols = schema.fields.toSeq
@@ -1055,7 +1091,11 @@ object SnapshotTable {
     // collected per file and min-K-merged driver-side to ONE table-level
     // sketch per column (mergeable, so appends later fold into it)
     val kmv = udaf(graft.functions.KmvSketchAgg)
-    val aggs = cols.flatMap { case (n, k, sql) =>
+    val bloomAgg = udaf(graft.functions.BloomBitsAgg)
+    def wantBloom(n: String, k: Char): Boolean =
+      bloomCols.contains(n) && (k == 'l' || k == 's')
+    val perCol: Seq[Seq[org.apache.spark.sql.Column]] =
+      cols.map { case (n, k, sql) =>
       // canonical value rendering for the NDV hash; float-family values
       // are normalized with +0.0 first so -0.0 and 0.0 — SQL-equal, and
       // counted once by count(DISTINCT) — hash identically (NaN + 0.0
@@ -1065,7 +1105,7 @@ object SnapshotTable {
       val canon =
         if (k == 'd') s"CAST(($sql + CAST(0.0 AS DOUBLE)) AS STRING)"
         else s"CAST($sql AS STRING)"
-      Seq(min(expr(sql)), max(expr(sql)),
+      val base = Seq(min(expr(sql)), max(expr(sql)),
         sum(when(expr(sql).isNull, 1L).otherwise(0L)),
         // total payload bytes (string kind only): feeds the avg-width
         // column statistic Catalyst's row-count-based sizing uses
@@ -1073,7 +1113,26 @@ object SnapshotTable {
         else sum(lit(null).cast("bigint")),
         kmv(when(expr(sql).isNull, lit(graft.functions.KmvDistinctAgg.Skip))
           .otherwise(expr(s"CAST(conv(substring(md5($canon), " +
-            "1, 15), 16, 10) AS BIGINT)")))) }
+            "1, 15), 16, 10) AS BIGINT)"))))
+      if (!wantBloom(n, k)) base
+      else {
+        // declared-column Bloom: ONE xxhash64 per row; its low 52 bits
+        // carry all four 13-bit bit positions (BloomBitsAgg's slicing).
+        // Long kinds hash the stored long form CAST to BIGINT so the
+        // read-side probe (XxHash64 of the literal's long) matches
+        // exactly; strings hash their UTF-8 bytes directly.
+        val hashSql =
+          if (k == 's') s"xxhash64($sql)"
+          else s"xxhash64(CAST(($sql) AS BIGINT))"
+        base :+ bloomAgg(
+          when(expr(sql).isNull, lit(graft.functions.BloomBitsAgg.Skip))
+            .otherwise(expr(
+              s"$hashSql & ${graft.functions.BloomBitsAgg.Mask52}L")))
+      }
+    }
+    // variable per-column stride (5, or 6 with a Bloom): offsets(i) is
+    // column i's first agg position; 0 = __f, 1 = __rows
+    val offsets = perCol.map(_.size).scanLeft(2)(_ + _)
     def enc(v: Any): String = v match {
       case null => ""
       case d: java.lang.Double if d.isNaN || d.isInfinite => ""
@@ -1082,20 +1141,27 @@ object SnapshotTable {
     }
     val rows = data
       .groupBy(input_file_name().as("__f"))
-      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .agg(count(lit(1)).as("__rows"), perCol.flatten: _*)
       .collect()
     val fileMap = rows.map { r =>
       val fields = cols.zipWithIndex.map { case ((name, kind, _), i) =>
-        val bytes = if (r.isNullAt(5 + i * 5)) "" else r.getLong(5 + i * 5).toString
-        s"${b64e(name)}:$kind:${enc(r.get(2 + i * 5))}:${enc(r.get(3 + i * 5))}:${r.getLong(4 + i * 5)}:$bytes"
+        val o = offsets(i)
+        val bytes = if (r.isNullAt(o + 3)) "" else r.getLong(o + 3).toString
+        val bloom =
+          if (perCol(i).size < 6 || r.isNullAt(o + 5)) ""
+          else java.util.Base64.getEncoder.encodeToString(
+            r.getAs[Array[Byte]](o + 5))
+        val head = s"${b64e(name)}:$kind:${enc(r.get(o))}:" +
+          s"${enc(r.get(o + 1))}:${r.getLong(o + 2)}:$bytes"
+        if (bloom.isEmpty) head else s"$head:$bloom"
       }
       new HPath(r.getString(0)).toUri.getPath ->
         (r.getLong(1), fields.mkString(";"))
     }.toMap
     val ndv = cols.zipWithIndex.map { case ((name, _, _), i) =>
       name -> rows.map(r =>
-          if (r.isNullAt(6 + i * 5)) Array.empty[Long]
-          else r.getSeq[Long](6 + i * 5).toArray)
+          if (r.isNullAt(offsets(i) + 4)) Array.empty[Long]
+          else r.getSeq[Long](offsets(i) + 4).toArray)
         .foldLeft(Array.empty[Long])(graft.functions.KmvDistinctAgg.merge)
         .toSeq
     }.toMap
@@ -1122,16 +1188,28 @@ object SnapshotTable {
       bucket: Option[(Int, String)] = None,
       withStats: Option[Manifest] = None,
       partBy: Seq[String] = Nil): DataFrame = {
-    val cat = catalogStats(s, tableDir, sc, es, withStats)
-    val rel = fsRelation(s, tableDir, sc, es, bucket, partBy, cat)
+    // the scan plans in PHYSICAL column names (what the files store and
+    // the manifest stats/pruner key on); renamed tables alias back to
+    // the logical names in ONE projection on top — Catalyst pushes
+    // filters and pruning straight through the aliases, so data
+    // skipping and pushdown are untouched by a rename
+    val scP = physicalSchema(sc)
+    val cat = catalogStats(s, tableDir, scP, es, withStats)
+    val rel = fsRelation(s, tableDir, scP, es, bucket, partBy, cat)
     val df = cat match {
       case Some(table) =>
         org.apache.spark.sql.GraftSqlShim.ofRowsWithStats(s, rel, table)
       case None => s.baseRelationToDataFrame(rel)
     }
+    if (renamesOf(sc).nonEmpty)
+      // empty alias metadata: the physical marker must not ride a READ
+      // into some other table's commit
+      df.select(sc.fields.toIndexedSeq.map(f =>
+        org.apache.spark.sql.functions.col(physName(f))
+          .as(f.name, org.apache.spark.sql.types.Metadata.empty)): _*)
     // the hive layout appends the reconstructed partition columns after
     // the data columns — restore the recorded schema order
-    if (partBy.nonEmpty && df.columns.toSeq != sc.fieldNames.toSeq)
+    else if (partBy.nonEmpty && df.columns.toSeq != sc.fieldNames.toSeq)
       df.select(sc.fieldNames.toIndexedSeq.map(
         org.apache.spark.sql.functions.col): _*)
     else df
@@ -1308,6 +1386,78 @@ object SnapshotTable {
     * reader refuses a REQUIRED column that a file lacks. */
   private def storedSchema(sc: StructType): StructType =
     StructType(sc.fields.map(_.copy(nullable = true)))
+
+  /** Field-metadata key carrying a renamed column's PHYSICAL name —
+    * the name its values are stored under in every data file and every
+    * manifest stat/NDV entry. [[renameColumn]] is metadata-only (the
+    * Iceberg/Delta-column-mapping discipline: a 100 TB rename must not
+    * rewrite 100 TB): the schema field takes the new LOGICAL name and
+    * this key remembers the physical one; scans read the physical
+    * column and alias it, writes rename logical → physical before
+    * touching parquet, and stats/pruning key on the physical name
+    * throughout. Rides the `#schema:` json, so every schema-carrying
+    * op (restore, clone, relayout conflict checks, time travel)
+    * preserves it for free. */
+  private[sources] val PhysKey = "graft.phys"
+
+  /** The on-disk column name of a schema field (its own name unless a
+    * rename recorded a physical alias). */
+  private def physName(f: StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else f.name
+
+  /** The schema as the data files store it: renamed fields under their
+    * physical names. Invariant: physical names are unique, and no
+    * field's logical name equals ANOTHER field's physical name (the
+    * rename/append validations enforce both). */
+  private def physicalSchema(sc: StructType): StructType =
+    StructType(sc.fields.map(f => f.copy(name = physName(f))))
+
+  /** logical → physical for the fields where the two differ. */
+  private def renamesOf(sc: StructType): Map[String, String] =
+    sc.fields.iterator
+      .filter(f => physName(f) != f.name)
+      .map(f => f.name -> physName(f)).toMap
+
+  /** Rename a logically-named batch to its physical column names before
+    * a data write — identity when the table has no renames. Columns
+    * not in `sc` (schema-evolution additions) keep their own name. */
+  private def toPhysical(df: DataFrame, sc: StructType): DataFrame = {
+    val ren = renamesOf(sc)
+    if (ren.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map(c =>
+      org.apache.spark.sql.functions.col(c).as(ren.getOrElse(c, c))): _*)
+  }
+
+  /** Field-metadata key marking a column DECLARED for per-file Bloom
+    * collection ([[setBloomColumns]]). Like [[PhysKey]] it rides the
+    * `#schema:` json, so the declaration survives every schema-carrying
+    * op and is reset by full rewrites. */
+  private[sources] val BloomKey = "graft.bloom"
+
+  /** Is `f` declared for Bloom collection (and of a hashable kind)? */
+  private def bloomDeclared(f: StructField): Boolean =
+    f.metadata.contains(BloomKey) && f.metadata.getBoolean(BloomKey) &&
+      statKind(f.dataType).exists(k => k == 'l' || k == 's')
+
+  /** The PHYSICAL names of a schema's Bloom-declared columns — what a
+    * stats pass over written files keys on. */
+  private def bloomPhysCols(sc: StructType): Set[String] =
+    sc.fields.iterator.filter(bloomDeclared).map(physName).toSet
+
+  /** Drop physical-name markers — for schemas entering a FULL rewrite
+    * (overwrite, relayout, full merge): every pre-rename file is
+    * rewritten away under the logical names, so the indirection ends
+    * (exactly as dropped-name reservations reset on overwrite). Also
+    * the defense against STALE markers riding a foreign table's read
+    * into a fresh commit's schema. */
+  private def stripPhys(sc: StructType): StructType =
+    StructType(sc.fields.map { f =>
+      if (!f.metadata.contains(PhysKey)) f
+      else f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(PhysKey).build())
+    })
 
   /** Deletion-vector file schema: the parquet reader's positional row
     * identity — the scanned file's `_metadata.file_path` and the row's
@@ -1495,9 +1645,10 @@ object SnapshotTable {
     // affected files re-land under their hive directories (the new
     // entries carry fresh partition values)
     val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
-      applyDels(s, tableDir,
+      toPhysical(applyDels(s, tableDir,
         relationFor(s, tableDir, sc0, affected, partBy = m0.partBy), m0),
-      uniq, partitionBy = m0.partBy)
+        sc0),
+      uniq, partitionBy = m0.partBy, bloomCols = bloomPhysCols(sc0))
     val carriedPaths = carried.map(_.status.getPath.toString).toSet
     beforePublishHook()
     val res = publishNext(s, tableDir) { pm =>
@@ -1574,7 +1725,8 @@ object SnapshotTable {
       uniq: String, bucket: Option[(Int, String)] = None,
       partitionBy: Seq[String] = Nil,
       partSpread: Int = 1,
-      preShaped: Boolean = false)
+      preShaped: Boolean = false,
+      bloomCols: Set[String] = Set.empty)
       : (HPath, Seq[String], Map[String, Seq[Long]]) = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod, raise_error, when}
     val f = fs(s, tableDir)
@@ -1699,7 +1851,7 @@ object SnapshotTable {
     val stats =
       if (statuses.isEmpty) None
       else collectFileStats(s, dataDir.toString, df.schema,
-        partitioned = partitionBy.nonEmpty)
+        partitioned = partitionBy.nonEmpty, bloomCols = bloomCols)
     (dataDir, listed.map { case (st, part) =>
       val partField = part.fold("")(vs =>
         "\tP" + vs.map(_.fold("N")(b64e)).mkString(","))
@@ -1831,6 +1983,9 @@ object SnapshotTable {
     // manifest publish
     val uniq = java.util.UUID.randomUUID.toString.take(8)
     var written: Option[(HPath, Seq[String], Map[String, Seq[Long]])] = None
+    // the logical→physical rename map the staged write used (a lost
+    // race against a concurrent rename must restage under the new map)
+    var writtenRen: Map[String, String] = Map.empty
     val res = publishNext(s, tableDir,
         partByOverride = Some(partitionBy)) { prevManifest =>
       // replay check INSIDE the retry loop: a zombie writer racing the
@@ -1874,19 +2029,52 @@ object SnapshotTable {
                 s"${if (m.partBy.isEmpty) "(none)" else m.partBy.mkString(",")} " +
                 "— overwrite to re-layout")
           }
-        if (written.isEmpty)
-          written = Some(writeDataDir(s, tableDir, df, uniq, bucket,
-            partitionBy, partSpread = partitionedWriteSpread(s)))
-        val base = if (overwrite) Seq.empty
-          else prevManifest.map(_.files).getOrElse(Seq.empty)
+        // a NEW column may not land under a name reserved as the
+        // PHYSICAL storage of a renamed column: the new files would
+        // store it under that name, and pre-rename files' old values
+        // (owned by the renamed logical column) would resurface under
+        // the newcomer — the haunted-column hazard, physical edition
+        if (!overwrite) {
+          val reserved = prevManifest.flatMap(_.schema)
+            .map(sc => renamesOf(sc).values.toSet).getOrElse(Set.empty)
+          val clash = df.columns.toSet.intersect(reserved)
+          require(clash.isEmpty,
+            s"append writes column(s) ${clash.mkString(",")} under a " +
+              "name reserved as the physical storage of a renamed " +
+              "column — pre-rename files would resurface their old " +
+              "values; use another name (or rename the column back)")
+        }
+        // schema BEFORE the write: evolution refusals must not orphan a
+        // data dir, and the write must know the physical column names
         val schema = storedSchema(
-          if (overwrite) df.schema
+          // overwrite / first commit: all-new files under the batch's
+          // own (logical) names — rename indirections reset
+          if (overwrite) stripPhys(df.schema)
           else prevManifest.flatMap(_.schema)
             .map(mergeSchemas(_, df.schema,
               frozen = prevManifest.toSet.flatMap((m: Manifest) =>
                 m.bucket.map(_._2).toSet ++ m.partBy) ++
                 bucket.map(_._2) ++ partitionBy))
-            .getOrElse(df.schema))
+            .getOrElse(stripPhys(df.schema)))
+        // data files ALWAYS store physical names: a renamed column's
+        // batch values are written under its original on-disk name, so
+        // every epoch's files stay name-compatible in one scan. If a
+        // lost race changed the rename map (concurrent rename), the
+        // staged files are stale — rewrite them under the new mapping.
+        val renNow = renamesOf(schema)
+        if (written.nonEmpty && writtenRen != renNow) {
+          f.delete(written.get._1, true)
+          written = None
+        }
+        if (written.isEmpty) {
+          written = Some(writeDataDir(s, tableDir, toPhysical(df, schema),
+            uniq, bucket, partitionBy,
+            partSpread = partitionedWriteSpread(s),
+            bloomCols = bloomPhysCols(schema)))
+          writtenRen = renNow
+        }
+        val base = if (overwrite) Seq.empty
+          else prevManifest.map(_.files).getOrElse(Seq.empty)
         // txn watermarks accumulate across commits — including
         // overwrites: replay detection must survive a table rewrite
         val txns = txnMerge(
@@ -1919,7 +2107,10 @@ object SnapshotTable {
           if (overwrite || prevManifest.forall(_.files.isEmpty)) batchNdv
           else {
             val pm = prevManifest.get
-            val prevCols = pm.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+            // NDV sketches key on PHYSICAL names (what the stats pass
+            // sees) — so does this whole merge
+            val prevCols = pm.schema
+              .map(_.fields.map(physName).toSet).getOrElse(Set.empty)
             val carried = pm.ndv.flatMap { case (c, sk) =>
               batchNdv.get(c) match {
                 case Some(b) => Some(c -> graft.functions.KmvDistinctAgg
@@ -1932,8 +2123,12 @@ object SnapshotTable {
                 // distinct_count silently forever — drop to unknown,
                 // the claim-nothing-rather-than-wrong rule.
                 case None =>
-                  val inBatch = df.schema.fields.exists(fl =>
-                    fl.name == c && statKind(fl.dataType).isDefined)
+                  // c is a PHYSICAL name — resolve it to the logical
+                  // column via the merged schema before probing the
+                  // (logically-named) batch
+                  val inBatch = schema.fields.exists(fl =>
+                    physName(fl) == c && df.columns.contains(fl.name) &&
+                      statKind(fl.dataType).isDefined)
                   // a batch that wrote NO files appended no values —
                   // the carried sketch stays exact regardless
                   if (inBatch && written.get._2.nonEmpty) None
@@ -2057,11 +2252,14 @@ object SnapshotTable {
         // selected, so output stays near the small-file mass per value)
         val (dataDir, newFiles, _) =
           if (m0.partBy.nonEmpty) writeDataDir(s, tableDir,
-            relationFor(s, tableDir, storedSchema(schema0), small,
-              partBy = m0.partBy), uniq, partitionBy = m0.partBy)
+            toPhysical(relationFor(s, tableDir, storedSchema(schema0), small,
+              partBy = m0.partBy), storedSchema(schema0)),
+            uniq, partitionBy = m0.partBy,
+            bloomCols = bloomPhysCols(schema0))
           else writeDataDir(s, tableDir,
-            relationFor(s, tableDir, storedSchema(schema0), small)
-              .repartition(nOut), uniq)
+            toPhysical(relationFor(s, tableDir, storedSchema(schema0), small)
+              .repartition(nOut), storedSchema(schema0)), uniq,
+            bloomCols = bloomPhysCols(schema0))
         val compacted = small.map(_.status.getPath.toString).toSet
         beforePublishHook()
         val res = publishNext(s, tableDir) { pm =>
@@ -2129,10 +2327,10 @@ object SnapshotTable {
         // claims NO bucket partitioning (it is a plain row source for
         // the re-bucketing writer, which re-derives the ids)
         val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
-          relationFor(s, tableDir, storedSchema(schema0), affected,
-            partBy = m0.partBy),
+          toPhysical(relationFor(s, tableDir, storedSchema(schema0), affected,
+            partBy = m0.partBy), storedSchema(schema0)),
           uniq, bucket = Some((nBuckets, bucketCol)),
-          partitionBy = m0.partBy)
+          partitionBy = m0.partBy, bloomCols = bloomPhysCols(schema0))
         val packed = affected.map(_.status.getPath.toString).toSet
         beforePublishHook()
         val res = publishNext(s, tableDir) { pm =>
@@ -2202,8 +2400,12 @@ object SnapshotTable {
         val clustered = graft.operators.LayoutOps.zClusterWithin(
           relationFor(s, tableDir, storedSchema(schema0), es0,
             partBy = m0.partBy), m0.partBy, colA, colB, n)
-        val (dataDir, newFiles, _) = writeDataDir(s, tableDir, clustered,
-          uniq, partitionBy = m0.partBy, preShaped = true)
+        // toPhysical is a pure projection — per-partition z-run order
+        // survives, so preShaped stays valid
+        val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
+          toPhysical(clustered, storedSchema(schema0)),
+          uniq, partitionBy = m0.partBy, preShaped = true,
+          bloomCols = bloomPhysCols(schema0))
         beforePublishHook()
         val res = publishNext(s, tableDir) { pm =>
           pm.flatMap { m =>
@@ -2336,12 +2538,17 @@ object SnapshotTable {
           s"dropColumn: constraint '$n' ($e) references '$colName' — drop it first")
       }
       val next = StructType(sc0.fields.filterNot(_.name == colName))
+      // reserve the PHYSICAL name too: a renamed column's files store
+      // it under that name, and a future append re-adding it would
+      // resurface the dropped values exactly like the logical hazard
+      val phys = physName(sc0(colName))
       val res = publishNext(s, tableDir) { pm =>
         pm.flatMap { m =>
           if (m.files != m0.files || m.dels != m0.dels ||
             m.schema != m0.schema) None // racing commit: re-check
           else Some((m.files, next, m.txns, m.bucket,
-            m.dels, m.constraints, m.dropped + colName, m.ndv - colName))
+            m.dels, m.constraints, m.dropped + colName + phys,
+            m.ndv - phys))
         }
       }
       res match {
@@ -2351,6 +2558,151 @@ object SnapshotTable {
     }
     throw new IllegalStateException(
       s"dropColumn: lost $MaxCommitAttempts races in $tableDir")
+  }
+
+  /** RENAME COLUMN, metadata-only (the Iceberg field-id / Delta
+    * column-mapping discipline re-expressed through field metadata): a
+    * 100 TB rename publishes ONE manifest whose schema field carries
+    * the new LOGICAL name plus its on-disk PHYSICAL name
+    * ([[PhysKey]]) — zero data files touched. Scans keep planning,
+    * zone-map pruning, and NDV/catalog statistics on the physical name
+    * and alias to the logical one in a single projection (pushdown and
+    * data skipping are untouched); appends write the column back under
+    * its physical name, so every epoch's files stay one-scan
+    * compatible; time travel shows each version its own name. Renaming
+    * BACK to the original name removes the indirection; any full
+    * rewrite (overwrite, [[relayout]]) retires it.
+    *
+    * Refused: legacy manifests; a target name that already exists, is
+    * a reserved dropped name, or is another column's physical storage
+    * name (pre-rename files would resurface foreign values under it);
+    * layout keys (bucket/partition columns — their file placement and
+    * directory names are spelled with the stored name; [[relayout]]
+    * re-keys); columns referenced by CHECK constraints (their SQL text
+    * would dangle). Serializable like [[dropColumn]]: re-plans on any
+    * concurrent commit. */
+  def renameColumn(s: SparkSession, tableDir: String, from: String,
+      to: String): Int = {
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"renameColumn: '$to' is not a plain identifier")
+    require(from != to, s"renameColumn: '$from' -> '$to' is a no-op")
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val prev = versions(s, tableDir)
+      require(prev.nonEmpty, s"renameColumn: no published version in $tableDir")
+      val m0 = readManifest(s, tableDir, prev.last)
+      val sc0 = m0.schema.getOrElse(throw new IllegalArgumentException(
+        s"renameColumn: legacy manifest without schema in $tableDir"))
+      require(sc0.fieldNames.contains(from),
+        s"renameColumn: no column '$from' in ${sc0.fieldNames.mkString(",")}")
+      require(!sc0.fieldNames.contains(to),
+        s"renameColumn: column '$to' already exists in $tableDir")
+      require(!m0.dropped.contains(to),
+        s"renameColumn: '$to' is a reserved dropped name — pre-drop " +
+          "files still store it")
+      require(!sc0.fields.exists(f => f.name != from && physName(f) == to),
+        s"renameColumn: '$to' is the physical storage name of another " +
+          "renamed column — pre-rename files would resurface its values")
+      require(!m0.partBy.contains(from) && !m0.bucket.exists(_._2 == from),
+        s"renameColumn: '$from' is a layout key (bucket/partition " +
+          "column) — relayout() to re-key first")
+      m0.constraints.foreach { case (n, e) =>
+        require(!e.contains(from),
+          s"renameColumn: constraint '$n' ($e) references '$from' — " +
+            "drop it first")
+      }
+      val fromField = sc0(from)
+      val phys = physName(fromField)
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(fromField.metadata)
+      // renaming BACK to the stored name ends the indirection cleanly
+      val newMeta = if (phys == to) mb.remove(PhysKey).build()
+        else mb.putString(PhysKey, phys).build()
+      val next = StructType(sc0.fields.map(f =>
+        if (f.name == from) f.copy(name = to, metadata = newMeta) else f))
+      val res = publishNext(s, tableDir) { pm =>
+        pm.flatMap { m =>
+          if (m.files != m0.files || m.dels != m0.dels ||
+            m.schema != m0.schema) None // racing commit: re-validate
+          // stats/NDV stay keyed on the physical name — values did not
+          // change, so neither does any statistic
+          else Some((m.files, next, m.txns, m.bucket, m.dels,
+            m.constraints, m.dropped, m.ndv))
+        }
+      }
+      res match {
+        case Some(v) => return v
+        case None => // re-validate against the new state
+      }
+    }
+    throw new IllegalStateException(
+      s"renameColumn: lost $MaxCommitAttempts races in $tableDir")
+  }
+
+  /** Declare the columns future commits collect a per-file membership
+    * BLOOM for ([[graft.functions.BloomBitsAgg]] — 1 KiB per (file,
+    * column), riding the one existing commit-stats pass): the manifest
+    * then refutes `col = v` point probes on files whose min/max range
+    * cannot (the UNCLUSTERED point lookup — on an append-ordered
+    * 100 TB table every file straddles every key, so zone maps keep
+    * all of them; a Bloom keeps ~FPR of them). Size-budgeted by
+    * design: the filter saturates (degrades to keep-all, never
+    * unsound) when a file holds ≫8k distinct declared-column values —
+    * declare point-lookup KEYS, and keep per-file key cardinality
+    * bounded the same way zone maps want it (clustering/compaction).
+    *
+    * Metadata-only commit (the declaration is a schema field marker,
+    * like a rename's physical name). Takes the FULL desired set: named
+    * columns gain the marker, all others lose it. Only long-family /
+    * string / decimal / date / timestamp columns qualify (the hashable
+    * stat kinds). Files committed BEFORE the declaration carry no
+    * Bloom — [[analyze]] backfills them in one pass. */
+  def setBloomColumns(s: SparkSession, tableDir: String,
+      cols: Seq[String]): Int = {
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val prev = versions(s, tableDir)
+      require(prev.nonEmpty,
+        s"setBloomColumns: no published version in $tableDir")
+      val m0 = readManifest(s, tableDir, prev.last)
+      val sc0 = m0.schema.getOrElse(throw new IllegalArgumentException(
+        s"setBloomColumns: legacy manifest without schema in $tableDir"))
+      cols.foreach { c =>
+        val f = sc0.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"setBloomColumns: no column '$c' in " +
+              sc0.fieldNames.mkString(",")))
+        require(statKind(f.dataType).exists(k => k == 'l' || k == 's'),
+          s"setBloomColumns: '$c' (${f.dataType.catalogString}) is not " +
+            "a hashable stat kind (long-family/string)")
+      }
+      val want = cols.toSet
+      val next = StructType(sc0.fields.map { f =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        if (want.contains(f.name))
+          f.copy(metadata = mb.putBoolean(BloomKey, true).build())
+        else if (f.metadata.contains(BloomKey))
+          f.copy(metadata = mb.remove(BloomKey).build())
+        else f
+      })
+      val res = publishNext(s, tableDir) { pm =>
+        pm.flatMap { m =>
+          if (m.files != m0.files || m.dels != m0.dels ||
+            m.schema != m0.schema) None
+          else Some((m.files, next, m.txns, m.bucket, m.dels,
+            m.constraints, m.dropped, m.ndv))
+        }
+      }
+      res match {
+        case Some(v) => return v
+        case None => // re-validate against the new state
+      }
+    }
+    throw new IllegalStateException(
+      s"setBloomColumns: lost $MaxCommitAttempts races in $tableDir")
   }
 
   /** RESTORE to an earlier version (the Delta `RESTORE TABLE ... TO
@@ -2768,9 +3120,9 @@ object SnapshotTable {
     // (an upsert that CHANGES a row's partition value migrates it to
     // the new value's dir naturally — the writer re-clusters by value)
     val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
-      kept.unionByName(upserts, allowMissingColumns = true)
-        .select(sc0.fieldNames.map(col).toSeq: _*), uniq,
-      partitionBy = m0.partBy)
+      toPhysical(kept.unionByName(upserts, allowMissingColumns = true)
+        .select(sc0.fieldNames.map(col).toSeq: _*), sc0), uniq,
+      partitionBy = m0.partBy, bloomCols = bloomPhysCols(sc0))
     val carriedPaths = carried.map(_.status.getPath.toString).toSet
     beforePublishHook()
     val res = publishNext(s, tableDir) { pm =>
@@ -3073,12 +3425,15 @@ object SnapshotTable {
       s"plannerStats: legacy manifest without schema in $tableDir"))
     val es = m.entries.getOrElse(throw new IllegalArgumentException(
       s"plannerStats: legacy manifest without file metadata in $tableDir"))
-    val cat = catalogStats(s, tableDir, sc, es, Some(m)).getOrElse(
-      throw new IllegalArgumentException(
+    // the catalog keys on PHYSICAL names (as the scan relation does);
+    // this user-facing view reports the LOGICAL ones
+    val cat = catalogStats(s, tableDir, physicalSchema(sc), es, Some(m))
+      .getOrElse(throw new IllegalArgumentException(
         s"plannerStats: a file entry predates row-count collection in " +
           s"$tableDir — the planner sees size-only stats here"))
     val st = cat.stats.get
-    val rows = sc.fields.toSeq.flatMap(f => st.colStats.get(f.name).map { c =>
+    val rows = sc.fields.toSeq.flatMap(f =>
+      st.colStats.get(physName(f)).map { c =>
       (f.name, f.dataType.catalogString,
         st.rowCount.map(_.toLong),
         c.distinctCount.map(_.toLong), c.nullCount.map(_.toLong),
@@ -3136,15 +3491,17 @@ object SnapshotTable {
     val es0 = m0.entries.getOrElse(return None)
     if (es0.isEmpty) return None
     val partFields = m0.partBy.flatMap(c => sc0.fields.find(_.name == c))
-    val dataSchema = StructType(
-      sc0.fields.filterNot(f => m0.partBy.contains(f.name)))
+    // the files store PHYSICAL names — read and (re)key stats on them
+    val dataSchema = physicalSchema(StructType(
+      sc0.fields.filterNot(f => m0.partBy.contains(f.name))))
     val paths = es0.map(_.status.getPath.toString)
     // ONE distributed pass over the live files: rows + zone maps + NDV
     // for every eligible DATA column (partition columns are not stored
     // in the files — synthesized below from the manifest). Explicit
     // file paths, so hive directory discovery never kicks in.
     val data = s.read.schema(dataSchema).parquet(paths: _*)
-    val (fileMap, dataNdv) = statsAggregate(s, data, dataSchema)
+    val (fileMap, dataNdv) = statsAggregate(s, data, dataSchema,
+        bloomCols = bloomPhysCols(sc0))
       .getOrElse {
         // no eligible data column: a count-only pass still refreshes
         // the per-file row counts the other metadata ops rely on
@@ -3282,7 +3639,8 @@ object SnapshotTable {
       a.length - b.length
     }
     val rows = sc.fields.toSeq.flatMap(f => statKind(f.dataType).map { k =>
-      val withStat = es.flatMap(e => e.stats.get(f.name).map(st =>
+      // entry stats and NDV key on PHYSICAL names; report logical
+      val withStat = es.flatMap(e => e.stats.get(physName(f)).map(st =>
         (e.rows.get, st)))
       val nonNull = withStat.map { case (r, st) => r - st.nulls }.sum
       // A value-bearing file that records no stat for an eligible
@@ -3333,7 +3691,7 @@ object SnapshotTable {
         // below K distinct values, the KMV estimator above; NULL when
         // the sketch is unknown (legacy chain, or a row-removing op —
         // merge/deleteWhere — dropped it)
-        m.ndv.get(f.name).map(graft.functions.KmvDistinctAgg.estimate))
+        m.ndv.get(physName(f)).map(graft.functions.KmvDistinctAgg.estimate))
     })
     rows.toDF("column", "kind", "n_rows", "n_nonnull", "min_long",
       "max_long", "min_double", "max_double", "min_string", "max_string",

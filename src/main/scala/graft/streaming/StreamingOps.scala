@@ -242,6 +242,47 @@ object StreamingOps {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** FULL-outer stream-stream interval join — completes the outer
+    * family next to [[streamStreamLeftOuter]]: matched pairs emit
+    * in-flight; an unmatched PURCHASE emits with a null click side once
+    * the click watermark passes its interval, an unmatched CLICK emits
+    * with a null purchase side once the purchase watermark passes —
+    * Spark buffers BOTH sides' state until the opposite watermark
+    * clears it, so state stays bounded by the 1-hour interval plus the
+    * 1-hour watermark delay per side at ANY feed volume.
+    *
+    * Sentinel admission, BOTH directions now (the LEFT OUTER analysis
+    * doubled): each side admits its own staged sentinel (reserved id
+    * −1) so both watermarks advance to the far-future flush point and
+    * both unmatched buffers drain. The two sentinels carry the same
+    * reserved user (−1) and instant, so they pair with EACH OTHER and
+    * never with a real row; the caller's single null-safe scrub
+    * `!(p_id <=> −1) && !(c_id <=> −1)` removes that pair (and any
+    * stray sentinel half) while real unmatched emissions — whose ids
+    * are NULL on one side — pass the null-safe inequality untouched. */
+  def streamStreamFullOuter(purchases: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    val p = eventTimed(purchases)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("event_type").as("p_type"))
+      .filter(col("p_type") === "purchase" || col("p_id") === -1L)
+      .withWatermark("p_ts", "1 hour")
+      .drop("p_type")
+    val c = eventTimed(clicks)
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"), col("event_type").as("c_type"))
+      .filter(col("c_type") === "click" || col("c_id") === -1L)
+      .withWatermark("c_ts", "1 hour")
+      .drop("c_type")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "full_outer")
+      .select(col("p_id"), col("p_user"), col("c_id"), col("c_user"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** Idempotent (exactly-once) parquet sink via `foreachBatch` + dynamic
     * partition overwrite: every micro-batch writes into its own
     * `batch_id=N` partition with overwrite semantics, so a batch REPLAYED

@@ -411,6 +411,17 @@ object StreamingQueries extends QueryPack {
       .filter(!(col("p_id") <=> lit(-1L)))
       .orderBy(col("p_id"), col("c_id"))
 
+  /** The FULL-outer completion of the interval-join family: every
+    * purchase exactly once (nulls where no click preceded) AND every
+    * click exactly once (nulls where no purchase followed) — both
+    * unmatched buffers drained by the sentinel-advanced watermarks.
+    * The scrub removes exactly the sentinel pair; real unmatched rows'
+    * NULL ids pass the null-safe inequalities. */
+  def streamFullOuterInterval(s: SparkSession, d: String): DataFrame =
+    runBackfill(s, d) { df => StreamingOps.streamStreamFullOuter(df, df) }
+      .filter(!(col("p_id") <=> lit(-1L)) && !(col("c_id") <=> lit(-1L)))
+      .orderBy(col("p_id"), col("c_id"))
+
   /** Streaming heavy-hitters serving path: the stream maintains
     * watermarked per-hour per-user counts ([[StreamingOps
     * .hourlyUserCounts]] — Append mode, sentinel-flushed like every
@@ -815,6 +826,7 @@ object StreamingQueries extends QueryPack {
     "stream_dedup" -> streamDedup,
     "stream_join" -> streamStreamInterval,
     "stream_left_outer_join" -> streamLeftOuterInterval,
+    "stream_full_outer_join" -> streamFullOuterInterval,
   )
 
   // Every oracle mirrors the engine's event-time ingress contract
@@ -1041,6 +1053,21 @@ object StreamingQueries extends QueryPack {
         |SELECT p_id, p_user, c_id,
         | epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
         |FROM p LEFT JOIN c ON p_user = c_user
+        | AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
+        |ORDER BY p_id, c_id""".stripMargin,
+    // BOTH outer halves: every purchase once (null click side where
+    // none preceded) and every click once (null purchase side where
+    // none followed)
+    "stream_full_outer_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
+        |    CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user,
+        |    CAST(ts AS TIMESTAMP) AS c_ts
+        |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL)
+        |SELECT p_id, p_user, c_id, c_user,
+        | epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
+        |FROM p FULL JOIN c ON p_user = c_user
         | AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
         |ORDER BY p_id, c_id""".stripMargin,
     "stream_fmgws_session" ->
