@@ -76,6 +76,19 @@ class GraftSqlParser(delegate: ParserInterface,
   private val RenameRe =
     ("""(?is)\s*GRAFT\s+RENAME\s+COLUMN\s+'([^']+)'\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+  private val DropColRe =
+    ("""(?is)\s*GRAFT\s+DROP\s+COLUMN\s+'([^']+)'\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+  // empty parens = clear every declaration (the full-set contract)
+  private val BloomRe =
+    ("""(?is)\s*GRAFT\s+BLOOM\s+'([^']+)'\s*""" +
+      """\(\s*([A-Za-z0-9_]+(?:\s*,\s*[A-Za-z0-9_]+)*)?\s*\)\s*;?\s*""").r
+  private val AddCheckRe =
+    ("""(?is)\s*GRAFT\s+ADD\s+CHECK\s+'([^']+)'\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*\((.+)\)\s*;?\s*""").r
+  private val DropCheckRe =
+    ("""(?is)\s*GRAFT\s+DROP\s+CHECK\s+'([^']+)'\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
   private val RelayoutRe =
     ("""(?is)\s*GRAFT\s+RELAYOUT\s+'([^']+)'""" +
       """(?:\s+PARTITION\s+BY\s*\(\s*([A-Za-z0-9_]+(?:\s*,\s*[A-Za-z0-9_]+)*)\s*\))?""" +
@@ -127,6 +140,14 @@ class GraftSqlParser(delegate: ParserInterface,
       delegate.parseExpression(pred)
       GraftDeleteCommand(dir, pred)
     case RenameRe(dir, from, to) => GraftRenameColumnCommand(dir, from, to)
+    case DropColRe(dir, c) => GraftDropColumnCommand(dir, c)
+    case BloomRe(dir, cs) =>
+      GraftBloomCommand(dir,
+        Option(cs).map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil))
+    case AddCheckRe(dir, name, e) =>
+      delegate.parseExpression(e) // malformed CHECK fails at parse time
+      GraftAddCheckCommand(dir, name, e)
+    case DropCheckRe(dir, name) => GraftDropCheckCommand(dir, name)
     case RelayoutRe(dir, parts, n, bcol) =>
       GraftRelayoutCommand(dir,
         Option(parts).map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil),
@@ -170,6 +191,10 @@ class GraftSqlParser(delegate: ParserInterface,
             "[DELETE (<select>)] | " +
             "GRAFT DELETE FROM '<dir>' WHERE <predicate> | " +
             "GRAFT RENAME COLUMN '<dir>' <from> TO <to> | " +
+            "GRAFT DROP COLUMN '<dir>' <col> | " +
+            "GRAFT BLOOM '<dir>' (a, b) | " +
+            "GRAFT ADD CHECK '<dir>' <name> (<expr>) | " +
+            "GRAFT DROP CHECK '<dir>' <name> | " +
             "GRAFT RELAYOUT '<dir>' [PARTITION BY (a, b)] " +
             "[BUCKET BY (n, col)] | " +
             "GRAFT RESTORE/CLONE/STATS/DESCRIBE STATS ... " +
@@ -508,6 +533,50 @@ case class GraftRenameColumnCommand(tableDir: String, from: String,
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(SnapshotTable.renameColumn(s, tableDir, from, to)))
+}
+
+/** `GRAFT DROP COLUMN '<dir>' <col>` — metadata-only column drop
+  * ([[SnapshotTable.dropColumn]]): the name (and its physical storage
+  * name) stays reserved until an overwrite resets the table. */
+case class GraftDropColumnCommand(tableDir: String, colName: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.dropColumn(s, tableDir, colName)))
+}
+
+/** `GRAFT BLOOM '<dir>' (a, b)` — declare the per-file membership-Bloom
+  * columns ([[SnapshotTable.setBloomColumns]]; the FULL desired set —
+  * `()` clears every declaration). Metadata-only commit. */
+case class GraftBloomCommand(tableDir: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.setBloomColumns(s, tableDir, cols)))
+}
+
+/** `GRAFT ADD CHECK '<dir>' <name> (<expr>)` — named CHECK constraint
+  * ([[SnapshotTable.addConstraint]]): validated against current data,
+  * enforced on every subsequent commit/merge. */
+case class GraftAddCheckCommand(tableDir: String, name: String,
+    sqlExpr: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.addConstraint(s, tableDir, name, sqlExpr)))
+}
+
+/** `GRAFT DROP CHECK '<dir>' <name>` — drop a named CHECK constraint
+  * ([[SnapshotTable.dropConstraint]]); NULL version when absent. */
+case class GraftDropCheckCommand(tableDir: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = true)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.dropConstraint(s, tableDir, name)
+      .map(Integer.valueOf).orNull))
 }
 
 /** `GRAFT DELETE FROM '<dir>' WHERE <predicate>` — the SQL doorway to

@@ -941,10 +941,24 @@ object SnapshotTable {
     Seq(org.apache.spark.sql.types.FloatType,
       org.apache.spark.sql.types.DoubleType))
 
-  /** The wider of two types when both sit on one widening chain. */
+  /** The wider of two types when both sit on one widening chain.
+    * Decimals widen by PRECISION at the SAME scale (both ≤ 18 so the
+    * unscaled-long stat kind holds): the stored unscaled zone-map
+    * bounds are scale-dependent, so a scale change would make every
+    * recorded bound compare wrong against re-coerced literals —
+    * refused, while a precision-only widen leaves unscaled values
+    * (and the parquet pages, which Spark promotes) untouched. */
   private def widened(a: DataType, b: DataType): Option[DataType] =
-    widenChains.find(c => c.contains(a) && c.contains(b))
-      .map(c => if (c.indexOf(a) >= c.indexOf(b)) a else b)
+    (a, b) match {
+      case (x: org.apache.spark.sql.types.DecimalType,
+            y: org.apache.spark.sql.types.DecimalType)
+          if x.scale == y.scale && x.scale >= 0 &&
+            x.precision <= 18 && y.precision <= 18 =>
+        Some(if (x.precision >= y.precision) x else y)
+      case _ =>
+        widenChains.find(c => c.contains(a) && c.contains(b))
+          .map(c => if (c.indexOf(a) >= c.indexOf(b)) a else b)
+    }
 
   /** Additive schema evolution: same-name columns keep their type or
     * WIDEN losslessly ([[widenChains]]) — the table schema takes the
@@ -972,7 +986,8 @@ object SnapshotTable {
             s"snapshot schema evolution: column '${pf.name}' cannot change " +
               s"type ${pf.dataType.catalogString} -> " +
               s"${f.dataType.catalogString} (only lossless widening: " +
-              "byte->short->int->long, float->double)")
+              "byte->short->int->long, float->double, decimal precision " +
+              "at the same scale)")
           require(!frozen.contains(pf.name),
             s"snapshot schema evolution: cannot widen layout key " +
               s"'${pf.name}' (bucket/partition column) — relayout() to re-key")
@@ -3204,18 +3219,34 @@ object SnapshotTable {
           "insert")
       case _ =>
         // a rewrite (or delete) happened in between: exact multiset
-        // diff, both versions read under toV's schema so evolution
-        // can't skew it, each under its OWN deletion vectors
+        // diff, both versions ALIGNED to toV's column set so evolution
+        // can't skew it, each under its OWN deletion vectors. The
+        // alignment reads each version under ITS OWN schema (whose
+        // physical markers are the valid mapping for ITS files — toV's
+        // markers may be gone if the in-between rewrite materialized a
+        // rename) and matches toV's columns by LOGICAL name first
+        // (stable across rewrites), physical storage name second
+        // (stable across renames); a column the old version had under
+        // neither identity reads NULL, a widened column casts up.
         def readUnder(v: Option[Int]): DataFrame = (v, schema2) match {
           case (None, Some(sc)) => s.createDataFrame(
             s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
           case (Some(ver), Some(sc)) =>
             val mv = readManifest(s, tableDir, ver)
-            mv.entries match {
-              case Some(es) =>
+            (mv.entries, mv.schema.map(storedSchema)) match {
+              case (Some(es), Some(osc)) =>
+                val base = applyDels(s, tableDir,
+                  relationFor(s, tableDir, osc, es, partBy = mv.partBy), mv)
+                base.select(sc.fields.toIndexedSeq.map { f =>
+                  val src = osc.fields.find(_.name == f.name)
+                    .orElse(osc.fields.find(g => physName(g) == physName(f)))
+                  src.map(g => col(g.name).cast(f.dataType))
+                    .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+                }: _*)
+              case (Some(es), None) => // legacy: pre-rename format
                 applyDels(s, tableDir,
                   relationFor(s, tableDir, sc, es, partBy = mv.partBy), mv)
-              case None => readAsOf(s, tableDir, ver)
+              case _ => readAsOf(s, tableDir, ver)
             }
           case (Some(ver), None) => readAsOf(s, tableDir, ver)
           case (None, None) => s.emptyDataFrame
@@ -3308,6 +3339,17 @@ object SnapshotTable {
       s"snapshot table $tableDir has outstanding deletion vectors — the bare " +
         "relation doorway cannot subtract them; read via SnapshotTable.readAsOf " +
         "or run absorbDeletes first")
+    // a BaseRelation exposes ONE schema with no projection on top, so it
+    // cannot alias physical storage names back to renamed logical ones —
+    // refuse rather than serve all-NULL renamed columns (the same
+    // honest-refusal contract as the vector check above); a full rewrite
+    // (overwrite/relayout) retires the indirection and reopens this door
+    require(renamesOf(sc).isEmpty,
+      s"snapshot table $tableDir has renamed columns " +
+        s"(${renamesOf(sc).map { case (l, p) => s"$p->$l" }.mkString(",")}) " +
+        "— the bare relation doorway cannot alias physical names; read " +
+        "via SnapshotTable.readAsOf, or relayout()/overwrite to " +
+        "materialize the rename")
     // Spark builds the LogicalRelation on this path, so the manifest's
     // catalog statistics ride the FileIndex and the injected optimizer
     // rule attaches them; install the rule on the session idempotently
@@ -3322,7 +3364,9 @@ object SnapshotTable {
       tableDir: String): Option[StructType] =
     versions(s, tableDir).lastOption
       .flatMap(v => readManifest(s, tableDir, v).schema)
-      .map(storedSchema)
+      // marker-free: the stream's FIXED output schema must match the
+      // batches relationFor serves (whose aliases carry empty metadata)
+      .map(sc => stripPhys(storedSchema(sc)))
 
   /** One streaming micro-batch of a snapshot table: the rows ADDED
     * going version `fromV` → `toV`. Pure append chains serve exactly

@@ -304,6 +304,38 @@ class ExtensionsSpec extends GraftSpec {
       intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
         s2.sql(s"GRAFT MERGE INTO '$t' USING (SELEC nope) ON k")
       }
+      // --- the pure-SQL governance/evolution verbs ---
+      val t2 = s"$dir/tbl2"
+      SnapshotTable.commit(s2, t2,
+        (1L to 6L).map(i => (i, i * 10)).toDF("k", "v"), overwrite = false)
+      // ADD CHECK validates current data, then gates commits
+      assert(s2.sql(s"GRAFT ADD CHECK '$t2' v_pos (v > 0)").head()
+        .getInt(0) == 2)
+      intercept[IllegalArgumentException] {
+        SnapshotTable.commit(s2, t2, Seq((9L, -1L)).toDF("k", "v"),
+          overwrite = false)
+      }
+      // a malformed CHECK expression fails at PARSE time
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s2.sql(s"GRAFT ADD CHECK '$t2' bad (v > )")
+      }
+      // DROP CHECK: version on success, NULL when absent
+      assert(s2.sql(s"GRAFT DROP CHECK '$t2' v_pos").head().getInt(0) == 3)
+      assert(s2.sql(s"GRAFT DROP CHECK '$t2' v_pos").head().isNullAt(0))
+      // RENAME + DROP COLUMN in pure SQL; dropped names stay reserved
+      assert(s2.sql(s"GRAFT RENAME COLUMN '$t2' v TO score").head()
+        .getInt(0) == 4)
+      assert(SnapshotTable.readAsOf(s2, t2, Int.MaxValue).columns.toSeq ==
+        Seq("k", "score"))
+      assert(s2.sql(s"GRAFT DROP COLUMN '$t2' score").head().getInt(0) == 5)
+      val haunted = intercept[IllegalArgumentException] {
+        SnapshotTable.commit(s2, t2,
+          Seq((1L, 1L)).toDF("k", "score"), overwrite = false)
+      }
+      assert(haunted.getMessage.contains("dropped"))
+      // BLOOM declaration round-trips; () clears it
+      assert(s2.sql(s"GRAFT BLOOM '$t2' (k)").head().getInt(0) == 6)
+      assert(s2.sql(s"GRAFT BLOOM '$t2' ()").head().getInt(0) == 7)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

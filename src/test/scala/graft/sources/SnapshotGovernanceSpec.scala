@@ -369,6 +369,40 @@ class SnapshotGovernanceSpec extends GraftSpec {
     assert(bad.getMessage.contains("lossless widening"))
   }
 
+  test("decimal widens by precision at the same scale; scale change refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov10-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commitClustered(spark, t,
+      spark.range(0, 2000).selectExpr("id AS k",
+        "CAST(id * 1.25 AS DECIMAL(10,2)) AS amt"),
+      overwrite = false, nFiles = 2, clusterCols = Seq("k"))
+    SnapshotTable.commitClustered(spark, t,
+      spark.range(2000, 4000).selectExpr("id AS k",
+        "CAST(id * 1.25 AS DECIMAL(14,2)) AS amt"),
+      overwrite = false, nFiles = 2, clusterCols = Seq("k"))
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(snap.schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(14, 2))
+    assert(snap.count() == 4000)
+    // both epochs' money values serve exactly (narrow pages promoted)
+    assert(snap.selectExpr("CAST(sum(amt) * 100 AS BIGINT)").head().getLong(0)
+      == (0L until 4000L).map(_ * 125L).sum)
+    // the unscaled-long zone maps of the narrow epoch still prune a
+    // selective band under the widened type (same scale = same
+    // unscaled bounds, so the coerced literal compares exactly)
+    val band = snap.filter(col("amt") >= lit(BigDecimal("125.00")) &&
+      col("amt") < lit(BigDecimal("250.00")))
+    assert(band.collect().length == 100)
+    // scale change: the stored unscaled bounds would compare wrong
+    // against re-coerced literals — refused with the chains named
+    val bad = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, t,
+        spark.range(0, 1).selectExpr("id AS k",
+          "CAST(id AS DECIMAL(14,4)) AS amt"), overwrite = false)
+    }
+    assert(bad.getMessage.contains("lossless widening"))
+  }
+
   test("widening a layout key (bucket column) is refused") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gov9-").toString
     val t = s"$dir/tbl"

@@ -34,10 +34,15 @@ class SnapshotModelSpec extends GraftSpec {
       var ndvSeen = Set.empty[Long]
       var ndvKnown = true
       var delsOutstanding = false
+      // current LOGICAL name of the value column: renames (case 10) flip
+      // it v <-> w METADATA-ONLY — stats/NDV stay keyed to the physical
+      // name, so every model assertion below must hold unchanged across
+      // a rename, and later appends/merges arrive under the new name
+      var vName = "v"
 
       def df(m: Map[Long, Long]) =
-        if (m.isEmpty) Seq.empty[(Long, Long)].toDF("id", "v")
-        else m.toSeq.toDF("id", "v")
+        if (m.isEmpty) Seq.empty[(Long, Long)].toDF("id", vName)
+        else m.toSeq.toDF("id", vName)
       def readBack(version: Int): Map[Long, Long] =
         SnapshotTable.readAsOf(spark, t, version) match {
           case s if s.columns.isEmpty => Map.empty
@@ -49,7 +54,7 @@ class SnapshotModelSpec extends GraftSpec {
           .map(_ => rnd.nextInt(10).toLong).distinct
         val rows = ids.map(i => i -> (step * 100L + i)).toMap
         val before = model
-        rnd.nextInt(10) match {
+        rnd.nextInt(11) match {
           case 0 => // append commit (fresh ids only — see round-8 note)
             val fresh = rows.filter { case (k, _) => !model.contains(k) }
             SnapshotTable.commit(spark, t, df(fresh), overwrite = false)
@@ -110,7 +115,7 @@ class SnapshotModelSpec extends GraftSpec {
             val matched = model.filter { case (_, v) => v % 3 == m }
             val published =
               if (SnapshotTable.versions(spark, t).nonEmpty)
-                SnapshotTable.deleteWhere(spark, t, col("v") % 3 === m)
+                SnapshotTable.deleteWhere(spark, t, col(vName) % 3 === m)
               else None
             if (published.nonEmpty) {
               model = model -- matched.keySet
@@ -137,7 +142,7 @@ class SnapshotModelSpec extends GraftSpec {
             // only (ord values straddle the existing range so both the
             // apply and the too-old reject paths fire)
             val ups = ids.map(i => i -> rnd.nextInt(step * 100 + 200).toLong).toMap
-            SnapshotTable.mergeLatest(spark, t, df(ups), "id", Seq("v"))
+            SnapshotTable.mergeLatest(spark, t, df(ups), "id", Seq(vName))
             model = model ++ ups.filter { case (k, v) =>
               model.get(k).forall(_ < v) }
             ndvKnown = false; delsOutstanding = false
@@ -161,6 +166,21 @@ class SnapshotModelSpec extends GraftSpec {
               ndvSeen = model.values.toSet
               ndvKnown = model.nonEmpty
             }
+          case 10 => // metadata-only RENAME of the value column (v <-> w):
+            // row-preserving, version-publishing, stats/NDV carried on
+            // the physical name — every assertion below must hold as if
+            // nothing happened except the projection's name. A fresh
+            // table (nothing to rename) takes the filler append.
+            if (SnapshotTable.versions(spark, t).isEmpty) {
+              val filler = Map((500L + step) -> step.toLong)
+              SnapshotTable.commit(spark, t, df(filler), overwrite = false)
+              model = model ++ filler
+              ndvSeen = ndvSeen ++ filler.values
+            } else {
+              val to = if (vName == "v") "w" else "v"
+              SnapshotTable.renameColumn(spark, t, vName, to)
+              vName = to
+            }
         }
         history += model
         val latest = SnapshotTable.versions(spark, t).last
@@ -176,7 +196,7 @@ class SnapshotModelSpec extends GraftSpec {
         // append/overwrite chains (sub-K), UNKNOWN after a row remover
         if (!delsOutstanding) {
           val r = SnapshotTable.metaAgg(spark, t, Int.MaxValue)
-            .filter(col("column") === "v").head()
+            .filter(col("column") === vName).head()
           val est =
             if (r.isNullAt(r.fieldIndex("est_ndv"))) None
             else Some(r.getAs[Double]("est_ndv"))

@@ -224,6 +224,32 @@ class SnapshotRenameSpec extends GraftSpec {
     assert(SnapshotTable.readChanges(spark, t, 1, 2).count() == 0)
   }
 
+  test("the bare-relation doorway refuses renamed tables honestly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ren7-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      spark.range(0, 10).select(col("id").as("k"), col("id").as("v")),
+      overwrite = false)
+    // pre-rename: the CREATE TABLE USING doorway works
+    spark.sql(s"""CREATE TABLE ren_doorway
+      USING `graft.sources.SnapshotSourceProvider` OPTIONS (path '$t')""")
+    try {
+      assert(spark.table("ren_doorway").count() == 10)
+      SnapshotTable.renameColumn(spark, t, "v", "vv")
+      // a BaseRelation has no projection to alias physical names — it
+      // must refuse rather than serve an all-NULL renamed column
+      spark.sql("REFRESH TABLE ren_doorway")
+      val err = intercept[Exception] {
+        spark.table("ren_doorway").collect()
+      }
+      assert(err.getMessage.contains("renamed columns"),
+        s"expected the honest refusal, got: ${err.getMessage}")
+      // the library read path keeps serving
+      assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+        .agg(sum(col("vv"))).head().getLong(0) == 45L)
+    } finally spark.sql("DROP TABLE IF EXISTS ren_doorway")
+  }
+
   test("GRAFT RENAME COLUMN: the SQL doorway") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ren6-").toString
     val t = s"$dir/tbl"
