@@ -124,6 +124,39 @@ class SnapshotBloomSpec extends GraftSpec {
         .filter(col("key2") === 777L), 0) == 0)
   }
 
+  test("date and decimal Blooms replay the internal-form hash exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-blm5-").toString
+    val t = s"$dir/tbl"
+    // interleaved slices again: every file's date range spans the whole
+    // year and every file's money range spans the whole band — only the
+    // Bloom can refute a point probe. Dates hash their epoch-DAY,
+    // decimals their UNSCALED long (both the literal's internal form).
+    def dslice(i: Int) = spark.range(0, 200)
+      .selectExpr(s"date_add(DATE'2026-01-01', CAST((id * 8 + $i * 2) AS INT)) AS d",
+        s"CAST((id * 8 + $i * 2) + 0.25 AS DECIMAL(12,2)) AS amt")
+    SnapshotTable.commit(spark, t, dslice(0).repartition(1), overwrite = false)
+    SnapshotTable.setBloomColumns(spark, t, Seq("d", "amt"))
+    (1 to 3).foreach(i =>
+      SnapshotTable.commit(spark, t, dslice(i).repartition(1),
+        overwrite = false))
+    SnapshotTable.analyze(spark, t) // backfill slice 0
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    // present date (slice 2, id 3): exactly its home file
+    val hit = java.time.LocalDate.of(2026, 1, 1).plusDays(3 * 8 + 2 * 2)
+    assert(scannedFiles(snap.filter(col("d") === lit(hit)), 1) <= 1)
+    // absent (odd offset) date inside the global range: zero files
+    val miss = java.time.LocalDate.of(2026, 1, 1).plusDays(777)
+    assert(scannedFiles(snap.filter(col("d") === lit(miss)), 0) == 0)
+    // decimal point probe: present exact amount vs absent same-scale
+    assert(scannedFiles(
+      snap.filter(col("amt") === lit(BigDecimal("28.25"))), 1) <= 1)
+    assert(scannedFiles(
+      snap.filter(col("amt") === lit(BigDecimal("777.25"))), 0) == 0)
+    // soundness: every present value still found
+    assert(snap.filter(col("d") === lit(hit)).count() == 1)
+    assert(snap.filter(col("amt") === lit(BigDecimal("0.25"))).count() == 1)
+  }
+
   test("refusals and the unhashable-kind guard") {
     val dir = java.nio.file.Files.createTempDirectory("graft-blm4-").toString
     val t = s"$dir/tbl"
