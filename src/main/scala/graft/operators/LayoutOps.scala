@@ -710,6 +710,28 @@ object LayoutOps extends QueryPack {
       .orderBy(col("bucket"))
   }
 
+  /** `GRAFT UPDATE` end to end: orders land clustered on the key, then
+    * ONE SQL statement updates a sparse slice (every 10th key gets its
+    * customer shifted into a reserved band) — the candidate probe is
+    * zone-map-pruned and only files holding matches are rewritten; the
+    * oracle restates the conditional assignment relationally. */
+  def layoutSqlUpdate(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_squpd_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderkey").isNotNull && col("o_custkey").isNotNull)
+      .select(col("o_orderkey").as("okey"), col("o_custkey").as("cust"))
+    graft.sources.SnapshotTable.commitClustered(s, table, o,
+      overwrite = false, nFiles = 8, clusterCols = Seq("okey"))
+    graftSql(s, s"GRAFT UPDATE '$table' SET cust = cust + 10000000 " +
+      "WHERE okey % 10 = 0").collect()
+    graft.sources.SnapshotTable.readAsOf(s, table, Int.MaxValue)
+      .groupBy((col("cust") >= 10000000L).as("updated"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cust")).as("sum_cust"))
+      .orderBy(col("updated"))
+  }
+
   /** Metadata-only RENAME COLUMN end to end: half the orders land, the
     * key column renames (ONE manifest publish, zero files touched),
     * the other half appends under the NEW name — then one aggregate
@@ -1119,6 +1141,7 @@ object LayoutOps extends QueryPack {
     "layout_planner_stats" -> layoutPlannerStats,
     "layout_analyze" -> layoutAnalyze,
     "layout_sql_merge" -> layoutSqlMerge,
+    "layout_sql_update" -> layoutSqlUpdate,
     "layout_rename" -> layoutRename,
     "layout_bloom_probe" -> layoutBloomProbe,
     "layout_snapshot_moneyband" -> layoutSnapshotMoneyband,
@@ -1365,6 +1388,18 @@ object LayoutOps extends QueryPack {
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(nc) AS BIGINT) AS sum_nc
         |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the conditional assignment restated relationally
+    "layout_sql_update" ->
+      """WITH o AS (SELECT o_orderkey AS okey, o_custkey AS cust
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL),
+        |u AS (SELECT okey,
+        |  CASE WHEN okey % 10 = 0 THEN cust + 10000000 ELSE cust END AS cust
+        |  FROM o)
+        |SELECT cust >= 10000000 AS updated,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cust) AS BIGINT) AS sum_cust
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // the Bloom-pruned point probe's ANSWER: the max-orderkey row
     "layout_bloom_probe" ->
       """SELECT o_orderkey AS okey, o_custkey AS cust FROM orders

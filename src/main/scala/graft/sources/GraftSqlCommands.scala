@@ -73,12 +73,18 @@ class GraftSqlParser(delegate: ParserInterface,
       """ON\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
   private val DeleteRe =
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val UpdateRe =
+    ("""(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+""" +
+      """WHERE\s+(.+?)\s*;?\s*""").r
   private val RenameRe =
     ("""(?is)\s*GRAFT\s+RENAME\s+COLUMN\s+'([^']+)'\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
   private val DropColRe =
     ("""(?is)\s*GRAFT\s+DROP\s+COLUMN\s+'([^']+)'\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+  private val AddColRe =
+    ("""(?is)\s*GRAFT\s+ADD\s+COLUMN\s+'([^']+)'\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s*;?\s*""").r
   // empty parens = clear every declaration (the full-set contract)
   private val BloomRe =
     ("""(?is)\s*GRAFT\s+BLOOM\s+'([^']+)'\s*""" +
@@ -139,8 +145,17 @@ class GraftSqlParser(delegate: ParserInterface,
     case DeleteRe(dir, pred) =>
       delegate.parseExpression(pred)
       GraftDeleteCommand(dir, pred)
+    case UpdateRe(dir, setList, pred) =>
+      val sets = GraftSqlParser.splitAssignments(setList)
+      sets.foreach { case (_, e) => delegate.parseExpression(e) }
+      delegate.parseExpression(pred)
+      GraftUpdateCommand(dir, sets, pred)
     case RenameRe(dir, from, to) => GraftRenameColumnCommand(dir, from, to)
     case DropColRe(dir, c) => GraftDropColumnCommand(dir, c)
+    case AddColRe(dir, c, dt) =>
+      // type parsed by the DELEGATE (any Spark DDL type string); a
+      // malformed one fails at sql() parse like native DDL
+      GraftAddColumnCommand(dir, c, delegate.parseDataType(dt))
     case BloomRe(dir, cs) =>
       GraftBloomCommand(dir,
         Option(cs).map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil))
@@ -190,7 +205,10 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT MERGE INTO '<dir>' USING (<select>) ON <key> " +
             "[DELETE (<select>)] | " +
             "GRAFT DELETE FROM '<dir>' WHERE <predicate> | " +
+            "GRAFT UPDATE '<dir>' SET a = <expr>[, b = <expr>] " +
+            "WHERE <predicate> | " +
             "GRAFT RENAME COLUMN '<dir>' <from> TO <to> | " +
+            "GRAFT ADD COLUMN '<dir>' <col> <type> | " +
             "GRAFT DROP COLUMN '<dir>' <col> | " +
             "GRAFT BLOOM '<dir>' (a, b) | " +
             "GRAFT ADD CHECK '<dir>' <name> (<expr>) | " +
@@ -221,6 +239,43 @@ class GraftSqlParser(delegate: ParserInterface,
 }
 
 object GraftSqlParser {
+  /** Split a `SET` assignment list on TOP-LEVEL commas (commas inside
+    * parens or string literals belong to the expressions), then each
+    * item on its first `=` — `a = CASE WHEN x = 1 ...` keeps its inner
+    * equalities. Duplicate target columns are refused. */
+  private[sources] def splitAssignments(
+      list: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var inStr = false
+    var last = 0
+    var i = 0
+    while (i < list.length) {
+      val c = list.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          parts += list.substring(last, i); last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    parts += list.substring(last)
+    val sets = parts.toSeq.map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0 && a.take(eq).trim.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"GRAFT UPDATE: malformed assignment '${a.trim}' " +
+          "(expected <column> = <expr>)")
+      (a.take(eq).trim, a.drop(eq + 1).trim)
+    }
+    require(sets.map(_._1).distinct.size == sets.size,
+      s"GRAFT UPDATE: duplicate SET column in ${sets.map(_._1).mkString(",")}")
+    sets
+  }
+
   /** Parse a `TIMESTAMP AS OF` literal to epoch millis. Accepted forms:
     * `yyyy-MM-dd HH:mm:ss.SSS`, `yyyy-MM-dd HH:mm:ss`, `yyyy-MM-dd`
     * (each a wall-clock reading in `zone` — the session's
@@ -535,6 +590,18 @@ case class GraftRenameColumnCommand(tableDir: String, from: String,
     Seq(Row(SnapshotTable.renameColumn(s, tableDir, from, to)))
 }
 
+/** `GRAFT ADD COLUMN '<dir>' <col> <type>` — metadata-only column add
+  * ([[SnapshotTable.addColumn]]): existing files read NULL for it; the
+  * explicit type contract future appends must match or widen. */
+case class GraftAddColumnCommand(tableDir: String, colName: String,
+    dataType: org.apache.spark.sql.types.DataType)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.addColumn(s, tableDir, colName, dataType)))
+}
+
 /** `GRAFT DROP COLUMN '<dir>' <col>` — metadata-only column drop
   * ([[SnapshotTable.dropColumn]]): the name (and its physical storage
   * name) stays reserved until an overwrite resets the table. */
@@ -577,6 +644,24 @@ case class GraftDropCheckCommand(tableDir: String, name: String)
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(SnapshotTable.dropConstraint(s, tableDir, name)
       .map(Integer.valueOf).orNull))
+}
+
+/** `GRAFT UPDATE '<dir>' SET a = <expr>[, ...] WHERE <pred>` — the SQL
+  * doorway to [[SnapshotTable.updateWhere]]: provably-TRUE rows take
+  * the assignments (cast back to their columns' types), only files
+  * holding a matching row are rewritten (zone-map/Bloom-pruned probe).
+  * NULL version when no row matched. */
+case class GraftUpdateCommand(tableDir: String,
+    sets: Seq[(String, String)], predicateSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = true)())
+  override def run(s: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.expr
+    Seq(Row(SnapshotTable.updateWhere(s, tableDir, expr(predicateSql),
+      sets.map { case (c, e) => c -> expr(e) }.toMap)
+      .map(Integer.valueOf).orNull))
+  }
 }
 
 /** `GRAFT DELETE FROM '<dir>' WHERE <predicate>` — the SQL doorway to

@@ -1591,6 +1591,115 @@ object SnapshotTable {
       s"deleteWhere: lost $MaxCommitAttempts re-plan races in $tableDir")
   }
 
+  /** UPDATE ... SET ... WHERE as ONE serializable commit — the third
+    * row-changing verb next to [[merge]] and [[deleteWhere]]: every
+    * current row satisfying `predicate` takes the `sets` assignments
+    * (each cast back to its column's existing type — an UPDATE never
+    * evolves the schema), rows where the predicate is FALSE or NULL
+    * are untouched (SQL UPDATE semantics).
+    *
+    * Rewrite cost is SELECTIVE, twice over: the candidate probe is a
+    * column-pruned scan whose pushed-down predicate the manifest zone
+    * maps (and declared Blooms) file-skip at plan time, and only files
+    * that actually HOLD a matching row are rewritten (their survivors
+    * carried through the same new files); every untouched file rides
+    * the manifest by reference — a point UPDATE on a clustered 100 TB
+    * table rewrites a handful of files. Hive-partitioned tables
+    * compose (rewritten rows re-land under their directories; an
+    * update that CHANGES a partition value migrates the row); updated
+    * rows re-validate every CHECK constraint; NDV sketches of the SET
+    * columns drop to unknown (values changed), all others carry.
+    *
+    * Serializable like [[deleteWhere]]: re-plans when ANY commit lands
+    * mid-update. Returns the new version; None when no row matched
+    * (nothing published). Refused on bucketed layouts (a rewrite would
+    * shear the bucket-id file naming — relayout first) and under
+    * outstanding deletion vectors (the rewrite would resurrect deleted
+    * rows in affected files — absorbDeletes first). */
+  def updateWhere(s: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column]): Option[Int] = {
+    import org.apache.spark.sql.functions._
+    require(sets.nonEmpty, "updateWhere: no SET assignments")
+    val f = fs(s, tableDir)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val prev = versions(s, tableDir)
+      require(prev.nonEmpty, s"updateWhere: no published version in $tableDir")
+      val m0 = readManifest(s, tableDir, prev.last)
+      val sc0raw = m0.schema.getOrElse(throw new IllegalArgumentException(
+        s"updateWhere: legacy manifest without schema in $tableDir"))
+      val es0 = m0.entries.getOrElse(throw new IllegalArgumentException(
+        s"updateWhere: legacy manifest without file metadata in $tableDir"))
+      val sc0 = storedSchema(sc0raw)
+      sets.keys.foreach { c =>
+        require(sc0.fieldNames.contains(c),
+          s"updateWhere: no column '$c' in ${sc0.fieldNames.mkString(",")}")
+      }
+      require(m0.bucket.isEmpty,
+        s"updateWhere: $tableDir is bucketed — a row-level rewrite would " +
+          "shear the bucket-id file layout; relayout() to re-key first")
+      require(m0.dels.isEmpty,
+        s"updateWhere: $tableDir has outstanding deletion vectors — the " +
+          "file rewrite would resurrect deleted rows; absorbDeletes first")
+      if (es0.isEmpty) return None
+      // candidate probe: pushed-down predicate + input_file_name, so
+      // zone maps / Blooms file-skip the probe itself at plan time
+      val affectedPaths = relationFor(s, tableDir, sc0, es0,
+          partBy = m0.partBy)
+        .filter(predicate)
+        .select(input_file_name().as("__f")).distinct()
+        .collect().map(r => new HPath(r.getString(0)).toUri.getPath).toSet
+      if (affectedPaths.isEmpty) return None
+      val (affected, carried) = es0.partition(e =>
+        affectedPaths.contains(e.status.getPath.toUri.getPath))
+      val base = relationFor(s, tableDir, sc0, affected, partBy = m0.partBy)
+      // SQL UPDATE: provably-TRUE rows take the assignment, FALSE and
+      // NULL keep their row; each assignment casts back to the
+      // column's recorded type — no silent evolution through DML
+      val upd = base.select(sc0.fields.toIndexedSeq.map { fl =>
+        sets.get(fl.name) match {
+          case Some(e) =>
+            when(coalesce(predicate, lit(false)), e.cast(fl.dataType))
+              .otherwise(col(fl.name)).as(fl.name)
+          case None => col(fl.name)
+        }
+      }: _*)
+      enforceConstraints(upd, m0.constraints)
+      val uniq = java.util.UUID.randomUUID.toString.take(8)
+      val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
+        toPhysical(upd, sc0), uniq, partitionBy = m0.partBy,
+        bloomCols = bloomPhysCols(sc0))
+      val carriedPaths = carried.map(_.status.getPath.toString).toSet
+      beforePublishHook()
+      val setPhys = sc0.fields.filter(fl => sets.contains(fl.name))
+        .map(physName).toSet
+      val res = publishNext(s, tableDir) { pm =>
+        pm.flatMap { m =>
+          // serializability: the probe + rewrite read exactly m0's
+          // file/vector/constraint state
+          if (m.files != m0.files || m.dels != m0.dels ||
+            m.constraints != m0.constraints) None
+          else Some((
+            m.files.filter(e => carriedPaths.contains(e.takeWhile(_ != '\t')))
+              ++ newFiles,
+            m.schema.getOrElse(sc0), m.txns, m.bucket, Seq.empty,
+            m.constraints, m.dropped,
+            // SET columns' values changed (no sketch subtraction);
+            // every other column's row SET is preserved — carry
+            m.ndv -- setPhys))
+        }
+      }
+      res match {
+        case Some(_) => return res
+        case None => f.delete(dataDir, true) // conflict: re-plan
+      }
+    }
+    throw new IllegalStateException(
+      s"updateWhere: lost $MaxCommitAttempts re-plan races in $tableDir")
+  }
+
   /** Write the matched delete positions as a `data/del-*` parquet
     * (staged + renamed, race-free like every data write) and return
     * its manifest entry lines; None — and no directory left behind —
@@ -2573,6 +2682,57 @@ object SnapshotTable {
     }
     throw new IllegalStateException(
       s"dropColumn: lost $MaxCommitAttempts races in $tableDir")
+  }
+
+  /** ADD COLUMN, metadata-only: publish the schema with one appended
+    * NULLABLE field — zero data movement; every existing file simply
+    * reads NULL for it (the schema-evolution read contract), and the
+    * coverage markers keep stats exact (a marked file provably lacks
+    * the column, so its rows count as nulls). Implicit evolution via
+    * an append containing the new column does the same thing — this is
+    * the EXPLICIT doorway for declaring the column before any data
+    * arrives (a type contract the next append must then match or
+    * widen). Refused: existing names, reserved dropped names, another
+    * column's physical storage name (the haunted-name hazards), and
+    * legacy manifests. */
+  def addColumn(s: SparkSession, tableDir: String, name: String,
+      dataType: DataType): Int = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"addColumn: '$name' is not a plain identifier")
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val prev = versions(s, tableDir)
+      require(prev.nonEmpty, s"addColumn: no published version in $tableDir")
+      val m0 = readManifest(s, tableDir, prev.last)
+      val sc0 = m0.schema.getOrElse(throw new IllegalArgumentException(
+        s"addColumn: legacy manifest without schema in $tableDir"))
+      require(!sc0.fieldNames.contains(name),
+        s"addColumn: column '$name' already exists in $tableDir")
+      require(!m0.dropped.contains(name),
+        s"addColumn: '$name' is a reserved dropped name — pre-drop " +
+          "files still store it")
+      require(!sc0.fields.exists(f => physName(f) == name && f.name != name),
+        s"addColumn: '$name' is the physical storage name of a renamed " +
+          "column — pre-rename files would resurface its values")
+      val next = StructType(sc0.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType,
+          nullable = true))
+      val res = publishNext(s, tableDir) { pm =>
+        pm.flatMap { m =>
+          if (m.files != m0.files || m.dels != m0.dels ||
+            m.schema != m0.schema) None
+          else Some((m.files, next, m.txns, m.bucket, m.dels,
+            m.constraints, m.dropped, m.ndv))
+        }
+      }
+      res match {
+        case Some(v) => return v
+        case None => // re-validate against the new state
+      }
+    }
+    throw new IllegalStateException(
+      s"addColumn: lost $MaxCommitAttempts races in $tableDir")
   }
 
   /** RENAME COLUMN, metadata-only (the Iceberg field-id / Delta

@@ -336,6 +336,26 @@ class ExtensionsSpec extends GraftSpec {
       // BLOOM declaration round-trips; () clears it
       assert(s2.sql(s"GRAFT BLOOM '$t2' (k)").head().getInt(0) == 6)
       assert(s2.sql(s"GRAFT BLOOM '$t2' ()").head().getInt(0) == 7)
+      // ADD COLUMN: metadata-only — old rows read NULL, the declared
+      // type is the contract the next append must match or widen
+      assert(s2.sql(s"GRAFT ADD COLUMN '$t2' price DECIMAL(10, 2)")
+        .head().getInt(0) == 8)
+      val sc2 = SnapshotTable.readAsOf(s2, t2, Int.MaxValue).schema
+      assert(sc2("price").dataType ==
+        org.apache.spark.sql.types.DecimalType(10, 2))
+      assert(SnapshotTable.readAsOf(s2, t2, Int.MaxValue)
+        .filter($"price".isNotNull).count() == 0)
+      // re-adding an existing or dropped name refuses; malformed type
+      // fails at parse time through the delegate
+      intercept[IllegalArgumentException] {
+        s2.sql(s"GRAFT ADD COLUMN '$t2' price BIGINT").collect()
+      }
+      intercept[IllegalArgumentException] {
+        s2.sql(s"GRAFT ADD COLUMN '$t2' score BIGINT").collect()
+      }
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s2.sql(s"GRAFT ADD COLUMN '$t2' x NOTATYPE")
+      }
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

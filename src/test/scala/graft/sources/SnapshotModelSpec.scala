@@ -54,7 +54,7 @@ class SnapshotModelSpec extends GraftSpec {
           .map(_ => rnd.nextInt(10).toLong).distinct
         val rows = ids.map(i => i -> (step * 100L + i)).toMap
         val before = model
-        rnd.nextInt(11) match {
+        rnd.nextInt(12) match {
           case 0 => // append commit (fresh ids only — see round-8 note)
             val fresh = rows.filter { case (k, _) => !model.contains(k) }
             SnapshotTable.commit(spark, t, df(fresh), overwrite = false)
@@ -180,6 +180,29 @@ class SnapshotModelSpec extends GraftSpec {
               val to = if (vName == "v") "w" else "v"
               SnapshotTable.renameColumn(spark, t, vName, to)
               vName = to
+            }
+          case 11 => // UPDATE ... SET ... WHERE: matched rows take the
+            // assignment in ONE serializable rewrite; refusal states
+            // (fresh table, outstanding vectors, bucketed layout) and
+            // the no-match case normalize to the filler append
+            val bucketNow = SnapshotTable.versions(spark, t).nonEmpty &&
+              SnapshotTable.history(spark, t).collect().last.get(5) != null
+            val sel = step % 5
+            val matched = model.filter { case (_, v) =>
+              ((v % 5) + 5) % 5 == sel }
+            if (SnapshotTable.versions(spark, t).isEmpty ||
+                delsOutstanding || bucketNow || matched.isEmpty) {
+              val filler = Map((400L + step) -> step.toLong)
+              SnapshotTable.commit(spark, t, df(filler), overwrite = false)
+              model = model ++ filler
+              ndvSeen = ndvSeen ++ filler.values
+            } else {
+              assert(SnapshotTable.updateWhere(spark, t,
+                col(vName) % 5 === sel,
+                Map(vName -> (col(vName) + 100000L))).nonEmpty)
+              model = model.map { case (k, v) =>
+                k -> (if (((v % 5) + 5) % 5 == sel) v + 100000L else v) }
+              ndvKnown = false // SET-column sketch dropped (values changed)
             }
         }
         history += model
