@@ -32,26 +32,51 @@ object LayoutOps extends QueryPack {
   private val GridBits = 16
   private val GridSize = 1L << GridBits
 
-  /** Morton (Z-order) code of two keys: bit i of x lands at position 2i,
-    * bit i of y at 2i+1. Pure integer shift/mask arithmetic — codegen'd
-    * by Catalyst into one fused projection, no UDF. */
-  def zvalue(x: Column, y: Column): Column = {
-    val xq = pmod(x.cast("long"), lit(GridSize))
-    val yq = pmod(y.cast("long"), lit(GridSize))
-    (0 until GridBits).map { i =>
-      shiftleft(shiftright(xq, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(yq, i).bitwiseAND(lit(1L)), 2 * i + 1)
+  /** Bits per dimension for an n-dim Morton code: the full 16-bit grid
+    * for 2–3 dims, 15 for 4 (4×16 would reach the sign bit and break
+    * the long range ordering the clustering sorts by). */
+  private def bitsPerDim(n: Int): Int = math.min(GridBits, 62 / n)
+
+  /** N-DIMENSIONAL Morton (Z-order) code, 2–4 dims: bit i of dimension
+    * d lands at position n·i + d, so each data file covers an
+    * axis-aligned HYPER-box of the key space and zone maps prune
+    * selective predicates on ANY of the dimensions. Pure integer
+    * shift/mask arithmetic — codegen'd by Catalyst into one fused
+    * projection, no UDF. The 2-dim case is bit-identical to the
+    * original [[zvalue]]. */
+  def zvalueN(cols: Seq[Column]): Column = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zvalueN: 2..4 dimensions, got ${cols.size}")
+    val n = cols.size
+    val bits = bitsPerDim(n)
+    val size = 1L << bits
+    val qs = cols.map(c => pmod(c.cast("long"), lit(size)))
+    (0 until bits).flatMap { i =>
+      qs.zipWithIndex.map { case (q, d) =>
+        shiftleft(shiftright(q, i).bitwiseAND(lit(1L)), n * i + d)
+      }
     }.reduce(_ + _)
   }
 
-  /** The same Morton code in portable SQL — generated from the same loop
-    * constants as [[zvalue]], so the two engines compute bit-identical
-    * codes by construction. */
-  def zvalueSql(x: String, y: String): String =
-    (0 until GridBits).flatMap { i =>
-      Seq(s"(((($x % $GridSize) >> $i) & 1) << ${2 * i})",
-        s"(((($y % $GridSize) >> $i) & 1) << ${2 * i + 1})")
+  /** Morton (Z-order) code of two keys: bit i of x lands at position 2i,
+    * bit i of y at 2i+1 — [[zvalueN]]'s 2-dim case. */
+  def zvalue(x: Column, y: Column): Column = zvalueN(Seq(x, y))
+
+  /** The same n-dim Morton code in portable SQL — generated from the
+    * SAME loop constants as [[zvalueN]], so the two engines compute
+    * bit-identical codes by construction. */
+  def zvalueSqlN(cols: Seq[String]): String = {
+    val n = cols.size
+    val bits = bitsPerDim(n)
+    val size = 1L << bits
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, d) =>
+        s"(((($c % $size) >> $i) & 1) << ${n * i + d})"
+      }
     }.mkString(" + ")
+  }
+
+  def zvalueSql(x: String, y: String): String = zvalueSqlN(Seq(x, y))
 
   /** Write `df` clustered by the Z-order of (xCol, yCol) into `nFiles`
     * range-partitioned, internally sorted parquet files. Range
@@ -82,10 +107,16 @@ object LayoutOps extends QueryPack {
     * — ONE pipeline definition, so the flat and partitioned write
     * disciplines cannot drift. */
   def zClusterWithin(df: DataFrame, partCols: Seq[String],
-      xCol: String, yCol: String, nFiles: Int): DataFrame = {
+      xCol: String, yCol: String, nFiles: Int): DataFrame =
+    zClusterWithinN(df, partCols, Seq(xCol, yCol), nFiles)
+
+  /** The n-dim generalization (2–4 Z dimensions), shared by the 2-dim
+    * wrappers and [[graft.sources.SnapshotTable.rewriteZorderedBy]]. */
+  def zClusterWithinN(df: DataFrame, partCols: Seq[String],
+      zCols: Seq[String], nFiles: Int): DataFrame = {
     require(nFiles > 0, s"zClusterWithin: nFiles must be positive, got $nFiles")
     val keys = partCols.map(col) :+ col("__graft_z")
-    df.withColumn("__graft_z", zvalue(col(xCol), col(yCol)))
+    df.withColumn("__graft_z", zvalueN(zCols.map(col)))
       .repartitionByRange(nFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
       .drop("__graft_z")
@@ -107,6 +138,25 @@ object LayoutOps extends QueryPack {
       .agg(count(lit(1)).as("n"),
         min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
         min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+      .orderBy(col("cell"))
+
+  /** The 3-DIM Morton code cross-engine: the (partkey, suppkey,
+    * linenumber) grid aggregated to coarse cells — the oracle replays
+    * [[zvalueSqlN]]'s generated arithmetic, so the engines' 3-dim codes
+    * are proven bit-identical (the property the n-dim clustering's
+    * pruning soundness rides on; `SnapshotGovernanceSpec` pins the
+    * physical per-dimension file skipping itself). */
+  def layoutZorder3(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_linenumber"))
+      .withColumn("cell", shiftright(zvalueN(Seq(col("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"))), 9))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+        min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"),
+        min(col("l_linenumber")).as("min_ln"),
+        max(col("l_linenumber")).as("max_ln"))
       .orderBy(col("cell"))
 
   /** What one [[compact]] run did — counts and bytes from the plan
@@ -1126,6 +1176,7 @@ object LayoutOps extends QueryPack {
     "layout_restore" -> layoutRestore,
     "layout_clone" -> layoutClone,
     "layout_zorder" -> layoutZorder,
+    "layout_zorder3" -> layoutZorder3,
     "layout_compaction" -> layoutCompaction,
     "layout_global_index" -> layoutGlobalIndex,
     "layout_snapshots" -> layoutSnapshots,
@@ -1558,6 +1609,19 @@ object LayoutOps extends QueryPack {
          |  CAST(count(*) AS BIGINT) AS n,
          |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
          |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+         |FROM z GROUP BY 1 ORDER BY cell""".stripMargin,
+    // the 3-dim Morton code replayed from the SAME generated arithmetic
+    "layout_zorder3" ->
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey, l_linenumber,
+         |    CAST(${zvalueSqlN(Seq("l_partkey", "l_suppkey",
+              "l_linenumber"))} AS BIGINT) AS zval
+         |  FROM lineitem)
+         |SELECT CAST(zval >> 9 AS BIGINT) AS cell,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+         |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk,
+         |  min(l_linenumber) AS min_ln, max(l_linenumber) AS max_ln
          |FROM z GROUP BY 1 ORDER BY cell""".stripMargin,
     "layout_compaction" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

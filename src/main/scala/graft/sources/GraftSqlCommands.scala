@@ -51,7 +51,7 @@ class GraftSqlParser(delegate: ParserInterface,
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+BUCKETS\s*;?\s*""".r
   private val OptimizeZorderRe =
     ("""(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*""" +
-      """([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""" +
+      """([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*){1,3})\s*\)""" +
       """(?:\s+FILES\s+(\d+))?\s*;?\s*""").r
   private val StatsRe =
     """(?is)\s*GRAFT\s+STATS\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
@@ -125,8 +125,9 @@ class GraftSqlParser(delegate: ParserInterface,
         Option(age).map(_.toLong).getOrElse(0L))
     case AbsorbRe(dir) => GraftAbsorbDeletesCommand(dir)
     case HistoryRe(dir) => GraftHistoryCommand(dir)
-    case OptimizeZorderRe(dir, ca, cb, n) =>
-      GraftOptimizeZorderCommand(dir, ca, cb,
+    case OptimizeZorderRe(dir, cols, n) =>
+      GraftOptimizeZorderCommand(dir,
+        cols.split(",").toSeq.map(_.trim),
         Option(n).map(_.toInt).getOrElse(0))
     case OptimizeBucketsRe(dir) => GraftOptimizeBucketsCommand(dir)
     case OptimizeRe(dir, small, target) =>
@@ -197,7 +198,8 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT ABSORB DELETES '<dir>' | " +
             "GRAFT HISTORY '<dir>' | " +
             "GRAFT OPTIMIZE '<dir>' [SMALL <bytes> TARGET <bytes>] | " +
-            "GRAFT OPTIMIZE '<dir>' ZORDER BY (<colA>, <colB>) [FILES <n>] | " +
+            "GRAFT OPTIMIZE '<dir>' ZORDER BY (a, b[, c[, d]]) " +
+            "[FILES <n>] | " +
             "GRAFT OPTIMIZE '<dir>' BUCKETS | " +
             "GRAFT STATS '<dir>' [VERSION AS OF <n>] | " +
             "GRAFT DESCRIBE STATS '<dir>' [VERSION AS OF <n>] | " +
@@ -399,17 +401,17 @@ case class GraftOptimizeCommand(tableDir: String, smallFileBytes: Long,
       targetFileBytes).map(Integer.valueOf).orNull))
 }
 
-/** `GRAFT OPTIMIZE '<dir>' ZORDER BY (<colA>, <colB>) [FILES <n>]` —
-  * rewrite the whole live snapshot along the Morton curve of the two
-  * columns ([[SnapshotTable.rewriteZordered]], Delta's
-  * `OPTIMIZE ... ZORDER BY`); zone maps then prune predicates on either
-  * column. NULL version on a refused/conflicted rewrite. */
-case class GraftOptimizeZorderCommand(tableDir: String, colA: String,
-    colB: String, nFiles: Int) extends LeafRunnableCommand {
+/** `GRAFT OPTIMIZE '<dir>' ZORDER BY (<a>, <b>[, <c>[, <d>]]) [FILES
+  * <n>]` — rewrite the whole live snapshot along the n-dim Morton curve
+  * ([[SnapshotTable.rewriteZorderedBy]], Delta's `OPTIMIZE ... ZORDER
+  * BY`); zone maps then prune predicates on ANY of the dimensions.
+  * NULL version on a refused/conflicted rewrite. */
+case class GraftOptimizeZorderCommand(tableDir: String,
+    zCols: Seq[String], nFiles: Int) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", IntegerType, nullable = true)())
   override def run(s: SparkSession): Seq[Row] =
-    Seq(Row(SnapshotTable.rewriteZordered(s, tableDir, colA, colB, nFiles)
+    Seq(Row(SnapshotTable.rewriteZorderedBy(s, tableDir, zCols, nFiles)
       .map(Integer.valueOf).orNull))
 }
 

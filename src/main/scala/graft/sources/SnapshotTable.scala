@@ -2494,19 +2494,36 @@ object SnapshotTable {
     * layout), snapshots with outstanding deletion vectors
     * ([[absorbDeletes]] first), and legacy manifests. */
   def rewriteZordered(s: SparkSession, tableDir: String,
-      colA: String, colB: String, nFiles: Int = 0): Option[Int] = {
+      colA: String, colB: String, nFiles: Int = 0): Option[Int] =
+    rewriteZorderedBy(s, tableDir, Seq(colA, colB), nFiles)
+
+  /** The n-dimensional generalization (2–4 Z dimensions — bit-identical
+    * to the 2-arg form at n = 2): each rewritten file covers an
+    * axis-aligned HYPER-box, so zone maps prune selective predicates on
+    * ANY of the dimensions — the 3-way physical design a (tenant, key,
+    * day-bucket) access pattern wants when directories are spent on
+    * something else. Bits per dimension shrink with n (16/16/15), i.e.
+    * per-dimension resolution trades off against dimension count —
+    * past ~4 dims the curve's pruning power dilutes, which is why the
+    * arity is capped rather than open. */
+  def rewriteZorderedBy(s: SparkSession, tableDir: String,
+      zCols: Seq[String], nFiles: Int = 0): Option[Int] = {
     import org.apache.spark.sql.functions.col
+    require(zCols.size >= 2 && zCols.size <= 4,
+      s"rewriteZorderedBy: 2..4 dimensions, got ${zCols.mkString(",")}")
+    require(zCols.map(_.toLowerCase).distinct.size == zCols.size,
+      s"rewriteZorderedBy: duplicate dimensions in ${zCols.mkString(",")}")
     val prev = versions(s, tableDir)
     if (prev.isEmpty) return None
     val m0 = readManifest(s, tableDir, prev.last)
     if (m0.bucket.isDefined || m0.dels.nonEmpty) return None
     // a partition column cannot also be a Z-order dimension: within any
     // one directory it is constant, so the curve would degenerate to a
-    // plain sort on the other column. Case-INSENSITIVE like Spark's
+    // plain sort on the other columns. Case-INSENSITIVE like Spark's
     // default column resolution — `ZORDER BY (K, v)` on a table
     // partitioned by `k` must decline, not silently burn a rewrite
-    if (m0.partBy.exists(p =>
-        p.equalsIgnoreCase(colA) || p.equalsIgnoreCase(colB))) return None
+    if (m0.partBy.exists(p => zCols.exists(p.equalsIgnoreCase)))
+      return None
     (m0.schema, m0.entries) match {
       case (Some(schema0), Some(es0)) if es0.nonEmpty =>
         val n =
@@ -2521,9 +2538,9 @@ object SnapshotTable {
         // contiguous z-run) and hand the pre-shaped frame to the
         // partitioned writer untouched; flat tables are the
         // empty-partCols case of the same pipeline
-        val clustered = graft.operators.LayoutOps.zClusterWithin(
+        val clustered = graft.operators.LayoutOps.zClusterWithinN(
           relationFor(s, tableDir, storedSchema(schema0), es0,
-            partBy = m0.partBy), m0.partBy, colA, colB, n)
+            partBy = m0.partBy), m0.partBy, zCols, n)
         // toPhysical is a pure projection — per-partition z-run order
         // survives, so preShaped stays valid
         val (dataDir, newFiles, _) = writeDataDir(s, tableDir,

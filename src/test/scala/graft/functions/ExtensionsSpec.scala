@@ -117,6 +117,19 @@ class ExtensionsSpec extends GraftSpec {
         .head().getInt(0) == 2)
       assert(SnapshotTable.readAsOf(s2, t3, 2).count() == 64)
       assert(SnapshotTable.readAsOf(s2, t3, 2).inputFiles.length == 2)
+      // the n-dim form: 3 dimensions through the same verb
+      assert(s2.sql(s"GRAFT OPTIMIZE '$t3' ZORDER BY (x, y, id) FILES 2")
+        .head().getInt(0) == 3)
+      assert(SnapshotTable.readAsOf(s2, t3, 3).count() == 64)
+      // a duplicate dimension is refused; a 5-dim list never parses
+      // (the grammar caps at 4 — it falls to the targeted usage hint)
+      val zdup = intercept[IllegalArgumentException] {
+        s2.sql(s"GRAFT OPTIMIZE '$t3' ZORDER BY (x, y, X) FILES 2").collect()
+      }
+      assert(zdup.getMessage.contains("duplicate"))
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s2.sql(s"GRAFT OPTIMIZE '$t3' ZORDER BY (x, y, id, x, y) FILES 2")
+      }
       // pure-SQL STATS: metadata-served exact column statistics
       val st = s2.sql(s"GRAFT STATS '$t2'").collect()
         .map(r => r.getString(0) -> r).toMap

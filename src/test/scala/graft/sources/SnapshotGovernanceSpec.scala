@@ -156,6 +156,52 @@ class SnapshotGovernanceSpec extends GraftSpec {
     assert(fy <= 6, s"y-band scanned $fy of 16 files")
   }
 
+  test("3-dim Z-order prunes selective predicates on ANY dimension") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov11-").toString
+    val t = s"$dir/tbl"
+    // a 64x64x64 grid in 64 files: each file owns 4096 curve-consecutive
+    // codes = a 16x16x16 box (two file-level bits per dimension), so a
+    // 16-wide band on ANY axis intersects 1/4 of the files — a 2-dim
+    // curve would scan ALL of them for the third axis
+    val grid = spark.range(0, 262144).select(
+      (col("id") % 64).as("x"),
+      ((col("id") / 64) % 64).cast("long").as("y"),
+      (col("id") / 4096).cast("long").as("z0"),
+      col("id").as("payload"))
+    SnapshotTable.commit(spark, t, grid, overwrite = false)
+    assert(SnapshotTable.rewriteZorderedBy(spark, t,
+      Seq("x", "y", "z0"), nFiles = 64).contains(2))
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(snap.inputFiles.length == 64)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame, rows: Long): Long = {
+      assert(df.collect().length == rows)
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .map(_.metrics("numFiles").value).sum
+    }
+    // 16-wide band per axis = 65536 rows; aligned boxes would give
+    // exactly 16 of 64 files, but repartitionByRange samples its
+    // boundaries, so files straddle box edges and widen their ranges —
+    // allow up to 40, still a strict-subset proof on EVERY axis (a
+    // 2-dim curve scans all 64 for the third)
+    val fx = scannedFiles(snap.filter(col("x") >= 16 && col("x") < 32), 65536)
+    val fy = scannedFiles(snap.filter(col("y") >= 16 && col("y") < 32), 65536)
+    val fz = scannedFiles(snap.filter(col("z0") >= 16 && col("z0") < 32), 65536)
+    assert(fx <= 40, s"x-band scanned $fx of 64 files")
+    assert(fy <= 40, s"y-band scanned $fy of 64 files")
+    assert(fz <= 40, s"z-band scanned $fz of 64 files")
+    // arity and duplicate-dimension refusals
+    intercept[IllegalArgumentException] {
+      SnapshotTable.rewriteZorderedBy(spark, t, Seq("x")) }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.rewriteZorderedBy(spark, t, Seq("x", "X", "y")) }
+  }
+
   test("readAsOfTimestamp resolves by recorded commit stamps") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-gov3-").toString
