@@ -59,6 +59,10 @@ class GraftSqlParser(delegate: ParserInterface,
     """(?is)\s*GRAFT\s+DESCRIBE\s+STATS\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val AnalyzeRe =
     """(?is)\s*GRAFT\s+ANALYZE\s+'([^']+)'\s*;?\s*""".r
+  private val DescribeRe =
+    """(?is)\s*GRAFT\s+DESCRIBE\s+'([^']+)'\s*;?\s*""".r
+  private val ChecksRe =
+    """(?is)\s*GRAFT\s+CHECKS\s+'([^']+)'\s*;?\s*""".r
   // DML doorway: the two row-changing verbs, delegating to the same
   // serializable merge/deleteWhere the Scala API uses. The USING /
   // DELETE payloads are full subqueries parsed BY THE DELEGATE at
@@ -135,6 +139,8 @@ class GraftSqlParser(delegate: ParserInterface,
         Option(small).map(_.toLong).getOrElse(32L * 1024 * 1024),
         Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024))
     case AnalyzeRe(dir) => GraftAnalyzeCommand(dir)
+    case DescribeRe(dir) => GraftDescribeCommand(dir)
+    case ChecksRe(dir) => GraftChecksCommand(dir)
     case MergeDelRe(dir, using, key, del) =>
       // parse-time validation: a malformed subquery fails at sql()
       // parse like native SQL, not mid-merge
@@ -204,6 +210,8 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT STATS '<dir>' [VERSION AS OF <n>] | " +
             "GRAFT DESCRIBE STATS '<dir>' [VERSION AS OF <n>] | " +
             "GRAFT ANALYZE '<dir>' | " +
+            "GRAFT DESCRIBE '<dir>' | " +
+            "GRAFT CHECKS '<dir>' | " +
             "GRAFT MERGE INTO '<dir>' USING (<select>) ON <key> " +
             "[DELETE (<select>)] | " +
             "GRAFT DELETE FROM '<dir>' WHERE <predicate> | " +
@@ -590,6 +598,40 @@ case class GraftRenameColumnCommand(tableDir: String, from: String,
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(SnapshotTable.renameColumn(s, tableDir, from, to)))
+}
+
+/** `GRAFT DESCRIBE '<dir>'` — schema introspection
+  * ([[SnapshotTable.describeColumns]]): one row per column with its
+  * logical name, type, PHYSICAL storage name (≠ logical after a
+  * rename), Bloom declaration, and layout role. One manifest read. */
+case class GraftDescribeCommand(tableDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = {
+    val st = org.apache.spark.sql.types.StringType
+    Seq(
+      AttributeReference("column", st, nullable = true)(),
+      AttributeReference("data_type", st, nullable = true)(),
+      AttributeReference("physical_name", st, nullable = true)(),
+      AttributeReference("bloom",
+        org.apache.spark.sql.types.BooleanType, nullable = false)(),
+      AttributeReference("layout_role", st, nullable = true)())
+  }
+  override def run(s: SparkSession): Seq[Row] =
+    SnapshotTable.describeColumns(s, tableDir).collect().toSeq
+}
+
+/** `GRAFT CHECKS '<dir>'` — the table's named CHECK constraints
+  * ([[SnapshotTable.constraints]]), one (name, expression) row each. */
+case class GraftChecksCommand(tableDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = {
+    val st = org.apache.spark.sql.types.StringType
+    Seq(AttributeReference("name", st, nullable = true)(),
+      AttributeReference("expression", st, nullable = true)())
+  }
+  override def run(s: SparkSession): Seq[Row] =
+    SnapshotTable.constraints(s, tableDir).toSeq.sortBy(_._1)
+      .map { case (n, e) => Row(n, e) }
 }
 
 /** `GRAFT ADD COLUMN '<dir>' <col> <type>` — metadata-only column add

@@ -2966,6 +2966,32 @@ object SnapshotTable {
       s"cloneTable: publish into $dstDir failed"))
   }
 
+  /** Schema introspection for the SQL doorway — one row per column of
+    * the LATEST snapshot: logical name, type, PHYSICAL storage name
+    * (differs from the logical one after a metadata-only rename),
+    * Bloom declaration, and layout role (partition/bucket key). One
+    * manifest read, zero data I/O — the view a SQL-only operator needs
+    * to see what [[renameColumn]]/[[setBloomColumns]]/layout commits
+    * actually recorded. */
+  def describeColumns(s: SparkSession, tableDir: String): DataFrame = {
+    import s.implicits._
+    val vs = versions(s, tableDir)
+    require(vs.nonEmpty, s"describeColumns: no published version in $tableDir")
+    val m = readManifest(s, tableDir, vs.last)
+    val sc = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"describeColumns: legacy manifest without schema in $tableDir"))
+    sc.fields.toSeq.map { f =>
+      val role =
+        if (m.partBy.contains(f.name)) "partition"
+        else if (m.bucket.exists(_._2 == f.name))
+          s"bucket(${m.bucket.get._1})"
+        else ""
+      (f.name, f.dataType.catalogString, physName(f),
+        f.metadata.contains(BloomKey) && f.metadata.getBoolean(BloomKey),
+        role)
+    }.toDF("column", "data_type", "physical_name", "bloom", "layout_role")
+  }
+
   /** The table's CHECK constraints (name → SQL expression). */
   def constraints(s: SparkSession, tableDir: String): Map[String, String] =
     versions(s, tableDir).lastOption

@@ -349,6 +349,9 @@ class ExtensionsSpec extends GraftSpec {
       // BLOOM declaration round-trips; () clears it
       assert(s2.sql(s"GRAFT BLOOM '$t2' (k)").head().getInt(0) == 6)
       assert(s2.sql(s"GRAFT BLOOM '$t2' ()").head().getInt(0) == 7)
+      // DESCRIBE / CHECKS: the SQL introspection pair — physical names,
+      // bloom flags, layout roles, and named constraints, one manifest
+      // read each (asserted AFTER rename/bloom/check ops below)
       // ADD COLUMN: metadata-only — old rows read NULL, the declared
       // type is the contract the next append must match or widen
       assert(s2.sql(s"GRAFT ADD COLUMN '$t2' price DECIMAL(10, 2)")
@@ -369,6 +372,26 @@ class ExtensionsSpec extends GraftSpec {
       intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
         s2.sql(s"GRAFT ADD COLUMN '$t2' x NOTATYPE")
       }
+      // GRAFT DESCRIBE: k was renamed away from nothing (plain), price
+      // added; declare a bloom + a check and read both back in SQL
+      s2.sql(s"GRAFT BLOOM '$t2' (k)").collect()
+      s2.sql(s"GRAFT ADD CHECK '$t2' k_pos (k > 0)").collect()
+      val desc = s2.sql(s"GRAFT DESCRIBE '$t2'").collect()
+        .map(r => r.getString(0) ->
+          (r.getString(1), r.getString(2), r.getBoolean(3))).toMap
+      assert(desc("k") == (("bigint", "k", true)))
+      assert(desc("price") == (("decimal(10,2)", "price", false)))
+      val checks = s2.sql(s"GRAFT CHECKS '$t2'").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(checks == Map("k_pos" -> "k > 0"))
+      // a renamed column shows its physical storage name
+      val t3d = s"$dir/tbl3d"
+      SnapshotTable.commit(s2, t3d,
+        (1L to 3L).map(i => (i, i)).toDF("a", "b"), overwrite = false)
+      s2.sql(s"GRAFT RENAME COLUMN '$t3d' a TO aa").collect()
+      val d2 = s2.sql(s"GRAFT DESCRIBE '$t3d'").collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(d2 == Map("aa" -> "a", "b" -> "b"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
