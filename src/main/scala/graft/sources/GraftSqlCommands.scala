@@ -77,9 +77,11 @@ class GraftSqlParser(delegate: ParserInterface,
       """ON\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
   private val DeleteRe =
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
+  // SET...WHERE split happens by TOKENIZING (splitSetWhere), not in the
+  // regex: a lazy ` WHERE ` split would shear a SET expression whose
+  // scalar subquery (or string literal) contains the keyword
   private val UpdateRe =
-    ("""(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+""" +
-      """WHERE\s+(.+?)\s*;?\s*""").r
+    ("""(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s*;?\s*""").r
   private val RenameRe =
     ("""(?is)\s*GRAFT\s+RENAME\s+COLUMN\s+'([^']+)'\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
@@ -152,7 +154,8 @@ class GraftSqlParser(delegate: ParserInterface,
     case DeleteRe(dir, pred) =>
       delegate.parseExpression(pred)
       GraftDeleteCommand(dir, pred)
-    case UpdateRe(dir, setList, pred) =>
+    case UpdateRe(dir, body) =>
+      val (setList, pred) = GraftSqlParser.splitSetWhere(body)
       val sets = GraftSqlParser.splitAssignments(setList)
       sets.foreach { case (_, e) => delegate.parseExpression(e) }
       delegate.parseExpression(pred)
@@ -284,6 +287,48 @@ object GraftSqlParser {
     require(sets.map(_._1).distinct.size == sets.size,
       s"GRAFT UPDATE: duplicate SET column in ${sets.map(_._1).mkString(",")}")
     sets
+  }
+
+  /** Split a GRAFT UPDATE body on its TOP-LEVEL `WHERE` — the same
+    * paren/string-literal-aware scan [[splitAssignments]] uses, so a
+    * SET expression containing the keyword inside a scalar subquery
+    * (`SET a = (SELECT max(v) FROM w WHERE z = 1) WHERE k = 1`) or a
+    * string literal (`SET note = ' where ' WHERE k = 1`) splits at the
+    * statement's own WHERE, not the embedded one. A SET expression
+    * itself never has a top-level WHERE (no ANSI expression grammar
+    * puts one outside parens), so the FIRST top-level occurrence is
+    * the boundary. Missing WHERE → targeted parse error (full-table
+    * UPDATE is refused by grammar, like the Scala API's required
+    * predicate). */
+  private[sources] def splitSetWhere(body: String): (String, String) = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    def isWordChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_'
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'w' | 'W' if depth == 0 &&
+            i + 5 <= body.length &&
+            body.substring(i, i + 5).equalsIgnoreCase("where") &&
+            (i == 0 || !isWordChar(body.charAt(i - 1))) &&
+            (i + 5 == body.length || !isWordChar(body.charAt(i + 5))) =>
+          return (body.substring(0, i).trim, body.substring(i + 5).trim)
+        case _ =>
+      }
+      i += 1
+    }
+    throw new org.apache.spark.sql.catalyst.parser.ParseException(
+      Option(body), org.apache.spark.sql.catalyst.trees.Origin(),
+      "PARSE_SYNTAX_ERROR",
+      Map("error" -> "'GRAFT UPDATE'",
+        "hint" -> (": missing top-level WHERE — the grammar is GRAFT " +
+          "UPDATE '<dir>' SET a = <expr>[, ...] WHERE <predicate>")))
   }
 
   /** Parse a `TIMESTAMP AS OF` literal to epoch millis. Accepted forms:

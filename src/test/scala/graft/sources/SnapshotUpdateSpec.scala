@@ -166,4 +166,40 @@ class SnapshotUpdateSpec extends GraftSpec {
       graftSql(s"GRAFT UPDATE '$t' SET v = ( WHERE k = 1")
     }
   }
+
+  test("GRAFT UPDATE splits on the TOP-LEVEL WHERE only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-upd7-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "s"),
+      overwrite = false)
+    def graftSql(sql: String) =
+      org.apache.spark.sql.GraftSqlShim.ofRows(spark,
+        new GraftSqlParser(spark.sessionState.sqlParser, Some(spark))
+          .parsePlan(sql))
+    // a string literal containing ' where ' must NOT shear the split
+    assert(graftSql(s"GRAFT UPDATE '$t' SET s = 'not where you think' " +
+      "WHERE k = 1").head().getInt(0) == 2)
+    assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+      .filter($"k" === 1L).head().getString(2) == "not where you think")
+    // WHERE inside parens (CASE guard shape) belongs to the expression
+    assert(graftSql(s"GRAFT UPDATE '$t' SET v = (v + length(' where ')) " +
+      "WHERE k = 2").head().getInt(0) == 3)
+    assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+      .filter($"k" === 2L).head().getLong(1) == 27L)
+    // no top-level WHERE at all: targeted parse error, not a mis-split
+    val e = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      graftSql(s"GRAFT UPDATE '$t' SET v = (1 WHERE 2)")
+    }
+    assert(e.getMessage.contains("WHERE"))
+    // the scanner unit contract: first top-level WHERE is the boundary
+    assert(GraftSqlParser.splitSetWhere(
+      "a = (SELECT max(v) FROM w WHERE z = 1) WHERE k = 1") ==
+      ("a = (SELECT max(v) FROM w WHERE z = 1)", "k = 1"))
+    assert(GraftSqlParser.splitSetWhere("a = ' where ' WHERE k = 1") ==
+      ("a = ' where '", "k = 1"))
+    assert(GraftSqlParser.splitSetWhere("a = 1 WHERE k IN (1, 2)") ==
+      ("a = 1", "k IN (1, 2)"))
+  }
 }
