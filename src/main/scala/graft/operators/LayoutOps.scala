@@ -760,6 +760,33 @@ object LayoutOps extends QueryPack {
       .orderBy(col("bucket"))
   }
 
+  /** `GRAFT CHANGES` end to end — the SQL doorway to the change feed a
+    * SQL-only consumer needs (MV refresh, CDC export): v1 lands the
+    * %3==0 docs, v2 appends the %3==1 slice (a pure append chain — the
+    * feed serves EXACTLY the added files, zero diff compute), v3 lands
+    * a deletion-vector DELETE of the %6==0 rows. `GRAFT CHANGES FROM 1
+    * TO 3` then reports inserts = the appended slice and deletes = the
+    * removed rows, aggregated per change_type; the oracle restates both
+    * sets in closed form. */
+  def layoutSqlChanges(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlchg_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("doc_id") % 3 === 0), overwrite = false)
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("doc_id") % 3 === 1), overwrite = false)
+    graftSql(s, s"GRAFT DELETE FROM '$table' WHERE doc_id % 6 = 0")
+      .collect()
+    graftSql(s, s"GRAFT CHANGES '$table' FROM 1 TO 3")
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_id"),
+        sum(col("nc")).as("sum_nc"))
+      .orderBy(col("change_type"))
+  }
+
   /** `GRAFT UPDATE` end to end: orders land clustered on the key, then
     * ONE SQL statement updates a sparse slice (every 10th key gets its
     * customer shifted into a reserved band) — the candidate probe is
@@ -841,6 +868,45 @@ object LayoutOps extends QueryPack {
     graft.sources.SnapshotTable.readAsOf(s, table, Int.MaxValue)
       .filter(col("okey") === k)
       .select(col("okey"), col("cust"))
+  }
+
+  /** Struct-leaf (nested) zone maps end to end: documents land with
+    * their interesting columns one struct level down (`meta.lang`,
+    * `meta.nc`, `meta.prov.src` — the crawl-schema shape), committed
+    * as FOUR nc-banded slices so each file's `meta.nc` zone is
+    * disjoint. The band query `WHERE meta.nc >= 200 AND meta.nc < 500`
+    * then plans a strict subset of files from the manifest's DOTTED
+    * stat keys ([[graft.sources.SnapshotTable]] statCols;
+    * `SnapshotNestedStatsSpec` pins the scan metrics) — this declared
+    * query pins the ANSWER against the oracle, which restates the
+    * band + group over the flat table. At 100 TB, nested-field
+    * skipping is what keeps `WHERE meta.k = v` from reading every
+    * file of an event table. */
+  def layoutNestedPrune(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_nst_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        struct(
+          coalesce(col("lang"), lit("und")).as("lang"),
+          coalesce(col("n_chars"), lit(0L)).as("nc"),
+          struct(coalesce(col("source"), lit("")).as("src")).as("prov"))
+          .as("meta"))
+    val bands = Seq((0L, 200L), (200L, 500L), (500L, 1000L),
+      (1000L, Long.MaxValue))
+    bands.foreach { case (lo, hi) =>
+      graft.sources.SnapshotTable.commit(s, table,
+        docs.filter(col("meta.nc") >= lo && col("meta.nc") < hi)
+          .repartition(1),
+        overwrite = false) }
+    graft.sources.SnapshotTable.readAsOf(s, table, Int.MaxValue)
+      .filter(col("meta.nc") >= 200L && col("meta.nc") < 500L)
+      .groupBy(col("meta.lang").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("meta.nc")).as("sum_nc"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("lang"))
   }
 
   /** `GRAFT ANALYZE` end to end: load documents, run a selective MERGE
@@ -1195,6 +1261,8 @@ object LayoutOps extends QueryPack {
     "layout_sql_update" -> layoutSqlUpdate,
     "layout_rename" -> layoutRename,
     "layout_bloom_probe" -> layoutBloomProbe,
+    "layout_nested_prune" -> layoutNestedPrune,
+    "cdc_sql_changes" -> layoutSqlChanges,
     "layout_snapshot_moneyband" -> layoutSnapshotMoneyband,
     "layout_snapshot_deletes" -> layoutSnapshotDeletes,
     "layout_meta_agg" -> layoutMetaAgg,
@@ -1451,6 +1519,33 @@ object LayoutOps extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(cust) AS BIGINT) AS sum_cust
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the change feed in closed form: inserts = the appended %3==1
+    // slice, deletes = the %6==0 rows the vector delete removed
+    "cdc_sql_changes" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |c AS (
+        |  SELECT 'insert' AS change_type, doc_id, nc FROM d
+        |  WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, doc_id, nc FROM d
+        |  WHERE doc_id % 6 = 0)
+        |SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(nc) AS BIGINT) AS sum_nc
+        |FROM c GROUP BY change_type ORDER BY change_type""".stripMargin,
+    // the nested-band query's ANSWER, restated over the flat table
+    // (the four nc-banded commits partition the rows, so the union of
+    // slices IS the table)
+    "layout_nested_prune" ->
+      """WITH d AS (SELECT doc_id, coalesce(lang, 'und') AS lang,
+        |    coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_nc,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM d WHERE nc >= 200 AND nc < 500
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // the Bloom-pruned point probe's ANSWER: the max-orderkey row
     "layout_bloom_probe" ->
       """SELECT o_orderkey AS okey, o_custkey AS cust FROM orders

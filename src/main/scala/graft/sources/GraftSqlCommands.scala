@@ -45,6 +45,12 @@ class GraftSqlParser(delegate: ParserInterface,
     """(?is)\s*GRAFT\s+ABSORB\s+DELETES\s+'([^']+)'\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  // change feed: FROM <v> [TO <v>] — resolves to the readChanges
+  // DataFrame's own plan (a real distributed query, not a driver-side
+  // row list: the feed can be table-sized)
+  private val ChangesRe =
+    ("""(?is)\s*GRAFT\s+CHANGES\s+'([^']+)'\s+FROM\s+(\d+)""" +
+      """(?:\s+TO\s+(\d+))?\s*;?\s*""").r
   private val OptimizeRe =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+SMALL\s+(\d+)\s+TARGET\s+(\d+))?\s*;?\s*""".r
   private val OptimizeBucketsRe =
@@ -91,10 +97,11 @@ class GraftSqlParser(delegate: ParserInterface,
   private val AddColRe =
     ("""(?is)\s*GRAFT\s+ADD\s+COLUMN\s+'([^']+)'\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s*;?\s*""").r
-  // empty parens = clear every declaration (the full-set contract)
+  // empty parens = clear every declaration (the full-set contract);
+  // dotted tokens declare struct LEAVES (meta.request_id)
   private val BloomRe =
     ("""(?is)\s*GRAFT\s+BLOOM\s+'([^']+)'\s*""" +
-      """\(\s*([A-Za-z0-9_]+(?:\s*,\s*[A-Za-z0-9_]+)*)?\s*\)\s*;?\s*""").r
+      """\(\s*([A-Za-z0-9_.]+(?:\s*,\s*[A-Za-z0-9_.]+)*)?\s*\)\s*;?\s*""").r
   private val AddCheckRe =
     ("""(?is)\s*GRAFT\s+ADD\s+CHECK\s+'([^']+)'\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*\((.+)\)\s*;?\s*""").r
@@ -131,6 +138,17 @@ class GraftSqlParser(delegate: ParserInterface,
         Option(age).map(_.toLong).getOrElse(0L))
     case AbsorbRe(dir) => GraftAbsorbDeletesCommand(dir)
     case HistoryRe(dir) => GraftHistoryCommand(dir)
+    case ChangesRe(dir, from, to) =>
+      // the feed's schema is the TABLE's (change_type + columns), so
+      // this verb resolves to the readChanges plan itself rather than
+      // a fixed-output command; range validation (expired fromV,
+      // fromV > toV) fires here — at sql() parse, like the other verbs
+      val s = session.getOrElse(throw new IllegalStateException(
+        "GRAFT CHANGES requires a session-bound parser " +
+          "(spark.sql.extensions installs one)"))
+      SnapshotTable.readChanges(s, dir, from.toInt,
+        Option(to).map(_.toInt).getOrElse(Int.MaxValue))
+        .queryExecution.logical
     case OptimizeZorderRe(dir, cols, n) =>
       GraftOptimizeZorderCommand(dir,
         cols.split(",").toSeq.map(_.trim),
@@ -206,6 +224,7 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT VACUUM '<dir>' KEEP <n> [MIN AGE <ms>] | " +
             "GRAFT ABSORB DELETES '<dir>' | " +
             "GRAFT HISTORY '<dir>' | " +
+            "GRAFT CHANGES '<dir>' FROM <v> [TO <v>] | " +
             "GRAFT OPTIMIZE '<dir>' [SMALL <bytes> TARGET <bytes>] | " +
             "GRAFT OPTIMIZE '<dir>' ZORDER BY (a, b[, c[, d]]) " +
             "[FILES <n>] | " +
@@ -223,7 +242,7 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT RENAME COLUMN '<dir>' <from> TO <to> | " +
             "GRAFT ADD COLUMN '<dir>' <col> <type> | " +
             "GRAFT DROP COLUMN '<dir>' <col> | " +
-            "GRAFT BLOOM '<dir>' (a, b) | " +
+            "GRAFT BLOOM '<dir>' (a, b.leaf) | " +
             "GRAFT ADD CHECK '<dir>' <name> (<expr>) | " +
             "GRAFT DROP CHECK '<dir>' <name> | " +
             "GRAFT RELAYOUT '<dir>' [PARTITION BY (a, b)] " +

@@ -169,14 +169,19 @@ object SnapshotTable {
 
   /** Current stats-format version stamped into the coverage marker.
     * v2 = the round-15 kind set (long family incl. date/timestamp/NTZ/
-    * decimal≤18, double family, string). Adding a NEW eligible kind
-    * later must bump this AND register the kind's introduction version
-    * in [[kindSinceVersion]], so v2-marked files are not misread as
-    * all-null for columns of the new kind. */
-  private[sources] val StatsFormatVersion = 2
+    * decimal≤18, double family, string). v3 adds STRUCT-LEAF stats
+    * (dotted `top.leaf` keys, [[statCols]]) — a v2-marked file's
+    * missing nested stat means "values unknown" (the writer never
+    * enumerated leaves), NOT "leaf absent from the batch", which is
+    * why nested-leaf coverage claims must require the marker ≥ 3.
+    * Adding a NEW eligible kind later must bump this AND register the
+    * kind's introduction version in [[kindSinceVersion]], so older
+    * markers are not misread as all-null for columns of the new kind. */
+  private[sources] val StatsFormatVersion = 3
 
   /** The stats-format version at which `dt`'s kind became eligible —
-    * every currently-eligible kind dates from v2. */
+    * every currently-eligible TOP-LEVEL atomic kind dates from v2
+    * (struct-leaf paths date from v3, tracked where consumed). */
   private def kindSinceVersion(dt: DataType): Int = 2
 
   /** Does entry `e` POSITIVELY account for column `f` — either a
@@ -289,15 +294,17 @@ object SnapshotTable {
   private final class ManifestFileIndex(tableRoot: HPath,
       entries: Seq[FileEntry],
       override val graftCatalog: Option[
-        org.apache.spark.sql.catalyst.catalog.CatalogTable] = None)
+        org.apache.spark.sql.catalyst.catalog.CatalogTable] = None,
+      ambiguousNames: Set[String] = Set.empty)
       extends FileIndex with ManifestCatalogCarrier {
+    private val pruner = new StatsPruning(ambiguousNames)
     override def rootPaths: Seq[HPath] = Seq(tableRoot)
     override def listFiles(
         partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
         dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
         : Seq[PartitionDirectory] = {
       val kept = entries.filter(e =>
-        dataFilters.forall(p => StatsPruning.mayMatch(p, e)))
+        dataFilters.forall(p => pruner.mayMatch(p, e)))
       Seq(PartitionDirectory(InternalRow.empty, kept.map(_.status).toArray))
     }
     override def inputFiles: Array[String] =
@@ -370,9 +377,11 @@ object SnapshotTable {
       entries: Seq[FileEntry],
       partFields: Seq[StructField],
       override val graftCatalog: Option[
-        org.apache.spark.sql.catalyst.catalog.CatalogTable] = None)
+        org.apache.spark.sql.catalyst.catalog.CatalogTable] = None,
+      ambiguousNames: Set[String] = Set.empty)
       extends FileIndex with ManifestCatalogCarrier {
     import org.apache.spark.sql.catalyst.expressions._
+    private val pruner = new StatsPruning(ambiguousNames)
     override def rootPaths: Seq[HPath] = Seq(tableRoot)
     override val partitionSchema: StructType = StructType(partFields)
     private def rowFor(vs: Seq[Option[String]]): InternalRow =
@@ -415,7 +424,7 @@ object SnapshotTable {
           if (!pred.forall(_.eval(row))) None
           else Some(PartitionDirectory(row,
             es.filter(e => dataFilters.forall(p =>
-                StatsPruning.mayMatch(p, e)))
+                pruner.mayMatch(p, e)))
               .map(_.status).toArray))
         }
         .filter(_.files.nonEmpty)
@@ -429,10 +438,39 @@ object SnapshotTable {
   /** Zone-map pruning: can a file possibly hold a row matching `e`?
     * Sound over three-valued SQL semantics — a file is dropped only
     * when the recorded range/null evidence REFUTES every possible
-    * match; anything not understood returns true. */
-  private object StatsPruning {
+    * match; anything not understood returns true.
+    *
+    * Column references resolve through BOTH shapes Catalyst pushes:
+    * bare attributes (top-level columns, stat key = physical name) and
+    * `GetStructField` chains (struct leaves, stat key = the dotted
+    * path [[statCols]] recorded). `ambiguous` is the set of TOP-LEVEL
+    * physical names containing a literal dot: a nested chain resolving
+    * to (or through) one of them must NOT consult the stored stat —
+    * the write side dropped the nested key for exactly that collision,
+    * so the stat under the dotted name belongs to the top-level
+    * column. Writer and pruner thereby agree on every key's meaning. */
+  private final class StatsPruning(ambiguous: Set[String]) {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.unsafe.types.UTF8String
+
+    /** The stat key a pushed column reference resolves to: an
+      * attribute's own name, or a struct chain's dotted leaf path
+      * (field names from the child's STRUCT TYPE by ordinal — exact
+      * even when the expression's name hint differs in case). None =
+      * not a column reference the stats language covers (caller keeps
+      * the file). */
+    private object Ref {
+      def unapply(e: Expression): Option[String] = e match {
+        case a: Attribute => Some(a.name)
+        case g: GetStructField => unapply(g.child).map { p =>
+            val n = g.child.dataType
+              .asInstanceOf[org.apache.spark.sql.types.StructType](
+                g.ordinal).name
+            s"$p.$n"
+          }.filterNot(ambiguous.contains)
+        case _ => None
+      }
+    }
 
     /** Byte-wise unsigned compare — parquet/Spark binary string order. */
     private def bcmp(a: Array[Byte], b: Array[Byte]): Int = {
@@ -477,8 +515,8 @@ object SnapshotTable {
         case _ => None
       }
 
-    private def stat(e: FileEntry, a: Attribute): Option[ColStat] =
-      e.stats.get(a.name)
+    private def stat(e: FileEntry, key: String): Option[ColStat] =
+      e.stats.get(key)
 
     /** Non-null row count if derivable: rows − nulls. */
     private def nonNull(e: FileEntry, st: ColStat): Option[Long] =
@@ -486,9 +524,9 @@ object SnapshotTable {
 
     // a comparison can only match a non-null value; if the file provably
     // has none, no bound check is needed (vacuously refuted)
-    private def cmpPred(e: FileEntry, a: Attribute, lit: Any)(
+    private def cmpPred(e: FileEntry, key: String, lit: Any)(
         check: ColStat => Boolean): Boolean =
-      stat(e, a) match {
+      stat(e, key) match {
         case None => true
         case Some(st) =>
           if (nonNull(e, st).contains(0L)) false
@@ -518,8 +556,8 @@ object SnapshotTable {
         h.forall(graft.functions.BloomBitsAgg.mightContain(bl, _))
       }
 
-    private def mayEq(e: FileEntry, a: Attribute, v: Any): Boolean =
-      cmpPred(e, a, v) { st =>
+    private def mayEq(e: FileEntry, key: String, v: Any): Boolean =
+      cmpPred(e, key, v) { st =>
         // v inside [min, max]; unknown bound = unbounded
         st.min.flatMap(m => cmp(st.kind, m, v)).forall(_ <= 0) &&
         st.max.flatMap(m => cmp(st.kind, m, v)).forall(_ >= 0) &&
@@ -531,41 +569,44 @@ object SnapshotTable {
     def mayMatch(expr: Expression, e: FileEntry): Boolean = expr match {
       case And(l, r) => mayMatch(l, e) && mayMatch(r, e)
       case Or(l, r) => mayMatch(l, e) || mayMatch(r, e)
-      case EqualTo(a: Attribute, Literal(v, _)) => mayEq(e, a, v)
-      case EqualTo(Literal(v, _), a: Attribute) => mayEq(e, a, v)
-      case EqualNullSafe(a: Attribute, Literal(v, _)) if v != null => mayEq(e, a, v)
-      case EqualNullSafe(Literal(v, _), a: Attribute) if v != null => mayEq(e, a, v)
-      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists(l => mayEq(e, a, l.asInstanceOf[Literal].value))
-      case InSet(a: Attribute, vs) => vs.exists(v => mayEq(e, a, v))
+      case EqualTo(Ref(n), Literal(v, _)) => mayEq(e, n, v)
+      case EqualTo(Literal(v, _), Ref(n)) => mayEq(e, n, v)
+      case EqualNullSafe(Ref(n), Literal(v, _)) if v != null => mayEq(e, n, v)
+      case EqualNullSafe(Literal(v, _), Ref(n)) if v != null => mayEq(e, n, v)
+      case In(Ref(n), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(l => mayEq(e, n, l.asInstanceOf[Literal].value))
+      case InSet(Ref(n), vs) => vs.exists(v => mayEq(e, n, v))
       // ∃ value < v ⇔ min < v (min unknown → possible)
-      case LessThan(a: Attribute, Literal(v, _)) =>
-        cmpPred(e, a, v)(st => st.min.flatMap(m => cmp(st.kind, m, v)).forall(_ < 0))
-      case GreaterThan(Literal(v, _), a: Attribute) =>
-        cmpPred(e, a, v)(st => st.min.flatMap(m => cmp(st.kind, m, v)).forall(_ < 0))
-      case LessThanOrEqual(a: Attribute, Literal(v, _)) =>
-        cmpPred(e, a, v)(st => st.min.flatMap(m => cmp(st.kind, m, v)).forall(_ <= 0))
-      case GreaterThanOrEqual(Literal(v, _), a: Attribute) =>
-        cmpPred(e, a, v)(st => st.min.flatMap(m => cmp(st.kind, m, v)).forall(_ <= 0))
+      case LessThan(Ref(n), Literal(v, _)) =>
+        cmpPred(e, n, v)(st => st.min.flatMap(m => cmp(st.kind, m, v)).forall(_ < 0))
+      case GreaterThan(Literal(v, _), Ref(n)) =>
+        cmpPred(e, n, v)(st => st.min.flatMap(m => cmp(st.kind, m, v)).forall(_ < 0))
+      case LessThanOrEqual(Ref(n), Literal(v, _)) =>
+        cmpPred(e, n, v)(st => st.min.flatMap(m => cmp(st.kind, m, v)).forall(_ <= 0))
+      case GreaterThanOrEqual(Literal(v, _), Ref(n)) =>
+        cmpPred(e, n, v)(st => st.min.flatMap(m => cmp(st.kind, m, v)).forall(_ <= 0))
       // ∃ value > v ⇔ max > v (max unknown → possible)
-      case GreaterThan(a: Attribute, Literal(v, _)) =>
-        cmpPred(e, a, v)(st => st.max.flatMap(m => cmp(st.kind, m, v)).forall(_ > 0))
-      case LessThan(Literal(v, _), a: Attribute) =>
-        cmpPred(e, a, v)(st => st.max.flatMap(m => cmp(st.kind, m, v)).forall(_ > 0))
-      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) =>
-        cmpPred(e, a, v)(st => st.max.flatMap(m => cmp(st.kind, m, v)).forall(_ >= 0))
-      case LessThanOrEqual(Literal(v, _), a: Attribute) =>
-        cmpPred(e, a, v)(st => st.max.flatMap(m => cmp(st.kind, m, v)).forall(_ >= 0))
-      case IsNull(a: Attribute) =>
-        stat(e, a).forall(_.nulls > 0)
-      case IsNotNull(a: Attribute) =>
-        stat(e, a).forall(st => !nonNull(e, st).contains(0L))
-      case StartsWith(a: Attribute, Literal(v, _)) if v != null =>
+      case GreaterThan(Ref(n), Literal(v, _)) =>
+        cmpPred(e, n, v)(st => st.max.flatMap(m => cmp(st.kind, m, v)).forall(_ > 0))
+      case LessThan(Literal(v, _), Ref(n)) =>
+        cmpPred(e, n, v)(st => st.max.flatMap(m => cmp(st.kind, m, v)).forall(_ > 0))
+      case GreaterThanOrEqual(Ref(n), Literal(v, _)) =>
+        cmpPred(e, n, v)(st => st.max.flatMap(m => cmp(st.kind, m, v)).forall(_ >= 0))
+      case LessThanOrEqual(Literal(v, _), Ref(n)) =>
+        cmpPred(e, n, v)(st => st.max.flatMap(m => cmp(st.kind, m, v)).forall(_ >= 0))
+      // a struct-leaf `IsNull` counts parent-null rows too — exactly
+      // what the stored null count measured (`leaf IS NULL` over the
+      // file), so the same refutation is sound for nested refs
+      case IsNull(Ref(n)) =>
+        stat(e, n).forall(_.nulls > 0)
+      case IsNotNull(Ref(n)) =>
+        stat(e, n).forall(st => !nonNull(e, st).contains(0L))
+      case StartsWith(Ref(n), Literal(v, _)) if v != null =>
         // a prefix match needs SOME value in [prefix, prefix+∞): the max
         // must be >= prefix and the min must be < prefix's upper fence —
         // conservative form: min <= any string starting with the prefix,
         // so check prefix against max only (cheap and sound)
-        cmpPred(e, a, v)(st => st.max.flatMap(m => cmp(st.kind, m, v)).forall(_ >= 0))
+        cmpPred(e, n, v)(st => st.max.flatMap(m => cmp(st.kind, m, v)).forall(_ >= 0))
       case _ => true
     }
   }
@@ -1050,21 +1091,81 @@ object SnapshotTable {
     * on both sides of the epoch) — so collection is sound under ANY
     * session zone, and readers compare stored bounds against the
     * zone-independent NTZ literal correctly from any session too.
-    * Null-preserving, order-preserving. */
-  private def statSql(n: String, dt: DataType): String = dt match {
-    case org.apache.spark.sql.types.DateType => s"unix_date(`$n`)"
-    case org.apache.spark.sql.types.TimestampType => s"unix_micros(`$n`)"
+    * Null-preserving, order-preserving. `ref` is the already-QUOTED
+    * column reference (single backquoted name, or a dotted
+    * `` `a`.`b` `` struct-leaf path). */
+  private def statSql(ref: String, dt: DataType): String = dt match {
+    case org.apache.spark.sql.types.DateType => s"unix_date($ref)"
+    case org.apache.spark.sql.types.TimestampType => s"unix_micros($ref)"
     case org.apache.spark.sql.types.TimestampNTZType =>
-      s"(unix_date(CAST(`$n` AS DATE)) * 86400000000L + " +
-        s"hour(`$n`) * 3600000000L + minute(`$n`) * 60000000L + " +
-        s"CAST(extract(SECOND FROM `$n`) * 1000000 AS BIGINT))"
+      s"(unix_date(CAST($ref AS DATE)) * 86400000000L + " +
+        s"hour($ref) * 3600000000L + minute($ref) * 60000000L + " +
+        s"CAST(extract(SECOND FROM $ref) * 1000000 AS BIGINT))"
     // unscaled long via an exact integer-literal multiply (decimal ×
     // integer is exact decimal arithmetic; precision ≤ 18 guarantees
     // the long cast cannot overflow)
     case dt: org.apache.spark.sql.types.DecimalType =>
-      if (dt.scale == 0) s"CAST(`$n` AS BIGINT)"
-      else s"CAST(`$n` * ${"1" + "0" * dt.scale} AS BIGINT)"
-    case _ => s"`$n`"
+      if (dt.scale == 0) s"CAST($ref AS BIGINT)"
+      else s"CAST($ref * ${java.math.BigInteger.TEN.pow(dt.scale)} AS BIGINT)"
+    case _ => ref
+  }
+
+  /** Struct-leaf traversal depth cap: stats enumerate leaves at most
+    * this many levels down (top-level = 1). Crawl/event schemas nest
+    * 2-3 deep in practice; unbounded recursion over a pathological
+    * schema would bloat every manifest entry. */
+  private val MaxStatDepth = 4
+
+  /** Budget on NESTED stat keys per schema (top-level columns are
+    * never capped — existing behavior): a pathologically wide struct
+    * must not multiply every manifest entry and every commit's stats
+    * pass. Schema order, deterministic; leaves beyond the budget
+    * simply carry no stats, which the pruner treats as unknown —
+    * sound, never wrong. (Delta's dataSkippingNumIndexedCols is the
+    * same discipline.) */
+  private val MaxNestedStatCols = 64
+
+  /** Every stat-eligible column PATH of a schema: top-level atomic
+    * columns of an eligible kind (keyed by PHYSICAL name — renames are
+    * top-level only), plus struct LEAF fields of eligible kinds to
+    * [[MaxStatDepth]], keyed `top.leaf[...]` in dotted form. Each
+    * element is (stat key, kind, stored-representation SQL). Arrays
+    * and maps are not traversed (no per-element zone map is sound
+    * under SQL array semantics).
+    *
+    * Dotted-key collision guard: a top-level column whose (physical)
+    * name literally contains a dot could collide with a nested leaf's
+    * dotted key, making the stored stat ambiguous — the nested leaf is
+    * DROPPED then (conservative: no stats → no pruning), and the
+    * read side applies the same rule ([[StatsPruning]]'s `ambiguous`
+    * set), so writer and pruner always agree on what a dotted key
+    * means. */
+  private def statCols(schema: StructType): Seq[(String, Char, String)] = {
+    def q(seg: String): String = "`" + seg + "`"
+    def leaves(key: String, ref: String, dt: DataType,
+        depth: Int): Seq[(String, Char, String)] = dt match {
+      case st: StructType if depth < MaxStatDepth =>
+        st.fields.toSeq.flatMap(f =>
+          leaves(s"$key.${f.name}", s"$ref.${q(f.name)}", f.dataType,
+            depth + 1))
+      case other =>
+        statKind(other).map(k => (key, k, statSql(ref, other))).toSeq
+    }
+    val topNames = schema.fields.map(physName).toSet
+    var nestedBudget = MaxNestedStatCols
+    schema.fields.toSeq.flatMap { f =>
+      val p = physName(f)
+      f.dataType match {
+        case st: StructType =>
+          val ls = st.fields.toSeq.flatMap(g =>
+            leaves(s"$p.${g.name}", s"${q(p)}.${q(g.name)}", g.dataType, 2))
+            .filterNot { case (key, _, _) => topNames.contains(key) }
+            .take(nestedBudget)
+          nestedBudget -= ls.size
+          ls
+        case dt => statKind(dt).map(k => (p, k, statSql(q(p), dt))).toSeq
+      }
+    }
   }
 
   /** Per-file zone maps for the just-written commit: ONE distributed
@@ -1097,9 +1198,9 @@ object SnapshotTable {
       schema: StructType, bloomCols: Set[String] = Set.empty)
       : Option[(Map[String, (Long, String)], Map[String, Seq[Long]])] = {
     import org.apache.spark.sql.functions._
-    val cols = schema.fields.toSeq
-      .flatMap(fl => statKind(fl.dataType).map(k =>
-        (fl.name, k, statSql(fl.name, fl.dataType))))
+    // top-level atomic columns AND struct leaves (dotted keys) — one
+    // enumeration shared with the pruner's key resolution
+    val cols = statCols(schema)
     if (cols.isEmpty) return None // no eligible columns: pass skipped
     // per-column NDV sketch rides the SAME pass: the bottom-64 KMV of
     // md5 value hashes (nulls skip — NDV counts non-null distincts),
@@ -1123,8 +1224,10 @@ object SnapshotTable {
       val base = Seq(min(expr(sql)), max(expr(sql)),
         sum(when(expr(sql).isNull, 1L).otherwise(0L)),
         // total payload bytes (string kind only): feeds the avg-width
-        // column statistic Catalyst's row-count-based sizing uses
-        if (k == 's') sum(octet_length(col(n)).cast("bigint"))
+        // column statistic Catalyst's row-count-based sizing uses.
+        // expr(sql) not col(n): a string kind's stored form IS the
+        // column reference, already quoted for dotted leaf paths
+        if (k == 's') sum(octet_length(expr(sql)).cast("bigint"))
         else sum(lit(null).cast("bigint")),
         kmv(when(expr(sql).isNull, lit(graft.functions.KmvDistinctAgg.Skip))
           .otherwise(expr(s"CAST(conv(substring(md5($canon), " +
@@ -1236,14 +1339,18 @@ object SnapshotTable {
       es: Seq[FileEntry], bucket: Option[(Int, String)],
       partBy: Seq[String],
       catalog: Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
-        None): HadoopFsRelation =
+        None): HadoopFsRelation = {
+    // top-level names containing a literal dot — the pruner must not
+    // read a nested GetStructField chain's dotted key as one of these
+    // (the write side dropped the colliding nested stat; see statCols)
+    val amb = sc.fields.iterator.map(_.name).filter(_.contains('.')).toSet
     if (partBy.nonEmpty) {
       val partFields = partBy.map(c => sc.fields.find(_.name == c).getOrElse(
         throw new IllegalStateException(
           s"partition column '$c' missing from recorded schema of $tableDir")))
       HadoopFsRelation(
         new PartitionedManifestFileIndex(new HPath(tableDir), es, partFields,
-          catalog),
+          catalog, amb),
         partitionSchema = StructType(partFields),
         dataSchema = StructType(sc.fields.filterNot(f =>
           partBy.contains(f.name))),
@@ -1263,7 +1370,7 @@ object SnapshotTable {
         options = Map.empty)(s)
     } else {
       HadoopFsRelation(
-        new ManifestFileIndex(new HPath(tableDir), es, catalog),
+        new ManifestFileIndex(new HPath(tableDir), es, catalog, amb),
         partitionSchema = StructType(Nil), dataSchema = sc,
         // sortColumnNames: the bucketed writer sorts every bucket by
         // its bucket column (`repartition(n, c).sortWithinPartitions(c)`
@@ -1277,6 +1384,7 @@ object SnapshotTable {
         fileFormat = new ParquetFileFormat,
         options = Map.empty)(s)
     }
+  }
 
   /** Manifest metadata → `CatalogTable` carrying `CatalogStatistics`:
     * exact `rowCount` (Σ per-file rows), per-column `nullCount` (a file
@@ -1450,29 +1558,103 @@ object SnapshotTable {
     * op and is reset by full rewrites. */
   private[sources] val BloomKey = "graft.bloom"
 
+  /** Field-metadata key on a top-level STRUCT column listing its
+    * Bloom-declared LEAF paths (dotted, relative to the column — leaf
+    * names never rename, so logical = physical below the top level).
+    * The nested twin of [[BloomKey]]; same schema-riding lifecycle. */
+  private[sources] val BloomPathsKey = "graft.bloom.paths"
+
   /** Is `f` declared for Bloom collection (and of a hashable kind)? */
   private def bloomDeclared(f: StructField): Boolean =
     f.metadata.contains(BloomKey) && f.metadata.getBoolean(BloomKey) &&
       statKind(f.dataType).exists(k => k == 'l' || k == 's')
 
-  /** The PHYSICAL names of a schema's Bloom-declared columns — what a
-    * stats pass over written files keys on. */
-  private def bloomPhysCols(sc: StructType): Set[String] =
-    sc.fields.iterator.filter(bloomDeclared).map(physName).toSet
+  /** The data type at a dotted leaf path under `dt`, if it resolves
+    * through struct fields all the way down. */
+  private def leafType(dt: DataType, path: Seq[String]): Option[DataType] =
+    path match {
+      case Seq() => Some(dt)
+      case head +: rest => dt match {
+        case st: StructType =>
+          st.fields.find(_.name == head)
+            .flatMap(f => leafType(f.dataType, rest))
+        case _ => None
+      }
+    }
 
-  /** Drop physical-name markers — for schemas entering a FULL rewrite
+  /** `f`'s declared nested Bloom leaf paths (relative), filtered to
+    * the ones still resolving to a hashable kind. */
+  private def bloomLeafPaths(f: StructField): Seq[String] =
+    if (!f.metadata.contains(BloomPathsKey)) Nil
+    else f.metadata.getStringArray(BloomPathsKey).toSeq.filter(p =>
+      leafType(f.dataType, p.split('.').toSeq)
+        .flatMap(statKind).exists(k => k == 'l' || k == 's'))
+
+  /** The PHYSICAL stat keys of a schema's Bloom-declared columns —
+    * top-level names plus dotted struct-leaf paths — what a stats pass
+    * over written files keys on. */
+  private def bloomPhysCols(sc: StructType): Set[String] =
+    sc.fields.iterator.flatMap { f =>
+      (if (bloomDeclared(f)) Seq(physName(f)) else Nil) ++
+        bloomLeafPaths(f).map(p => s"${physName(f)}.$p")
+    }.toSet
+
+  /** Drop this format's schema markers — physical-name indirections
+    * AND Bloom declarations — for schemas entering a FULL rewrite
     * (overwrite, relayout, full merge): every pre-rename file is
     * rewritten away under the logical names, so the indirection ends
     * (exactly as dropped-name reservations reset on overwrite). Also
     * the defense against STALE markers riding a foreign table's read
-    * into a fresh commit's schema. */
+    * into a fresh commit's schema — a BloomKey carried through a read
+    * would otherwise enable per-file Bloom collection on a table whose
+    * owner never declared it, exactly the hazard PhysKey guards. Ops
+    * that must PRESERVE a declaration across a same-table rewrite take
+    * it from their own manifest ([[carryBloomDecls]]), never from a
+    * read's schema. */
   private def stripPhys(sc: StructType): StructType =
     StructType(sc.fields.map { f =>
-      if (!f.metadata.contains(PhysKey)) f
+      if (!f.metadata.contains(PhysKey) && !f.metadata.contains(BloomKey) &&
+          !f.metadata.contains(BloomPathsKey)) f
       else f.copy(metadata =
         new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata).remove(PhysKey).build())
+          .withMetadata(f.metadata).remove(PhysKey).remove(BloomKey)
+          .remove(BloomPathsKey).build())
     })
+
+  /** Re-apply `src`'s Bloom declarations onto `sc` by LOGICAL name —
+    * the carry for same-table FULL rewrites (whose published schema is
+    * marker-stripped because files land under logical names): a
+    * declaration is table metadata the rewrite must not silently drop,
+    * and taking it from the MANIFEST schema (never the read's) keeps
+    * the foreign-marker defense intact. Declarations on columns the
+    * rewrite dropped, or whose widened type left the hashable kinds,
+    * do not carry. */
+  private def carryBloomDecls(sc: StructType,
+      src: Option[StructType]): StructType = {
+    val want = src.map(_.fields.iterator.filter(bloomDeclared)
+      .map(_.name).toSet).getOrElse(Set.empty)
+    val wantPaths = src.map(_.fields.iterator
+      .map(f => f.name -> bloomLeafPaths(f)).filter(_._2.nonEmpty).toMap)
+      .getOrElse(Map.empty[String, Seq[String]])
+    if (want.isEmpty && wantPaths.isEmpty) sc
+    else StructType(sc.fields.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      val top = want.contains(f.name) &&
+        statKind(f.dataType).exists(k => k == 'l' || k == 's')
+      // nested declarations carry only the paths still resolving to a
+      // hashable leaf under the (possibly evolved) struct type
+      val paths = wantPaths.getOrElse(f.name, Nil).filter(p =>
+        leafType(f.dataType, p.split('.').toSeq)
+          .flatMap(statKind).exists(k => k == 'l' || k == 's'))
+      if (!top && paths.isEmpty) f
+      else {
+        if (top) mb.putBoolean(BloomKey, true)
+        if (paths.nonEmpty) mb.putStringArray(BloomPathsKey, paths.toArray)
+        f.copy(metadata = mb.build())
+      }
+    })
+  }
 
   /** Deletion-vector file schema: the parquet reader's positional row
     * identity — the scanned file's `_metadata.file_path` and the row's
@@ -1556,16 +1738,49 @@ object SnapshotTable {
             case None => return None // nothing matched: nothing to publish
             case Some((delDir, delLines)) =>
               beforePublishHook()
+              val m0paths = m0.paths.toSet
+              val scStored = storedSchema(sc0)
               val res = publishNext(s, tableDir) { pm =>
                 pm.flatMap { m =>
-                  // serializability: the positions were computed against
-                  // m0's exact file + vector state
-                  if (m.files != m0.files || m.dels != m0.dels) None
-                  // rows removed: a bottom-k sketch cannot subtract —
-                  // NDV becomes unknown until a full rewrite recollects
-                  else Some((m.files, m.schema.getOrElse(storedSchema(sc0)),
-                    m.txns, m.bucket, m.dels ++ delLines,
-                    m.constraints, m.dropped, Map.empty[String, Seq[Long]]))
+                  // The positions were computed against m0's file +
+                  // vector state. They stay valid — and the publish
+                  // REBASES instead of re-planning — as long as every
+                  // file they point into is still live; a rewrite that
+                  // dropped any m0 file (merge/compact/overwrite)
+                  // invalidates positions into it. A concurrent vector
+                  // DELETE composes as a union with no extra work (a
+                  // position deleted twice anti-joins identically).
+                  if (!m0paths.subsetOf(m.paths.toSet)) None
+                  else {
+                    // STRICT serializability across concurrent commits
+                    // that ADDED files: their rows may match the
+                    // predicate, and the delete — serialized after
+                    // them — must cover those rows, so any match
+                    // forces the full re-plan. The probe reads ONLY
+                    // the added files (zone-map pruned); a
+                    // non-matching append then composes retry-free
+                    // (identical final state in either serial order).
+                    val addedOk = m.entries match {
+                      case Some(es) =>
+                        val added = es.filterNot(e =>
+                          m0paths.contains(e.status.getPath.toString))
+                        added.isEmpty ||
+                          (m.schema.map(storedSchema).contains(scStored) &&
+                            m.partBy == m0.partBy &&
+                            relationFor(s, tableDir, scStored, added,
+                              m.bucket, partBy = m.partBy)
+                              .filter(predicate).isEmpty)
+                      case None => false // legacy entries: re-plan
+                    }
+                    if (!addedOk) None
+                    // rows removed: a bottom-k sketch cannot subtract —
+                    // NDV unknown until a full rewrite recollects
+                    else Some((m.files,
+                      m.schema.getOrElse(storedSchema(sc0)),
+                      m.txns, m.bucket, m.dels ++ delLines,
+                      m.constraints, m.dropped,
+                      Map.empty[String, Seq[Long]]))
+                  }
                 }
               }
               if (res.isEmpty) f.delete(delDir, true) // conflict: re-plan
@@ -1652,7 +1867,7 @@ object SnapshotTable {
         .select(input_file_name().as("__f")).distinct()
         .collect().map(r => new HPath(r.getString(0)).toUri.getPath).toSet
       if (affectedPaths.isEmpty) return None
-      val (affected, carried) = es0.partition(e =>
+      val affected = es0.filter(e =>
         affectedPaths.contains(e.status.getPath.toUri.getPath))
       val base = relationFor(s, tableDir, sc0, affected, partBy = m0.partBy)
       // SQL UPDATE: provably-TRUE rows take the assignment, FALSE and
@@ -1671,18 +1886,53 @@ object SnapshotTable {
       val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
         toPhysical(upd, sc0), uniq, partitionBy = m0.partBy,
         bloomCols = bloomPhysCols(sc0))
-      val carriedPaths = carried.map(_.status.getPath.toString).toSet
+      val affectedEntryPaths = affected.map(_.status.getPath.toString).toSet
       beforePublishHook()
       val setPhys = sc0.fields.filter(fl => sets.contains(fl.name))
         .map(physName).toSet
+      val m0pathsAll = m0.paths.toSet
       val res = publishNext(s, tableDir) { pm =>
         pm.flatMap { m =>
-          // serializability: the probe + rewrite read exactly m0's
-          // file/vector/constraint state
-          if (m.files != m0.files || m.dels != m0.dels ||
-            m.constraints != m0.constraints) None
+          // STRICT serializability at FILE granularity: an identical
+          // manifest publishes directly; a manifest a CONCURRENT
+          // commit advanced still publishes — REBASED, the expensive
+          // rewrite reused — when the update is equivalent to running
+          // AFTER that commit: (a) every file this update rewrites is
+          // still live (the other commit read/removed none of them —
+          // and since the probe put every matching file in
+          // affectedPaths, any file the other commit rewrote held no
+          // matches); (b) no new deletion vectors (the rewrite would
+          // resurrect their rows), no constraint/schema/layout change
+          // (the rewrite was validated and physically named against
+          // m0's); (c) files the other commit ADDED hold NO row
+          // matching the predicate — probed here over ONLY those
+          // files (zone-map pruned), because an update serialized
+          // after an append must cover its matching rows (any match →
+          // full re-plan, the same strict rule the delete path pins).
+          // Two UPDATEs on disjoint hive partitions therefore BOTH
+          // commit with zero rewrite retries.
+          val exact = m.files == m0.files && m.dels == m0.dels &&
+            m.constraints == m0.constraints
+          lazy val structuralOk =
+            m.dels == m0.dels && m.constraints == m0.constraints &&
+              m.schema == m0.schema && m.bucket.isEmpty &&
+              m.partBy == m0.partBy &&
+              affectedEntryPaths.subsetOf(m.paths.toSet)
+          lazy val addedClean = m.entries match {
+            case Some(es) =>
+              val added = es.filterNot(e =>
+                m0pathsAll.contains(e.status.getPath.toString))
+              added.isEmpty ||
+                relationFor(s, tableDir, sc0, added, partBy = m0.partBy)
+                  .filter(predicate).isEmpty
+            case None => false // legacy entries: re-plan
+          }
+          if (!exact && !(structuralOk && addedClean)) None
           else Some((
-            m.files.filter(e => carriedPaths.contains(e.takeWhile(_ != '\t')))
+            // keep every CURRENT file except the ones this update
+            // rewrites (covers both the exact and rebased cases)
+            m.files.filterNot(e =>
+              affectedEntryPaths.contains(e.takeWhile(_ != '\t')))
               ++ newFiles,
             m.schema.getOrElse(sc0), m.txns, m.bucket, Seq.empty,
             m.constraints, m.dropped,
@@ -2848,8 +3098,11 @@ object SnapshotTable {
     * like a rename's physical name). Takes the FULL desired set: named
     * columns gain the marker, all others lose it. Only long-family /
     * string / decimal / date / timestamp columns qualify (the hashable
-    * stat kinds). Files committed BEFORE the declaration carry no
-    * Bloom — [[analyze]] backfills them in one pass. */
+    * stat kinds). A DOTTED name (`meta.request_id`) declares a struct
+    * LEAF — the Bloom then refutes `WHERE meta.request_id = v` point
+    * probes through the same nested stats keys zone maps use. Files
+    * committed BEFORE the declaration carry no Bloom — [[analyze]]
+    * backfills them in one pass. */
   def setBloomColumns(s: SparkSession, tableDir: String,
       cols: Seq[String]): Int = {
     var attempt = 0
@@ -2861,7 +3114,17 @@ object SnapshotTable {
       val m0 = readManifest(s, tableDir, prev.last)
       val sc0 = m0.schema.getOrElse(throw new IllegalArgumentException(
         s"setBloomColumns: legacy manifest without schema in $tableDir"))
-      cols.foreach { c =>
+      // a dotted name declares a STRUCT LEAF (`meta.request_id`) when
+      // its first segment names a struct column; otherwise it must
+      // match a top-level column literally (names may contain dots)
+      def isLeafPath(c: String): Boolean = c.contains('.') &&
+        !sc0.fieldNames.contains(c) && {
+          val segs = c.split('.').toSeq
+          sc0.fields.find(_.name == segs.head)
+            .exists(_.dataType.isInstanceOf[StructType])
+        }
+      val (leafDecls, topDecls) = cols.partition(isLeafPath)
+      topDecls.foreach { c =>
         val f = sc0.fields.find(_.name == c).getOrElse(
           throw new IllegalArgumentException(
             s"setBloomColumns: no column '$c' in " +
@@ -2870,15 +3133,29 @@ object SnapshotTable {
           s"setBloomColumns: '$c' (${f.dataType.catalogString}) is not " +
             "a hashable stat kind (long-family/string)")
       }
-      val want = cols.toSet
+      val leafByTop: Map[String, Seq[String]] = leafDecls.map { c =>
+        val segs = c.split('.').toSeq
+        require(segs.size <= MaxStatDepth,
+          s"setBloomColumns: '$c' exceeds the stats depth cap " +
+            s"($MaxStatDepth levels)")
+        val top = sc0.fields.find(_.name == segs.head).get
+        val lt = leafType(top.dataType, segs.tail).getOrElse(
+          throw new IllegalArgumentException(
+            s"setBloomColumns: '$c' does not resolve to a struct leaf"))
+        require(statKind(lt).exists(k => k == 'l' || k == 's'),
+          s"setBloomColumns: '$c' (${lt.catalogString}) is not a " +
+            "hashable stat kind (long-family/string)")
+        top.name -> segs.tail.mkString(".")
+      }.groupMap(_._1)(_._2).map { case (k, v) => k -> v.distinct }
+      val want = topDecls.toSet
       val next = StructType(sc0.fields.map { f =>
         val mb = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata)
-        if (want.contains(f.name))
-          f.copy(metadata = mb.putBoolean(BloomKey, true).build())
-        else if (f.metadata.contains(BloomKey))
-          f.copy(metadata = mb.remove(BloomKey).build())
-        else f
+          .withMetadata(f.metadata).remove(BloomKey).remove(BloomPathsKey)
+        if (want.contains(f.name)) mb.putBoolean(BloomKey, true)
+        leafByTop.get(f.name).foreach(ps =>
+          mb.putStringArray(BloomPathsKey, ps.toArray))
+        val nm = mb.build()
+        if (nm == f.metadata) f else f.copy(metadata = nm)
       })
       val res = publishNext(s, tableDir) { pm =>
         pm.flatMap { m =>
@@ -2986,9 +3263,11 @@ object SnapshotTable {
         else if (m.bucket.exists(_._2 == f.name))
           s"bucket(${m.bucket.get._1})"
         else ""
+      // bloomDeclared, not the raw marker: a marker that rode onto a
+      // non-hashable column must display as what collection will DO.
+      // A struct column shows true when any LEAF path is declared.
       (f.name, f.dataType.catalogString, physName(f),
-        f.metadata.contains(BloomKey) && f.metadata.getBoolean(BloomKey),
-        role)
+        bloomDeclared(f) || bloomLeafPaths(f).nonEmpty, role)
     }.toDF("column", "data_type", "physical_name", "bloom", "layout_role")
   }
 
@@ -3270,7 +3549,17 @@ object SnapshotTable {
     val out = kept.unionByName(upserts)
     enforceConstraints(out, m0.map(_.constraints).getOrElse(Map.empty))
     val uniq = java.util.UUID.randomUUID.toString.take(8)
-    val (dataDir, newFiles, _) = writeDataDir(s, tableDir, out, uniq)
+    // the full rewrite lands under LOGICAL names (marker indirections
+    // end, like overwrite) but the table's Bloom DECLARATIONS carry —
+    // taken from the MANIFEST schema by logical name, so the all-new
+    // files recollect their Blooms in the same stats pass, exactly as
+    // compact/mergeSelective/updateWhere do. Without this a bloom-
+    // declared table's point-probe skipping silently degraded to
+    // zone-map-only after every full merge until an explicit ANALYZE.
+    val pubSchema = carryBloomDecls(stripPhys(storedSchema(out.schema)),
+      m0.flatMap(_.schema))
+    val (dataDir, newFiles, _) = writeDataDir(s, tableDir, out, uniq,
+      bloomCols = bloomPhysCols(pubSchema))
     val res = publishNext(s, tableDir) { pm =>
       // a replayed txn aborts here; the caller's loop re-reads, sees
       // the txn, and returns the no-op
@@ -3279,7 +3568,7 @@ object SnapshotTable {
           pm.map(_.dels) != m0.map(_.dels) ||
           pm.map(_.constraints) != m0.map(_.constraints)) None // conflict
       // rows updated/deleted: the cumulative NDV sketch cannot subtract
-      else Some((newFiles, storedSchema(out.schema),
+      else Some((newFiles, pubSchema,
         txnMerge(pm.map(_.txns).getOrElse(Map.empty), txn),
         None, Seq.empty,
         pm.map(_.constraints).getOrElse(Map.empty),

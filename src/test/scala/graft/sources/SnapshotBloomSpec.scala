@@ -157,6 +157,57 @@ class SnapshotBloomSpec extends GraftSpec {
     assert(snap.filter(col("amt") === lit(BigDecimal("0.25"))).count() == 1)
   }
 
+  test("Blooms survive the FULL-rewrite merge path (outstanding dels)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-blm6-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, slice(0).repartition(1),
+      overwrite = false)
+    SnapshotTable.setBloomColumns(spark, t, Seq("k"))
+    (1 to 3).foreach(i =>
+      SnapshotTable.commit(spark, t, slice(i).repartition(1),
+        overwrite = false))
+    SnapshotTable.analyze(spark, t)
+    // a deletion vector forces the next merge onto the FULL-rewrite
+    // path — the one that used to drop Bloom collection silently
+    assert(SnapshotTable.deleteWhere(spark, t, col("k") === 16L).nonEmpty)
+    SnapshotTable.merge(spark, t,
+      spark.range(0, 1).select(lit(4L).as("k"), lit("patched").as("s")),
+      spark.range(0, 1).select(lit(-1L).as("k")).filter(lit(false)), "k")
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    // declaration carried through the rewrite...
+    assert(snap.schema("k").metadata.contains(SnapshotTable.BloomKey),
+      "full merge must carry the Bloom declaration")
+    // ...and the all-new files collected their Blooms in the same pass:
+    // an in-range absent key is refuted EVERYWHERE, no ANALYZE needed
+    assert(scannedFiles(snap.filter(col("k") === 777L), 0) == 0,
+      "post-merge files must carry Blooms without an explicit ANALYZE")
+    assert(snap.filter(col("k") === 4L).head().getString(1) == "patched")
+    assert(snap.filter(col("k") === 16L).count() == 0)
+  }
+
+  test("a declaration never rides a read into ANOTHER table's commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-blm7-").toString
+    val src = s"$dir/src"
+    val dst = s"$dir/dst"
+    SnapshotTable.commit(spark, src, slice(0), overwrite = false)
+    SnapshotTable.setBloomColumns(spark, src, Seq("k", "s"))
+    // the foreign-read hazard: committing a bloom-declared table's read
+    // into a fresh table must NOT import the declaration (collection
+    // the dst owner never asked for)
+    SnapshotTable.commit(spark, dst,
+      SnapshotTable.readAsOf(spark, src, Int.MaxValue), overwrite = false)
+    val sc = SnapshotTable.readAsOf(spark, dst, Int.MaxValue).schema
+    assert(!sc.fields.exists(_.metadata.contains(SnapshotTable.BloomKey)),
+      "BloomKey must be stripped from foreign reads entering a commit")
+    // describeColumns reports the COLLECTIBLE state, not raw markers
+    val desc = SnapshotTable.describeColumns(spark, dst)
+      .select("column", "bloom").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(desc == Map("k" -> false, "s" -> false))
+    assert(SnapshotTable.describeColumns(spark, src)
+      .filter(col("column") === "k").head().getBoolean(3))
+  }
+
   test("refusals and the unhashable-kind guard") {
     val dir = java.nio.file.Files.createTempDirectory("graft-blm4-").toString
     val t = s"$dir/tbl"

@@ -203,4 +203,45 @@ class SnapshotChangesSpec extends GraftSpec {
     assert(r.length == 1 && r(0).getString(0) == "insert" &&
       r(0).getLong(1) == 2L && r(0).getDouble(3) == 0.5)
   }
+
+  test("GRAFT CHANGES: the SQL doorway, rename-crossing, refusals") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg4-").toString
+    val t = s"$dir/tbl"
+    def graftSql(sql: String) =
+      org.apache.spark.sql.GraftSqlShim.ofRows(spark,
+        new GraftSqlParser(spark.sessionState.sqlParser, Some(spark))
+          .parsePlan(sql))
+    SnapshotTable.commit(spark, t,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), overwrite = false)
+    SnapshotTable.commit(spark, t,
+      Seq((3L, 30L)).toDF("id", "v"), overwrite = false)
+    // append chain: the feed IS the added file's rows
+    val ins = graftSql(s"GRAFT CHANGES '$t' FROM 1 TO 2").collect()
+    assert(ins.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      == Seq(("insert", 3L, 30L)))
+    // TO omitted = latest
+    assert(graftSql(s"GRAFT CHANGES '$t' FROM 1").count() == 1)
+    // empty range: zero rows, correct schema
+    val empty = graftSql(s"GRAFT CHANGES '$t' FROM 2 TO 2")
+    assert(empty.columns.toSeq == Seq("change_type", "id", "v"))
+    assert(empty.count() == 0)
+    // rename-crossing (the ee3782c shape): a metadata-only rename plus
+    // a delete in the window; the feed serves toV's LOGICAL names and
+    // reads pre-rename files through their physical storage names
+    SnapshotTable.renameColumn(spark, t, "v", "val2")
+    graftSql(s"GRAFT DELETE FROM '$t' WHERE id = 1").collect()
+    val feed = graftSql(s"GRAFT CHANGES '$t' FROM 1 TO 4")
+    assert(feed.columns.toSeq == Seq("change_type", "id", "val2"))
+    val byType = feed.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byType == Set(("insert", 3L, 30L), ("delete", 1L, 10L)))
+    // from genesis: every live row is an insert
+    assert(graftSql(s"GRAFT CHANGES '$t' FROM 0").count() == 2)
+    // malformed/invalid ranges fail at sql() parse like native SQL
+    intercept[IllegalArgumentException] {
+      graftSql(s"GRAFT CHANGES '$t' FROM 4 TO 2") }
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      graftSql(s"GRAFT CHANGES '$t' FROM x") }
+  }
 }

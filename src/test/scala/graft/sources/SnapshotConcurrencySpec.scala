@@ -186,4 +186,176 @@ class SnapshotConcurrencySpec extends GraftSpec {
     assert(SnapshotTable.rowCount(spark, t, Int.MaxValue)
       .contains(latest.count()))
   }
+
+  test("partition-disjoint UPDATEs race: both commit with NO rewrite retry") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-race7-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commitPartitioned(spark, t,
+      spark.range(0, 100).select((col("id") % 4).as("p"), col("id").as("v")),
+      "p", overwrite = false)
+    // interleave DETERMINISTICALLY: update A (p=1) pauses at its publish
+    // point; update B (p=3) runs to completion in that window; A then
+    // publishes — REBASED onto B's manifest, its rewrite reused.
+    // beforePublishHook fires once per publish ATTEMPT, so the total
+    // count is the retry meter: 2 = no re-plan anywhere.
+    val hookCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var interleaved = false
+    val saved = SnapshotTable.beforePublishHook
+    try {
+      SnapshotTable.beforePublishHook = () => {
+        hookCalls.incrementAndGet()
+        if (!interleaved) {
+          interleaved = true // B's own hook call must not recurse
+          assert(SnapshotTable.updateWhere(spark, t, col("p") === 3L,
+            Map("v" -> lit(-300L))).nonEmpty, "update B failed to commit")
+        }
+      }
+      assert(SnapshotTable.updateWhere(spark, t, col("p") === 1L,
+        Map("v" -> lit(-100L))).nonEmpty, "update A failed to commit")
+    } finally SnapshotTable.beforePublishHook = saved
+    assert(hookCalls.get == 2,
+      s"expected 2 publish attempts (no retry), saw ${hookCalls.get}")
+    // serializable result: both updates applied, everything else intact
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(snap.filter(col("p") === 1L && col("v") =!= -100L).count() == 0)
+    assert(snap.filter(col("p") === 3L && col("v") =!= -300L).count() == 0)
+    assert(snap.filter(col("p") === 0L).agg(sum(col("v"))).head().getLong(0)
+      == (0L until 100L by 4).sum)
+    assert(snap.count() == 100)
+    assert(SnapshotTable.versions(spark, t).size == 3)
+  }
+
+  test("same-file UPDATE conflict still re-plans to a serializable result") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-race8-").toString
+    val t = s"$dir/tbl"
+    // ONE file: any two updates collide — the rebase must refuse and
+    // the loser re-plan against the winner's state
+    SnapshotTable.commit(spark, t,
+      spark.range(0, 100).select(col("id").as("k"), col("id").as("v"))
+        .repartition(1), overwrite = false)
+    val hookCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var interleaved = false
+    val saved = SnapshotTable.beforePublishHook
+    try {
+      SnapshotTable.beforePublishHook = () => {
+        hookCalls.incrementAndGet()
+        if (!interleaved) {
+          interleaved = true
+          assert(SnapshotTable.updateWhere(spark, t, col("k") < 10L,
+            Map("v" -> (col("v") + 1000L))).nonEmpty)
+        }
+      }
+      assert(SnapshotTable.updateWhere(spark, t, col("k") >= 90L,
+        Map("v" -> (col("v") + 5000L))).nonEmpty)
+    } finally SnapshotTable.beforePublishHook = saved
+    // A's first attempt conflicted (same file), so it re-planned: three
+    // publish attempts total — and BOTH effects survive (the re-plan
+    // read B's committed rows)
+    assert(hookCalls.get == 3, s"attempts: ${hookCalls.get}")
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(snap.filter(col("k") < 10L && col("v") =!= col("k") + 1000L)
+      .count() == 0)
+    assert(snap.filter(col("k") >= 90L && col("v") =!= col("k") + 5000L)
+      .count() == 0)
+    assert(snap.filter(col("k") >= 10L && col("k") < 90L &&
+      col("v") =!= col("k")).count() == 0)
+  }
+
+  test("an append MATCHING the UPDATE predicate forces the strict re-plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-race10-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      spark.range(0, 100).select(col("id").as("k"), col("id").as("v"))
+        .repartition(2), overwrite = false)
+    val hookCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var interleaved = false
+    val saved = SnapshotTable.beforePublishHook
+    try {
+      SnapshotTable.beforePublishHook = () => {
+        hookCalls.incrementAndGet()
+        if (!interleaved) {
+          interleaved = true
+          SnapshotTable.commit(spark, t, Seq((5000L, 0L)).toDF("k", "v"),
+            overwrite = false)
+        }
+      }
+      assert(SnapshotTable.updateWhere(spark, t, col("k") >= 50L,
+        Map("v" -> lit(-1L))).nonEmpty)
+    } finally SnapshotTable.beforePublishHook = saved
+    // the appended row matches k >= 50: serialized append-then-update,
+    // so the update re-planned — two UPDATE publish attempts (commit's
+    // append path does not fire the hook)
+    assert(hookCalls.get == 2, s"attempts: ${hookCalls.get}")
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(snap.filter(col("k") === 5000L).head().getLong(1) == -1L,
+      "re-planned update must cover the concurrently appended row")
+    assert(snap.filter(col("k") >= 50L && col("v") =!= -1L).count() == 0)
+    assert(snap.filter(col("k") < 50L && col("v") =!= col("k")).count() == 0)
+  }
+
+  test("a NON-matching append composes with UPDATE retry-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-race11-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      spark.range(0, 100).select(col("id").as("k"), col("id").as("v"))
+        .repartition(2), overwrite = false)
+    val hookCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var interleaved = false
+    val saved = SnapshotTable.beforePublishHook
+    try {
+      SnapshotTable.beforePublishHook = () => {
+        hookCalls.incrementAndGet()
+        if (!interleaved) {
+          interleaved = true
+          SnapshotTable.commit(spark, t, Seq((-5L, 7L)).toDF("k", "v"),
+            overwrite = false)
+        }
+      }
+      assert(SnapshotTable.updateWhere(spark, t, col("k") >= 50L,
+        Map("v" -> lit(-1L))).nonEmpty)
+    } finally SnapshotTable.beforePublishHook = saved
+    // the appended row does NOT match: both serial orders agree, so the
+    // update rebases on its single publish attempt — no re-plan
+    assert(hookCalls.get == 1, s"attempts: ${hookCalls.get}")
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(snap.count() == 101)
+    assert(snap.filter(col("k") === -5L).head().getLong(1) == 7L)
+    assert(snap.filter(col("k") >= 50L && col("v") =!= -1L).count() == 0)
+  }
+
+  test("concurrent vector DELETEs compose: both land without re-plan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-race9-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commitPartitioned(spark, t,
+      spark.range(0, 100).select((col("id") % 4).as("p"), col("id").as("v")),
+      "p", overwrite = false)
+    val hookCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var interleaved = false
+    val saved = SnapshotTable.beforePublishHook
+    try {
+      SnapshotTable.beforePublishHook = () => {
+        hookCalls.incrementAndGet()
+        if (!interleaved) {
+          interleaved = true
+          assert(SnapshotTable.deleteWhere(spark, t,
+            col("p") === 3L && col("v") < 20L).nonEmpty)
+        }
+      }
+      assert(SnapshotTable.deleteWhere(spark, t,
+        col("p") === 1L && col("v") < 20L).nonEmpty)
+    } finally SnapshotTable.beforePublishHook = saved
+    assert(hookCalls.get == 2,
+      s"expected 2 publish attempts (vector union, no retry), saw ${hookCalls.get}")
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(snap.count() == 100 - 5 - 5) // v in {1,5,9,13,17} x two partitions
+    assert(snap.filter(col("p").isin(1L, 3L) && col("v") < 20L).count() == 0)
+    assert(snap.filter(col("p") === 0L).count() == 25)
+  }
 }

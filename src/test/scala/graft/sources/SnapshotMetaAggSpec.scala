@@ -115,7 +115,7 @@ class SnapshotMetaAggSpec extends GraftSpec {
     val t = s"$dir/tbl"
     SnapshotTable.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
       overwrite = false)
-    // evolution adds v: the v1 files lack its stat but carry the `*:2`
+    // evolution adds v: the v1 files lack its stat but carry the current `*:N`
     // coverage marker — so their rows are PROVABLY all-null for v and
     // the accounting stays exact
     SnapshotTable.commit(spark, t,
@@ -140,7 +140,8 @@ class SnapshotMetaAggSpec extends GraftSpec {
       finally in.close()
     }
     val out = fs.create(latest, true)
-    out.write(text.replace(";*:2", "").getBytes("UTF-8")); out.close()
+    out.write(text.replace(s";*:${SnapshotTable.StatsFormatVersion}", "")
+      .getBytes("UTF-8")); out.close()
     val ma = SnapshotTable.metaAgg(spark, t)
     val v = row(ma, "v")
     assert(v.isNullAt(v.fieldIndex("n_nonnull")) &&

@@ -1,0 +1,200 @@
+package graft.sources
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+/** Struct-leaf zone maps + Blooms: `WHERE meta.k = v` must skip files
+  * from the manifest alone, exactly as top-level predicates do — the
+  * dominant predicate shape on crawl/event schemas, whose interesting
+  * columns live one struct level down. */
+class SnapshotNestedStatsSpec extends GraftSpec {
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame,
+      rows: Long): Long = {
+    assert(df.collect().length == rows)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  // one commit per disjoint range of meta.k (clustered layout: the
+  // zone-map shape); meta.tag carries a string leaf, meta.inner.d a
+  // depth-3 double leaf
+  private def slice(i: Int) =
+    spark.range(i * 100, (i + 1) * 100).select(
+      col("id").as("doc"),
+      struct(
+        col("id").as("k"),
+        concat(lit("t"), col("id")).as("tag"),
+        struct((col("id") * lit(1.5)).as("d")).as("inner")).as("meta"))
+
+  test("struct-leaf zone maps prune files from the manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nst1-").toString
+    val t = s"$dir/tbl"
+    (0 to 3).foreach(i =>
+      SnapshotTable.commit(spark, t, slice(i).repartition(1),
+        overwrite = false))
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(snap.inputFiles.length == 4)
+    // point probe on the long leaf: exactly the home file
+    assert(scannedFiles(snap.filter(col("meta.k") === 250L), 1) == 1)
+    // range probe: two of four files
+    assert(scannedFiles(
+      snap.filter(col("meta.k") >= 150L && col("meta.k") < 300L), 150) == 2)
+    // string leaf point probe rides the same keys (byte-order bounds)
+    assert(scannedFiles(snap.filter(col("meta.tag") === "t42"), 1) <= 2)
+    // depth-3 double leaf
+    assert(scannedFiles(snap.filter(col("meta.inner.d") === 300.0), 1) == 1)
+    assert(scannedFiles(snap.filter(col("meta.inner.d") > 525.0), 49) == 1)
+    // IsNotNull on a leaf with no nulls keeps everything (sound, cheap)
+    assert(snap.filter(col("meta.k").isNotNull).count() == 400)
+    // out-of-range probe: zero files
+    assert(scannedFiles(snap.filter(col("meta.k") === 999L), 0) == 0)
+  }
+
+  test("leaf IS NULL / IS NOT NULL refute from the stored null counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nst2-").toString
+    val t = s"$dir/tbl"
+    // file A: every meta.k null (parent struct non-null, leaf null);
+    // file B: no nulls at all
+    SnapshotTable.commit(spark, t,
+      spark.range(0, 50).select(col("id").as("doc"),
+        struct(lit(null).cast("long").as("k")).as("meta")).repartition(1),
+      overwrite = false)
+    SnapshotTable.commit(spark, t,
+      spark.range(50, 100).select(col("id").as("doc"),
+        struct(col("id").as("k")).as("meta")).repartition(1),
+      overwrite = false)
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    // IS NULL: file B (zero leaf nulls) refuted
+    assert(scannedFiles(snap.filter(col("meta.k").isNull), 50) == 1)
+    // IS NOT NULL: file A (all-null leaf) refuted
+    assert(scannedFiles(snap.filter(col("meta.k").isNotNull), 50) == 1)
+    // a comparison is vacuously refuted on the all-null file
+    assert(scannedFiles(snap.filter(col("meta.k") === 60L), 1) == 1)
+  }
+
+  test("nested Blooms: GRAFT BLOOM (meta.k) refutes unclustered probes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nst3-").toString
+    val t = s"$dir/tbl"
+    // interleaved EVEN keys: every file's leaf range straddles every
+    // probe — only the Bloom can refute (the SnapshotBloomSpec shape,
+    // one struct level down)
+    def islice(i: Int) = spark.range(0, 250).select(
+      col("id").as("doc"),
+      struct((col("id") * 8 + i * 2).as("k"),
+        concat(lit("s"), col("id") * 8 + i * 2).as("tag")).as("meta"))
+    SnapshotTable.commit(spark, t, islice(0).repartition(1),
+      overwrite = false)
+    def graftSql(sql: String) =
+      org.apache.spark.sql.GraftSqlShim.ofRows(spark,
+        new GraftSqlParser(spark.sessionState.sqlParser, Some(spark))
+          .parsePlan(sql))
+    // declaration through the SQL doorway, dotted grammar
+    graftSql(s"GRAFT BLOOM '$t' (meta.k, meta.tag)").collect()
+    (1 to 3).foreach(i =>
+      SnapshotTable.commit(spark, t, islice(i).repartition(1),
+        overwrite = false))
+    SnapshotTable.analyze(spark, t) // backfill the pre-declaration file
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(snap.inputFiles.length == 4)
+    val probe = 2L * 8 + 2 * 2 // id 2 of slice 2
+    assert(scannedFiles(snap.filter(col("meta.k") === probe), 1) == 1,
+      "leaf Bloom must isolate the home file")
+    assert(scannedFiles(snap.filter(col("meta.k") === 777L), 0) == 0,
+      "an in-range absent leaf key is refuted everywhere")
+    assert(scannedFiles(snap.filter(col("meta.tag") === s"s$probe"), 1) == 1)
+    // DESCRIBE reflects the leaf declaration on the struct column
+    assert(SnapshotTable.describeColumns(spark, t)
+      .filter(col("column") === "meta").head().getBoolean(3))
+    // soundness: every present key still found
+    assert(snap.filter(col("meta.k") === 0L).count() == 1)
+    // clearing resets the paths marker too
+    SnapshotTable.setBloomColumns(spark, t, Seq.empty)
+    val sc = SnapshotTable.readAsOf(spark, t, Int.MaxValue).schema
+    assert(!sc("meta").metadata.contains(SnapshotTable.BloomPathsKey))
+  }
+
+  test("dotted-name collision: writer drops the stat, pruner stays sound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nst4-").toString
+    val t = s"$dir/tbl"
+    // a top-level column literally named `meta.k` COEXISTS with struct
+    // meta{k}: the dotted stat key is ambiguous, so the nested leaf
+    // collects no stat and nested predicates must keep every file —
+    // while the top-level `meta.k` column still prunes normally
+    def cslice(i: Int) = spark.range(i * 10, (i + 1) * 10).select(
+      col("id").as("meta.k"),
+      struct((lit(100L) - col("id")).as("k")).as("meta"))
+    (0 to 1).foreach(i =>
+      SnapshotTable.commit(spark, t, cslice(i).repartition(1),
+        overwrite = false))
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(snap.inputFiles.length == 2)
+    // nested probe: meta.k = 95 lives in file 0 (ids 0-9 → k 100..91);
+    // the TOP-LEVEL column's stat says [0,9]/[10,19] — consulting it
+    // would wrongly refute BOTH files. The guard keeps both.
+    assert(scannedFiles(snap.filter(col("meta.k") === 95L), 1) == 2,
+      "ambiguous dotted key must not prune nested predicates")
+    // the top-level dotted column itself prunes by its own stat
+    assert(scannedFiles(snap.filter(col("`meta.k`") === 15L), 1) == 1)
+  }
+
+  test("nested stats survive compaction, merge, and ANALYZE recollection") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nst5-").toString
+    val t = s"$dir/tbl"
+    (0 to 3).foreach(i =>
+      SnapshotTable.commit(spark, t, slice(i).repartition(1),
+        overwrite = false))
+    // selective merge rewrites one file; its nested stats recollect
+    SnapshotTable.merge(spark, t,
+      spark.range(0, 1).select(lit(250L).as("doc"),
+        struct(lit(250L).as("k"), lit("patched").as("tag"),
+          struct(lit(375.0).as("d")).as("inner")).as("meta")),
+      spark.range(0, 1).select(lit(-1L).as("doc")).filter(lit(false)),
+      "doc")
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    // the rewrite split slice 2 into survivor (200-299 minus 250) +
+    // upsert file (250,250): both straddle the probe — but the OTHER
+    // three slices are refuted by the recollected nested stats
+    assert(scannedFiles(snap.filter(col("meta.k") === 250L), 1) <= 2)
+    assert(scannedFiles(snap.filter(col("meta.k") === 50L), 1) == 1)
+    assert(snap.filter(col("meta.k") === 250L).head()
+      .getStruct(1).getString(1) == "patched")
+    // compaction packs to one file with fresh nested stats
+    assert(SnapshotTable.compact(spark, t, 64L * 1024 * 1024,
+      128L * 1024 * 1024).nonEmpty)
+    val packed = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(packed.inputFiles.length == 1)
+    assert(scannedFiles(packed.filter(col("meta.k") === 999L), 0) == 0)
+    assert(SnapshotTable.analyze(spark, t).nonEmpty)
+    assert(scannedFiles(SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+      .filter(col("meta.k") === 250L), 1) == 1)
+  }
+
+  test("refusals: non-leaf, unhashable, and too-deep Bloom declarations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nst6-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t,
+      spark.range(0, 5).select(col("id").as("doc"),
+        struct(col("id").as("k"),
+          array(col("id")).as("arr"),
+          (col("id") * 0.5).as("w")).as("meta")),
+      overwrite = false)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.setBloomColumns(spark, t, Seq("meta.nope")) }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.setBloomColumns(spark, t, Seq("meta.arr")) }
+    // double leaves are kind 'd' — not hashable, same as top level
+    val bad = intercept[IllegalArgumentException] {
+      SnapshotTable.setBloomColumns(spark, t, Seq("meta.w")) }
+    assert(bad.getMessage.contains("hashable"))
+    // a valid leaf declares fine alongside a top-level column
+    assert(SnapshotTable.setBloomColumns(spark, t,
+      Seq("doc", "meta.k")) > 0)
+  }
+}
