@@ -724,6 +724,52 @@ object PlanCheck {
       mustNot = Seq("CartesianProduct")),
   )
 
+  /** One check's outcome: the query name, pass/fail, and on failure a
+    * summary plus the first plan lines (empty when ok). */
+  final case class Result(query: String, ok: Boolean, detail: String)
+
+  /** Run every plan assertion against `sfDir` on an EXISTING session
+    * (conf toggles are saved/restored per check) — the callable core
+    * behind both the inspection main and the `PlanCheckSpec` test
+    * gate, so a plan regression fails `sbt test` instead of surfacing
+    * rounds later as a bench mystery. */
+  def runAll(spark: SparkSession, sfDir: String,
+      only: Option[Set[String]] = None): Seq[Result] =
+    checks.filter(c => only.forall(_.contains(c.query))).map { c =>
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      if (c.noAutoBroadcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      if (c.noAdaptive) spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = try {
+        val df = c.build match {
+          case Some(b) => b(spark, sfDir)
+          case None    => SparkEntry.queries(c.query)(spark, sfDir)
+        }
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      }
+      val missing = c.mustContain.filterNot(plan.contains)
+      val present = c.mustNot.filter(plan.contains)
+      // count formatted-mode detail headers "(N) <node>" — one per
+      // physical node, so substring noise in expressions never counts
+      val headerRe = """^\((\d+)\) (.+?)\s*$""".r
+      val headers = plan.linesIterator.collect {
+        case headerRe(_, node) => node
+      }.toSeq
+      val over = c.maxNodes.flatMap { case (node, cap) =>
+        val n = headers.count(_.startsWith(node))
+        if (n > cap) Some(s"$node x$n > $cap") else None
+      }
+      if (missing.isEmpty && present.isEmpty && over.isEmpty)
+        Result(c.query, ok = true, "")
+      else Result(c.query, ok = false,
+        s"missing=$missing forbidden=$present over=$over\n" +
+          plan.linesIterator.take(40).mkString("\n"))
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -738,42 +784,21 @@ object PlanCheck {
     spark.sparkContext.setLogLevel("ERROR")
     // optional second arg: comma-separated query names to check alone
     val only = args.lift(1).map(_.split(",").toSet)
-    var failed = 0
-    checks.filter(c => only.forall(_.contains(c.query))).foreach { c =>
-      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      if (c.noAutoBroadcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      if (c.noAdaptive) spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val df = c.build match {
-        case Some(b) => b(spark, sfDir)
-        case None    => SparkEntry.queries(c.query)(spark, sfDir)
-      }
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
-      val missing = c.mustContain.filterNot(plan.contains)
-      val present = c.mustNot.filter(plan.contains)
-      // count formatted-mode detail headers "(N) <node>" — one per
-      // physical node, so substring noise in expressions never counts
-      val headerRe = """^\((\d+)\) (.+?)\s*$""".r
-      val headers = plan.linesIterator.collect {
-        case headerRe(_, node) => node
-      }.toSeq
-      val over = c.maxNodes.flatMap { case (node, cap) =>
-        val n = headers.count(_.startsWith(node))
-        if (n > cap) Some(s"$node x$n > $cap") else None
-      }
-      if (missing.isEmpty && present.isEmpty && over.isEmpty) {
-        println(s"OK   ${c.query}")
-      } else {
-        failed += 1
-        println(s"FAIL ${c.query} missing=$missing forbidden=$present over=$over")
-        println(plan.linesIterator.take(40).mkString("\n"))
-      }
+    val results = runAll(spark, sfDir, only)
+    results.foreach { r =>
+      if (r.ok) println(s"OK   ${r.query}")
+      else println(s"FAIL ${r.query} ${r.detail}")
     }
-    val ran = checks.count(c => only.forall(_.contains(c.query)))
-    println(s"\nplan checks: ${ran - failed}/$ran ok")
+    val failed = results.count(!_.ok)
+    println(s"\nplan checks: ${results.size - failed}/${results.size} ok")
+    // optional machine-readable artifact (the per-round committed gate)
+    sys.env.get("SPARK_GRAFT_PLANCHECK_OUT").foreach { out =>
+      val json = results.map(r =>
+        s"""{"query":"${r.query}","ok":${r.ok}}""").mkString(",")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (s"""{"n":${results.size},"failed":$failed,""" +
+          s""""checks":[$json]}""").getBytes("UTF-8"))
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
