@@ -283,6 +283,46 @@ object StreamingOps {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** RIGHT-outer stream-stream interval join — the last outer variant
+    * Spark supports, completing inner/left/full: matched pairs emit
+    * in-flight; every CLICK emits exactly once, a click no purchase
+    * followed within the hour emitting with a NULL purchase side only
+    * after the PURCHASE watermark proves no future purchase's
+    * preceding-hour window can still reach it (Append-mode outer
+    * semantics, mirrored from the left/full analysis). State stays
+    * bounded by interval + watermark delay per side at any volume.
+    *
+    * Sentinel admission, both directions (the full-outer analysis
+    * verbatim): the PURCHASE side must admit its staged sentinel
+    * (reserved id −1) or the trailing unmatched clicks would be
+    * withheld forever; the CLICK side admits its own so its buffered
+    * state evicts too. The sentinels pair with each other (same
+    * reserved user and instant) and the caller scrubs that pair
+    * null-safely on both reserved ids — real unmatched clicks carry a
+    * NULL p_id and pass untouched. */
+  def streamStreamRightOuter(purchases: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    val p = eventTimed(purchases)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("event_type").as("p_type"))
+      .filter(col("p_type") === "purchase" || col("p_id") === -1L)
+      .withWatermark("p_ts", "1 hour")
+      .drop("p_type")
+    val c = eventTimed(clicks)
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"), col("event_type").as("c_type"))
+      .filter(col("c_type") === "click" || col("c_id") === -1L)
+      .withWatermark("c_ts", "1 hour")
+      .drop("c_type")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "right_outer")
+      .select(col("p_id"), col("c_id"), col("c_user"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** Idempotent (exactly-once) parquet sink via `foreachBatch` + dynamic
     * partition overwrite: every micro-batch writes into its own
     * `batch_id=N` partition with overwrite semantics, so a batch REPLAYED

@@ -422,6 +422,17 @@ object StreamingQueries extends QueryPack {
       .filter(!(col("p_id") <=> lit(-1L)) && !(col("c_id") <=> lit(-1L)))
       .orderBy(col("p_id"), col("c_id"))
 
+  /** RIGHT-outer interval join as a declared query: every click exactly
+    * once — its following purchase's columns, or NULLs once the
+    * purchase watermark proves none can come. Staged sentinel stream
+    * for the same reason as left/full (unmatched emission is
+    * watermark-gated); the scrub drops exactly the sentinel pair,
+    * null-safely, so real unmatched clicks (NULL p_id) survive. */
+  def streamRightOuterInterval(s: SparkSession, d: String): DataFrame =
+    runBackfill(s, d) { df => StreamingOps.streamStreamRightOuter(df, df) }
+      .filter(!(col("p_id") <=> lit(-1L)) && !(col("c_id") <=> lit(-1L)))
+      .orderBy(col("p_id"), col("c_id"))
+
   /** Streaming heavy-hitters serving path: the stream maintains
     * watermarked per-hour per-user counts ([[StreamingOps
     * .hourlyUserCounts]] — Append mode, sentinel-flushed like every
@@ -827,6 +838,7 @@ object StreamingQueries extends QueryPack {
     "stream_join" -> streamStreamInterval,
     "stream_left_outer_join" -> streamLeftOuterInterval,
     "stream_full_outer_join" -> streamFullOuterInterval,
+    "stream_right_outer_join" -> streamRightOuterInterval,
   )
 
   // Every oracle mirrors the engine's event-time ingress contract
@@ -1068,6 +1080,20 @@ object StreamingQueries extends QueryPack {
         |SELECT p_id, p_user, c_id, c_user,
         | epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
         |FROM p FULL JOIN c ON p_user = c_user
+        | AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
+        |ORDER BY p_id, c_id""".stripMargin,
+    // the remaining outer half: every click once, NULL purchase side
+    // where none followed within the hour
+    "stream_right_outer_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS p_user,
+        |    CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user,
+        |    CAST(ts AS TIMESTAMP) AS c_ts
+        |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL)
+        |SELECT p_id, c_id, c_user,
+        | epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
+        |FROM p RIGHT JOIN c ON p_user = c_user
         | AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
         |ORDER BY p_id, c_id""".stripMargin,
     "stream_fmgws_session" ->
