@@ -587,6 +587,75 @@ object TextOps extends QueryPack {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(50)
 
+  /** Memoized BPE table per corpus: merges trained IN MEMORY on a
+    * bounded deterministic sample (first 256 docs by id, 1024 chars
+    * each — the industry norm: tokenizers train on a sample, never the
+    * 100 TB corpus), base vocab = the corpus's FULL distinct character
+    * alphabet (one tiny distinct shuffle), so decode∘encode is the
+    * identity on EVERY document — the property `text_bpe_roundtrip`
+    * audits against the oracle. Invalidated by
+    * [[graft.CacheRegistry.clear]] at pass boundaries. */
+  private val bpeCache =
+    new graft.CacheRegistry.VersionedMemo[(Seq[String], Seq[String])]()
+  private def bpeTable(s: SparkSession, d: String): (Seq[String], Seq[String]) =
+    bpeCache.getOrBuild(s, s"$d/documents.parquet") {
+      val sample = Tables.documents(s, d).filter(col("text").isNotNull)
+        .orderBy(col("doc_id")).limit(256)
+        .select(substring(col("text"), 1, 1024).as("t"))
+        .collect().map(_.getString(0)).toSeq
+      val merges = graft.functions.BpeCodec.train(sample, 64)
+      val chars = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .distinct().orderBy(col("ch")).collect().map(_.getString(0)).toSeq
+      val mergeToks = merges.map { m =>
+        val sp = m.indexOf(' '); m.substring(0, sp) + m.substring(sp + 1) }
+      (merges, (chars ++ mergeToks).distinct)
+    }
+
+  /** REAL BPE token ids per document — the encoder a pretraining
+    * pipeline runs, applying the learned merge-rank table through the
+    * codegen [[graft.functions.BpeEncode]] expression (the table rides
+    * the expression to executors; one scan, zero joins, zero UDFs).
+    * Rows-only declared (no SQL engine can replay an iterative merge);
+    * its correctness rides the oracle-green `text_bpe_roundtrip` twin
+    * plus `BpeSpec`'s golden/property pins — the ann_ivf/recall
+    * pairing convention. */
+  def textTokenIds(s: SparkSession, d: String): DataFrame = {
+    val (merges, vocab) = bpeTable(s, d)
+    graft.functions.BpeExpressions.register(s)
+    val m = typedLit(merges)
+    val v = typedLit(vocab)
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.BpeExpressions.bpe_encode(col("text"), m, v)
+          .as("ids"))
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
+        concat_ws(",",
+          expr("transform(slice(ids, 1, 8), x -> CAST(x AS STRING))"))
+          .as("head_ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The encoder's correctness audit, oracle-green: decode(encode(x))
+    * must equal x for EVERY document (vocab covers the full corpus
+    * alphabet by construction), so `n_exact` = `n_docs` — which the
+    * oracle states as two equal counts. A single dropped/duplicated/
+    * reordered token anywhere in the corpus flips the hash. */
+  def textBpeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val (merges, vocab) = bpeTable(s, d)
+    graft.functions.BpeExpressions.register(s)
+    val m = typedLit(merges)
+    val v = typedLit(vocab)
+    val enc = graft.functions.BpeExpressions.bpe_encode(col("text"), m, v)
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select((graft.functions.BpeExpressions.bpe_decode(enc, v)
+        === col("text")).as("exact"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("exact"), 1L).otherwise(0L)).as("n_exact"))
+      .filter(col("n_docs") > 0) // zero-row corpus: zero audit rows
+  }
+
   /** Laplace-smoothed bigram language model — the top-50 adjacent token
     * pairs with their add-one conditional probability
     * `p(w2|w1) = (c(w1w2)+1) / (c(w1·)+V)`, the estimator a classic
@@ -659,6 +728,8 @@ object TextOps extends QueryPack {
     "text_bigram_lm" -> textBigramLm,
     "text_chunk_windows" -> textChunkWindows,
     "text_bpe_pairs" -> textBpePairs,
+    "text_token_ids" -> textTokenIds,
+    "text_bpe_roundtrip" -> textBpeRoundtrip,
     "text_source_divergence" -> textSourceDivergence,
     "text_cms_heavyhitters" -> textCmsHeavyHitters,
     "text_cms_production" -> textCmsProduction,
@@ -732,6 +803,14 @@ object TextOps extends QueryPack {
          |  CAST(len(chunk) AS BIGINT) AS n_tokens,
          |  md5(array_to_string(chunk, ' ')) AS fingerprint
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // encode∘decode identity in closed form: exact iff every doc
+    // round-trips (the vocab covers the corpus alphabet by
+    // construction, so both counts are the non-null doc count)
+    "text_bpe_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_exact
+        |FROM documents WHERE text IS NOT NULL
+        |HAVING count(*) > 0""".stripMargin,
     "text_bpe_pairs" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
         |pr AS (SELECT t[i : i + 1] AS pair FROM tok,
