@@ -204,8 +204,14 @@ object DedupOps extends QueryPack {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash near-dup candidates: 4×16-bit bands → equi-join blocking,
-    * verify with hamming = bit_count(a XOR b) <= 8 (whole-stage codegen). */
+  /** SimHash near-dup candidates over the xxhash64 engine family:
+    * 4×16-bit bands → equi-join blocking, verify with hamming =
+    * bit_count(a XOR b) <= 8 (whole-stage codegen). The production
+    * pipeline `dedup_sketch_recall` audits against exact ground truth;
+    * the DECLARED `dedup_simhash_pairs` query serves the portable-hash
+    * family instead ([[simhashPairsPortable]]) so its answer is
+    * oracle-checked end to end — same banding/verify code path, only
+    * the per-token hash differs. */
   def simhashPairs(s: SparkSession, d: String): DataFrame =
     simhashPairsFrom(docsSharded(s, d))
 
@@ -298,7 +304,8 @@ object DedupOps extends QueryPack {
   private val simA = (0 until SB).map(b => (2654435761L * (b + 1)) % P)
   private val simC = (0 until SB).map(b => (40503L * (b + 7) * (b + 13)) % P)
 
-  def simhashPortable(s: SparkSession, d: String): DataFrame = {
+  private def simhashPortableAt(maxHamming: Int)(
+      s: SparkSession, d: String): DataFrame = {
     graft.functions.SketchExpressions.register(s)
     // fused per-doc sketch ([[graft.functions.PortableSimHash]]) — same
     // affine-vote integers as the 60-aggregate form (and the DuckDB
@@ -307,8 +314,20 @@ object DedupOps extends QueryPack {
       .select(col("doc_id"),
         graft.functions.SketchExpressions.portable_simhash(col("text"), SB, P)
           .as("sk"))
-    bandedHammingPairs(sk, nBands = 4, bandBits = 15, maxHamming = 4)
+    bandedHammingPairs(sk, nBands = 4, bandBits = 15, maxHamming = maxHamming)
   }
+
+  def simhashPortable(s: SparkSession, d: String): DataFrame =
+    simhashPortableAt(4)(s, d)
+
+  /** The DECLARED `dedup_simhash_pairs`: the portable family at the
+    * production looseness (hamming ≤ 8 of 60 bits — the pairs query's
+    * contract) — SAME pipeline as [[simhashPortable]], threshold only,
+    * so the answer is DuckDB-checked while the xxhash64 engine family
+    * stays exercised (and recall-audited against exact ground truth)
+    * through `dedup_sketch_recall`. */
+  def simhashPairsPortable(s: SparkSession, d: String): DataFrame =
+    simhashPortableAt(8)(s, d)
 
   /** Document-frequency cap for the exact-Jaccard inverted index: a
     * stop-shingle ("of the and"-class 3-grams) occurring in k documents
@@ -1206,7 +1225,7 @@ object DedupOps extends QueryPack {
     "dedup_minhash_pairs" -> minhashPairs,
     "dedup_minhash_portable" -> minhashPortable,
     "dedup_simhash_portable" -> simhashPortable,
-    "dedup_simhash_pairs" -> simhashPairs,
+    "dedup_simhash_pairs" -> simhashPairsPortable,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_jaccard_prefix" -> prefixJaccard,
     "dedup_containment" -> containment,
@@ -1220,10 +1239,11 @@ object DedupOps extends QueryPack {
     "dedup_substring_spans" -> substringSpans,
   )
 
-  /** DuckDB twin of [[simhashPortable]] — the 60 vote sums and the bit
-    * fold are mechanical, so the SQL is generated from the same A/C
-    * constants, not hand-written. */
-  private val simhashPortableOracleSql: String = {
+  /** DuckDB twin of [[simhashPortableAt]] — the 60 vote sums and the
+    * bit fold are mechanical, so the SQL is generated from the same
+    * A/C constants (and the caller's hamming threshold), not
+    * hand-written. */
+  private def simhashPortableOracle(maxHamming: Int): String = {
     val votes = (0 until SB).map(b =>
       s"sum(CASE WHEN ((h0 * ${simA(b)} + ${simC(b)}) % $P) >= ${P / 2} THEN 1 ELSE -1 END) AS v$b")
       .mkString(", ")
@@ -1246,7 +1266,7 @@ object DedupOps extends QueryPack {
        |ham AS (SELECT DISTINCT doc_a, doc_b,
        |    CAST(bit_count(xor(sk_a, sk_b)) AS BIGINT) AS hamming FROM cand)
        |SELECT doc_a, doc_b, hamming FROM ham
-       |WHERE hamming <= 4 ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Shared corpus/batch CTEs for the ingest oracles — the same split
@@ -1506,7 +1526,8 @@ object DedupOps extends QueryPack {
          |      ELSE 0 END AS longest_dup_tokens
          |FROM agg LEFT JOIN mr ON agg.doc_id = mr.doc_id
          |ORDER BY agg.doc_id""".stripMargin,
-    "dedup_simhash_portable" -> simhashPortableOracleSql,
+    "dedup_simhash_portable" -> simhashPortableOracle(4),
+    "dedup_simhash_pairs" -> simhashPortableOracle(8),
     "dedup_source_overlap" -> sourceOverlapOracleSql,
     "dedup_exact_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
