@@ -722,6 +722,21 @@ object PlanCheck {
     Check("q49_runtime_bloom",
       mustContain = Seq("might_contain", "SortMergeJoin"),
       mustNot = Seq("CartesianProduct")),
+    // BPE encode is ONE projection over the scan — the codegen
+    // expression by name, never a UDF, never a join; the merge table
+    // rides the expression, so no broadcast/exchange beyond the
+    // ordering requested by the query itself
+    Check("text_token_ids",
+      mustContain = Seq("graft_bpe_encode"),
+      mustNot = Seq("Join", "UDF", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 1)),
+    // the roundtrip audit: encode∘decode inside one aggregate pass
+    Check("text_bpe_roundtrip",
+      mustContain = Seq("graft_bpe_decode", "HashAggregate"),
+      mustNot = Seq("Join", "UDF", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 1)),
   )
 
   /** One check's outcome: the query name, pass/fail, and on failure a
