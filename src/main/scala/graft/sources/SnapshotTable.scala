@@ -1125,11 +1125,20 @@ object SnapshotTable {
     * same discipline.) */
   private val MaxNestedStatCols = 64
 
+  /** One stat-eligible column path: the LOGICAL display name (dotted
+    * for struct leaves), the PHYSICAL stat key (what manifests store —
+    * renames are top-level only, so only the first segment differs),
+    * the stat kind, the stored-representation SQL over the physical
+    * path, and the stats-format version the path became eligible at
+    * (top-level atomic = 2, struct leaf = 3 — what coverage-marker
+    * consumers compare `statsVer` against). */
+  private final case class StatPath(logical: String, key: String,
+      kind: Char, sql: String, since: Int)
+
   /** Every stat-eligible column PATH of a schema: top-level atomic
     * columns of an eligible kind (keyed by PHYSICAL name — renames are
     * top-level only), plus struct LEAF fields of eligible kinds to
-    * [[MaxStatDepth]], keyed `top.leaf[...]` in dotted form. Each
-    * element is (stat key, kind, stored-representation SQL). Arrays
+    * [[MaxStatDepth]], keyed `top.leaf[...]` in dotted form. Arrays
     * and maps are not traversed (no per-element zone map is sound
     * under SQL array semantics).
     *
@@ -1140,16 +1149,17 @@ object SnapshotTable {
     * read side applies the same rule ([[StatsPruning]]'s `ambiguous`
     * set), so writer and pruner always agree on what a dotted key
     * means. */
-  private def statCols(schema: StructType): Seq[(String, Char, String)] = {
+  private def statCols(schema: StructType): Seq[StatPath] = {
     def q(seg: String): String = "`" + seg + "`"
-    def leaves(key: String, ref: String, dt: DataType,
-        depth: Int): Seq[(String, Char, String)] = dt match {
+    def leaves(disp: String, key: String, ref: String, dt: DataType,
+        depth: Int): Seq[StatPath] = dt match {
       case st: StructType if depth < MaxStatDepth =>
         st.fields.toSeq.flatMap(f =>
-          leaves(s"$key.${f.name}", s"$ref.${q(f.name)}", f.dataType,
-            depth + 1))
+          leaves(s"$disp.${f.name}", s"$key.${f.name}", s"$ref.${q(f.name)}",
+            f.dataType, depth + 1))
       case other =>
-        statKind(other).map(k => (key, k, statSql(ref, other))).toSeq
+        statKind(other).map(k =>
+          StatPath(disp, key, k, statSql(ref, other), since = 3)).toSeq
     }
     val topNames = schema.fields.map(physName).toSet
     var nestedBudget = MaxNestedStatCols
@@ -1158,12 +1168,14 @@ object SnapshotTable {
       f.dataType match {
         case st: StructType =>
           val ls = st.fields.toSeq.flatMap(g =>
-            leaves(s"$p.${g.name}", s"${q(p)}.${q(g.name)}", g.dataType, 2))
-            .filterNot { case (key, _, _) => topNames.contains(key) }
+            leaves(s"${f.name}.${g.name}", s"$p.${g.name}",
+              s"${q(p)}.${q(g.name)}", g.dataType, 2))
+            .filterNot(sp => topNames.contains(sp.key))
             .take(nestedBudget)
           nestedBudget -= ls.size
           ls
-        case dt => statKind(dt).map(k => (p, k, statSql(q(p), dt))).toSeq
+        case dt => statKind(dt).map(k =>
+          StatPath(f.name, p, k, statSql(q(p), dt), since = 2)).toSeq
       }
     }
   }
@@ -1211,7 +1223,8 @@ object SnapshotTable {
     def wantBloom(n: String, k: Char): Boolean =
       bloomCols.contains(n) && (k == 'l' || k == 's')
     val perCol: Seq[Seq[org.apache.spark.sql.Column]] =
-      cols.map { case (n, k, sql) =>
+      cols.map { sp =>
+      val (n, k, sql) = (sp.key, sp.kind, sp.sql)
       // canonical value rendering for the NDV hash; float-family values
       // are normalized with +0.0 first so -0.0 and 0.0 — SQL-equal, and
       // counted once by count(DISTINCT) — hash identically (NaN + 0.0
@@ -1262,7 +1275,8 @@ object SnapshotTable {
       .agg(count(lit(1)).as("__rows"), perCol.flatten: _*)
       .collect()
     val fileMap = rows.map { r =>
-      val fields = cols.zipWithIndex.map { case ((name, kind, _), i) =>
+      val fields = cols.zipWithIndex.map { case (sp, i) =>
+        val (name, kind) = (sp.key, sp.kind)
         val o = offsets(i)
         val bytes = if (r.isNullAt(o + 3)) "" else r.getLong(o + 3).toString
         val bloom =
@@ -1276,7 +1290,8 @@ object SnapshotTable {
       new HPath(r.getString(0)).toUri.getPath ->
         (r.getLong(1), fields.mkString(";"))
     }.toMap
-    val ndv = cols.zipWithIndex.map { case ((name, _, _), i) =>
+    val ndv = cols.zipWithIndex.map { case (sp, i) =>
+      val name = sp.key
       name -> rows.map(r =>
           if (r.isNullAt(offsets(i) + 4)) Array.empty[Long]
           else r.getSeq[Long](offsets(i) + 4).toArray)
@@ -4174,23 +4189,29 @@ object SnapshotTable {
       }
       a.length - b.length
     }
-    val rows = sc.fields.toSeq.flatMap(f => statKind(f.dataType).map { k =>
+    // one row per stat-eligible PATH — top-level columns AND struct
+    // leaves (dotted), so a SQL user sees `GRAFT STATS` for `meta.k`
+    // exactly like a flat column
+    val rows = statCols(sc).map { sp =>
+      val k = sp.kind
       // entry stats and NDV key on PHYSICAL names; report logical
-      val withStat = es.flatMap(e => e.stats.get(physName(f)).map(st =>
+      val withStat = es.flatMap(e => e.stats.get(sp.key).map(st =>
         (e.rows.get, st)))
       val nonNull = withStat.map { case (r, st) => r - st.nulls }.sum
       // A value-bearing file that records no stat for an eligible
-      // column is AMBIGUOUS unless its coverage marker vouches for it:
-      // marked ⇒ the column was absent from that file's batch (all its
-      // rows read NULL — the schema-evolution case, exact accounting
-      // stands); unmarked (pre-v15 writer) ⇒ the file may instead
-      // predate the column TYPE's stat eligibility (values unknown —
-      // e.g. pre-round-14 date/timestamp commits), so non-null
-      // accounting and bounds degrade to unknown rather than silently
-      // fold a partial view and call it exact. `GRAFT ANALYZE`
-      // recollects and restores exactness.
+      // path is AMBIGUOUS unless its coverage marker vouches for it:
+      // marked at or above the path's eligibility version (2 for
+      // top-level atomics, 3 for struct leaves) ⇒ the path was absent
+      // from that file's batch (all its rows read NULL — the
+      // schema-evolution case, exact accounting stands); marked lower
+      // or unmarked ⇒ the file may instead predate the path's stat
+      // eligibility (values unknown), so non-null accounting and
+      // bounds degrade to unknown rather than silently fold a partial
+      // view and call it exact. `GRAFT ANALYZE` recollects and
+      // restores exactness.
       val statless = es.exists(e =>
-        e.rows.exists(_ > 0) && !accountsFor(e, f))
+        e.rows.exists(_ > 0) && !(e.rows.contains(0L) ||
+          e.stats.contains(sp.key) || e.statsVer.exists(_ >= sp.since)))
       // files that hold at least one non-null value must contribute a
       // known bound for the global extreme to be exact
       val contributing = withStat.filter { case (r, st) => r - st.nulls > 0 }
@@ -4212,7 +4233,7 @@ object SnapshotTable {
       val mx = extreme((a, b) => lt(b, a), _.max)
       def str(v: Option[Any]): Option[String] =
         v.map(x => new String(x.asInstanceOf[Array[Byte]], "UTF-8"))
-      (f.name, k.toString, nRows,
+      (sp.logical, k.toString, nRows,
         // non-null accounting is per INSERTED row — deleted rows'
         // nullness is unknown, so it degrades with the bounds
         if (hasDels || statless) None else Some(nonNull),
@@ -4227,8 +4248,8 @@ object SnapshotTable {
         // below K distinct values, the KMV estimator above; NULL when
         // the sketch is unknown (legacy chain, or a row-removing op —
         // merge/deleteWhere — dropped it)
-        m.ndv.get(physName(f)).map(graft.functions.KmvDistinctAgg.estimate))
-    })
+        m.ndv.get(sp.key).map(graft.functions.KmvDistinctAgg.estimate))
+    }
     rows.toDF("column", "kind", "n_rows", "n_nonnull", "min_long",
       "max_long", "min_double", "max_double", "min_string", "max_string",
       "bounds_exact", "est_ndv")

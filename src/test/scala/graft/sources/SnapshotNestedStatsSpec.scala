@@ -176,6 +176,62 @@ class SnapshotNestedStatsSpec extends GraftSpec {
       .filter(col("meta.k") === 250L), 1) == 1)
   }
 
+  test("GRAFT STATS serves struct leaves like flat columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nst7-").toString
+    val t = s"$dir/tbl"
+    (0 to 1).foreach(i =>
+      SnapshotTable.commit(spark, t, slice(i).repartition(1),
+        overwrite = false))
+    val ma = SnapshotTable.metaAgg(spark, t)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // dotted logical rows exist with exact metadata-served aggregates
+    val mk = ma("meta.k")
+    assert(mk.getLong(2) == 200L && mk.getLong(3) == 200L) // rows, nonnull
+    assert(mk.getLong(4) == 0L && mk.getLong(5) == 199L)   // min/max long
+    assert(mk.getBoolean(10), "bounds must be exact")
+    val md = ma("meta.inner.d")
+    assert(md.getDouble(6) == 0.0 && md.getDouble(7) == 298.5)
+    val mt = ma("meta.tag")
+    assert(mt.getString(8) == "t0" && mt.getString(9) == "t99")
+    // NDV sketch rides the dotted key too (exact below K here? 200 > 64
+    // → KMV estimate; just assert it is served and sane)
+    assert(!mk.isNullAt(11) && mk.getDouble(11) > 100.0)
+    // pre-v3 manifests: strip the coverage markers — nested rows must
+    // DEGRADE (absent nested stat is ambiguous), while a top-level
+    // column with stats in every file stays exact
+    val cd = new org.apache.hadoop.fs.Path(t, "_commits")
+    val fs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = fs.listStatus(cd).map(_.getPath)
+      .filter(_.getName.matches("v\\d+\\.txt")).maxBy(_.getName)
+    val text = {
+      val in = fs.open(latest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    // strip the coverage markers AND drop one file's meta.k stat —
+    // the ambiguous shape a pre-v3 writer would leave behind
+    val noMark = text.replace(s";*:${SnapshotTable.StatsFormatVersion}", "")
+    val firstDataLine = text.linesIterator.find(!_.startsWith("#")).get
+    val kb64 = java.util.Base64.getEncoder
+      .encodeToString("meta.k".getBytes("UTF-8"))
+    val degraded = noMark.replace(
+      firstDataLine.replace(s";*:${SnapshotTable.StatsFormatVersion}", ""),
+      firstDataLine.split("\t").zipWithIndex.map { case (fld, i) =>
+        if (i == 3) fld.split(";").filterNot(_.startsWith(kb64 + ":"))
+          .mkString(";")
+        else fld
+      }.mkString("\t")
+        .replace(s";*:${SnapshotTable.StatsFormatVersion}", ""))
+    val out = fs.create(latest, true)
+    out.write(degraded.getBytes("UTF-8")); out.close()
+    val ma2 = SnapshotTable.metaAgg(spark, t)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ma2("meta.k").isNullAt(3) && !ma2("meta.k").getBoolean(10),
+      "an unmarked statless nested path must degrade to unknown")
+    assert(ma2("doc").getBoolean(10),
+      "a path with stats in every file stays exact unmarked")
+  }
+
   test("refusals: non-leaf, unhashable, and too-deep Bloom declarations") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nst6-").toString
     val t = s"$dir/tbl"
