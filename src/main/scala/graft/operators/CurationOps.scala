@@ -143,6 +143,58 @@ object CurationOps extends QueryPack {
       .orderBy(col("source"), col("pack_id"))
   }
 
+  /** [[packSequences]] RE-BASED on real BPE token ids — the packing a
+    * pretraining pipeline actually ships: per-source doc streams cut
+    * every `packBudget` REAL tokens (the codegen
+    * [[graft.functions.BpeEncode]] count, not the whitespace
+    * approximation). Rows-only declared (no SQL BPE); its integrity
+    * rides the oracle-green `pack_ids_conservation` twin — packing
+    * must lose and duplicate NOTHING — plus the identity-audited
+    * encoder itself. Same one-window shape and scale budget as the
+    * approximate packer. */
+  def packSequencesIds(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BpeExpressions.register(s)
+    val (merges, vocab) = TextOps.bpeTable(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.BpeExpressions.bpe_encode(col("text"),
+          typedLit(merges), typedLit(vocab))).cast("long").as("nt"))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .withColumn("pack_id", expr(s"(cum - nt) div $packBudget"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  /** The packing integrity audit, oracle-green: every non-null-text
+    * document lands in EXACTLY one pack and every real token is
+    * accounted — `n_docs_packed` folds the packed doc count and is
+    * poisoned to −1 if the packed token total diverges from an
+    * independent per-doc count, so either loss, duplication, or a
+    * token-count mismatch flips the hash against the oracle's plain
+    * document count. */
+  def packIdsConservation(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BpeExpressions.register(s)
+    val (merges, vocab) = TextOps.bpeTable(s, d)
+    val direct = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(size(graft.functions.BpeExpressions.bpe_encode(col("text"),
+        typedLit(merges), typedLit(vocab))).cast("long").as("nt"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok_direct"))
+    val packed = packSequencesIds(s, d)
+      .agg(sum(col("n_docs")).as("docs_packed"),
+        sum(col("pack_tokens")).as("tok_packed"))
+    direct.crossJoin(packed)
+      .select(col("n_docs"),
+        when(col("tok_direct") <=> col("tok_packed"), col("docs_packed"))
+          .otherwise(lit(-1L)).as("n_docs_packed"))
+      .filter(col("n_docs") > 0) // zero-row corpus: zero audit rows
+  }
+
   // Per-language mixture weights (en-heavy, zh-light — the usual shape).
   private def weightCol: Column =
     when(col("lang") === "en", 4L).when(col("lang") === "zh", 1L).otherwise(2L)
@@ -458,6 +510,8 @@ object CurationOps extends QueryPack {
     "decontam_exact" -> decontamExact,
     "decontam_bloom" -> decontamBloom,
     "pack_sequences" -> packSequences,
+    "pack_sequences_ids" -> packSequencesIds,
+    "pack_ids_conservation" -> packIdsConservation,
     "mixture_sample" -> mixtureSample,
     "text_repetition" -> textRepetition,
   )
@@ -526,6 +580,13 @@ object CurationOps extends QueryPack {
        |FROM g GROUP BY source ORDER BY source""".stripMargin
 
   override val oracle: Map[String, String] = Map(
+    // packing conservation in closed form: exactly the non-null-text
+    // doc count, twice (loss/dup/token-mismatch poisons the Spark side)
+    "pack_ids_conservation" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_docs_packed
+        |FROM documents WHERE text IS NOT NULL
+        |HAVING count(*) > 0""".stripMargin,
     // the same portable char-fold hash, the same smoothed-ln weight
     // table, 4 dp rounding on the only float step
     "curation_importance" ->

@@ -597,7 +597,7 @@ object TextOps extends QueryPack {
     * [[graft.CacheRegistry.clear]] at pass boundaries. */
   private val bpeCache =
     new graft.CacheRegistry.VersionedMemo[(Seq[String], Seq[String])]()
-  private def bpeTable(s: SparkSession, d: String): (Seq[String], Seq[String]) =
+  private[operators] def bpeTable(s: SparkSession, d: String): (Seq[String], Seq[String]) =
     bpeCache.getOrBuild(s, s"$d/documents.parquet") {
       val sample = Tables.documents(s, d).filter(col("text").isNotNull)
         .orderBy(col("doc_id")).limit(256)
