@@ -3272,17 +3272,34 @@ object SnapshotTable {
     val m = readManifest(s, tableDir, vs.last)
     val sc = m.schema.getOrElse(throw new IllegalArgumentException(
       s"describeColumns: legacy manifest without schema in $tableDir"))
-    sc.fields.toSeq.map { f =>
+    // the SAME budgeted enumeration the stats pass uses, computed once
+    // for the whole schema; `since >= 3` marks struct leaves (a
+    // top-level atomic whose NAME contains a dot is since-2 and must
+    // not be mistaken for one)
+    val nested = statCols(sc).filter(_.since >= 3)
+    sc.fields.toSeq.flatMap { f =>
       val role =
         if (m.partBy.contains(f.name)) "partition"
         else if (m.bucket.exists(_._2 == f.name))
           s"bucket(${m.bucket.get._1})"
         else ""
+      val declaredLeaves = bloomLeafPaths(f).toSet
       // bloomDeclared, not the raw marker: a marker that rode onto a
       // non-hashable column must display as what collection will DO.
-      // A struct column shows true when any LEAF path is declared.
-      (f.name, f.dataType.catalogString, physName(f),
-        bloomDeclared(f) || bloomLeafPaths(f).nonEmpty, role)
+      // A struct column shows true when any LEAF path is declared, and
+      // each stat-eligible LEAF gets its own row (dotted name, its own
+      // type and Bloom flag) — exactly the paths GRAFT STATS serves.
+      val top = (f.name, f.dataType.catalogString, physName(f),
+        bloomDeclared(f) || declaredLeaves.nonEmpty, role)
+      val leafRows =
+        if (!f.dataType.isInstanceOf[StructType]) Nil
+        else nested.filter(_.logical.startsWith(f.name + ".")).map { sp =>
+          val rel = sp.logical.stripPrefix(f.name + ".")
+          val lt = leafType(f.dataType, rel.split('.').toSeq)
+          (sp.logical, lt.map(_.catalogString).getOrElse(""),
+            sp.key, declaredLeaves.contains(rel), "")
+        }
+      top +: leafRows
     }.toDF("column", "data_type", "physical_name", "bloom", "layout_role")
   }
 

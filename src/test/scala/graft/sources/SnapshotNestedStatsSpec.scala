@@ -109,9 +109,14 @@ class SnapshotNestedStatsSpec extends GraftSpec {
     assert(scannedFiles(snap.filter(col("meta.k") === 777L), 0) == 0,
       "an in-range absent leaf key is refuted everywhere")
     assert(scannedFiles(snap.filter(col("meta.tag") === s"s$probe"), 1) == 1)
-    // DESCRIBE reflects the leaf declaration on the struct column
-    assert(SnapshotTable.describeColumns(spark, t)
-      .filter(col("column") === "meta").head().getBoolean(3))
+    // DESCRIBE reflects the leaf declaration on the struct column AND
+    // lists each stat-eligible leaf as its own dotted row
+    val desc = SnapshotTable.describeColumns(spark, t).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(3))).toMap
+    assert(desc("meta")._2, "struct column shows declared")
+    assert(desc("meta.k") == ("bigint", true))
+    assert(desc("meta.tag") == ("string", true))
+    assert(desc("doc") == ("bigint", false))
     // soundness: every present key still found
     assert(snap.filter(col("meta.k") === 0L).count() == 1)
     // clearing resets the paths marker too
