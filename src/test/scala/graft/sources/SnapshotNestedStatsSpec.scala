@@ -237,6 +237,35 @@ class SnapshotNestedStatsSpec extends GraftSpec {
       "a path with stats in every file stays exact unmarked")
   }
 
+  test("nested skipping composes with hive directory pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nst8-").toString
+    val t = s"$dir/tbl"
+    // two partitions x two nc-banded files each: a (partition, leaf)
+    // predicate must prune directories FIRST (driver-side) and then
+    // zone-map-skip within the surviving directory via the dotted key
+    (0 to 3).foreach { i =>
+      graft.sources.SnapshotTable.commitPartitioned(spark, t,
+        spark.range(i * 100, (i + 1) * 100).select(
+          lit(if (i < 2) "a" else "b").as("p"),
+          col("id").as("doc"),
+          struct(col("id").as("k")).as("meta")).repartition(1),
+        "p", overwrite = false)
+    }
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(snap.inputFiles.length == 4)
+    // p=a holds meta.k 0-199 in two files; the point probe must plan
+    // ONE file (directory pruning drops p=b, the leaf zone map drops
+    // the other a-file)
+    assert(scannedFiles(
+      snap.filter(col("p") === "a" && col("meta.k") === 150L), 1) == 1)
+    // leaf-only predicate: directory pruning cannot bite, zone maps
+    // keep exactly the home file across both directories
+    assert(scannedFiles(snap.filter(col("meta.k") === 250L), 1) == 1)
+    // out-of-range in the surviving directory: zero files
+    assert(scannedFiles(
+      snap.filter(col("p") === "a" && col("meta.k") === 300L), 0) == 0)
+  }
+
   test("refusals: non-leaf, unhashable, and too-deep Bloom declarations") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nst6-").toString
     val t = s"$dir/tbl"
