@@ -55,9 +55,12 @@ class GraftSqlParser(delegate: ParserInterface,
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+SMALL\s+(\d+)\s+TARGET\s+(\d+))?\s*;?\s*""".r
   private val OptimizeBucketsRe =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+BUCKETS\s*;?\s*""".r
+  // dotted tokens address struct LEAVES (meta.k) — the same dotted
+  // grammar GRAFT BLOOM takes, composing clustering with the
+  // nested-field zone maps
   private val OptimizeZorderRe =
     ("""(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*""" +
-      """([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*){1,3})\s*\)""" +
+      """([A-Za-z_][A-Za-z0-9_.]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_.]*){1,3})\s*\)""" +
       """(?:\s+FILES\s+(\d+))?\s*;?\s*""").r
   private val StatsRe =
     """(?is)\s*GRAFT\s+STATS\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r

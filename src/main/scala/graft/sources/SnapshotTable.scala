@@ -2791,6 +2791,20 @@ object SnapshotTable {
       return None
     (m0.schema, m0.entries) match {
       case (Some(schema0), Some(es0)) if es0.nonEmpty =>
+        // every dimension must resolve — a top-level column, or a
+        // DOTTED struct leaf (`meta.k`): the curve then clusters by
+        // the leaf and the nested zone maps prune on it. Validated
+        // here so a typo fails before any rewrite job runs.
+        zCols.foreach { c =>
+          val resolves = schema0.fields.exists(_.name == c) ||
+            (c.contains('.') && {
+              val segs = c.split('.').toSeq
+              schema0.fields.find(_.name == segs.head)
+                .flatMap(f => leafType(f.dataType, segs.tail)).isDefined
+            })
+          require(resolves, s"rewriteZorderedBy: '$c' is neither a " +
+            s"column nor a struct leaf of ${schema0.fieldNames.mkString(",")}")
+        }
         val n =
           if (nFiles > 0) nFiles
           else math.max(1, math.ceil(es0.map(_.status.getLen).sum.toDouble /

@@ -266,6 +266,44 @@ class SnapshotNestedStatsSpec extends GraftSpec {
       snap.filter(col("p") === "a" && col("meta.k") === 300L), 0) == 0)
   }
 
+  test("ZORDER BY a struct leaf clusters it for nested skipping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nst9-").toString
+    val t = s"$dir/tbl"
+    // UNCLUSTERED: meta.k and doc are independent shuffles of 0..1023,
+    // committed as 8 random files — every file straddles every band
+    val rnd = spark.range(0, 1024).select(
+      col("id").as("doc"),
+      struct(pmod(col("id") * 389 + 71, lit(1024)).as("k")).as("meta"))
+    graft.sources.SnapshotTable.commit(spark, t, rnd.repartition(8),
+      overwrite = false)
+    val before = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(before.inputFiles.length == 8)
+    assert(scannedFiles(before.filter(
+      col("meta.k") >= 0L && col("meta.k") < 64L), 64) == 8,
+      "pre-zorder every file straddles the band")
+    // the SQL doorway accepts the dotted dimension
+    def graftSql(sql: String) =
+      org.apache.spark.sql.GraftSqlShim.ofRows(spark,
+        new GraftSqlParser(spark.sessionState.sqlParser, Some(spark))
+          .parsePlan(sql))
+    assert(!graftSql(s"GRAFT OPTIMIZE '$t' ZORDER BY (meta.k, doc) FILES 8")
+      .head().isNullAt(0))
+    val after = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(after.inputFiles.length == 8)
+    // a 64-wide band on the LEAF now scans a strict subset, and the
+    // answer is unchanged
+    assert(scannedFiles(after.filter(
+      col("meta.k") >= 0L && col("meta.k") < 64L), 64) <= 4,
+      "post-zorder the leaf band must prune most files")
+    assert(scannedFiles(after.filter(col("doc") >= 0L && col("doc") < 64L),
+      64) <= 4, "the second dimension prunes too")
+    assert(after.count() == 1024)
+    // unresolvable dimension refused BEFORE any rewrite
+    intercept[IllegalArgumentException] {
+      SnapshotTable.rewriteZorderedBy(spark, t, Seq("meta.nope", "doc"))
+    }
+  }
+
   test("refusals: non-leaf, unhashable, and too-deep Bloom declarations") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nst6-").toString
     val t = s"$dir/tbl"
