@@ -14,11 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * pretraining pipeline runs over every document, distinct from the
   * merge-candidate STATISTIC `text_bpe_pairs` computes.
   *
-  * Granularity: UTF-16 units at the base level (concatenation restores
-  * surrogate pairs exactly, so encode∘decode is the identity whenever
-  * the vocab covers the corpus alphabet — a byte-level production
-  * tokenizer would start from bytes instead; the merge algebra is
-  * identical). Merge loop: repeatedly merge the LOWEST-RANK adjacent
+  * Granularity: Unicode CODE POINTS at the base level (never UTF-16
+  * units — a lone surrogate half is not valid UTF-8, so it could not
+  * ride a vocab literal through Catalyst; whole code points keep
+  * astral chars (emoji, CJK-ext) in-vocab and encode∘decode the
+  * identity whenever the vocab covers the corpus alphabet — a
+  * byte-level production tokenizer would start from bytes instead;
+  * the merge algebra is identical). Merge loop: repeatedly merge the
+  * LOWEST-RANK adjacent
   * pair present, all its occurrences left to right — the canonical BPE
   * encode order, deterministic for any input. Rounds are bounded by
   * the token count (each merge shortens the sequence), so a doc of n
@@ -66,7 +69,10 @@ final class BpeCodec(val merges: Array[String], val vocab: Array[String])
     val buf = new Array[Int](s.length)
     var n = 0
     var i = 0
-    while (i < s.length) { buf(n) = t.charId(s.charAt(i)); n += 1; i += 1 }
+    while (i < s.length) { // per CODE POINT (surrogate pairs whole)
+      val cp = s.codePointAt(i)
+      buf(n) = t.cpId(cp); n += 1; i += Character.charCount(cp)
+    }
     var done = n <= 1
     while (!done) {
       // lowest-rank adjacent pair present this round
@@ -135,7 +141,8 @@ object BpeCodec {
     var words: Map[Vector[String], Long] = {
       val b = Map.newBuilder[Vector[String], Long]
       wordFreq.forEach { (w, n) =>
-        b += (w.toCharArray.map(String.valueOf(_)).toVector -> n)
+        b += (w.codePoints().toArray.toVector
+          .map(cp => new String(Character.toChars(cp))) -> n)
       }
       b.result()
     }
@@ -177,20 +184,21 @@ object BpeCodec {
     out.result()
   }
 
-  /** Precomputed encode tables: flat ASCII id table + unicode char map
-    * for the base alphabet, and an open-addressed (left<<32|right) ->
-    * slot table carrying rank / merged id per slot. Sentinel key
-    * Long.MinValue marks an empty slot (ids are non-negative, so a
-    * packed key can never equal it); first insertion per key wins, so
-    * a duplicated pair keeps its LOWEST rank, matching putIfAbsent. */
+  /** Precomputed encode tables: flat ASCII id table + unicode
+    * CODE-POINT map for the base alphabet, and an open-addressed
+    * (left<<32|right) -> slot table carrying rank / merged id per
+    * slot. Sentinel key Long.MinValue marks an empty slot (ids are
+    * non-negative, so a packed key can never equal it); first
+    * insertion per key wins, so a duplicated pair keeps its LOWEST
+    * rank, matching putIfAbsent. */
   private[functions] final class Tables(
       asciiIds: Array[Int],
-      charMap: java.util.HashMap[Character, Integer],
+      cpMap: java.util.HashMap[Integer, Integer],
       keys: Array[Long], ranks: Array[Int], outs: Array[Int], mask: Int) {
-    def charId(c: Char): Int =
-      if (c < 128) asciiIds(c)
+    def cpId(cp: Int): Int =
+      if (cp < 128) asciiIds(cp)
       else {
-        val v = charMap.get(Character.valueOf(c))
+        val v = cpMap.get(Integer.valueOf(cp))
         if (v == null) -1 else v.intValue
       }
     def findPair(l: Int, r: Int): Int = {
@@ -215,18 +223,20 @@ object BpeCodec {
     def build(merges: Array[String], vocab: Array[String],
         idOf: String => Int): Tables = {
       val ascii = Array.fill(128)(-1)
-      val cmap = new java.util.HashMap[Character, Integer]()
-      // single-char vocab ids via idOf so duplicate-entry resolution
-      // (first id wins) is identical to the string path; chars above
-      // 0x7f land in the map (UTF-16 units — surrogate halves included,
-      // exactly the granularity encode splits at)
+      val cmap = new java.util.HashMap[Integer, Integer]()
+      // single-CODE-POINT vocab ids via idOf so duplicate-entry
+      // resolution (first id wins) is identical to the string path;
+      // code points above 0x7f land in the map — astral entries (one
+      // surrogate PAIR, codePointCount 1) included, exactly the
+      // granularity encode splits at
       var c = 0
       while (c < 128) {
         ascii(c) = idOf(String.valueOf(c.toChar)); c += 1
       }
       vocab.foreach { t =>
-        if (t.length == 1 && t.charAt(0) >= 128)
-          cmap.putIfAbsent(Character.valueOf(t.charAt(0)),
+        if (t.nonEmpty && t.codePointCount(0, t.length) == 1 &&
+            t.codePointAt(0) >= 128)
+          cmap.putIfAbsent(Integer.valueOf(t.codePointAt(0)),
             Integer.valueOf(idOf(t)))
       }
       var cap = 8

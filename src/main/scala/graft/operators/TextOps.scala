@@ -604,6 +604,11 @@ object TextOps extends QueryPack {
         .select(substring(col("text"), 1, 1024).as("t"))
         .collect().map(_.getString(0)).toSeq
       val merges = graft.functions.BpeCodec.train(sample, 64)
+      // split("") yields CODE POINTS (surrogate pairs whole) — exactly
+      // the codec's base granularity, so astral chars (emoji, CJK-ext)
+      // are in-vocab as whole code points and encode∘decode stays the
+      // identity (a lone surrogate half could not even survive the
+      // UTF8String vocab literal)
       val chars = Tables.documents(s, d).filter(col("text").isNotNull)
         .select(explode(split(col("text"), "")).as("ch"))
         .filter(length(col("ch")) > 0)

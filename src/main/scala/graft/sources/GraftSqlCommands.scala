@@ -287,7 +287,12 @@ object GraftSqlParser {
     var i = 0
     while (i < list.length) {
       val c = list.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      // backslash escapes are live inside literals under Spark's
+      // default mode (escapedStringLiterals=false): \' stays in-string
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inStr = false
+      }
       else c match {
         case '\'' => inStr = true
         case '(' => depth += 1
@@ -330,7 +335,13 @@ object GraftSqlParser {
       Character.isLetterOrDigit(c) || c == '_'
     while (i < body.length) {
       val c = body.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      // same backslash-escape rule as splitAssignments: `\'` inside a
+      // literal must not end the string (or `SET note = 'don\'t know
+      // where'` would split at the in-literal WHERE)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inStr = false
+      }
       else c match {
         case '\'' => inStr = true
         case '(' => depth += 1

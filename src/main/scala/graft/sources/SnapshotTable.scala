@@ -1142,42 +1142,79 @@ object SnapshotTable {
     * and maps are not traversed (no per-element zone map is sound
     * under SQL array semantics).
     *
-    * Dotted-key collision guard: a top-level column whose (physical)
-    * name literally contains a dot could collide with a nested leaf's
-    * dotted key, making the stored stat ambiguous — the nested leaf is
-    * DROPPED then (conservative: no stats → no pruning), and the
-    * read side applies the same rule ([[StatsPruning]]'s `ambiguous`
-    * set), so writer and pruner always agree on what a dotted key
-    * means. */
+    * Dotted-key collision guard, over the FULL enumeration: a nested
+    * leaf's dotted key could collide with a top-level column name
+    * (logical OR physical — a literal dot in either), or with ANOTHER
+    * nested leaf's key (a dot inside a nested field name: struct
+    * `a{`b.c`, b: struct{c}}` spells `a.b.c` twice). Any such key is
+    * ambiguous, so EVERY nested path claiming it is DROPPED
+    * (conservative: no stats → no pruning — a stored stat never
+    * describes two columns), and the read side ignores dotted keys
+    * matching a top-level name ([[StatsPruning]]'s `ambiguous` set),
+    * so writer and pruner always agree on what a dotted key means. */
   private def statCols(schema: StructType): Seq[StatPath] = {
-    def q(seg: String): String = "`" + seg + "`"
+    val topKeys = schema.fields.iterator
+      .flatMap(f => Iterator(f.name, physName(f))).toSet
+    val nestedCounts = schema.fields.toSeq.flatMap(nestedPathsOf)
+      .groupBy(_.key).view.mapValues(_.size).toMap
+    var nestedBudget = MaxNestedStatCols
+    schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case _: StructType =>
+          val ls = nestedPathsOf(f)
+            .filterNot(sp =>
+              topKeys.contains(sp.key) || nestedCounts(sp.key) > 1)
+            .take(nestedBudget)
+          nestedBudget -= ls.size
+          ls
+        case dt =>
+          val p = physName(f)
+          statKind(dt).map(k =>
+            StatPath(f.name, p, k, statSql(q(p), dt), since = 2)).toSeq
+      }
+    }
+  }
+
+  private def q(seg: String): String = "`" + seg + "`"
+
+  /** The FULL nested enumeration of one top-level struct field — every
+    * stat-eligible leaf to [[MaxStatDepth]], before collision dedup or
+    * the [[MaxNestedStatCols]] budget. */
+  private def nestedPathsOf(f: StructField): Seq[StatPath] = {
     def leaves(disp: String, key: String, ref: String, dt: DataType,
         depth: Int): Seq[StatPath] = dt match {
       case st: StructType if depth < MaxStatDepth =>
-        st.fields.toSeq.flatMap(f =>
-          leaves(s"$disp.${f.name}", s"$key.${f.name}", s"$ref.${q(f.name)}",
-            f.dataType, depth + 1))
+        st.fields.toSeq.flatMap(g =>
+          leaves(s"$disp.${g.name}", s"$key.${g.name}", s"$ref.${q(g.name)}",
+            g.dataType, depth + 1))
       case other =>
         statKind(other).map(k =>
           StatPath(disp, key, k, statSql(ref, other), since = 3)).toSeq
     }
-    val topNames = schema.fields.map(physName).toSet
-    var nestedBudget = MaxNestedStatCols
-    schema.fields.toSeq.flatMap { f =>
-      val p = physName(f)
-      f.dataType match {
-        case st: StructType =>
-          val ls = st.fields.toSeq.flatMap(g =>
-            leaves(s"${f.name}.${g.name}", s"$p.${g.name}",
-              s"${q(p)}.${q(g.name)}", g.dataType, 2))
-            .filterNot(sp => topNames.contains(sp.key))
-            .take(nestedBudget)
-          nestedBudget -= ls.size
-          ls
-        case dt => statKind(dt).map(k =>
-          StatPath(f.name, p, k, statSql(q(p), dt), since = 2)).toSeq
-      }
+    f.dataType match {
+      case st: StructType =>
+        val p = physName(f)
+        st.fields.toSeq.flatMap(g =>
+          leaves(s"${f.name}.${g.name}", s"$p.${g.name}",
+            s"${q(p)}.${q(g.name)}", g.dataType, 2))
+      case _ => Nil
     }
+  }
+
+  /** The stats-coverage marker version a stats pass over `schema` may
+    * honestly stamp: [[StatsFormatVersion]] when the nested-leaf
+    * enumeration is COMPLETE (every eligible leaf got a stat key), v2
+    * when the [[MaxNestedStatCols]] budget or a dotted-key collision
+    * dropped any — so a later schema change that frees budget (or
+    * retires a collision) can never make [[metaAgg]] read an old
+    * file's MISSING nested stat as "leaf absent from batch → all rows
+    * null, exact": the v2 marker only vouches for top-level coverage,
+    * and nested claims degrade to unknown until `GRAFT ANALYZE`
+    * recollects. */
+  private def statsMarkerVersion(schema: StructType): Int = {
+    val full = schema.fields.toSeq.flatMap(nestedPathsOf).size ==
+      statCols(schema).count(_.since >= 3)
+    if (full) StatsFormatVersion else 2
   }
 
   /** Per-file zone maps for the just-written commit: ONE distributed
@@ -1355,10 +1392,15 @@ object SnapshotTable {
       partBy: Seq[String],
       catalog: Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
         None): HadoopFsRelation = {
-    // top-level names containing a literal dot — the pruner must not
-    // read a nested GetStructField chain's dotted key as one of these
-    // (the write side dropped the colliding nested stat; see statCols)
-    val amb = sc.fields.iterator.map(_.name).filter(_.contains('.')).toSet
+    // top-level names containing a literal dot, under BOTH identities
+    // (the scan usually plans in physical names, but callers hand this
+    // constructor logical-named schemas too — union covers every case)
+    // — the pruner must not read a nested GetStructField chain's
+    // dotted key as one of these (the write side dropped the colliding
+    // nested stat; see statCols)
+    val amb = sc.fields.iterator
+      .flatMap(f => Iterator(f.name, physName(f)))
+      .filter(_.contains('.')).toSet
     if (partBy.nonEmpty) {
       val partFields = partBy.map(c => sc.fields.find(_.name == c).getOrElse(
         throw new IllegalStateException(
@@ -2247,10 +2289,12 @@ object SnapshotTable {
       stats match {
         case Some((m, _)) => m.get(st.getPath.toUri.getPath) match {
           // the trailing `*:N` coverage marker asserts these stats are
-          // COMPLETE for the batch schema at format N — see FileEntry
+          // COMPLETE for the batch schema at format N — see FileEntry;
+          // a budget/collision-truncated nested enumeration earns only
+          // v2 (see statsMarkerVersion)
           case Some((rows, cols)) =>
             s"${st.getPath.toString}\t${st.getLen}\t$rows\t" +
-              s"$cols;*:$StatsFormatVersion$partField"
+              s"$cols;*:${statsMarkerVersion(df.schema)}$partField"
           // the stats pass covered the whole dir, so a file it never
           // grouped is a ZERO-ROW file (a writer task with an empty
           // partition) — record that, don't leave the count unknown
@@ -4135,7 +4179,7 @@ object SnapshotTable {
           val partCols = partFields.zipWithIndex.map { case (f, i) =>
             partStatField(f, i, e, rows) }
           val all = (Seq(cols).filter(_.nonEmpty) ++ partCols ++
-            Seq(s"*:$StatsFormatVersion")).mkString(";")
+            Seq(s"*:${statsMarkerVersion(dataSchema)}")).mkString(";")
           s"${st.getPath.toString}\t${st.getLen}\t$rows\t$all$partField"
         // a file the pass never grouped holds zero rows
         case None => s"${st.getPath.toString}\t${st.getLen}\t0\t$partField"

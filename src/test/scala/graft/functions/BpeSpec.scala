@@ -56,7 +56,10 @@ class BpeSpec extends GraftSpec {
         (1 to 200).map(_ => (0 until rnd.nextInt(120))
           .map(_ => atoms(rnd.nextInt(atoms.length))).mkString)
     cases.foreach { s =>
-      val chars = s.toCharArray.map(String.valueOf(_)).distinct.toSeq
+      // base alphabet at CODE-POINT granularity — the codec's contract
+      // (a lone surrogate half is not even valid UTF-8)
+      val chars = s.codePoints().toArray.toSeq
+        .map(cp => new String(Character.toChars(cp))).distinct
       val mergeToks = merges.map { m =>
         val sp = m.indexOf(' '); m.substring(0, sp) + m.substring(sp + 1) }
       val vocab = (chars ++ mergeToks).distinct
@@ -144,5 +147,24 @@ class BpeSpec extends GraftSpec {
       .filter(col("n_tokens") > char_length(coalesce(col("text"), lit(""))))
       .count()
     assert(over == 0, "token count exceeded character count somewhere")
+  }
+
+  test("astral text: surrogate halves are in-vocab, roundtrip exact") {
+    // the corpus alphabet is collected per CODE POINT (split(text,''))
+    // but the codec encodes per UTF-16 UNIT — non-BMP chars (emoji)
+    // must land in the vocab as BOTH surrogate halves, or encode
+    // yields -1 and decode U+FFFD
+    val dir = writeDocs(Seq(
+      (1L, "hello 😀 world", "en", "s", 13L),
+      (2L, "🚀🚀 lift off 🚀x", "en", "s", 15L),
+      (3L, "plain ascii only", "en", "s", 16L)))
+    val audit = graft.operators.TextOps.textBpeRoundtrip(spark, dir).head()
+    assert(audit.getLong(0) == 3L && audit.getLong(1) == 3L,
+      s"astral roundtrip: ${audit.getLong(1)}/${audit.getLong(0)} exact")
+    // and no out-of-vocab id reaches the declared ids query
+    val heads = graft.operators.TextOps.textTokenIds(spark, dir)
+      .collect().map(_.getString(2))
+    assert(heads.forall(h => !h.split(",").contains("-1")),
+      s"out-of-vocab id in ${heads.mkString("; ")}")
   }
 }

@@ -149,6 +149,73 @@ class SnapshotNestedStatsSpec extends GraftSpec {
     assert(scannedFiles(snap.filter(col("`meta.k`") === 15L), 1) == 1)
   }
 
+  test("nested-nested collision: both dotted claimants drop, sound") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nst4b-").toString
+    val t = s"$dir/tbl"
+    // struct a{`b.c`: long, b: struct{c: long}} — BOTH leaves spell
+    // dotted key 'a.b.c'; a stat stored under it would describe the
+    // wrong column for one of them, so the writer must drop BOTH and
+    // the pruner must keep every file for either probe
+    def cslice(i: Int) = spark.range(i * 10, (i + 1) * 10).select(
+      col("id").as("doc"),
+      struct(
+        col("id").as("b.c"),
+        struct((lit(100L) - col("id")).as("c")).as("b")).as("a"))
+    (0 to 1).foreach(i =>
+      SnapshotTable.commit(spark, t, cslice(i).repartition(1),
+        overwrite = false))
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(snap.inputFiles.length == 2)
+    // a.b.c = 95 lives in file 0 (ids 0-9 → c 100..91); consulting the
+    // colliding `b.c` leaf's stat ([0,9]/[10,19]) would refute BOTH
+    assert(scannedFiles(snap.filter(col("a.b.c") === 95L), 1) == 2,
+      "nested-nested collision key must not prune")
+    // the literal-dot leaf probes correctly too (its stat also dropped)
+    assert(scannedFiles(
+      snap.filter(col("a").getField("b.c") === 15L), 1) == 2)
+    // the un-colliding sibling path still prunes normally
+    assert(scannedFiles(snap.filter(col("doc") === 15L), 1) == 1)
+    // and GRAFT STATS never serves an ambiguous dotted row
+    assert(SnapshotTable.metaAgg(spark, t).collect()
+      .count(_.getString(0).startsWith("a.b")) == 0)
+  }
+
+  test("budget-truncated nested coverage degrades honestly, ANALYZE repairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nst4c-").toString
+    val t = s"$dir/tbl"
+    // wide{f00..f59} eats 60 of the 64-leaf budget; tail{g0..g9} gets
+    // only g0..g3 enumerated — g4..g9 carry NO stats in commit 1
+    def wide = struct(
+      (0 until 60).map(i => lit(i.toLong).as(f"f$i%02d")): _*)
+    def tail(off: Long) = struct(
+      (0 until 10).map(i => (col("id") + lit(off + i)).as(s"g$i")): _*)
+    SnapshotTable.commit(spark, t,
+      spark.range(0, 10).select(col("id"),
+        wide.as("wide"), tail(0L).as("tail")).repartition(1),
+      overwrite = false)
+    // over-budget leaves are not enumerated at all yet
+    val ma1 = SnapshotTable.metaAgg(spark, t)
+      .collect().map(_.getString(0)).toSet
+    assert(ma1.contains("tail.g3") && !ma1.contains("tail.g4"))
+    // dropping the wide struct frees the budget: tail.g4.. become
+    // enumerated — but commit-1's file has VALUES for them with no
+    // stat, and its marker must NOT vouch "absent → all null, exact"
+    SnapshotTable.dropColumn(spark, t, "wide")
+    val ma2 = SnapshotTable.metaAgg(spark, t)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g4 = ma2("tail.g4")
+    assert(g4.isNullAt(3) && !g4.getBoolean(10),
+      "budget-dropped leaf must degrade to unknown, not claim exact")
+    // in-budget leaves from commit 1 keep their exact accounting
+    assert(ma2("tail.g0").getBoolean(10))
+    // ANALYZE recollects under the slim schema and restores exactness
+    assert(SnapshotTable.analyze(spark, t).nonEmpty)
+    val ma3 = SnapshotTable.metaAgg(spark, t)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ma3("tail.g4").getBoolean(10) &&
+      ma3("tail.g4").getLong(4) == 4L && ma3("tail.g4").getLong(5) == 13L)
+  }
+
   test("nested stats survive compaction, merge, and ANALYZE recollection") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nst5-").toString
     val t = s"$dir/tbl"

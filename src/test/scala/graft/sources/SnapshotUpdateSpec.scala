@@ -201,5 +201,15 @@ class SnapshotUpdateSpec extends GraftSpec {
       ("a = ' where '", "k = 1"))
     assert(GraftSqlParser.splitSetWhere("a = 1 WHERE k IN (1, 2)") ==
       ("a = 1", "k IN (1, 2)"))
+    // backslash-escaped quote (Spark's default string mode): the
+    // literal does not end at \' — split at the statement's own WHERE
+    assert(GraftSqlParser.splitSetWhere(
+      """a = 'don\'t know where' WHERE k = 1""") ==
+      ("""a = 'don\'t know where'""", "k = 1"))
+    // end-to-end through the parser + delegate expression parser
+    assert(graftSql(s"GRAFT UPDATE '$t' SET s = 'don\\'t know where' " +
+      "WHERE k = 1").head().getInt(0) == 4)
+    assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+      .filter($"k" === 1L).head().getString(2) == "don't know where")
   }
 }
