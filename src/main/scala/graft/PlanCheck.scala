@@ -737,6 +737,74 @@ object PlanCheck {
       mustNot = Seq("Join", "UDF", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 1)),
+    // nested zone-map pruning: the band query is ONE manifest-planned
+    // scan + keyed agg — no join, no second pass; nested schema pruning
+    // must drop the untouched meta.prov branch from the read
+    Check("layout_nested_prune",
+      mustContain = Seq("HashAggregate", "Scan parquet"),
+      mustNot = Seq("Join", "CartesianProduct", "prov"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 2)),
+    // GRAFT CHANGES resolves to the DISTRIBUTED feed plan (exceptAll
+    // diff legs over the table's files) — never a collected echo
+    // re-parallelized driver-side
+    Check("cdc_sql_changes",
+      mustContain = Seq("Scan parquet", "HashAggregate"),
+      mustNot = Seq("LocalTableScan", "CartesianProduct"),
+      noAdaptive = true),
+    // right-outer stream read-back: the declared result is one scan of
+    // the sink table + presentation sort — the join ran IN the stream,
+    // never re-joined batch-side
+    Check("stream_right_outer_join",
+      mustContain = Seq("Scan parquet"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 1)),
+    // real-id packing: ONE window per source over ONE scan, the encode
+    // riding the scan projection as the codegen expression — no join,
+    // no UDF, no second corpus pass
+    Check("pack_sequences_ids",
+      mustContain = Seq("Window", "graft_bpe_encode"),
+      mustNot = Seq("Join", "UDF", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1, "Window" -> 1, "Exchange" -> 3)),
+    // conservation audit: the direct count and the packed rollup are
+    // two corpus scans folded by a 1-row broadcast cross — never a
+    // row-level cartesian, still exactly one Window
+    Check("pack_ids_conservation",
+      mustContain = Seq("Window", "graft_bpe_encode"),
+      mustNot = Seq("CartesianProduct", "UDF"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 2, "Window" -> 1)),
+    // change-feed stream read-back: the declared rollup is one scan of
+    // the landed partials + keyed agg — the per-commit diffing ran IN
+    // the stream, nothing re-joins the source
+    Check("stream_cdf",
+      mustContain = Seq("Scan parquet", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 2)),
+    // declared map-key probe: one manifest-planned scan + keyed agg,
+    // the subscript filter evaluated on the scan — no join, no UDF
+    Check("layout_map_prune",
+      mustContain = Seq("Scan parquet", "HashAggregate"),
+      mustNot = Seq("Join", "UDF", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 2)),
+    // mixed-era read: ONE relation per scheme era (flat + hive = two
+    // scans), unioned — never a join, never a third pass
+    Check("layout_partition_evolution",
+      mustContain = Seq("Union", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 2, "Exchange" -> 2)),
+    // published main reads as one plain snapshot: single scan + agg —
+    // the branch splice is pure manifest metadata, invisible to plans
+    Check("layout_branch_publish",
+      mustContain = Seq("Scan parquet", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 2)),
   )
 
   /** One check's outcome: the query name, pass/fail, and on failure a

@@ -267,6 +267,258 @@ object BpeCodec {
   }
 }
 
+/** BYTE-level BPE codec — the production-tokenizer granularity
+  * (GPT-2/tiktoken shape): base ids 0..255 ARE the UTF-8 bytes, merge
+  * rank r mints token id 256+r, so EVERY input is in-vocab by
+  * construction (no OOV, no U+FFFD — encode∘decode is the identity on
+  * any string, trained or not). The merge table is an array of packed
+  * `(left<<32)|right` id pairs in rank order — it rides a plain
+  * `array<bigint>` literal (byte sequences need no string vocab, which
+  * could not carry arbitrary bytes through UTF-8 anyway). The merge
+  * LOOP is [[BpeCodec]]'s, unchanged: lowest-rank adjacent pair,
+  * leftmost-first, via the same open-addressed long-keyed probe. */
+final class BpeByteCodec(val merges: Array[Long]) extends Serializable {
+
+  @transient private lazy val tables: BpeCodec.Tables = {
+    var cap = 8
+    while (cap < math.max(1, merges.length) * 4) cap <<= 1
+    val keys = Array.fill(cap)(Long.MinValue)
+    val ranks = new Array[Int](cap)
+    val outs = new Array[Int](cap)
+    val mask = cap - 1
+    merges.zipWithIndex.foreach { case (key, rank) =>
+      var i = (java.lang.Long.hashCode(key) * -1640531527) & mask
+      var placed = false
+      while (!placed) {
+        if (keys(i) == key) placed = true // lower rank already in
+        else if (keys(i) == Long.MinValue) {
+          keys(i) = key; ranks(i) = rank; outs(i) = 256 + rank
+          placed = true
+        } else i = (i + 1) & mask
+      }
+    }
+    new BpeCodec.Tables(Array.tabulate(128)(identity), // ascii id = byte
+      new java.util.HashMap[Integer, Integer](), keys, ranks, outs, mask)
+  }
+
+  def encode(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val t = tables
+    val buf = new Array[Int](bytes.length)
+    var n = 0
+    while (n < bytes.length) { buf(n) = bytes(n) & 0xff; n += 1 }
+    var done = n <= 1
+    while (!done) {
+      var best = Int.MaxValue
+      var bestSlot = -1
+      var j = 0
+      while (j < n - 1) {
+        val slot = t.findPair(buf(j), buf(j + 1))
+        if (slot >= 0 && t.rankAt(slot) < best) {
+          best = t.rankAt(slot); bestSlot = slot
+        }
+        j += 1
+      }
+      if (bestSlot < 0) done = true
+      else {
+        val l = t.leftAt(bestSlot)
+        val r = t.rightAt(bestSlot)
+        val out = t.outAt(bestSlot)
+        var w = 0
+        var k = 0
+        while (k < n) {
+          if (k < n - 1 && buf(k) == l && buf(k + 1) == r) {
+            buf(w) = out; k += 2
+          } else { buf(w) = buf(k); k += 1 }
+          w += 1
+        }
+        n = w
+        if (n <= 1) done = true
+      }
+    }
+    val arr = new Array[Int](n)
+    System.arraycopy(buf, 0, arr, 0, n)
+    new GenericArrayData(arr)
+  }
+
+  /** Token id -> its byte sequence, memoized bottom-up (id 256+r
+    * expands to rank r's pair — ranks only reference LOWER ids, so one
+    * forward pass settles every token). */
+  @transient private lazy val tokenBytes: Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](256 + merges.length)
+    var i = 0
+    while (i < 256) { out(i) = Array((i & 0xff).toByte); i += 1 }
+    merges.zipWithIndex.foreach { case (key, rank) =>
+      val l = (key >>> 32).toInt
+      val r = key.toInt
+      // a rank may only reference bytes or EARLIER-minted tokens — a
+      // forward/garbage reference is a malformed table, not a crash
+      require(l >= 0 && l < 256 + rank && r >= 0 && r < 256 + rank,
+        s"byte-BPE merge $rank references unminted token ($l, $r)")
+      out(256 + rank) = out(l) ++ out(r)
+    }
+    out
+  }
+
+  def decode(idsArr: ArrayData): UTF8String = {
+    var total = 0
+    var i = 0
+    while (i < idsArr.numElements) {
+      val id = idsArr.getInt(i)
+      if (id >= 0 && id < tokenBytes.length) total += tokenBytes(id).length
+      i += 1
+    }
+    val bytes = new Array[Byte](total)
+    var off = 0
+    i = 0
+    while (i < idsArr.numElements) {
+      val id = idsArr.getInt(i)
+      if (id >= 0 && id < tokenBytes.length) {
+        val tb = tokenBytes(id)
+        System.arraycopy(tb, 0, bytes, off, tb.length)
+        off += tb.length
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(bytes)
+  }
+}
+
+object BpeByteCodec {
+  /** Byte-level train: the [[BpeCodec.train]] algebra over UTF-8 byte
+    * tokens — each round merges the most frequent adjacent id pair
+    * (count-desc, packed-key-asc tie-break: deterministic), minting id
+    * 256+round. Returns the packed `(l<<32)|r` pairs in rank order. */
+  def train(sample: Seq[String], nMerges: Int): Seq[Long] = {
+    val wordFreq = new java.util.HashMap[Vector[Int], Long]()
+    sample.foreach(_.split("\\s+").foreach { w =>
+      if (w.nonEmpty)
+        wordFreq.merge(w.getBytes("UTF-8").toVector.map(_ & 0xff),
+          1L, (a, b) => a + b)
+    })
+    var words: Map[Vector[Int], Long] = {
+      val b = Map.newBuilder[Vector[Int], Long]
+      wordFreq.forEach { (w, n) => b += (w -> n) }
+      b.result()
+    }
+    val out = Vector.newBuilder[Long]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val counts = new java.util.HashMap[Long, Long]()
+      words.foreach { case (toks, n) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          counts.merge((toks(i).toLong << 32) | (toks(i + 1).toLong & 0xffffffffL),
+            n, (a, b) => a + b)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestKey = 0L
+        var bestN = -1L
+        counts.forEach { (k, n) =>
+          if (n > bestN || (n == bestN && k < bestKey)) {
+            bestKey = k; bestN = n
+          }
+        }
+        val l = (bestKey >>> 32).toInt
+        val r = bestKey.toInt
+        val minted = 256 + round
+        out += bestKey
+        words = words.map { case (toks, n) =>
+          val nb = Vector.newBuilder[Int]
+          var i = 0
+          while (i < toks.length) {
+            if (i < toks.length - 1 && toks(i) == l && toks(i + 1) == r) {
+              nb += minted; i += 2
+            } else { nb += toks(i); i += 1 }
+          }
+          (nb.result(), n)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        round += 1
+      }
+    }
+    out.result()
+  }
+}
+
+/** `graft_bpe_encode_bytes(text, merges)` — byte-level token ids; the
+  * packed merge table must be a foldable `array<bigint>` literal. */
+case class BpeEncodeBytes(text: Expression, mergesExpr: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def left: Expression = text
+  override def right: Expression = mergesExpr
+  override def prettyName: String = "graft_bpe_encode_bytes"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, ArrayType(org.apache.spark.sql.types.LongType))
+  override def nullable: Boolean = text.nullable
+
+  @transient private[functions] lazy val codec: BpeByteCodec = {
+    require(mergesExpr.foldable,
+      "graft_bpe_encode_bytes: merges must be a literal array")
+    val v = mergesExpr.eval(null)
+    require(v != null, "graft_bpe_encode_bytes: merges must not be null")
+    new BpeByteCodec(v.asInstanceOf[ArrayData].toLongArray())
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = text.eval(input)
+    if (t == null) null else codec.encode(t.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeByteCodec", codec,
+      classOf[BpeByteCodec].getName)
+    val t = text.genCode(ctx)
+    ev.copy(code = code"""
+      ${t.code}
+      boolean ${ev.isNull} = ${t.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) { ${ev.value} = $ref.encode(${t.value}); }""")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(text = newLeft, mergesExpr = newRight)
+}
+
+/** `graft_bpe_decode_bytes(ids, merges)` — the byte-level inverse. */
+case class BpeDecodeBytes(idsExpr: Expression, mergesExpr: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def left: Expression = idsExpr
+  override def right: Expression = mergesExpr
+  override def prettyName: String = "graft_bpe_decode_bytes"
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(org.apache.spark.sql.types.LongType))
+  override def nullable: Boolean = idsExpr.nullable
+
+  @transient private lazy val codec: BpeByteCodec = {
+    require(mergesExpr.foldable,
+      "graft_bpe_decode_bytes: merges must be a literal array")
+    val v = mergesExpr.eval(null)
+    require(v != null, "graft_bpe_decode_bytes: merges must not be null")
+    new BpeByteCodec(v.asInstanceOf[ArrayData].toLongArray())
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val ids = idsExpr.eval(input)
+    if (ids == null) null else codec.decode(ids.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeByteCodec", codec,
+      classOf[BpeByteCodec].getName)
+    val t = idsExpr.genCode(ctx)
+    ev.copy(code = code"""
+      ${t.code}
+      boolean ${ev.isNull} = ${t.isNull};
+      UTF8String ${ev.value} = null;
+      if (!${ev.isNull}) { ${ev.value} = $ref.decode(${t.value}); }""")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(idsExpr = newLeft, mergesExpr = newRight)
+}
+
 /** `graft_bpe_encode(text, merges, vocab)` — array<int> token ids.
   * `merges`/`vocab` must be FOLDABLE array literals (the broadcast
   * merge-rank table); only the text column is evaluated per row, and
@@ -356,9 +608,19 @@ object BpeExpressions {
       "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bpe_decode", exprs => BpeDecode(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_encode_bytes",
+      exprs => BpeEncodeBytes(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_decode_bytes",
+      exprs => BpeDecodeBytes(exprs(0), exprs(1)), "built-in")
   }
   def bpe_encode(text: Column, merges: Column, vocab: Column): Column =
     call_function("graft_bpe_encode", text, merges, vocab)
   def bpe_decode(ids: Column, vocab: Column): Column =
     call_function("graft_bpe_decode", ids, vocab)
+  def bpe_encode_bytes(text: Column, merges: Column): Column =
+    call_function("graft_bpe_encode_bytes", text, merges)
+  def bpe_decode_bytes(ids: Column, merges: Column): Column =
+    call_function("graft_bpe_decode_bytes", ids, merges)
 }

@@ -909,6 +909,118 @@ object LayoutOps extends QueryPack {
       .orderBy(col("lang"))
   }
 
+  /** Map-key zone maps end to end (`GRAFT STATS KEYS`): documents land
+    * with their metadata in a `map<string,string>` column (the
+    * crawl-attrs shape — keys unknown at schema time, so per-key stats
+    * are OPT-IN, the Bloom-declaration discipline). The history crosses
+    * the declaration: slice 1 lands BEFORE it (no stats — the pruner
+    * keeps the file, sound), slices 2-3 after (per-file
+    * `attrs['lang']` bounds), and `GRAFT ANALYZE` backfills slice 1.
+    * The probe `WHERE attrs['lang'] = 'en'` then plans a strict file
+    * subset from the manifest (`SnapshotMapStatsSpec` pins the scan
+    * metrics); this declared query pins the ANSWER against the oracle,
+    * restated over the flat columns. At 100 TB, per-key map skipping
+    * is what keeps `attrs['lang'] = v` from reading every file of a
+    * metadata-bearing corpus. */
+  def layoutMapPrune(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_mapst_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("lg"),
+        map(lit("lang"), coalesce(col("lang"), lit("und")),
+          lit("src"), coalesce(col("source"), lit(""))).as("attrs"))
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("lg") === "en").drop("lg").repartition(1),
+      overwrite = false)
+    graftSql(s, s"GRAFT STATS KEYS '$table' (attrs['lang'])").collect()
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("lg") === "zh").drop("lg").repartition(1),
+      overwrite = false)
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("lg") =!= "en" && col("lg") =!= "zh").drop("lg")
+        .repartition(1),
+      overwrite = false)
+    graft.sources.SnapshotTable.analyze(s, table)
+    graft.sources.SnapshotTable.readAsOf(s, table, Int.MaxValue)
+      .filter(col("attrs")("lang") === "en")
+      .groupBy(col("attrs")("src").as("src"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("src"))
+  }
+
+  /** Partition evolution end to end (`GRAFT REPARTITION ... BY`): the
+    * events feed starts life FLAT (era 0), one metadata-only statement
+    * switches the scheme to hive-by-event-type, and two more slices
+    * land under `etype=<v>/` directories (era 1) — zero files
+    * rewritten at the switch. The mixed-era read plans each era under
+    * ITS OWN layout (old files answer `etype` from their stored data
+    * column + zone maps, new files from directory pruning —
+    * `SnapshotPartEvolutionSpec` pins the per-era strict file
+    * subsets); this declared query pins the ANSWER over the whole
+    * history against the oracle's flat restatement. At 100 TB,
+    * re-partitioning by rewrite is a non-starter — scheme changes must
+    * be metadata-only or they never happen. */
+  def layoutPartitionEvolution(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_pevo_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val ev = Tables.events(s, d).filter(col("event_id").isNotNull)
+      .select(col("event_id"),
+        coalesce(col("event_type"), lit("unk")).as("etype"),
+        coalesce(col("user_id"), lit(0L)).as("uid"))
+    graft.sources.SnapshotTable.commit(s, table,
+      ev.filter(pmod(col("event_id"), lit(3)) === 0), overwrite = false)
+    graftSql(s, s"GRAFT REPARTITION '$table' BY (etype)").collect()
+    (1 to 2).foreach(k =>
+      graft.sources.SnapshotTable.commitPartitionedBy(s, table,
+        ev.filter(pmod(col("event_id"), lit(3)) === k), Seq("etype")))
+    graft.sources.SnapshotTable.readAsOf(s, table, Int.MaxValue)
+      .filter(col("etype") === "click" || col("etype") === "view")
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n_events"), sum(col("uid")).as("sum_uid"),
+        sum(col("event_id")).as("sum_eid"))
+      .orderBy(col("etype"))
+  }
+
+  /** Write-audit-publish end to end (`GRAFT BRANCH` / `GRAFT
+    * PUBLISH`): main starts with slice A of the documents; a BRANCH
+    * takes slice B plus a quality fix (an UPDATE doubling short docs'
+    * counted chars — the audit stage runs on the branch, main never
+    * sees unreviewed rows); meanwhile main itself keeps ingesting
+    * (slice C lands AFTER the fork). PUBLISH then file-granularity
+    * REBASES the branch onto the moved main as ONE atomic commit —
+    * the fix applied on the branch survives, main's concurrent
+    * ingest survives, and nothing is double-counted. The oracle
+    * replays the whole pipeline in closed form. At 100 TB this is how
+    * risky batch transforms ship: staged on a zero-copy branch,
+    * audited, then published without blocking ingestion. */
+  def layoutBranchPublish(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_wap_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"),
+        (col("doc_id") % 3).cast("long").as("slice"))
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("slice") === 0), overwrite = false) // main: A
+    graftSql(s, s"GRAFT BRANCH '$table' CREATE fix").collect()
+    val b = graft.sources.SnapshotTable.branchDir(table, "fix")
+    graft.sources.SnapshotTable.commit(s, b,
+      docs.filter(col("slice") === 1), overwrite = false) // branch: B
+    // the audited transform, on the branch only: short docs re-counted
+    graftSql(s, s"GRAFT UPDATE '$b' SET nc = nc * 2 WHERE nc < 100")
+      .collect()
+    // main keeps ingesting AFTER the fork — publish must rebase
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("slice") === 2), overwrite = false) // main: C
+    graftSql(s, s"GRAFT PUBLISH '$table' fix").collect()
+    graft.sources.SnapshotTable.readAsOf(s, table, Int.MaxValue)
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_nc"))
+      .orderBy(col("slice"))
+  }
+
   /** `GRAFT ANALYZE` end to end: load documents, run a selective MERGE
     * (which HONESTLY drops the cumulative NDV sketch — a bottom-k
     * cannot subtract), then [[graft.sources.SnapshotTable.analyze]]
@@ -1262,6 +1374,9 @@ object LayoutOps extends QueryPack {
     "layout_rename" -> layoutRename,
     "layout_bloom_probe" -> layoutBloomProbe,
     "layout_nested_prune" -> layoutNestedPrune,
+    "layout_map_prune" -> layoutMapPrune,
+    "layout_partition_evolution" -> layoutPartitionEvolution,
+    "layout_branch_publish" -> layoutBranchPublish,
     "cdc_sql_changes" -> layoutSqlChanges,
     "layout_snapshot_moneyband" -> layoutSnapshotMoneyband,
     "layout_snapshot_deletes" -> layoutSnapshotDeletes,
@@ -1546,6 +1661,38 @@ object LayoutOps extends QueryPack {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_id
         |FROM d WHERE nc >= 200 AND nc < 500
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the write-audit-publish pipeline in closed form: slices 0/1
+    // passed through the branch (short docs re-counted), slice 2
+    // landed on main after the fork (published rebase keeps it as-is)
+    "layout_branch_publish" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc,
+        |    doc_id % 3 AS slice
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT CAST(slice AS BIGINT) AS slice,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN slice IN (0, 1) AND nc < 100
+        |               THEN nc * 2 ELSE nc END) AS BIGINT) AS sum_nc
+        |FROM d GROUP BY slice ORDER BY slice""".stripMargin,
+    // the cross-era answer restated flat: three slices by event-id
+    // residue partition the rows, so their union IS the table
+    "layout_partition_evolution" ->
+      """WITH e AS (SELECT event_id, coalesce(event_type, 'unk') AS etype,
+        |    coalesce(user_id, 0) AS uid
+        |  FROM events WHERE event_id IS NOT NULL)
+        |SELECT etype, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(uid) AS BIGINT) AS sum_uid,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_eid
+        |FROM e WHERE etype IN ('click', 'view')
+        |GROUP BY etype ORDER BY etype""".stripMargin,
+    // the map-key probe's ANSWER, restated over the flat columns (the
+    // three lang slices partition the rows, so their union IS the table)
+    "layout_map_prune" ->
+      """SELECT coalesce(source, '') AS src,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND coalesce(lang, 'und') = 'en'
+        |GROUP BY src ORDER BY src""".stripMargin,
     // the Bloom-pruned point probe's ANSWER: the max-orderkey row
     "layout_bloom_probe" ->
       """SELECT o_orderkey AS okey, o_custkey AS cust FROM orders

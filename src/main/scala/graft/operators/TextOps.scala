@@ -661,6 +661,63 @@ object TextOps extends QueryPack {
       .filter(col("n_docs") > 0) // zero-row corpus: zero audit rows
   }
 
+  /** Memoized BYTE-level merge table per corpus — trained on the same
+    * bounded deterministic sample as [[bpeTable]], but at the
+    * production granularity (UTF-8 bytes, GPT-2/tiktoken shape): the
+    * base alphabet is ALL 256 bytes implicitly, so no corpus alphabet
+    * pass is needed and NOTHING is ever out-of-vocab. */
+  private val bpeByteCache =
+    new graft.CacheRegistry.VersionedMemo[Seq[Long]]()
+  private[operators] def bpeByteTable(s: SparkSession, d: String): Seq[Long] =
+    bpeByteCache.getOrBuild(s, s"$d/documents.parquet") {
+      val sample = Tables.documents(s, d).filter(col("text").isNotNull)
+        .orderBy(col("doc_id")).limit(256)
+        .select(substring(col("text"), 1, 1024).as("t"))
+        .collect().map(_.getString(0)).toSeq
+      graft.functions.BpeByteCodec.train(sample, 64)
+    }
+
+  /** BYTE-level BPE token ids per document — the production-tokenizer
+    * granularity next to [[textTokenIds]]'s code-point variant: base
+    * ids 0..255 are the UTF-8 bytes, merge rank r mints id 256+r, so
+    * every document is in-vocab by construction. Rows-only declared
+    * (no SQL engine replays an iterative merge); correctness rides the
+    * oracle-green `text_bpe_bytes_roundtrip` twin. Same plan shape as
+    * the code-point encoder: one scan, the codegen expression in the
+    * projection, zero joins. */
+  def textTokenIdsBytes(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeByteTable(s, d)
+    graft.functions.BpeExpressions.register(s)
+    val m = typedLit(merges)
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.BpeExpressions.bpe_encode_bytes(col("text"), m)
+          .as("ids"))
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
+        concat_ws(",",
+          expr("transform(slice(ids, 1, 8), x -> CAST(x AS STRING))"))
+          .as("head_ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The byte-level encoder's identity audit, oracle-green:
+    * decode(encode(x)) must equal x for EVERY document — at byte
+    * granularity this holds UNCONDITIONALLY (all 256 bytes are base
+    * tokens), so `n_exact` = `n_docs` with no alphabet-coverage
+    * caveat; any merge-loop or expansion bug flips the hash. */
+  def textBpeBytesRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeByteTable(s, d)
+    graft.functions.BpeExpressions.register(s)
+    val m = typedLit(merges)
+    val enc = graft.functions.BpeExpressions.bpe_encode_bytes(col("text"), m)
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select((graft.functions.BpeExpressions.bpe_decode_bytes(enc, m)
+        === col("text")).as("exact"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("exact"), 1L).otherwise(0L)).as("n_exact"))
+      .filter(col("n_docs") > 0) // zero-row corpus: zero audit rows
+  }
+
   /** Laplace-smoothed bigram language model — the top-50 adjacent token
     * pairs with their add-one conditional probability
     * `p(w2|w1) = (c(w1w2)+1) / (c(w1·)+V)`, the estimator a classic
@@ -735,6 +792,8 @@ object TextOps extends QueryPack {
     "text_bpe_pairs" -> textBpePairs,
     "text_token_ids" -> textTokenIds,
     "text_bpe_roundtrip" -> textBpeRoundtrip,
+    "text_token_ids_bytes" -> textTokenIdsBytes,
+    "text_bpe_bytes_roundtrip" -> textBpeBytesRoundtrip,
     "text_source_divergence" -> textSourceDivergence,
     "text_cms_heavyhitters" -> textCmsHeavyHitters,
     "text_cms_production" -> textCmsProduction,
@@ -812,6 +871,13 @@ object TextOps extends QueryPack {
     // round-trips (the vocab covers the corpus alphabet by
     // construction, so both counts are the non-null doc count)
     "text_bpe_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_exact
+        |FROM documents WHERE text IS NOT NULL
+        |HAVING count(*) > 0""".stripMargin,
+    // the byte-level identity holds UNCONDITIONALLY (all 256 bytes
+    // are base tokens) — same closed form
+    "text_bpe_bytes_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_exact
         |FROM documents WHERE text IS NOT NULL

@@ -64,6 +64,27 @@ class GraftSqlParser(delegate: ParserInterface,
       """(?:\s+FILES\s+(\d+))?\s*;?\s*""").r
   private val StatsRe =
     """(?is)\s*GRAFT\s+STATS\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  // declared map-key zone maps: the FULL desired set of col['key']
+  // items (empty parens clear every declaration)
+  private val StatsKeysRe =
+    ("""(?is)\s*GRAFT\s+STATS\s+KEYS\s+'([^']+)'\s*""" +
+      """\(\s*([A-Za-z_][A-Za-z0-9_]*\['[^'\]]+'\]""" +
+      """(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*\['[^'\]]+'\])*)?\s*\)\s*;?\s*""").r
+  private val StatsKeyItemRe = """[A-Za-z_][A-Za-z0-9_]*\['[^'\]]+'\]""".r
+  // write-audit-publish branches
+  private val BranchCreateRe =
+    ("""(?is)\s*GRAFT\s+BRANCH\s+'([^']+)'\s+CREATE\s+([A-Za-z0-9_\-]+)\s*;?\s*""".r)
+  private val BranchDropRe =
+    ("""(?is)\s*GRAFT\s+BRANCH\s+'([^']+)'\s+DROP\s+([A-Za-z0-9_\-]+)\s*;?\s*""".r)
+  private val BranchListRe =
+    ("""(?is)\s*GRAFT\s+BRANCH\s+'([^']+)'\s+LIST\s*;?\s*""".r)
+  private val PublishRe =
+    ("""(?is)\s*GRAFT\s+PUBLISH\s+'([^']+)'\s+([A-Za-z0-9_\-]+)\s*;?\s*""".r)
+  // partition evolution: new scheme for FUTURE commits, old files stay
+  // readable under their own era (empty parens = evolve back to flat)
+  private val RepartitionRe =
+    ("""(?is)\s*GRAFT\s+REPARTITION\s+'([^']+)'\s+BY\s*""" +
+      """\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)?\s*\)\s*;?\s*""").r
   private val DescribeStatsRe =
     """(?is)\s*GRAFT\s+DESCRIBE\s+STATS\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val AnalyzeRe =
@@ -204,6 +225,16 @@ class GraftSqlParser(delegate: ParserInterface,
     case DescribeStatsRe(dir, v) =>
       GraftDescribeStatsCommand(dir,
         Option(v).map(_.toInt).getOrElse(Int.MaxValue))
+    case BranchCreateRe(dir, n) => GraftBranchCreateCommand(dir, n)
+    case BranchDropRe(dir, n) => GraftBranchDropCommand(dir, n)
+    case BranchListRe(dir) => GraftBranchListCommand(dir)
+    case PublishRe(dir, n) => GraftPublishCommand(dir, n)
+    case RepartitionRe(dir, cs) =>
+      GraftRepartitionCommand(dir,
+        Option(cs).map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil))
+    case StatsKeysRe(dir, ds) =>
+      GraftStatsKeysCommand(dir, Option(ds)
+        .map(StatsKeyItemRe.findAllIn(_).toSeq).getOrElse(Nil))
     case StatsRe(dir, v) =>
       GraftStatsCommand(dir, Option(v).map(_.toInt).getOrElse(Int.MaxValue))
     case RestoreTsRe(dir, ts) =>
@@ -246,6 +277,11 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT ADD COLUMN '<dir>' <col> <type> | " +
             "GRAFT DROP COLUMN '<dir>' <col> | " +
             "GRAFT BLOOM '<dir>' (a, b.leaf) | " +
+            "GRAFT STATS KEYS '<dir>' (attrs['k'], ...) | " +
+            "GRAFT REPARTITION '<dir>' BY (a, b) | " +
+            "GRAFT BRANCH '<dir>' CREATE/DROP <name> | " +
+            "GRAFT BRANCH '<dir>' LIST | " +
+            "GRAFT PUBLISH '<dir>' <name> | " +
             "GRAFT ADD CHECK '<dir>' <name> (<expr>) | " +
             "GRAFT DROP CHECK '<dir>' <name> | " +
             "GRAFT RELAYOUT '<dir>' [PARTITION BY (a, b)] " +
@@ -744,6 +780,77 @@ case class GraftBloomCommand(tableDir: String, cols: Seq[String])
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(SnapshotTable.setBloomColumns(s, tableDir, cols)))
+}
+
+/** `GRAFT BRANCH '<dir>' CREATE <name>` — zero-copy branch for
+  * write-audit-publish ([[SnapshotTable.branchCreate]]); writes land
+  * on the branch directory through every normal API. */
+case class GraftBranchCreateCommand(tableDir: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("branch_dir",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.branchDir(tableDir, name),
+      SnapshotTable.branchCreate(s, tableDir, name)))
+}
+
+/** `GRAFT BRANCH '<dir>' DROP <name>` ([[SnapshotTable.dropBranch]]). */
+case class GraftBranchDropCommand(tableDir: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("dropped",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    SnapshotTable.dropBranch(s, tableDir, name)
+    Seq(Row(name))
+  }
+}
+
+/** `GRAFT BRANCH '<dir>' LIST` — live branch names. */
+case class GraftBranchListCommand(tableDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("branch",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    SnapshotTable.branches(s, tableDir).map(Row(_))
+}
+
+/** `GRAFT PUBLISH '<dir>' <name>` — fast-forward (or file-granularity
+  * rebase) the branch onto main as ONE atomic commit
+  * ([[SnapshotTable.publishBranch]]). */
+case class GraftPublishCommand(tableDir: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.publishBranch(s, tableDir, name)))
+}
+
+/** `GRAFT REPARTITION '<dir>' BY (col, ...)` — partition evolution
+  * ([[SnapshotTable.repartitionBy]]): metadata-only scheme change for
+  * FUTURE commits; already-written files stay readable under their
+  * own era's layout. `BY ()` evolves back to flat. */
+case class GraftRepartitionCommand(tableDir: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.repartitionBy(s, tableDir, cols)))
+}
+
+/** `GRAFT STATS KEYS '<dir>' (attrs['lang'], ...)` — declare the map
+  * keys that get per-file zone maps ([[SnapshotTable.setMapStatKeys]];
+  * the FULL desired set — `()` clears every declaration).
+  * Metadata-only commit. */
+case class GraftStatsKeysCommand(tableDir: String, decls: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.setMapStatKeys(s, tableDir, decls)))
 }
 
 /** `GRAFT ADD CHECK '<dir>' <name> (<expr>)` — named CHECK constraint

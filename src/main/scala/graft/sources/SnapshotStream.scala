@@ -36,6 +36,15 @@ import org.apache.spark.sql.types.StructType
   *   .option("path", tableDir)           // required
   *   .option("ignoreChanges", "true")    // optional
   *   .load()
+  * // streaming CHANGE FEED: row-level changes of every commit —
+  * // appends, DELETE, UPDATE, MERGE — tagged change_type +
+  * // _commit_version (the Delta CDF readStream shape); rewrites
+  * // never fail the query, they ARE the feed
+  * spark.readStream
+  *   .format("graft.sources.SnapshotSourceProvider")
+  *   .option("path", tableDir)
+  *   .option("changeFeed", "true")
+  *   .load()
   * // plain SQL: register a name over the directory; SELECTs resolve
   * // through the same manifest-planned relation (zone maps, buckets,
   * // deletion-vector refusal), REFRESH TABLE picks up later commits,
@@ -105,13 +114,23 @@ class SnapshotSourceProvider extends StreamSourceProvider
       .getOrElse(throw new IllegalArgumentException(
         "graft-snapshot source requires option 'path' (the table directory)"))
 
+  private def changeFeedOpt(params: Map[String, String]): Boolean =
+    params.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("changeFeed") ||
+        k.equalsIgnoreCase("readChangeFeed") => v.toBoolean
+    }.getOrElse(false)
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
-      providerName: String, params: Map[String, String]): (String, StructType) =
-    (shortName(), schema.orElse(
+      providerName: String, params: Map[String, String]): (String, StructType) = {
+    val base = schema.orElse(
       SnapshotTable.tableSchema(ctx.sparkSession, path(params)))
       .getOrElse(throw new IllegalArgumentException(
         s"graft-snapshot source: no published schema at ${path(params)} — " +
-          "commit a first version (or pass a schema) before streaming")))
+          "commit a first version (or pass a schema) before streaming"))
+    (shortName(),
+      if (changeFeedOpt(params)) SnapshotStreamSource.cdfSchema(base)
+      else base)
+  }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -124,7 +143,7 @@ class SnapshotSourceProvider extends StreamSourceProvider
     }
     new SnapshotStreamSource(ctx, path(params),
       sourceSchema(ctx, schema, providerName, params)._2, ignoreChanges,
-      maxVersions)
+      maxVersions, changeFeed = changeFeedOpt(params))
   }
 }
 
@@ -137,7 +156,8 @@ class SnapshotSourceProvider extends StreamSourceProvider
   * integration pattern. */
 class SnapshotStreamSource(ctx: SQLContext, tableDir: String,
     override val schema: StructType, ignoreChanges: Boolean,
-    maxVersionsPerTrigger: Option[Int] = None) extends Source
+    maxVersionsPerTrigger: Option[Int] = None,
+    changeFeed: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, ReadMaxFiles}
 
@@ -181,21 +201,62 @@ class SnapshotStreamSource(ctx: SQLContext, tableDir: String,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val fromV = start.map(ver).getOrElse(0) // fresh stream: from genesis
-    val rel0 = SnapshotTable.streamBatch(ctx.sparkSession, tableDir,
-      fromV, ver(end), ignoreChanges)
-    // the stream's output schema is FIXED at start: columns the table
-    // gained later read as NULL, columns it lost are NULL-filled —
-    // evolution never changes a running query's shape
-    val cols = schema.fields.toSeq.map { f =>
-      if (rel0.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }
-    val rel = rel0.select(cols: _*)
+    val rel0 =
+      if (changeFeed) changeBatch(fromV, ver(end))
+      else SnapshotTable.streamBatch(ctx.sparkSession, tableDir,
+        fromV, ver(end), ignoreChanges)
+    val rel = align(rel0)
     // MicroBatchExecution requires an isStreaming plan; the shim is the
     // one blessed constructor for it
     org.apache.spark.sql.graft.GraftSqlShims.streamingDataFrame(
       ctx.sparkSession, rel.queryExecution.toRdd, rel.schema)
   }
 
+  /** The stream's output schema is FIXED at start: columns the table
+    * gained later read as NULL, columns it lost are NULL-filled —
+    * evolution never changes a running query's shape. */
+  private def align(rel0: DataFrame): DataFrame = {
+    val cols = schema.fields.toSeq.map { f =>
+      if (rel0.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    rel0.select(cols: _*)
+  }
+
+  /** One CHANGE-FEED micro-batch: the row-level changes of every
+    * published version in `(fromV, toV]`, each tagged with its
+    * `change_type` ('insert'/'delete') and `_commit_version` — the
+    * Delta CDF streaming shape. Versions tile exactly
+    * (`fromV→v1, v1→v2, …`), so a batch spanning several commits
+    * (admission-capped by `maxVersionsPerTrigger`) reports each
+    * commit's own changes under its own version: append chains plan
+    * as pure added-file scans, DELETE/UPDATE/MERGE commits as the
+    * honest multiset diff (compaction correctly contributes an EMPTY
+    * slice), and a slice predating a metadata-only rename is relabeled
+    * by physical storage name, never null-filled
+    * ([[SnapshotTable.streamChangeBatch]]). Restart replays the same
+    * `(fromV, toV]` deterministically from the checkpointed version
+    * offset. */
+  private def changeBatch(fromV: Int, toV: Int): DataFrame =
+    SnapshotTable.streamChangeBatch(ctx.sparkSession, tableDir, fromV, toV)
+
   override def stop(): Unit = ()
+}
+
+object SnapshotStreamSource {
+  /** The change-feed output shape: the table's data columns plus the
+    * change metadata pair. `change_type` matches the batch
+    * [[SnapshotTable.readChanges]] tag; `_commit_version` is the
+    * publishing version (the Delta CDF column convention). */
+  def cdfSchema(base: StructType): StructType = {
+    require(!base.fieldNames.contains("change_type") &&
+      !base.fieldNames.contains("_commit_version"),
+      "change-feed stream: the table already has a change_type/" +
+        "_commit_version column — rename it before streaming the feed")
+    StructType(base.fields :+
+      org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType, nullable = true) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = true))
+  }
 }

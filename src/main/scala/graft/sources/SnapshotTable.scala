@@ -165,7 +165,8 @@ object SnapshotTable {
       rows: Option[Long],
       stats: Map[String, ColStat],
       part: Option[Seq[Option[String]]] = None,
-      statsVer: Option[Int] = None)
+      statsVer: Option[Int] = None,
+      era: Option[Int] = None)
 
   /** Current stats-format version stamped into the coverage marker.
     * v2 = the round-15 kind set (long family incl. date/timestamp/NTZ/
@@ -240,8 +241,31 @@ object SnapshotTable {
       // order; empty = unpartitioned): data files live under nested
       // `<col>=<value>/` directories and do NOT store these columns —
       // reads reconstruct them from each entry's recorded value tuple
-      partBy: Seq[String] = Nil) {
+      partBy: Seq[String] = Nil,
+      // partition-scheme HISTORY ([[SnapshotTable.repartitionBy]]):
+      // every scheme the table ever carried, era order, the last one
+      // being the CURRENT `partBy`; each entry's `E<n>` field indexes
+      // into it. None = the table never changed scheme (every entry
+      // belongs to `partBy`). An old-era file stays readable under ITS
+      // era's directory layout; pruning consults each era's own
+      // machinery (directory pruning for its hive columns, zone maps
+      // for everything it stores as data).
+      partEras: Option[Seq[Seq[String]]] = None) {
     def paths: Seq[String] = files.map(_.takeWhile(_ != '\t'))
+    /** The scheme era entry `e` was committed under. */
+    def eraOf(e: FileEntry): Int =
+      e.era.getOrElse(partEras.map(_.size - 1).getOrElse(0))
+    /** Era index -> partition scheme. */
+    def eraScheme(i: Int): Seq[String] =
+      partEras.map(_(i)).getOrElse(partBy)
+    /** One (scheme, entries) leg per era present in `es`, era order —
+      * a single leg for every table that never changed scheme. */
+    def eraLegs(es: Seq[FileEntry]): Seq[(Seq[String], Seq[FileEntry])] =
+      es.groupBy(eraOf).toSeq.sortBy(_._1)
+        .map { case (i, ees) => (eraScheme(i), ees) }
+    /** Do `es` span MORE than one scheme era? */
+    def mixedEras(es: Seq[FileEntry]): Boolean =
+      es.iterator.map(eraOf).distinct.size > 1
     def entries: Option[Seq[FileEntry]] =
       if (files.exists(!_.contains('\t'))) None
       else Some(files.map(parseEntry))
@@ -275,6 +299,13 @@ object SnapshotTable {
             case "N" => None
             case b => Some(new String(b64d(b), "UTF-8"))
           }
+      },
+      // scheme-era marker `E<n>` ([[repartitionBy]]) — positionally
+      // after the part field, but matched by shape so a FLAT entry
+      // (no part field) parses its era from slot 4 too
+      era = f.drop(4).collectFirst {
+        case e if e.length > 1 && e.charAt(0) == 'E' &&
+          e.drop(1).forall(_.isDigit) => e.drop(1).toInt
       })
   }
 
@@ -468,6 +499,16 @@ object SnapshotTable {
                 g.ordinal).name
             s"$p.$n"
           }.filterNot(ambiguous.contains)
+        // map subscript by a string literal: `attrs['lang'] = v` probes
+        // the declared per-key stat ([[setMapStatKeys]]); the key
+        // format `top['key']` can never collide with a dotted struct
+        // path, and a top-level name spelling it is in `ambiguous`
+        case g: GetMapValue => (g.key match {
+            case Literal(k: org.apache.spark.unsafe.types.UTF8String, _)
+                if k != null => Some(k.toString)
+            case _ => None
+          }).flatMap(k => unapply(g.child).map(p => s"$p['$k']"))
+            .filterNot(ambiguous.contains)
         case _ => None
       }
     }
@@ -668,7 +709,16 @@ object SnapshotTable {
       partBy = lines.collectFirst {
         case l if l.startsWith("#partby:") =>
           l.stripPrefix("#partby:").split(":", -1).toSeq
-            .map(b => new String(b64d(b), "UTF-8")) }.getOrElse(Nil))
+            .map(b => new String(b64d(b), "UTF-8")) }.getOrElse(Nil),
+      // scheme history: '|'-joined eras, each era's columns b64-joined
+      // by ':'; an empty segment is a FLAT era
+      partEras = lines.collectFirst {
+        case l if l.startsWith("#parteras:") =>
+          l.stripPrefix("#parteras:").split("\\|", -1).toSeq.map { seg =>
+            if (seg.isEmpty) Nil
+            else seg.split(":", -1).toSeq
+              .map(b => new String(b64d(b), "UTF-8"))
+          } })
   }
 
   /** Writer ids with at least one committed transaction on this table —
@@ -1227,7 +1277,8 @@ object SnapshotTable {
     * stored decimal round-trips exactly. */
   private def collectFileStats(s: SparkSession, dataDir: String,
       schema: StructType, partitioned: Boolean = false,
-      bloomCols: Set[String] = Set.empty)
+      bloomCols: Set[String] = Set.empty,
+      mapKeys: Map[String, Seq[String]] = Map.empty)
       : Option[(Map[String, (Long, String)], Map[String, Seq[Long]])] = {
     // partitioned layouts reconstruct the partition column via hive
     // directory discovery — the EXPLICIT schema pins its type (string
@@ -1235,7 +1286,7 @@ object SnapshotTable {
     // recorded stat kind would contradict the table schema)
     val reader = if (partitioned) s.read.schema(storedSchema(schema))
       else s.read
-    statsAggregate(s, reader.parquet(dataDir), schema, bloomCols)
+    statsAggregate(s, reader.parquet(dataDir), schema, bloomCols, mapKeys)
   }
 
   /** The one-pass per-file stats aggregation behind [[collectFileStats]]
@@ -1244,12 +1295,13 @@ object SnapshotTable {
     * NDV sketches per `input_file_name()`, keyed by normalized fs
     * path. None when no column of `schema` is stat-eligible. */
   private def statsAggregate(s: SparkSession, data: DataFrame,
-      schema: StructType, bloomCols: Set[String] = Set.empty)
+      schema: StructType, bloomCols: Set[String] = Set.empty,
+      mapKeys: Map[String, Seq[String]] = Map.empty)
       : Option[(Map[String, (Long, String)], Map[String, Seq[Long]])] = {
     import org.apache.spark.sql.functions._
     // top-level atomic columns AND struct leaves (dotted keys) — one
     // enumeration shared with the pruner's key resolution
-    val cols = statCols(schema)
+    val cols = statCols(schema) ++ mapStatPaths(schema, mapKeys)
     if (cols.isEmpty) return None // no eligible columns: pass skipped
     // per-column NDV sketch rides the SAME pass: the bottom-64 KMV of
     // md5 value hashes (nulls skip — NDV counts non-null distincts),
@@ -1400,7 +1452,7 @@ object SnapshotTable {
     // nested stat; see statCols)
     val amb = sc.fields.iterator
       .flatMap(f => Iterator(f.name, physName(f)))
-      .filter(_.contains('.')).toSet
+      .filter(n => n.contains('.') || n.contains("['")).toSet
     if (partBy.nonEmpty) {
       val partFields = partBy.map(c => sc.fields.find(_.name == c).getOrElse(
         throw new IllegalStateException(
@@ -1621,6 +1673,142 @@ object SnapshotTable {
     * The nested twin of [[BloomKey]]; same schema-riding lifecycle. */
   private[sources] val BloomPathsKey = "graft.bloom.paths"
 
+  /** Field-metadata key on a top-level MAP column listing the DECLARED
+    * literal keys whose values get per-file zone maps
+    * ([[setMapStatKeys]] / `GRAFT STATS KEYS`). Maps are unbounded, so
+    * stats are opt-in PER KEY — the Bloom-declaration discipline
+    * applied to `attrs['lang'] = 'en'`-shaped predicates. Same
+    * schema-riding lifecycle as [[BloomKey]]: survives every
+    * schema-carrying op, reset by full rewrites, backfilled by
+    * [[analyze]]. Pruning-only: declared keys never appear in
+    * [[metaAgg]] (a file without the stat — committed before the
+    * declaration — is simply kept, never misread as all-null). */
+  private[sources] val MapStatsKey = "graft.mapstats.keys"
+
+  /** `f`'s declared map-key stat paths, filtered to maps whose VALUE
+    * type is stat-eligible (string keys only — the predicate shape). */
+  private def mapKeyDecls(f: StructField): Seq[String] =
+    if (!f.metadata.contains(MapStatsKey)) Nil
+    else f.dataType match {
+      case org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, v, _)
+          if statKind(v).isDefined =>
+        f.metadata.getStringArray(MapStatsKey).toSeq
+      case _ => Nil
+    }
+
+  /** physical top name -> declared map keys, from a MANIFEST schema —
+    * what a stats pass over a marker-free BATCH schema must be handed
+    * (the bloomPhysCols threading discipline). */
+  private def mapStatDecls(sc: StructType): Map[String, Seq[String]] =
+    sc.fields.iterator.map(f => physName(f) -> mapKeyDecls(f))
+      .filter(_._2.nonEmpty).toMap
+
+  /** Every DECLARED map-key stat path of a schema, keyed
+    * `top['key']` (unambiguous vs dotted struct-leaf keys) — from the
+    * schema's own markers plus `extra` (manifest-side declarations,
+    * keyed by physical name, for batch schemas that don't carry the
+    * marker). A path whose key collides with any top-level name is
+    * dropped — the same ambiguity rule dotted keys follow. */
+  private def mapStatPaths(schema: StructType,
+      extra: Map[String, Seq[String]] = Map.empty): Seq[StatPath] = {
+    val topNames = schema.fields.iterator
+      .flatMap(f => Iterator(f.name, physName(f))).toSet
+    schema.fields.toSeq.flatMap { f =>
+      val p = physName(f)
+      val eligible = f.dataType match {
+        case org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType, v, _) =>
+          statKind(v).isDefined
+        case _ => false
+      }
+      val decls =
+        if (!eligible) Nil
+        else (mapKeyDecls(f) ++ extra.getOrElse(p, Nil)).distinct
+      if (decls.isEmpty) Nil
+      else {
+        val vt = f.dataType
+          .asInstanceOf[org.apache.spark.sql.types.MapType].valueType
+        decls.flatMap { k =>
+          val key = s"$p['$k']"
+          if (topNames.contains(key)) None
+          else statKind(vt).map(kind => StatPath(s"${f.name}['$k']", key,
+            kind, statSql(s"${q(p)}['$k']", vt), since = Int.MaxValue))
+        }
+      }
+    }
+  }
+
+  /** Declare the map keys that get per-file zone maps — the FULL
+    * desired set per map column, `col['key']` items (`Nil` clears
+    * every declaration). Metadata-only commit, like
+    * [[setBloomColumns]]: files committed BEFORE the declaration
+    * carry no stat for the key (kept by the pruner, never misread);
+    * [[analyze]] backfills them in one pass. Only `map<string, V>`
+    * columns with a stat-eligible V qualify; keys must be non-empty
+    * and quote-free (they embed in the collection SQL and the stat
+    * key verbatim). */
+  def setMapStatKeys(s: SparkSession, tableDir: String,
+      decls: Seq[String]): Int = {
+    val parsed: Map[String, Seq[String]] = decls.map { d =>
+      val m = """^\s*([A-Za-z_][A-Za-z0-9_]*)\['([^'\]]+)'\]\s*$""".r
+      d match {
+        case m(c, k) => c -> k
+        case _ => throw new IllegalArgumentException(
+          s"setMapStatKeys: malformed declaration '$d' " +
+            "(expected col['key'], key quote-free)")
+      }
+    }.groupMap(_._1)(_._2).map { case (c, ks) => c -> ks.distinct }
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val prev = versions(s, tableDir)
+      require(prev.nonEmpty,
+        s"setMapStatKeys: no published version in $tableDir")
+      val m0 = readManifest(s, tableDir, prev.last)
+      val sc0 = m0.schema.getOrElse(throw new IllegalArgumentException(
+        s"setMapStatKeys: legacy manifest without schema in $tableDir"))
+      parsed.foreach { case (c, _) =>
+        val f = sc0.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"setMapStatKeys: no column '$c' in " +
+              sc0.fieldNames.mkString(",")))
+        f.dataType match {
+          case org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType, v, _) =>
+            require(statKind(v).isDefined,
+              s"setMapStatKeys: '$c' value type (${v.catalogString}) " +
+                "is not stat-eligible")
+          case other => throw new IllegalArgumentException(
+            s"setMapStatKeys: '$c' (${other.catalogString}) is not a " +
+              "map<string, V> column")
+        }
+      }
+      val next = StructType(sc0.fields.map { f =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(MapStatsKey)
+        parsed.get(f.name).foreach(ks =>
+          mb.putStringArray(MapStatsKey, ks.toArray))
+        val nm = mb.build()
+        if (nm == f.metadata) f else f.copy(metadata = nm)
+      })
+      val res = publishNext(s, tableDir) { pm =>
+        pm.flatMap { m =>
+          if (m.files != m0.files || m.dels != m0.dels ||
+            m.schema != m0.schema) None
+          else Some((m.files, next, m.txns, m.bucket, m.dels,
+            m.constraints, m.dropped, m.ndv))
+        }
+      }
+      res match {
+        case Some(v) => return v
+        case None => // re-validate against the new state
+      }
+    }
+    throw new IllegalStateException(
+      s"setMapStatKeys: lost $MaxCommitAttempts races in $tableDir")
+  }
+
   /** Is `f` declared for Bloom collection (and of a hashable kind)? */
   private def bloomDeclared(f: StructField): Boolean =
     f.metadata.contains(BloomKey) && f.metadata.getBoolean(BloomKey) &&
@@ -1671,11 +1859,12 @@ object SnapshotTable {
   private def stripPhys(sc: StructType): StructType =
     StructType(sc.fields.map { f =>
       if (!f.metadata.contains(PhysKey) && !f.metadata.contains(BloomKey) &&
-          !f.metadata.contains(BloomPathsKey)) f
+          !f.metadata.contains(BloomPathsKey) &&
+          !f.metadata.contains(MapStatsKey)) f
       else f.copy(metadata =
         new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).remove(PhysKey).remove(BloomKey)
-          .remove(BloomPathsKey).build())
+          .remove(BloomPathsKey).remove(MapStatsKey).build())
     })
 
   /** Re-apply `src`'s Bloom declarations onto `sc` by LOGICAL name —
@@ -1693,7 +1882,13 @@ object SnapshotTable {
     val wantPaths = src.map(_.fields.iterator
       .map(f => f.name -> bloomLeafPaths(f)).filter(_._2.nonEmpty).toMap)
       .getOrElse(Map.empty[String, Seq[String]])
-    if (want.isEmpty && wantPaths.isEmpty) sc
+    // map-key stat declarations carry on the same terms (a rewrite
+    // must not silently drop them); re-validated against the possibly
+    // evolved map type by the same mapKeyDecls gate collection uses
+    val wantMapKeys = src.map(_.fields.iterator
+      .map(f => f.name -> mapKeyDecls(f)).filter(_._2.nonEmpty).toMap)
+      .getOrElse(Map.empty[String, Seq[String]])
+    if (want.isEmpty && wantPaths.isEmpty && wantMapKeys.isEmpty) sc
     else StructType(sc.fields.map { f =>
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
@@ -1704,10 +1899,18 @@ object SnapshotTable {
       val paths = wantPaths.getOrElse(f.name, Nil).filter(p =>
         leafType(f.dataType, p.split('.').toSeq)
           .flatMap(statKind).exists(k => k == 'l' || k == 's'))
-      if (!top && paths.isEmpty) f
+      val mapKeys = wantMapKeys.getOrElse(f.name, Nil).filter(_ =>
+        f.dataType match {
+          case org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType, v, _) =>
+            statKind(v).isDefined
+          case _ => false
+        })
+      if (!top && paths.isEmpty && mapKeys.isEmpty) f
       else {
         if (top) mb.putBoolean(BloomKey, true)
         if (paths.nonEmpty) mb.putStringArray(BloomPathsKey, paths.toArray)
+        if (mapKeys.nonEmpty) mb.putStringArray(MapStatsKey, mapKeys.toArray)
         f.copy(metadata = mb.build())
       }
     })
@@ -1774,6 +1977,7 @@ object SnapshotTable {
       val prev = versions(s, tableDir)
       require(prev.nonEmpty, s"deleteWhere: no published version in $tableDir")
       val m0 = readManifest(s, tableDir, prev.last)
+      requireSingleEra(m0, "deleteWhere")
       (m0.schema, m0.entries) match {
         case (Some(sc0), Some(es0)) if es0.nonEmpty =>
           // layout-agnostic: deletion vectors key on (file, position),
@@ -1900,6 +2104,7 @@ object SnapshotTable {
       val prev = versions(s, tableDir)
       require(prev.nonEmpty, s"updateWhere: no published version in $tableDir")
       val m0 = readManifest(s, tableDir, prev.last)
+      requireSingleEra(m0, "updateWhere")
       val sc0raw = m0.schema.getOrElse(throw new IllegalArgumentException(
         s"updateWhere: legacy manifest without schema in $tableDir"))
       val es0 = m0.entries.getOrElse(throw new IllegalArgumentException(
@@ -1942,7 +2147,7 @@ object SnapshotTable {
       val uniq = java.util.UUID.randomUUID.toString.take(8)
       val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
         toPhysical(upd, sc0), uniq, partitionBy = m0.partBy,
-        bloomCols = bloomPhysCols(sc0))
+        bloomCols = bloomPhysCols(sc0), mapKeys = mapStatDecls(sc0))
       val affectedEntryPaths = affected.map(_.status.getPath.toString).toSet
       beforePublishHook()
       val setPhys = sc0.fields.filter(fl => sets.contains(fl.name))
@@ -2060,6 +2265,7 @@ object SnapshotTable {
     val prev = versions(s, tableDir)
     if (prev.isEmpty) return None
     val m0 = readManifest(s, tableDir, prev.last)
+    requireSingleEra(m0, "absorbDeletes")
     if (m0.dels.isEmpty) return None
     val (sc0, es0) = (m0.schema, m0.entries) match {
       case (Some(a), Some(b)) => (storedSchema(a), b)
@@ -2079,7 +2285,7 @@ object SnapshotTable {
       toPhysical(applyDels(s, tableDir,
         relationFor(s, tableDir, sc0, affected, partBy = m0.partBy), m0),
         sc0),
-      uniq, partitionBy = m0.partBy, bloomCols = bloomPhysCols(sc0))
+      uniq, partitionBy = m0.partBy, bloomCols = bloomPhysCols(sc0), mapKeys = mapStatDecls(sc0))
     val carriedPaths = carried.map(_.status.getPath.toString).toSet
     beforePublishHook()
     val res = publishNext(s, tableDir) { pm =>
@@ -2157,7 +2363,8 @@ object SnapshotTable {
       partitionBy: Seq[String] = Nil,
       partSpread: Int = 1,
       preShaped: Boolean = false,
-      bloomCols: Set[String] = Set.empty)
+      bloomCols: Set[String] = Set.empty,
+      mapKeys: Map[String, Seq[String]] = Map.empty)
       : (HPath, Seq[String], Map[String, Seq[Long]]) = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod, raise_error, when}
     val f = fs(s, tableDir)
@@ -2282,7 +2489,8 @@ object SnapshotTable {
     val stats =
       if (statuses.isEmpty) None
       else collectFileStats(s, dataDir.toString, df.schema,
-        partitioned = partitionBy.nonEmpty, bloomCols = bloomCols)
+        partitioned = partitionBy.nonEmpty, bloomCols = bloomCols,
+        mapKeys = mapKeys)
     (dataDir, listed.map { case (st, part) =>
       val partField = part.fold("")(vs =>
         "\tP" + vs.map(_.fold("N")(b64e)).mkString(","))
@@ -2333,7 +2541,8 @@ object SnapshotTable {
     * Some(cols) SETS them — only data-commit paths that (re)define the
     * layout pass this. */
   private def publishNext(s: SparkSession, tableDir: String,
-      partByOverride: Option[Seq[String]] = None)(
+      partByOverride: Option[Seq[String]] = None,
+      partErasOverride: Option[Seq[Seq[String]]] = None)(
       prepare: Option[Manifest] => Option[Prepared])
       : Option[Int] = {
     val f = fs(s, tableDir)
@@ -2354,6 +2563,27 @@ object SnapshotTable {
           val out = f.create(tmp, true)
           val partBy = partByOverride.getOrElse(
             prevManifest.map(_.partBy).getOrElse(Nil))
+          // scheme-era history ([[repartitionBy]]): carried as long as
+          // any era-tagged entry survives; a FULL rewrite (all-fresh
+          // untagged entries) retires it — the table is single-era
+          // again. Fresh entries landing on an era'd table are tagged
+          // with the CURRENT era here, so every entry always knows its
+          // directory layout.
+          def hasEraTag(l: String): Boolean =
+            l.split("\t", -1).drop(4).exists(f =>
+              f.length > 1 && f.charAt(0) == 'E' &&
+                f.drop(1).forall(_.isDigit))
+          val partEras = partErasOverride.orElse(
+            prevManifest.flatMap(_.partEras)
+              .filter(_ => entries.exists(hasEraTag)))
+          require(partEras.isDefined || !entries.exists(hasEraTag),
+            "snapshot publish: era-tagged entries without a #parteras " +
+              "history — the caller must carry it (partErasOverride)")
+          val entriesTagged = partEras match {
+            case Some(eras) => entries.map(l =>
+              if (hasEraTag(l)) l else s"$l\tE${eras.size - 1}")
+            case None => entries
+          }
           // genuinely-legacy one-shot ids keep their own `#txn:` line
           // form forever: re-encoding them as `#txnv:` would erase the
           // provenance the upgrade-seam composite check keys on
@@ -2367,6 +2597,8 @@ object SnapshotTable {
               s"#ts:${System.currentTimeMillis()}") ++
             (if (partBy.isEmpty) Nil
              else Seq(s"#partby:${partBy.map(b64e).mkString(":")}")) ++
+            partEras.toSeq.map(eras => "#parteras:" +
+              eras.map(_.map(b64e).mkString(":")).mkString("|")) ++
             bucket.map { case (n, c) => s"#bucket:$n:${b64e(c)}" } ++
             dels.map(d => s"#del:$d") ++
             checks.toSeq.sortBy(_._1).map { case (n, e) =>
@@ -2374,7 +2606,8 @@ object SnapshotTable {
             droppedCols.toSeq.sorted.map(n => s"#dropped:${b64e(n)}") ++
             ndv.toSeq.sortBy(_._1).map { case (c, sk) =>
               s"#ndv:${b64e(c)}:${sk.mkString(",")}" }
-          try out.write((meta ++ entries).mkString("\n").getBytes("UTF-8"))
+          try out.write(
+            (meta ++ entriesTagged).mkString("\n").getBytes("UTF-8"))
           finally out.close()
           // the commit point: atomic create-exclusive of the version name
           if (publish(f, tmp, manifestPath(tableDir, v))) return Some(v)
@@ -2503,7 +2736,7 @@ object SnapshotTable {
           written = Some(writeDataDir(s, tableDir, toPhysical(df, schema),
             uniq, bucket, partitionBy,
             partSpread = partitionedWriteSpread(s),
-            bloomCols = bloomPhysCols(schema)))
+            bloomCols = bloomPhysCols(schema), mapKeys = mapStatDecls(schema)))
           writtenRen = renNow
         }
         val base = if (overwrite) Seq.empty
@@ -2669,6 +2902,9 @@ object SnapshotTable {
     // outstanding deletion vectors: the bin-pack read would resurrect
     // deleted rows — absorbDeletes IS the compaction of those files
     if (m0.dels.nonEmpty) return None
+    // mixed/superseded partition-scheme eras: the pack read+rewrite
+    // assumes ONE current layout — relayout()/overwrite unifies
+    if (!eraUniform(m0)) return None
     (m0.schema, m0.entries) match {
       case (Some(schema0), Some(es0)) =>
         val small = es0.filter(_.status.getLen < smallFileBytes)
@@ -2688,11 +2924,11 @@ object SnapshotTable {
             toPhysical(relationFor(s, tableDir, storedSchema(schema0), small,
               partBy = m0.partBy), storedSchema(schema0)),
             uniq, partitionBy = m0.partBy,
-            bloomCols = bloomPhysCols(schema0))
+            bloomCols = bloomPhysCols(schema0), mapKeys = mapStatDecls(schema0))
           else writeDataDir(s, tableDir,
             toPhysical(relationFor(s, tableDir, storedSchema(schema0), small)
               .repartition(nOut), storedSchema(schema0)), uniq,
-            bloomCols = bloomPhysCols(schema0))
+            bloomCols = bloomPhysCols(schema0), mapKeys = mapStatDecls(schema0))
         val compacted = small.map(_.status.getPath.toString).toSet
         beforePublishHook()
         val res = publishNext(s, tableDir) { pm =>
@@ -2763,7 +2999,7 @@ object SnapshotTable {
           toPhysical(relationFor(s, tableDir, storedSchema(schema0), affected,
             partBy = m0.partBy), storedSchema(schema0)),
           uniq, bucket = Some((nBuckets, bucketCol)),
-          partitionBy = m0.partBy, bloomCols = bloomPhysCols(schema0))
+          partitionBy = m0.partBy, bloomCols = bloomPhysCols(schema0), mapKeys = mapStatDecls(schema0))
         val packed = affected.map(_.status.getPath.toString).toSet
         beforePublishHook()
         val res = publishNext(s, tableDir) { pm =>
@@ -2826,6 +3062,7 @@ object SnapshotTable {
     if (prev.isEmpty) return None
     val m0 = readManifest(s, tableDir, prev.last)
     if (m0.bucket.isDefined || m0.dels.nonEmpty) return None
+    if (!eraUniform(m0)) return None // superseded-era files: relayout first
     // a partition column cannot also be a Z-order dimension: within any
     // one directory it is constant, so the curve would degenerate to a
     // plain sort on the other columns. Case-INSENSITIVE like Spark's
@@ -2869,7 +3106,7 @@ object SnapshotTable {
         val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
           toPhysical(clustered, storedSchema(schema0)),
           uniq, partitionBy = m0.partBy, preShaped = true,
-          bloomCols = bloomPhysCols(schema0))
+          bloomCols = bloomPhysCols(schema0), mapKeys = mapStatDecls(schema0))
         beforePublishHook()
         val res = publishNext(s, tableDir) { pm =>
           pm.flatMap { m =>
@@ -2995,8 +3232,10 @@ object SnapshotTable {
         s"dropColumn: cannot drop the only column of $tableDir")
       require(!m0.bucket.exists(_._2 == colName),
         s"dropColumn: '$colName' is the bucket column of $tableDir")
-      require(!m0.partBy.contains(colName),
-        s"dropColumn: '$colName' is the hive partition column of $tableDir")
+      require(!m0.partBy.contains(colName) &&
+        !m0.partEras.exists(_.exists(_.contains(colName))),
+        s"dropColumn: '$colName' is a hive partition column (current " +
+          s"or a retained scheme era) of $tableDir")
       m0.constraints.foreach { case (n, e) =>
         require(!e.contains(colName),
           s"dropColumn: constraint '$n' ($e) references '$colName' — drop it first")
@@ -3119,9 +3358,12 @@ object SnapshotTable {
       require(!sc0.fields.exists(f => f.name != from && physName(f) == to),
         s"renameColumn: '$to' is the physical storage name of another " +
           "renamed column — pre-rename files would resurface its values")
-      require(!m0.partBy.contains(from) && !m0.bucket.exists(_._2 == from),
+      require(!m0.partBy.contains(from) &&
+        !m0.partEras.exists(_.exists(_.contains(from))) &&
+        !m0.bucket.exists(_._2 == from),
         s"renameColumn: '$from' is a layout key (bucket/partition " +
-          "column) — relayout() to re-key first")
+          "column, current or a retained scheme era) — relayout() to " +
+          "re-key first")
       m0.constraints.foreach { case (n, e) =>
         require(!e.contains(from),
           s"renameColumn: constraint '$n' ($e) references '$from' — " +
@@ -3247,6 +3489,299 @@ object SnapshotTable {
       s"setBloomColumns: lost $MaxCommitAttempts races in $tableDir")
   }
 
+  /** PARTITION EVOLUTION — change the hive directory scheme for FUTURE
+    * commits while every already-written file stays readable under ITS
+    * era's layout (the Iceberg partition-evolution contract, manifest
+    * edition): ONE metadata-only publish records the new scheme in
+    * `#partby:`, appends it to the `#parteras:` history, and tags
+    * every existing entry with its era index — zero of 100 TB
+    * rewritten. Reads plan mixed-era tables as one union of per-era
+    * relations: a new-era file prunes by DIRECTORY on the new columns,
+    * an old-era file (which stores them as data) prunes by its ZONE
+    * MAPS — both eras answer a partition-pruned query with a strict
+    * file subset. Appends must match the CURRENT scheme (the existing
+    * layout gate). Row-level rewrites (merge/update/delete/compact/
+    * Z-order/ANALYZE) refuse on a mixed-era table — `relayout()` (or
+    * any overwrite) rewrites everything under one scheme and retires
+    * the history. `newBy = Nil` evolves back to a flat layout.
+    * Refused on bucketed tables (bucket metadata is scheme-global) and
+    * when the scheme is unchanged. */
+  def repartitionBy(s: SparkSession, tableDir: String,
+      newBy: Seq[String]): Int = {
+    require(newBy.distinct.size == newBy.size,
+      s"repartitionBy: duplicate column in ${newBy.mkString(",")}")
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val prev = versions(s, tableDir)
+      require(prev.nonEmpty,
+        s"repartitionBy: no published version in $tableDir")
+      val m0 = readManifest(s, tableDir, prev.last)
+      val sc0 = m0.schema.getOrElse(throw new IllegalArgumentException(
+        s"repartitionBy: legacy manifest without schema in $tableDir"))
+      require(m0.entries.isDefined,
+        s"repartitionBy: legacy manifest without file metadata in $tableDir")
+      require(m0.bucket.isEmpty,
+        s"repartitionBy: $tableDir is bucketed — overwrite/relayout to " +
+          "change the scheme")
+      require(newBy != m0.partBy,
+        s"repartitionBy: $tableDir is already partitioned by " +
+          s"${if (newBy.isEmpty) "(none)" else newBy.mkString(",")}")
+      newBy.foreach { c =>
+        val f = sc0.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"repartitionBy: no column '$c' in ${sc0.fieldNames.mkString(",")}"))
+        require(supportedPartType(f.dataType),
+          s"repartitionBy: '$c' (${f.dataType.catalogString}) is not a " +
+            "supported partition type (string/int/long/date)")
+        require(!renamesOf(sc0).contains(c),
+          s"repartitionBy: '$c' carries a rename indirection — " +
+            "relayout first")
+      }
+      val oldEras = m0.partEras.getOrElse(Seq(m0.partBy))
+      val oldIdx = oldEras.size - 1
+      val res = publishNext(s, tableDir,
+        partByOverride = Some(newBy),
+        partErasOverride = Some(oldEras :+ newBy)) { pm =>
+        pm.flatMap { m =>
+          if (m.files != m0.files || m.dels != m0.dels ||
+            m.schema != m0.schema) None
+          else Some((m.files.map(l =>
+            // tag the surviving entries with the era they were
+            // written under (publishNext's auto-tag would wrongly
+            // claim the NEW era for them)
+            if (l.split("\t", -1).drop(4).exists(f =>
+              f.length > 1 && f.charAt(0) == 'E' &&
+                f.drop(1).forall(_.isDigit))) l
+            else s"$l\tE$oldIdx"),
+            m.schema.get, m.txns, m.bucket, m.dels,
+            m.constraints, m.dropped, m.ndv))
+        }
+      }
+      res match {
+        case Some(v) => return v
+        case None => // lost a race — re-validate against the new state
+      }
+    }
+    throw new IllegalStateException(
+      s"repartitionBy: lost $MaxCommitAttempts races in $tableDir")
+  }
+
+  /** Is every data file plannable under the CURRENT `partBy` scheme?
+    * False on a mixed-era table ([[repartitionBy]]) and when the
+    * single era's files live under a superseded scheme (right after a
+    * repartition, before any new-era commit). */
+  private def eraUniform(m: Manifest): Boolean =
+    m.entries.forall(es => !m.mixedEras(es) &&
+      es.headOption.forall(e => m.eraScheme(m.eraOf(e)) == m.partBy))
+
+  /** Refusal gate for row-level rewrites and stats ops on a table
+    * whose files are not all under the CURRENT partition scheme
+    * ([[repartitionBy]]): their planning assumes one directory scheme
+    * for every file. Honest refusal with the escape hatch named;
+    * single-era tables (including evolved ones whose files are all
+    * current-era) pass. */
+  private def requireSingleEra(m: Manifest, op: String): Unit =
+    require(eraUniform(m),
+      s"$op: table has partition-scheme eras " +
+        s"(${m.partEras.map(_.map(e => if (e.isEmpty) "(flat)"
+          else e.mkString("+")).mkString(" -> ")).getOrElse("")}) " +
+        "not matching the current layout — relayout()/overwrite to " +
+        "unify the layout first")
+
+  // ---------- branches: write-audit-publish ----------
+
+  /** The table directory a branch's writes land in. */
+  def branchDir(tableDir: String, name: String): String =
+    s"$tableDir/_branches/$name"
+
+  private def requireBranchName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_\\-]{1,64}"),
+      s"branch name '$name' (allowed: letters, digits, _, -, <= 64 chars)")
+
+  private def forkFile(tableDir: String, name: String): HPath =
+    new HPath(s"$tableDir/_branches", s".$name.fork")
+
+  /** CREATE a branch — the write-audit-publish primitive (Nessie/
+    * LakeFS shape, manifest edition): a zero-copy SHALLOW CLONE of
+    * main's latest snapshot into `<dir>/_branches/<name>`, plus the
+    * recorded FORK VERSION. Writers then use the branch directory
+    * through every normal API (commit/merge/DELETE/UPDATE/compact —
+    * it is a full snapshot table); main never sees a byte until
+    * [[publishBranch]]. Main's vacuum cannot touch branch data (it
+    * sweeps only its own `data/`); the branch's own vacuum must keep
+    * any version main later publishes (the shallow-clone caveat).
+    * Returns the branch's version 1. */
+  def branchCreate(s: SparkSession, tableDir: String, name: String): Int = {
+    requireBranchName(name)
+    val vs = versions(s, tableDir)
+    require(vs.nonEmpty, s"branchCreate: no published version in $tableDir")
+    val v = cloneTable(s, tableDir, branchDir(tableDir, name))
+    val f = fs(s, tableDir)
+    val out = f.create(forkFile(tableDir, name), false) // exclusive
+    try out.write(vs.last.toString.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** Branch names with a live fork marker under `<dir>/_branches`. */
+  def branches(s: SparkSession, tableDir: String): Seq[String] = {
+    val f = fs(s, tableDir)
+    val root = new HPath(tableDir, "_branches")
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith(".") && n.endsWith(".fork") =>
+        n.stripPrefix(".").stripSuffix(".fork") }.sorted
+  }
+
+  /** PUBLISH a branch onto main as ONE atomic commit:
+    *
+    *  - FAST-FORWARD when main has not moved since the fork: main's
+    *    next version replays the branch's full state (files, schema,
+    *    deletion vectors, constraints, layout, NDV). Atomic by the
+    *    optimistic publish — a commit racing the publish aborts it,
+    *    and the retry re-validates (then rebases or refuses).
+    *  - REBASE (file granularity — the DML conflict rule) when main
+    *    moved: the branch's delta vs the fork (files added, files
+    *    removed/rewritten) replays onto main's CURRENT file set,
+    *    valid iff no file the branch removed was also removed on main
+    *    (rewrite-rewrite = conflict), and neither side changed
+    *    schema/constraints/layout/deletion vectors in between — every
+    *    violation refuses LOUDLY naming the conflict; re-branch from
+    *    the new main and re-apply. Rebased NDV is dropped (honest
+    *    unknown — `GRAFT ANALYZE` repairs).
+    *
+    * Main references the branch's data files afterwards (zero-copy,
+    * the shallow-clone caveat): keep the branch directory, or run a
+    * full-rewrite op on main to migrate the bytes, before
+    * [[dropBranch]]. The fork marker is consumed — the branch is
+    * re-creatable after a drop. Returns main's new version. */
+  def publishBranch(s: SparkSession, tableDir: String, name: String): Int = {
+    requireBranchName(name)
+    val f = fs(s, tableDir)
+    require(f.exists(forkFile(tableDir, name)),
+      s"publishBranch: no branch '$name' in $tableDir")
+    val forkV = {
+      val in = f.open(forkFile(tableDir, name))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+    require(versions(s, tableDir).contains(forkV),
+      s"publishBranch: fork version $forkV of $tableDir expired " +
+        "(vacuumed) — the branch's base is gone; re-branch from the " +
+        "current state")
+    val bDir = branchDir(tableDir, name)
+    val bVs = versions(s, bDir)
+    require(bVs.nonEmpty, s"publishBranch: branch '$name' has no versions")
+    val mB = readManifest(s, bDir, bVs.last)
+    val mF = readManifest(s, tableDir, forkV)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      val cur = versions(s, tableDir).last
+      val mM = readManifest(s, tableDir, cur)
+      // deterministic-interleave test point: a commit racing in HERE
+      // (after the state read, before the publish) must abort the
+      // planned fast-forward and replan it as a rebase
+      beforePublishHook()
+      val ffwd = cur == forkV && mM.files == mF.files &&
+        mM.dels == mF.dels && mM.schema == mF.schema
+      val prepared: Option[(Seq[String], StructType, Option[(Int, String)],
+          Seq[String], Map[String, String], Map[String, Seq[Long]])] =
+        if (ffwd)
+          Some((mB.files, mB.schema.get, mB.bucket, mB.dels,
+            mB.constraints, mB.ndv))
+        else {
+          // file-granularity rebase: both sides' metadata must be
+          // untouched since the fork, and the removed-file sets must
+          // be disjoint (a file BOTH sides rewrote carries two
+          // incompatible row versions)
+          def fail(what: String): Nothing =
+            throw new IllegalStateException(
+              s"publishBranch: main moved since fork v$forkV and " +
+                s"cannot rebase — $what; re-branch from the current " +
+                "state and re-apply")
+          if (mM.schema != mF.schema || mB.schema != mF.schema)
+            fail("schema changed")
+          if (mM.dels != mF.dels || mB.dels != mF.dels)
+            fail("deletion vectors changed (absorb them first)")
+          if (mM.constraints != mF.constraints ||
+            mB.constraints != mF.constraints) fail("constraints changed")
+          if (mM.bucket != mF.bucket || mB.bucket != mF.bucket ||
+            mM.partBy != mF.partBy || mB.partBy != mF.partBy ||
+            mM.partEras != mF.partEras || mB.partEras != mF.partEras)
+            fail("layout changed")
+          val forkPaths = mF.paths.toSet
+          def key(line: String): String = line.takeWhile(_ != '\t')
+          val branchRemoved = forkPaths -- mB.paths.toSet
+          val mainRemoved = forkPaths -- mM.paths.toSet
+          val clash = branchRemoved.intersect(mainRemoved)
+          if (clash.nonEmpty)
+            fail(s"both sides rewrote ${clash.size} file(s), e.g. " +
+              clash.head)
+          val branchAddedLines =
+            mB.files.filterNot(l => forkPaths.contains(key(l)))
+          val mainLines =
+            mM.files.filterNot(l => branchRemoved.contains(key(l)))
+          Some(((mainLines ++ branchAddedLines).sorted, mB.schema.get,
+            mB.bucket, mB.dels, mB.constraints,
+            Map.empty[String, Seq[Long]]))
+        }
+      prepared.foreach { case (files, sc, bucket, dels, checks, ndv) =>
+        val res = publishNext(s, tableDir,
+          partByOverride = Some(mB.partBy),
+          partErasOverride = mB.partEras) { pm =>
+          pm.flatMap { m =>
+            // the state this publish was planned against must still be
+            // current — a racing commit re-plans (ffwd may become a
+            // rebase, a rebase re-merges)
+            if (m.files != mM.files || m.dels != mM.dels ||
+              m.schema != mM.schema) None
+            else {
+              // idempotency watermarks stay MONOTONE across the merge:
+              // per writer, the max of both sides
+              val txns = (m.txns.keySet ++ mB.txns.keySet).map { w =>
+                w -> math.max(m.txns.getOrElse(w, 0L),
+                  mB.txns.getOrElse(w, 0L))
+              }.toMap
+              Some((files, sc, txns, bucket, dels, checks,
+                m.dropped ++ mB.dropped, ndv))
+            }
+          }
+        }
+        res match {
+          case Some(v) =>
+            f.delete(forkFile(tableDir, name), false) // marker consumed
+            return v
+          case None => // lost the race — replan against the new state
+        }
+      }
+    }
+    throw new IllegalStateException(
+      s"publishBranch: lost $MaxCommitAttempts races in $tableDir")
+  }
+
+  /** DROP a branch: delete its directory and fork marker. Refused
+    * while main's LATEST manifest still references any file under it
+    * (published-but-unmigrated data — run a full-rewrite op on main
+    * first); time-traveling past versions may still reference dropped
+    * branch data, exactly like any vacuumed history. */
+  def dropBranch(s: SparkSession, tableDir: String, name: String): Unit = {
+    requireBranchName(name)
+    val f = fs(s, tableDir)
+    val bDir = branchDir(tableDir, name)
+    versions(s, tableDir).lastOption.foreach { v =>
+      val live = readManifest(s, tableDir, v).paths
+        .exists(_.contains(s"/_branches/$name/"))
+      require(!live,
+        s"dropBranch: main's latest version still references data " +
+          s"under branch '$name' — compact/overwrite main to migrate " +
+          "the bytes first")
+    }
+    f.delete(new HPath(bDir), true)
+    f.delete(forkFile(tableDir, name), false)
+    ()
+  }
+
   /** RESTORE to an earlier version (the Delta `RESTORE TABLE ... TO
     * VERSION AS OF` shape): publish a NEW latest version whose manifest
     * replays version `version`'s state — file list, schema, deletion
@@ -3266,7 +3801,8 @@ object SnapshotTable {
     val m = readManifest(s, tableDir, version)
     val sc = m.schema.getOrElse(throw new IllegalArgumentException(
       s"restore: legacy manifest without schema at v$version in $tableDir"))
-    publishNext(s, tableDir, partByOverride = Some(m.partBy)) { pm =>
+    publishNext(s, tableDir, partByOverride = Some(m.partBy),
+        partErasOverride = m.partEras) { pm =>
       Some((m.files, sc, pm.map(_.txns).getOrElse(Map.empty[String, Long]),
         m.bucket, m.dels, m.constraints, m.dropped, m.ndv))
     }.getOrElse(throw new IllegalStateException(
@@ -3306,7 +3842,8 @@ object SnapshotTable {
       s"cloneTable: legacy manifest without schema in $srcDir — " +
         "cannot clone what readers cannot plan"))
     val res = publishNext(s, dstDir,
-        partByOverride = Some(m.partBy)) { pm =>
+        partByOverride = Some(m.partBy),
+        partErasOverride = m.partEras) { pm =>
       require(pm.isEmpty,
         s"cloneTable: destination $dstDir already has published versions")
       Some((m.files, sc, Map.empty[String, Long], m.bucket, m.dels,
@@ -3444,6 +3981,16 @@ object SnapshotTable {
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
         .getOrElse(s.emptyDataFrame)
     else (m.schema, m.entries) match {
+      // a table spanning partition-scheme ERAS ([[repartitionBy]]):
+      // one relation per era, each planned under ITS scheme (new-era
+      // files prune by directory, old-era files by the zone maps they
+      // carry for the same columns), deletion vectors subtracted per
+      // leg (hidden _metadata does not cross a Union), unioned by name
+      case (Some(sc), Some(es)) if m.mixedEras(es) =>
+        m.eraLegs(es).map { case (scheme, ees) =>
+          applyDels(s, tableDir,
+            relationFor(s, tableDir, sc, ees, partBy = scheme), m)
+        }.reduce(_.unionByName(_))
       case (Some(sc), Some(es)) =>
         // the zero-RPC plan: file list, sizes, schema, zone maps, row
         // counts/NDV (as catalog statistics), and bucket layout all
@@ -3451,10 +3998,13 @@ object SnapshotTable {
         // files, pushed-down filters data-skip whole files, a bucketed
         // layout reports its hash partitioning, and join planning sees
         // exact cardinalities; outstanding deletion vectors subtract
-        // as one anti-join
+        // as one anti-join. An EVOLVED table whose entries all belong
+        // to one era plans under that era's scheme (not necessarily
+        // the current one — new commits will be).
         applyDels(s, tableDir,
           relationFor(s, tableDir, sc, es, m.bucket, withStats = Some(m),
-            partBy = m.partBy), m)
+            partBy = m.eraLegs(es).headOption.map(_._1)
+              .getOrElse(m.partBy)), m)
       case (Some(sc), None) => s.read.schema(sc).parquet(m.paths: _*)
       case (None, _) => s.read.parquet(m.paths: _*) // legacy manifest
     }
@@ -3506,6 +4056,7 @@ object SnapshotTable {
       attempt += 1
       val prev = versions(s, tableDir)
       val m0opt = prev.lastOption.map(readManifest(s, tableDir, _))
+      m0opt.foreach(requireSingleEra(_, "merge"))
       // replay check each attempt: a conflict-aborted selective merge
       // whose conflicting commit WAS this txn (zombie writer) re-reads
       // and lands here
@@ -3649,7 +4200,7 @@ object SnapshotTable {
     val pubSchema = carryBloomDecls(stripPhys(storedSchema(out.schema)),
       m0.flatMap(_.schema))
     val (dataDir, newFiles, _) = writeDataDir(s, tableDir, out, uniq,
-      bloomCols = bloomPhysCols(pubSchema))
+      bloomCols = bloomPhysCols(pubSchema), mapKeys = mapStatDecls(pubSchema))
     val res = publishNext(s, tableDir) { pm =>
       // a replayed txn aborts here; the caller's loop re-reads, sees
       // the txn, and returns the no-op
@@ -3719,7 +4270,7 @@ object SnapshotTable {
     val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
       toPhysical(kept.unionByName(upserts, allowMissingColumns = true)
         .select(sc0.fieldNames.map(col).toSeq: _*), sc0), uniq,
-      partitionBy = m0.partBy, bloomCols = bloomPhysCols(sc0))
+      partitionBy = m0.partBy, bloomCols = bloomPhysCols(sc0), mapKeys = mapStatDecls(sc0))
     val carriedPaths = carried.map(_.status.getPath.toString).toSet
     beforePublishHook()
     val res = publishNext(s, tableDir) { pm =>
@@ -3797,8 +4348,11 @@ object SnapshotTable {
         // the delta IS the added files
         val added = es2.filterNot(e => paths1.contains(e.status.getPath.toString))
         if (added.isEmpty) emptyChanges
-        else tag(relationFor(s, tableDir, sc, added, partBy = m2.partBy),
-          "insert")
+        // era-aware: a range spanning a repartitionBy adds files under
+        // BOTH schemes — each leg reads under its own layout
+        else tag(m2.eraLegs(added).map { case (scheme, ees) =>
+          relationFor(s, tableDir, sc, ees, partBy = scheme)
+        }.reduce(_.unionByName(_)), "insert")
       case _ =>
         // a rewrite (or delete) happened in between: exact multiset
         // diff, both versions ALIGNED to toV's column set so evolution
@@ -3817,8 +4371,13 @@ object SnapshotTable {
             val mv = readManifest(s, tableDir, ver)
             (mv.entries, mv.schema.map(storedSchema)) match {
               case (Some(es), Some(osc)) =>
-                val base = applyDels(s, tableDir,
-                  relationFor(s, tableDir, osc, es, partBy = mv.partBy), mv)
+                // era-aware ([[repartitionBy]]): each scheme era reads
+                // under its own directory layout, dels subtracted per
+                // leg (hidden _metadata does not cross a Union)
+                val base = mv.eraLegs(es).map { case (scheme, ees) =>
+                  applyDels(s, tableDir,
+                    relationFor(s, tableDir, osc, ees, partBy = scheme), mv)
+                }.reduce(_.unionByName(_))
                 base.select(sc.fields.toIndexedSeq.map { f =>
                   val src = osc.fields.find(_.name == f.name)
                     .orElse(osc.fields.find(g => physName(g) == physName(f)))
@@ -3837,6 +4396,57 @@ object SnapshotTable {
         val b = readUnder(Some(v2))
         tag(b.exceptAll(a), "insert").unionByName(tag(a.exceptAll(b), "delete"))
     }
+  }
+
+  /** One CHANGE-FEED streaming micro-batch: the row-level changes of
+    * every published version in `(fromV, toV]`, tiled per commit
+    * (`fromV→v1, v1→v2, …` — [[readChanges]] per pair, so appends plan
+    * as pure added-file scans and DML as the honest multiset diff) and
+    * each tagged `_commit_version`. Every slice is served under
+    * `toV`'s schema — a slice whose own version predates a
+    * metadata-only RENAME is relabeled by physical storage name
+    * (logical name first, physical second, the [[readChanges]]
+    * alignment rule), never null-filled — so a feed crossing a rename
+    * stays lossless. Deterministic for a fixed range: a restarted
+    * stream replaying `(fromV, toV]` re-emits exactly the same rows. */
+  private[sources] def streamChangeBatch(s: SparkSession, tableDir: String,
+      fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val all = versions(s, tableDir)
+    val v2 = all.filter(_ <= toV).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no published version <= $toV in $tableDir"))
+    val sc2 = readManifest(s, tableDir, v2).schema.map(storedSchema)
+      .getOrElse(throw new IllegalArgumentException(
+        s"change-feed stream: legacy manifest without schema in $tableDir"))
+    val vs = all.filter(v => v > fromV && v <= toV)
+    def emptySlice: DataFrame = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(
+        StructField("change_type",
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+        stripPhys(sc2).fields.toSeq :+
+        StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    if (vs.isEmpty) return emptySlice
+    ((fromV +: vs.dropRight(1)) zip vs).map { case (a, b) =>
+      val df = readChanges(s, tableDir, a, b)
+      // relabel b's logical names to toV's: logical identity first
+      // (stable across rewrites), physical storage name second (stable
+      // across renames); a column toV gained reads NULL, a widened one
+      // casts up — the readChanges readUnder rule, applied stream-side
+      val scB = readManifest(s, tableDir,
+        all.filter(_ <= b).last).schema.map(storedSchema).getOrElse(sc2)
+      df.select(col("change_type") +:
+        sc2.fields.toIndexedSeq.map { f =>
+          val src = scB.fields.find(_.name == f.name)
+            .orElse(scB.fields.find(g => physName(g) == physName(f)))
+            .filter(g => df.columns.contains(g.name))
+          src.map(g => col(g.name).cast(f.dataType)
+              .as(f.name, org.apache.spark.sql.types.Metadata.empty))
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
+        } :+ lit(b.toLong).as("_commit_version"): _*)
+    }.reduce(_.union(_))
   }
 
   /** Incremental consumption of a snapshot table with a durable cursor:
@@ -3917,6 +4527,7 @@ object SnapshotTable {
       s"legacy manifest without schema in $tableDir — read via SnapshotTable.readAsOf"))
     val es = m.entries.getOrElse(throw new IllegalArgumentException(
       s"legacy manifest without file metadata in $tableDir — read via SnapshotTable.readAsOf"))
+    requireSingleEra(m, "relation doorway")
     require(m.dels.isEmpty,
       s"snapshot table $tableDir has outstanding deletion vectors — the bare " +
         "relation doorway cannot subtract them; read via SnapshotTable.readAsOf " +
@@ -3982,7 +4593,9 @@ object SnapshotTable {
     val added = es2.filterNot(e => paths1.contains(e.status.getPath.toString))
     if (added.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
-    else relationFor(s, tableDir, sc, added, partBy = m2.partBy)
+    else m2.eraLegs(added).map { case (scheme, ees) =>
+      relationFor(s, tableDir, sc, ees, partBy = scheme)
+    }.reduce(_.unionByName(_))
   }
 
   /** Metadata-only row count of a snapshot: the per-file row counts the
@@ -4113,6 +4726,7 @@ object SnapshotTable {
     if (prev.isEmpty) return None
     val m0 = readManifest(s, tableDir, prev.last)
     if (m0.dels.nonEmpty) return None // absorbDeletes first
+    if (!eraUniform(m0)) return None // superseded-era files: relayout first
     val sc0 = m0.schema.map(storedSchema).getOrElse(return None)
     val es0 = m0.entries.getOrElse(return None)
     if (es0.isEmpty) return None
@@ -4127,7 +4741,7 @@ object SnapshotTable {
     // file paths, so hive directory discovery never kicks in.
     val data = s.read.schema(dataSchema).parquet(paths: _*)
     val (fileMap, dataNdv) = statsAggregate(s, data, dataSchema,
-        bloomCols = bloomPhysCols(sc0))
+        bloomCols = bloomPhysCols(sc0), mapKeys = mapStatDecls(sc0))
       .getOrElse {
         // no eligible data column: a count-only pass still refreshes
         // the per-file row counts the other metadata ops rely on
@@ -4242,6 +4856,7 @@ object SnapshotTable {
     val vs = all.filter(_ <= asOf)
     require(vs.nonEmpty, s"metaAgg: no published version <= $asOf in $tableDir")
     val m = readManifest(s, tableDir, vs.last)
+    requireSingleEra(m, "metaAgg")
     val es = m.entries.getOrElse(throw new IllegalArgumentException(
       s"metaAgg: legacy manifest without file metadata in $tableDir"))
     require(es.forall(_.rows.isDefined),

@@ -696,6 +696,79 @@ object StreamingQueries extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** Streaming the lakehouse CHANGE FEED: the events feed lands in a
+    * snapshot table through a MIXED history — two append slices, a
+    * selective UPDATE (view rows get re-attributed user ids — a full
+    * file rewrite), then a merge-on-read DELETE of every click
+    * (deletion vectors, no rewrite) — and `readStream(changeFeed=true)`
+    * consumes each commit's row-level changes exactly once
+    * (`maxVersionsPerTrigger=1`: one commit per micro-batch, landed
+    * via idempotent txn commits). This is the standing incremental
+    * pipeline shape: the MV machinery's batch cursor
+    * ([[graft.sources.SnapshotTable.followChanges]]) replaced by a
+    * checkpointed stream. The declared result counts change rows per
+    * (commit_version, change_type, event_type); the oracle replays
+    * the same history in closed form over the raw events — an append
+    * slice emitted twice, a missed update delta, or a dropped delete
+    * row each skews exactly one group. */
+  def streamCdf(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_scdf_")
+    outDirs.add(root)
+    val src = root.resolve("src").toString
+    val res = root.resolve("res").toString
+    val ckpt = Files.createTempDirectory("graft_scdf_ck_")
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    (0 until 2).foreach { k => // v1/v2: append slices by event-id parity
+      graft.sources.SnapshotTable.commit(s, src,
+        ev.filter(pmod(coalesce(col("event_id"), lit(0L)), lit(2)) === k),
+        overwrite = false)
+    }
+    // v3: UPDATE rewrites every file holding a view row; the feed's
+    // multiset diff must net out to exactly the view rows, both ways
+    graft.sources.SnapshotTable.updateWhere(s, src,
+      col("event_type") === "view",
+      Map("user_id" -> (coalesce(col("user_id"), lit(0L)) + lit(1000000L))))
+    // v4: MOR delete — same files, new deletion vectors
+    graft.sources.SnapshotTable.deleteWhere(s, src,
+      col("event_type") === "click")
+    try {
+      val q = s.readStream
+        .format("graft.sources.SnapshotSourceProvider")
+        .option("path", src)
+        .option("changeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            graft.sources.SnapshotTable.commitIdempotent(
+              batch.sparkSession, res,
+              batch.groupBy(col("_commit_version"), col("change_type"),
+                col("event_type")).agg(count(lit(1)).as("n_part")),
+              overwrite = false,
+              txnId = graft.sources.SnapshotTable.writerIdFor(ckpt.toString),
+              txnVersion = id)
+            ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    if (graft.sources.SnapshotTable.versions(s, res).isEmpty)
+      return ev.filter(lit(false)).select(
+        lit(0L).as("commit_version"), lit("i").as("change_type"),
+        col("event_type"), lit(0L).as("n"))
+    graft.sources.SnapshotTable.readAsOf(s, res, Int.MaxValue)
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("change_type"), col("event_type"))
+      .agg(sum(col("n_part")).as("n"))
+      .orderBy(col("commit_version"), col("change_type"), col("event_type"))
+  }
+
   /** Hive-PARTITIONED lakehouse sink: the events feed (three source
     * versions, re-streamed from a snapshot table) lands each
     * micro-batch in a result table partitioned by `event_type`
@@ -824,6 +897,7 @@ object StreamingQueries extends QueryPack {
     "stream_partitioned_sink" -> streamPartitionedSink,
     "stream_snapshot_source" -> streamSnapshotSource,
     "stream_snapshot_sink" -> streamSnapshotSink,
+    "stream_cdf" -> streamCdf,
     "stream_dedup_gate" -> streamDedupGate,
     "stream_record_highs" -> streamRecordHighs,
     "stream_enrich_abovemean" -> streamEnrichAboveMean,
@@ -906,6 +980,29 @@ object StreamingQueries extends QueryPack {
     "stream_snapshot_source" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // closed-form replay of the mixed history the query commits:
+    // v1/v2 appends by event-id parity, v3 rewrites every view row
+    // (delete old + insert new), v4 MOR-deletes every click
+    "stream_cdf" ->
+      """WITH ev AS (SELECT event_id, event_type FROM events)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS commit_version,
+        |         'insert' AS change_type, event_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM ev WHERE coalesce(event_id, 0) % 2 = 0 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 2, 'insert', event_type, count(*)
+        |  FROM ev WHERE coalesce(event_id, 0) % 2 = 1 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 3, 'delete', event_type, count(*)
+        |  FROM ev WHERE event_type = 'view' GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 3, 'insert', event_type, count(*)
+        |  FROM ev WHERE event_type = 'view' GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 4, 'delete', event_type, count(*)
+        |  FROM ev WHERE event_type = 'click' GROUP BY event_type)
+        |ORDER BY commit_version, change_type, event_type""".stripMargin,
     // identical closed form: the partitioned sink conserves every event
     // exactly once through slicing, hive-partitioned landing, and the
     // in-stream compact/vacuum cycles

@@ -170,4 +170,132 @@ class SnapshotStreamSpec extends GraftSpec {
     assert(got.filter(col("id") === 1).head().isNullAt(2))
     assert(got.count() == 2)
   }
+
+  // ---- change-feed streaming (option changeFeed=true) ----
+
+  private def runCdf(table: String, ckpt: String, out: String,
+      maxPerTrigger: Option[Int] = None,
+      failOnBatch: Option[Long] = None): Unit = {
+    val reader = spark.readStream
+      .format("graft.sources.SnapshotSourceProvider")
+      .option("path", table).option("changeFeed", "true")
+    val src = maxPerTrigger.fold(reader)(n =>
+      reader.option("maxVersionsPerTrigger", n.toString)).load()
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          if (failOnBatch.contains(id))
+            throw new RuntimeException(s"injected crash on batch $id")
+          SnapshotTable.commitIdempotent(batch.sparkSession, out,
+            batch.toDF(), overwrite = false,
+            txnId = SnapshotTable.writerIdFor(ckpt), txnVersion = id)
+          ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  private def changes(out: String): Set[(String, Long, Long, Long)] =
+    if (SnapshotTable.versions(spark, out).isEmpty) Set.empty
+    else SnapshotTable.readAsOf(spark, out, Int.MaxValue)
+      .collect().map(r => (r.getString(r.fieldIndex("change_type")),
+        r.getLong(r.fieldIndex("id")),
+        r.getLong(r.fieldIndex("v")),
+        r.getLong(r.fieldIndex("_commit_version")))).toSet
+
+  test("change feed: per-commit tagging across append/UPDATE/DELETE, restart") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scdf1-").toString
+    val t = s"$dir/src"
+    val out = s"$dir/out"
+    val ck = s"$dir/ck"
+    SnapshotTable.commit(spark, t,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), overwrite = false)
+    SnapshotTable.commit(spark, t, Seq((3L, 30L)).toDF("id", "v"),
+      overwrite = false)
+    runCdf(t, ck, out)
+    assert(changes(out) == Set(
+      ("insert", 1L, 10L, 1L), ("insert", 2L, 20L, 1L),
+      ("insert", 3L, 30L, 2L)))
+    // caught up: a re-run with the same checkpoint emits nothing new
+    runCdf(t, ck, out)
+    assert(SnapshotTable.readAsOf(spark, out, Int.MaxValue).count() == 3)
+    // an UPDATE (file rewrite) and a MOR DELETE land while down; the
+    // restarted stream serves exactly their row-level diffs, tagged
+    assert(SnapshotTable.updateWhere(spark, t, col("id") === 2L,
+      Map("v" -> (col("v") * 10))).nonEmpty)
+    assert(SnapshotTable.deleteWhere(spark, t, col("id") === 1L).nonEmpty)
+    runCdf(t, ck, out)
+    assert(changes(out) == Set(
+      ("insert", 1L, 10L, 1L), ("insert", 2L, 20L, 1L),
+      ("insert", 3L, 30L, 2L),
+      ("delete", 2L, 20L, 3L), ("insert", 2L, 200L, 3L),
+      ("delete", 1L, 10L, 4L)))
+  }
+
+  test("change feed: crash mid-backfill replays exactly-once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scdf2-").toString
+    val t = s"$dir/src"
+    val out = s"$dir/out"
+    val ck = s"$dir/ck"
+    (1 to 4).foreach(i => SnapshotTable.commit(spark, t,
+      Seq((i.toLong, i * 10L)).toDF("id", "v"), overwrite = false))
+    // one version per micro-batch; the sink dies on the SECOND batch —
+    // batch 0 committed, batch 1 is replayed on restart
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runCdf(t, ck, out, maxPerTrigger = Some(1), failOnBatch = Some(1L))
+    }
+    runCdf(t, ck, out, maxPerTrigger = Some(1))
+    assert(changes(out) == (1 to 4).map(i =>
+      ("insert", i.toLong, i * 10L, i.toLong)).toSet)
+    // exactly-once: no duplicate rows despite the replay
+    assert(SnapshotTable.readAsOf(spark, out, Int.MaxValue).count() == 4)
+  }
+
+  test("change feed crosses a metadata-only rename losslessly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scdf3-").toString
+    val t = s"$dir/src"
+    val out = s"$dir/out"
+    val ck = s"$dir/ck"
+    // history: data under the OLD name, rename, data under the NEW
+    // name, then a delete touching a pre-rename row — the stream
+    // starts AFTER all of it, so every pre-rename slice must be
+    // relabeled by physical storage name, not null-filled
+    SnapshotTable.commit(spark, t,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), overwrite = false)
+    SnapshotTable.renameColumn(spark, t, "v", "val2")
+    SnapshotTable.commit(spark, t, Seq((3L, 30L)).toDF("id", "val2"),
+      overwrite = false)
+    assert(SnapshotTable.deleteWhere(spark, t, col("id") === 1L).nonEmpty)
+    val src = spark.readStream
+      .format("graft.sources.SnapshotSourceProvider")
+      .option("path", t).option("changeFeed", "true").load()
+    assert(src.columns.toSeq ==
+      Seq("id", "val2", "change_type", "_commit_version"))
+    val q = src.writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          SnapshotTable.commitIdempotent(batch.sparkSession, out,
+            batch.toDF(), overwrite = false,
+            txnId = SnapshotTable.writerIdFor(ck), txnVersion = id)
+          ()
+      }.start()
+    q.awaitTermination()
+    val got = SnapshotTable.readAsOf(spark, out, Int.MaxValue)
+      .collect().map(r => (r.getString(r.fieldIndex("change_type")),
+        r.getLong(r.fieldIndex("id")),
+        r.getLong(r.fieldIndex("val2")),
+        r.getLong(r.fieldIndex("_commit_version")))).toSet
+    assert(got == Set(
+      ("insert", 1L, 10L, 1L), ("insert", 2L, 20L, 1L), // pre-rename data
+      ("insert", 3L, 30L, 3L),                          // post-rename append
+      ("delete", 1L, 10L, 4L)))                         // delete of an OLD row
+  }
 }
