@@ -701,9 +701,13 @@ object StreamingQueries extends QueryPack {
     * selective UPDATE (view rows get re-attributed user ids — a full
     * file rewrite), then a merge-on-read DELETE of every click
     * (deletion vectors, no rewrite) — and `readStream(changeFeed=true)`
-    * consumes each commit's row-level changes exactly once
-    * (`maxVersionsPerTrigger=1`: one commit per micro-batch, landed
-    * via idempotent txn commits). This is the standing incremental
+    * consumes each commit's row-level changes exactly once, landed via
+    * idempotent txn commits. One AvailableNow batch spans the whole
+    * history, yet every change row still carries ITS OWN commit's
+    * version — the per-commit tiling lives in the source
+    * ([[graft.sources.SnapshotTable.streamChangeBatch]]), not in
+    * trigger pacing (which `SnapshotStreamSpec` covers separately via
+    * `maxVersionsPerTrigger`). This is the standing incremental
     * pipeline shape: the MV machinery's batch cursor
     * ([[graft.sources.SnapshotTable.followChanges]]) replaced by a
     * checkpointed stream. The declared result counts change rows per
@@ -738,7 +742,6 @@ object StreamingQueries extends QueryPack {
         .format("graft.sources.SnapshotSourceProvider")
         .option("path", src)
         .option("changeFeed", "true")
-        .option("maxVersionsPerTrigger", "1")
         .load()
         .writeStream
         .option("checkpointLocation", ckpt.toString)

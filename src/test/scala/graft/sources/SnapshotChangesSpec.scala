@@ -204,6 +204,40 @@ class SnapshotChangesSpec extends GraftSpec {
       r(0).getLong(1) == 2L && r(0).getDouble(3) == 0.5)
   }
 
+  test("diff legs read only the CHANGED files, never the table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg9-").toString
+    val t = s"$dir/tbl"
+    // four k-banded files; the UPDATE touches exactly one of them
+    (0 to 3).foreach(i => SnapshotTable.commit(spark, t,
+      spark.range(i * 100, (i + 1) * 100)
+        .select(col("id").as("k"), col("id").as("v")).repartition(1),
+      overwrite = false))
+    assert(SnapshotTable.updateWhere(spark, t, col("k") === 250L,
+      Map("v" -> lit(-250L))).nonEmpty)
+    val feed = SnapshotTable.readChanges(spark, t, 4, 5)
+    val rows = feed.collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      == Set(("delete", 250L, 250L), ("insert", 250L, -250L)))
+    // scan budget: one removed file + one rewritten file = 2 scans of
+    // 1 file each — the three untouched files never enter the plan
+    val scanned = feed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned <= 2, s"diff read $scanned files (expected <= 2 of 8)")
+    // a MOR delete changes coverage of ONE file: the diff reads that
+    // file (both sides) plus the vector — still never the table
+    assert(SnapshotTable.deleteWhere(spark, t, col("k") === 50L).nonEmpty)
+    val feed2 = SnapshotTable.readChanges(spark, t, 5, 6)
+    assert(feed2.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("delete", 50L)))
+    val scanned2 = feed2.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned2 <= 4,
+      s"del-coverage diff read $scanned2 files (expected <= 4)")
+  }
+
   test("GRAFT CHANGES: the SQL doorway, rename-crossing, refusals") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-chg4-").toString
