@@ -122,10 +122,14 @@ class GraftSqlParser(delegate: ParserInterface,
     ("""(?is)\s*GRAFT\s+ADD\s+COLUMN\s+'([^']+)'\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s*;?\s*""").r
   // empty parens = clear every declaration (the full-set contract);
-  // dotted tokens declare struct LEAVES (meta.request_id)
+  // dotted tokens declare struct LEAVES (meta.request_id), bracketed
+  // tokens declare MAP KEYS (attrs['lang'])
   private val BloomRe =
     ("""(?is)\s*GRAFT\s+BLOOM\s+'([^']+)'\s*""" +
-      """\(\s*([A-Za-z0-9_.]+(?:\s*,\s*[A-Za-z0-9_.]+)*)?\s*\)\s*;?\s*""").r
+      """\(\s*([A-Za-z0-9_.]+(?:\['[^'\]]+'\])?""" +
+      """(?:\s*,\s*[A-Za-z0-9_.]+(?:\['[^'\]]+'\])?)*)?\s*\)\s*;?\s*""").r
+  private val BloomItemRe =
+    """[A-Za-z0-9_.]+(?:\['[^'\]]+'\])?""".r
   private val AddCheckRe =
     ("""(?is)\s*GRAFT\s+ADD\s+CHECK\s+'([^']+)'\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*\((.+)\)\s*;?\s*""").r
@@ -209,8 +213,8 @@ class GraftSqlParser(delegate: ParserInterface,
       // malformed one fails at sql() parse like native DDL
       GraftAddColumnCommand(dir, c, delegate.parseDataType(dt))
     case BloomRe(dir, cs) =>
-      GraftBloomCommand(dir,
-        Option(cs).map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil))
+      GraftBloomCommand(dir, Option(cs)
+        .map(BloomItemRe.findAllIn(_).toSeq).getOrElse(Nil))
     case AddCheckRe(dir, name, e) =>
       delegate.parseExpression(e) // malformed CHECK fails at parse time
       GraftAddCheckCommand(dir, name, e)

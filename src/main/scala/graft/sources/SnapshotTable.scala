@@ -1701,7 +1701,9 @@ object SnapshotTable {
     * what a stats pass over a marker-free BATCH schema must be handed
     * (the bloomPhysCols threading discipline). */
   private def mapStatDecls(sc: StructType): Map[String, Seq[String]] =
-    sc.fields.iterator.map(f => physName(f) -> mapKeyDecls(f))
+    sc.fields.iterator
+      .map(f => physName(f) ->
+        (mapKeyDecls(f) ++ bloomMapKeyDecls(f)).distinct)
       .filter(_._2.nonEmpty).toMap
 
   /** Every DECLARED map-key stat path of a schema, keyed
@@ -1809,6 +1811,26 @@ object SnapshotTable {
       s"setMapStatKeys: lost $MaxCommitAttempts races in $tableDir")
   }
 
+  /** Field-metadata key on a top-level MAP column listing its
+    * Bloom-declared literal KEYS — the map twin of [[BloomPathsKey]]
+    * (`GRAFT BLOOM '<dir>' (attrs['k'])`). A Bloom-declared map key is
+    * implicitly stats-enumerated too ([[mapStatDecls]]), so the probe
+    * gets zone maps AND the membership filter, exactly like declared
+    * struct leaves. Same schema-riding lifecycle. */
+  private[sources] val BloomMapKeysKey = "graft.bloom.mapkeys"
+
+  /** `f`'s Bloom-declared map keys, filtered to maps whose value type
+    * is hashable (long-family/string). */
+  private def bloomMapKeyDecls(f: StructField): Seq[String] =
+    if (!f.metadata.contains(BloomMapKeysKey)) Nil
+    else f.dataType match {
+      case org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, v, _)
+          if statKind(v).exists(k => k == 'l' || k == 's') =>
+        f.metadata.getStringArray(BloomMapKeysKey).toSeq
+      case _ => Nil
+    }
+
   /** Is `f` declared for Bloom collection (and of a hashable kind)? */
   private def bloomDeclared(f: StructField): Boolean =
     f.metadata.contains(BloomKey) && f.metadata.getBoolean(BloomKey) &&
@@ -1841,7 +1863,8 @@ object SnapshotTable {
   private def bloomPhysCols(sc: StructType): Set[String] =
     sc.fields.iterator.flatMap { f =>
       (if (bloomDeclared(f)) Seq(physName(f)) else Nil) ++
-        bloomLeafPaths(f).map(p => s"${physName(f)}.$p")
+        bloomLeafPaths(f).map(p => s"${physName(f)}.$p") ++
+        bloomMapKeyDecls(f).map(k => s"${physName(f)}['$k']")
     }.toSet
 
   /** Drop this format's schema markers — physical-name indirections
@@ -1860,11 +1883,13 @@ object SnapshotTable {
     StructType(sc.fields.map { f =>
       if (!f.metadata.contains(PhysKey) && !f.metadata.contains(BloomKey) &&
           !f.metadata.contains(BloomPathsKey) &&
-          !f.metadata.contains(MapStatsKey)) f
+          !f.metadata.contains(MapStatsKey) &&
+          !f.metadata.contains(BloomMapKeysKey)) f
       else f.copy(metadata =
         new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).remove(PhysKey).remove(BloomKey)
-          .remove(BloomPathsKey).remove(MapStatsKey).build())
+          .remove(BloomPathsKey).remove(MapStatsKey)
+          .remove(BloomMapKeysKey).build())
     })
 
   /** Re-apply `src`'s Bloom declarations onto `sc` by LOGICAL name —
@@ -1888,7 +1913,11 @@ object SnapshotTable {
     val wantMapKeys = src.map(_.fields.iterator
       .map(f => f.name -> mapKeyDecls(f)).filter(_._2.nonEmpty).toMap)
       .getOrElse(Map.empty[String, Seq[String]])
-    if (want.isEmpty && wantPaths.isEmpty && wantMapKeys.isEmpty) sc
+    val wantBloomMapKeys = src.map(_.fields.iterator
+      .map(f => f.name -> bloomMapKeyDecls(f)).filter(_._2.nonEmpty).toMap)
+      .getOrElse(Map.empty[String, Seq[String]])
+    if (want.isEmpty && wantPaths.isEmpty && wantMapKeys.isEmpty &&
+      wantBloomMapKeys.isEmpty) sc
     else StructType(sc.fields.map { f =>
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
@@ -1906,11 +1935,20 @@ object SnapshotTable {
             statKind(v).isDefined
           case _ => false
         })
-      if (!top && paths.isEmpty && mapKeys.isEmpty) f
+      val bloomMapKeys = wantBloomMapKeys.getOrElse(f.name, Nil).filter(_ =>
+        f.dataType match {
+          case org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType, v, _) =>
+            statKind(v).exists(k => k == 'l' || k == 's')
+          case _ => false
+        })
+      if (!top && paths.isEmpty && mapKeys.isEmpty && bloomMapKeys.isEmpty) f
       else {
         if (top) mb.putBoolean(BloomKey, true)
         if (paths.nonEmpty) mb.putStringArray(BloomPathsKey, paths.toArray)
         if (mapKeys.nonEmpty) mb.putStringArray(MapStatsKey, mapKeys.toArray)
+        if (bloomMapKeys.nonEmpty)
+          mb.putStringArray(BloomMapKeysKey, bloomMapKeys.toArray)
         f.copy(metadata = mb.build())
       }
     })
@@ -3429,16 +3467,38 @@ object SnapshotTable {
       val m0 = readManifest(s, tableDir, prev.last)
       val sc0 = m0.schema.getOrElse(throw new IllegalArgumentException(
         s"setBloomColumns: legacy manifest without schema in $tableDir"))
-      // a dotted name declares a STRUCT LEAF (`meta.request_id`) when
-      // its first segment names a struct column; otherwise it must
-      // match a top-level column literally (names may contain dots)
+      // a `col['key']` item declares a MAP KEY; a dotted name declares
+      // a STRUCT LEAF (`meta.request_id`) when its first segment names
+      // a struct column; otherwise it must match a top-level column
+      // literally (names may contain dots)
+      val MapItem = """^\s*([A-Za-z_][A-Za-z0-9_]*)\['([^'\]]+)'\]\s*$""".r
+      val (mapDecls0, rest) = cols.partition(MapItem.findFirstIn(_).isDefined)
+      val mapByCol: Map[String, Seq[String]] = mapDecls0.map {
+        case MapItem(c, k) => c -> k
+      }.groupMap(_._1)(_._2).map { case (c, ks) => c -> ks.distinct }
+      mapByCol.foreach { case (c, _) =>
+        val f = sc0.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"setBloomColumns: no column '$c' in " +
+              sc0.fieldNames.mkString(",")))
+        f.dataType match {
+          case org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType, v, _) =>
+            require(statKind(v).exists(k => k == 'l' || k == 's'),
+              s"setBloomColumns: '$c' value type (${v.catalogString}) " +
+                "is not a hashable stat kind (long-family/string)")
+          case other => throw new IllegalArgumentException(
+            s"setBloomColumns: '$c' (${other.catalogString}) is not a " +
+              "map<string, V> column")
+        }
+      }
       def isLeafPath(c: String): Boolean = c.contains('.') &&
         !sc0.fieldNames.contains(c) && {
           val segs = c.split('.').toSeq
           sc0.fields.find(_.name == segs.head)
             .exists(_.dataType.isInstanceOf[StructType])
         }
-      val (leafDecls, topDecls) = cols.partition(isLeafPath)
+      val (leafDecls, topDecls) = rest.partition(isLeafPath)
       topDecls.foreach { c =>
         val f = sc0.fields.find(_.name == c).getOrElse(
           throw new IllegalArgumentException(
@@ -3466,9 +3526,12 @@ object SnapshotTable {
       val next = StructType(sc0.fields.map { f =>
         val mb = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).remove(BloomKey).remove(BloomPathsKey)
+          .remove(BloomMapKeysKey)
         if (want.contains(f.name)) mb.putBoolean(BloomKey, true)
         leafByTop.get(f.name).foreach(ps =>
           mb.putStringArray(BloomPathsKey, ps.toArray))
+        mapByCol.get(f.name).foreach(ks =>
+          mb.putStringArray(BloomMapKeysKey, ks.toArray))
         val nm = mb.build()
         if (nm == f.metadata) f else f.copy(metadata = nm)
       })

@@ -91,6 +91,39 @@ class SnapshotMapStatsSpec extends GraftSpec {
     assert(scannedFiles(snap.filter(col("attrs")("k").isNull), 10) == 1)
   }
 
+  test("map-key Blooms refute unclustered point probes zone maps keep") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mps4-").toString
+    val t = s"$dir/tbl"
+    // round-robin layout: every file's attrs['k'] RANGE straddles every
+    // value, so zone maps keep all files — only a membership Bloom can
+    // refute the point probe (the unclustered-lookup case)
+    def rr(i: Int) = spark.range(0, 100)
+      .filter(pmod(col("id"), lit(4)) === i)
+      .select(col("id").as("doc"),
+        map(lit("k"), col("id")).as("attrs"),
+        map(lit("tag"), concat(lit("t"), col("id"))).as("labels"))
+    SnapshotTable.commit(spark, t, rr(0).repartition(1), overwrite = false)
+    // GRAFT BLOOM on a map key: implies stats enumeration too
+    graftSql(s"GRAFT BLOOM '$t' (attrs['k'], labels['tag'])").collect()
+    (1 to 3).foreach(i =>
+      SnapshotTable.commit(spark, t, rr(i).repartition(1),
+        overwrite = false))
+    // ANALYZE backfills the pre-declaration file's stat + Bloom
+    assert(SnapshotTable.analyze(spark, t).nonEmpty)
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(snap.inputFiles.length == 4)
+    // the long-valued key: 37 ≡ 1 (mod 4) lives in exactly one file;
+    // ranges straddle, the Bloom refutes the other three
+    assert(scannedFiles(snap.filter(col("attrs")("k") === 37L), 1) == 1)
+    // the string-valued key rides the same machinery
+    assert(scannedFiles(snap.filter(col("labels")("tag") === "t38"), 1) == 1)
+    // absent value: every file refuted
+    assert(scannedFiles(snap.filter(col("attrs")("k") === 999L), 0) == 0)
+    // refusals: non-map column, unhashable shape
+    intercept[IllegalArgumentException] {
+      SnapshotTable.setBloomColumns(spark, t, Seq("doc['k']")) }
+  }
+
   test("declarations survive compaction and refuse bad shapes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mps3-").toString
     val t = s"$dir/tbl"
