@@ -784,6 +784,18 @@ object PlanCheck {
       mustNot = Seq("Join", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 2)),
+    // byte-level encoder: same single-scan codegen-projection shape as
+    // the code-point variant
+    Check("text_token_ids_bytes",
+      mustContain = Seq("graft_bpe_encode_bytes"),
+      mustNot = Seq("Join", "UDF", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 1)),
+    Check("text_bpe_bytes_roundtrip",
+      mustContain = Seq("graft_bpe_decode_bytes", "HashAggregate"),
+      mustNot = Seq("Join", "UDF", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 1)),
     // declared map-key probe: one manifest-planned scan + keyed agg,
     // the subscript filter evaluated on the scan — no join, no UDF
     Check("layout_map_prune",
