@@ -3824,21 +3824,27 @@ object SnapshotTable {
   }
 
   /** DROP a branch: delete its directory and fork marker. Refused
-    * while main's LATEST manifest still references any file under it
-    * (published-but-unmigrated data — run a full-rewrite op on main
-    * first); time-traveling past versions may still reference dropped
-    * branch data, exactly like any vacuumed history. */
+    * while ANY retained main version still references a file under it
+    * (published-but-unmigrated data — the same keep-set union
+    * [[vacuum]] sweeps by: after a publish, main may compact so the
+    * LATEST manifest drops the branch paths while an older retained
+    * version still time-travels into them; dropping then would dangle
+    * that history). Run a full-rewrite op on main AND vacuum past the
+    * publish version first. Deletion-vector files count like data. */
   def dropBranch(s: SparkSession, tableDir: String, name: String): Unit = {
     requireBranchName(name)
     val f = fs(s, tableDir)
     val bDir = branchDir(tableDir, name)
-    versions(s, tableDir).lastOption.foreach { v =>
-      val live = readManifest(s, tableDir, v).paths
-        .exists(_.contains(s"/_branches/$name/"))
-      require(!live,
-        s"dropBranch: main's latest version still references data " +
+    val marker = s"/_branches/$name/"
+    versions(s, tableDir).find { v =>
+      val m = readManifest(s, tableDir, v)
+      (m.paths.iterator ++ m.dels.iterator.map(_.takeWhile(_ != '\t')))
+        .exists(_.contains(marker))
+    }.foreach { v =>
+      throw new IllegalArgumentException(
+        s"dropBranch: retained version $v of main still references data " +
           s"under branch '$name' — compact/overwrite main to migrate " +
-          "the bytes first")
+          "the bytes, then vacuum past that version, before dropping")
     }
     f.delete(new HPath(bDir), true)
     f.delete(forkFile(tableDir, name), false)

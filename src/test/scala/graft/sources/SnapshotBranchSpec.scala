@@ -124,8 +124,20 @@ class SnapshotBranchSpec extends GraftSpec {
     val e = intercept[IllegalArgumentException] {
       SnapshotTable.dropBranch(spark, t, "gone") }
     assert(e.getMessage.contains("migrate"))
-    // a full repack migrates the bytes into main's own data dir
+    // a full repack migrates the bytes into main's own data dir —
+    // but the PRE-compact retained version still time-travels into
+    // the branch files, so the drop must STILL refuse (the vacuum
+    // keep-set rule: any retained version's references are
+    // load-bearing, not just the latest's)
     assert(SnapshotTable.compact(spark, t, 1L << 30, 1L << 30).nonEmpty)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.dropBranch(spark, t, "gone") }
+    assert(e2.getMessage.contains("retained version"))
+    // the time travel the second refusal protects: the publish-era
+    // snapshot is still fully readable
+    assert(SnapshotTable.readAsOf(spark, t, 2).count() == 160)
+    // vacuum past the publish version → no retained reference → drop ok
+    SnapshotTable.vacuum(spark, t, keepVersions = 1)
     SnapshotTable.dropBranch(spark, t, "gone")
     assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue).count() == 160)
     // and the branch directory is gone
