@@ -810,6 +810,15 @@ object PlanCheck {
       mustNot = Seq("Join", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Scan parquet" -> 2, "Exchange" -> 2)),
+    // cross-era DML read-back: after the UPDATE the table still spans
+    // two eras (untouched old-era files + hive files incl. the
+    // migrated rewrites) — same two-scan union budget, never a join;
+    // the update itself ran pre-read, invisible to this plan
+    Check("layout_evolved_update",
+      mustContain = Seq("Union", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 2, "Exchange" -> 2)),
     // published main reads as one plain snapshot: single scan + agg —
     // the branch splice is pure manifest metadata, invisible to plans
     Check("layout_branch_publish",

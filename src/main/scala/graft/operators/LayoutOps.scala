@@ -983,6 +983,52 @@ object LayoutOps extends QueryPack {
       .orderBy(col("etype"))
   }
 
+  /** Row-level DML ACROSS partition-scheme eras (`GRAFT REPARTITION`
+    * then `GRAFT UPDATE`): the events feed starts flat (era 0), one
+    * metadata-only statement evolves it to hive-by-event-type, two
+    * more slices land under `etype=<v>/` (era 1) — and then ONE
+    * ordinary UPDATE spans BOTH eras: the probe plans per era
+    * (directory pruning on the new, zone maps on the old), only
+    * key-bearing files in each era rewrite, and every rewritten file
+    * re-lands under the CURRENT scheme — so DML incrementally
+    * migrates the table instead of refusing on it (the Iceberg
+    * partition-evolution contract; `SnapshotPartEvolutionSpec` pins
+    * the strict per-era rewrite sets). The oracle restates the whole
+    * history flat with the update applied in closed form. At 100 TB,
+    * a table that can evolve its partitioning but then can't be
+    * updated has traded one full rewrite for another — this is the
+    * op that makes evolution a usable lifecycle. */
+  def layoutEvolvedUpdate(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_evup_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val ev = Tables.events(s, d).filter(col("event_id").isNotNull)
+      .select(col("event_id"),
+        coalesce(col("event_type"), lit("unk")).as("etype"),
+        coalesce(col("user_id"), lit(0L)).as("uid"))
+    // era 0 lands etype-BANDED (range-clustered flat files) so the
+    // later cross-era probe rewrites a strict subset of old-era
+    // files — bands holding no click stay by reference in era 0 and
+    // the post-update read stays honestly mixed-era
+    graft.sources.SnapshotTable.commit(s, table,
+      ev.filter(pmod(col("event_id"), lit(3)) === 0)
+        .repartitionByRange(4, col("etype")), overwrite = false)
+    graftSql(s, s"GRAFT REPARTITION '$table' BY (etype)").collect()
+    (1 to 2).foreach(k =>
+      graft.sources.SnapshotTable.commitPartitionedBy(s, table,
+        ev.filter(pmod(col("event_id"), lit(3)) === k), Seq("etype")))
+    // the cross-era UPDATE: every click row takes the bump, whichever
+    // era's file it lives in
+    graftSql(s,
+      s"GRAFT UPDATE '$table' SET uid = uid + 1000000 " +
+        "WHERE etype = 'click'").collect()
+    graft.sources.SnapshotTable.readAsOf(s, table, Int.MaxValue)
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n_events"), sum(col("uid")).as("sum_uid"),
+        sum(col("event_id")).as("sum_eid"))
+      .orderBy(col("etype"))
+  }
+
   /** Write-audit-publish end to end (`GRAFT BRANCH` / `GRAFT
     * PUBLISH`): main starts with slice A of the documents; a BRANCH
     * takes slice B plus a quality fix (an UPDATE doubling short docs'
@@ -1376,6 +1422,7 @@ object LayoutOps extends QueryPack {
     "layout_nested_prune" -> layoutNestedPrune,
     "layout_map_prune" -> layoutMapPrune,
     "layout_partition_evolution" -> layoutPartitionEvolution,
+    "layout_evolved_update" -> layoutEvolvedUpdate,
     "layout_branch_publish" -> layoutBranchPublish,
     "cdc_sql_changes" -> layoutSqlChanges,
     "layout_snapshot_moneyband" -> layoutSnapshotMoneyband,
@@ -1684,6 +1731,19 @@ object LayoutOps extends QueryPack {
         |  CAST(sum(event_id) AS BIGINT) AS sum_eid
         |FROM e WHERE etype IN ('click', 'view')
         |GROUP BY etype ORDER BY etype""".stripMargin,
+    // the cross-era DML answer restated flat: the three residue slices
+    // partition the rows (their union IS the table), and the UPDATE's
+    // effect is a closed-form CASE on the click rows of every slice
+    "layout_evolved_update" ->
+      """WITH e AS (SELECT event_id, coalesce(event_type, 'unk') AS etype,
+        |    CASE WHEN coalesce(event_type, 'unk') = 'click'
+        |      THEN coalesce(user_id, 0) + 1000000
+        |      ELSE coalesce(user_id, 0) END AS uid
+        |  FROM events WHERE event_id IS NOT NULL)
+        |SELECT etype, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(uid) AS BIGINT) AS sum_uid,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_eid
+        |FROM e GROUP BY etype ORDER BY etype""".stripMargin,
     // the map-key probe's ANSWER, restated over the flat columns (the
     // three lang slices partition the rows, so their union IS the table)
     "layout_map_prune" ->

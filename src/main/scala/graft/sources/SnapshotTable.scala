@@ -2015,18 +2015,23 @@ object SnapshotTable {
       val prev = versions(s, tableDir)
       require(prev.nonEmpty, s"deleteWhere: no published version in $tableDir")
       val m0 = readManifest(s, tableDir, prev.last)
-      requireSingleEra(m0, "deleteWhere")
       (m0.schema, m0.entries) match {
         case (Some(sc0), Some(es0)) if es0.nonEmpty =>
-          // layout-agnostic: deletion vectors key on (file, position),
-          // so merge-on-read deletes work unchanged on hive-partitioned
-          // tables (the GDPR-delete-on-an-event-feed case) — no data
-          // file is touched, and the layout survives by construction
-          val base = relationFor(s, tableDir, storedSchema(sc0), es0,
-            m0.bucket, partBy = m0.partBy)
-          val withMeta = base.select(
-            col("_metadata.file_path").as("__path"),
-            col("_metadata.row_index").as("__pos"), col("*"))
+          // layout- AND era-agnostic: deletion vectors key on (file,
+          // position), so merge-on-read deletes work unchanged on
+          // hive-partitioned tables (the GDPR-delete-on-an-event-feed
+          // case) and across partition-scheme ERAS ([[repartitionBy]])
+          // — the probe plans one leg per era, each file read under
+          // ITS era's layout with the positional identity selected
+          // per leg (hidden _metadata does not cross a Union); no
+          // data file is touched, so every layout survives by
+          // construction
+          val withMeta = m0.eraLegs(es0).map { case (scheme, ees) =>
+            relationFor(s, tableDir, storedSchema(sc0), ees,
+              m0.bucket, partBy = scheme)
+              .select(col("_metadata.file_path").as("__path"),
+                col("_metadata.row_index").as("__pos"), col("*"))
+          }.reduce(_.unionByName(_))
           val live =
             if (m0.dels.isEmpty) withMeta
             else withMeta.join(delFrame(s, tableDir, m0),
@@ -2066,8 +2071,11 @@ object SnapshotTable {
                         added.isEmpty ||
                           (m.schema.map(storedSchema).contains(scStored) &&
                             m.partBy == m0.partBy &&
-                            relationFor(s, tableDir, scStored, added,
-                              m.bucket, partBy = m.partBy)
+                            m.partEras == m0.partEras &&
+                            m.eraLegs(added).map { case (scheme, ees) =>
+                              relationFor(s, tableDir, scStored, ees,
+                                m.bucket, partBy = scheme)
+                            }.reduce(_.unionByName(_))
                               .filter(predicate).isEmpty)
                       case None => false // legacy entries: re-plan
                     }
@@ -2120,7 +2128,11 @@ object SnapshotTable {
     * the manifest by reference — a point UPDATE on a clustered 100 TB
     * table rewrites a handful of files. Hive-partitioned tables
     * compose (rewritten rows re-land under their directories; an
-    * update that CHANGES a partition value migrates the row); updated
+    * update that CHANGES a partition value migrates the row), and so
+    * do partition-scheme ERAS ([[repartitionBy]]): each era's files
+    * probe and read under their own layout, and every rewritten file
+    * re-lands under the CURRENT scheme — DML incrementally migrates
+    * an evolved table instead of refusing on it; updated
     * rows re-validate every CHECK constraint; NDV sketches of the SET
     * columns drop to unknown (values changed), all others carry.
     *
@@ -2142,7 +2154,6 @@ object SnapshotTable {
       val prev = versions(s, tableDir)
       require(prev.nonEmpty, s"updateWhere: no published version in $tableDir")
       val m0 = readManifest(s, tableDir, prev.last)
-      requireSingleEra(m0, "updateWhere")
       val sc0raw = m0.schema.getOrElse(throw new IllegalArgumentException(
         s"updateWhere: legacy manifest without schema in $tableDir"))
       val es0 = m0.entries.getOrElse(throw new IllegalArgumentException(
@@ -2159,17 +2170,29 @@ object SnapshotTable {
         s"updateWhere: $tableDir has outstanding deletion vectors — the " +
           "file rewrite would resurrect deleted rows; absorbDeletes first")
       if (es0.isEmpty) return None
-      // candidate probe: pushed-down predicate + input_file_name, so
-      // zone maps / Blooms file-skip the probe itself at plan time
-      val affectedPaths = relationFor(s, tableDir, sc0, es0,
-          partBy = m0.partBy)
-        .filter(predicate)
-        .select(input_file_name().as("__f")).distinct()
+      // candidate probe: pushed-down predicate + input_file_name, ONE
+      // leg per partition-scheme era ([[repartitionBy]] — each era's
+      // files probe under THEIR layout: directory pruning on its hive
+      // columns, zone maps / Blooms on what it stores as data), so the
+      // probe file-skips at plan time in every era
+      val affectedPaths = m0.eraLegs(es0).map { case (scheme, ees) =>
+        relationFor(s, tableDir, sc0, ees, partBy = scheme)
+          .filter(predicate)
+          .select(input_file_name().as("__f"))
+      }.reduce(_.unionByName(_)).distinct()
         .collect().map(r => new HPath(r.getString(0)).toUri.getPath).toSet
       if (affectedPaths.isEmpty) return None
       val affected = es0.filter(e =>
         affectedPaths.contains(e.status.getPath.toUri.getPath))
-      val base = relationFor(s, tableDir, sc0, affected, partBy = m0.partBy)
+      // each affected file reads under ITS era's layout; the rewrite
+      // re-lands below under the CURRENT scheme, so row-level DML
+      // incrementally MIGRATES an evolved table toward its current
+      // layout (the Iceberg partition-evolution behavior) — only
+      // key-bearing files in each era move, untouched files ride the
+      // manifest by reference under their recorded era
+      val base = m0.eraLegs(affected).map { case (scheme, ees) =>
+        relationFor(s, tableDir, sc0, ees, partBy = scheme)
+      }.reduce(_.unionByName(_))
       // SQL UPDATE: provably-TRUE rows take the assignment, FALSE and
       // NULL keep their row; each assignment casts back to the
       // column's recorded type — no silent evolution through DML
@@ -2216,14 +2239,16 @@ object SnapshotTable {
           lazy val structuralOk =
             m.dels == m0.dels && m.constraints == m0.constraints &&
               m.schema == m0.schema && m.bucket.isEmpty &&
-              m.partBy == m0.partBy &&
+              m.partBy == m0.partBy && m.partEras == m0.partEras &&
               affectedEntryPaths.subsetOf(m.paths.toSet)
           lazy val addedClean = m.entries match {
             case Some(es) =>
               val added = es.filterNot(e =>
                 m0pathsAll.contains(e.status.getPath.toString))
               added.isEmpty ||
-                relationFor(s, tableDir, sc0, added, partBy = m0.partBy)
+                m.eraLegs(added).map { case (scheme, ees) =>
+                  relationFor(s, tableDir, sc0, ees, partBy = scheme)
+                }.reduce(_.unionByName(_))
                   .filter(predicate).isEmpty
             case None => false // legacy entries: re-plan
           }
@@ -2303,7 +2328,6 @@ object SnapshotTable {
     val prev = versions(s, tableDir)
     if (prev.isEmpty) return None
     val m0 = readManifest(s, tableDir, prev.last)
-    requireSingleEra(m0, "absorbDeletes")
     if (m0.dels.isEmpty) return None
     val (sc0, es0) = (m0.schema, m0.entries) match {
       case (Some(a), Some(b)) => (storedSchema(a), b)
@@ -2318,11 +2342,21 @@ object SnapshotTable {
     val uniq = java.util.UUID.randomUUID.toString.take(8)
     // the rewrite keeps the table's layout: a partitioned table's
     // affected files re-land under their hive directories (the new
-    // entries carry fresh partition values)
+    // entries carry fresh partition values). Era-aware like the other
+    // row-level rewrites: each affected file reads under ITS era's
+    // layout (vectors subtracted per leg) and re-lands under the
+    // CURRENT scheme — absorbing deletes incrementally migrates an
+    // evolved table too.
+    val rewritten =
+      if (affected.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          sc0)
+      else m0.eraLegs(affected).map { case (scheme, ees) =>
+        applyDels(s, tableDir,
+          relationFor(s, tableDir, sc0, ees, partBy = scheme), m0)
+      }.reduce(_.unionByName(_))
     val (dataDir, newFiles, _) = writeDataDir(s, tableDir,
-      toPhysical(applyDels(s, tableDir,
-        relationFor(s, tableDir, sc0, affected, partBy = m0.partBy), m0),
-        sc0),
+      toPhysical(rewritten, sc0),
       uniq, partitionBy = m0.partBy, bloomCols = bloomPhysCols(sc0), mapKeys = mapStatDecls(sc0))
     val carriedPaths = carried.map(_.status.getPath.toString).toSet
     beforePublishHook()
@@ -3563,10 +3597,14 @@ object SnapshotTable {
     * an old-era file (which stores them as data) prunes by its ZONE
     * MAPS — both eras answer a partition-pruned query with a strict
     * file subset. Appends must match the CURRENT scheme (the existing
-    * layout gate). Row-level rewrites (merge/update/delete/compact/
-    * Z-order/ANALYZE) refuse on a mixed-era table — `relayout()` (or
-    * any overwrite) rewrites everything under one scheme and retires
-    * the history. `newBy = Nil` evolves back to a flat layout.
+    * layout gate). Row-level DML (merge/update/delete/absorbDeletes)
+    * works ACROSS eras: probe and read plan per era, rewritten files
+    * re-land under the CURRENT scheme — so ordinary DML incrementally
+    * migrates the table (the Iceberg behavior). Whole-table layout ops
+    * (compact/Z-order/ANALYZE/stats declarations) still refuse on a
+    * mixed-era table — `relayout()` (or any overwrite) rewrites
+    * everything under one scheme and retires the history.
+    * `newBy = Nil` evolves back to a flat layout.
     * Refused on bucketed tables (bucket metadata is scheme-global) and
     * when the scheme is unchanged. */
   def repartitionBy(s: SparkSession, tableDir: String,
@@ -3638,12 +3676,14 @@ object SnapshotTable {
     m.entries.forall(es => !m.mixedEras(es) &&
       es.headOption.forall(e => m.eraScheme(m.eraOf(e)) == m.partBy))
 
-  /** Refusal gate for row-level rewrites and stats ops on a table
-    * whose files are not all under the CURRENT partition scheme
+  /** Refusal gate for whole-table layout/stats ops on a table whose
+    * files are not all under the CURRENT partition scheme
     * ([[repartitionBy]]): their planning assumes one directory scheme
-    * for every file. Honest refusal with the escape hatch named;
-    * single-era tables (including evolved ones whose files are all
-    * current-era) pass. */
+    * for every file. Row-level DML no longer takes this gate (it
+    * plans per era — see [[updateWhere]]); compact/Z-order/ANALYZE/
+    * metaAgg and the bare relation doorway still do. Honest refusal
+    * with the escape hatch named; single-era tables (including
+    * evolved ones whose files are all current-era) pass. */
   private def requireSingleEra(m: Manifest, op: String): Unit =
     require(eraUniform(m),
       s"$op: table has partition-scheme eras " +
@@ -4125,7 +4165,6 @@ object SnapshotTable {
       attempt += 1
       val prev = versions(s, tableDir)
       val m0opt = prev.lastOption.map(readManifest(s, tableDir, _))
-      m0opt.foreach(requireSingleEra(_, "merge"))
       // replay check each attempt: a conflict-aborted selective merge
       // whose conflicting commit WAS this txn (zombie writer) re-reads
       // and lands here
@@ -4309,8 +4348,16 @@ object SnapshotTable {
     // only the candidate files, making a small merge metadata-bound end
     // to end. Larger sets fall back to the keyed semi-join (identical
     // EqualTo semantics either way, nulls never match in both forms).
-    val keyScan = relationFor(s, tableDir, sc0, es0, partBy = m0.partBy)
-      .select(input_file_name().as("__f"), col(key))
+    // One leg per partition-scheme era ([[repartitionBy]]): each era's
+    // files key-scan under their own layout.
+    val keyScan =
+      if (es0.isEmpty) // hive bootstrap: empty relation, one leg
+        relationFor(s, tableDir, sc0, es0, partBy = m0.partBy)
+          .select(input_file_name().as("__f"), col(key))
+      else m0.eraLegs(es0).map { case (scheme, ees) =>
+        relationFor(s, tableDir, sc0, ees, partBy = scheme)
+          .select(input_file_name().as("__f"), col(key))
+      }.reduce(_.unionByName(_))
     val smallSet = touched.limit(1025).collect().map(_.get(0))
     val matched =
       if (smallSet.isEmpty) keyScan.filter(lit(false)) // nothing touched
@@ -4325,10 +4372,15 @@ object SnapshotTable {
     // rows to rewrite: the affected files' survivors + every upsert (an
     // untouched file cannot contain a touched key BY CONSTRUCTION of
     // the membership scan, so survivors elsewhere stay on disk as-is)
+    // affected files read under THEIR era's layout; the rewrite
+    // re-lands under the CURRENT scheme (incremental era migration,
+    // the updateWhere rule)
     val base =
       if (affected.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc0)
-      else relationFor(s, tableDir, sc0, affected, partBy = m0.partBy)
+      else m0.eraLegs(affected).map { case (scheme, ees) =>
+        relationFor(s, tableDir, sc0, ees, partBy = scheme)
+      }.reduce(_.unionByName(_))
     val kept = base
       .join(upserts.select(col(key)).distinct(), Seq(key), "left_anti")
       .join(deleteKeys.select(col(key)).distinct(), Seq(key), "left_anti")

@@ -64,8 +64,7 @@ class SnapshotPartEvolutionSpec extends GraftSpec {
       == (0 until 300).filter(_ % 4 == 2).sum)
   }
 
-  test("append gate, rewrite refusals, relayout unifies") {
-    import spark.implicits._
+  test("append gate, layout-op refusals, relayout unifies") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pevo2-").toString
     val t = s"$dir/tbl"
     SnapshotTable.commit(spark, t, slice(0).repartition(1),
@@ -74,16 +73,9 @@ class SnapshotPartEvolutionSpec extends GraftSpec {
     // a FLAT append no longer matches the current scheme
     intercept[IllegalArgumentException] {
       SnapshotTable.commit(spark, t, slice(1), overwrite = false) }
-    // row-level rewrites refuse while files live under a superseded era
-    intercept[IllegalArgumentException] {
-      SnapshotTable.updateWhere(spark, t, col("k") === 1L,
-        Map("v" -> lit(0L))) }
-    intercept[IllegalArgumentException] {
-      SnapshotTable.deleteWhere(spark, t, col("k") === 1L) }
-    intercept[IllegalArgumentException] {
-      SnapshotTable.merge(spark, t,
-        Seq((1L, 1L, 1L)).toDF("k", "b", "v"),
-        Seq.empty[Long].toDF("k"), "k") }
+    // whole-table layout/stats ops still refuse while files live
+    // under a superseded era (row-level DML no longer does — see the
+    // cross-era tests below)
     intercept[IllegalArgumentException] { SnapshotTable.metaAgg(spark, t) }
     assert(SnapshotTable.compact(spark, t, 64L * 1024 * 1024,
       128L * 1024 * 1024).isEmpty)
@@ -97,12 +89,121 @@ class SnapshotPartEvolutionSpec extends GraftSpec {
     SnapshotTable.commitPartitionedBy(spark, t, slice(1), Seq("b"))
     assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue).count() == 200)
     SnapshotTable.relayout(spark, t, partitionBy = Seq("b"))
-    // single current era again: rewrites work, history retired
+    // single current era again: layout ops work, history retired
     assert(SnapshotTable.updateWhere(spark, t, col("k") === 1L,
       Map("v" -> lit(999L))).nonEmpty)
     assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue)
       .filter(col("k") === 1L).head().getLong(2) == 999L)
     assert(SnapshotTable.metaAgg(spark, t).count() > 0)
+  }
+
+  test("UPDATE across eras rewrites only key-bearing files, lands current-era") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pevo4-").toString
+    val t = s"$dir/tbl"
+    // era 0 (flat): two k-banded files; era 1 (hive by b): four dirs
+    (0 to 1).foreach(i =>
+      SnapshotTable.commit(spark, t, slice(i).repartition(1),
+        overwrite = false))
+    SnapshotTable.repartitionBy(spark, t, Seq("b"))
+    SnapshotTable.commitPartitionedBy(spark, t, slice(2), Seq("b"))
+    val before = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+      .inputFiles.toSet
+    assert(before.size == 6) // 2 flat + 4 hive
+    val slice1File = before.find(p => !p.contains("/b=") && {
+      // the era-0 file holding k 100..199 — probe it by reading
+      spark.read.parquet(p).agg(min(col("k"))).head().getLong(0) == 100L
+    }).get
+    // k==50 lives in ONE era-0 file; k==250 in ONE era-1 directory
+    // file (250 % 4 == 2) — the cross-era update touches exactly those
+    assert(SnapshotTable.updateWhere(spark, t,
+      col("k") === 50L || col("k") === 250L,
+      Map("v" -> lit(-1L))).nonEmpty)
+    val after = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    val afterFiles = after.inputFiles.toSet
+    // the untouched era-0 file and 3 untouched hive files carried by
+    // reference; the 2 key-bearing files (one per era) were replaced
+    assert(afterFiles.contains(slice1File))
+    assert((before -- afterFiles).size == 2,
+      s"expected exactly 2 rewritten files, got ${(before -- afterFiles).size}")
+    // every REWRITTEN file re-landed under the CURRENT hive scheme
+    assert((afterFiles -- before).forall(_.contains("/b=")),
+      s"rewritten files must land current-era: ${afterFiles -- before}")
+    // and the answer is right: both rows updated, nothing else
+    assert(after.filter(col("v") === -1L)
+      .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(50L, 250L))
+    assert(after.count() == 300)
+    assert(after.agg(sum(col("k"))).head().getLong(0)
+      == (0 until 300).map(_.toLong).sum)
+  }
+
+  test("MOR delete and selective merge work across eras") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pevo5-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, slice(0).repartition(1),
+      overwrite = false)
+    SnapshotTable.repartitionBy(spark, t, Seq("b"))
+    SnapshotTable.commitPartitionedBy(spark, t, slice(1), Seq("b"))
+    val files0 = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+      .inputFiles.toSet
+    // MOR delete spanning both eras: vectors only, no file rewritten
+    assert(SnapshotTable.deleteWhere(spark, t,
+      col("k") === 10L || col("k") === 110L).nonEmpty)
+    val snap = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    // data files untouched — the extra inputFiles are the tiny
+    // deletion-vector parquets the anti-join leg reads
+    assert(snap.inputFiles.filterNot(_.contains("/del-")).toSet == files0)
+    assert(snap.count() == 198)
+    assert(snap.filter(col("k").isin(10L, 110L)).count() == 0)
+    assert(SnapshotTable.rowCount(spark, t, Int.MaxValue).contains(198L))
+    // absorb the vectors: only the 2 covered files rewritten, each
+    // re-landing under the current hive scheme
+    assert(SnapshotTable.absorbDeletes(spark, t).nonEmpty)
+    val absorbed = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(absorbed.count() == 198)
+    assert((absorbed.inputFiles.toSet -- files0).forall(_.contains("/b=")))
+    // selective merge across eras: upsert one era-0 key + one era-1
+    // key, delete one of each — only key-bearing files rewritten
+    val preMerge = absorbed.inputFiles.toSet
+    SnapshotTable.merge(spark, t,
+      Seq((20L, 0L, -20L), (120L, 0L, -120L)).toDF("k", "b", "v"),
+      Seq(30L, 130L).toDF("k"), "k")
+    val merged = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(merged.count() == 196)
+    assert(merged.filter(col("k").isin(30L, 130L)).count() == 0)
+    assert(merged.filter(col("v") === -20L).count() == 1)
+    assert(merged.filter(col("v") === -120L).count() == 1)
+    assert((merged.inputFiles.toSet -- preMerge).forall(_.contains("/b=")))
+  }
+
+  test("cross-era update races a concurrent append: atomic replan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pevo6-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, slice(0).repartition(1),
+      overwrite = false)
+    SnapshotTable.repartitionBy(spark, t, Seq("b"))
+    SnapshotTable.commitPartitionedBy(spark, t, slice(1), Seq("b"))
+    // a current-era append lands INSIDE the update's commit window;
+    // its rows do NOT match the predicate, so the update must REBASE
+    // (keep the racing rows) rather than lose them or double-apply
+    @volatile var interleaved = false
+    val saved = SnapshotTable.beforePublishHook
+    try {
+      SnapshotTable.beforePublishHook = () => {
+        if (!interleaved) {
+          interleaved = true
+          SnapshotTable.commitPartitionedBy(spark, t, slice(2), Seq("b"))
+        }
+      }
+      assert(SnapshotTable.updateWhere(spark, t, col("k") === 50L,
+        Map("v" -> lit(-1L))).nonEmpty)
+    } finally SnapshotTable.beforePublishHook = saved
+    val main = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(main.count() == 300, "racing append or update rows lost")
+    assert(main.filter(col("v") === -1L)
+      .select(col("k")).collect().map(_.getLong(0)).toSeq == Seq(50L))
+    assert(main.filter(col("k") >= 200L).count() == 100)
   }
 
   test("time travel, change feed, and clone cross the scheme change") {
