@@ -784,6 +784,14 @@ object PlanCheck {
       mustNot = Seq("Join", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 2)),
+    // update-paired feed read-back: same landed-partials shape — the
+    // per-commit diffing (and the kind-based image pairing) ran IN the
+    // stream, nothing re-joins the source
+    Check("stream_cdf_updates",
+      mustContain = Seq("Scan parquet", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 2)),
     // byte-level encoder: same single-scan codegen-projection shape as
     // the code-point variant
     Check("text_token_ids_bytes",

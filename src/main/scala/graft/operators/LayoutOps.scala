@@ -1381,9 +1381,12 @@ object LayoutOps extends QueryPack {
     (2 to latest).foreach { v =>
       val delta = graft.sources.SnapshotTable.readChanges(s, table, v - 1, v)
         .select(col("prio"),
-          when(col("change_type") === "insert", 1L).otherwise(-1L).as("w"),
-          when(col("change_type") === "insert", col("cents"))
-            .otherwise(-col("cents")).as("wc"))
+          // additive fold: postimages count like inserts, preimages
+          // like deletes (single-commit ranges pair UPDATE legs)
+          when(col("change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L).as("w"),
+          when(col("change_type").isin("insert", "update_postimage"),
+            col("cents")).otherwise(-col("cents")).as("wc"))
         .groupBy(col("prio"))
         .agg(sum(col("w")).as("dn"), sum(col("wc")).as("dc"))
       mv = mv.join(delta, Seq("prio"), "full_outer")

@@ -225,7 +225,9 @@ class SnapshotStreamSource(ctx: SQLContext, tableDir: String,
 
   /** One CHANGE-FEED micro-batch: the row-level changes of every
     * published version in `(fromV, toV]`, each tagged with its
-    * `change_type` ('insert'/'delete') and `_commit_version` — the
+    * `change_type` ('insert'/'delete'; an UPDATE commit's legs arrive
+    * paired as 'update_preimage'/'update_postimage' — the per-commit
+    * tiling guarantees single-commit ranges) and `_commit_version` — the
     * Delta CDF streaming shape. Versions tile exactly
     * (`fromV→v1, v1→v2, …`), so a batch spanning several commits
     * (admission-capped by `maxVersionsPerTrigger`) reports each

@@ -250,7 +250,14 @@ object SnapshotTable {
       // era's directory layout; pruning consults each era's own
       // machinery (directory pruning for its hive columns, zone maps
       // for everything it stores as data).
-      partEras: Option[Seq[Seq[String]]] = None) {
+      partEras: Option[Seq[Seq[String]]] = None,
+      // the KIND of the operation that produced THIS version
+      // (append/overwrite/delete/update/merge/compact — never carried
+      // forward): what lets the change feed relabel an UPDATE commit's
+      // diff legs `update_preimage`/`update_postimage` (Delta's CDF
+      // convention) instead of an unkeyed delete+insert. None on
+      // metadata-only commits and on manifests predating the field.
+      kind: Option[String] = None) {
     def paths: Seq[String] = files.map(_.takeWhile(_ != '\t'))
     /** The scheme era entry `e` was committed under. */
     def eraOf(e: FileEntry): Int =
@@ -718,7 +725,9 @@ object SnapshotTable {
             if (seg.isEmpty) Nil
             else seg.split(":", -1).toSeq
               .map(b => new String(b64d(b), "UTF-8"))
-          } })
+          } },
+      kind = lines.collectFirst {
+        case l if l.startsWith("#kind:") => l.stripPrefix("#kind:") })
   }
 
   /** Writer ids with at least one committed transaction on this table —
@@ -986,7 +995,8 @@ object SnapshotTable {
         partitionBy, partSpread = partitionedWriteSpread(s))
       beforePublishHook()
       val res = publishNext(s, tableDir,
-          partByOverride = Some(partitionBy)) { pm =>
+          partByOverride = Some(partitionBy),
+          kind = Some("compact")) { pm =>
         pm.flatMap { m =>
           // serializability: the rewrite read exactly m0's file +
           // vector state — publishing over a mid-flight commit would
@@ -2044,7 +2054,8 @@ object SnapshotTable {
               beforePublishHook()
               val m0paths = m0.paths.toSet
               val scStored = storedSchema(sc0)
-              val res = publishNext(s, tableDir) { pm =>
+              val res = publishNext(s, tableDir,
+                  kind = Some("delete")) { pm =>
                 pm.flatMap { m =>
                   // The positions were computed against m0's file +
                   // vector state. They stay valid — and the publish
@@ -2214,7 +2225,7 @@ object SnapshotTable {
       val setPhys = sc0.fields.filter(fl => sets.contains(fl.name))
         .map(physName).toSet
       val m0pathsAll = m0.paths.toSet
-      val res = publishNext(s, tableDir) { pm =>
+      val res = publishNext(s, tableDir, kind = Some("update")) { pm =>
         pm.flatMap { m =>
           // STRICT serializability at FILE granularity: an identical
           // manifest publishes directly; a manifest a CONCURRENT
@@ -2360,7 +2371,7 @@ object SnapshotTable {
       uniq, partitionBy = m0.partBy, bloomCols = bloomPhysCols(sc0), mapKeys = mapStatDecls(sc0))
     val carriedPaths = carried.map(_.status.getPath.toString).toSet
     beforePublishHook()
-    val res = publishNext(s, tableDir) { pm =>
+    val res = publishNext(s, tableDir, kind = Some("compact")) { pm =>
       pm.flatMap { m =>
         if (m.files != m0.files || m.dels != m0.dels) None // conflict
         else Some((
@@ -2614,7 +2625,8 @@ object SnapshotTable {
     * layout pass this. */
   private def publishNext(s: SparkSession, tableDir: String,
       partByOverride: Option[Seq[String]] = None,
-      partErasOverride: Option[Seq[Seq[String]]] = None)(
+      partErasOverride: Option[Seq[Seq[String]]] = None,
+      kind: Option[String] = None)(
       prepare: Option[Manifest] => Option[Prepared])
       : Option[Int] = {
     val f = fs(s, tableDir)
@@ -2671,6 +2683,9 @@ object SnapshotTable {
              else Seq(s"#partby:${partBy.map(b64e).mkString(":")}")) ++
             partEras.toSeq.map(eras => "#parteras:" +
               eras.map(_.map(b64e).mkString(":")).mkString("|")) ++
+            // the producing operation's kind — THIS commit's, never
+            // carried from the previous manifest
+            kind.toSeq.map(k => s"#kind:$k") ++
             bucket.map { case (n, c) => s"#bucket:$n:${b64e(c)}" } ++
             dels.map(d => s"#del:$d") ++
             checks.toSeq.sortBy(_._1).map { case (n, e) =>
@@ -2725,7 +2740,8 @@ object SnapshotTable {
     // race against a concurrent rename must restage under the new map)
     var writtenRen: Map[String, String] = Map.empty
     val res = publishNext(s, tableDir,
-        partByOverride = Some(partitionBy)) { prevManifest =>
+        partByOverride = Some(partitionBy),
+        kind = Some(if (overwrite) "overwrite" else "append")) { prevManifest =>
       // replay check INSIDE the retry loop: a zombie writer racing the
       // live one with the same txn loses the version race, re-reads,
       // and sees the txn landed
@@ -3003,7 +3019,7 @@ object SnapshotTable {
             bloomCols = bloomPhysCols(schema0), mapKeys = mapStatDecls(schema0))
         val compacted = small.map(_.status.getPath.toString).toSet
         beforePublishHook()
-        val res = publishNext(s, tableDir) { pm =>
+        val res = publishNext(s, tableDir, kind = Some("compact")) { pm =>
           pm.flatMap { m =>
             // conflict: a compacted file left the live set, or a
             // deletion vector landed mid-compaction (the rewrite read
@@ -3074,7 +3090,7 @@ object SnapshotTable {
           partitionBy = m0.partBy, bloomCols = bloomPhysCols(schema0), mapKeys = mapStatDecls(schema0))
         val packed = affected.map(_.status.getPath.toString).toSet
         beforePublishHook()
-        val res = publishNext(s, tableDir) { pm =>
+        val res = publishNext(s, tableDir, kind = Some("compact")) { pm =>
           pm.flatMap { m =>
             if (!packed.subsetOf(m.paths.toSet) || m.dels.nonEmpty) None
             else Some((
@@ -3180,7 +3196,7 @@ object SnapshotTable {
           uniq, partitionBy = m0.partBy, preShaped = true,
           bloomCols = bloomPhysCols(schema0), mapKeys = mapStatDecls(schema0))
         beforePublishHook()
-        val res = publishNext(s, tableDir) { pm =>
+        val res = publishNext(s, tableDir, kind = Some("compact")) { pm =>
           pm.flatMap { m =>
             if (!all.subsetOf(m.paths.toSet) || m.dels.nonEmpty) None
             else Some((
@@ -4309,7 +4325,7 @@ object SnapshotTable {
       m0.flatMap(_.schema))
     val (dataDir, newFiles, _) = writeDataDir(s, tableDir, out, uniq,
       bloomCols = bloomPhysCols(pubSchema), mapKeys = mapStatDecls(pubSchema))
-    val res = publishNext(s, tableDir) { pm =>
+    val res = publishNext(s, tableDir, kind = Some("merge")) { pm =>
       // a replayed txn aborts here; the caller's loop re-reads, sees
       // the txn, and returns the no-op
       if (txnLanded(pm, txn)) None
@@ -4394,7 +4410,7 @@ object SnapshotTable {
       partitionBy = m0.partBy, bloomCols = bloomPhysCols(sc0), mapKeys = mapStatDecls(sc0))
     val carriedPaths = carried.map(_.status.getPath.toString).toSet
     beforePublishHook()
-    val res = publishNext(s, tableDir) { pm =>
+    val res = publishNext(s, tableDir, kind = Some("merge")) { pm =>
       pm.flatMap { m =>
         // serializability: the merge planned against m0's EXACT file
         // and deletion-vector state; any concurrent commit (append
@@ -4419,7 +4435,9 @@ object SnapshotTable {
 
   /** Change feed between two published versions — every row added or
     * removed going `fromV` → `toV`, tagged `change_type`
-    * ('insert' / 'delete'), under `toV`'s schema. The consumer shape
+    * ('insert' / 'delete'; a single-commit UPDATE range pairs them as
+    * 'update_preimage' / 'update_postimage' — see below), under
+    * `toV`'s schema. The consumer shape
     * for incremental downstreams (MV refresh, index append, CDC
     * export) that must not rescan the table.
     *
@@ -4449,6 +4467,18 @@ object SnapshotTable {
         s"no published version <= $toV in $tableDir"))
     val m2 = readManifest(s, tableDir, v2)
     val schema2 = m2.schema.map(storedSchema)
+    // a range covering EXACTLY one commit whose recorded kind is
+    // "update" ([[publishNext]]'s `#kind:` stamp) serves its diff legs
+    // as PAIRED update images — `update_preimage` / `update_postimage`,
+    // the Delta CDF convention — so a downstream merge/upsert consumer
+    // can key the two sides of the UPDATE instead of treating it as an
+    // unkeyed retract+assert. Multi-commit ranges keep insert/delete:
+    // their diff is a NET multiset delta across unrelated commits, for
+    // which update pairing would be a false claim. The per-commit
+    // tiling of [[streamChangeBatch]] means the STREAMING feed always
+    // sees single-commit ranges, so every streamed UPDATE is paired.
+    val updatePair = m2.kind.contains("update") &&
+      vs.filter(v => v > v1.getOrElse(0) && v <= v2) == Seq(v2)
     def tag(df: DataFrame, t: String): DataFrame =
       df.select(lit(t).as("change_type") +: df.columns.toIndexedSeq.map(col): _*)
     def emptyChanges: DataFrame = schema2 match {
@@ -4546,7 +4576,10 @@ object SnapshotTable {
         }
         val a = readUnder(v1)
         val b = readUnder(Some(v2))
-        tag(b.exceptAll(a), "insert").unionByName(tag(a.exceptAll(b), "delete"))
+        tag(b.exceptAll(a),
+            if (updatePair) "update_postimage" else "insert")
+          .unionByName(tag(a.exceptAll(b),
+            if (updatePair) "update_preimage" else "delete"))
     }
   }
 

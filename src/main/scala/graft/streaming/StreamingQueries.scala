@@ -772,6 +772,74 @@ object StreamingQueries extends QueryPack {
       .orderBy(col("commit_version"), col("change_type"), col("event_type"))
   }
 
+  /** CDF UPDATE PAIRING end to end: a keyed UPDATE history — one
+    * append, then two `updateWhere` commits re-attributing view and
+    * click user ids — streamed through the change feed. Because every
+    * commit records its KIND in the manifest and the stream tiles
+    * per commit, each UPDATE's diff legs arrive PAIRED as
+    * `update_preimage` / `update_postimage` (Delta's CDF convention)
+    * instead of an unkeyed delete+insert, so a downstream merge
+    * consumer can key the two sides of the update. The declared
+    * result counts rows AND sums the user ids per (commit_version,
+    * change_type, event_type) — the uid sums are what catch a tag
+    * swap (pre and post images have identical counts but differ by
+    * exactly the re-attribution delta); the oracle restates the
+    * whole history in closed form. */
+  def streamCdfUpdates(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_scdfu_")
+    outDirs.add(root)
+    val src = root.resolve("src").toString
+    val res = root.resolve("res").toString
+    val ckpt = Files.createTempDirectory("graft_scdfu_ck_")
+    val ev = graft.Tables.events(s, d).filter(col("event_id").isNotNull)
+      .select(col("event_id"),
+        coalesce(col("event_type"), lit("unk")).as("etype"),
+        coalesce(col("user_id"), lit(0L)).as("uid"))
+    graft.sources.SnapshotTable.commit(s, src, ev, overwrite = false) // v1
+    // v2/v3: two keyed UPDATEs — each relabels a type's user ids
+    graft.sources.SnapshotTable.updateWhere(s, src,
+      col("etype") === "view", Map("uid" -> (col("uid") + lit(1000000L))))
+    graft.sources.SnapshotTable.updateWhere(s, src,
+      col("etype") === "click", Map("uid" -> (col("uid") + lit(5000000L))))
+    try {
+      val q = s.readStream
+        .format("graft.sources.SnapshotSourceProvider")
+        .option("path", src)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            graft.sources.SnapshotTable.commitIdempotent(
+              batch.sparkSession, res,
+              batch.groupBy(col("_commit_version"), col("change_type"),
+                col("etype"))
+                .agg(count(lit(1)).as("n_part"),
+                  sum(col("uid")).as("su_part")),
+              overwrite = false,
+              txnId = graft.sources.SnapshotTable.writerIdFor(ckpt.toString),
+              txnVersion = id)
+            ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    if (graft.sources.SnapshotTable.versions(s, res).isEmpty)
+      return ev.filter(lit(false)).select(
+        lit(0L).as("commit_version"), lit("i").as("change_type"),
+        col("etype"), lit(0L).as("n"), lit(0L).as("sum_uid"))
+    graft.sources.SnapshotTable.readAsOf(s, res, Int.MaxValue)
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("change_type"), col("etype"))
+      .agg(sum(col("n_part")).as("n"), sum(col("su_part")).as("sum_uid"))
+      .filter(col("n") > 0)
+      .orderBy(col("commit_version"), col("change_type"), col("etype"))
+  }
+
   /** Hive-PARTITIONED lakehouse sink: the events feed (three source
     * versions, re-streamed from a snapshot table) lands each
     * micro-batch in a result table partitioned by `event_type`
@@ -901,6 +969,7 @@ object StreamingQueries extends QueryPack {
     "stream_snapshot_source" -> streamSnapshotSource,
     "stream_snapshot_sink" -> streamSnapshotSink,
     "stream_cdf" -> streamCdf,
+    "stream_cdf_updates" -> streamCdfUpdates,
     "stream_dedup_gate" -> streamDedupGate,
     "stream_record_highs" -> streamRecordHighs,
     "stream_enrich_abovemean" -> streamEnrichAboveMean,
@@ -984,8 +1053,9 @@ object StreamingQueries extends QueryPack {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // closed-form replay of the mixed history the query commits:
-    // v1/v2 appends by event-id parity, v3 rewrites every view row
-    // (delete old + insert new), v4 MOR-deletes every click
+    // v1/v2 appends by event-id parity, v3 rewrites every view row —
+    // arriving as PAIRED update images (the per-commit kind stamp) —
+    // v4 MOR-deletes every click
     "stream_cdf" ->
       """WITH ev AS (SELECT event_id, event_type FROM events)
         |SELECT * FROM (
@@ -997,15 +1067,50 @@ object StreamingQueries extends QueryPack {
         |  SELECT 2, 'insert', event_type, count(*)
         |  FROM ev WHERE coalesce(event_id, 0) % 2 = 1 GROUP BY event_type
         |  UNION ALL
-        |  SELECT 3, 'delete', event_type, count(*)
+        |  SELECT 3, 'update_preimage', event_type, count(*)
         |  FROM ev WHERE event_type = 'view' GROUP BY event_type
         |  UNION ALL
-        |  SELECT 3, 'insert', event_type, count(*)
+        |  SELECT 3, 'update_postimage', event_type, count(*)
         |  FROM ev WHERE event_type = 'view' GROUP BY event_type
         |  UNION ALL
         |  SELECT 4, 'delete', event_type, count(*)
         |  FROM ev WHERE event_type = 'click' GROUP BY event_type)
         |ORDER BY commit_version, change_type, event_type""".stripMargin,
+    // the keyed-UPDATE history in closed form: v1 inserts everything;
+    // v2/v3 each emit a preimage at the pre-update uid and a postimage
+    // at the re-attributed uid — counts match pairwise, the uid sums
+    // differ by exactly n * delta (what catches a tag swap)
+    "stream_cdf_updates" ->
+      """WITH ev AS (SELECT event_id,
+        |    coalesce(event_type, 'unk') AS etype,
+        |    coalesce(user_id, 0) AS uid
+        |  FROM events WHERE event_id IS NOT NULL)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS commit_version,
+        |         'insert' AS change_type, etype,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(uid) AS BIGINT) AS sum_uid
+        |  FROM ev GROUP BY etype
+        |  UNION ALL
+        |  SELECT 2, 'update_preimage', etype,
+        |         CAST(count(*) AS BIGINT), CAST(sum(uid) AS BIGINT)
+        |  FROM ev WHERE etype = 'view' GROUP BY etype
+        |  UNION ALL
+        |  SELECT 2, 'update_postimage', etype,
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(uid + 1000000) AS BIGINT)
+        |  FROM ev WHERE etype = 'view' GROUP BY etype
+        |  UNION ALL
+        |  SELECT 3, 'update_preimage', etype,
+        |         CAST(count(*) AS BIGINT), CAST(sum(uid) AS BIGINT)
+        |  FROM ev WHERE etype = 'click' GROUP BY etype
+        |  UNION ALL
+        |  SELECT 3, 'update_postimage', etype,
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(uid + 5000000) AS BIGINT)
+        |  FROM ev WHERE etype = 'click' GROUP BY etype)
+        |WHERE n > 0
+        |ORDER BY commit_version, change_type, etype""".stripMargin,
     // identical closed form: the partitioned sink conserves every event
     // exactly once through slicing, hive-partitioned landing, and the
     // in-stream compact/vacuum cycles

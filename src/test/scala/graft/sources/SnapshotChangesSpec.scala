@@ -217,8 +217,11 @@ class SnapshotChangesSpec extends GraftSpec {
       Map("v" -> lit(-250L))).nonEmpty)
     val feed = SnapshotTable.readChanges(spark, t, 4, 5)
     val rows = feed.collect()
+    // a single-commit UPDATE range arrives as PAIRED update images
+    // (the #kind stamp), not an unkeyed delete+insert
     assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-      == Set(("delete", 250L, 250L), ("insert", 250L, -250L)))
+      == Set(("update_preimage", 250L, 250L),
+        ("update_postimage", 250L, -250L)))
     // scan budget: one removed file + one rewritten file = 2 scans of
     // 1 file each — the three untouched files never enter the plan
     val scanned = feed.queryExecution.executedPlan.collect {

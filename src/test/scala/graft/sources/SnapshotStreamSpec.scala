@@ -232,7 +232,9 @@ class SnapshotStreamSpec extends GraftSpec {
     assert(changes(out) == Set(
       ("insert", 1L, 10L, 1L), ("insert", 2L, 20L, 1L),
       ("insert", 3L, 30L, 2L),
-      ("delete", 2L, 20L, 3L), ("insert", 2L, 200L, 3L),
+      // the UPDATE commit streams as paired images (per-commit tiling
+      // means the feed always sees single-commit ranges)
+      ("update_preimage", 2L, 20L, 3L), ("update_postimage", 2L, 200L, 3L),
       ("delete", 1L, 10L, 4L)))
   }
 
