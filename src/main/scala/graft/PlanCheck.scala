@@ -811,6 +811,14 @@ object PlanCheck {
       mustNot = Seq("Join", "UDF", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 2)),
+    // declared array-element probe: one manifest-planned scan + keyed
+    // agg, array_contains evaluated on the scan — no join, no UDF, no
+    // explode (membership never needs an element blow-up)
+    Check("layout_array_prune",
+      mustContain = Seq("Scan parquet", "HashAggregate"),
+      mustNot = Seq("Join", "UDF", "CartesianProduct", "Generate"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 2)),
     // mixed-era read: ONE relation per scheme era (flat + hive = two
     // scans), unioned — never a join, never a third pass
     Check("layout_partition_evolution",

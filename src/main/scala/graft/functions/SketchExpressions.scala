@@ -430,3 +430,35 @@ object BloomBitsAgg
   override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
     org.apache.spark.sql.Encoders.BINARY
 }
+
+/** [[BloomBitsAgg]] over ARRAY columns: one input row carries the
+  * packed element hashes of its WHOLE array (null elements are
+  * pre-filtered by the collection SQL), so a single 1 KiB bitmap
+  * memberships every element of every row in the file — what the
+  * manifest's `array_contains(col, v)` file-skipping probes
+  * ([[graft.sources.SnapshotTable]] StatsPruning). A null row (null
+  * array) contributes nothing; a NON-NULL but EMPTY array allocates
+  * the (all-zero) bitmap — it is evidence that the row holds no
+  * element, so a file of empty arrays records a Bloom that refutes
+  * every probe rather than "no bloom recorded" which refutes none.
+  * Same bitmap geometry and read-side probe as the scalar aggregate. */
+object BloomBitsArrayAgg
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Long], Array[Byte], Array[Byte]] {
+  override def zero: Array[Byte] = BloomBitsAgg.zero
+  override def reduce(b: Array[Byte], hs: Seq[Long]): Array[Byte] =
+    if (hs == null) b
+    else {
+      val buf =
+        if (b.length == BloomBitsAgg.Bits / 8) b
+        else new Array[Byte](BloomBitsAgg.Bits / 8)
+      hs.foldLeft(buf)(BloomBitsAgg.reduce)
+    }
+  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+    BloomBitsAgg.merge(x, y)
+  override def finish(b: Array[Byte]): Array[Byte] = BloomBitsAgg.finish(b)
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+}

@@ -949,6 +949,51 @@ object LayoutOps extends QueryPack {
       .orderBy(col("src"))
   }
 
+  /** Array-element membership skipping end to end (`GRAFT BLOOM` on an
+    * array column): documents land with their labels in an
+    * `array<string>` column (the crawl tag/label shape — the third
+    * common metadata layout after struct leaves and map keys), in
+    * lang-banded slices so each file's element universe is disjoint.
+    * The history crosses the declaration: slice 1 lands BEFORE it (no
+    * element stats — kept by the pruner, sound), slices 2-3 after
+    * (per-file element bounds + a 1 KiB element Bloom), and `GRAFT
+    * ANALYZE` backfills slice 1. The probe
+    * `array_contains(tags, 'lang:en')` then plans a strict file subset
+    * from the manifest (`SnapshotArrayBloomSpec` pins the scan
+    * metrics); this declared query pins the ANSWER against the oracle,
+    * restated over the flat columns. At 100 TB, element skipping is
+    * what keeps `array_contains(labels, v)` from reading every file of
+    * a tagged corpus. */
+  def layoutArrayPrune(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_arrb_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("lg"),
+        array(
+          concat(lit("lang:"), coalesce(col("lang"), lit("und"))),
+          concat(lit("src:"), coalesce(col("source"), lit(""))))
+          .as("tags"),
+        coalesce(col("source"), lit("")).as("src"))
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("lg") === "en").drop("lg").repartition(1),
+      overwrite = false)
+    graftSql(s, s"GRAFT BLOOM '$table' (tags)").collect()
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("lg") === "zh").drop("lg").repartition(1),
+      overwrite = false)
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("lg") =!= "en" && col("lg") =!= "zh").drop("lg")
+        .repartition(1),
+      overwrite = false)
+    graft.sources.SnapshotTable.analyze(s, table)
+    graft.sources.SnapshotTable.readAsOf(s, table, Int.MaxValue)
+      .filter(array_contains(col("tags"), "lang:en"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("src"))
+  }
+
   /** Partition evolution end to end (`GRAFT REPARTITION ... BY`): the
     * events feed starts life FLAT (era 0), one metadata-only statement
     * switches the scheme to hive-by-event-type, and two more slices
@@ -1424,6 +1469,7 @@ object LayoutOps extends QueryPack {
     "layout_bloom_probe" -> layoutBloomProbe,
     "layout_nested_prune" -> layoutNestedPrune,
     "layout_map_prune" -> layoutMapPrune,
+    "layout_array_prune" -> layoutArrayPrune,
     "layout_partition_evolution" -> layoutPartitionEvolution,
     "layout_evolved_update" -> layoutEvolvedUpdate,
     "layout_branch_publish" -> layoutBranchPublish,
@@ -1750,6 +1796,15 @@ object LayoutOps extends QueryPack {
     // the map-key probe's ANSWER, restated over the flat columns (the
     // three lang slices partition the rows, so their union IS the table)
     "layout_map_prune" ->
+      """SELECT coalesce(source, '') AS src,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND coalesce(lang, 'und') = 'en'
+        |GROUP BY src ORDER BY src""".stripMargin,
+    // the array-element probe's ANSWER, restated flat (the lang slices
+    // partition the rows; 'lang:en' is in a row's tags iff lang = 'en')
+    "layout_array_prune" ->
       """SELECT coalesce(source, '') AS src,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_id

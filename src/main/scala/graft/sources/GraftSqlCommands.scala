@@ -280,7 +280,7 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT RENAME COLUMN '<dir>' <from> TO <to> | " +
             "GRAFT ADD COLUMN '<dir>' <col> <type> | " +
             "GRAFT DROP COLUMN '<dir>' <col> | " +
-            "GRAFT BLOOM '<dir>' (a, b.leaf) | " +
+            "GRAFT BLOOM '<dir>' (a, b.leaf, attrs['k'], tags) | " +
             "GRAFT STATS KEYS '<dir>' (attrs['k'], ...) | " +
             "GRAFT REPARTITION '<dir>' BY (a, b) | " +
             "GRAFT BRANCH '<dir>' CREATE/DROP <name> | " +

@@ -649,6 +649,17 @@ object SnapshotTable {
         stat(e, n).forall(_.nulls > 0)
       case IsNotNull(Ref(n)) =>
         stat(e, n).forall(st => !nonNull(e, st).contains(0L))
+      // declared array-element stats ([[setBloomColumns]] on an array
+      // column): a pushed `array_contains(col, v)` probes the ELEMENT
+      // bounds and the element Bloom under the `col[]` stat key —
+      // exactly the mayEq rule with elements as the value domain (a
+      // file whose every array is null can never match; a v outside
+      // [min_elem, max_elem] cannot be contained; the Bloom refutes
+      // the rest). A top-level column literally named `x[]` makes the
+      // key ambiguous — skipped, the dotted-key rule.
+      case ArrayContains(Ref(n), Literal(v, _))
+          if !ambiguous.contains(s"$n[]") =>
+        mayEq(e, s"$n[]", v)
       case StartsWith(Ref(n), Literal(v, _)) if v != null =>
         // a prefix match needs SOME value in [prefix, prefix+∞): the max
         // must be >= prefix and the min must be < prefix's upper fence —
@@ -1310,8 +1321,11 @@ object SnapshotTable {
       : Option[(Map[String, (Long, String)], Map[String, Seq[Long]])] = {
     import org.apache.spark.sql.functions._
     // top-level atomic columns AND struct leaves (dotted keys) — one
-    // enumeration shared with the pruner's key resolution
-    val cols = statCols(schema) ++ mapStatPaths(schema, mapKeys)
+    // enumeration shared with the pruner's key resolution — plus the
+    // DECLARED array-element paths (keyed `top[]`, element bounds +
+    // element Bloom), appended last so scalar decoding is unchanged
+    val cols = statCols(schema) ++ mapStatPaths(schema, mapKeys) ++
+      arrayElemStatPaths(schema, bloomCols)
     if (cols.isEmpty) return None // no eligible columns: pass skipped
     // per-column NDV sketch rides the SAME pass: the bottom-64 KMV of
     // md5 value hashes (nulls skip — NDV counts non-null distincts),
@@ -1321,8 +1335,30 @@ object SnapshotTable {
     val bloomAgg = udaf(graft.functions.BloomBitsAgg)
     def wantBloom(n: String, k: Char): Boolean =
       bloomCols.contains(n) && (k == 'l' || k == 's')
+    val arrayBloom = udaf(graft.functions.BloomBitsArrayAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
     val perCol: Seq[Seq[org.apache.spark.sql.Column]] =
       cols.map { sp =>
+      if (sp.key.endsWith("[]")) {
+        // array-element stats: bounds over elements (array_min/max —
+        // null and empty arrays contribute no bound), null count =
+        // null-ARRAY rows (a null array can never satisfy
+        // array_contains), no byte/NDV accounting, and the element
+        // Bloom — one xxhash64 per element, packed like the scalar
+        // Bloom so the read-side probe replays it exactly
+        val ref = sp.sql
+        val elemHash =
+          if (sp.kind == 's') "xxhash64(x)"
+          else "xxhash64(CAST(x AS BIGINT))"
+        Seq(min(expr(s"array_min($ref)")),
+          max(expr(s"array_max($ref)")),
+          sum(when(expr(ref).isNull, 1L).otherwise(0L)),
+          sum(lit(null).cast("bigint")),
+          kmv(lit(graft.functions.KmvDistinctAgg.Skip)),
+          arrayBloom(expr(
+            s"transform(filter($ref, x -> x IS NOT NULL), " +
+              s"x -> $elemHash & ${graft.functions.BloomBitsAgg.Mask52}L)")))
+      } else {
       val (n, k, sql) = (sp.key, sp.kind, sp.sql)
       // canonical value rendering for the NDV hash; float-family values
       // are normalized with +0.0 first so -0.0 and 0.0 — SQL-equal, and
@@ -1359,6 +1395,7 @@ object SnapshotTable {
             .otherwise(expr(
               s"$hashSql & ${graft.functions.BloomBitsAgg.Mask52}L")))
       }
+      }
     }
     // variable per-column stride (5, or 6 with a Bloom): offsets(i) is
     // column i's first agg position; 0 = __f, 1 = __rows
@@ -1389,7 +1426,10 @@ object SnapshotTable {
       new HPath(r.getString(0)).toUri.getPath ->
         (r.getLong(1), fields.mkString(";"))
     }.toMap
-    val ndv = cols.zipWithIndex.map { case (sp, i) =>
+    // array-element paths carry no NDV sketch (their kmv slot is a
+    // skip placeholder) — exclude them from the cumulative map
+    val ndv = cols.zipWithIndex.filterNot(_._1.key.endsWith("[]"))
+      .map { case (sp, i) =>
       val name = sp.key
       name -> rows.map(r =>
           if (r.isNullAt(offsets(i) + 4)) Array.empty[Long]
@@ -1462,7 +1502,7 @@ object SnapshotTable {
     // nested stat; see statCols)
     val amb = sc.fields.iterator
       .flatMap(f => Iterator(f.name, physName(f)))
-      .filter(n => n.contains('.') || n.contains("['")).toSet
+      .filter(n => n.contains('.') || n.contains('[')).toSet
     if (partBy.nonEmpty) {
       val partFields = partBy.map(c => sc.fields.find(_.name == c).getOrElse(
         throw new IllegalStateException(
@@ -1683,6 +1723,58 @@ object SnapshotTable {
     * The nested twin of [[BloomKey]]; same schema-riding lifecycle. */
   private[sources] val BloomPathsKey = "graft.bloom.paths"
 
+  /** Field-metadata key on a top-level ARRAY column declaring a
+    * per-file Bloom over its ELEMENTS (`GRAFT BLOOM '<dir>' (tags)` on
+    * an array<string>/array<long-family> column) — the third member of
+    * the membership-probe family after struct leaves and map keys:
+    * files record element bounds (array_min/array_max) plus a 1 KiB
+    * element Bloom, and a pushed `array_contains(col, lit)` probe
+    * file-skips on both. Same schema-riding lifecycle as [[BloomKey]]. */
+  private[sources] val BloomElemsKey = "graft.bloom.arrayelems"
+
+  /** The stat kind of `dt`'s array ELEMENT when array-element stats
+    * are supported for it: long-family integers and strings (their
+    * stored stat representation is the identity — no per-element
+    * conversion SQL is needed inside the lambda). */
+  private def arrayElemKind(dt: DataType): Option[Char] = dt match {
+    case org.apache.spark.sql.types.ArrayType(et, _) => et match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => Some('l')
+      case org.apache.spark.sql.types.StringType => Some('s')
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Is `f` declared for array-ELEMENT Bloom collection (and still an
+    * eligible array type)? */
+  private def bloomElemsDeclared(f: StructField): Boolean =
+    f.metadata.contains(BloomElemsKey) &&
+      f.metadata.getBoolean(BloomElemsKey) &&
+      arrayElemKind(f.dataType).isDefined
+
+  /** Array-element stat paths of a schema — ONLY for columns whose
+    * element Bloom is declared (`declared` carries `phys[]` keys, the
+    * bloomPhysCols threading discipline): keyed `top[]` (can collide
+    * only with a top-level name spelling that literally — dropped,
+    * the dotted-key ambiguity rule), kind = the element kind, `sql` =
+    * the QUOTED array column reference (the aggregation builds its own
+    * element expressions from it). */
+  private def arrayElemStatPaths(schema: StructType,
+      declared: Set[String]): Seq[StatPath] = {
+    val topNames = schema.fields.iterator
+      .flatMap(f => Iterator(f.name, physName(f))).toSet
+    schema.fields.toSeq.flatMap { f =>
+      val key = s"${physName(f)}[]"
+      if (!declared.contains(key) || topNames.contains(key)) None
+      else arrayElemKind(f.dataType).map(k =>
+        StatPath(s"${f.name}[]", key, k, q(physName(f)),
+          since = Int.MaxValue))
+    }
+  }
+
   /** Field-metadata key on a top-level MAP column listing the DECLARED
     * literal keys whose values get per-file zone maps
     * ([[setMapStatKeys]] / `GRAFT STATS KEYS`). Maps are unbounded, so
@@ -1873,6 +1965,7 @@ object SnapshotTable {
   private def bloomPhysCols(sc: StructType): Set[String] =
     sc.fields.iterator.flatMap { f =>
       (if (bloomDeclared(f)) Seq(physName(f)) else Nil) ++
+        (if (bloomElemsDeclared(f)) Seq(s"${physName(f)}[]") else Nil) ++
         bloomLeafPaths(f).map(p => s"${physName(f)}.$p") ++
         bloomMapKeyDecls(f).map(k => s"${physName(f)}['$k']")
     }.toSet
@@ -1894,12 +1987,13 @@ object SnapshotTable {
       if (!f.metadata.contains(PhysKey) && !f.metadata.contains(BloomKey) &&
           !f.metadata.contains(BloomPathsKey) &&
           !f.metadata.contains(MapStatsKey) &&
-          !f.metadata.contains(BloomMapKeysKey)) f
+          !f.metadata.contains(BloomMapKeysKey) &&
+          !f.metadata.contains(BloomElemsKey)) f
       else f.copy(metadata =
         new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).remove(PhysKey).remove(BloomKey)
           .remove(BloomPathsKey).remove(MapStatsKey)
-          .remove(BloomMapKeysKey).build())
+          .remove(BloomMapKeysKey).remove(BloomElemsKey).build())
     })
 
   /** Re-apply `src`'s Bloom declarations onto `sc` by LOGICAL name —
@@ -1926,8 +2020,10 @@ object SnapshotTable {
     val wantBloomMapKeys = src.map(_.fields.iterator
       .map(f => f.name -> bloomMapKeyDecls(f)).filter(_._2.nonEmpty).toMap)
       .getOrElse(Map.empty[String, Seq[String]])
+    val wantElems = src.map(_.fields.iterator.filter(bloomElemsDeclared)
+      .map(_.name).toSet).getOrElse(Set.empty)
     if (want.isEmpty && wantPaths.isEmpty && wantMapKeys.isEmpty &&
-      wantBloomMapKeys.isEmpty) sc
+      wantBloomMapKeys.isEmpty && wantElems.isEmpty) sc
     else StructType(sc.fields.map { f =>
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
@@ -1952,9 +2048,13 @@ object SnapshotTable {
             statKind(v).exists(k => k == 'l' || k == 's')
           case _ => false
         })
-      if (!top && paths.isEmpty && mapKeys.isEmpty && bloomMapKeys.isEmpty) f
+      val elems = wantElems.contains(f.name) &&
+        arrayElemKind(f.dataType).isDefined
+      if (!top && !elems && paths.isEmpty && mapKeys.isEmpty &&
+        bloomMapKeys.isEmpty) f
       else {
         if (top) mb.putBoolean(BloomKey, true)
+        if (elems) mb.putBoolean(BloomElemsKey, true)
         if (paths.nonEmpty) mb.putStringArray(BloomPathsKey, paths.toArray)
         if (mapKeys.nonEmpty) mb.putStringArray(MapStatsKey, mapKeys.toArray)
         if (bloomMapKeys.nonEmpty)
@@ -3554,9 +3654,13 @@ object SnapshotTable {
           throw new IllegalArgumentException(
             s"setBloomColumns: no column '$c' in " +
               sc0.fieldNames.mkString(",")))
-        require(statKind(f.dataType).exists(k => k == 'l' || k == 's'),
+        // an ARRAY column declares an ELEMENT Bloom (probed by pushed
+        // array_contains); scalars keep the value-Bloom rule
+        require(statKind(f.dataType).exists(k => k == 'l' || k == 's') ||
+          arrayElemKind(f.dataType).isDefined,
           s"setBloomColumns: '$c' (${f.dataType.catalogString}) is not " +
-            "a hashable stat kind (long-family/string)")
+            "a hashable stat kind (long-family/string, or an array of " +
+            "long-family integers/strings)")
       }
       val leafByTop: Map[String, Seq[String]] = leafDecls.map { c =>
         val segs = c.split('.').toSeq
@@ -3572,12 +3676,17 @@ object SnapshotTable {
             "hashable stat kind (long-family/string)")
         top.name -> segs.tail.mkString(".")
       }.groupMap(_._1)(_._2).map { case (k, v) => k -> v.distinct }
-      val want = topDecls.toSet
+      val (arrDecls, scalarDecls) = topDecls.partition(c =>
+        sc0.fields.find(_.name == c)
+          .exists(f => arrayElemKind(f.dataType).isDefined))
+      val want = scalarDecls.toSet
+      val wantElems = arrDecls.toSet
       val next = StructType(sc0.fields.map { f =>
         val mb = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).remove(BloomKey).remove(BloomPathsKey)
-          .remove(BloomMapKeysKey)
+          .remove(BloomMapKeysKey).remove(BloomElemsKey)
         if (want.contains(f.name)) mb.putBoolean(BloomKey, true)
+        if (wantElems.contains(f.name)) mb.putBoolean(BloomElemsKey, true)
         leafByTop.get(f.name).foreach(ps =>
           mb.putStringArray(BloomPathsKey, ps.toArray))
         mapByCol.get(f.name).foreach(ks =>
