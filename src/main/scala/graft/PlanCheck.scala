@@ -835,6 +835,14 @@ object PlanCheck {
       mustNot = Seq("Join", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Scan parquet" -> 2, "Exchange" -> 2)),
+    // tag-pinned read: the tag resolves to a version at PLAN time —
+    // one manifest-planned scan + agg, no joins, nothing re-resolved
+    // row-side (a pin is metadata, invisible to the plan)
+    Check("layout_tag_read",
+      mustContain = Seq("Scan parquet", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 2)),
     // published main reads as one plain snapshot: single scan + agg —
     // the branch splice is pure manifest metadata, invisible to plans
     Check("layout_branch_publish",

@@ -1028,6 +1028,39 @@ object LayoutOps extends QueryPack {
       .orderBy(col("etype"))
   }
 
+  /** Immutable snapshot TAGS end to end (`GRAFT TAG` — the
+    * dataset-reproducibility pin): two training slices land, a `gold`
+    * tag pins that exact state, then the table keeps moving (an
+    * overwrite replaces everything) AND a vacuum tight enough to
+    * expire every untagged old version runs — yet `tag=gold` (the
+    * source's tag option, same doorway as versionAsOf) still serves
+    * the pinned state byte-for-byte, because vacuum treats tagged
+    * versions as retained (`SnapshotTagSpec` pins the file survival).
+    * The oracle restates the pinned two-slice state flat. At 100 TB
+    * this is what "the eval set is frozen as of v2" means — a pin
+    * that survives retention policy, not a copy. */
+  def layoutTagRead(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_tag_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("doc_id") % 3 === 0), overwrite = false) // v1
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("doc_id") % 3 === 1), overwrite = false) // v2
+    graftSql(s, s"GRAFT TAG '$table' CREATE gold AS OF 2").collect()
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("doc_id") % 3 === 2), overwrite = true)  // v3
+    graftSql(s, s"GRAFT VACUUM '$table' KEEP 1").collect()
+    s.read.format("graft.sources.SnapshotSourceProvider")
+      .option("path", table).option("tag", "gold").load()
+      .groupBy((col("doc_id") % 10).as("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_nc"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("band"))
+  }
+
   /** Row-level DML ACROSS partition-scheme eras (`GRAFT REPARTITION`
     * then `GRAFT UPDATE`): the events feed starts flat (era 0), one
     * metadata-only statement evolves it to hive-by-event-type, two
@@ -1472,6 +1505,7 @@ object LayoutOps extends QueryPack {
     "layout_array_prune" -> layoutArrayPrune,
     "layout_partition_evolution" -> layoutPartitionEvolution,
     "layout_evolved_update" -> layoutEvolvedUpdate,
+    "layout_tag_read" -> layoutTagRead,
     "layout_branch_publish" -> layoutBranchPublish,
     "cdc_sql_changes" -> layoutSqlChanges,
     "layout_snapshot_moneyband" -> layoutSnapshotMoneyband,
@@ -1780,6 +1814,17 @@ object LayoutOps extends QueryPack {
         |  CAST(sum(event_id) AS BIGINT) AS sum_eid
         |FROM e WHERE etype IN ('click', 'view')
         |GROUP BY etype ORDER BY etype""".stripMargin,
+    // the PINNED state (slices 0 and 1 — the tag was created before
+    // the overwrite and survives the vacuum) restated flat
+    "layout_tag_read" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 3 IN (0, 1))
+        |SELECT doc_id % 10 AS band,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_nc,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM d GROUP BY band ORDER BY band""".stripMargin,
     // the cross-era DML answer restated flat: the three residue slices
     // partition the rows (their union IS the table), and the UPDATE's
     // effect is a closed-form CASE on the click rows of every slice

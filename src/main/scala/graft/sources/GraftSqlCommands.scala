@@ -80,6 +80,14 @@ class GraftSqlParser(delegate: ParserInterface,
     ("""(?is)\s*GRAFT\s+BRANCH\s+'([^']+)'\s+LIST\s*;?\s*""".r)
   private val PublishRe =
     ("""(?is)\s*GRAFT\s+PUBLISH\s+'([^']+)'\s+([A-Za-z0-9_\-]+)\s*;?\s*""".r)
+  // immutable named snapshot pins (reproducibility tags)
+  private val TagCreateRe =
+    ("""(?is)\s*GRAFT\s+TAG\s+'([^']+)'\s+CREATE\s+([A-Za-z0-9_\-]+)""" +
+      """(?:\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
+  private val TagDropRe =
+    ("""(?is)\s*GRAFT\s+TAG\s+'([^']+)'\s+DROP\s+([A-Za-z0-9_\-]+)\s*;?\s*""".r)
+  private val TagListRe =
+    ("""(?is)\s*GRAFT\s+TAG\s+'([^']+)'\s+LIST\s*;?\s*""".r)
   // partition evolution: new scheme for FUTURE commits, old files stay
   // readable under their own era (empty parens = evolve back to flat)
   private val RepartitionRe =
@@ -233,6 +241,10 @@ class GraftSqlParser(delegate: ParserInterface,
     case BranchDropRe(dir, n) => GraftBranchDropCommand(dir, n)
     case BranchListRe(dir) => GraftBranchListCommand(dir)
     case PublishRe(dir, n) => GraftPublishCommand(dir, n)
+    case TagCreateRe(dir, n, v) =>
+      GraftTagCreateCommand(dir, n, Option(v).map(_.toInt))
+    case TagDropRe(dir, n) => GraftTagDropCommand(dir, n)
+    case TagListRe(dir) => GraftTagListCommand(dir)
     case RepartitionRe(dir, cs) =>
       GraftRepartitionCommand(dir,
         Option(cs).map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil))
@@ -286,6 +298,9 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT BRANCH '<dir>' CREATE/DROP <name> | " +
             "GRAFT BRANCH '<dir>' LIST | " +
             "GRAFT PUBLISH '<dir>' <name> | " +
+            "GRAFT TAG '<dir>' CREATE <name> [AS OF <version>] | " +
+            "GRAFT TAG '<dir>' DROP <name> | " +
+            "GRAFT TAG '<dir>' LIST | " +
             "GRAFT ADD CHECK '<dir>' <name> (<expr>) | " +
             "GRAFT DROP CHECK '<dir>' <name> | " +
             "GRAFT RELAYOUT '<dir>' [PARTITION BY (a, b)] " +
@@ -831,6 +846,43 @@ case class GraftPublishCommand(tableDir: String, name: String)
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(SnapshotTable.publishBranch(s, tableDir, name)))
+}
+
+/** `GRAFT TAG '<dir>' CREATE <name> [AS OF <version>]` — immutable
+  * named snapshot pin ([[SnapshotTable.createTag]]): readable forever
+  * as `tag=<name>` (the source's `tag` option), protected from vacuum
+  * expiry until dropped. */
+case class GraftTagCreateCommand(tableDir: String, name: String,
+    version: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotTable.createTag(s, tableDir, name, version)))
+}
+
+/** `GRAFT TAG '<dir>' DROP <name>` — release the pin; the version
+  * re-joins normal retention. */
+case class GraftTagDropCommand(tableDir: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("dropped",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    SnapshotTable.dropTag(s, tableDir, name)
+    Seq(Row(name))
+  }
+}
+
+/** `GRAFT TAG '<dir>' LIST` — live tags and their pinned versions. */
+case class GraftTagListCommand(tableDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tag",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    SnapshotTable.tags(s, tableDir).toSeq.sortBy(_._1)
+      .map { case (n, v) => Row(n, v) }
 }
 
 /** `GRAFT REPARTITION '<dir>' BY (col, ...)` — partition evolution

@@ -72,18 +72,26 @@ class SnapshotSourceProvider extends StreamSourceProvider
     val byStamp = params.collectFirst {
       case (k, v) if k.equalsIgnoreCase("timestampAsOf") => v.toLong
     }
-    require(byVersion.isEmpty || byStamp.isEmpty,
-      "pass versionAsOf OR timestampAsOf, not both")
+    // `tag=<name>`: an immutable named pin ([[SnapshotTable.createTag]])
+    // — the reproducibility doorway (vacuum never expires the pinned
+    // version, so a tag read resolves forever)
+    val byTag = params.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("tag") => v
+    }
+    require(Seq(byVersion, byStamp, byTag).count(_.isDefined) <= 1,
+      "pass ONE of versionAsOf / timestampAsOf / tag")
     val t = path(params)
-    val asOf = byStamp match {
-      case Some(ts) =>
+    val asOf = (byStamp, byTag) match {
+      case (Some(ts), _) =>
         val vs = SnapshotTable.versions(ctx.sparkSession, t)
         val qual = vs.filter(v => SnapshotTable.commitTimestamp(
           ctx.sparkSession, t, v).getOrElse(0L) <= ts)
         require(qual.nonEmpty,
           s"no version of $t committed at or before $ts")
         qual.max
-      case None => byVersion.getOrElse(Int.MaxValue)
+      case (None, Some(tag)) =>
+        SnapshotTable.tagVersion(ctx.sparkSession, t, tag)
+      case _ => byVersion.getOrElse(Int.MaxValue)
     }
     SnapshotTable.baseRelation(ctx.sparkSession, t, asOf)
   }

@@ -4016,6 +4016,72 @@ object SnapshotTable {
     ()
   }
 
+  // ---------- tags: immutable named snapshot pins ----------
+
+  private def tagFile(tableDir: String, name: String): HPath =
+    new HPath(s"$tableDir/_tags", s"$name.tag")
+
+  /** CREATE an immutable named pin on `version` (default: the latest)
+    * — the dataset-reproducibility primitive (Iceberg's tag shape):
+    * a `tag=<name>` read resolves to the pinned version forever, and
+    * [[vacuum]] treats tagged versions as RETAINED — their manifest
+    * and every file they reference survive any keep-count/age window
+    * — until [[dropTag]] releases the pin. Create-exclusive like a
+    * branch fork marker: a name exists once (drop to re-pin); the pin
+    * is a tiny version file, zero data copied. Returns the pinned
+    * version. */
+  def createTag(s: SparkSession, tableDir: String, name: String,
+      version: Option[Int] = None): Int = {
+    requireBranchName(name) // same lexical rule as branch names
+    val vs = versions(s, tableDir)
+    require(vs.nonEmpty, s"createTag: no published version in $tableDir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"createTag: version $v of $tableDir is not retained (" +
+        s"${vs.headOption.getOrElse("-")}..${vs.lastOption.getOrElse("-")})")
+    val f = fs(s, tableDir)
+    f.mkdirs(new HPath(tableDir, "_tags"))
+    val out = f.create(tagFile(tableDir, name), false) // exclusive
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** Every live tag: name -> pinned version. */
+  def tags(s: SparkSession, tableDir: String): Map[String, Int] = {
+    val f = fs(s, tableDir)
+    val root = new HPath(tableDir, "_tags")
+    if (!f.exists(root)) Map.empty
+    else f.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".tag"))
+      .map { st =>
+        val in = f.open(st.getPath)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toInt finally in.close()
+        st.getPath.getName.stripSuffix(".tag") -> v
+      }.toMap
+  }
+
+  /** The version tag `name` pins; throws on an unknown tag. */
+  def tagVersion(s: SparkSession, tableDir: String, name: String): Int =
+    tags(s, tableDir).getOrElse(name, throw new IllegalArgumentException(
+      s"no tag '$name' in $tableDir (tags: " +
+        s"${tags(s, tableDir).keys.toSeq.sorted.mkString(",") match {
+          case "" => "none"; case t => t }})"))
+
+  /** The snapshot tag `name` pins, read under its own layout/schema. */
+  def readTag(s: SparkSession, tableDir: String, name: String): DataFrame =
+    readAsOf(s, tableDir, tagVersion(s, tableDir, name))
+
+  /** DROP a tag: the pinned version re-joins the normal retention
+    * rules (the next vacuum may expire it). */
+  def dropTag(s: SparkSession, tableDir: String, name: String): Unit = {
+    requireBranchName(name)
+    val f = fs(s, tableDir)
+    require(f.delete(tagFile(tableDir, name), false),
+      s"dropTag: no tag '$name' in $tableDir")
+    ()
+  }
+
   /** RESTORE to an earlier version (the Delta `RESTORE TABLE ... TO
     * VERSION AS OF` shape): publish a NEW latest version whose manifest
     * replays version `version`'s state — file list, schema, deletion
@@ -5273,7 +5339,13 @@ object SnapshotTable {
       vs.dropRight(1)
         .filter(v => readManifest(s, tableDir, v).ts.exists(_ < cut)).toSet
     }.getOrElse(Set.empty[Int])
-    val expired = vs.filter(v => byCount.contains(v) || byAge.contains(v))
+    // TAGGED versions are pinned ([[createTag]]): reproducibility
+    // pins outrank every count/age window — a tagged version (and,
+    // via the keep-set below, every file it references) survives any
+    // vacuum until the tag is dropped
+    val tagged = tags(s, tableDir).values.toSet
+    val expired = vs.filter(v =>
+      (byCount.contains(v) || byAge.contains(v)) && !tagged.contains(v))
     val retained = vs.filterNot(expired.contains)
     val keep: Set[String] =
       retained.flatMap { v =>
