@@ -4624,6 +4624,16 @@ object SnapshotTable {
     * — two keyed shuffles, the honest cost of diffing a rewrite), so
     * row-preserving rewrites like compaction correctly produce an
     * EMPTY feed rather than a spurious full-table churn. */
+  /** Changed-vector ROW threshold above which [[readChanges]] keeps
+    * the carried-file / changed-coverage intersection DISTRIBUTED (a
+    * left-semi join of the diff legs against the changed vector
+    * paths) instead of collecting the distinct paths to the driver.
+    * The collect is right for the MOR common case (vector files are
+    * tiny); a pathological DELETE touching millions of files would
+    * materialize millions of path strings driver-side. A var, not a
+    * conf: the spec forces the distributed path on a small table. */
+  private[sources] var delDiffCollectRows: Long = 10000L
+
   def readChanges(s: SparkSession, tableDir: String, fromV: Int,
       toV: Int): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -4701,20 +4711,36 @@ object SnapshotTable {
         // 100 TB table whose UPDATE touched 0.1% of files diffs 0.2%
         // of bytes.
         val paths2 = m2.paths.toSet
-        val delsChangedPaths: Set[String] = {
+        val symDels: Seq[FileEntry] = {
           val d1 = m1.map(_.dels.toSet).getOrElse(Set.empty)
           val d2 = m2.dels.toSet
-          val sym = (d1 union d2) -- (d1 intersect d2)
-          if (sym.isEmpty) Set.empty
-          else relationFor(s, tableDir, delSchema,
-            sym.toSeq.map(parseEntry))
+          ((d1 union d2) -- (d1 intersect d2)).toSeq.map(parseEntry)
+        }
+        // Carried files whose del coverage changed normally resolve
+        // DRIVER-side (distinct paths of the tiny changed-vector files
+        // — the MOR design). A pathological DELETE touching very many
+        // files would materialize very many path strings on the
+        // driver, so above [[delDiffCollectRows]] changed vector rows
+        // the intersection stays DISTRIBUTED instead: carried entries
+        // ride the diff legs and a LEFT SEMI join against the changed
+        // vector paths keeps only the files whose coverage moved —
+        // same multiset, zero driver materialization (the carried
+        // scan is plan-wide, but at that scale affected ~ carried).
+        val distributedDelDiff = symDels.nonEmpty &&
+          symDels.map(_.rows.getOrElse(0L)).sum > delDiffCollectRows
+        val delsChangedPaths: Set[String] =
+          if (symDels.isEmpty || distributedDelDiff) Set.empty
+          else relationFor(s, tableDir, delSchema, symDels)
             .select("__path").distinct().collect()
             .map(_.getString(0)).toSet
-        }
+        val carriedPaths = paths1.intersect(paths2)
         val affected: Set[String] =
           (paths1 -- paths2) ++ (paths2 -- paths1) ++
-            paths1.intersect(paths2).intersect(delsChangedPaths)
-        if (affected.isEmpty) return emptyChanges
+            carriedPaths.intersect(delsChangedPaths)
+        if (affected.isEmpty && !distributedDelDiff) return emptyChanges
+        lazy val changedVecPaths =
+          relationFor(s, tableDir, delSchema, symDels)
+            .select("__path").distinct()
         def readUnder(v: Option[Int]): DataFrame = (v, schema2) match {
           case (None, Some(sc)) => s.createDataFrame(
             s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
@@ -4724,17 +4750,47 @@ object SnapshotTable {
               case (Some(esAll), Some(osc)) =>
                 val es = esAll.filter(e =>
                   affected.contains(e.status.getPath.toString))
-                if (es.isEmpty)
+                val carried =
+                  if (!distributedDelDiff) Nil
+                  else esAll.filter(e => carriedPaths.contains(
+                    e.status.getPath.toString))
+                if (es.isEmpty && carried.isEmpty)
                   return s.createDataFrame(
                     s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                     stripPhys(sc))
                 // era-aware ([[repartitionBy]]): each scheme era reads
                 // under its own directory layout, dels subtracted per
                 // leg (hidden _metadata does not cross a Union)
-                val base = mv.eraLegs(es).map { case (scheme, ees) =>
-                  applyDels(s, tableDir,
-                    relationFor(s, tableDir, osc, ees, partBy = scheme), mv)
-                }.reduce(_.unionByName(_))
+                def eraRead(ees0: Seq[FileEntry]): DataFrame =
+                  mv.eraLegs(ees0).map { case (scheme, ees) =>
+                    applyDels(s, tableDir,
+                      relationFor(s, tableDir, osc, ees, partBy = scheme),
+                      mv)
+                  }.reduce(_.unionByName(_))
+                // the distributed carried leg: positional identity and
+                // del subtraction per era leg, then ONE semi-join keeps
+                // only files whose vector coverage changed
+                def carriedRead(ees0: Seq[FileEntry]): DataFrame = {
+                  val legs = mv.eraLegs(ees0).map { case (scheme, ees) =>
+                    val base0 = relationFor(s, tableDir, osc, ees,
+                      partBy = scheme)
+                    val withMeta = base0.select(
+                      col("_metadata.file_path").as("__path"),
+                      col("_metadata.row_index").as("__pos"), col("*"))
+                    val live =
+                      if (mv.dels.isEmpty) withMeta
+                      else withMeta.join(delFrame(s, tableDir, mv),
+                        Seq("__path", "__pos"), "left_anti")
+                    live
+                  }.reduce(_.unionByName(_))
+                  legs.join(changedVecPaths, Seq("__path"), "left_semi")
+                    .drop("__path", "__pos")
+                }
+                val direct = if (es.isEmpty) None else Some(eraRead(es))
+                val semi =
+                  if (carried.isEmpty) None else Some(carriedRead(carried))
+                val base = (direct.toSeq ++ semi.toSeq)
+                  .reduce(_.unionByName(_))
                 base.select(sc.fields.toIndexedSeq.map { f =>
                   val src = osc.fields.find(_.name == f.name)
                     .orElse(osc.fields.find(g => physName(g) == physName(f)))

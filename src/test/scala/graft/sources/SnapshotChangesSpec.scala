@@ -241,6 +241,38 @@ class SnapshotChangesSpec extends GraftSpec {
       s"del-coverage diff read $scanned2 files (expected <= 4)")
   }
 
+  test("above the threshold, the del-coverage diff stays distributed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg10-").toString
+    val t = s"$dir/tbl"
+    (0 to 3).foreach(i => SnapshotTable.commit(spark, t,
+      spark.range(i * 100, (i + 1) * 100)
+        .select(col("id").as("k"), col("id").as("v")).repartition(1),
+      overwrite = false))
+    // MOR deletes touching two carried files
+    assert(SnapshotTable.deleteWhere(spark, t,
+      col("k") === 50L || col("k") === 250L).nonEmpty)
+    val collected = SnapshotTable.readChanges(spark, t, 4, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(collected == Set(("delete", 50L), ("delete", 250L)))
+    // force the DISTRIBUTED path (threshold 0): identical multiset,
+    // and the plan carries the LEFT SEMI intersection instead of a
+    // driver-side path collect
+    val saved = SnapshotTable.delDiffCollectRows
+    try {
+      SnapshotTable.delDiffCollectRows = 0L
+      val feed = SnapshotTable.readChanges(spark, t, 4, 5)
+      val plan = feed.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"),
+        s"distributed del diff must semi-join, plan:\n${plan.take(800)}")
+      assert(feed.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        == collected)
+      // and the streamed per-commit slice agrees too
+      val slice = SnapshotTable.streamChangeBatch(spark, t, 4, 5)
+      assert(slice.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet == collected)
+    } finally SnapshotTable.delDiffCollectRows = saved
+  }
+
   test("GRAFT CHANGES: the SQL doorway, rename-crossing, refusals") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-chg4-").toString
