@@ -88,6 +88,10 @@ class GraftSqlParser(delegate: ParserInterface,
     ("""(?is)\s*GRAFT\s+TAG\s+'([^']+)'\s+DROP\s+([A-Za-z0-9_\-]+)\s*;?\s*""".r)
   private val TagListRe =
     ("""(?is)\s*GRAFT\s+TAG\s+'([^']+)'\s+LIST\s*;?\s*""".r)
+  // durable-cursor incremental consumption, SQL edition
+  private val FollowRe =
+    ("""(?is)\s*GRAFT\s+FOLLOW\s+'([^']+)'\s+CURSOR\s+'([^']+)'""" +
+      """\s+INTO\s+'([^']+)'\s*;?\s*""").r
   // partition evolution: new scheme for FUTURE commits, old files stay
   // readable under their own era (empty parens = evolve back to flat)
   private val RepartitionRe =
@@ -245,6 +249,8 @@ class GraftSqlParser(delegate: ParserInterface,
       GraftTagCreateCommand(dir, n, Option(v).map(_.toInt))
     case TagDropRe(dir, n) => GraftTagDropCommand(dir, n)
     case TagListRe(dir) => GraftTagListCommand(dir)
+    case FollowRe(dir, cursor, dest) =>
+      GraftFollowCommand(dir, cursor, dest)
     case RepartitionRe(dir, cs) =>
       GraftRepartitionCommand(dir,
         Option(cs).map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil))
@@ -301,6 +307,7 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT TAG '<dir>' CREATE <name> [AS OF <version>] | " +
             "GRAFT TAG '<dir>' DROP <name> | " +
             "GRAFT TAG '<dir>' LIST | " +
+            "GRAFT FOLLOW '<dir>' CURSOR '<path>' INTO '<dest>' | " +
             "GRAFT ADD CHECK '<dir>' <name> (<expr>) | " +
             "GRAFT DROP CHECK '<dir>' <name> | " +
             "GRAFT RELAYOUT '<dir>' [PARTITION BY (a, b)] " +
@@ -883,6 +890,43 @@ case class GraftTagListCommand(tableDir: String)
   override def run(s: SparkSession): Seq[Row] =
     SnapshotTable.tags(s, tableDir).toSeq.sortBy(_._1)
       .map { case (n, v) => Row(n, v) }
+}
+
+/** `GRAFT FOLLOW '<src>' CURSOR '<path>' INTO '<dest>'` — one
+  * incremental consumption step, SQL edition: reads the change feed
+  * from the durable cursor to the current latest
+  * ([[SnapshotTable.followChanges]]), appends it to `<dest>` as ONE
+  * idempotent commit (writer = the cursor's stable identity, version
+  * = the consumed `to` — so a crash between apply and cursor advance
+  * replays as a no-op: exactly-once end to end, the composition
+  * `SnapshotChangesSpec` proves), and advances the cursor only after
+  * the apply lands. APPEND-CHAIN sources only — a range containing a
+  * rewrite/DELETE/UPDATE refuses loudly (its feed carries deletes and
+  * update images a blind append would corrupt; consume those via the
+  * change-feed stream or the API). Returns the consumed (from, to)
+  * range; zero rows when already caught up. */
+case class GraftFollowCommand(tableDir: String, cursorPath: String,
+    destDir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("from_version", IntegerType, nullable = false)(),
+    AttributeReference("to_version", IntegerType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] =
+    SnapshotTable.followChanges(s, tableDir, cursorPath) { (feed, from, to) =>
+      if (!SnapshotTable.isAppendChain(s, tableDir, from, to))
+        throw new IllegalStateException(
+          s"GRAFT FOLLOW: versions ($from, $to] of $tableDir contain a " +
+            "rewrite/DELETE/UPDATE — the feed is not inserts-only, and a " +
+            "blind append downstream would corrupt it. Consume this range " +
+            "via the change-feed stream (changeFeed=true) or the " +
+            "followChanges API, or re-point the cursor past it.")
+      SnapshotTable.commitIdempotent(s, destDir, feed.drop("change_type"),
+        overwrite = false,
+        txnId = SnapshotTable.writerIdFor(cursorPath), txnVersion = to)
+      ()
+    } match {
+      case Some((from, to)) => Seq(Row(from, to))
+      case None => Seq.empty
+    }
 }
 
 /** `GRAFT REPARTITION '<dir>' BY (col, ...)` — partition evolution

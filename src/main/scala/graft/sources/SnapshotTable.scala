@@ -4878,6 +4878,27 @@ object SnapshotTable {
     * Returns the processed `(from, to]` range, None when caught up.
     * Single consumer per cursor by contract (the cursor is plain
     * read/write state, like a Kafka consumer-group offset). */
+  /** Is the whole range `(fromV, toV]` a pure APPEND CHAIN — every
+    * old file carried by reference, deletion vectors untouched? The
+    * exact condition under which [[readChanges]] serves the delta as
+    * added-file inserts with zero diff compute (a rewrite renames
+    * files, so a net subset check is sound). What the SQL FOLLOW
+    * doorway gates on: an append-chain feed is inserts-only by
+    * construction, so applying it downstream needs no merge. */
+  private[sources] def isAppendChain(s: SparkSession, tableDir: String,
+      fromV: Int, toV: Int): Boolean = {
+    val vs = versions(s, tableDir)
+    val v1 = vs.filter(_ <= fromV).lastOption
+    val v2 = vs.filter(_ <= toV).lastOption
+    v2.forall { vv2 =>
+      val m2 = readManifest(s, tableDir, vv2)
+      val m1 = v1.map(readManifest(s, tableDir, _))
+      m1.map(_.paths.toSet).getOrElse(Set.empty)
+        .subsetOf(m2.paths.toSet) &&
+        m1.map(_.dels).getOrElse(Seq.empty) == m2.dels
+    }
+  }
+
   def followChanges(s: SparkSession, tableDir: String, cursorPath: String)(
       f: (DataFrame, Int, Int) => Unit): Option[(Int, Int)] = {
     val fsys = fs(s, tableDir)

@@ -273,6 +273,42 @@ class SnapshotChangesSpec extends GraftSpec {
     } finally SnapshotTable.delDiffCollectRows = saved
   }
 
+  test("GRAFT FOLLOW: SQL-only incremental consumption, exactly-once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg11-").toString
+    val t = s"$dir/src"
+    val down = s"$dir/down"
+    val cursor = s"$dir/cursor"
+    def graftSql(sql: String) =
+      org.apache.spark.sql.GraftSqlShim.ofRows(spark,
+        new GraftSqlParser(spark.sessionState.sqlParser, Some(spark))
+          .parsePlan(sql))
+    def follow() = graftSql(
+      s"GRAFT FOLLOW '$t' CURSOR '$cursor' INTO '$down'").collect()
+    SnapshotTable.commit(spark, t, Seq(1L, 2L).toDF("id"), overwrite = false)
+    SnapshotTable.commit(spark, t, Seq(3L).toDF("id"), overwrite = false)
+    val r1 = follow()
+    assert(r1.toSeq.map(r => (r.getInt(0), r.getInt(1))) == Seq((0, 2)))
+    assert(ids(SnapshotTable.readAsOf(spark, down, Int.MaxValue))
+      == Set(1L, 2L, 3L))
+    assert(follow().isEmpty) // caught up: zero rows
+    // the next slice consumes incrementally
+    SnapshotTable.commit(spark, t, Seq(4L).toDF("id"), overwrite = false)
+    assert(follow().toSeq.map(r => (r.getInt(0), r.getInt(1)))
+      == Seq((2, 3)))
+    assert(ids(SnapshotTable.readAsOf(spark, down, Int.MaxValue))
+      == Set(1L, 2L, 3L, 4L))
+    // a DELETE in the range refuses loudly and does NOT advance the
+    // cursor — the feed is no longer inserts-only
+    assert(SnapshotTable.deleteWhere(spark, t, col("id") === 1L).nonEmpty)
+    val e = intercept[IllegalStateException] { follow() }
+    assert(e.getMessage.contains("not inserts-only"))
+    assert(ids(SnapshotTable.readAsOf(spark, down, Int.MaxValue))
+      == Set(1L, 2L, 3L, 4L)) // downstream untouched
+    // the refusal left the cursor at 3: a retry refuses again (honest)
+    intercept[IllegalStateException] { follow() }
+  }
+
   test("GRAFT CHANGES: the SQL doorway, rename-crossing, refusals") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-chg4-").toString
