@@ -34,6 +34,9 @@ class SnapshotModelSpec extends GraftSpec {
       var ndvSeen = Set.empty[Long]
       var ndvKnown = true
       var delsOutstanding = false
+      // did THIS step land as an updateWhere commit? (its single-commit
+      // feed arrives as paired update images — the #kind convention)
+      var updateStep = false
       // current LOGICAL name of the value column: renames (case 10) flip
       // it v <-> w METADATA-ONLY — stats/NDV stay keyed to the physical
       // name, so every model assertion below must hold unchanged across
@@ -50,6 +53,7 @@ class SnapshotModelSpec extends GraftSpec {
         }
 
       for (step <- 1 to 16) {
+        updateStep = false
         val ids = (1 to rnd.nextInt(5) + 1)
           .map(_ => rnd.nextInt(10).toLong).distinct
         val rows = ids.map(i => i -> (step * 100L + i)).toMap
@@ -200,6 +204,7 @@ class SnapshotModelSpec extends GraftSpec {
               assert(SnapshotTable.updateWhere(spark, t,
                 col(vName) % 5 === sel,
                 Map(vName -> (col(vName) + 100000L))).nonEmpty)
+              updateStep = true
               model = model.map { case (k, v) =>
                 k -> (if (((v % 5) + 5) % 5 == sel) v + 100000L else v) }
               ndvKnown = false // SET-column sketch dropped (values changed)
@@ -237,9 +242,12 @@ class SnapshotModelSpec extends GraftSpec {
             .collect()
             .map(r => (r.getString(0), r.getLong(1) -> r.getLong(2))).toSet
           val prev = history(history.size - 2)
+          val (insTag, delTag) =
+            if (updateStep) ("update_postimage", "update_preimage")
+            else ("insert", "delete")
           val want =
-            (model.toSet -- prev.toSet).map(p => ("insert", p)) ++
-              (prev.toSet -- model.toSet).map(p => ("delete", p))
+            (model.toSet -- prev.toSet).map(p => (insTag, p)) ++
+              (prev.toSet -- model.toSet).map(p => (delTag, p))
           assert(feed == want,
             s"round $round step $step: change feed diverged from model diff")
         }
