@@ -850,6 +850,25 @@ object PlanCheck {
       mustNot = Seq("Join", "CartesianProduct"),
       noAdaptive = true,
       maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 2)),
+    // published MOR splice reads as one data scan + ONE vector-frame
+    // anti-join (the unioned vectors subtract in a single pass) — the
+    // del splice is manifest metadata, never a per-side re-diff
+    Check("layout_branch_mor",
+      mustContain = Seq("Scan parquet", "HashAggregate"),
+      mustNot = Seq("CartesianProduct", "UDF"),
+      noAdaptive = true,
+      // 2 scans: the spliced data files + the unioned vector frame;
+      // 3 exchanges: the vector BROADCAST (anti-join subtraction is
+      // broadcast-sized by MOR design) + agg + presentation sort
+      maxNodes = Seq("Scan parquet" -> 2, "Exchange" -> 3)),
+    // the keyed-FOLLOW mirror reads as one plain snapshot: the CDC
+    // applies landed as selective merges upstream of this plan — no
+    // vectors to subtract, no join, nothing re-reads the source
+    Check("cdc_follow_merge",
+      mustContain = Seq("Scan parquet", "HashAggregate"),
+      mustNot = Seq("Join", "CartesianProduct", "UDF"),
+      noAdaptive = true,
+      maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 2)),
   )
 
   /** One check's outcome: the query name, pass/fail, and on failure a

@@ -1145,6 +1145,101 @@ object LayoutOps extends QueryPack {
       .orderBy(col("slice"))
   }
 
+  /** Write-audit-publish with MERGE-ON-READ deletes composing across
+    * the publish (`GRAFT BRANCH` / `GRAFT DELETE FROM` / `GRAFT
+    * PUBLISH`): main starts with slice A; a branch takes slice B and
+    * runs a compliance DELETE (doc_id % 7 — a vector over the fork's
+    * A file AND its own B file, no rewrite); meanwhile main keeps
+    * ingesting (slice C) and runs its OWN vector delete (doc_id % 11
+    * over A and C). PUBLISH rebases with the deletion vectors
+    * spliced by the concurrent-deleteWhere union law — neither
+    * side's delete is lost, nothing is double-removed, and no file
+    * was rewritten to make it so. At 100 TB this is a GDPR erasure
+    * landing on a staging branch while ingestion and ITS erasures
+    * continue on main: both ship, by metadata splice alone. The
+    * oracle replays both predicates in closed form. */
+  def layoutBranchMor(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_wapm_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"),
+        (col("doc_id") % 3).cast("long").as("slice"))
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("slice") === 0), overwrite = false) // main: A
+    graftSql(s, s"GRAFT BRANCH '$table' CREATE erase").collect()
+    val b = graft.sources.SnapshotTable.branchDir(table, "erase")
+    graft.sources.SnapshotTable.commit(s, b,
+      docs.filter(col("slice") === 1), overwrite = false) // branch: B
+    // the audited erasure, on the branch only — a deletion VECTOR
+    // over fork and branch files alike, no data file rewritten
+    graftSql(s, s"GRAFT DELETE FROM '$b' WHERE doc_id % 7 = 0").collect()
+    // main keeps ingesting AND erasing concurrently
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("slice") === 2), overwrite = false) // main: C
+    graftSql(s, s"GRAFT DELETE FROM '$table' WHERE doc_id % 11 = 0")
+      .collect()
+    graftSql(s, s"GRAFT PUBLISH '$table' erase").collect()
+    graft.sources.SnapshotTable.readAsOf(s, table, Int.MaxValue)
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_nc"))
+      .orderBy(col("slice"))
+  }
+
+  /** Keyed incremental replication end to end (`GRAFT FOLLOW ... KEY`):
+    * a downstream MIRROR of a table that sees every DML verb, driven
+    * by four durable-cursor consumption steps — (1) bootstrap the
+    * mirror from the genesis feed; (2) consume a range holding an
+    * UPDATE + an append + a MOR DELETE (the net multiset delta
+    * applies as one keyed merge: upsert the insert side, delete the
+    * net-deleted keys); (3) consume an absorbDeletes range (a
+    * row-preserving rewrite — the feed is EMPTY and the step is a
+    * clean no-op, where append-mode FOLLOW would refuse); (4) consume
+    * a single-commit UPDATE range (the feed arrives as PAIRED
+    * update_preimage/update_postimage and the keyed apply lands the
+    * postimages). Every step is ONE idempotent commit keyed to the
+    * cursor identity — crash replay is a no-op — so the mirror equals
+    * the source at the consumed version, which the oracle restates in
+    * closed form. At 100 TB this is CDC replication to a downstream
+    * mart without ever rescanning the source. */
+  def cdcFollowMerge(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_follow_")
+    tmpDirs.add(root)
+    val src = root.resolve("src").toString
+    val dst = root.resolve("dst").toString
+    val cur = root.resolve("cursor").toString
+    val follow =
+      s"GRAFT FOLLOW '$src' CURSOR '$cur' INTO '$dst' KEY (doc_id)"
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"),
+        (col("doc_id") % 3).cast("long").as("slice"))
+    graft.sources.SnapshotTable.commit(s, src,
+      docs.filter(col("slice") === 0), overwrite = false)
+    graftSql(s, follow).collect() // (1) bootstrap
+    graftSql(s,
+      s"GRAFT UPDATE '$src' SET nc = nc + 1000 WHERE doc_id % 5 = 0")
+      .collect()
+    graft.sources.SnapshotTable.commit(s, src,
+      docs.filter(col("slice") === 1), overwrite = false)
+    graftSql(s, s"GRAFT DELETE FROM '$src' WHERE doc_id % 7 = 0").collect()
+    graftSql(s, follow).collect() // (2) update + append + MOR delete
+    graft.sources.SnapshotTable.absorbDeletes(s, src)
+    graftSql(s, follow).collect() // (3) row-preserving rewrite: no-op
+    graftSql(s,
+      s"GRAFT UPDATE '$src' SET nc = nc + 7 WHERE doc_id % 2 = 0")
+      .collect()
+    graftSql(s, follow).collect() // (4) paired update images
+    // a zero-row corpus never materializes the mirror (every feed is
+    // empty and the keyed apply skips) — serve the honest empty frame
+    val mirror =
+      if (graft.sources.SnapshotTable.versions(s, dst).isEmpty)
+        docs.filter(lit(false))
+      else graft.sources.SnapshotTable.readAsOf(s, dst, Int.MaxValue)
+    mirror.groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_nc"))
+      .orderBy(col("slice"))
+  }
+
   /** `GRAFT ANALYZE` end to end: load documents, run a selective MERGE
     * (which HONESTLY drops the cumulative NDV sketch — a bottom-k
     * cannot subtract), then [[graft.sources.SnapshotTable.analyze]]
@@ -1507,7 +1602,9 @@ object LayoutOps extends QueryPack {
     "layout_evolved_update" -> layoutEvolvedUpdate,
     "layout_tag_read" -> layoutTagRead,
     "layout_branch_publish" -> layoutBranchPublish,
+    "layout_branch_mor" -> layoutBranchMor,
     "cdc_sql_changes" -> layoutSqlChanges,
+    "cdc_follow_merge" -> cdcFollowMerge,
     "layout_snapshot_moneyband" -> layoutSnapshotMoneyband,
     "layout_snapshot_deletes" -> layoutSnapshotDeletes,
     "layout_meta_agg" -> layoutMetaAgg,
@@ -1803,6 +1900,38 @@ object LayoutOps extends QueryPack {
         |  CAST(sum(CASE WHEN slice IN (0, 1) AND nc < 100
         |               THEN nc * 2 ELSE nc END) AS BIGINT) AS sum_nc
         |FROM d GROUP BY slice ORDER BY slice""".stripMargin,
+    // both sides' MOR deletes in closed form: the branch's %7 erasure
+    // saw slices 0 and 1, main's %11 erasure saw slices 0 and 2 — the
+    // published vector union applies exactly those predicates per slice
+    "layout_branch_mor" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc,
+        |    doc_id % 3 AS slice
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT CAST(slice AS BIGINT) AS slice,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_nc
+        |FROM d
+        |WHERE (slice = 0 AND doc_id % 7 <> 0 AND doc_id % 11 <> 0)
+        |   OR (slice = 1 AND doc_id % 7 <> 0)
+        |   OR (slice = 2 AND doc_id % 11 <> 0)
+        |GROUP BY slice ORDER BY slice""".stripMargin,
+    // the mirrored source state in closed form: slice-0 rows took the
+    // %5 bump (applied before slice 1 landed), the %7 erasure removed
+    // rows of both slices, then every surviving even doc took +7
+    "cdc_follow_merge" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc,
+        |    doc_id % 3 AS slice
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 3 IN (0, 1)),
+        |u AS (SELECT doc_id, slice,
+        |    CASE WHEN slice = 0 AND doc_id % 5 = 0
+        |      THEN nc + 1000 ELSE nc END AS nc1
+        |  FROM d WHERE doc_id % 7 <> 0)
+        |SELECT CAST(slice AS BIGINT) AS slice,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN nc1 + 7 ELSE nc1 END)
+        |    AS BIGINT) AS sum_nc
+        |FROM u GROUP BY slice ORDER BY slice""".stripMargin,
     // the cross-era answer restated flat: three slices by event-id
     // residue partition the rows, so their union IS the table
     "layout_partition_evolution" ->

@@ -88,10 +88,12 @@ class GraftSqlParser(delegate: ParserInterface,
     ("""(?is)\s*GRAFT\s+TAG\s+'([^']+)'\s+DROP\s+([A-Za-z0-9_\-]+)\s*;?\s*""".r)
   private val TagListRe =
     ("""(?is)\s*GRAFT\s+TAG\s+'([^']+)'\s+LIST\s*;?\s*""".r)
-  // durable-cursor incremental consumption, SQL edition
+  // durable-cursor incremental consumption, SQL edition; the optional
+  // KEY turns the blind append into a keyed CDC apply (upsert + delete)
   private val FollowRe =
     ("""(?is)\s*GRAFT\s+FOLLOW\s+'([^']+)'\s+CURSOR\s+'([^']+)'""" +
-      """\s+INTO\s+'([^']+)'\s*;?\s*""").r
+      """\s+INTO\s+'([^']+)'""" +
+      """(?:\s+KEY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s*;?\s*""").r
   // partition evolution: new scheme for FUTURE commits, old files stay
   // readable under their own era (empty parens = evolve back to flat)
   private val RepartitionRe =
@@ -249,8 +251,8 @@ class GraftSqlParser(delegate: ParserInterface,
       GraftTagCreateCommand(dir, n, Option(v).map(_.toInt))
     case TagDropRe(dir, n) => GraftTagDropCommand(dir, n)
     case TagListRe(dir) => GraftTagListCommand(dir)
-    case FollowRe(dir, cursor, dest) =>
-      GraftFollowCommand(dir, cursor, dest)
+    case FollowRe(dir, cursor, dest, key) =>
+      GraftFollowCommand(dir, cursor, dest, Option(key))
     case RepartitionRe(dir, cs) =>
       GraftRepartitionCommand(dir,
         Option(cs).map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil))
@@ -307,7 +309,8 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT TAG '<dir>' CREATE <name> [AS OF <version>] | " +
             "GRAFT TAG '<dir>' DROP <name> | " +
             "GRAFT TAG '<dir>' LIST | " +
-            "GRAFT FOLLOW '<dir>' CURSOR '<path>' INTO '<dest>' | " +
+            "GRAFT FOLLOW '<dir>' CURSOR '<path>' INTO '<dest>' " +
+            "[KEY (col)] | " +
             "GRAFT ADD CHECK '<dir>' <name> (<expr>) | " +
             "GRAFT DROP CHECK '<dir>' <name> | " +
             "GRAFT RELAYOUT '<dir>' [PARTITION BY (a, b)] " +
@@ -892,37 +895,75 @@ case class GraftTagListCommand(tableDir: String)
       .map { case (n, v) => Row(n, v) }
 }
 
-/** `GRAFT FOLLOW '<src>' CURSOR '<path>' INTO '<dest>'` — one
-  * incremental consumption step, SQL edition: reads the change feed
-  * from the durable cursor to the current latest
-  * ([[SnapshotTable.followChanges]]), appends it to `<dest>` as ONE
+/** `GRAFT FOLLOW '<src>' CURSOR '<path>' INTO '<dest>' [KEY (col)]` —
+  * one incremental consumption step, SQL edition: reads the change
+  * feed from the durable cursor to the current latest
+  * ([[SnapshotTable.followChanges]]), applies it to `<dest>` as ONE
   * idempotent commit (writer = the cursor's stable identity, version
   * = the consumed `to` — so a crash between apply and cursor advance
   * replays as a no-op: exactly-once end to end, the composition
   * `SnapshotChangesSpec` proves), and advances the cursor only after
-  * the apply lands. APPEND-CHAIN sources only — a range containing a
-  * rewrite/DELETE/UPDATE refuses loudly (its feed carries deletes and
-  * update images a blind append would corrupt; consume those via the
-  * change-feed stream or the API). Returns the consumed (from, to)
-  * range; zero rows when already caught up. */
+  * the apply lands.
+  *
+  * Without KEY the apply is an APPEND, so the range must be an
+  * append chain — a rewrite/DELETE/UPDATE in it refuses loudly (its
+  * feed carries deletes and update images a blind append would
+  * corrupt). With `KEY (col)` — the declaration that `col` uniquely
+  * keys the source's rows — ANY feed applies as a keyed CDC step
+  * (the Delta `MERGE`-from-CDF recipe): insert/update_postimage rows
+  * upsert, keys on the delete side with no insert side delete, via
+  * ONE idempotent selective [[SnapshotTable.mergeIdempotent]]. The
+  * keyed apply is a prefix-safe function of source state (each
+  * touched key lands at its `to`-version value), so a crash replay
+  * over a GROWN range stays correct, not just the watermark-equal
+  * one. Returns the consumed (from, to) range; zero rows when
+  * already caught up. */
 case class GraftFollowCommand(tableDir: String, cursorPath: String,
-    destDir: String) extends LeafRunnableCommand {
+    destDir: String, key: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("from_version", IntegerType, nullable = false)(),
     AttributeReference("to_version", IntegerType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] =
     SnapshotTable.followChanges(s, tableDir, cursorPath) { (feed, from, to) =>
-      if (!SnapshotTable.isAppendChain(s, tableDir, from, to))
-        throw new IllegalStateException(
-          s"GRAFT FOLLOW: versions ($from, $to] of $tableDir contain a " +
-            "rewrite/DELETE/UPDATE — the feed is not inserts-only, and a " +
-            "blind append downstream would corrupt it. Consume this range " +
-            "via the change-feed stream (changeFeed=true) or the " +
-            "followChanges API, or re-point the cursor past it.")
-      SnapshotTable.commitIdempotent(s, destDir, feed.drop("change_type"),
-        overwrite = false,
-        txnId = SnapshotTable.writerIdFor(cursorPath), txnVersion = to)
-      ()
+      import org.apache.spark.sql.functions.col
+      key match {
+        case None =>
+          if (!SnapshotTable.isAppendChain(s, tableDir, from, to))
+            throw new IllegalStateException(
+              s"GRAFT FOLLOW: versions ($from, $to] of $tableDir contain a " +
+                "rewrite/DELETE/UPDATE — the feed is not inserts-only, and a " +
+                "blind append downstream would corrupt it. Consume it " +
+                "keyed (add KEY (<col>)), via the change-feed stream " +
+                "(changeFeed=true), or through the followChanges API.")
+          SnapshotTable.commitIdempotent(s, destDir,
+            feed.drop("change_type"), overwrite = false,
+            txnId = SnapshotTable.writerIdFor(cursorPath), txnVersion = to)
+          ()
+        case Some(k) =>
+          require(feed.columns.contains(k),
+            s"GRAFT FOLLOW: key column '$k' is not in the feed " +
+              s"(${feed.columns.mkString(", ")})")
+          // the net multiset delta of a keyed source holds, per touched
+          // key, its to-version row on the insert side and/or its
+          // from-version row on the delete side (update images count as
+          // their respective sides) — so upsert the insert side, delete
+          // the keys only the delete side names
+          val ins = feed.filter(col("change_type")
+            .isin("insert", "update_postimage")).drop("change_type")
+          val delKeys = feed.filter(col("change_type")
+            .isin("delete", "update_preimage")).select(col(k)).distinct()
+            .join(ins.select(col(k)).distinct(), Seq(k), "left_anti")
+          // a row-preserving rewrite in the range (compaction, absorb)
+          // diffs to an EMPTY feed — advance the cursor without
+          // publishing a junk downstream version (the range that
+          // REFUSES in append mode is a clean no-op here)
+          if (!(ins.isEmpty && delKeys.isEmpty))
+            SnapshotTable.mergeIdempotent(s, destDir, ins, delKeys, k,
+              txnId = SnapshotTable.writerIdFor(cursorPath),
+              txnVersion = to)
+          ()
+      }
     } match {
       case Some((from, to)) => Seq(Row(from, to))
       case None => Seq.empty

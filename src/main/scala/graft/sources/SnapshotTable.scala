@@ -3839,7 +3839,11 @@ object SnapshotTable {
     * [[publishBranch]]. Main's vacuum cannot touch branch data (it
     * sweeps only its own `data/`); the branch's own vacuum must keep
     * any version main later publishes (the shallow-clone caveat).
-    * Returns the branch's version 1. */
+    * Branches STACK: a branch is a full snapshot table, so
+    * `branchCreate(branchDir, ...)` forks a sub-branch that publishes
+    * inward (sub → branch) then outward (branch → main) — the drop
+    * guard's path containment sees through the nesting. Returns the
+    * branch's version 1. */
   def branchCreate(s: SparkSession, tableDir: String, name: String): Int = {
     requireBranchName(name)
     val vs = versions(s, tableDir)
@@ -3873,10 +3877,20 @@ object SnapshotTable {
     *    removed/rewritten) replays onto main's CURRENT file set,
     *    valid iff no file the branch removed was also removed on main
     *    (rewrite-rewrite = conflict), and neither side changed
-    *    schema/constraints/layout/deletion vectors in between — every
-    *    violation refuses LOUDLY naming the conflict; re-branch from
-    *    the new main and re-apply. Rebased NDV is dropped (honest
-    *    unknown — `GRAFT ANALYZE` repairs).
+    *    schema/constraints/layout in between. DELETION VECTORS
+    *    compose by the same union law as concurrent [[deleteWhere]]:
+    *    each side's vectors ADDED since the fork splice in (positions
+    *    BOTH sides deleted are deduped into a fresh vector file so
+    *    [[rowCount]]'s manifest arithmetic stays exact), vectors a
+    *    side RETIRED (its absorb/overwrite rewrote every carrier
+    *    file) drop — conflict only when a side's added vectors point
+    *    INTO a file the OTHER side rewrote (those positions reference
+    *    dead row numbering; the check is a distributed semi-join of
+    *    the tiny vector parquets against the removed-path set, never
+    *    a driver path collect). Every violation refuses LOUDLY naming
+    *    the conflict; re-branch from the new main and re-apply.
+    *    Rebased NDV is dropped (honest unknown — `GRAFT ANALYZE`
+    *    repairs).
     *
     * Main references the branch's data files afterwards (zero-copy,
     * the shallow-clone caveat): keep the branch directory, or run a
@@ -3914,10 +3928,11 @@ object SnapshotTable {
       val ffwd = cur == forkV && mM.files == mF.files &&
         mM.dels == mF.dels && mM.schema == mF.schema
       val prepared: Option[(Seq[String], StructType, Option[(Int, String)],
-          Seq[String], Map[String, String], Map[String, Seq[Long]])] =
+          Seq[String], Map[String, String], Map[String, Seq[Long]],
+          Option[HPath])] =
         if (ffwd)
           Some((mB.files, mB.schema.get, mB.bucket, mB.dels,
-            mB.constraints, mB.ndv))
+            mB.constraints, mB.ndv, None))
         else {
           // file-granularity rebase: both sides' metadata must be
           // untouched since the fork, and the removed-file sets must
@@ -3930,8 +3945,6 @@ object SnapshotTable {
                 "state and re-apply")
           if (mM.schema != mF.schema || mB.schema != mF.schema)
             fail("schema changed")
-          if (mM.dels != mF.dels || mB.dels != mF.dels)
-            fail("deletion vectors changed (absorb them first)")
           if (mM.constraints != mF.constraints ||
             mB.constraints != mF.constraints) fail("constraints changed")
           if (mM.bucket != mF.bucket || mB.bucket != mF.bucket ||
@@ -3946,15 +3959,75 @@ object SnapshotTable {
           if (clash.nonEmpty)
             fail(s"both sides rewrote ${clash.size} file(s), e.g. " +
               clash.head)
+          // deletion vectors compose like concurrent deleteWhere —
+          // union of what each side ADDED since the fork, minus what
+          // a side RETIRED (its absorb rewrote every carrier, and the
+          // carriers are in its removed set, clash-checked above) —
+          // UNLESS a side's added vectors point into a file the OTHER
+          // side rewrote: those positions reference replaced row
+          // numbering, and splicing them would silently lose (or
+          // misdirect) the delete. The check reads the tiny vector
+          // parquets distributed and semi-joins against the removed
+          // paths — never a driver path collect.
+          val forkDels = mF.dels.toSet
+          val addedBDels = mB.dels.filterNot(forkDels)
+          val addedMDels = mM.dels.filterNot(forkDels)
+          val retiredB = forkDels -- mB.dels.toSet
+          def delConflict(lines: Seq[String], removed: Set[String],
+              who: String, whose: String): Unit =
+            if (lines.nonEmpty && removed.nonEmpty) {
+              import s.implicits._
+              val vecPaths = relationFor(s, tableDir, delSchema,
+                lines.map(parseEntry)).select("__path").distinct()
+              val hits = vecPaths.join(
+                removed.toSeq.toDF("__path"), Seq("__path"), "left_semi")
+                .count()
+              if (hits > 0)
+                fail(s"$who deleted rows in $hits file(s) $whose " +
+                  "rewrote since the fork — absorb deletes (or " +
+                  "re-apply them) before publishing")
+            }
+          delConflict(addedBDels, mainRemoved, "the branch", "main")
+          delConflict(addedMDels, branchRemoved, "main", "the branch")
+          // positions BOTH sides deleted since the fork (two erasures
+          // hitting the same rows — the expected concurrent-GDPR case)
+          // would double-count in the manifest's row arithmetic
+          // ([[rowCount]] subtracts vector ROW counts), so the
+          // branch's additions splice MINUS the overlap, rewritten as
+          // fresh vector files under main when any exists (the branch
+          // keeps its originals). The fork's vectors can overlap
+          // NEITHER side's additions — each side planned its deletes
+          // with the inherited vectors applied, and a dead row is
+          // never re-deleted — so only addedB × addedM needs the
+          // check; both frames are vector-sized.
+          val spliced: (Seq[String], Option[HPath]) =
+            if (addedBDels.isEmpty || addedMDels.isEmpty)
+              (addedBDels, None)
+            else {
+              val dfB = relationFor(s, tableDir, delSchema,
+                addedBDels.map(parseEntry))
+              val dfM = relationFor(s, tableDir, delSchema,
+                addedMDels.map(parseEntry))
+              if (dfB.join(dfM, Seq("__path", "__pos"), "left_semi")
+                  .isEmpty) (addedBDels, None)
+              else writeDelDir(s, tableDir,
+                dfB.join(dfM, Seq("__path", "__pos"), "left_anti"))
+                .map { case (dd, lines) =>
+                  (lines, Some(dd): Option[HPath]) }
+                .getOrElse((Seq.empty[String], None))
+            }
+          val rebasedDels = mM.dels.filterNot(retiredB) ++
+            spliced._1.filterNot(mM.dels.toSet)
           val branchAddedLines =
             mB.files.filterNot(l => forkPaths.contains(key(l)))
           val mainLines =
             mM.files.filterNot(l => branchRemoved.contains(key(l)))
           Some(((mainLines ++ branchAddedLines).sorted, mB.schema.get,
-            mB.bucket, mB.dels, mB.constraints,
-            Map.empty[String, Seq[Long]]))
+            mB.bucket, rebasedDels, mB.constraints,
+            Map.empty[String, Seq[Long]], spliced._2))
         }
-      prepared.foreach { case (files, sc, bucket, dels, checks, ndv) =>
+      prepared.foreach { case (files, sc, bucket, dels, checks, ndv,
+          spliceDir) =>
         val res = publishNext(s, tableDir,
           partByOverride = Some(mB.partBy),
           partErasOverride = mB.partEras) { pm =>
@@ -3981,6 +4054,9 @@ object SnapshotTable {
             f.delete(forkFile(tableDir, name), false) // marker consumed
             return v
           case None => // lost the race — replan against the new state
+            // (a deduped vector dir written for THIS plan is never
+            // referenced; drop it like deleteWhere does on conflict)
+            spliceDir.foreach(f.delete(_, true))
         }
       }
     }

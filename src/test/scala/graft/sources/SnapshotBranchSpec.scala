@@ -112,6 +112,128 @@ class SnapshotBranchSpec extends GraftSpec {
     assert(main.filter(col("k") >= 100L && col("k") < 160L).count() == 60)
   }
 
+  test("rebase composes deletion vectors added on both sides") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-br6-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, sliceA.repartition(1), overwrite = false)
+    SnapshotTable.branchCreate(spark, t, "mor")
+    val b = SnapshotTable.branchDir(t, "mor")
+    SnapshotTable.commit(spark, b, sliceB.repartition(1), overwrite = false)
+    // branch MOR-deletes rows of the FORK file and of its own B file;
+    // main appends C and MOR-deletes its own A rows, OVERLAPPING the
+    // branch's range on k<3 — nobody rewrote a file, so the publish
+    // splices the vector union (a position deleted twice anti-joins
+    // identically, the concurrent-deleteWhere law)
+    assert(SnapshotTable.deleteWhere(spark, b,
+      col("k") < 5L || (col("k") >= 100L && col("k") < 105L)).nonEmpty)
+    SnapshotTable.commit(spark, t, sliceC.repartition(1), overwrite = false)
+    assert(SnapshotTable.deleteWhere(spark, t,
+      col("k") < 3L || (col("k") >= 50L && col("k") < 60L)).nonEmpty)
+    SnapshotTable.publishBranch(spark, t, "mor")
+    val main = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    // A(100) minus {0..4}∪{50..59} (15), B(60) minus {100..104}, C(50)
+    assert(main.count() == 190, "vector union lost or doubled a delete")
+    assert(main.filter(col("k") < 5L).count() == 0)
+    assert(main.filter(col("k") >= 50L && col("k") < 60L).count() == 0)
+    assert(main.filter(col("k") >= 100L && col("k") < 105L).count() == 0)
+    assert(main.filter(col("k") === 99L).count() == 1)
+    // metadata row arithmetic survives the splice
+    assert(SnapshotTable.rowCount(spark, t, Int.MaxValue).contains(190L))
+  }
+
+  test("rebase refuses branch vectors into a file main rewrote") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-br7-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, sliceA.repartition(1), overwrite = false)
+    SnapshotTable.branchCreate(spark, t, "dv")
+    val b = SnapshotTable.branchDir(t, "dv")
+    assert(SnapshotTable.deleteWhere(spark, b, col("k") === 7L).nonEmpty)
+    // main rewrites the fork file the branch's vector points into —
+    // its row numbering is gone, so splicing the vector would lose
+    // (or misdirect) the delete
+    assert(SnapshotTable.updateWhere(spark, t, col("k") === 2L,
+      Map("v" -> lit(-2L))).nonEmpty)
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.publishBranch(spark, t, "dv") }
+    assert(e.getMessage.contains("the branch deleted rows in"))
+    // main is untouched by the refused publish
+    assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue).count() == 100)
+    assert(SnapshotTable.branches(spark, t) == Seq("dv"))
+  }
+
+  test("rebase refuses main vectors into a file the branch rewrote") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-br8-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, sliceA.repartition(1), overwrite = false)
+    SnapshotTable.branchCreate(spark, t, "dw")
+    val b = SnapshotTable.branchDir(t, "dw")
+    assert(SnapshotTable.updateWhere(spark, b, col("k") === 2L,
+      Map("v" -> lit(-2L))).nonEmpty)
+    assert(SnapshotTable.deleteWhere(spark, t, col("k") === 7L).nonEmpty)
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.publishBranch(spark, t, "dw") }
+    assert(e.getMessage.contains("main deleted rows in"))
+  }
+
+  test("branch-retired vectors drop from the rebased manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-br9-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, sliceA.repartition(1), overwrite = false)
+    // the FORK state carries an outstanding vector
+    assert(SnapshotTable.deleteWhere(spark, t, col("k") === 7L).nonEmpty)
+    SnapshotTable.branchCreate(spark, t, "abs")
+    val b = SnapshotTable.branchDir(t, "abs")
+    // the branch ABSORBS it (rewrites the carrier, retires the line);
+    // main keeps ingesting untouched files
+    assert(SnapshotTable.absorbDeletes(spark, b).nonEmpty)
+    SnapshotTable.commit(spark, t, sliceC.repartition(1), overwrite = false)
+    SnapshotTable.publishBranch(spark, t, "abs")
+    val main = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(main.count() == 149) // A minus k=7, plus C
+    assert(main.filter(col("k") === 7L).count() == 0)
+    // the retired vector did NOT survive the splice: the published
+    // state absorbs cleanly as a no-op (nothing left to absorb)
+    assert(SnapshotTable.absorbDeletes(spark, t).isEmpty)
+    assert(SnapshotTable.rowCount(spark, t, Int.MaxValue).contains(149L))
+  }
+
+  test("branches stack: a branch of a branch publishes inward, then out") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-br10-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, sliceA.repartition(1), overwrite = false)
+    // a staging branch takes slice B, then a SUB-branch stages a risky
+    // fix on top of the staging state — a branch is a full snapshot
+    // table, so the WAP machinery nests by construction
+    SnapshotTable.branchCreate(spark, t, "stage")
+    val stage = SnapshotTable.branchDir(t, "stage")
+    SnapshotTable.commit(spark, stage, sliceB.repartition(1),
+      overwrite = false)
+    SnapshotTable.branchCreate(spark, stage, "sub")
+    val sub = SnapshotTable.branchDir(stage, "sub")
+    SnapshotTable.commit(spark, sub, sliceC.repartition(1),
+      overwrite = false)
+    assert(SnapshotTable.updateWhere(spark, sub, col("k") === 200L,
+      Map("v" -> lit(-200L))).nonEmpty)
+    // neither parent saw a byte of the sub-branch work
+    assert(SnapshotTable.readAsOf(spark, stage, Int.MaxValue).count() == 160)
+    assert(SnapshotTable.readAsOf(spark, t, Int.MaxValue).count() == 100)
+    // publish inward: sub → stage (stage unmoved: fast-forward)
+    SnapshotTable.publishBranch(spark, stage, "sub")
+    assert(SnapshotTable.readAsOf(spark, stage, Int.MaxValue).count() == 210)
+    // then outward: stage → main, a REBASE over main's fresh ingest
+    assert(SnapshotTable.deleteWhere(spark, t, col("k") === 9L).nonEmpty)
+    SnapshotTable.publishBranch(spark, t, "stage")
+    val main = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(main.count() == 209) // A-1 + B + C, the fix intact
+    assert(main.filter(col("k") === 200L).head().getLong(1) == -200L)
+    assert(main.filter(col("k") === 9L).count() == 0)
+    // main now references files under BOTH nested branch dirs — the
+    // drop guard sees through the nesting (path containment)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.dropBranch(spark, t, "stage") }
+    assert(e.getMessage.contains("still references"))
+  }
+
   test("drop guard: published branch data is load-bearing until migrated") {
     val dir = java.nio.file.Files.createTempDirectory("graft-br5-").toString
     val t = s"$dir/tbl"

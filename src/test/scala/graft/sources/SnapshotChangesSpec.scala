@@ -309,6 +309,59 @@ class SnapshotChangesSpec extends GraftSpec {
     intercept[IllegalStateException] { follow() }
   }
 
+  test("GRAFT FOLLOW KEY: keyed CDC apply mirrors every DML verb") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg12-").toString
+    val t = s"$dir/src"
+    val down = s"$dir/mirror"
+    val cursor = s"$dir/cursor"
+    def graftSql(sql: String) =
+      org.apache.spark.sql.GraftSqlShim.ofRows(spark,
+        new GraftSqlParser(spark.sessionState.sqlParser, Some(spark))
+          .parsePlan(sql))
+    def follow() = graftSql(
+      s"GRAFT FOLLOW '$t' CURSOR '$cursor' INTO '$down' KEY (id)").collect()
+    def mirror: Set[(Long, Long)] =
+      SnapshotTable.readAsOf(spark, down, Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    SnapshotTable.commit(spark, t,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      overwrite = false)
+    assert(follow().nonEmpty) // bootstrap from the genesis feed
+    assert(mirror == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // a range holding an UPDATE + a MOR DELETE + an append applies as
+    // ONE keyed merge — the very shape append-mode FOLLOW refuses
+    assert(SnapshotTable.updateWhere(spark, t, col("id") === 2L,
+      Map("v" -> lit(-20L))).nonEmpty)
+    assert(SnapshotTable.deleteWhere(spark, t, col("id") === 1L).nonEmpty)
+    SnapshotTable.commit(spark, t, Seq((4L, 40L)).toDF("id", "v"),
+      overwrite = false)
+    assert(follow().nonEmpty)
+    assert(mirror == Set((2L, -20L), (3L, 30L), (4L, 40L)))
+    // a row-preserving rewrite (absorb) diffs to an EMPTY feed: the
+    // step advances the cursor without publishing a junk version
+    val downV = SnapshotTable.versions(spark, down).size
+    assert(SnapshotTable.absorbDeletes(spark, t).nonEmpty)
+    assert(follow().nonEmpty)
+    assert(SnapshotTable.versions(spark, down).size == downV,
+      "no-op range published a junk downstream version")
+    // crash BETWEEN apply and cursor advance: rewinding the cursor
+    // replays the range — the idempotency watermark (and the keyed
+    // apply being a function of source state) means nothing doubles
+    val cursorNow = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cursor)), "UTF-8").trim
+    assert(SnapshotTable.updateWhere(spark, t, col("id") === 3L,
+      Map("v" -> lit(-30L))).nonEmpty)
+    assert(follow().nonEmpty) // a single-commit UPDATE: paired images
+    assert(mirror == Set((2L, -20L), (3L, -30L), (4L, 40L)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(cursor),
+      cursorNow.getBytes("UTF-8")) // the simulated crash: stale cursor
+    assert(follow().nonEmpty) // replays (cursorNow, latest]
+    assert(mirror == Set((2L, -20L), (3L, -30L), (4L, 40L)),
+      "replay doubled or regressed the mirror")
+    assert(follow().isEmpty) // caught up
+  }
+
   test("GRAFT CHANGES: the SQL doorway, rename-crossing, refusals") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-chg4-").toString

@@ -33,10 +33,13 @@ class SnapshotUpdateSpec extends GraftSpec {
     // time travel: v1 still serves the pre-update rows
     assert(SnapshotTable.readAsOf(spark, t, 1)
       .filter(col("k") === 2L).head().getString(2) == "b")
-    // the change feed for the update step is the exact row diff
+    // the change feed for the update step is the exact row diff —
+    // and a single-commit UPDATE range arrives as PAIRED update
+    // images (the #kind convention), never an unkeyed retract+assert
     val feed = SnapshotTable.readChanges(spark, t, 1, 2).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(feed == Set(("delete", 2L), ("insert", 2L)))
+    assert(feed ==
+      Set(("update_preimage", 2L), ("update_postimage", 2L)))
   }
 
   test("selective rewrite: untouched files carried by reference") {
