@@ -40,7 +40,8 @@ class GraftSqlParser(delegate: ParserInterface,
   private val CloneRe =
     """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)(?:\s+MIN\s+AGE\s+(\d+))?\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)""" +
+      """(?:\s+MIN\s+AGE\s+(\d+))?(\s+DRY\s+RUN)?\s*;?\s*""").r
   private val AbsorbRe =
     """(?is)\s*GRAFT\s+ABSORB\s+DELETES\s+'([^']+)'\s*;?\s*""".r
   private val HistoryRe =
@@ -73,7 +74,8 @@ class GraftSqlParser(delegate: ParserInterface,
   private val StatsKeyItemRe = """[A-Za-z_][A-Za-z0-9_]*\['[^'\]]+'\]""".r
   // write-audit-publish branches
   private val BranchCreateRe =
-    ("""(?is)\s*GRAFT\s+BRANCH\s+'([^']+)'\s+CREATE\s+([A-Za-z0-9_\-]+)\s*;?\s*""".r)
+    ("""(?is)\s*GRAFT\s+BRANCH\s+'([^']+)'\s+CREATE\s+([A-Za-z0-9_\-]+)""" +
+      """(?:\s+AS\s+OF\s+(\d+))?\s*;?\s*""").r
   private val BranchDropRe =
     ("""(?is)\s*GRAFT\s+BRANCH\s+'([^']+)'\s+DROP\s+([A-Za-z0-9_\-]+)\s*;?\s*""".r)
   private val BranchListRe =
@@ -175,9 +177,9 @@ class GraftSqlParser(delegate: ParserInterface,
     case CloneRe(src, dst, v) =>
       GraftCloneCommand(src, dst,
         Option(v).map(_.toInt).getOrElse(Int.MaxValue))
-    case VacuumRe(dir, k, age) =>
+    case VacuumRe(dir, k, age, dry) =>
       GraftVacuumCommand(dir, k.toInt,
-        Option(age).map(_.toLong).getOrElse(0L))
+        Option(age).map(_.toLong).getOrElse(0L), dryRun = dry != null)
     case AbsorbRe(dir) => GraftAbsorbDeletesCommand(dir)
     case HistoryRe(dir) => GraftHistoryCommand(dir)
     case ChangesRe(dir, from, to) =>
@@ -243,7 +245,8 @@ class GraftSqlParser(delegate: ParserInterface,
     case DescribeStatsRe(dir, v) =>
       GraftDescribeStatsCommand(dir,
         Option(v).map(_.toInt).getOrElse(Int.MaxValue))
-    case BranchCreateRe(dir, n) => GraftBranchCreateCommand(dir, n)
+    case BranchCreateRe(dir, n, v) =>
+      GraftBranchCreateCommand(dir, n, Option(v).map(_.toInt))
     case BranchDropRe(dir, n) => GraftBranchDropCommand(dir, n)
     case BranchListRe(dir) => GraftBranchListCommand(dir)
     case PublishRe(dir, n) => GraftPublishCommand(dir, n)
@@ -279,7 +282,7 @@ class GraftSqlParser(delegate: ParserInterface,
           "hint" -> (": malformed GRAFT statement; supported grammars: " +
             "GRAFT RESTORE '<dir>' VERSION AS OF <n> | " +
             "GRAFT CLONE '<src>' TO '<dst>' [VERSION AS OF <n>] | " +
-            "GRAFT VACUUM '<dir>' KEEP <n> [MIN AGE <ms>] | " +
+            "GRAFT VACUUM '<dir>' KEEP <n> [MIN AGE <ms>] [DRY RUN] | " +
             "GRAFT ABSORB DELETES '<dir>' | " +
             "GRAFT HISTORY '<dir>' | " +
             "GRAFT CHANGES '<dir>' FROM <v> [TO <v>] | " +
@@ -692,17 +695,23 @@ case class GraftDescribeStatsTimestampCommand(tableDir: String,
       SnapshotTable.versionAtTimestamp(s, tableDir, tsMillis)).collect().toSeq
 }
 
-/** `GRAFT VACUUM '<dir>' KEEP <k> [MIN AGE <ms>]` → (expired versions,
-  * deleted files). MIN AGE guards in-flight commits: only litter older
-  * than the window is swept — run with it comfortably above the longest
-  * commit when writers are live (the Delta VACUUM retention shape). */
+/** `GRAFT VACUUM '<dir>' KEEP <k> [MIN AGE <ms>] [DRY RUN]` →
+  * (expired versions, deleted files). MIN AGE guards in-flight
+  * commits: only litter older than the window is swept — run with it
+  * comfortably above the longest commit when writers are live (the
+  * Delta VACUUM retention shape). DRY RUN reports the SAME counts the
+  * real sweep would produce while touching nothing — the
+  * look-before-you-leap an irreversible retention op owes its
+  * operator (Delta's `VACUUM ... DRY RUN`). */
 case class GraftVacuumCommand(tableDir: String, keepVersions: Int,
-    minAgeMs: Long = 0L) extends LeafRunnableCommand {
+    minAgeMs: Long = 0L, dryRun: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("expired_versions", LongType, nullable = false)(),
     AttributeReference("deleted_files", LongType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] = {
-    val st = SnapshotTable.vacuum(s, tableDir, keepVersions, minAgeMs)
+    val st = SnapshotTable.vacuum(s, tableDir, keepVersions, minAgeMs,
+      dryRun = dryRun)
     Seq(Row(st.expiredManifests.toLong, st.deletedDataFiles.toLong))
   }
 }
@@ -811,18 +820,21 @@ case class GraftBloomCommand(tableDir: String, cols: Seq[String])
     Seq(Row(SnapshotTable.setBloomColumns(s, tableDir, cols)))
 }
 
-/** `GRAFT BRANCH '<dir>' CREATE <name>` — zero-copy branch for
-  * write-audit-publish ([[SnapshotTable.branchCreate]]); writes land
-  * on the branch directory through every normal API. */
-case class GraftBranchCreateCommand(tableDir: String, name: String)
-    extends LeafRunnableCommand {
+/** `GRAFT BRANCH '<dir>' CREATE <name> [AS OF <version>]` — zero-copy
+  * branch for write-audit-publish ([[SnapshotTable.branchCreate]]);
+  * writes land on the branch directory through every normal API. AS OF
+  * forks from a RETAINED version instead of the latest — reproduce the
+  * past, fix forward, publish as a rebase. */
+case class GraftBranchCreateCommand(tableDir: String, name: String,
+    asOf: Option[Int] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("branch_dir",
       org.apache.spark.sql.types.StringType, nullable = false)(),
     AttributeReference("version", IntegerType, nullable = false)())
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(SnapshotTable.branchDir(tableDir, name),
-      SnapshotTable.branchCreate(s, tableDir, name)))
+      SnapshotTable.branchCreate(s, tableDir, name,
+        asOf.getOrElse(Int.MaxValue))))
 }
 
 /** `GRAFT BRANCH '<dir>' DROP <name>` ([[SnapshotTable.dropBranch]]). */

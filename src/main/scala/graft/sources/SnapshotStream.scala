@@ -44,7 +44,8 @@ import org.apache.spark.sql.types.StructType
   *   .format("graft.sources.SnapshotSourceProvider")
   *   .option("path", tableDir)
   *   .option("changeFeed", "true")
-  *   .load()
+  *   .option("startingVersion", "3")  // optional: serve commits >= 3
+  *   .load()                          // ("latest" = only new commits)
   * // plain SQL: register a name over the directory; SELECTs resolve
   * // through the same manifest-planned relation (zone maps, buckets,
   * // deletion-vector refusal), REFRESH TABLE picks up later commits,
@@ -149,9 +150,25 @@ class SnapshotSourceProvider extends StreamSourceProvider
     val maxVersions = params.collectFirst {
       case (k, v) if k.equalsIgnoreCase("maxVersionsPerTrigger") => v.toInt
     }
+    // startingVersion (the Delta readStream option): a FRESH stream
+    // serves commits >= this version instead of backfilling from
+    // genesis — the clone-then-stream bootstrap pattern (mirror a
+    // snapshot by CLONE, then follow from the clone point). A
+    // checkpointed restart ignores it (the offset wins). "latest"
+    // serves only commits published after the stream starts.
+    val startingVersion = params.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingVersion") =>
+        if (v.equalsIgnoreCase("latest")) -1
+        else {
+          require(v.toInt >= 1,
+            s"startingVersion must be >= 1 or 'latest' (got $v)")
+          v.toInt
+        }
+    }
     new SnapshotStreamSource(ctx, path(params),
       sourceSchema(ctx, schema, providerName, params)._2, ignoreChanges,
-      maxVersions, changeFeed = changeFeedOpt(params))
+      maxVersions, changeFeed = changeFeedOpt(params),
+      startingVersion = startingVersion)
   }
 }
 
@@ -165,16 +182,30 @@ class SnapshotSourceProvider extends StreamSourceProvider
 class SnapshotStreamSource(ctx: SQLContext, tableDir: String,
     override val schema: StructType, ignoreChanges: Boolean,
     maxVersionsPerTrigger: Option[Int] = None,
-    changeFeed: Boolean = false) extends Source
+    changeFeed: Boolean = false,
+    startingVersion: Option[Int] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, ReadMaxFiles}
 
   @volatile private var availableNowCap: Option[Int] = None
 
+  /** The fresh-stream baseline: 0 (genesis backfill) without the
+    * option, `startingVersion - 1` with it (commits >= the named
+    * version serve), the latest version published at source creation
+    * for "latest" (-1 sentinel — only NEW commits serve). Checkpointed
+    * restarts never consult this: the recovered offset wins, exactly
+    * Delta's startingVersion contract. An expired baseline refuses at
+    * the first batch with the change-feed's own vacuumed-range error. */
+  private val startFloor: Int = startingVersion match {
+    case None => 0
+    case Some(-1) => latestPublished
+    case Some(n) => n - 1
+  }
+
   // an offset restored from the checkpoint arrives as SerializedOffset
   // (raw json) — both forms carry the version number
   private def ver(o: AnyRef): Int = o match {
-    case null => 0
+    case null => startFloor // fresh stream: the startingVersion floor
     case l: LongOffset => l.offset.toInt
     case v1: V1Offset => v1.json.trim.toInt
     case v2: V2Offset => v2.json.trim.toInt
@@ -204,11 +235,11 @@ class SnapshotStreamSource(ctx: SQLContext, tableDir: String,
 
   override def getOffset: Option[V1Offset] = { // plain-path fallback
     val latest = availableNowCap.fold(latestPublished)(math.min(_, latestPublished))
-    if (latest <= 0) None else Some(LongOffset(latest.toLong))
+    if (latest <= startFloor) None else Some(LongOffset(latest.toLong))
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val fromV = start.map(ver).getOrElse(0) // fresh stream: from genesis
+    val fromV = start.map(ver).getOrElse(startFloor) // fresh: the floor
     val rel0 =
       if (changeFeed) changeBatch(fromV, ver(end))
       else SnapshotTable.streamBatch(ctx.sparkSession, tableDir,

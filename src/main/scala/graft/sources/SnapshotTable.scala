@@ -3844,14 +3844,27 @@ object SnapshotTable {
     * inward (sub → branch) then outward (branch → main) — the drop
     * guard's path containment sees through the nesting. Returns the
     * branch's version 1. */
-  def branchCreate(s: SparkSession, tableDir: String, name: String): Int = {
+  def branchCreate(s: SparkSession, tableDir: String, name: String,
+      asOf: Int = Int.MaxValue): Int = {
     requireBranchName(name)
     val vs = versions(s, tableDir)
     require(vs.nonEmpty, s"branchCreate: no published version in $tableDir")
-    val v = cloneTable(s, tableDir, branchDir(tableDir, name))
+    // AS OF: fork from a RETAINED version instead of the latest —
+    // reproduce the past, fix forward, publish as a rebase (everything
+    // main committed since the fork counts as "main moved"). An
+    // explicit version must be retained, exactly [[cloneTable]]'s rule.
+    val forkV =
+      if (asOf == Int.MaxValue) vs.last
+      else {
+        require(vs.contains(asOf),
+          s"branchCreate: version $asOf of $tableDir is not a retained " +
+            s"published version (retained: ${vs.mkString(",")})")
+        asOf
+      }
+    val v = cloneTable(s, tableDir, branchDir(tableDir, name), forkV)
     val f = fs(s, tableDir)
     val out = f.create(forkFile(tableDir, name), false) // exclusive
-    try out.write(vs.last.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(forkV.toString.getBytes("UTF-8")) finally out.close()
     v
   }
 
@@ -5475,10 +5488,15 @@ object SnapshotTable {
     * a concurrent writer's staged-but-unpublished files look
     * unreferenced, so only litter older than the guard is swept — run
     * vacuum with a retention window comfortably above the longest
-    * commit (the Delta VACUUM convention), or 0 when no writer runs. */
+    * commit (the Delta VACUUM convention), or 0 when no writer runs.
+    * `dryRun` reports the SAME (expired, deletable) counts the real
+    * sweep would produce while touching NOTHING — the
+    * look-before-you-leap an irreversible retention op owes its
+    * operator (Delta's `VACUUM ... DRY RUN`). */
   def vacuum(s: SparkSession, tableDir: String, keepVersions: Int,
       minAgeMs: Long = 0L,
-      maxVersionAgeMs: Option[Long] = None): VacuumStats = {
+      maxVersionAgeMs: Option[Long] = None,
+      dryRun: Boolean = false): VacuumStats = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val f = fs(s, tableDir)
     val vs = versions(s, tableDir)
@@ -5531,8 +5549,10 @@ object SnapshotTable {
     def safeList(root: HPath): Seq[FileStatus] =
       try { if (f.exists(root)) f.listStatus(root).toSeq else Seq.empty }
       catch { case _: java.io.FileNotFoundException | _: RuntimeException => Seq.empty }
-    // phase 1: expired versions become unresolvable
-    expired.foreach(v => f.delete(manifestPath(tableDir, v), false))
+    // phase 1: expired versions become unresolvable (DRY RUN: counted,
+    // never dropped — the report is the same, the table untouched)
+    if (!dryRun)
+      expired.foreach(v => f.delete(manifestPath(tableDir, v), false))
     // phase 2: unreferenced data files (crashed writers' orphans included)
     var deleted = 0
     val dataRoot = new HPath(tableDir, "data")
@@ -5540,7 +5560,8 @@ object SnapshotTable {
       safeWalk(dataRoot).foreach { st =>
         if (!keep.contains(st.getPath.toString) &&
             st.getModificationTime <= cutoff &&
-            (try f.delete(st.getPath, false) catch { case _: Exception => false }))
+            (dryRun || (try f.delete(st.getPath, false)
+              catch { case _: Exception => false })))
           deleted += 1
       }
       // phase 3: now-empty data subdirectories — a subtree holding zero
@@ -5548,20 +5569,23 @@ object SnapshotTable {
       // (nested `<col>=<value>/` dirs) leaves no directory litter; a
       // concurrent commit's staged dir renames in atomically WITH its
       // files, so a file-bearing subtree can never be swept
-      safeList(dataRoot).filter(_.isDirectory).foreach { d =>
-        try { if (safeWalk(d.getPath).isEmpty) f.delete(d.getPath, true) }
-        catch { case _: java.io.FileNotFoundException | _: RuntimeException => }
-      }
+      if (!dryRun)
+        safeList(dataRoot).filter(_.isDirectory).foreach { d =>
+          try { if (safeWalk(d.getPath).isEmpty) f.delete(d.getPath, true) }
+          catch { case _: java.io.FileNotFoundException | _: RuntimeException => }
+        }
     }
     // crashed-commit litter outside data/: staged dirs and temp manifests
-    safeList(new HPath(tableDir))
-      .filter(st => st.getPath.getName.startsWith(".staging-") &&
-        st.getModificationTime <= cutoff)
-      .foreach(st => try f.delete(st.getPath, true) catch { case _: Exception => })
-    safeList(commitsDir(tableDir))
-      .filter(st => st.getPath.getName.startsWith(".tmp-") &&
-        st.getModificationTime <= cutoff)
-      .foreach(st => f.delete(st.getPath, false))
+    if (!dryRun) {
+      safeList(new HPath(tableDir))
+        .filter(st => st.getPath.getName.startsWith(".staging-") &&
+          st.getModificationTime <= cutoff)
+        .foreach(st => try f.delete(st.getPath, true) catch { case _: Exception => })
+      safeList(commitsDir(tableDir))
+        .filter(st => st.getPath.getName.startsWith(".tmp-") &&
+          st.getModificationTime <= cutoff)
+        .foreach(st => f.delete(st.getPath, false))
+    }
     VacuumStats(expired.size, deleted)
   }
 }

@@ -197,6 +197,29 @@ class SnapshotBranchSpec extends GraftSpec {
     assert(SnapshotTable.rowCount(spark, t, Int.MaxValue).contains(149L))
   }
 
+  test("branch AS OF forks a retained past version and fixes forward") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-br11-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, sliceA.repartition(1), overwrite = false)
+    SnapshotTable.commit(spark, t, sliceC.repartition(1), overwrite = false)
+    // fork from v1 — reproduce the PAST state, not the latest
+    SnapshotTable.branchCreate(spark, t, "past", asOf = 1)
+    val b = SnapshotTable.branchDir(t, "past")
+    assert(SnapshotTable.readAsOf(spark, b, Int.MaxValue).count() == 100)
+    // the fix, applied to the past state; publish rebases it onto the
+    // moved main (everything since the fork counts as "main moved")
+    assert(SnapshotTable.updateWhere(spark, b, col("k") === 1L,
+      Map("v" -> lit(-1L))).nonEmpty)
+    SnapshotTable.publishBranch(spark, t, "past")
+    val main = SnapshotTable.readAsOf(spark, t, Int.MaxValue)
+    assert(main.count() == 150) // the fix landed, C survived
+    assert(main.filter(col("k") === 1L).head().getLong(1) == -1L)
+    assert(main.filter(col("k") >= 200L).count() == 50)
+    // an explicit version must be RETAINED
+    intercept[IllegalArgumentException] {
+      SnapshotTable.branchCreate(spark, t, "nope", asOf = 99) }
+  }
+
   test("branches stack: a branch of a branch publishes inward, then out") {
     val dir = java.nio.file.Files.createTempDirectory("graft-br10-").toString
     val t = s"$dir/tbl"

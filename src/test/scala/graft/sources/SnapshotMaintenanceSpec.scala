@@ -38,6 +38,33 @@ class SnapshotMaintenanceSpec extends GraftSpec {
     assert(SnapshotTable.manifestReads.get() - r0 <= 2)
   }
 
+  test("vacuum DRY RUN: the real sweep's counts, nothing touched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-maintd-").toString
+    val t = s"$dir/tbl"
+    SnapshotTable.commit(spark, t, Seq(1L).toDF("id"), overwrite = true)
+    SnapshotTable.commit(spark, t, Seq(2L).toDF("id"), overwrite = true)
+    SnapshotTable.commit(spark, t, Seq(3L).toDF("id"), overwrite = false)
+    def graftSql(sql: String) =
+      org.apache.spark.sql.GraftSqlShim.ofRows(spark,
+        new GraftSqlParser(spark.sessionState.sqlParser, Some(spark))
+          .parsePlan(sql))
+    val dry = graftSql(s"GRAFT VACUUM '$t' KEEP 2 DRY RUN").head()
+    // the report: v1 would expire, its superseded file would go
+    assert(dry.getLong(0) == 1L && dry.getLong(1) >= 1L)
+    // ... and NOTHING happened: every version still resolves, every
+    // file still reads
+    assert(SnapshotTable.versions(spark, t) == Seq(1, 2, 3))
+    assert(ids(SnapshotTable.readAsOf(spark, t, 1)) == Set(1L))
+    assert(ids(SnapshotTable.readAsOf(spark, t, Int.MaxValue)) ==
+      Set(2L, 3L))
+    // the real sweep then reports EXACTLY what the dry run promised
+    val real = graftSql(s"GRAFT VACUUM '$t' KEEP 2").head()
+    assert(real.getLong(0) == dry.getLong(0))
+    assert(real.getLong(1) == dry.getLong(1))
+    assert(SnapshotTable.versions(spark, t) == Seq(2, 3))
+  }
+
   test("vacuum: retained versions unchanged, expired files and manifests gone") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-maint2-").toString

@@ -238,6 +238,52 @@ class SnapshotStreamSpec extends GraftSpec {
       ("delete", 1L, 10L, 4L)))
   }
 
+  test("startingVersion: a fresh stream skips the backfill; offsets win") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scdf4-").toString
+    val t = s"$dir/src"
+    val out = s"$dir/out"
+    val ck = s"$dir/ck"
+    (1 to 4).foreach(k => SnapshotTable.commit(spark, t,
+      Seq((k.toLong, k * 10L)).toDF("id", "v"), overwrite = false))
+    def run(startAt: String, ckpt: String): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.SnapshotSourceProvider")
+        .option("path", t).option("changeFeed", "true")
+        .option("startingVersion", startAt)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            SnapshotTable.commitIdempotent(batch.sparkSession, out,
+              batch.toDF(), overwrite = false,
+              txnId = SnapshotTable.writerIdFor(ckpt), txnVersion = id)
+            ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // a fresh stream serves commits >= 3 only — the clone-then-stream
+    // bootstrap never re-reads the backfill it already owns
+    run("3", ck)
+    assert(changes(out) == Set(
+      ("insert", 3L, 30L, 3L), ("insert", 4L, 40L, 4L)))
+    // a checkpointed RESTART ignores the option: the offset wins, so a
+    // (nonsense) floor change cannot skip or double anything
+    SnapshotTable.commit(spark, t, Seq((5L, 50L)).toDF("id", "v"),
+      overwrite = false)
+    run("999", ck)
+    assert(changes(out) == Set(
+      ("insert", 3L, 30L, 3L), ("insert", 4L, 40L, 4L),
+      ("insert", 5L, 50L, 5L)))
+    // "latest": a fresh stream that is already caught up serves nothing
+    run("latest", s"$dir/ck2")
+    assert(SnapshotTable.readAsOf(spark, out, Int.MaxValue).count() == 3)
+  }
+
   test("change feed: crash mid-backfill replays exactly-once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-scdf2-").toString
