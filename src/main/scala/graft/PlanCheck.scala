@@ -869,6 +869,14 @@ object PlanCheck {
       mustNot = Seq("Join", "CartesianProduct", "UDF"),
       noAdaptive = true,
       maxNodes = Seq("Scan parquet" -> 1, "Exchange" -> 2)),
+    // tiled batch feed: a UNION of per-commit diff plans (append tiles
+    // are pure added-file scans; the UPDATE/DELETE tiles pay exceptAll
+    // over their changed files) + the keyed rollup — distributed end
+    // to end, never a collected echo re-parallelized driver-side
+    Check("cdc_tiled_changes",
+      mustContain = Seq("Scan parquet", "HashAggregate", "Union"),
+      mustNot = Seq("LocalTableScan", "CartesianProduct", "UDF"),
+      noAdaptive = true),
   )
 
   /** One check's outcome: the query name, pass/fail, and on failure a

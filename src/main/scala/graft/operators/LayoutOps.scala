@@ -1240,6 +1240,40 @@ object LayoutOps extends QueryPack {
       .orderBy(col("slice"))
   }
 
+  /** The TILED batch change feed (`GRAFT CHANGES ... TILED`): a
+    * multi-commit range served as the UNION of per-commit diffs —
+    * each commit's rows under its own `_commit_version`, the UPDATE
+    * commit arriving as PAIRED update images — exactly what the
+    * change-feed STREAM serves, so batch and streaming consumers of
+    * one range agree row for row (the plain form's net multiset delta
+    * trades that for one cheaper diff). The history walks every verb:
+    * append, keyed UPDATE, second append, MOR DELETE; the oracle
+    * restates all four commits' legs in closed form. At 100 TB each
+    * tile reads only ITS commit's changed files, so the union costs
+    * the changes, never versions x table. */
+  def cdcTiledChanges(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_tiled_")
+    tmpDirs.add(root)
+    val table = root.resolve("tbl").toString
+    val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"),
+        (col("doc_id") % 3).cast("long").as("slice"))
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("slice") === 0), overwrite = false)
+    graftSql(s,
+      s"GRAFT UPDATE '$table' SET nc = nc + 1000 WHERE doc_id % 5 = 0")
+      .collect()
+    graft.sources.SnapshotTable.commit(s, table,
+      docs.filter(col("slice") === 1), overwrite = false)
+    graftSql(s, s"GRAFT DELETE FROM '$table' WHERE doc_id % 7 = 0")
+      .collect()
+    graftSql(s, s"GRAFT CHANGES '$table' FROM 0 TILED")
+      .groupBy(col("_commit_version").cast("long").as("commit_v"),
+        col("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("nc")).as("sum_nc"))
+      .orderBy(col("commit_v"), col("change_type"))
+  }
+
   /** `GRAFT ANALYZE` end to end: load documents, run a selective MERGE
     * (which HONESTLY drops the cumulative NDV sketch — a bottom-k
     * cannot subtract), then [[graft.sources.SnapshotTable.analyze]]
@@ -1605,6 +1639,7 @@ object LayoutOps extends QueryPack {
     "layout_branch_mor" -> layoutBranchMor,
     "cdc_sql_changes" -> layoutSqlChanges,
     "cdc_follow_merge" -> cdcFollowMerge,
+    "cdc_tiled_changes" -> cdcTiledChanges,
     "layout_snapshot_moneyband" -> layoutSnapshotMoneyband,
     "layout_snapshot_deletes" -> layoutSnapshotDeletes,
     "layout_meta_agg" -> layoutMetaAgg,
@@ -1932,6 +1967,32 @@ object LayoutOps extends QueryPack {
         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN nc1 + 7 ELSE nc1 END)
         |    AS BIGINT) AS sum_nc
         |FROM u GROUP BY slice ORDER BY slice""".stripMargin,
+    // every commit's tile in closed form: v1 = slice-0 inserts, v2 =
+    // the %5 UPDATE's paired images, v3 = slice-1 inserts, v4 = the %7
+    // MOR delete over the updated slice 0 and slice 1
+    "cdc_tiled_changes" ->
+      """WITH d AS (SELECT doc_id, coalesce(n_chars, 0) AS nc,
+        |    doc_id % 3 AS slice
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |s0 AS (SELECT doc_id, nc FROM d WHERE slice = 0),
+        |s1 AS (SELECT doc_id, nc FROM d WHERE slice = 1),
+        |u0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN nc + 1000 ELSE nc END AS nc
+        |  FROM s0),
+        |feed AS (
+        |  SELECT 1 AS v, 'insert' AS ct, nc FROM s0
+        |  UNION ALL SELECT 2, 'update_preimage', nc FROM s0
+        |    WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT 2, 'update_postimage', nc + 1000 FROM s0
+        |    WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT 3, 'insert', nc FROM s1
+        |  UNION ALL SELECT 4, 'delete', nc FROM u0 WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT 4, 'delete', nc FROM s1 WHERE doc_id % 7 = 0
+        |)
+        |SELECT CAST(v AS BIGINT) AS commit_v, ct AS change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(nc) AS BIGINT) AS sum_nc
+        |FROM feed GROUP BY v, ct ORDER BY commit_v, change_type""".stripMargin,
     // the cross-era answer restated flat: three slices by event-id
     // residue partition the rows, so their union IS the table
     "layout_partition_evolution" ->

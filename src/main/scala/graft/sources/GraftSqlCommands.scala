@@ -51,7 +51,7 @@ class GraftSqlParser(delegate: ParserInterface,
   // row list: the feed can be table-sized)
   private val ChangesRe =
     ("""(?is)\s*GRAFT\s+CHANGES\s+'([^']+)'\s+FROM\s+(\d+)""" +
-      """(?:\s+TO\s+(\d+))?\s*;?\s*""").r
+      """(?:\s+TO\s+(\d+))?(\s+TILED)?\s*;?\s*""").r
   private val OptimizeRe =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+SMALL\s+(\d+)\s+TARGET\s+(\d+))?\s*;?\s*""".r
   private val OptimizeBucketsRe =
@@ -182,17 +182,33 @@ class GraftSqlParser(delegate: ParserInterface,
         Option(age).map(_.toLong).getOrElse(0L), dryRun = dry != null)
     case AbsorbRe(dir) => GraftAbsorbDeletesCommand(dir)
     case HistoryRe(dir) => GraftHistoryCommand(dir)
-    case ChangesRe(dir, from, to) =>
+    case ChangesRe(dir, from, to, tiled) =>
       // the feed's schema is the TABLE's (change_type + columns), so
       // this verb resolves to the readChanges plan itself rather than
       // a fixed-output command; range validation (expired fromV,
-      // fromV > toV) fires here — at sql() parse, like the other verbs
+      // fromV > toV) fires here — at sql() parse, like the other verbs.
+      // TILED serves the range as the UNION of per-commit feeds —
+      // each commit's own diff under its own `_commit_version`, UPDATE
+      // commits arriving as paired update images — exactly what the
+      // change-feed STREAM serves, so a batch consumer and a streaming
+      // consumer of the same range agree row for row (the net multiset
+      // delta of the plain form trades that for one cheaper diff).
       val s = session.getOrElse(throw new IllegalStateException(
         "GRAFT CHANGES requires a session-bound parser " +
           "(spark.sql.extensions installs one)"))
-      SnapshotTable.readChanges(s, dir, from.toInt,
-        Option(to).map(_.toInt).getOrElse(Int.MaxValue))
-        .queryExecution.logical
+      val fromV = from.toInt
+      val toV = Option(to).map(_.toInt).getOrElse(Int.MaxValue)
+      if (tiled != null) {
+        require(fromV <= toV, s"GRAFT CHANGES: FROM $fromV > TO $toV")
+        val vs = SnapshotTable.versions(s, dir)
+        require(fromV == 0 || vs.exists(_ <= fromV),
+          s"GRAFT CHANGES: version $fromV expired in $dir")
+        SnapshotTable.streamChangeBatch(s, dir, fromV,
+          if (toV == Int.MaxValue) vs.lastOption.getOrElse(0) else toV)
+          .queryExecution.logical
+      } else
+        SnapshotTable.readChanges(s, dir, fromV, toV)
+          .queryExecution.logical
     case OptimizeZorderRe(dir, cols, n) =>
       GraftOptimizeZorderCommand(dir,
         cols.split(",").toSeq.map(_.trim),
@@ -285,7 +301,7 @@ class GraftSqlParser(delegate: ParserInterface,
             "GRAFT VACUUM '<dir>' KEEP <n> [MIN AGE <ms>] [DRY RUN] | " +
             "GRAFT ABSORB DELETES '<dir>' | " +
             "GRAFT HISTORY '<dir>' | " +
-            "GRAFT CHANGES '<dir>' FROM <v> [TO <v>] | " +
+            "GRAFT CHANGES '<dir>' FROM <v> [TO <v>] [TILED] | " +
             "GRAFT OPTIMIZE '<dir>' [SMALL <bytes> TARGET <bytes>] | " +
             "GRAFT OPTIMIZE '<dir>' ZORDER BY (a, b[, c[, d]]) " +
             "[FILES <n>] | " +
@@ -956,24 +972,31 @@ case class GraftFollowCommand(tableDir: String, cursorPath: String,
           require(feed.columns.contains(k),
             s"GRAFT FOLLOW: key column '$k' is not in the feed " +
               s"(${feed.columns.mkString(", ")})")
-          // the net multiset delta of a keyed source holds, per touched
-          // key, its to-version row on the insert side and/or its
-          // from-version row on the delete side (update images count as
-          // their respective sides) — so upsert the insert side, delete
-          // the keys only the delete side names
-          val ins = feed.filter(col("change_type")
-            .isin("insert", "update_postimage")).drop("change_type")
-          val delKeys = feed.filter(col("change_type")
-            .isin("delete", "update_preimage")).select(col(k)).distinct()
-            .join(ins.select(col(k)).distinct(), Seq(k), "left_anti")
-          // a row-preserving rewrite in the range (compaction, absorb)
-          // diffs to an EMPTY feed — advance the cursor without
-          // publishing a junk downstream version (the range that
-          // REFUSES in append mode is a clean no-op here)
-          if (!(ins.isEmpty && delKeys.isEmpty))
-            SnapshotTable.mergeIdempotent(s, destDir, ins, delKeys, k,
-              txnId = SnapshotTable.writerIdFor(cursorPath),
-              txnVersion = to)
+          // the diff legs are the expensive part and the apply reads
+          // the feed several times (empty probe, upsert side, delete
+          // keys, merge probe) — persist it for the scope of this one
+          // step; it is O(the range's churn), never O(table)
+          val cached = feed.persist()
+          try {
+            // the net multiset delta of a keyed source holds, per
+            // touched key, its to-version row on the insert side
+            // and/or its from-version row on the delete side (update
+            // images count as their respective sides) — so upsert the
+            // insert side, delete the keys only the delete side names
+            val ins = cached.filter(col("change_type")
+              .isin("insert", "update_postimage")).drop("change_type")
+            val delKeys = cached.filter(col("change_type")
+              .isin("delete", "update_preimage")).select(col(k)).distinct()
+              .join(ins.select(col(k)).distinct(), Seq(k), "left_anti")
+            // a row-preserving rewrite in the range (compaction,
+            // absorb) diffs to an EMPTY feed — advance the cursor
+            // without publishing a junk downstream version (the range
+            // that REFUSES in append mode is a clean no-op here)
+            if (!(ins.isEmpty && delKeys.isEmpty))
+              SnapshotTable.mergeIdempotent(s, destDir, ins, delKeys, k,
+                txnId = SnapshotTable.writerIdFor(cursorPath),
+                txnVersion = to)
+          } finally { cached.unpersist(); () }
           ()
       }
     } match {

@@ -14,8 +14,8 @@ class PlanCheckSpec extends GraftSpec {
     val results = PlanCheck.runAll(spark, dir)
     // the check set only ever grows — a silent shrink (a renamed query
     // dropping its checks) must fail too
-    assert(results.size >= 134,
-      s"plan-check set shrank to ${results.size} (expected >= 134)")
+    assert(results.size >= 135,
+      s"plan-check set shrank to ${results.size} (expected >= 135)")
     val bad = results.filterNot(_.ok)
     assert(bad.isEmpty,
       s"${bad.size} plan checks failed:\n" +

@@ -402,4 +402,39 @@ class SnapshotChangesSpec extends GraftSpec {
     intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
       graftSql(s"GRAFT CHANGES '$t' FROM x") }
   }
+
+  test("GRAFT CHANGES TILED: per-commit batch feed equals the stream's") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg13-").toString
+    val t = s"$dir/tbl"
+    def graftSql(sql: String) =
+      org.apache.spark.sql.GraftSqlShim.ofRows(spark,
+        new GraftSqlParser(spark.sessionState.sqlParser, Some(spark))
+          .parsePlan(sql))
+    SnapshotTable.commit(spark, t,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), overwrite = false)
+    assert(SnapshotTable.updateWhere(spark, t, col("id") === 2L,
+      Map("v" -> lit(-20L))).nonEmpty)
+    assert(SnapshotTable.deleteWhere(spark, t, col("id") === 1L).nonEmpty)
+    // the PLAIN multi-commit form nets the delta with insert/delete
+    // tags; TILED serves each commit's own diff under its own
+    // _commit_version, the UPDATE arriving PAIRED — the stream's view
+    val tiled = graftSql(s"GRAFT CHANGES '$t' FROM 0 TILED").collect()
+      .map(r => (r.getLong(r.fieldIndex("_commit_version")),
+        r.getString(r.fieldIndex("change_type")),
+        r.getLong(r.fieldIndex("id")),
+        r.getLong(r.fieldIndex("v")))).toSet
+    assert(tiled == Set(
+      (1L, "insert", 1L, 10L), (1L, "insert", 2L, 20L),
+      (2L, "update_preimage", 2L, 20L),
+      (2L, "update_postimage", 2L, -20L),
+      (3L, "delete", 1L, 10L)))
+    // TO omitted = latest; an empty tiled range is zero rows, right shape
+    val empty = graftSql(s"GRAFT CHANGES '$t' FROM 3 TILED")
+    assert(empty.columns.toSeq ==
+      Seq("change_type", "id", "v", "_commit_version"))
+    assert(empty.count() == 0)
+    intercept[IllegalArgumentException] {
+      graftSql(s"GRAFT CHANGES '$t' FROM 5 TO 2 TILED") }
+  }
 }
