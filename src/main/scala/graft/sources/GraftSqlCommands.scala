@@ -540,10 +540,13 @@ case class GraftCloneCommand(srcDir: String, dstDir: String, asOf: Int)
 
 /** `GRAFT HISTORY '<dir>'` → one row per published version (the
   * [[SnapshotTable.history]] inspection, O(retained versions) manifest
-  * reads, zero data-file access). */
+  * reads, zero data-file access), operation kind included — the
+  * `DESCRIBE HISTORY` answer to "what did version N DO". */
 case class GraftHistoryCommand(tableDir: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("operation", org.apache.spark.sql.types.StringType,
+      nullable = true)(),
     AttributeReference("n_files", LongType, nullable = false)(),
     AttributeReference("n_rows", LongType, nullable = true)(),
     AttributeReference("total_bytes", LongType, nullable = true)(),

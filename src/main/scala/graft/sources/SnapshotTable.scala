@@ -5142,10 +5142,13 @@ object SnapshotTable {
   }
 
   /** Table history as a DataFrame — one row per RETAINED version with
-    * its file count, LIVE row count (null pre-stats; deletion vectors
-    * subtracted), total bytes, cumulative txn count, bucket layout,
-    * and outstanding deleted-row count: the `DESCRIBE HISTORY`
-    * inspection surface, answered from manifests alone (no data I/O). */
+    * its OPERATION kind (the `#kind:` commit stamp — append/overwrite/
+    * delete/update/merge/compact; null for metadata-only and
+    * pre-stamp commits), file count, LIVE row count (null pre-stats;
+    * deletion vectors subtracted), total bytes, cumulative txn count,
+    * bucket layout, and outstanding deleted-row count: the `DESCRIBE
+    * HISTORY` inspection surface, answered from manifests alone (no
+    * data I/O). */
   def history(s: SparkSession, tableDir: String): DataFrame = {
     import s.implicits._
     versions(s, tableDir).map { v =>
@@ -5155,10 +5158,10 @@ object SnapshotTable {
         if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sum - m.delRowCount)
       }
       val bytes = m.entries.map(_.map(_.status.getLen).sum)
-      (v, m.files.size.toLong, rows, bytes, m.txns.size.toLong,
+      (v, m.kind, m.files.size.toLong, rows, bytes, m.txns.size.toLong,
         m.bucket.map { case (n, c) => s"$n:$c" }, m.delRowCount, m.ts)
-    }.toDF("version", "n_files", "n_rows", "total_bytes", "n_txns", "bucket",
-      "n_del_rows", "commit_ts")
+    }.toDF("version", "operation", "n_files", "n_rows", "total_bytes",
+      "n_txns", "bucket", "n_del_rows", "commit_ts")
       .orderBy(org.apache.spark.sql.functions.col("version"))
   }
 

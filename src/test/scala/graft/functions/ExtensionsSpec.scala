@@ -98,7 +98,7 @@ class ExtensionsSpec extends GraftSpec {
       val hist = s2.sql(s"GRAFT HISTORY '$t'").collect()
       assert(hist.map(_.getInt(0)).toSeq == Seq(3),
         s"after KEEP 1 only the restored version remains: ${hist.mkString}")
-      assert(hist.head.getLong(2) == 2L) // n_rows of the restored state
+      assert(hist.head.getLong(3) == 2L) // n_rows of the restored state
       // pure-SQL OPTIMIZE: two tiny commits bin-pack into one file
       val t2 = s"$dir/tbl2"
       SnapshotTable.commit(s2, t2, Seq(1L, 2L).toDF("id"), overwrite = false)
@@ -171,7 +171,7 @@ class ExtensionsSpec extends GraftSpec {
       Thread.sleep(15) // commit stamps are millis; separate them
       SnapshotTable.commit(s2, t4, Seq(2L).toDF("id"), overwrite = false)
       val ts1 = s2.sql(s"GRAFT HISTORY '$t4'").collect()
-        .find(_.getInt(0) == 1).get.getLong(7)
+        .find(_.getInt(0) == 1).get.getLong(8)
       val tsStr = java.time.Instant.ofEpochMilli(ts1)
         .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
         .format(java.time.format.DateTimeFormatter
@@ -231,7 +231,7 @@ class ExtensionsSpec extends GraftSpec {
       Thread.sleep(15)
       SnapshotTable.commit(s2, t6, Seq(2L).toDF("id"), overwrite = false)
       val stamp1 = s2.sql(s"GRAFT HISTORY '$t6'").collect()
-        .find(_.getInt(0) == 1).get.getLong(7)
+        .find(_.getInt(0) == 1).get.getLong(8)
       val litUtc = java.time.Instant.ofEpochMilli(stamp1)
         .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
         .format(java.time.format.DateTimeFormatter

@@ -69,7 +69,7 @@ class SnapshotDescribeStatsSpec extends GraftSpec {
         "VERSION AS OF must serve that version's stats")
       // wall-clock addressing: v1's own commit stamp resolves to v1
       val ts1 = s2.sql(s"GRAFT HISTORY '$t'").collect()
-        .find(_.getInt(0) == 1).get.getLong(7)
+        .find(_.getInt(0) == 1).get.getLong(8)
       val byTs = s2.sql(s"GRAFT DESCRIBE STATS '$t' TIMESTAMP AS OF '$ts1'")
         .collect().map(r => r.getString(0) -> r).toMap
       assert(byTs("id").getLong(2) == 50L,

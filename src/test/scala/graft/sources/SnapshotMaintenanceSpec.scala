@@ -250,13 +250,14 @@ class SnapshotMaintenanceSpec extends GraftSpec {
     SnapshotTable.commitBucketed(spark, t, Seq(7L).toDF("id"),
       overwrite = true, nBuckets = 4, bucketCol = "id")
     val h = SnapshotTable.history(spark, t).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(4),
-        Option(r.getString(5))))
+      .map(r => (r.getInt(0), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getLong(5), Option(r.getString(6))))
     assert(h.length == 3)
-    assert(h(0) == ((1, 2L, 10L, 0L, None)))
-    assert(h(1) == ((2, 3L, 11L, 1L, None)))     // append carries files+txn
-    assert(h(2)._1 == 3 && h(2)._3 == 1L &&
-      h(2)._4 == 1L && h(2)._5.contains("4:id")) // overwrite, bucketed
+    assert(h(0) == ((1, Some("append"), 2L, 10L, 0L, None)))
+    assert(h(1) == ((2, Some("append"), 3L, 11L, 1L, None)))
+    assert(h(2)._1 == 3 && h(2)._2.contains("overwrite") &&
+      h(2)._4 == 1L && h(2)._5 == 1L &&
+      h(2)._6.contains("4:id")) // overwrite, bucketed
   }
 
   test("a 10k-file snapshot: manifest round-trip sub-second, ONE scan planned") {

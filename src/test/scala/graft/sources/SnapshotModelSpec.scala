@@ -190,7 +190,7 @@ class SnapshotModelSpec extends GraftSpec {
             // (fresh table, outstanding vectors, bucketed layout) and
             // the no-match case normalize to the filler append
             val bucketNow = SnapshotTable.versions(spark, t).nonEmpty &&
-              SnapshotTable.history(spark, t).collect().last.get(5) != null
+              SnapshotTable.history(spark, t).collect().last.get(6) != null
             val sel = step % 5
             val matched = model.filter { case (_, v) =>
               ((v % 5) + 5) % 5 == sel }
