@@ -45,7 +45,9 @@ import org.apache.spark.sql.types.StructType
   *   .option("path", tableDir)
   *   .option("changeFeed", "true")
   *   .option("startingVersion", "3")  // optional: serve commits >= 3
-  *   .load()                          // ("latest" = only new commits)
+  *   .load()                          // ("latest" = only new commits;
+  *                                    //  startingTimestamp <millis> is
+  *                                    //  the stamp-resolved twin)
   * // plain SQL: register a name over the directory; SELECTs resolve
   * // through the same manifest-planned relation (zone maps, buckets,
   * // deletion-vector refusal), REFRESH TABLE picks up later commits,
@@ -165,10 +167,25 @@ class SnapshotSourceProvider extends StreamSourceProvider
           v.toInt
         }
     }
+    // startingTimestamp (Delta's sibling option): the first commit
+    // stamped AT or AFTER the given epoch-millis serves — resolved
+    // against the recorded commit stamps at source creation, then it
+    // IS a startingVersion. A stamp past every commit behaves like
+    // "latest" (only new commits serve).
+    val startingStamp = params.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("startingTimestamp") => v.toLong
+    }.map { ts =>
+      val t = path(params)
+      val vs = SnapshotTable.versions(ctx.sparkSession, t)
+      vs.find(v => SnapshotTable.commitTimestamp(ctx.sparkSession, t, v)
+        .exists(_ >= ts)).getOrElse(-1) // past every commit: "latest"
+    }
+    require(startingVersion.isEmpty || startingStamp.isEmpty,
+      "pass ONE of startingVersion / startingTimestamp")
     new SnapshotStreamSource(ctx, path(params),
       sourceSchema(ctx, schema, providerName, params)._2, ignoreChanges,
       maxVersions, changeFeed = changeFeedOpt(params),
-      startingVersion = startingVersion)
+      startingVersion = startingVersion.orElse(startingStamp))
   }
 }
 

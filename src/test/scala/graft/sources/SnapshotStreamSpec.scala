@@ -244,13 +244,16 @@ class SnapshotStreamSpec extends GraftSpec {
     val t = s"$dir/src"
     val out = s"$dir/out"
     val ck = s"$dir/ck"
-    (1 to 4).foreach(k => SnapshotTable.commit(spark, t,
-      Seq((k.toLong, k * 10L)).toDF("id", "v"), overwrite = false))
-    def run(startAt: String, ckpt: String): Unit = {
+    (1 to 4).foreach { k =>
+      Thread.sleep(15) // stamps are millis; the timestamp case needs
+      SnapshotTable.commit(spark, t, // distinct ones per commit
+        Seq((k.toLong, k * 10L)).toDF("id", "v"), overwrite = false)
+    }
+    def run(opt: (String, String), ckpt: String, dest: String = out): Unit = {
       val q = spark.readStream
         .format("graft.sources.SnapshotSourceProvider")
         .option("path", t).option("changeFeed", "true")
-        .option("startingVersion", startAt)
+        .option(opt._1, opt._2)
         .load()
         .writeStream
         .option("checkpointLocation", ckpt)
@@ -258,7 +261,7 @@ class SnapshotStreamSpec extends GraftSpec {
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
               id: Long) =>
-            SnapshotTable.commitIdempotent(batch.sparkSession, out,
+            SnapshotTable.commitIdempotent(batch.sparkSession, dest,
               batch.toDF(), overwrite = false,
               txnId = SnapshotTable.writerIdFor(ckpt), txnVersion = id)
             ()
@@ -268,20 +271,33 @@ class SnapshotStreamSpec extends GraftSpec {
     }
     // a fresh stream serves commits >= 3 only — the clone-then-stream
     // bootstrap never re-reads the backfill it already owns
-    run("3", ck)
+    run("startingVersion" -> "3", ck)
     assert(changes(out) == Set(
       ("insert", 3L, 30L, 3L), ("insert", 4L, 40L, 4L)))
     // a checkpointed RESTART ignores the option: the offset wins, so a
     // (nonsense) floor change cannot skip or double anything
+    Thread.sleep(15)
     SnapshotTable.commit(spark, t, Seq((5L, 50L)).toDF("id", "v"),
       overwrite = false)
-    run("999", ck)
+    run("startingVersion" -> "999", ck)
     assert(changes(out) == Set(
       ("insert", 3L, 30L, 3L), ("insert", 4L, 40L, 4L),
       ("insert", 5L, 50L, 5L)))
     // "latest": a fresh stream that is already caught up serves nothing
-    run("latest", s"$dir/ck2")
+    run("startingVersion" -> "latest", s"$dir/ck2")
     assert(SnapshotTable.readAsOf(spark, out, Int.MaxValue).count() == 3)
+    // startingTimestamp: v4's commit stamp resolves to startingVersion
+    // 4, so a fresh stream serves v4 and v5 only
+    val stamp4 = SnapshotTable.history(spark, t).collect()
+      .find(_.getInt(0) == 4).get.getLong(8)
+    val out2 = s"$dir/out2"
+    run("startingTimestamp" -> stamp4.toString, s"$dir/ck3", out2)
+    assert(changes(out2) == Set(
+      ("insert", 4L, 40L, 4L), ("insert", 5L, 50L, 5L)))
+    // a stamp past every commit behaves like "latest": nothing serves
+    run("startingTimestamp" -> (stamp4 + 1000000L).toString,
+      s"$dir/ck4", out2)
+    assert(SnapshotTable.readAsOf(spark, out2, Int.MaxValue).count() == 2)
   }
 
   test("change feed: crash mid-backfill replays exactly-once") {
