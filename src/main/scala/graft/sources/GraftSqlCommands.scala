@@ -988,17 +988,25 @@ case class GraftFollowCommand(tableDir: String, cursorPath: String,
             // insert side, delete the keys only the delete side names
             val ins = cached.filter(col("change_type")
               .isin("insert", "update_postimage")).drop("change_type")
+            // delKeys is itself a distinct + anti-join PLAN, and the
+            // merge references it several times (touched-key union,
+            // kept-row anti-join) — persisted like the feed, so the
+            // plan executes once instead of once per reference (it is
+            // O(deleted keys in the range), never O(table))
             val delKeys = cached.filter(col("change_type")
               .isin("delete", "update_preimage")).select(col(k)).distinct()
               .join(ins.select(col(k)).distinct(), Seq(k), "left_anti")
+              .persist()
             // a row-preserving rewrite in the range (compaction,
             // absorb) diffs to an EMPTY feed — advance the cursor
             // without publishing a junk downstream version (the range
             // that REFUSES in append mode is a clean no-op here)
-            if (!(ins.isEmpty && delKeys.isEmpty))
-              SnapshotTable.mergeIdempotent(s, destDir, ins, delKeys, k,
-                txnId = SnapshotTable.writerIdFor(cursorPath),
-                txnVersion = to)
+            try {
+              if (!(ins.isEmpty && delKeys.isEmpty))
+                SnapshotTable.mergeIdempotent(s, destDir, ins, delKeys, k,
+                  txnId = SnapshotTable.writerIdFor(cursorPath),
+                  txnVersion = to)
+            } finally { delKeys.unpersist(); () }
           } finally { cached.unpersist(); () }
           ()
       }
