@@ -96,17 +96,21 @@ object Bench {
     }
     System.err.println(line)
     System.err.flush()
-    // stdout carries EXACTLY ONE short line. Round 7 showed that printing
-    // the multi-KB per-query map to stdout before the compact record can
-    // lose the final line in the driver's bounded capture (the tail ended
-    // mid-stream at the full map; parsed:null). The full map lives in
-    // `$out` and on stderr; stdout is reserved for the one record every
-    // tail window can hold. spark.stop() runs FIRST so no shutdown
+    // stdout carries EXACTLY ONE line: the full record INCLUDING the
+    // per-query map. Round 7's workaround printed `"queries":{}` here
+    // (the multi-KB map printed as a SEPARATE earlier line had pushed the
+    // record out of a bounded tail capture); that blinded every
+    // optimization round — the driver parses this line, so PERF per_query
+    // / geomean / scaling were all empty. The round-18 driver demonstrably
+    // captured the ~7 KB stderr copy of the full line intact, so one
+    // compact line with the map (ms resolution, ~7 KB at 250 queries)
+    // survives the tail window; the file copy in `$out` and the stderr
+    // echo remain as backups. spark.stop() runs FIRST so no shutdown
     // logging or hang can follow the record — it is the process's last
     // write.
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] stop: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir","n":${results.size},"file":"$out"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n":${results.size},"file":"$out"}""")
     System.out.flush()
   }
 }
