@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import java.util.concurrent.ConcurrentHashMap
 
 /** Job-level profiler (optimization-round measurement infra, guide §1):
@@ -27,8 +27,11 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     case class JobRec(id: Int, desc: String, site: String, start: Long,
-      var end: Long = 0L, var stages: Int = 0, var tasks: Int = 0)
+      var end: Long = 0L, var stages: Int = 0, var tasks: Int = 0,
+      var stageIds: Seq[Int] = Nil, var stageNames: Map[Int, String] = Map.empty)
     val jobs = new ConcurrentHashMap[Int, JobRec]()
+    val stageTasks =
+      new ConcurrentHashMap[Int, java.util.concurrent.CopyOnWriteArrayList[Long]]()
     val order = new java.util.concurrent.CopyOnWriteArrayList[Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
@@ -42,11 +45,18 @@ object Profile {
         val r = JobRec(e.jobId, d, site, e.time)
         r.stages = e.stageInfos.size
         r.tasks = e.stageInfos.map(_.numTasks).sum
+        r.stageIds = e.stageInfos.map(_.stageId)
+        r.stageNames = e.stageInfos.map(si => si.stageId -> si.name).toMap
         jobs.put(e.jobId, r)
         order.add(e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val r = jobs.get(e.jobId); if (r != null) r.end = e.time
+      }
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val l = stageTasks.computeIfAbsent(e.stageId,
+          _ => new java.util.concurrent.CopyOnWriteArrayList[Long]())
+        if (e.taskInfo != null) l.add(e.taskInfo.duration)
       }
     })
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -74,6 +84,17 @@ object Profile {
           val ms = if (r.end > 0) r.end - r.start else -1
           System.err.println(
             f"[profile]   job ${r.id}%4d ${ms}%6d ms ${r.stages}%2d st ${r.tasks}%4d tk  ${r.site}")
+          // per-stage task-time distribution: the skew/straggler signal
+          if (ms >= 500) r.stageIds.sorted.foreach { sid =>
+            val l = stageTasks.get(sid)
+            if (l != null && !l.isEmpty) {
+              val ds = l.toArray(Array.empty[java.lang.Long])
+                .map(_.longValue).sorted
+              System.err.println(f"[profile]     stage $sid%4d: n ${ds.length}%4d " +
+                f"sum ${ds.sum}%6d max ${ds.last}%6d med ${ds(ds.length / 2)}%5d  " +
+                r.stageNames.getOrElse(sid, "?"))
+            }
+          }
         }
       }
       CacheRegistry.clear(spark)

@@ -708,14 +708,26 @@ object DedupOps extends QueryPack {
       rounds += 1
       // large-star over the symmetric view: for each u, attach every
       // neighbor v > u to m = min(N(u) ∪ {u}); emitted pairs keep a > b
-      // because m <= u < v
+      // because m <= u < v.
+      // ONE explicit exchange on the star key feeds BOTH the min
+      // aggregate and its join back (hash(a) satisfies each consumer's
+      // required distribution, so neither plans its own exchange —
+      // guide §2.4 "two operations keyed the same way share one
+      // exchange"); before, the aggregate and the join each shuffled
+      // the symmetric pair set separately, twice per star per round.
       val sym = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+        .repartition(col("a"))
       val mL = sym.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
       val large = sym.join(mL, "a").filter(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
+        // hash(a) also satisfies the dedup's (a, b) clustering, so the
+        // distinct plans no exchange of its own either
+        .repartition(col("a")).dropDuplicates("a", "b")
       // small-star over the canonical pairs: for each u, attach its
-      // not-larger neighbors (and u itself) to m = min(N(u) ∪ {u})
+      // not-larger neighbors (and u itself) to m = min(N(u) ∪ {u});
+      // `large` is already hash(a)-partitioned, so the aggregate and
+      // the join reuse that exchange too
       val mS = large.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
       val joined = large.join(mS, "a")
       val next = joined.filter(col("b") =!= col("m"))
@@ -1013,22 +1025,44 @@ object DedupOps extends QueryPack {
     // prefix by one and silently break the completeness theorem
     val prefix = pos.join(sz, "doc_id")
       .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
-      .select(col("doc_id"), col("sz"), col("token"))
+      .select(col("doc_id"), col("sz"), col("token"), col("pos"))
+    // candidate pruning beyond the length filter: PPJoin POSITIONAL
+    // filtering (Xiao et al. 2008). Both docs' token lists are ranked by
+    // the same global (df, token) total order, so a true pair's FIRST
+    // common token is a generated collision (it lies in both prefixes by
+    // the prefix theorem) and every other common token follows it in
+    // BOTH lists — overlap ≤ 1 + min(|A|−pa, |B|−pb) at that collision.
+    // Keeping only collisions whose bound reaches the required overlap
+    // O = ⌈τ/(1+τ)·(|A|+|B|)⌉ = ⌈3(|A|+|B|)/8⌉ (exact integers) is
+    // therefore lossless for true pairs and drops most false candidates
+    // before the distinct + verify (measured sf0.1: 196k → 70k pairs).
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id") &&
         // exact length filter: J >= τ forces τ·max ≤ ∩ ≤ min (τ = 3/5)
         col("a.sz") * 5 >= col("b.sz") * 3 &&
-        col("b.sz") * 5 >= col("a.sz") * 3)
+        col("b.sz") * 5 >= col("a.sz") * 3 &&
+        lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >=
+          expr("(3 * (a.sz + b.sz) + 7) div 8"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("token")), "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("token")),
-        Seq("doc_b", "token"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+    // verify per PAIR against the docs' materialized shingle-set arrays
+    // (one collect_list aggregate reused for both sides) instead of
+    // re-exploding each candidate against the postings — the old
+    // cand ⨝ toks_a ⨝ toks_b + pair-count aggregate shuffled |cand|·|A|
+    // rows (measured sf0.1: 13.7M rows for 196k candidates) where this
+    // moves |cand| array rows and counts the EXACT same intersection
+    // (token sets are distinct per doc) in one codegen pass — guide
+    // §2.3 "shuffle fewer bytes", §8 "decide on small rows".
+    val arrs = toks.groupBy(col("doc_id"))
+      .agg(collect_list(col("token")).as("ts"), count(lit(1)).as("sz"))
+    val verified = cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"),
+        col("sz").as("sz_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+    verified
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("inter").cast("double") /
@@ -1088,7 +1122,8 @@ object DedupOps extends QueryPack {
     * derived inline by the declared query, prebuilt and checkpointed by
     * the streaming gate's [[PrefixIndex]]. */
   private def ingestProbe(corpusT: DataFrame, dfs: DataFrame,
-      szC: DataFrame, batchT: DataFrame): DataFrame = {
+      szC: DataFrame, batchT: DataFrame,
+      corpusArrs: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val szB = batchT.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pos = batchT.join(dfs, Seq("token"), "left_outer")
@@ -1097,22 +1132,39 @@ object DedupOps extends QueryPack {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("token"))))
     val prefix = pos.join(szB, "doc_id")
       .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
-      .select(col("doc_id").as("batch_id"), col("sz").as("sz_b"), col("token"))
+      .select(col("doc_id").as("batch_id"), col("sz").as("sz_b"),
+        col("token"), col("pos"))
+    // one-sided POSITIONAL pruning (the [[prefixJaccardFrom]] rule with
+    // only the batch side ranked): a true pair's first common token is a
+    // generated collision inside the batch prefix, and overlap
+    // ≤ 1 + (|A| − pa) there — prune collisions whose bound cannot
+    // reach O = ⌈3(|A|+|B|)/8⌉. The corpus side carries no rank (the
+    // standing index is not re-windowed per probe), so this arm only
+    // bites when |B| is near the top of the length-filter range.
     val cand = prefix.join(
         corpusT.join(szC, "doc_id")
           .select(col("doc_id").as("corpus_id"), col("sz").as("sz_c"),
             col("token")), "token")
       .filter(col("sz_b") * 5 >= col("sz_c") * 3 &&
-        col("sz_c") * 5 >= col("sz_b") * 3)
+        col("sz_c") * 5 >= col("sz_b") * 3 &&
+        lit(1) + (col("sz_b") - col("pos")) >=
+          expr("(3 * (sz_b + sz_c) + 7) div 8"))
       .select(col("batch_id"), col("corpus_id")).distinct()
-    val inter = cand
-      .join(batchT.select(col("doc_id").as("batch_id"), col("token")), "batch_id")
-      .join(corpusT.select(col("doc_id").as("corpus_id"), col("token")),
-        Seq("corpus_id", "token"))
-      .groupBy(col("batch_id"), col("corpus_id")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(szB.select(col("doc_id").as("batch_id"), col("sz").as("sz_b")), "batch_id")
-      .join(szC.select(col("doc_id").as("corpus_id"), col("sz").as("sz_c")), "corpus_id")
+    // per-PAIR verification against materialized shingle-set arrays
+    // (exact: per-doc token sets are distinct) instead of re-exploding
+    // candidates against both postings lists — the [[prefixJaccardFrom]]
+    // verify shape; guide §2.3.
+    val arrB = batchT.groupBy(col("doc_id"))
+      .agg(collect_list(col("token")).as("ts"), count(lit(1)).as("sz"))
+    val arrC = corpusArrs.getOrElse(corpusT.groupBy(col("doc_id"))
+      .agg(collect_list(col("token")).as("ts"), count(lit(1)).as("sz")))
+    cand
+      .join(arrB.select(col("doc_id").as("batch_id"), col("ts").as("ts_b"),
+        col("sz").as("sz_b")), "batch_id")
+      .join(arrC.select(col("doc_id").as("corpus_id"), col("ts").as("ts_c"),
+        col("sz").as("sz_c")), "corpus_id")
+      .withColumn("inter",
+        size(array_intersect(col("ts_b"), col("ts_c"))).cast("long"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("sz_b") + col("sz_c") - col("inter")), 4))
       .filter(col("inter").cast("double") /
@@ -1128,9 +1180,12 @@ object DedupOps extends QueryPack {
     * corpus every trigger. A production gate persists all three tables
     * (the [[graft.sources.SnapshotTable]] save shape). */
   final case class PrefixIndex(tokens: DataFrame, dfs: DataFrame,
-      sizes: DataFrame)
+      sizes: DataFrame, arrays: DataFrame)
 
-  /** Build the standing index ONCE over (doc_id, text) corpus docs. */
+  /** Build the standing index ONCE over (doc_id, text) corpus docs.
+    * `arrays` is the per-doc shingle-set array table the probe's
+    * verification reads — prebuilt here so a per-micro-batch probe
+    * never re-aggregates the corpus postings. */
   def buildPrefixIndex(corpusDocs: DataFrame): PrefixIndex = {
     val toks = shingleRows(corpusDocs.select(col("doc_id"), col("text")))
       .withColumnRenamed("shingle", "token").localCheckpoint(true)
@@ -1138,6 +1193,9 @@ object DedupOps extends QueryPack {
       toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
         .localCheckpoint(true),
       toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        .localCheckpoint(true),
+      toks.groupBy(col("doc_id"))
+        .agg(collect_list(col("token")).as("ts"), count(lit(1)).as("sz"))
         .localCheckpoint(true))
   }
 
@@ -1149,7 +1207,8 @@ object DedupOps extends QueryPack {
   def nearDupMatches(index: PrefixIndex, batchDocs: DataFrame): DataFrame =
     ingestProbe(index.tokens, index.dfs, index.sizes,
       shingleRows(batchDocs.select(col("doc_id"), col("text")))
-        .withColumnRenamed("shingle", "token"))
+        .withColumnRenamed("shingle", "token"),
+      corpusArrs = Some(index.arrays))
       .select(col("batch_id")).distinct()
 
   private val ContainTau = 0.8
@@ -1190,25 +1249,41 @@ object DedupOps extends QueryPack {
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("df"), col("token"))))
+    val ranked = pos.join(sz, "doc_id")
     // ⌈τ·|A|⌉ with τ = 4/5 in exact integers, as in [[prefixJaccard]]
-    val prefix = pos.join(sz, "doc_id")
+    val prefix = ranked
       .filter(col("pos") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
-      .select(col("doc_id").as("quote_id"), col("sz").as("sz_q"), col("token"))
+      .select(col("doc_id").as("quote_id"), col("sz").as("sz_q"),
+        col("token"), col("pos").as("pos_q"))
+    // the source side rides the SAME ranked frame (pos is computed for
+    // every doc anyway), enabling two-sided PPJoin POSITIONAL pruning:
+    // a true pair's first common token is a generated collision (it
+    // lies in the quote's prefix by the pigeonhole; the source side is
+    // unprefixed, so every source position is present) and
+    // ∩ ≤ 1 + min(|A|−pa, |B|−pb) there — prune collisions whose bound
+    // cannot reach O = ⌈4·|A|/5⌉. Lossless for true pairs, same rule as
+    // [[prefixJaccardFrom]].
     val cand = prefix.join(
-        toks.join(sz, "doc_id")
-          .select(col("doc_id").as("source_id"), col("sz").as("sz_s"),
-            col("token")), "token")
+        ranked.select(col("doc_id").as("source_id"), col("sz").as("sz_s"),
+          col("token"), col("pos").as("pos_s")), "token")
       .filter(col("quote_id") =!= col("source_id") &&
         // one-sided exact length filter: ∩ ≤ |B| forces 5·|B| ≥ 4·|A|
-        col("sz_s") * 5 >= col("sz_q") * 4)
+        col("sz_s") * 5 >= col("sz_q") * 4 &&
+        lit(1) + least(col("sz_q") - col("pos_q"), col("sz_s") - col("pos_s")) >=
+          expr("(4 * sz_q + 4) div 5"))
       .select(col("quote_id"), col("source_id")).distinct()
-    val inter = cand
-      .join(toks.select(col("doc_id").as("quote_id"), col("token")), "quote_id")
-      .join(toks.select(col("doc_id").as("source_id"), col("token")),
-        Seq("source_id", "token"))
-      .groupBy(col("quote_id"), col("source_id")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("quote_id"), col("sz").as("sz_q")), "quote_id")
+    // per-PAIR verification against materialized shingle-set arrays —
+    // the [[prefixJaccardFrom]] verify shape (exact: distinct token
+    // sets), replacing the candidate re-explosion joins; guide §2.3.
+    val arrs = toks.groupBy(col("doc_id"))
+      .agg(collect_list(col("token")).as("ts"), count(lit(1)).as("sz"))
+    cand
+      .join(arrs.select(col("doc_id").as("quote_id"), col("ts").as("ts_q"),
+        col("sz").as("sz_q")), "quote_id")
+      .join(arrs.select(col("doc_id").as("source_id"), col("ts").as("ts_s")),
+        "source_id")
+      .withColumn("inter",
+        size(array_intersect(col("ts_q"), col("ts_s"))).cast("long"))
       .withColumn("containment",
         round(col("inter").cast("double") / col("sz_q"), 4))
       .filter(col("inter").cast("double") / col("sz_q") >= ContainTau)

@@ -976,37 +976,75 @@ case class GraftFollowCommand(tableDir: String, cursorPath: String,
             s"GRAFT FOLLOW: key column '$k' is not in the feed " +
               s"(${feed.columns.mkString(", ")})")
           // the diff legs are the expensive part and the apply reads
-          // the feed several times (empty probe, upsert side, delete
-          // keys, merge probe) — persist it for the scope of this one
-          // step; it is O(the range's churn), never O(table)
+          // the feed again for the merge's upsert side — persist it for
+          // the scope of this one step; it is O(the range's churn),
+          // never O(table)
           val cached = feed.persist()
           try {
+            import org.apache.spark.sql.functions.{sum, when}
             // the net multiset delta of a keyed source holds, per
             // touched key, its to-version row on the insert side
             // and/or its from-version row on the delete side (update
             // images count as their respective sides) — so upsert the
-            // insert side, delete the keys only the delete side names
-            val ins = cached.filter(col("change_type")
-              .isin("insert", "update_postimage")).drop("change_type")
-            // delKeys is itself a distinct + anti-join PLAN, and the
-            // merge references it several times (touched-key union,
-            // kept-row anti-join) — persisted like the feed, so the
-            // plan executes once instead of once per reference (it is
-            // O(deleted keys in the range), never O(table))
-            val delKeys = cached.filter(col("change_type")
-              .isin("delete", "update_preimage")).select(col(k)).distinct()
-              .join(ins.select(col(k)).distinct(), Seq(k), "left_anti")
-              .persist()
+            // insert side, delete the keys only the delete side names.
+            // ONE aggregation over the persisted feed classifies every
+            // touched key (insert-side rows, delete-side rows): it
+            // replaces the former ins.isEmpty + delKeys.isEmpty probes
+            // AND — when the ≤1025-key result is complete, the common
+            // CDC-step case — serves the merge's touched-key set and
+            // delete-key set driver-side, so the former distinct +
+            // anti-join delKeys plan and the merge's own touched-set
+            // job never run. limit(1026) caps driver materialization;
+            // an incomplete result falls back to the distributed shape.
+            val isIns = col("change_type").isin("insert", "update_postimage")
+            val keyStats = cached.groupBy(col(k))
+              .agg(sum(when(isIns, 1L).otherwise(0L)).as("__ni"),
+                sum(when(isIns, 0L).otherwise(1L)).as("__nd"))
+              .limit(1026).collect()
+            val ins = cached.filter(isIns).drop("change_type")
             // a row-preserving rewrite in the range (compaction,
             // absorb) diffs to an EMPTY feed — advance the cursor
             // without publishing a junk downstream version (the range
             // that REFUSES in append mode is a clean no-op here)
-            try {
-              if (!(ins.isEmpty && delKeys.isEmpty))
-                SnapshotTable.mergeIdempotent(s, destDir, ins, delKeys, k,
-                  txnId = SnapshotTable.writerIdFor(cursorPath),
-                  txnVersion = to)
-            } finally { delKeys.unpersist(); () }
+            if (keyStats.nonEmpty) {
+              val writer = SnapshotTable.writerIdFor(cursorPath)
+              if (keyStats.length <= 1025) {
+                // complete key census: delete keys = delete-side-only
+                // keys (nulls dropped — a null key matches nothing
+                // under the merge's anti-join/NOT-IN either way),
+                // touched = every non-null key
+                val delVals = keyStats.filter(r =>
+                  !r.isNullAt(0) && r.getLong(1) == 0L && r.getLong(2) > 0L)
+                  .map(_.get(0)).toIndexedSeq
+                val touched = keyStats.filter(!_.isNullAt(0))
+                  .map(_.get(0)).toIndexedSeq
+                val kType = cached.schema(k).dataType
+                val delKeys = s.createDataFrame(
+                  java.util.Arrays.asList(delVals.map(v =>
+                    org.apache.spark.sql.Row(v)): _*),
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField(k, kType))))
+                if (touched.size <= 1024)
+                  SnapshotTable.mergeIdempotentKeyed(s, destDir, ins,
+                    delKeys, k, txnId = writer, txnVersion = to,
+                    touchedKeys = touched)
+                else
+                  SnapshotTable.mergeIdempotent(s, destDir, ins, delKeys,
+                    k, txnId = writer, txnVersion = to)
+              } else {
+                // >1025 touched keys: the former distributed shape —
+                // distinct delete keys anti-joined against insert keys,
+                // persisted (referenced by the merge's touched union
+                // and survivor anti-join)
+                val delKeys = cached.filter(!isIns).select(col(k))
+                  .distinct()
+                  .join(ins.select(col(k)).distinct(), Seq(k), "left_anti")
+                  .persist()
+                try SnapshotTable.mergeIdempotent(s, destDir, ins, delKeys,
+                  k, txnId = writer, txnVersion = to)
+                finally { delKeys.unpersist(); () }
+              }
+            }
           } finally { cached.unpersist(); () }
           ()
       }

@@ -1403,28 +1403,18 @@ object SnapshotTable {
     // variable per-column stride (5, or 6 with a Bloom): offsets(i) is
     // column i's first agg position; 0 = __f, 1 = __rows
     val offsets = perCol.map(_.size).scanLeft(2)(_ + _)
-    def enc(v: Any): String = v match {
-      case null => ""
-      case d: java.lang.Double if d.isNaN || d.isInfinite => ""
-      case fl: java.lang.Float => enc(Double.box(fl.doubleValue))
-      case other => b64e(other.toString)
-    }
     val rows = data
       .groupBy(input_file_name().as("__f"))
       .agg(count(lit(1)).as("__rows"), perCol.flatten: _*)
       .collect()
     val fileMap = rows.map { r =>
       val fields = cols.zipWithIndex.map { case (sp, i) =>
-        val (name, kind) = (sp.key, sp.kind)
         val o = offsets(i)
-        val bytes = if (r.isNullAt(o + 3)) "" else r.getLong(o + 3).toString
-        val bloom =
-          if (perCol(i).size < 6 || r.isNullAt(o + 5)) ""
-          else java.util.Base64.getEncoder.encodeToString(
-            r.getAs[Array[Byte]](o + 5))
-        val head = s"${b64e(name)}:$kind:${enc(r.get(o))}:" +
-          s"${enc(r.get(o + 1))}:${r.getLong(o + 2)}:$bytes"
-        if (bloom.isEmpty) head else s"$head:$bloom"
+        statFieldString(sp.key, sp.kind, r.get(o), r.get(o + 1),
+          r.getLong(o + 2),
+          bytes = if (r.isNullAt(o + 3)) None else Some(r.getLong(o + 3)),
+          bloom = if (perCol(i).size < 6 || r.isNullAt(o + 5)) None
+            else Some(r.getAs[Array[Byte]](o + 5)))
       }
       new HPath(r.getString(0)).toUri.getPath ->
         (r.getLong(1), fields.mkString(";"))
@@ -1441,6 +1431,34 @@ object SnapshotTable {
         .toSeq
     }.toMap
     Some((fileMap, ndv))
+  }
+
+  /** Manifest stat-value rendering shared by the read-back aggregation
+    * ([[statsAggregate]], which collects EXTERNAL values) and the fused
+    * single-pass collector (INTERNAL values — numerics box identically
+    * and `UTF8String.toString` is the same string, so both paths render
+    * the same text): "" for null and non-finite double bounds, floats
+    * widened to double BEFORE encoding so the stored decimal
+    * round-trips exactly. */
+  private def encStatValue(v: Any): String = v match {
+    case null => ""
+    case d: java.lang.Double if d.isNaN || d.isInfinite => ""
+    case fl: java.lang.Float => encStatValue(Double.box(fl.doubleValue))
+    case other => b64e(other.toString)
+  }
+
+  /** One manifest stats FIELD (`name:kind:min:max:nulls:bytes[:bloom]`)
+    * — the single encoder both stats paths share, so equivalence is by
+    * construction at the text level. */
+  private def statFieldString(name: String, kind: Char, minV: Any,
+      maxV: Any, nulls: Long, bytes: Option[Long],
+      bloom: Option[Array[Byte]]): String = {
+    val bytesStr = bytes.map(_.toString).getOrElse("")
+    val head = s"${b64e(name)}:$kind:${encStatValue(minV)}:" +
+      s"${encStatValue(maxV)}:$nulls:$bytesStr"
+    val bl = bloom.filter(_ != null)
+      .map(java.util.Base64.getEncoder.encodeToString).getOrElse("")
+    if (bl.isEmpty) head else s"$head:$bl"
   }
 
   /** The manifest-planned relation over an explicit entry subset —
@@ -2544,6 +2562,196 @@ object SnapshotTable {
   /** `preShaped`: the caller already laid the rows out (a per-partition
     * Z-order rewrite range-partitions by (partition cols, z)) — skip
     * the hive-writer clustering repartition that would destroy it. */
+  /** Kill switch for the fused single-pass commit stats (spec/testing
+    * doorway, like [[delDiffCollectRows]]): `false` restores the
+    * read-back [[collectFileStats]] job on every commit. */
+  private[sources] var fuseCommitStats: Boolean = true
+
+  /** Per-write-task stats container for the FUSED single-pass commit
+    * (guide §6/§2.4: the commit's stats ride the write job instead of
+    * re-reading what it just wrote): one instance per task, shipped to
+    * the driver on a collection accumulator keyed by the task's
+    * partition index — which, for a flat non-bucketed write with
+    * `maxRecordsPerFile` off, IS the `part-NNNNN` index of the one
+    * file the task writes. */
+  private[sources] final class CommitPartStats(nCols: Int)
+      extends Serializable {
+    var rows: Long = 0L
+    val minV = new Array[Any](nCols)
+    val maxV = new Array[Any](nCols)
+    val nulls = new Array[Long](nCols)
+    val bytes = new Array[Long](nCols)
+    val bytesSeen = new Array[Boolean](nCols)
+    val kmv: Array[Array[Long]] = Array.fill(nCols)(Array.empty[Long])
+    val bloom: Array[Array[Byte]] = Array.fill(nCols)(Array.empty[Byte])
+  }
+
+  /** One stat column's layout inside the fused probe projection:
+    * ordinals of its evaluated input columns (-1 = absent). Scalar
+    * paths read value/kmv/bloom; array-element paths read
+    * min/max/null-flag/element-hash-array. The INPUT EXPRESSIONS are
+    * the exact SQL fragments [[statsAggregate]] feeds its aggregate
+    * functions, so both paths evaluate identical Spark semantics; only
+    * the FOLD (min/max/sum/bottom-K/bloom-bits) moves into the task. */
+  private final case class FusedColSpec(key: String, kind: Char,
+    isArray: Boolean, valIdx: Int, minIdx: Int, maxIdx: Int,
+    nullFlagIdx: Int, kmvIdx: Int, bloomIdx: Int, bloomArrIdx: Int,
+    valueType: DataType)
+
+  /** Spark-identical comparison for the types [[statSql]] can produce
+    * (every date/timestamp/decimal kind reduces to int/long there;
+    * doubles order with NaN greatest and ±0.0 equal, exactly
+    * Catalyst's SQLOrderingUtil rule the Min/Max aggregates use). */
+  private def statCompare(dt: DataType): (Any, Any) => Int = dt match {
+    case org.apache.spark.sql.types.ByteType =>
+      (a, b) => java.lang.Byte.compare(a.asInstanceOf[Byte], b.asInstanceOf[Byte])
+    case org.apache.spark.sql.types.ShortType =>
+      (a, b) => java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
+    case org.apache.spark.sql.types.IntegerType =>
+      (a, b) => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case org.apache.spark.sql.types.LongType =>
+      (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case org.apache.spark.sql.types.FloatType =>
+      (a, b) => org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+        .compareFloats(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case org.apache.spark.sql.types.DoubleType =>
+      (a, b) => org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+        .compareDoubles(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case org.apache.spark.sql.types.StringType =>
+      (a, b) => a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    case other => throw new IllegalStateException(
+      s"fused commit stats: unexpected stat value type $other")
+  }
+
+  /** Retain an internal value beyond its (possibly reused) row buffer. */
+  private def statRetain(v: Any): Any = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+    case other => other
+  }
+
+  /** Build the fused probe's extra input columns + specs. `base` is the
+    * ordinal where the extra columns start. Mirrors [[statsAggregate]]'s
+    * per-column expression list exactly. */
+  private def fusedStatInputs(cols: Seq[StatPath], bloomCols: Set[String],
+      base: Int): (Seq[org.apache.spark.sql.Column], Seq[FusedColSpec]) = {
+    import org.apache.spark.sql.functions._
+    val exprs = Seq.newBuilder[org.apache.spark.sql.Column]
+    val specs = Seq.newBuilder[FusedColSpec]
+    var at = base
+    def add(c: org.apache.spark.sql.Column): Int = {
+      exprs += c.as(s"__graft_stat_$at"); val i = at; at += 1; i
+    }
+    def wantBloom(n: String, k: Char): Boolean =
+      bloomCols.contains(n) && (k == 'l' || k == 's')
+    cols.foreach { sp =>
+      if (sp.key.endsWith("[]")) {
+        val ref = sp.sql
+        val elemHash =
+          if (sp.kind == 's') "xxhash64(x)"
+          else "xxhash64(CAST(x AS BIGINT))"
+        val minI = add(expr(s"array_min($ref)"))
+        val maxI = add(expr(s"array_max($ref)"))
+        val nullI = add(expr(ref).isNull)
+        val bloomArrI = add(expr(
+          s"transform(filter($ref, x -> x IS NOT NULL), " +
+            s"x -> $elemHash & ${graft.functions.BloomBitsAgg.Mask52}L)"))
+        specs += FusedColSpec(sp.key, sp.kind, isArray = true,
+          valIdx = -1, minIdx = minI, maxIdx = maxI, nullFlagIdx = nullI,
+          kmvIdx = -1, bloomIdx = -1, bloomArrIdx = bloomArrI,
+          valueType = org.apache.spark.sql.types.NullType)
+      } else {
+        val (n, k, sql) = (sp.key, sp.kind, sp.sql)
+        val canon =
+          if (k == 'd') s"CAST(($sql + CAST(0.0 AS DOUBLE)) AS STRING)"
+          else s"CAST($sql AS STRING)"
+        val valI = add(expr(sql))
+        val kmvI = add(
+          when(expr(sql).isNull, lit(graft.functions.KmvDistinctAgg.Skip))
+            .otherwise(expr(s"CAST(conv(substring(md5($canon), " +
+              "1, 15), 16, 10) AS BIGINT)")))
+        val bloomI =
+          if (!wantBloom(n, k)) -1
+          else {
+            val hashSql =
+              if (k == 's') s"xxhash64($sql)"
+              else s"xxhash64(CAST(($sql) AS BIGINT))"
+            add(when(expr(sql).isNull,
+                lit(graft.functions.BloomBitsAgg.Skip))
+              .otherwise(expr(
+                s"$hashSql & ${graft.functions.BloomBitsAgg.Mask52}L")))
+          }
+        specs += FusedColSpec(n, k, isArray = false,
+          valIdx = valI, minIdx = -1, maxIdx = -1, nullFlagIdx = -1,
+          kmvIdx = kmvI, bloomIdx = bloomI,
+          valueType = org.apache.spark.sql.types.NullType, bloomArrIdx = -1)
+      }
+    }
+    (exprs.result(), specs.result())
+  }
+
+  /** Fold one internal row into the task's stats (valueType in each
+    * spec must already be resolved from the probe schema). */
+  private def fusedUpdate(specs: Array[FusedColSpec],
+      cmps: Array[(Any, Any) => Int], st: CommitPartStats,
+      row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    st.rows += 1
+    var c = 0
+    while (c < specs.length) {
+      val sp = specs(c)
+      if (sp.isArray) {
+        if (row.getBoolean(sp.nullFlagIdx)) st.nulls(c) += 1
+        else {
+          if (!row.isNullAt(sp.minIdx)) {
+            val v = row.get(sp.minIdx, sp.valueType)
+            if (st.minV(c) == null || cmps(c)(v, st.minV(c)) < 0)
+              st.minV(c) = statRetain(v)
+          }
+          if (!row.isNullAt(sp.maxIdx)) {
+            val v = row.get(sp.maxIdx, sp.valueType)
+            if (st.maxV(c) == null || cmps(c)(v, st.maxV(c)) > 0)
+              st.maxV(c) = statRetain(v)
+          }
+          // non-null array (even empty): allocate — a file of empty
+          // arrays records an all-zero bloom, not "no bloom recorded"
+          // (the BloomBitsArrayAgg rule)
+          val hs = row.getArray(sp.bloomArrIdx)
+          var buf = st.bloom(c)
+          if (buf.length != graft.functions.BloomBitsAgg.Bits / 8)
+            buf = new Array[Byte](graft.functions.BloomBitsAgg.Bits / 8)
+          var i = 0
+          val n = hs.numElements()
+          while (i < n) {
+            buf = graft.functions.BloomBitsAgg.reduce(buf, hs.getLong(i))
+            i += 1
+          }
+          st.bloom(c) = buf
+        }
+      } else {
+        if (row.isNullAt(sp.valIdx)) st.nulls(c) += 1
+        else {
+          val v = row.get(sp.valIdx, sp.valueType)
+          if (st.minV(c) == null || cmps(c)(v, st.minV(c)) < 0)
+            st.minV(c) = statRetain(v)
+          if (st.maxV(c) == null || cmps(c)(v, st.maxV(c)) > 0)
+            st.maxV(c) = statRetain(v)
+          if (sp.kind == 's') {
+            st.bytes(c) += v
+              .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+              .numBytes()
+            st.bytesSeen(c) = true
+          }
+        }
+        st.kmv(c) = graft.functions.KmvDistinctAgg.reduce(
+          st.kmv(c), row.getLong(sp.kmvIdx))
+        if (sp.bloomIdx >= 0)
+          st.bloom(c) = graft.functions.BloomBitsAgg.reduce(
+            st.bloom(c), row.getLong(sp.bloomIdx))
+      }
+      c += 1
+    }
+  }
+
   private def writeDataDir(s: SparkSession, tableDir: String, df0: DataFrame,
       uniq: String, bucket: Option[(Int, String)] = None,
       partitionBy: Seq[String] = Nil,
@@ -2610,10 +2818,72 @@ object SnapshotTable {
         }
       case _ => df0
     }
-    val writer = df.write.mode("overwrite")
-    (if (partitionBy.isEmpty) writer
-     else writer.partitionBy(partitionBy: _*))
-      .parquet(staging.toString)
+    // FUSED single-pass commit stats (guide §6/§2.4): for the flat
+    // non-bucketed layout — where each write task emits exactly one
+    // `part-NNNNN` file (no partition dirs, no maxRecordsPerFile
+    // splitting) — the per-file zone maps, byte totals, KMV NDV and
+    // Bloom bits fold INSIDE the write job via a per-task observer +
+    // collection accumulator, instead of a second job re-reading the
+    // just-written batch. Halves commit I/O at scale and drops one job
+    // + one exchange per commit. Stat INPUTS stay Spark expressions
+    // (the exact statsAggregate fragments: statSql stored forms, the
+    // md5 canon, xxhash64 bloom hashes), so the oracle-pinned
+    // estimator semantics are untouched; only the order-insensitive
+    // fold moves into the task. Accumulator updates inside a result
+    // stage are applied exactly once per task, so retries/speculation
+    // cannot double-count.
+    val fusedPaths: Seq[StatPath] =
+      statCols(df.schema) ++ mapStatPaths(df.schema, mapKeys) ++
+        arrayElemStatPaths(df.schema, bloomCols)
+    val fusable = fuseCommitStats && bucket.isEmpty && partitionBy.isEmpty &&
+      fusedPaths.nonEmpty &&
+      s.conf.get("spark.sql.files.maxRecordsPerFile", "0") == "0"
+    val fusedAcc: Option[org.apache.spark.util.CollectionAccumulator[
+      (Int, CommitPartStats)]] =
+      if (!fusable) None
+      else {
+        def esc(n: String) = "`" + n.replace("`", "``") + "`"
+        val dataCols = df.columns.toIndexedSeq.map(n => col(esc(n)))
+        val (extraCols, specs0) =
+          fusedStatInputs(fusedPaths, bloomCols, df.columns.length)
+        val probe = df.select(dataCols ++ extraCols: _*)
+        val pSchema = probe.schema
+        val specs = specs0.map { sp =>
+          val vi = if (sp.isArray) sp.minIdx else sp.valIdx
+          sp.copy(valueType = pSchema(vi).dataType)
+        }.toArray
+        val cmps: Array[(Any, Any) => Int] =
+          specs.map(sp => statCompare(sp.valueType))
+        val acc = s.sparkContext
+          .collectionAccumulator[(Int, CommitPartStats)]("graft.commit.stats")
+        val nCols = specs.length
+        val rdd = probe.queryExecution.toRdd.mapPartitionsWithIndex {
+          (pid, it) =>
+            val st = new CommitPartStats(nCols)
+            new scala.collection.AbstractIterator[
+              org.apache.spark.sql.catalyst.InternalRow] {
+              private var flushed = false
+              override def hasNext: Boolean = {
+                val h = it.hasNext
+                if (!h && !flushed) { acc.add((pid, st)); flushed = true }
+                h
+              }
+              override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+                val r = it.next(); fusedUpdate(specs, cmps, st, r); r
+              }
+            }
+        }
+        org.apache.spark.sql.GraftSqlShim.ofInternalRows(s, rdd, pSchema)
+          .select(df.columns.toIndexedSeq.map(n => col(esc(n))): _*)
+          .write.mode("overwrite").parquet(staging.toString)
+        Some(acc)
+      }
+    if (fusedAcc.isEmpty) {
+      val writer = df.write.mode("overwrite")
+      (if (partitionBy.isEmpty) writer
+       else writer.partitionBy(partitionBy: _*))
+        .parquet(staging.toString)
+    }
     f.mkdirs(dataDir.getParent)
     require(f.rename(staging, dataDir),
       s"snapshot commit: data rename failed $staging -> $dataDir")
@@ -2672,11 +2942,48 @@ object SnapshotTable {
           .map(_ -> None)
       else walkParts(dataDir, 0, Nil).map { case (st, vs) => st -> Some(vs) }
     val statuses = listed.map(_._1)
+    // fused-path assembly: task partition index ↔ part-file index. Any
+    // mismatch (a file whose index has no stats entry — should be
+    // impossible for this layout) falls back to the read-back job
+    // rather than publishing wrong stats.
+    def assembleFused(acc: org.apache.spark.util.CollectionAccumulator[
+        (Int, CommitPartStats)]): Option[(Map[String, (Long, String)],
+        Map[String, Seq[Long]])] = {
+      import scala.jdk.CollectionConverters._
+      val byPid = acc.value.asScala.map(t => t._1 -> t._2).toMap
+      val partRe = """part-(\d+)-.*""".r
+      val entries = statuses.flatMap { st =>
+        st.getPath.getName match {
+          case partRe(idx) => byPid.get(idx.toInt).map(st -> _)
+          case _ => None
+        }
+      }
+      if (entries.size != statuses.size) None
+      else {
+        val fm = entries.map { case (st, ps) =>
+          val fields = fusedPaths.zipWithIndex.map { case (sp, c) =>
+            statFieldString(sp.key, sp.kind, ps.minV(c), ps.maxV(c),
+              ps.nulls(c),
+              bytes = if (ps.bytesSeen(c)) Some(ps.bytes(c)) else None,
+              bloom = if (ps.bloom(c).isEmpty) None else Some(ps.bloom(c)))
+          }
+          st.getPath.toUri.getPath -> (ps.rows, fields.mkString(";"))
+        }.toMap
+        val ndv = fusedPaths.zipWithIndex
+          .filterNot(_._1.key.endsWith("[]")).map { case (sp, c) =>
+            sp.key -> entries.map(_._2.kmv(c))
+              .foldLeft(Array.empty[Long])(
+                graft.functions.KmvDistinctAgg.merge).toSeq
+          }.toMap
+        Some((fm, ndv))
+      }
+    }
     val stats =
       if (statuses.isEmpty) None
-      else collectFileStats(s, dataDir.toString, df.schema,
-        partitioned = partitionBy.nonEmpty, bloomCols = bloomCols,
-        mapKeys = mapKeys)
+      else fusedAcc.flatMap(assembleFused)
+        .orElse(collectFileStats(s, dataDir.toString, df.schema,
+          partitioned = partitionBy.nonEmpty, bloomCols = bloomCols,
+          mapKeys = mapKeys))
     (dataDir, listed.map { case (st, part) =>
       val partField = part.fold("")(vs =>
         "\tP" + vs.map(_.fold("N")(b64e)).mkString(","))
@@ -4440,9 +4747,25 @@ object SnapshotTable {
     mergeInternal(s, tableDir, upserts, deleteKeys, key,
       Some((txnId, txnVersion)))
 
+  /** [[mergeIdempotent]] with a caller-supplied touched-key set: a
+    * consumer that already aggregated its feed per key (the keyed
+    * FOLLOW apply) passes the COMPLETE distinct non-null key set of
+    * `upserts` ∪ `deleteKeys` (≤ 1024 entries) so the merge skips its
+    * own touched-set job. The set must be EXACT — a superset would
+    * drop survivor rows whose keys were never upserted (data loss), a
+    * subset would miss affected files; both are the caller's contract
+    * to uphold, which is why this stays `private[sources]`. */
+  private[sources] def mergeIdempotentKeyed(s: SparkSession,
+      tableDir: String, upserts: DataFrame, deleteKeys: DataFrame,
+      key: String, txnId: String, txnVersion: Long,
+      touchedKeys: Seq[Any]): Option[Int] =
+    mergeInternal(s, tableDir, upserts, deleteKeys, key,
+      Some((txnId, txnVersion)), touchedKeys = Some(touchedKeys))
+
   private def mergeInternal(s: SparkSession, tableDir: String,
       upserts: DataFrame, deleteKeys: DataFrame, key: String,
-      txn: Option[(String, Long)]): Option[Int] = {
+      txn: Option[(String, Long)],
+      touchedKeys: Option[Seq[Any]] = None): Option[Int] = {
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       attempt += 1
@@ -4465,7 +4788,7 @@ object SnapshotTable {
                 (es0.nonEmpty || m0.partBy.nonEmpty) &&
                 upserts.columns.sorted.sameElements(sc0.fieldNames.sorted) =>
               mergeSelective(s, tableDir, m0, storedSchema(sc0), es0,
-                upserts, deleteKeys, key, txn)
+                upserts, deleteKeys, key, txn, touchedKeys)
             case _ =>
               // the full-rewrite fallback would FLATTEN a hive layout —
               // refuse loudly (one site: exactly the conditions that did
@@ -4619,12 +4942,13 @@ object SnapshotTable {
   private def mergeSelective(s: SparkSession, tableDir: String, m0: Manifest,
       sc0: StructType, es0: Seq[FileEntry], upserts: DataFrame,
       deleteKeys: DataFrame, key: String,
-      txn: Option[(String, Long)] = None): Option[Int] = {
+      txn: Option[(String, Long)] = None,
+      touchedKeys: Option[Seq[Any]] = None): Option[Int] = {
     import org.apache.spark.sql.functions._
     val f = fs(s, tableDir)
     // only the upserts are NEW rows; carried/kept rows already passed
     enforceConstraints(upserts, m0.constraints)
-    val touched = upserts.select(col(key))
+    lazy val touched = upserts.select(col(key))
       .unionByName(deleteKeys.select(col(key))).distinct()
     // exact affected-file discovery: ONE column-pruned scan of the key
     // column against the touched set — file names reach the driver,
@@ -4644,7 +4968,15 @@ object SnapshotTable {
         relationFor(s, tableDir, sc0, ees, partBy = scheme)
           .select(input_file_name().as("__f"), col(key))
       }.reduce(_.unionByName(_))
-    val smallSet = touched.limit(1025).collect().map(_.get(0))
+    // a caller-supplied COMPLETE key set (the keyed FOLLOW apply, which
+    // already aggregated its feed per key) skips the touched-set job;
+    // nulls are excluded there, which is behavior-identical — a NULL
+    // literal matches nothing under isin, exactly as a null key matches
+    // nothing in the semi/anti joins below
+    val smallSet = touchedKeys match {
+      case Some(ks) => ks.toArray
+      case None => touched.limit(1025).collect().map(_.get(0))
+    }
     val matched =
       if (smallSet.isEmpty) keyScan.filter(lit(false)) // nothing touched
       else if (smallSet.length <= 1024)
@@ -4680,7 +5012,10 @@ object SnapshotTable {
     // NOT IN would otherwise null out every non-matching row)
     val keptSet = smallSet.filter(_ != null)
     val kept =
-      if (smallSet.nonEmpty && smallSet.length <= 1024)
+      if (smallSet.length <= 1024)
+        // covers the empty set too (an all-null-key feed): no touched
+        // key ⇒ every base row survives, matching the anti-join against
+        // an empty touched set without planning one
         (if (keptSet.isEmpty) base
          else base.filter(col(key).isNull ||
            !col(key).isin(keptSet.toIndexedSeq: _*)))
@@ -4939,8 +5274,13 @@ object SnapshotTable {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Generate, Project => LProject}
     import org.apache.spark.sql.functions._
     val cols = b.columns.toIndexedSeq
-    val cnt = "__graft_diff_n"
-    require(!cols.contains(cnt), s"diffLegs: reserved column name $cnt")
+    // derive a collision-free counter name (the exceptAll path this
+    // replaced handled tables with any column names — a require here
+    // would regress them)
+    val cnt = Iterator.from(0).map {
+      case 0 => "__graft_diff_n"
+      case i => s"__graft_diff_n$i"
+    }.find(n => !cols.contains(n)).get
     val counted = b.select(cols.map(col) :+ lit(1L).as(cnt): _*)
       .unionByName(a.select(cols.map(col) :+ lit(-1L).as(cnt): _*))
       .groupBy(cols.map(col): _*).agg(sum(col(cnt)).as(cnt))
