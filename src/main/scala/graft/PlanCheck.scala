@@ -664,14 +664,16 @@ object PlanCheck {
     // regression to any nested-loop/cartesian candidate generation, or
     // to force-broadcasting the O(corpus) postings, breaks this
     Check("dedup_jaccard_prefix",
-      mustContain = Seq("Window", "HashAggregate"),
+      // round 19: candidate verify is per-PAIR array_intersect over the
+      // materialized shingle-set arrays, not a candidate re-explosion
+      mustContain = Seq("Window", "HashAggregate", "array_intersect"),
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
       noAutoBroadcast = true,
       build = Some((s, d) => graft.operators.DedupOps.prefixJaccardPlan(s, d))),
     // ingest probe: same contract — the corpus postings index is joined
     // keyed, never broadcast, never self-joined
     Check("ingest_jaccard_prefix",
-      mustContain = Seq("Window", "HashAggregate"),
+      mustContain = Seq("Window", "HashAggregate", "array_intersect"),
       mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
       noAutoBroadcast = true,
       build = Some((s, d) => graft.operators.DedupOps.ingestJaccardPrefixPlan(s, d))),
@@ -877,11 +879,49 @@ object PlanCheck {
       mustContain = Seq("Scan parquet", "HashAggregate", "Union"),
       mustNot = Seq("LocalTableScan", "CartesianProduct", "UDF"),
       noAdaptive = true),
+    // ---- round-19 optimization pins ----
+    // diffLegs: BOTH multiset-diff legs of a rewrite-crossing CDF range
+    // come from ONE shared aggregation — the second leg's grouped sum
+    // reads the first's exchange (static ReusedExchange; a regression
+    // to two independent exceptAll rewrites plans two exchanges and
+    // loses the reuse). ReplicateRows is the except-all generate shape
+    // both legs serve rows through.
+    Check("layout_snapshot_changes",
+      mustContain = Seq("replicaterows(", "ReusedExchange"),
+      mustNot = Seq("CartesianProduct"),
+      noAdaptive = true),
+    // containment verify: per-PAIR array_intersect against the per-doc
+    // shingle-set arrays (one collect_list aggregate reused for both
+    // sides) — a regression to re-exploding candidates against the
+    // postings re-plans the pair-count HashAggregate over |cand|·|doc|
+    // rows; the arrays make the verify one row per candidate
+    Check("dedup_containment",
+      mustContain = Seq("Window", "array_intersect"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      noAutoBroadcast = true),
+    // connected components, ONE star round: three exchanges — the
+    // symmetric view and the large-star output each repartitioned ONCE
+    // on the star key and reused by their min aggregate + join-back
+    // (ReusedExchange present), plus the emitted-pair dedup. A
+    // regression to per-consumer shuffles breaks the budget.
+    Check("dedup_components_round",
+      mustContain = Seq("ReusedExchange"),
+      mustNot = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      noAdaptive = true, noAutoBroadcast = true,
+      build = Some((s, d) => graft.operators.DedupOps.starRoundPlan(s, d)),
+      maxNodes = Seq("Exchange" -> 4)),
   )
 
   /** One check's outcome: the query name, pass/fail, and on failure a
     * summary plus the first plan lines (empty when ok). */
   final case class Result(query: String, ok: Boolean, detail: String)
+
+  /** The `build` override registered for `query`, if any — shared with
+    * [[PlanDump]] so dumps explain the same un-memoized dataflow the
+    * checks assert on. */
+  private[graft] def buildFor(query: String)
+      : Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    checks.find(_.query == query).flatMap(_.build)
 
   /** Run every plan assertion against `sfDir` on an EXISTING session
     * (conf toggles are saved/restored per check) — the callable core

@@ -693,6 +693,49 @@ object DedupOps extends QueryPack {
     * frame is `localCheckpoint`ed so lineage stays flat. At the
     * fixpoint the edges form one star per component, centered at its
     * minimum — which IS the survivor id. Returns (labels, rounds). */
+  /** ONE alternating-star round over the canonical pair set — the loop
+    * body of [[componentsWithRounds]], extracted so [[graft.PlanCheck]]
+    * can pin its plan shape. The LARGE-STAR OUTPUT is repartitioned
+    * ONCE on the star key: hash(a) satisfies the (a,b) dedup's
+    * clustering, the small-star min aggregate's distribution AND the
+    * join-back's — so one exchange serves all three consumers
+    * (ReusedExchange ×3; guide §2.4 "two operations keyed the same way
+    * share one exchange") where each previously shuffled separately.
+    * Exchange budget per round: 4 (sym partial-agg, sym join side,
+    * the shared large-star exchange, emitted-pair dedup) — down from
+    * 5-6, with the joined-side full re-shuffle of the large output
+    * gone. */
+  private[graft] def starRound(pairs: DataFrame): DataFrame = {
+    // large-star over the symmetric view: for each u, attach every
+    // neighbor v > u to m = min(N(u) ∪ {u}); emitted pairs keep a > b
+    // because m <= u < v. (The symmetric view is NOT pre-repartitioned:
+    // the min aggregate's map-side partials and the join's pushed-down
+    // b > a pre-filter each shrink their own exchange more than one
+    // shared raw-row exchange would save — and the differing pushed
+    // filters defeat ReuseExchange on this side anyway, measured.)
+    val sym = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    val mL = sym.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
+    val large = sym.join(mL, "a").filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .filter(col("a") =!= col("b"))
+      .repartition(col("a")).dropDuplicates("a", "b")
+    // small-star over the canonical pairs: for each u, attach its
+    // not-larger neighbors (and u itself) to m = min(N(u) ∪ {u})
+    val mS = large.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
+    val joined = large.join(mS, "a")
+    joined.filter(col("b") =!= col("m"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .unionByName(joined.select(col("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+
+  /** [[starRound]] over a deterministic small pair set — the
+    * un-checkpointed one-round dataflow for plan assertions. */
+  private[graft] def starRoundPlan(s: SparkSession, d: String): DataFrame =
+    starRound(Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      .select((col("doc_id") + 1).as("a"), (col("doc_id") % 97).as("b"))
+      .filter(col("a") =!= col("b")))
+
   private[operators] def componentsWithRounds(
       nodes: DataFrame, edges: DataFrame): (DataFrame, Int) = {
     // canonical (hi → lo) pair set; self-loops dropped. Materialized ONCE —
@@ -706,35 +749,7 @@ object DedupOps extends QueryPack {
     var converged = pairs.isEmpty
     while (!converged) {
       rounds += 1
-      // large-star over the symmetric view: for each u, attach every
-      // neighbor v > u to m = min(N(u) ∪ {u}); emitted pairs keep a > b
-      // because m <= u < v.
-      // ONE explicit exchange on the star key feeds BOTH the min
-      // aggregate and its join back (hash(a) satisfies each consumer's
-      // required distribution, so neither plans its own exchange —
-      // guide §2.4 "two operations keyed the same way share one
-      // exchange"); before, the aggregate and the join each shuffled
-      // the symmetric pair set separately, twice per star per round.
-      val sym = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-        .repartition(col("a"))
-      val mL = sym.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
-      val large = sym.join(mL, "a").filter(col("b") > col("a"))
-        .select(col("b").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b"))
-        // hash(a) also satisfies the dedup's (a, b) clustering, so the
-        // distinct plans no exchange of its own either
-        .repartition(col("a")).dropDuplicates("a", "b")
-      // small-star over the canonical pairs: for each u, attach its
-      // not-larger neighbors (and u itself) to m = min(N(u) ∪ {u});
-      // `large` is already hash(a)-partitioned, so the aggregate and
-      // the join reuse that exchange too
-      val mS = large.groupBy(col("a")).agg(least(min(col("b")), col("a")).as("m"))
-      val joined = large.join(mS, "a")
-      val next = joined.filter(col("b") =!= col("m"))
-        .select(col("b").as("a"), col("m").as("b"))
-        .unionByName(joined.select(col("a"), col("m").as("b")))
-        .filter(col("a") =!= col("b")).distinct()
-        .localCheckpoint(true)
+      val next = starRound(pairs).localCheckpoint(true)
       // fixpoint: the canonical pair set stopped changing (both stars are
       // then identities and every component is a star on its minimum).
       // ONE exact symmetric-difference job over the two checkpointed sets
