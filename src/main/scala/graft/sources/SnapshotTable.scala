@@ -2960,7 +2960,10 @@ object SnapshotTable {
       }
       if (entries.size != statuses.size) None
       else {
-        val fm = entries.map { case (st, ps) =>
+        // a zero-row task's file carries NO stats entry — the legacy
+        // aggregation has no group for it, and writeDataDir then
+        // records the bare zero-row form; match that exactly
+        val fm = entries.filter(_._2.rows > 0L).map { case (st, ps) =>
           val fields = fusedPaths.zipWithIndex.map { case (sp, c) =>
             statFieldString(sp.key, sp.kind, ps.minV(c), ps.maxV(c),
               ps.nulls(c),
